@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver testdata star schema
+  * (see /root/repo/TESTDATA.md). All queries take the sf dir as a
+  * parameter so the same plan runs at any scale factor — at cluster
+  * scale the same code points at a 100 TB lake; nothing below assumes
+  * data fits anywhere.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; all values are micro-aligned, so read the
+    * raw int64 nanos (legacy conf) and rebuild a TimestampType column.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** A named group of oracle-checked queries. Each module contributes
+  * `queries` (Spark DataFrame programs) and `oracle` (the equivalent
+  * DuckDB SQL the driver hash-compares against).
+  *
+  * Cross-engine exactness rules used throughout (so hash compare is
+  * bit-stable, not "close"):
+  *   - double aggregations route through DECIMAL casts (exact,
+  *     order-independent) and are cast back to DOUBLE at the end;
+  *   - every computed column is explicitly cast to the same type on
+  *     both sides (DuckDB SUM(int) is HUGEINT, Spark's is BIGINT...);
+  *   - output timestamps are cast to TIMESTAMP_NTZ (parquet
+  *     isAdjustedToUTC=false) to match DuckDB's naive timestamps;
+  *   - every query ends in a total ORDER BY (unique key set) present
+  *     in both engines.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

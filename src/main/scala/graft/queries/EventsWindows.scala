@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time analytics over the `events` table: the batch forms of
+  * SURVEY.md §2.11's incremental semantics (tumbling windows,
+  * ordered per-key state, sessionization, keyed dedup) plus §2.6
+  * window functions. The streaming (Structured Streaming) forms of
+  * the same computations live in graft.streaming; these batch forms
+  * are the oracle-checked semantics.
+  *
+  * Scale: every query here partitions by user_id (or coarse time
+  * bucket) — high-cardinality keys, so the shuffle spreads evenly;
+  * no global sort is ever required except the final presentation
+  * ORDER BY, which at 100 TB would be dropped (it exists for the
+  * deterministic hash compare).
+  */
+object EventsWindows extends QueryModule {
+
+  private val sumValue =
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------
+  // q16 — tumbling event-time window aggregate (1 hour): the batch
+  // form of `groupBy(window($"ts", "1 hour"), $"event_type")`.
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), expr(sumValue).as("sum_value"))
+      .select(expr("CAST(wstart AS TIMESTAMP_NTZ)").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  private val q16Sql =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+       | event_type, COUNT(*) AS n, $sumValue AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY wstart, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q17 — running (cumulative) sum per key, ordered by event time.
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, dir)
+      .withColumn("running",
+        sum(expr("CAST(value AS DECIMAL(18,2))")).over(w)
+          .cast("double"))
+      .select("user_id", "event_id", "running")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q17Sql =
+    """SELECT user_id, event_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |   AS running
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q18 — lag: microsecond gap to the previous event of the same
+  // user (exact integer arithmetic on epoch micros).
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .select("user_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q18Sql =
+    """SELECT user_id, event_id,
+      | epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q19 — sessionization: a new session starts after a >30 min gap;
+  // session id = running count of session starts (the classic
+  // lag+cumsum formulation; the streaming twin uses
+  // flatMapGroupsWithState / session_window).
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800000000L
+          || lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(wRun).cast("int"))
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q19Sql =
+    """SELECT user_id, event_id,
+      | CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+      |   AS session_id
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |          - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |              PARTITION BY user_id ORDER BY ts, event_id)
+      |          > 1800000000 OR LAG(ts) OVER (
+      |              PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        THEN 1 ELSE 0 END AS new_sess
+      |  FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q20 — keyed dedup, keep-latest (the streaming
+  // dropDuplicates-with-state analog; also A2 argmax per key).
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("ts"), desc("event_id"))
+    T.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val q20Sql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q34 — R2 band-stack shape: per key, values assembled into an
+  // array in an explicit (ts, event_id) sort order — the engine's
+  // answer to order-sensitive stacking under unordered shuffles
+  // (SURVEY §2.10 R2, §7.3 hard part c).
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("seq"))
+      .select(col("user_id"),
+        expr("transform(seq, x -> x.value)").as("bands"))
+      .orderBy("user_id")
+
+  private val q34Sql =
+    """SELECT user_id, list(value ORDER BY ts, event_id) AS bands
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q35 — R5 mosaic first-wins semantics: per (key, hour-cell) the
+  // first value in explicit priority order (ts, event_id) wins.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "cell")
+      .orderBy("ts", "event_id")
+    T.events(s, dir)
+      .withColumn("cell", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        expr("CAST(cell AS TIMESTAMP_NTZ)").as("cell"), col("value"))
+      .orderBy("user_id", "cell")
+  }
+
+  private val q35Sql =
+    """SELECT user_id, cell, value FROM (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS cell,
+      |    value, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, cell""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_tumbling_window" -> (q16 _),
+    "q17_running_sum" -> (q17 _),
+    "q18_lag_gap" -> (q18 _),
+    "q19_sessionize" -> (q19 _),
+    "q20_latest_per_key" -> (q20 _),
+    "q34_band_stack" -> (q34 _),
+    "q35_firstwins_mosaic" -> (q35 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q16_tumbling_window" -> q16Sql,
+    "q17_running_sum" -> q17Sql,
+    "q18_lag_gap" -> q18Sql,
+    "q19_sessionize" -> q19Sql,
+    "q20_latest_per_key" -> q20Sql,
+    "q34_band_stack" -> q34Sql,
+    "q35_firstwins_mosaic" -> q35Sql)
+}
