@@ -14,7 +14,10 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     CoreRelational,
-    EventsWindows)
+    EventsWindows,
+    TextAnalysis,
+    Dedup,
+    SimSearch)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):

@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (hash-groupBy),
+  * n-gram Jaccard via inverted-index join, MinHash signatures +
+  * LSH banding, and SimHash with byte-band candidate generation.
+  *
+  * Cross-engine hashing: token/shingle hash = first 8 hex chars of
+  * md5, parsed as a 32-bit unsigned integer — identical in Spark
+  * (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+  * (`('0x'||substring(md5(x),1,8))::BIGINT`). All MinHash/SimHash
+  * arithmetic stays in exact 64-bit integers (products bounded by
+  * p² < 2⁶²), so signatures are bit-identical across engines.
+  *
+  * Scale design (100 TB): every pairwise step goes through a
+  * candidate-generation equi-join (shingle inverted index, LSH band
+  * buckets, SimHash byte bands) — never an O(n²) cross join. The
+  * join keys are high-cardinality hashes, so the shuffle spreads
+  * evenly; hot shingles (stopword 3-grams) are the skew risk and at
+  * scale get an AQE skew-join or a document-frequency cutoff.
+  */
+object Dedup extends QueryModule {
+
+  import TextAnalysis.{toksS, toksD}
+
+  /** 32-bit token hash fragments (values equal across engines). */
+  private def h32S(e: String) =
+    s"CAST(conv(substring(md5($e), 1, 8), 16, 10) AS BIGINT)"
+  private def h32D(e: String) =
+    s"('0x' || substring(md5($e), 1, 8))::BIGINT"
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** MinHash parameter table (i, a, b) — fixed odd multipliers < p,
+    * rendered as a literal VALUES list shared by both engines. */
+  private val mhParams: Seq[(Int, Long, Long)] = Seq(
+    (0, 1103515245L, 12345L), (1, 1223106847L, 581869302L),
+    (2, 1406932606L, 654583775L), (3, 1744325963L, 137228648L),
+    (4, 1157023929L, 982906691L), (5, 1291394886L, 341565877L),
+    (6, 1625362239L, 762342397L), (7, 1985763245L, 81237563L),
+    (8, 1025912127L, 412385243L), (9, 1352662387L, 923118203L),
+    (10, 1575655961L, 147663229L), (11, 1925115615L, 582354979L))
+  private val mhValues =
+    mhParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  // Spark-side shingle builder: distinct word 3-grams per doc
+  // (element_at is 1-based; i ranges over 1..n-2).
+  private val shinglesS =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+      |                   element_at(toks, i + 2))))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), expr(toksS).as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
+
+  // DuckDB-side shingles via positional self-join on exploded tokens.
+  private val duckShingles =
+    s"""tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, $toksD AS l FROM documents)),
+       |sh AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
+       |  FROM tok a
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q27 — exact dedup: hash-groupBy on the canonical content
+  // fingerprint, keep-first (min doc_id). One shuffle on the hash —
+  // the 100 TB exact-dedup plan.
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(expr(s"md5(concat_ws(' ', $toksS))").as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private val q27Sql =
+    s"""SELECT md5(array_to_string($toksD, ' ')) AS fp,
+       | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q28 — n-gram Jaccard near-dup: inverted-index self-join on
+  // shingles (never n²), exact Jaccard from intersection and set
+  // sizes, top-50 pairs. At scale: the explode-join-agg shape is the
+  // canonical scalable similarity join; jaccard ordering is exact
+  // (integer-derived doubles).
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val q28Sql =
+    s"""WITH $duckShingles,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q29 — MinHash signature matrix: per (doc, hash_i) the min of a
+  // universal hash over the doc's shingle set. 12 hash functions as
+  // a broadcast literal table; one shuffle on doc_id for the min-agg.
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val h = shingled(s, dir)
+      .withColumn("h", expr(s"${h32S("sh")} % $P"))
+    val params = s.sql(s"SELECT * FROM VALUES $mhValues AS t(i, a, b)")
+    h.crossJoin(broadcast(params))
+      .groupBy("doc_id", "i")
+      .agg(min(expr(s"(a * h + b) % $P")).as("minhash"))
+  }
+
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
+      .select(col("doc_id"), col("i").cast("int").as("i"), col("minhash"))
+      .orderBy("doc_id", "i")
+
+  private val duckSignatures =
+    s"""$duckShingles,
+       |hs AS (SELECT doc_id, ${h32D("sh")} % $P AS h FROM sh),
+       |sig AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % $P) AS minhash
+       |  FROM hs CROSS JOIN (VALUES $mhValues) t(i, a, b)
+       |  GROUP BY doc_id, i)""".stripMargin
+
+  private val q29Sql =
+    s"""WITH $duckSignatures
+       |SELECT doc_id, CAST(i AS INTEGER) AS i, minhash FROM sig
+       |ORDER BY doc_id, i""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q30 — LSH candidates: band the signature (here 12 bands × 1 row
+  // — the highest-recall banding) and bucket-join; pairs agreeing on
+  // ≥ 2 of 12 minhashes, with the match fraction as estimated
+  // Jaccard. The join key (i, minhash) is a high-cardinality bucket
+  // id → even shuffle; no cross join anywhere.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= 2)
+      .withColumn("est_jaccard", expr("CAST(n_match AS DOUBLE) / 12.0"))
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+      .orderBy(desc("n_match"), col("doc_a"), col("doc_b"))
+  }
+
+  private val q30Sql =
+    s"""WITH $duckSignatures
+       |SELECT doc_a, doc_b, n_match,
+       |  CAST(n_match AS DOUBLE) / 12.0 AS est_jaccard
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |  FROM sig a
+       |  JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |WHERE n_match >= 2
+       |ORDER BY n_match DESC, doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q31 — SimHash: 32-bit signature from token-frequency bit votes.
+  // Tokens explode once; the 32 bit positions come from a tiny
+  // broadcast range table; two narrow aggregations (doc,bit) → doc.
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tf = T.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toksS)).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("f"))
+      .withColumn("h", expr(h32S("t")))
+    val bits = s.sql("SELECT explode(sequence(0, 31)) AS b")
+    tf.crossJoin(broadcast(bits))
+      .groupBy("doc_id", "b")
+      .agg(sum(expr(
+        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN f ELSE -f END")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+  }
+
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir).select("doc_id", "simhash").orderBy("doc_id")
+
+  private val duckSimhash =
+    s"""tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS f, ${h32D("t")} AS h
+       |  FROM (SELECT doc_id, unnest($toksD) AS t FROM documents)
+       |  GROUP BY doc_id, t),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN f ELSE -f END) AS vote
+       |  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+       |  GROUP BY doc_id, b),
+       |sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  private val q31Sql =
+    s"""WITH $duckSimhash
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q32 — SimHash near-dup pairs: candidate pairs share at least one
+  // of 4 8-bit bands (pigeonhole-exact for hamming ≤ 3; here used as
+  // the recall stage before exact hamming), ranked by hamming
+  // distance, top-50. bit_count(xor) is exact on both engines.
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhash(s, dir)
+    val banded = sim.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("band", expr("shiftright(simhash, 8 * j) & 255"))
+    banded.as("a").join(banded.as("b"),
+        col("a.j") === col("b.j") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val q32Sql =
+    s"""WITH $duckSimhash,
+       |banded AS (
+       |  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS band
+       |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a
+       |JOIN banded b ON b.j = a.j AND b.band = a.band
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY hamming, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_exact_dedup" -> (q27 _),
+    "q28_ngram_jaccard" -> (q28 _),
+    "q29_minhash_sigs" -> (q29 _),
+    "q30_lsh_candidates" -> (q30 _),
+    "q31_simhash" -> (q31 _),
+    "q32_simhash_neardup" -> (q32 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q27_exact_dedup" -> q27Sql,
+    "q28_ngram_jaccard" -> q28Sql,
+    "q29_minhash_sigs" -> q29Sql,
+    "q30_lsh_candidates" -> q30Sql,
+    "q31_simhash" -> q31Sql,
+    "q32_simhash_neardup" -> q32Sql)
+}

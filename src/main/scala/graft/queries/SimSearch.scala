@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float>, label).
+  *
+  * Exactness strategy: embeddings are quantized to integers
+  * (round(x * 1e6) as BIGINT) so dot products and squared norms are
+  * exact 64-bit integer arithmetic — order-independent and identical
+  * across engines; the only floating-point steps (sqrt, one divide)
+  * are IEEE-correctly-rounded from identical integer inputs, so the
+  * cosine values — and therefore the top-k ranking — are bit-stable.
+  *
+  * Scale design (100 TB): the query side is tiny and broadcast; the
+  * corpus side streams through a single scan with per-row lambda
+  * arithmetic (whole-stage codegen, no shuffle until the final
+  * per-query top-k, which is a TakeOrderedAndProject-sized k·|Q|).
+  * The IVF variant prunes the scan by the precomputed cell (label)
+  * key — on a real lake the cell is a partition column, so Catalyst
+  * does partition pruning and each query touches 1/k of the data.
+  */
+object SimSearch extends QueryModule {
+
+  /** Integer quantization of the float vector (Spark fragment). */
+  private val quantS =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private val quantD =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  private val normS =
+    "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+  private val dotS =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  private val cosS =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
+
+  /** Corpus with quantized vector + squared norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    T.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), expr(quantS).as("qv"))
+      .withColumn("n2", expr(normS))
+
+  /** Shared DuckDB prelude: quantized + norms + exploded components. */
+  private val duckPrelude =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, $quantD AS qv FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+       |  FROM q),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v
+       |  FROM n)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q25 — brute-force cosine top-k: for each query vector
+  // (vec_id < 8), the 5 nearest corpus vectors by cosine. The
+  // baseline ANN oracle: broadcast queries × one corpus scan.
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val queries = quantized(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"), col("n2").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS))
+      .withColumn("cosine", expr(cosS))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "c_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q25Sql =
+    s"""$duckPrelude,
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT q_id, c_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n qn ON qn.vec_id = q_id
+       |  JOIN n cn ON cn.vec_id = c_id)
+       |SELECT q_id, rank, c_id, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q26 — IVF-cell ANN: same queries, but the search is pruned to
+  // the query's cell (the precomputed coarse-quantizer assignment,
+  // modeled by `label`). At scale the cell is the partition key, so
+  // this scans 1/k of the corpus per query.
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id").as("c_id"), col("label").as("c_cell"),
+        col("qv").as("cv"), col("n2").as("cn"))
+    val queries = quantized(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_cell"),
+        col("qv"), col("n2").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    corpus.join(broadcast(queries),
+        col("c_cell") === col("q_cell") && col("c_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS))
+      .withColumn("cosine", expr(cosS))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "c_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q26Sql =
+    s"""$duckPrelude,
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    CAST(SUM(av.v * bv.v) AS BIGINT) AS dot
+       |  FROM n a
+       |  JOIN n b ON b.label = a.label AND b.vec_id <> a.vec_id
+       |  JOIN ex av ON av.vec_id = a.vec_id
+       |  JOIN ex bv ON bv.vec_id = b.vec_id AND bv.i = av.i
+       |  WHERE a.vec_id < 8
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT q_id, c_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n qn ON qn.vec_id = q_id
+       |  JOIN n cn ON cn.vec_id = c_id)
+       |SELECT q_id, rank, c_id, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |  FROM sc) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q33 — embedding near-duplicate pairs, cell-restricted: the 30
+  // most-similar distinct pairs within each IVF cell — the
+  // embedding-cosine near-dup detector (threshold form becomes a
+  // `cosine >= t` filter on exactly this plan). The cell key bounds
+  // the pair blow-up: n²/k instead of n² comparisons.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val a = quantized(s, dir)
+      .select(col("vec_id").as("id_a"), col("label").as("cell"),
+        col("qv"), col("n2").as("qn"))
+    val b = quantized(s, dir)
+      .select(col("vec_id").as("id_b"), col("label").as("cell_b"),
+        col("qv").as("cv"), col("n2").as("cn"))
+    a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("dot", expr(dotS))
+      .withColumn("cosine", expr(cosS))
+      .select("cell", "id_a", "id_b", "cosine")
+      .orderBy(desc("cosine"), col("id_a"), col("id_b"))
+      .limit(30)
+  }
+
+  private val q33Sql =
+    s"""$duckPrelude,
+       |dots AS (
+       |  SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(SUM(av.v * bv.v) AS BIGINT) AS dot
+       |  FROM n a
+       |  JOIN n b ON b.label = a.label AND a.vec_id < b.vec_id
+       |  JOIN ex av ON av.vec_id = a.vec_id
+       |  JOIN ex bv ON bv.vec_id = b.vec_id AND bv.i = av.i
+       |  GROUP BY 1, 2, 3)
+       |SELECT cell, id_a, id_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(an.n2 AS DOUBLE)) * sqrt(CAST(bn.n2 AS DOUBLE))) AS cosine
+       |FROM dots
+       |JOIN n an ON an.vec_id = id_a
+       |JOIN n bn ON bn.vec_id = id_b
+       |ORDER BY cosine DESC, id_a, id_b
+       |LIMIT 30""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_knn_brute" -> (q25 _),
+    "q26_ann_ivf" -> (q26 _),
+    "q33_embed_neardup" -> (q33 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q25_knn_brute" -> q25Sql,
+    "q26_ann_ivf" -> q26Sql,
+    "q33_embed_neardup" -> q33Sql)
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * over the `documents` table: token counting (whitespace + BPE-ish
+  * regex segmentation), n-gram-heuristic language ID, quality
+  * scoring (length / type-token / stopword ratios), and document
+  * fingerprinting (canonical md5 + order-sensitive positional hash).
+  *
+  * All computation is per-row codegen'd built-ins (regexp_extract_all,
+  * array lambdas, md5) — no UDFs, no shuffle except the final
+  * presentation ORDER BY (dropped at 100 TB; here it exists for the
+  * deterministic oracle compare). Cross-engine exactness: counts are
+  * BIGINT on both sides; doubles are produced by textually identical
+  * arithmetic over exact integers (IEEE-deterministic).
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Word tokens of the lower-cased text (Spark-side SQL fragment).
+    * Group index 0 = whole match (the pattern has no capture group).
+    */
+  private[queries] val toksS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  /** Same tokens in DuckDB (no string-escape processing there). */
+  private[queries] val toksD = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  // BPE-ish segmentation: letter runs | digit runs | single non-space
+  // symbol — the classic pre-tokenizer split, counted per doc.
+  private val bpeS = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"
+  private val bpeD = "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+
+  // ---------------------------------------------------------------
+  // q21 — token statistics: whitespace tokens, regex word tokens,
+  // distinct tokens, BPE-ish pieces, char length.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(
+        col("doc_id"),
+        expr(s"CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_ws"),
+        expr(s"CAST(size($toksS) AS BIGINT)").as("n_tok"),
+        expr(s"CAST(size(array_distinct($toksS)) AS BIGINT)").as("n_uniq"),
+        expr(s"CAST(size($bpeS) AS BIGINT)").as("n_bpe"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy("doc_id")
+
+  private val q21Sql =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       | CAST(len($toksD) AS BIGINT) AS n_tok,
+       | CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       | CAST(len($bpeD) AS BIGINT) AS n_bpe,
+       | CAST(length(text) AS BIGINT) AS len_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q22 — language ID by function-word n-gram hits (the standard
+  // stopword-profile heuristic), reported as a (lang, pred) confusion
+  // table. Per-row regex counts → tiny groupBy; shuffle-free map side
+  // except the 20-group agg.
+  private def hitS(words: String) =
+    s"CAST(size(regexp_extract_all(lower(text), '\\\\b(?:$words)\\\\b', 0)) AS BIGINT)"
+  private def hitD(words: String) =
+    s"CAST(len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS BIGINT)"
+
+  private val enW = "the|of|and|to|is|in"
+  private val deW = "der|die|das|und|ist|ein"
+  private val frW = "le|la|les|et|est|un"
+  private val esW = "el|los|las|y|es|una"
+
+  private val predCase =
+    """CASE
+      | WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+      | WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+      | WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+      | WHEN h_fr >= h_es THEN 'fr'
+      | ELSE 'es' END""".stripMargin
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("lang"),
+        expr(hitS(enW)).as("h_en"), expr(hitS(deW)).as("h_de"),
+        expr(hitS(frW)).as("h_fr"), expr(hitS(esW)).as("h_es"))
+      .withColumn("pred", expr(predCase))
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"),
+        sum("h_en").as("sum_en_hits"))
+      .orderBy("lang", "pred")
+
+  private val q22Sql =
+    s"""SELECT lang, pred, COUNT(*) AS n, CAST(SUM(h_en) AS BIGINT) AS sum_en_hits
+       |FROM (
+       |  SELECT lang, ${hitD(enW)} AS h_en, ${hitD(deW)} AS h_de,
+       |         ${hitD(frW)} AS h_fr, ${hitD(esW)} AS h_es,
+       |  $predCase AS pred
+       |  FROM documents)
+       |GROUP BY lang, pred
+       |ORDER BY lang, pred""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q23 — quality scoring: doc-level features (token count,
+  // type-token ratio, stopword ratio, mean token length) folded into
+  // a single [0,1] score and a low/mid/high bucket. All doubles
+  // derive from exact integer counts via identical expression text →
+  // bit-stable across engines.
+  private val scoreExpr =
+    "0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 80.0) " +
+      "+ 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)) " +
+      "+ 0.3 * least(1.0, 5.0 * CAST(h_en AS DOUBLE) / CAST(n_tok AS DOUBLE))"
+  private val bucketExpr =
+    "CASE WHEN score >= 0.75 THEN 'high' WHEN score >= 0.55 THEN 'mid' ELSE 'low' END"
+
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"CAST(size($toksS) AS BIGINT)").as("n_tok"),
+        expr(s"CAST(size(array_distinct($toksS)) AS BIGINT)").as("n_uniq"),
+        expr(hitS(enW)).as("h_en"),
+        expr(s"CAST(length(concat_ws('', $toksS)) AS BIGINT)").as("alpha_chars"))
+      .filter(col("n_tok") > 0)
+      .withColumn("ttr", expr("CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)"))
+      .withColumn("mean_tok_len",
+        expr("CAST(alpha_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)"))
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("bucket", expr(bucketExpr))
+      .select("doc_id", "n_tok", "ttr", "mean_tok_len", "score", "bucket")
+      .orderBy("doc_id")
+
+  private val q23Sql =
+    s"""SELECT doc_id, n_tok, ttr, mean_tok_len, $scoreExpr AS score,
+       | $bucketExpr AS bucket
+       |FROM (
+       |  SELECT doc_id, n_tok, n_uniq, h_en,
+       |    CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+       |    CAST(alpha_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_tok_len,
+       |    $scoreExpr AS score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len($toksD) AS BIGINT) AS n_tok,
+       |      CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       |      ${hitD(enW)} AS h_en,
+       |      CAST(length(array_to_string($toksD, '')) AS BIGINT) AS alpha_chars
+       |    FROM documents) WHERE n_tok > 0)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q24 — document fingerprinting: (a) canonical content fingerprint
+  // = md5 of the normalized token stream (whitespace/punct-invariant
+  // exact-dup key); (b) order-sensitive positional hash (rolling-
+  // hash-style: token hash × cyclic positional weight, mod p) that
+  // distinguishes permutations the canonical md5 collapses only on
+  // content. Pure per-row array lambdas — embarrassingly parallel.
+  private val fpP = 1000003L
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"),
+        expr(s"md5(concat_ws(' ', $toksS))").as("fp_md5"),
+        expr(
+          s"""aggregate(
+             |  zip_with($toksS, sequence(1, size($toksS)),
+             |    (t, i) -> (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $fpP)
+             |              * (CAST(i % 31 AS BIGINT) + 1)),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc + x) % $fpP""".stripMargin)
+          .as("fp_pos"))
+      .orderBy("doc_id")
+
+  private val q24Sql =
+    s"""SELECT doc_id,
+       | md5(array_to_string($toksD, ' ')) AS fp_md5,
+       | CAST((SELECT SUM((('0x' || substring(md5(t), 1, 8))::BIGINT % $fpP)
+       |             * (CAST(i % 31 AS BIGINT) + 1)) % $fpP
+       |  FROM (SELECT unnest($toksD) AS t,
+       |               generate_subscripts($toksD, 1) AS i)) AS BIGINT) AS fp_pos
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_token_stats" -> (q21 _),
+    "q22_lang_id" -> (q22 _),
+    "q23_quality_score" -> (q23 _),
+    "q24_fingerprint" -> (q24 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q21_token_stats" -> q21Sql,
+    "q22_lang_id" -> q22Sql,
+    "q23_quality_score" -> q23Sql,
+    "q24_fingerprint" -> q24Sql)
+}
