@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst `Expression`s for the geometry family (SURVEY.md §2.9 F9,
+  * §2.2 P6, §2.4 J1): `st_area`, `st_envelope`, `st_intersects`,
+  * `st_intersection_area` over WKT strings.
+  *
+  * These are genuine engine extensions (Spark has no geo built-ins);
+  * they evaluate via the pure-Scala kernel in [[Geo]]. CodegenFallback
+  * is deliberate: geometry sits on the *dimension* side of every plan
+  * (AOI × candidate products — the reference caps candidates at 20 per
+  * query, `code/imagery_store.py:45`), never in the 100 TB fact-scan
+  * hot path, so interpreted eval here costs nothing measurable while
+  * keeping the surrounding plan inside whole-stage codegen. The raster
+  * normalize kernel (R1), which IS per-pixel hot, is expressed with
+  * codegen'd built-ins instead — see [[Raster.normalizeS2]].
+  */
+case class StArea(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(wkt: Any): Any =
+    Geo.area(wkt.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): StArea = copy(c)
+  override def prettyName: String = "st_area"
+}
+
+/** Envelope as array(minx, miny, maxx, maxy) — the reference's
+  * `.bounds` (`code/dataset.py:38-40`).
+  */
+case class StEnvelope(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(wkt: Any): Any = {
+    val (a, b, c, d) = Geo.envelope(wkt.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(Array(a, b, c, d))
+  }
+  override protected def withNewChildInternal(c: Expression): StEnvelope = copy(c)
+  override def prettyName: String = "st_envelope"
+}
+
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Geo.intersects(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
+    copy(l, r)
+  override def prettyName: String = "st_intersects"
+}
+
+/** Area of left ∩ right (right must be convex — the AOI bbox). The
+  * scoring kernel of the reference's overlay+groupby-sum
+  * (`code/imagery_store.py:249-252`).
+  */
+case class StIntersectionArea(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Geo.intersectionArea(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectionArea =
+    copy(l, r)
+  override def prettyName: String = "st_intersection_area"
+}
+
+/** Registration of the st_* family into a session's FunctionRegistry,
+  * so they are usable from `expr("st_area(wkt)")` / `spark.sql`.
+  * Callable directly or via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object GeoFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[StArea].getName, null, name, usage, "", "", "",
+      "", "4.0.0", "", "scala_udf")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("st_area", info("st_area", "st_area(wkt) - planar area"),
+      (e: Seq[Expression]) => StArea(e.head)),
+    ("st_envelope", info("st_envelope", "st_envelope(wkt) - [minx,miny,maxx,maxy]"),
+      (e: Seq[Expression]) => StEnvelope(e.head)),
+    ("st_intersects", info("st_intersects", "st_intersects(a, b)"),
+      (e: Seq[Expression]) => StIntersects(e(0), e(1))),
+    ("st_intersection_area",
+      info("st_intersection_area", "st_intersection_area(a, convex_b)"),
+      (e: Seq[Expression]) => StIntersectionArea(e(0), e(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

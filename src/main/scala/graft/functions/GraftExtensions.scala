@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** `SparkSessionExtensions` hook: enables the engine's function family
+  * via `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * on any cluster, with zero code changes for the user. The same
+  * registrations are available programmatically through
+  * [[GeoFunctions.register]] for sessions built without the conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GeoFunctions.all.foreach { case (name, inf, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name), inf, builder))
+    }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.{Geo, GeoFunctions}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geometry kernel: golden values from the reference's own AOI
+  * (`/root/reference/data/toulouse_bbox_wgs84.geojson:6` — lon
+  * 1.2047..1.5121, lat 43.3882..43.6620) + algebraic properties over
+  * seeded random inputs (the scalatest/scalacheck bridge artifact is
+  * not in the offline cache, so properties run as plain loops).
+  */
+class GeoSpec extends AnyFunSuite with SharedSpark {
+
+  private val toulouse =
+    "POLYGON ((1.2047 43.3882, 1.5121 43.3882, 1.5121 43.6620, 1.2047 43.6620, 1.2047 43.3882))"
+  private val toulouseArea = (1.5121 - 1.2047) * (43.6620 - 43.3882)
+
+  test("area of the reference AOI bbox") {
+    assert(math.abs(Geo.area(toulouse) - toulouseArea) < 1e-12)
+  }
+
+  test("envelope round-trips the bbox") {
+    assert(Geo.envelope(toulouse) == ((1.2047, 43.3882, 1.5121, 43.6620)))
+  }
+
+  test("parse MULTIPOLYGON sums areas") {
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 4 0, 4 1, 2 1, 2 0)))"
+    assert(math.abs(Geo.area(mp) - 3.0) < 1e-12)
+  }
+
+  test("intersection area: half-overlapping boxes") {
+    val a = Geo.toWkt(Geo.boxRing(0, 0, 2, 2))
+    val b = Geo.toWkt(Geo.boxRing(1, 0, 3, 2))
+    assert(math.abs(Geo.intersectionArea(a, b) - 2.0) < 1e-12)
+  }
+
+  test("intersection with a non-axis-aligned footprint (triangle)") {
+    // triangle (0,0)(4,0)(0,4) clipped by box [0,2]x[0,2]:
+    // area = 4 - 0.5*2*2/... -> the box corner (2,2) is outside the
+    // hypotenuse x+y=4, clipped region = box minus nothing above line:
+    // region = {x,y in [0,2], x+y<=4} = whole box = 4? No: hypotenuse
+    // passes through (2,2) exactly, so the full box is inside. area=4...
+    // Use box [1,3]x[1,3]: region {x+y<=4} in that box is half = 2.
+    val tri = "POLYGON ((0 0, 4 0, 0 4, 0 0))"
+    val box = Geo.toWkt(Geo.boxRing(1, 1, 3, 3))
+    assert(math.abs(Geo.intersectionArea(tri, box) - 2.0) < 1e-9)
+  }
+
+  test("disjoint geometries do not intersect") {
+    val a = Geo.toWkt(Geo.boxRing(0, 0, 1, 1))
+    val b = Geo.toWkt(Geo.boxRing(5, 5, 6, 6))
+    assert(!Geo.intersects(a, b))
+    assert(Geo.intersectionArea(a, b) == 0.0)
+  }
+
+  private def randomBoxes(seed: Int, n: Int): Seq[(Double, Double, Double, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val x1 = rnd.between(-10.0, 10.0); val y1 = rnd.between(-10.0, 10.0)
+      (x1, y1, x1 + rnd.between(0.1, 10.0), y1 + rnd.between(0.1, 10.0))
+    }
+  }
+
+  test("property: self-intersection area equals area") {
+    randomBoxes(42, 100).foreach { case (x1, y1, x2, y2) =>
+      val w = Geo.toWkt(Geo.boxRing(x1, y1, x2, y2))
+      assert(math.abs(Geo.intersectionArea(w, w) - Geo.area(w)) < 1e-9)
+    }
+  }
+
+  test("property: intersection area is symmetric and bounded for boxes") {
+    randomBoxes(7, 100).zip(randomBoxes(13, 100)).foreach { case (a, b) =>
+      val wa = Geo.toWkt(Geo.boxRing(a._1, a._2, a._3, a._4))
+      val wb = Geo.toWkt(Geo.boxRing(b._1, b._2, b._3, b._4))
+      val ab = Geo.intersectionArea(wa, wb)
+      val ba = Geo.intersectionArea(wb, wa)
+      assert(math.abs(ab - ba) < 1e-9)
+      assert(ab <= math.min(Geo.area(wa), Geo.area(wb)) + 1e-9)
+      assert(ab >= 0.0)
+      // closed form for axis-aligned boxes
+      val ix = math.max(0.0, math.min(a._3, b._3) - math.max(a._1, b._1))
+      val iy = math.max(0.0, math.min(a._4, b._4) - math.max(a._2, b._2))
+      assert(math.abs(ab - ix * iy) < 1e-9)
+    }
+  }
+
+  test("st_* expressions evaluate through SQL") {
+    GeoFunctions.register(spark)
+    val row = spark.sql(
+      s"""SELECT st_area('$toulouse') AS a,
+         |  st_intersection_area('$toulouse', '$toulouse') AS ia,
+         |  st_intersects('$toulouse', 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS disj,
+         |  st_envelope('$toulouse') AS env""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - toulouseArea) < 1e-12)
+    assert(math.abs(row.getDouble(1) - toulouseArea) < 1e-12)
+    assert(!row.getBoolean(2))
+    assert(row.getSeq[Double](3) == Seq(1.2047, 43.3882, 1.5121, 43.6620))
+  }
+}
