@@ -55,10 +55,15 @@ object Dedup extends QueryModule {
       |                   element_at(toks, i + 2))))
       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
 
+  // Cached: referenced 2-3x per downstream query (self-joins), and
+  // Spark re-executes common subplans per reference. At cluster scale
+  // the same move is "materialize the shingle index once" — the
+  // standard two-phase similarity-join layout.
   private def shingled(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
       .select(col("doc_id"), expr(toksS).as("toks"))
       .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
+      .cache()
 
   // DuckDB-side shingles via positional self-join on exploded tokens.
   private val duckShingles =
@@ -129,15 +134,22 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------
   // q29 — MinHash signature matrix: per (doc, hash_i) the min of a
-  // universal hash over the doc's shingle set. 12 hash functions as
-  // a broadcast literal table; one shuffle on doc_id for the min-agg.
+  // universal hash over the doc's shingle set. The 12 hash functions
+  // are 12 conditional MIN aggregates in ONE groupBy(doc_id) — no
+  // ×12 row blowup, no second shuffle (the naive explode-params-
+  // regroup shape moves 12× the data); unpivoted back to long form
+  // with `stack` after aggregation. Same values, 1 shuffle.
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     val h = shingled(s, dir)
       .withColumn("h", expr(s"${h32S("sh")} % $P"))
-    val params = s.sql(s"SELECT * FROM VALUES $mhValues AS t(i, a, b)")
-    h.crossJoin(broadcast(params))
-      .groupBy("doc_id", "i")
-      .agg(min(expr(s"(a * h + b) % $P")).as("minhash"))
+    val aggs = mhParams.map { case (i, a, b) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"m$i")
+    }
+    val stackArgs = mhParams.map { case (i, _, _) => s"$i, m$i" }.mkString(", ")
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("doc_id",
+        s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)")
+      .cache() // tiny (12 rows/doc); self-joined in q30
   }
 
   private def q29(s: SparkSession, dir: String): DataFrame =
@@ -192,23 +204,29 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------
   // q31 — SimHash: 32-bit signature from token-frequency bit votes.
-  // Tokens explode once; the 32 bit positions come from a tiny
-  // broadcast range table; two narrow aggregations (doc,bit) → doc.
+  // Tokens explode once into a (doc, token) frequency table; the 32
+  // per-bit votes are 32 conditional SUM aggregates in ONE
+  // groupBy(doc_id) (the naive bits-crossJoin-regroup shape shuffles
+  // 32× the data through two extra exchanges); the signature is then
+  // a single per-row expression over the 32 vote columns. Same
+  // values, 2 shuffles total (doc,t) → (doc), both codegen'd.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val tf = T.documents(s, dir)
       .select(col("doc_id"), explode(expr(toksS)).as("t"))
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("f"))
       .withColumn("h", expr(h32S("t")))
-    val bits = s.sql("SELECT explode(sequence(0, 31)) AS b")
-    tf.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr(
-        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN f ELSE -f END")).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    val votes = (0 to 31).map { b =>
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN f ELSE -f END"))
+        .as(s"v$b")
+    }
+    val simExpr = (0 to 31)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        expr(s"CAST($simExpr AS BIGINT)").as("simhash"))
+      .cache() // one row/doc; self-joined in q32
   }
 
   private def q31(s: SparkSession, dir: String): DataFrame =

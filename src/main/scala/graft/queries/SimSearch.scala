@@ -38,11 +38,15 @@ object SimSearch extends QueryModule {
   private val cosS =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
 
-  /** Corpus with quantized vector + squared norm. */
+  /** Corpus with quantized vector + squared norm. Cached: every query
+    * here references it twice (corpus side + query/self-join side) and
+    * Spark re-executes common subplans per reference.
+    */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     T.embeddings(s, dir)
       .select(col("vec_id"), col("label"), expr(quantS).as("qv"))
       .withColumn("n2", expr(normS))
+      .cache()
 
   /** Shared DuckDB prelude: quantized + norms + exploded components. */
   private val duckPrelude =

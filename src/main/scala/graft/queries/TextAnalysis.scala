@@ -34,13 +34,17 @@ object TextAnalysis extends QueryModule {
   // ---------------------------------------------------------------
   // q21 — token statistics: whitespace tokens, regex word tokens,
   // distinct tokens, BPE-ish pieces, char length.
+  // The token regex is evaluated ONCE into an array column and reused
+  // (regexp_extract_all over full documents is the dominant per-row
+  // cost; don't pay it per derived metric).
   private def q21(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
+      .select(col("doc_id"), col("text"), expr(toksS).as("toks"))
       .select(
         col("doc_id"),
         expr(s"CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("n_ws"),
-        expr(s"CAST(size($toksS) AS BIGINT)").as("n_tok"),
-        expr(s"CAST(size(array_distinct($toksS)) AS BIGINT)").as("n_uniq"),
+        expr(s"CAST(size(toks) AS BIGINT)").as("n_tok"),
+        expr(s"CAST(size(array_distinct(toks)) AS BIGINT)").as("n_uniq"),
         expr(s"CAST(size($bpeS) AS BIGINT)").as("n_bpe"),
         length(col("text")).cast("long").as("len_chars"))
       .orderBy("doc_id")
@@ -114,11 +118,12 @@ object TextAnalysis extends QueryModule {
 
   private def q23(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
+      .select(col("doc_id"), expr(toksS).as("toks"), expr(hitS(enW)).as("h_en"))
       .select(col("doc_id"),
-        expr(s"CAST(size($toksS) AS BIGINT)").as("n_tok"),
-        expr(s"CAST(size(array_distinct($toksS)) AS BIGINT)").as("n_uniq"),
-        expr(hitS(enW)).as("h_en"),
-        expr(s"CAST(length(concat_ws('', $toksS)) AS BIGINT)").as("alpha_chars"))
+        expr(s"CAST(size(toks) AS BIGINT)").as("n_tok"),
+        expr(s"CAST(size(array_distinct(toks)) AS BIGINT)").as("n_uniq"),
+        col("h_en"),
+        expr(s"CAST(length(concat_ws('', toks)) AS BIGINT)").as("alpha_chars"))
       .filter(col("n_tok") > 0)
       .withColumn("ttr", expr("CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)"))
       .withColumn("mean_tok_len",
@@ -156,11 +161,12 @@ object TextAnalysis extends QueryModule {
 
   private def q24(s: SparkSession, dir: String): DataFrame =
     T.documents(s, dir)
+      .select(col("doc_id"), expr(toksS).as("toks"))
       .select(col("doc_id"),
-        expr(s"md5(concat_ws(' ', $toksS))").as("fp_md5"),
+        expr(s"md5(concat_ws(' ', toks))").as("fp_md5"),
         expr(
           s"""aggregate(
-             |  zip_with($toksS, sequence(1, size($toksS)),
+             |  zip_with(toks, sequence(1, size(toks)),
              |    (t, i) -> (CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % $fpP)
              |              * (CAST(i % 31 AS BIGINT) + 1)),
              |  CAST(0 AS BIGINT), (acc, x) -> acc + x) % $fpP""".stripMargin)
