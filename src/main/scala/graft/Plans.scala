@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for selected queries so the
+  * pushdown/broadcast/codegen story is inspectable (SURVEY.md §4).
+  * Usage: runMain graft.Plans [queryName ...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q02_filter_project", "q03_top_revenue", "q25_knn_brute")
+    names.foreach { n =>
+      println(s"==== $n ====")
+      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

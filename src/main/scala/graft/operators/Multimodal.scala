@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline: media
+  * payloads as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / frame-sample as per-partition batch
+  * transforms (the Scala analog of `mapInPandas` batch UDFs).
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration
+  * shape, output contract — is real and tested. The actual codec step
+  * is a clearly-marked deterministic STUB ([[decodeStub]]): no
+  * image/audio libraries exist in this container, so it derives a
+  * fixed-size feature vector from the payload bytes. A production
+  * deployment swaps ONLY that function (same signature), e.g. for a
+  * JNI JPEG decoder; nothing else changes.
+  */
+object Multimodal {
+
+  case class Media(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+  case class MediaFeatures(media_id: Long, kind: String, dim: Int,
+      features: Array[Float])
+
+  val featureDim = 16
+
+  /** STUB decode: deterministic bytes→features (a rolling byte hash
+    * folded into [[featureDim]] buckets, scaled to [0,1)). Replace
+    * with a real codec in production — signature is the contract.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      acc(i % featureDim) = (acc(i % featureDim) * 31 + b) & 0xffffff
+      i += 1
+    }
+    acc.map(v => (v.toDouble / 0x1000000).toFloat)
+  }
+
+  /** Batch feature extraction: one pass per partition, reusing any
+    * per-partition codec state (the reason this is mapPartitions, not
+    * a row UDF — exactly the batch shape `mapInPandas` gives Python).
+    * Repartitions by kind so a codec's native context loads once per
+    * (partition, kind) run at scale.
+    */
+  def extractFeatures(media: Dataset[Media])(implicit s: SparkSession)
+      : Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.repartition(col("kind"))
+      .mapPartitions { it =>
+        // per-partition codec init would go here (once, not per row)
+        it.map { m =>
+          val f = decodeStub(m.payload)
+          MediaFeatures(m.media_id, m.kind, f.length, f)
+        }
+      }
+  }
+
+  /** Frame sampling for video-like payloads: every `stride`-th frame
+    * offset becomes a row (frame payload = the byte slice — stub),
+    * i.e. the explode-shaped generator of a real frame sampler.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .withColumn("n_frames",
+        floor(length(col("payload")) / frameBytes).cast("int"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(stride))))
+      .withColumn("frame_payload",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .drop("payload")
+
+  /** "Resize": renormalize a feature vector to a new dimension by
+    * nearest-index sampling (stub for an image resize kernel; the
+    * array plumbing — codegen'd transform over indices — is the real
+    * part).
+    */
+  def resizeFeatures(features: DataFrame, newDim: Int): DataFrame =
+    features.withColumn("features_resized",
+      expr(s"""transform(sequence(0, ${newDim - 1}),
+              | i -> features[CAST(i * dim / $newDim AS INT)])""".stripMargin))
+}

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.util
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the product catalog (SURVEY.md §2.1 S3): the
+  * engine-grade replacement for the reference's driver-side
+  * `requests.get(search_query).json()` → DataFrame
+  * (`/root/reference/code/imagery_store.py:188-189`).
+  *
+  * Pushdown: `SupportsPushDownFilters` compiles Catalyst predicates to
+  * the OData `$filter` grammar via [[ODataFilterCompiler]] (exactly
+  * the clauses the reference bakes by hand), `SupportsPushDownLimit`
+  * maps to `$top` (the server's 20-product page cap,
+  * `code/imagery_store.py:45`), and `SupportsPushDownRequiredColumns`
+  * prunes the projection. The transport is pluggable: this offline
+  * build serves records from a JSON file / inline JSON (option
+  * `path` / `records`) — the recorded shape of a catalog response —
+  * while honoring the pushed filters + limit the way the server
+  * would. A networked deployment swaps the fetch in
+  * [[ODataPartitionReader]] for an HTTP GET of
+  * [[ODataFilterCompiler.searchQuery]]; the plan seen by Spark is
+  * identical.
+  *
+  * Usage: `spark.read.format("graft.sources.ODataCatalogSource")
+  *   .option("records", json).load()`
+  */
+class ODataCatalogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ODataCatalogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ODataCatalogTable(properties)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ODataCatalogSource {
+  /** FIXTURES.md A1 — the effective catalog schema. */
+  val schema: StructType = StructType(Seq(
+    StructField("Id", StringType),
+    StructField("Name", StringType),
+    StructField("S3Path", StringType),
+    StructField("OriginDate", StringType),
+    StructField("Collection", StringType),
+    StructField("ContentDate", StructType(Seq(
+      StructField("Start", StringType), StructField("End", StringType)))),
+    StructField("footprint_wkt", StringType),
+    StructField("Attributes", ArrayType(StructType(Seq(
+      StructField("Name", StringType), StructField("Value", StringType)))))))
+}
+
+class ODataCatalogTable(properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "odata_catalog"
+  override def schema(): StructType = ODataCatalogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ODataScanBuilder(
+      Option(options.get("records")).orElse(Option(properties.get("records"))),
+      Option(options.get("path")).orElse(Option(properties.get("path"))))
+}
+
+class ODataScanBuilder(records: Option[String], path: Option[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = Int.MaxValue
+  private var required: StructType = ODataCatalogSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (_, pushable, residual) = ODataFilterCompiler.compileAll(filters.toSeq)
+    pushed = pushable.toArray
+    residual.toArray
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String = {
+      val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
+      s"ODataCatalogScan($$filter=$clause, $$top=$limit)"
+    }
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val json = records.getOrElse {
+        val p = path.getOrElse(
+          throw new IllegalArgumentException("need option records or path"))
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      Array(ODataInputPartition(json, pushed, limit, required))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      (p: InputPartition) => {
+        val part = p.asInstanceOf[ODataInputPartition]
+        new ODataPartitionReader(part)
+      }
+  }
+}
+
+case class ODataInputPartition(json: String, pushed: Array[Filter],
+    limit: Int, required: StructType) extends InputPartition
+
+/** Parses the recorded response and serves it "as the server would":
+  * pushed filters and the `$top` limit are applied HERE — rows that a
+  * real OData endpoint would never return do not reach Spark.
+  */
+class ODataPartitionReader(part: ODataInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val iter: Iterator[JsonNode] = {
+    val root = mapper.readTree(part.json)
+    val nodes =
+      if (root.isArray) root.elements()
+      else if (root.has("value")) root.get("value").elements() // OData envelope
+      else util.Collections.singletonList(root).iterator()
+    import scala.jdk.CollectionConverters._
+    nodes.asScala
+      .filter(n => part.pushed.forall(f => ODataPartitionReader.eval(f, n)))
+      .take(part.limit)
+  }
+  private var cur: JsonNode = _
+
+  override def next(): Boolean =
+    if (iter.hasNext) { cur = iter.next(); true } else false
+
+  override def get(): InternalRow = {
+    val vals = part.required.fields.map { f =>
+      f.name match {
+        case "ContentDate" =>
+          val cd = cur.get("ContentDate")
+          if (cd == null) null
+          else new GenericInternalRow(Array[Any](
+            utf8(cd, "Start"), utf8(cd, "End")))
+        case "Attributes" =>
+          val at = cur.get("Attributes")
+          if (at == null) null
+          else {
+            import scala.jdk.CollectionConverters._
+            new GenericArrayData(at.elements().asScala.map { a =>
+              new GenericInternalRow(Array[Any](utf8(a, "Name"), utf8(a, "Value")))
+            }.toArray[Any])
+          }
+        case other => utf8(cur, other)
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  private def utf8(n: JsonNode, field: String): UTF8String = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+  }
+
+  override def close(): Unit = ()
+}
+
+object ODataPartitionReader {
+  /** Server-side evaluation of the pushed subset. String fields
+    * compare lexicographically (ISO dates — the reference's own
+    * comparison semantics, SURVEY §1.2); typed attributes compare
+    * numerically per their OData attribute type.
+    */
+  def eval(f: Filter, n: JsonNode): Boolean = f match {
+    case And(l, r) => eval(l, n) && eval(r, n)
+    case Or(l, r) => eval(l, n) || eval(r, n)
+    case EqualTo(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) == 0)
+    case GreaterThan(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) >= 0)
+    case LessThan(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) < 0)
+    case LessThanOrEqual(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) <= 0)
+    case _ => true
+  }
+
+  private val numericAttrs = Set("cloudCover", "relativeOrbitNumber")
+
+  private def coerce(attr: String, v: Any): Comparable[Any] =
+    (if (numericAttrs.contains(attr)) java.lang.Double.valueOf(v.toString)
+     else v.toString).asInstanceOf[Comparable[Any]]
+
+  /** Resolve a pushable column on the raw record. */
+  private def cmp(attr: String, n: JsonNode): Option[Comparable[Any]] = {
+    val raw: Option[String] = attr match {
+      case "ContentDate.Start" =>
+        Option(n.at("/ContentDate/Start")).filterNot(_.isMissingNode).map(_.asText())
+      case "ContentDate.End" =>
+        Option(n.at("/ContentDate/End")).filterNot(_.isMissingNode).map(_.asText())
+      case a if ODataPartitionReader.isAttribute(n, a) =>
+        import scala.jdk.CollectionConverters._
+        n.get("Attributes").elements().asScala
+          .find(x => x.get("Name").asText() == a).map(_.get("Value").asText())
+      case top =>
+        Option(n.get(top)).filterNot(_.isNull).map(_.asText())
+    }
+    raw.map(s =>
+      (if (numericAttrs.contains(attr)) java.lang.Double.valueOf(s)
+       else s).asInstanceOf[Comparable[Any]])
+  }
+
+  private def isAttribute(n: JsonNode, a: String): Boolean = {
+    val at = n.get("Attributes")
+    if (at == null || !at.isArray) false
+    else {
+      import scala.jdk.CollectionConverters._
+      at.elements().asScala.exists(x => x.get("Name").asText() == a)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+
+/** Catalyst → OData `$filter` compiler: the inverse of parsing
+  * (SURVEY.md §2.9 F6). The reference hand-assembles these strings
+  * with f-strings (`/root/reference/code/imagery_store.py:182-187`,
+  * `:216-221`); here the SAME grammar is rendered from pushed-down
+  * Catalyst `sources.Filter`s, so `df.filter(...)` declarations reach
+  * the catalog server:
+  *
+  *   Collection           → `Collection/Name eq 'X'`
+  *   ContentDate.Start    → `ContentDate/Start gt 2023-01-01`
+  *   attribute columns    → `Attributes/OData.CSC.<T>Attribute/any(
+  *                            att: att/Name eq 'n' and
+  *                            att/OData.CSC.<T>Attribute/Value op v)`
+  *
+  * Returns the compiled clause per filter; unsupported filters are
+  * reported back so Spark keeps them as residuals (the DSv2
+  * `pushFilters` contract).
+  */
+object ODataFilterCompiler {
+
+  /** Attribute-typed columns the OData catalog models inside the
+    * `Attributes` array (`code/imagery_store.py:183-186`).
+    */
+  private val attrType: Map[String, String] = Map(
+    "productType" -> "String", "tileId" -> "String",
+    "orbitDirection" -> "String", "cloudCover" -> "Double",
+    "relativeOrbitNumber" -> "Integer")
+
+  private def lit(v: Any): String = v match {
+    case s: String => s"'$s'"
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+    case other => String.valueOf(other)
+  }
+
+  /** Dates in OData are unquoted ISO literals; the reference compares
+    * `ContentDate/Start` as such (`code/imagery_store.py:184`).
+    */
+  private def dateLit(v: Any): String = v match {
+    case s: String => s
+    case other => lit(other)
+  }
+
+  private def field(attribute: String, op: String, value: Any): Option[String] =
+    attribute match {
+      case "Collection" =>
+        Some(s"Collection/Name $op ${lit(value)}")
+      case "ContentDate.Start" =>
+        Some(s"ContentDate/Start $op ${dateLit(value)}")
+      case "ContentDate.End" =>
+        Some(s"ContentDate/End $op ${dateLit(value)}")
+      case a if attrType.contains(a) =>
+        val t = attrType(a)
+        Some(s"Attributes/OData.CSC.${t}Attribute/any(att: att/Name eq '$a' " +
+          s"and att/OData.CSC.${t}Attribute/Value $op ${lit(value)})")
+      case _ => None
+    }
+
+  /** Compile one Catalyst source filter to an OData clause. */
+  def compile(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => field(a, "eq", v)
+    case GreaterThan(a, v) => field(a, "gt", v)
+    case GreaterThanOrEqual(a, v) => field(a, "ge", v)
+    case LessThan(a, v) => field(a, "lt", v)
+    case LessThanOrEqual(a, v) => field(a, "le", v)
+    case And(l, r) =>
+      for { cl <- compile(l); cr <- compile(r) } yield s"($cl and $cr)"
+    case Or(l, r) =>
+      for { cl <- compile(l); cr <- compile(r) } yield s"($cl or $cr)"
+    case _ => None // Not/In/StartsWith/...: residual, evaluated by Spark
+  }
+
+  /** Split filters into (compiled clauses, pushable, residual). */
+  def compileAll(filters: Seq[Filter])
+      : (String, Seq[Filter], Seq[Filter]) = {
+    val (pushed, residual) = filters.partition(f => compile(f).isDefined)
+    val clause = pushed.flatMap(compile).mkString(" and ")
+    (clause, pushed, residual)
+  }
+
+  /** Full query-string assembly, mirroring
+    * `code/imagery_store.py:187` (`$expand=Attributes` + `$top`).
+    */
+  def searchQuery(baseUrl: String, filter: String, top: Int): String =
+    s"$baseUrl/Products?$$filter=$filter&$$expand=Attributes&$$top=$top"
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.VectorSources
+import graft.operators.Manifest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Vector readers S1/S2 (+P10 dispatch) and XML manifest parsing S4
+  * over inline fixtures shaped like the reference's shipped data
+  * (`/root/reference/data/toulouse_bbox_wgs84.geojson`, MTD_MSIL2A).
+  */
+class SourcesSpec extends AnyFunSuite with SharedSpark {
+
+  private def tmpFile(suffix: String, content: String): String = {
+    val p = Files.createTempFile("graft-test", suffix)
+    Files.writeString(p, content)
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  // the reference AOI, verbatim shape (fid property + bbox polygon)
+  private val geojson =
+    """{"type":"FeatureCollection",
+      |"features":[{"type":"Feature","properties":{"fid":1},
+      | "geometry":{"type":"Polygon","coordinates":[[
+      |  [1.2047,43.3882],[1.5121,43.3882],[1.5121,43.662],[1.2047,43.662],[1.2047,43.3882]]]}}]}
+      |""".stripMargin
+
+  test("S1: GeoJSON FeatureCollection → properties + WKT geometry") {
+    val df = VectorSources.readGeoJson(spark, tmpFile(".geojson", geojson))
+    val row = df.head()
+    assert(row.getAs[Long]("fid") == 1L)
+    val wkt = row.getAs[String]("geometry")
+    assert(wkt.startsWith("POLYGON ((1.2047 43.3882, 1.5121 43.3882"))
+    // round-trips through the geometry kernel with the right area
+    val area = graft.functions.Geo.area(wkt)
+    assert(math.abs(area - (1.5121 - 1.2047) * (43.662 - 43.3882)) < 1e-9)
+  }
+
+  test("S2 + P10: CSV tile grid via suffix dispatch") {
+    val csv = "tile_id,geometry\n31TCJ,\"POLYGON ((1 43, 2 43, 2 44, 1 44, 1 43))\"\n"
+    val df = VectorSources.readVector(spark, tmpFile(".csv", csv))
+    val row = df.head()
+    assert(row.getAs[String]("tile_id") == "31TCJ")
+    assert(graft.functions.Geo.area(row.getAs[String]("geometry")) == 1.0)
+  }
+
+  private val manifestXml =
+    """<Level-2A_User_Product>
+      |  <Product_Organisation>
+      |    <IMAGE_FILE>GRANULE/L2A_T31TCJ/IMG_DATA/R10m/T31TCJ_20230615T104621_B02_10m</IMAGE_FILE>
+      |    <IMAGE_FILE>GRANULE/L2A_T31TCJ/IMG_DATA/R10m/T31TCJ_20230615T104621_B03_10m</IMAGE_FILE>
+      |    <IMAGE_FILE>GRANULE/L2A_T31TCJ/IMG_DATA/R20m/T31TCJ_20230615T104621_B02_20m</IMAGE_FILE>
+      |    <IMAGE_FILE>GRANULE/L2A_T31TCJ/IMG_DATA/R10m/T31TCJ_20230615T104621_TCI_10m</IMAGE_FILE>
+      |  </Product_Organisation>
+      |  <Quality_Indicators_Info>
+      |    <Cloud_Coverage_Assessment>2.53</Cloud_Coverage_Assessment>
+      |  </Quality_Indicators_Info>
+      |  <SENSING_ORBIT_DIRECTION>DESCENDING</SENSING_ORBIT_DIRECTION>
+      |  <Special_Values>
+      |    <SPECIAL_VALUE_TEXT>NODATA</SPECIAL_VALUE_TEXT>
+      |    <SPECIAL_VALUE_INDEX>0</SPECIAL_VALUE_INDEX>
+      |  </Special_Values>
+      |  <Special_Values>
+      |    <SPECIAL_VALUE_TEXT>SATURATED</SPECIAL_VALUE_TEXT>
+      |    <SPECIAL_VALUE_INDEX>65535</SPECIAL_VALUE_INDEX>
+      |  </Special_Values>
+      |</Level-2A_User_Product>""".stripMargin
+
+  test("S4/J3/P8: manifest band files cross-matched at 10m") {
+    import spark.implicits._
+    val df = Seq(manifestXml).toDF("manifest_xml")
+    val files = Manifest.bandFiles(df, Seq("B02", "B03", "B04"), 10)
+      .select("band", "jp2_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    // B02@10m and B03@10m match; B02@20m and TCI do not; B04 absent
+    assert(files.map(_._1) == Seq("B02", "B03"))
+    assert(files.head._2.endsWith("B02_10m.jp2"))
+  }
+
+  test("S4/A3: scalar metadata extraction incl. predicated nodata") {
+    import spark.implicits._
+    val df = Seq(manifestXml).toDF("manifest_xml")
+    val row = Manifest.metadata(df)
+      .select("cloudcoverage", "orbitdirection", "nodata").head()
+    assert(row.getDouble(0) == 2.53)
+    assert(row.getString(1) == "DESCENDING")
+    assert(row.getInt(2) == 0)
+  }
+}

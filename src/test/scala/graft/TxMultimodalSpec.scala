@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Raster.Chip
+import graft.operators.{Multimodal, Tx}
+import graft.operators.Multimodal.Media
+import graft.operators.Tx.BandChip
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tx pipeline composition (R6, without the reference's bugs) and the
+  * multimodal batch plumbing.
+  */
+class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
+
+  private def chip(v: Double) =
+    Chip(2, 2, 0, 0, 2, 2, -1.0, Array(v, v, v, v))
+
+  test("etlProcessTile: normalize gate + stack once, sorted bands") {
+    implicit val s = spark
+    import s.implicits._
+    val in = Seq(
+      BandChip("sc1", "B08", chip(10000.0)),
+      BandChip("sc1", "B02", chip(5000.0))).toDS()
+    val out = Tx.etlProcessTile(in, uint8 = true).collect()
+    assert(out.length == 1)
+    assert(out(0).bands == Seq("B02", "B08"))
+    assert(out(0).chips(0).px.toSeq == Seq(127.0, 127.0, 127.0, 127.0))
+    assert(out(0).chips(1).px.toSeq == Seq(255.0, 255.0, 255.0, 255.0))
+    // uint8=false leaves pixels untouched (gate at tx.py:111-114)
+    val raw = Tx.etlProcessTile(in, uint8 = false).collect()
+    assert(raw(0).chips(0).px.toSeq == Seq(5000.0, 5000.0, 5000.0, 5000.0))
+  }
+
+  test("etlProcessByPolygon: stack → clip → resample, each once") {
+    implicit val s = spark
+    import s.implicits._
+    val base = Chip(4, 4, 0, 0, 4, 4, -1.0,
+      Array.tabulate(16)(_.toDouble))
+    val in = Seq(BandChip("sc1", "B02", base)).toDS()
+    val out = Tx.etlProcessByPolygon(in, uint8 = false,
+      clipBox = (1, 1, 3, 3),
+      target = Some((2, 2, 1, 1, 3, 3))).collect()
+    assert(out.length == 1)
+    val c = out(0).chips(0)
+    assert(c.width == 2 && c.height == 2)
+    assert(c.px.toSeq == Seq(5.0, 6.0, 9.0, 10.0))
+  }
+
+  test("multimodal: batch feature extraction is deterministic + typed") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      Media(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0),
+      Media(2L, "audio", Array.tabulate(128)(i => (i * 3).toByte), 0, 0, 16000),
+      Media(3L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.dim).toSeq == Seq(16, 16, 16))
+    // identical payloads → identical features; different → different
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+    assert(feats(0).features.toSeq != feats(1).features.toSeq)
+    assert(feats.forall(_.features.forall(f => f >= 0f && f < 1f)))
+  }
+
+  test("multimodal: frame sampling explodes stride-spaced slices") {
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 10, stride = 3)
+      .select("frame_idx", "frame_payload").collect()
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Array[Byte]](1).length == 10))
+    assert(frames(1).getAs[Array[Byte]](1).head == 30.toByte)
+  }
+
+  test("multimodal: feature resize samples nearest indices") {
+    import spark.implicits._
+    val df = Seq((1L, 4, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("media_id", "dim", "features")
+    val out = Multimodal.resizeFeatures(df, 8)
+      .select("features_resized").head().getSeq[Float](0)
+    assert(out == Seq(1f, 1f, 2f, 2f, 3f, 3f, 4f, 4f))
+  }
+}
