@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     CoreRelational,
     EventsWindows,
+    AdvancedJoins,
     TextAnalysis,
     Dedup,
     SimSearch)

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators Spark lacks as built-ins, in their scale-correct
+  * formulations: as-of join (merge/window form — zero pair blowup)
+  * and banded range join (time-bucket equi-join before the exact
+  * range predicate — never an O(n²) theta join). The reusable
+  * operator form of q36 lives in graft.operators.AsOfJoin.
+  */
+object AdvancedJoins extends QueryModule {
+
+  // ---------------------------------------------------------------
+  // q36 — as-of join: for each click, the latest view of the same
+  // user with view.ts <= click.ts. Merge formulation: union both
+  // sides, one window pass ordered by (ts, side, id) — views sort
+  // before clicks at equal ts, so "<=" semantics come from the sort;
+  // last(ignoreNulls) carries the payload. ONE shuffle on user_id.
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("vid"), lit(null).cast("long").as("cid"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("vid"), col("event_id").as("cid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), coalesce(col("vid"), col("cid")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("prior_view_id", last(col("vid"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("cid").as("click_id"), col("user_id"), col("prior_view_id"))
+      .orderBy("click_id")
+  }
+
+  private val q36Sql =
+    """SELECT cid AS click_id, user_id, prior_view_id FROM (
+      |  SELECT user_id, side, cid,
+      |    LAST_VALUE(vid IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, side, COALESCE(vid, cid)
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_view_id
+      |  FROM (
+      |    SELECT user_id, ts, 0 AS side, event_id AS vid, NULL::BIGINT AS cid
+      |    FROM events WHERE event_type = 'view'
+      |    UNION ALL
+      |    SELECT user_id, ts, 1, NULL::BIGINT, event_id
+      |    FROM events WHERE event_type = 'click'))
+      |WHERE side = 1
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q37 — banded range join: cross-user event pairs within 1 second,
+  // WITHOUT an equi key. Scale formulation: quantize time into 1 s
+  // buckets, explode one side into its 3 candidate buckets, equi-join
+  // on the bucket id, then apply the exact |Δt| predicate — a hash
+  // join over a high-cardinality key instead of the O(n²) theta join
+  // the naive form would plan. Each qualifying pair matches exactly
+  // one (a.bucket, candidate) combination, so no dedup is needed.
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val a = ev.withColumn("bucket", expr("CAST(floor(us / 1000000) AS BIGINT)"))
+    val b = ev.withColumn("bucket", explode(expr(
+      "sequence(CAST(floor(us / 1000000) AS BIGINT) - 1, " +
+        "CAST(floor(us / 1000000) AS BIGINT) + 1)")))
+    a.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.user_id") < col("b.user_id")
+          && abs(col("b.us") - col("a.us")) <= 1000000L)
+      .select(col("a.event_id").as("a_id"), col("b.event_id").as("b_id"),
+        (col("b.us") - col("a.us")).cast("long").as("delta_us"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val q37Sql =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+      |FROM events a JOIN events b
+      |  ON a.user_id < b.user_id
+      | AND abs(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 1000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_asof_join" -> (q36 _),
+    "q37_range_join" -> (q37 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q36_asof_join" -> q36Sql,
+    "q37_range_join" -> q37Sql)
+}
