@@ -204,20 +204,21 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------
   // q31 — SimHash: 32-bit signature from token-frequency bit votes.
-  // Tokens explode once into a (doc, token) frequency table; the 32
-  // per-bit votes are 32 conditional SUM aggregates in ONE
-  // groupBy(doc_id) (the naive bits-crossJoin-regroup shape shuffles
-  // 32× the data through two extra exchanges); the signature is then
-  // a single per-row expression over the 32 vote columns. Same
-  // values, 2 shuffles total (doc,t) → (doc), both codegen'd.
+  // Each token INSTANCE votes ±1 per bit, which sums to the same
+  // per-bit totals as ±frequency votes over distinct tokens — so the
+  // (doc, token) frequency pre-aggregation (a full extra shuffle of
+  // the token table) is dropped entirely. The 32 per-bit votes are 32
+  // conditional SUM aggregates in ONE groupBy(doc_id) (the naive
+  // bits-crossJoin-regroup shape shuffles 32× the data through two
+  // extra exchanges); the signature is then a single per-row
+  // expression over the 32 vote columns. Same values, ONE shuffle,
+  // all codegen'd, partial aggregation map-side.
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val tf = T.documents(s, dir)
       .select(col("doc_id"), explode(expr(toksS)).as("t"))
-      .groupBy("doc_id", "t")
-      .agg(count(lit(1)).as("f"))
       .withColumn("h", expr(h32S("t")))
     val votes = (0 to 31).map { b =>
-      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN f ELSE -f END"))
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
         .as(s"v$b")
     }
     val simExpr = (0 to 31)
