@@ -16,6 +16,7 @@ object SparkEntry {
     CoreRelational,
     EventsWindows,
     AdvancedJoins,
+    GeoQueries,
     TextAnalysis,
     Dedup,
     SimSearch)

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked exercises of the custom operator tier.
+  *
+  * q38 runs the custom Catalyst geometry expressions (st_area,
+  * st_intersection_area, st_intersects) inside the driver's
+  * hash-compared gate: footprint boxes are synthesized from part-table
+  * integers, so DuckDB can state the expected values in closed-form
+  * box arithmetic — integer-valued doubles make both sides exact, and
+  * a hash match proves the Sutherland–Hodgman kernel agrees with the
+  * closed form on every row.
+  *
+  * q39 is the N1 attribute pivot in its explode+pivot form (SURVEY.md
+  * §2.3 — the alternative to the map_from_entries projection used in
+  * ProductSelect.unpackAttributes), with explicit pivot values so the
+  * output schema is static.
+  */
+object GeoQueries extends QueryModule {
+
+  // Axis-aligned AOI, integer coords: (20,20)-(60,60).
+  private val aoiWkt = "POLYGON ((20 20, 60 20, 60 60, 20 60, 20 20))"
+
+  // Footprint box derived from part integers (integer-valued doubles).
+  private val fx1 = "CAST(p_partkey % 97 AS DOUBLE)"
+  private val fy1 = "CAST(p_partkey % 89 AS DOUBLE)"
+  private val fx2 = s"$fx1 + 1 + p_size % 7"
+  private val fy2 = s"$fy1 + 1 + p_size % 5"
+
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    T.part(s, dir)
+      .withColumn("x1", expr(fx1)).withColumn("y1", expr(fy1))
+      .withColumn("x2", expr(fx2)).withColumn("y2", expr(fy2))
+      .withColumn("wkt", expr(
+        """concat('POLYGON ((', CAST(x1 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y1 AS INT), '))')""".stripMargin))
+      .select(col("p_partkey"),
+        expr("st_area(wkt)").as("area"),
+        expr(s"st_intersection_area(wkt, '$aoiWkt')").as("cov"),
+        expr(s"st_intersects(wkt, '$aoiWkt')").as("hits"))
+      .orderBy("p_partkey")
+  }
+
+  private val q38Sql =
+    s"""SELECT p_partkey,
+       |  (x2 - x1) * (y2 - y1) AS area,
+       |  GREATEST(0, LEAST(x2, 60) - GREATEST(x1, 20))
+       |    * GREATEST(0, LEAST(y2, 60) - GREATEST(y1, 20)) AS cov,
+       |  GREATEST(0, LEAST(x2, 60) - GREATEST(x1, 20))
+       |    * GREATEST(0, LEAST(y2, 60) - GREATEST(y1, 20)) > 0 AS hits
+       |FROM (
+       |  SELECT p_partkey, $fx1 AS x1, $fy1 AS y1, $fx2 AS x2, $fy2 AS y2
+       |  FROM part)
+       |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val sumVal = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(expr(sumVal))
+      .orderBy("user_id")
+
+  private val q39Sql = {
+    val cols = eventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' " +
+        s"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+    s"""SELECT user_id, ${cols.mkString(", ")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_geo_coverage" -> (q38 _),
+    "q39_pivot" -> (q39 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q38_geo_coverage" -> q38Sql,
+    "q39_pivot" -> q39Sql)
+}
