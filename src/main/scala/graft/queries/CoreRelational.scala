@@ -352,7 +352,58 @@ object CoreRelational extends QueryModule {
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------
+  // q40/q41 — §2.8 set ops: INTERSECT / EXCEPT between the nation-key
+  // sets of customers vs suppliers. Spark plans both as aggregates +
+  // a semi/anti join — at scale these are one shuffle on the compared
+  // key set, nothing more.
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    T.customer(s, dir).filter(col("c_acctbal") > 9000).select(col("c_nationkey").as("k"))
+      .intersect(T.supplier(s, dir).filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  private val q40Sql =
+    """SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY k""".stripMargin
+
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    T.customer(s, dir).select(col("c_nationkey").as("k"))
+      .except(T.supplier(s, dir).filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  private val q41Sql =
+    """SELECT c_nationkey AS k FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+      |ORDER BY k""".stripMargin
+
+  // q42 — cube (full grouping-sets lattice), null keys coalesced.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  private val q42Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_intersect" -> (q40 _),
+    "q41_except" -> (q41 _),
+    "q42_cube" -> (q42 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_top_revenue" -> (q03 _),
@@ -370,6 +421,9 @@ object CoreRelational extends QueryModule {
     "q15_distinct" -> (q15 _))
 
   override val oracle: Map[String, String] = Map(
+    "q40_intersect" -> q40Sql,
+    "q41_except" -> q41Sql,
+    "q42_cube" -> q42Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_top_revenue" -> q03Sql,
