@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** (a) Streaming-equals-batch convergence on the REAL events table:
+  * the Structured Streaming tumbling aggregation, fed the sf0.001
+  * events parquet as a file stream, produces exactly the batch
+  * q16_tumbling_window numbers once the stream drains. (b) Salted
+  * join produces row-identical results to the plain join.
+  */
+class ConvergenceSpec extends AnyFunSuite with SharedSpark {
+
+  test("streaming tumbling agg over events parquet converges to batch") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, dir)
+    // FileStreamSource needs a directory; stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val q = EventStreams.tumblingAgg(stream)
+      .writeStream.format("memory").queryName("conv")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("conv")
+        .select("wstart", "event_type", "n", "sum_value")
+        .orderBy("wstart", "event_type").collect().toSeq
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("wstart", "event_type").collect().toSeq
+      assert(streamed.size == batch.size && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("salted join is row-identical to the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"), col("o_orderkey"), col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val plain = orders.join(cust, Seq("k"))
+      .orderBy("k", "o_orderkey").collect().toSeq
+    val salted = SkewJoin.saltedInnerJoin(orders, cust, Seq("k"),
+        saltSource = "o_orderkey", saltFactor = 8)
+      .select("k", "o_orderkey", "o_totalprice", "c_name")
+      .orderBy("k", "o_orderkey").collect().toSeq
+    assert(salted == plain)
+  }
+}
