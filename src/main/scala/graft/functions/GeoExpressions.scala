@@ -2,31 +2,41 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Static, codegen-friendly entry points: generated Java calls these
+  * directly, so the st_* expressions participate in whole-stage
+  * codegen (no virtual Expression.eval dispatch, no fallback row).
+  */
+object GeoKernel {
+  def area(wkt: UTF8String): Double = Geo.area(wkt.toString)
+  def intersectionArea(a: UTF8String, b: UTF8String): Double =
+    Geo.intersectionArea(a.toString, b.toString)
+  def intersects(a: UTF8String, b: UTF8String): Boolean =
+    Geo.intersects(a.toString, b.toString)
+}
+
 /** Catalyst `Expression`s for the geometry family (SURVEY.md §2.9 F9,
   * §2.2 P6, §2.4 J1): `st_area`, `st_envelope`, `st_intersects`,
   * `st_intersection_area` over WKT strings.
   *
-  * These are genuine engine extensions (Spark has no geo built-ins);
-  * they evaluate via the pure-Scala kernel in [[Geo]]. CodegenFallback
-  * is deliberate: geometry sits on the *dimension* side of every plan
-  * (AOI × candidate products — the reference caps candidates at 20 per
-  * query, `code/imagery_store.py:45`), never in the 100 TB fact-scan
-  * hot path, so interpreted eval here costs nothing measurable while
-  * keeping the surrounding plan inside whole-stage codegen. The raster
-  * normalize kernel (R1), which IS per-pixel hot, is expressed with
+  * Genuine engine extensions (Spark has no geo built-ins); scalar ones
+  * implement `doGenCode` as a static call into [[GeoKernel]], so a
+  * plan using them keeps its whole-stage-codegen span. `st_envelope`
+  * (array-returning, dimension-side only) keeps CodegenFallback. The
+  * raster normalize kernel (R1), per-pixel hot, is expressed with
   * codegen'd built-ins instead — see [[Raster.normalizeS2]].
   */
-case class StArea(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class StArea(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(wkt: Any): Any =
-    Geo.area(wkt.asInstanceOf[UTF8String].toString)
+    GeoKernel.area(wkt.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoKernel.area($c)")
   override protected def withNewChildInternal(c: Expression): StArea = copy(c)
   override def prettyName: String = "st_area"
 }
@@ -46,12 +56,14 @@ case class StEnvelope(child: Expression)
 }
 
 case class StIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(a: Any, b: Any): Any =
-    Geo.intersects(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    GeoKernel.intersects(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.intersects($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersects =
     copy(l, r)
   override def prettyName: String = "st_intersects"
@@ -62,12 +74,14 @@ case class StIntersects(left: Expression, right: Expression)
   * (`code/imagery_store.py:249-252`).
   */
 case class StIntersectionArea(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
-    Geo.intersectionArea(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    GeoKernel.intersectionArea(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.intersectionArea($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectionArea =
     copy(l, r)
   override def prettyName: String = "st_intersection_area"

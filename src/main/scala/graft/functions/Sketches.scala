@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Approximate frequency sketching for the training-data pipeline
+  * tier: a Count-Min sketch as a typed `Aggregator`, giving
+  * "frequency of any token over 100 TB of text in one shuffle-free
+  * pass + one tiny merge" — the companion to the exact hash-groupBy
+  * dedup path (graft.queries.Dedup q27), for when the key cardinality
+  * itself is the problem.
+  *
+  * Distribution-correct by construction: the buffer merge is
+  * element-wise addition (commutative + associative), so partial
+  * sketches built per partition combine in any order to the same
+  * sketch. Hashing is deterministic (seeded multiply-shift over the
+  * token's UTF-8 bytes), so retries/speculative tasks agree.
+  */
+object Sketches {
+
+  /** depth×width count matrix, row-major. */
+  case class CMS(depth: Int, width: Int, counts: Array[Long]) {
+    /** Point estimate: min over rows (classic CM upper-bound estimate;
+      * always ≥ the true count, equality when no collisions).
+      */
+    def estimate(token: String): Long = {
+      var best = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        val c = counts(d * width + Sketches.bucket(token, d, width))
+        if (c < best) best = c
+        d += 1
+      }
+      best
+    }
+    def add(token: String, n: Long = 1L): CMS = {
+      var d = 0
+      while (d < depth) {
+        counts(d * width + Sketches.bucket(token, d, width)) += n
+        d += 1
+      }
+      this
+    }
+    def mergeWith(o: CMS): CMS = {
+      require(depth == o.depth && width == o.width, "sketch shape mismatch")
+      var i = 0
+      while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+      this
+    }
+  }
+
+  def empty(depth: Int, width: Int): CMS =
+    CMS(depth, width, new Array[Long](depth * width))
+
+  /** Deterministic per-row hash bucket (FNV-1a over bytes, row-salted,
+    * multiply-mixed). Independent-ish rows via distinct salts.
+    */
+  private[functions] def bucket(token: String, row: Int, width: Int): Int = {
+    var h = 0xcbf29ce484222325L ^ (0x9e3779b97f4a7c15L * (row + 1))
+    val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33
+    (((h % width) + width) % width).toInt
+  }
+
+  /** Typed Aggregator: Dataset[String] → CMS. Use as
+    * `ds.select(new CountMinAggregator(4, 1024).toColumn)` or per-key
+    * via `groupByKey(...).agg(...)`.
+    */
+  class CountMinAggregator(depth: Int, width: Int)
+      extends Aggregator[String, CMS, CMS] {
+    override def zero: CMS = empty(depth, width)
+    override def reduce(b: CMS, a: String): CMS = b.add(a)
+    override def merge(b1: CMS, b2: CMS): CMS = b1.mergeWith(b2)
+    override def finish(r: CMS): CMS = r
+    override def bufferEncoder: Encoder[CMS] = Encoders.product[CMS]
+    override def outputEncoder: Encoder[CMS] = Encoders.product[CMS]
+  }
+}

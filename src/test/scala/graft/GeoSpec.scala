@@ -84,6 +84,19 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("st_* scalar expressions compile under CODEGEN_ONLY (no fallback)") {
+    GeoFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val row = spark.sql(
+        s"""SELECT st_area('$toulouse') AS a,
+           |  st_intersection_area('$toulouse', '$toulouse') AS ia,
+           |  st_intersects('$toulouse', '$toulouse') AS i""".stripMargin).head()
+      assert(math.abs(row.getDouble(0) - toulouseArea) < 1e-12)
+      assert(row.getBoolean(2))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("st_* expressions evaluate through SQL") {
     GeoFunctions.register(spark)
     val row = spark.sql(

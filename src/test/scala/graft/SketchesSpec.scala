@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.Sketches
+import graft.functions.Sketches.CountMinAggregator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-Min sketch Aggregator: upper-bound property, exactness
+  * without collisions, merge-order invariance, and the distributed
+  * path through Spark.
+  */
+class SketchesSpec extends AnyFunSuite with SharedSpark {
+
+  private val rnd = new scala.util.Random(5)
+  private val corpus: Seq[String] =
+    Seq.fill(2000)(s"tok${rnd.nextInt(50)}") // 50 distinct, skewed-ish
+  private val exact: Map[String, Long] =
+    corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("estimates are upper bounds and exact at low collision rates") {
+    val cms = corpus.foldLeft(Sketches.empty(4, 2048))((s, t) => s.add(t))
+    exact.foreach { case (t, n) =>
+      val est = cms.estimate(t)
+      assert(est >= n)
+      assert(est == n) // 50 keys in 4x2048 cells: collisions ~impossible
+    }
+    assert(cms.estimate("never-seen") == 0L)
+  }
+
+  test("narrow sketch still upper-bounds under heavy collisions") {
+    val cms = corpus.foldLeft(Sketches.empty(4, 16))((s, t) => s.add(t))
+    exact.foreach { case (t, n) => assert(cms.estimate(t) >= n) }
+  }
+
+  test("merge is order-invariant (any partitioning gives the same sketch)") {
+    val parts = corpus.grouped(300).toSeq
+    val sketches = parts.map(_.foldLeft(Sketches.empty(4, 512))((s, t) => s.add(t)))
+    val fwd = sketches.reduceLeft((a, b) =>
+      a.copy(counts = a.counts.clone()).mergeWith(b))
+    val rev = sketches.reverse.reduceLeft((a, b) =>
+      a.copy(counts = a.counts.clone()).mergeWith(b))
+    assert(fwd.counts.toSeq == rev.counts.toSeq)
+    assert(exact.forall { case (t, n) => fwd.estimate(t) >= n })
+  }
+
+  test("distributed aggregation through Spark matches local build") {
+    import spark.implicits._
+    val local = corpus.foldLeft(Sketches.empty(4, 512))((s, t) => s.add(t))
+    val ds = spark.createDataset(corpus).repartition(8)
+    val dist = ds.select(new CountMinAggregator(4, 512).toColumn).head()
+    assert(dist.counts.toSeq == local.counts.toSeq)
+  }
+}
