@@ -10,11 +10,14 @@ trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
 /** One session for the whole forked test JVM (sbt Test/fork := true). */
 object SharedSpark {
   lazy val session: SparkSession = {
+    // keep derby + warehouse artifacts out of the repo tree
+    System.setProperty("derby.system.home", "/tmp/graft-derby")
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
