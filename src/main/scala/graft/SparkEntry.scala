@@ -17,6 +17,7 @@ object SparkEntry {
     EventsWindows,
     AdvancedJoins,
     GeoQueries,
+    FunctionBreadth,
     TextAnalysis,
     Dedup,
     SimSearch)
