@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.ProductSelect
+import graft.operators.ProductSelect.Params
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end: the reference's whole E3 lifecycle (SURVEY.md §3) —
+  * catalog served by the pushdown DSv2 connector → attribute unpack →
+  * filter → coverage scoring → best product — in one run; plus the
+  * incremental catalog poll (streaming dedup by product uuid).
+  */
+class EndToEndSpec extends AnyFunSuite with SharedSpark {
+
+  private val aoi =
+    "POLYGON ((1.2047 43.3882, 1.5121 43.3882, 1.5121 43.6620, 1.2047 43.6620, 1.2047 43.3882))"
+
+  private def rec(id: String, origin: String, cloud: String, fp: String) =
+    s"""{"Id":"$id","Name":"S2A_MSIL2A_${origin.replace("-", "")}T104621_N0509_R051_T31TCJ_x",
+       | "S3Path":"/e/$id","OriginDate":"${origin}T10:46:21.000Z",
+       | "Collection":"SENTINEL-2",
+       | "ContentDate":{"Start":"${origin}T10:46:21.000Z","End":"${origin}T10:46:51.000Z"},
+       | "footprint_wkt":"$fp",
+       | "Attributes":[{"Name":"tileId","Value":"31TCJ"},
+       |   {"Name":"cloudCover","Value":"$cloud"},
+       |   {"Name":"productType","Value":"S2MSI2A"},
+       |   {"Name":"relativeOrbitNumber","Value":"51"}]}""".stripMargin
+      .replace("\n", "")
+
+  test("DSv2 catalog -> ProductSelect picks the best product end-to-end") {
+    val full = "POLYGON ((1.0 43.2, 1.7 43.2, 1.7 43.8, 1.0 43.8, 1.0 43.2))"
+    val half = "POLYGON ((1.3584 43.2, 1.7 43.2, 1.7 43.8, 1.3584 43.8, 1.3584 43.2))"
+    val records = "[" + Seq(
+      rec("best", "2023-06-15", "2.0", full),
+      rec("partial", "2023-07-01", "1.0", half),
+      rec("cloudy", "2023-06-20", "90.0", full)).mkString(",") + "]"
+    val catalog = spark.read.format("graft.sources.ODataCatalogSource")
+      .option("records", records).load()
+    val best = ProductSelect.bestProduct(spark, catalog, aoi,
+      Params(startDate = "2023-01-01", endDate = "2024-01-01"))
+    val row = best.head()
+    assert(row.getAs[String]("uuid") == "best")
+    assert(row.getAs[String]("tile") == "31TCJ")
+    assert(math.abs(row.getAs[Double]("area_ratio") - 1.0) < 1e-9)
+  }
+
+  test("incremental catalog poll dedups re-polled products by uuid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class CatRow(Id: String, OriginDate: String)
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF().toDF("Id", "OriginDate")
+    val q = EventStreams.catalogIncremental(df)
+      .writeStream.format("memory").queryName("inc")
+      .outputMode("append").start()
+    try {
+      mem.addData(("p1", "2023-06-15T10:00:00Z"), ("p2", "2023-06-16T10:00:00Z"))
+      q.processAllAvailable()
+      // the next poll re-returns p1/p2 (overlapping date window) + p3
+      mem.addData(("p1", "2023-06-15T10:00:00Z"), ("p2", "2023-06-16T10:00:00Z"),
+        ("p3", "2023-06-17T10:00:00Z"))
+      q.processAllAvailable()
+      val ids = spark.table("inc").select("Id").as[String].collect().sorted.toSeq
+      assert(ids == Seq("p1", "p2", "p3"))
+    } finally q.stop()
+  }
+}
