@@ -212,6 +212,47 @@ object Geo {
     intersectionArea(wktA, wktB) > 0.0
   }
 
+  /** Point-in-polygon (even-odd / ray-casting rule) against the first
+    * ring of each polygon. Used by the raster polygon mask (R3).
+    */
+  def containsPoint(rings: Seq[Ring], x: Double, y: Double): Boolean =
+    rings.exists { ring =>
+      val r = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+      var inside = false
+      var i = 0
+      var j = r.length - 1
+      while (i < r.length) {
+        val (xi, yi) = r(i); val (xj, yj) = r(j)
+        if ((yi > y) != (yj > y) &&
+            x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+        j = i; i += 1
+      }
+      inside
+    }
+
+  /** F10 — CRS point transform: WGS84 (lon/lat degrees) ↔ spherical
+    * Web Mercator (EPSG:3857 meters). The reference's `to_crs`
+    * (`code/download_imagery.py:26`) is identity for its WGS84-only
+    * flow; this provides the real non-identity pair for everything
+    * else. Formulas are the published spherical Mercator equations.
+    */
+  object Crs {
+    private val R = 6378137.0
+    def wgs84ToMercator(lon: Double, lat: Double): (Double, Double) =
+      (R * math.toRadians(lon),
+        R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    def mercatorToWgs84(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / R),
+        math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+  }
+
+  /** Transform every vertex of a WKT geometry with `f`. */
+  def transformWkt(wkt: String, f: (Double, Double) => (Double, Double)): String = {
+    val rings = parseWkt(wkt)
+    require(rings.size == 1, "transformWkt supports single polygons")
+    toWkt(rings.head.map { case (x, y) => f(x, y) })
+  }
+
   /** GeoJSON geometry object → WKT (Polygon/MultiPolygon/Point), the
     * reference's `shape(geo)` ingestion (`code/imagery_store.py:243`).
     * Minimal recursive-descent over the coordinates array — no JSON

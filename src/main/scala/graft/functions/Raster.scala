@@ -84,6 +84,33 @@ object Raster {
   }
 
   // -----------------------------------------------------------------
+  // R3b — mask by polygon: crop to the polygon's envelope, then set
+  // pixels whose centers fall outside the polygon to nodata — the
+  // full `rasterio.mask(src, geometry, crop=True)` semantics
+  // (`code/tx.py:25-35`) for non-rectangular AOIs; clipByBox is the
+  // bbox fast path the reference's own AOIs exercise.
+  def maskByPolygon(c: Chip, polygonWkt: String): Chip = {
+    val rings = Geo.parseWkt(polygonWkt)
+    val (bx1, by1, bx2, by2) = Geo.envelope(polygonWkt)
+    val cropped = clipByBox(c, bx1, by1, bx2, by2)
+    val pw = (cropped.maxx - cropped.minx) / math.max(cropped.width, 1)
+    val ph = (cropped.maxy - cropped.miny) / math.max(cropped.height, 1)
+    val out = cropped.px.clone()
+    var r = 0
+    while (r < cropped.height) {
+      val y = cropped.maxy - (r + 0.5) * ph
+      var cc = 0
+      while (cc < cropped.width) {
+        val x = cropped.minx + (cc + 0.5) * pw
+        if (!Geo.containsPoint(rings, x, y)) out(r * cropped.width + cc) = c.nodata
+        cc += 1
+      }
+      r += 1
+    }
+    cropped.copy(px = out)
+  }
+
+  // -----------------------------------------------------------------
   // R4 — reproject/resample to a target grid, nearest neighbor
   // (`Resampling.nearest`, `code/tx.py:49-71`). The affine transform
   // here is the linear part; a true CRS warp plugs a point-transform

@@ -79,6 +79,40 @@ class RasterSpec extends AnyFunSuite with SharedSpark {
     assert(clipped.px.toSeq == c.px.toSeq)
   }
 
+  test("maskByPolygon crops to envelope and nodatas outside the polygon") {
+    // 4x4 grid over [0,4]^2, mask by triangle (0,0)(4,0)(0,4)
+    val c = gridChip(4, 4, 0, 0, 1.0).copy(nodata = -1.0)
+    val masked = Raster.maskByPolygon(c, "POLYGON ((0 0, 4 0, 0 4, 0 0))")
+    assert(masked.width == 4 && masked.height == 4)
+    // pixel centers (x+0.5, y+0.5); inside iff x+y < 4 (below hypotenuse)
+    val expectInside = for (r <- 0 until 4; cc <- 0 until 4) yield {
+      val x = cc + 0.5; val y = 4 - (r + 0.5)
+      x + y < 4.0
+    }
+    val got = masked.px.toSeq.map(_ != -1.0)
+    assert(got == expectInside)
+  }
+
+  test("CRS transform round-trips and matches known Mercator points") {
+    import graft.functions.Geo
+    // exact anchors of the spherical Mercator grid
+    val (ax, ay) = Geo.Crs.wgs84ToMercator(180.0, 0.0)
+    assert(math.abs(ax - 20037508.342789244) < 1e-6 && ay == 0.0)
+    val (mx, my) = Geo.Crs.wgs84ToMercator(1.4442, 43.6047) // Toulouse
+    assert(mx > 0 && my > 0 && my > mx) // sanity: NE hemisphere, lat>lon
+    val (lon, lat) = Geo.Crs.mercatorToWgs84(mx, my)
+    assert(math.abs(lon - 1.4442) < 1e-9 && math.abs(lat - 43.6047) < 1e-9)
+    // polygon transform preserves ring shape through round-trip
+    val wkt = "POLYGON ((1.2 43.3, 1.5 43.3, 1.5 43.7, 1.2 43.7, 1.2 43.3))"
+    val rt = Geo.transformWkt(
+      Geo.transformWkt(wkt, Geo.Crs.wgs84ToMercator),
+      Geo.Crs.mercatorToWgs84)
+    val back = Geo.parseWkt(rt).head
+    Geo.parseWkt(wkt).head.zip(back).foreach { case ((ax, ay), (bx, by)) =>
+      assert(math.abs(ax - bx) < 1e-9 && math.abs(ay - by) < 1e-9)
+    }
+  }
+
   // ---- R4 resample ------------------------------------------------
   test("resampleNearest identity grid returns same pixels") {
     val c = gridChip(4, 4, 0, 0, 1.0)
