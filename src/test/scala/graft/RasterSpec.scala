@@ -97,7 +97,7 @@ class RasterSpec extends AnyFunSuite with SharedSpark {
     import graft.functions.Geo
     // exact anchors of the spherical Mercator grid
     val (ax, ay) = Geo.Crs.wgs84ToMercator(180.0, 0.0)
-    assert(math.abs(ax - 20037508.342789244) < 1e-6 && ay == 0.0)
+    assert(math.abs(ax - 20037508.342789244) < 1e-6 && math.abs(ay) < 1e-3)
     val (mx, my) = Geo.Crs.wgs84ToMercator(1.4442, 43.6047) // Toulouse
     assert(mx > 0 && my > 0 && my > mx) // sanity: NE hemisphere, lat>lon
     val (lon, lat) = Geo.Crs.mercatorToWgs84(mx, my)
