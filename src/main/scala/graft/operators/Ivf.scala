@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the scale
+  * path for similarity search (q26 models the cell with a precomputed
+  * label; this trains the real coarse quantizer).
+  *
+  * Design for 100 TB: the MODEL (k centroids × d dims) is tiny and
+  * lives on the driver / in broadcast literals; everything that
+  * touches the corpus is a distributed single-pass DataFrame op built
+  * from codegen'd array lambdas (zip_with/aggregate/transform — no
+  * UDFs). Training assignment is one scan per Lloyd iteration;
+  * centroid update is a (cell, dim)-keyed avg — k·d tiny groups.
+  * Search probes nProbe cells: on a corpus PARTITIONED BY cell this
+  * prunes the scan to nProbe/k of the data before any arithmetic.
+  */
+object Ivf {
+
+  /** Squared-L2 distances from `vecCol` to each centroid, as an array
+    * column expression (pure built-in lambdas).
+    */
+  private def distsExpr(vecCol: String): String =
+    s"""transform(__cents, c ->
+       |  aggregate(zip_with($vecCol, c, (a, b) -> (CAST(a AS DOUBLE) - b)
+       |            * (CAST(a AS DOUBLE) - b)),
+       |            CAST(0 AS DOUBLE), (s, x) -> s + x))""".stripMargin
+
+  private def withCentroids(df: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("__cents", typedlit(cents))
+
+  /** Nearest-centroid cell id for every row (0-based). */
+  def assign(df: DataFrame, cents: Seq[Seq[Double]], vecCol: String): DataFrame =
+    withCentroids(df, cents)
+      .withColumn("__d", expr(distsExpr(vecCol)))
+      .withColumn("cell",
+        expr("CAST(array_position(__d, array_min(__d)) - 1 AS INT)"))
+      .drop("__cents", "__d")
+
+  /** Lloyd's k-means: deterministic init (first k rows by `idCol`),
+    * distributed assignment + per-(cell,dim) mean, `iters` rounds.
+    * Returns the k centroids (driver-side model).
+    */
+  def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = embeddings.orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = assign(embeddings, cents, vecCol)
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Top-k cosine search probing the `nProbe` nearest cells per query.
+    * `corpus` must carry the `cell` column from [[assign]]; queries
+    * are assigned their probe cells here and broadcast.
+    */
+  def search(spark: SparkSession, corpus: DataFrame, cents: Seq[Seq[Double]],
+      queries: DataFrame, topK: Int, nProbe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val probed = withCentroids(queries, cents)
+      .withColumn("__d", expr(distsExpr(vecCol)))
+      .withColumn("probe", explode(expr(
+        s"""transform(slice(array_sort(zip_with(__d, sequence(0, size(__d) - 1),
+           |  (d, i) -> struct(d AS d, i AS i))), 1, $nProbe), s -> s.i)""".stripMargin)))
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        col("probe").cast("int").as("cell"))
+    val dot =
+      "aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    def norm(c: String) =
+      s"sqrt(aggregate(transform($c, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dot / (${norm("qv")} * ${norm("cv")})"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "c_id", "cosine")
+  }
+}

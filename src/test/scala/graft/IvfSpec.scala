@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Ivf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN index over the real embeddings table: training converges
+  * to sane cells, search recall vs brute force clears the bar, and
+  * probing fewer cells scans fewer candidates.
+  */
+class IvfSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, dir).cache()
+
+  test("training produces k centroids and a total assignment") {
+    val cents = Ivf.train(spark, emb, k = 8, iters = 4)
+    assert(cents.size == 8 && cents.forall(_.size == 64))
+    val assigned = Ivf.assign(emb, cents, "embedding")
+    assert(assigned.filter(col("cell").isNull).count() == 0)
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.length >= 4) // clusters actually used, not collapsed
+    assert(assigned.count() == emb.count())
+  }
+
+  test("IVF search recall@5 vs brute force is high on clustered data") {
+    val cents = Ivf.train(spark, emb, k = 8, iters = 4)
+    val corpus = Ivf.assign(emb, cents, "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val ivf = Ivf.search(spark, corpus, cents, queries, topK = 5, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+
+    // brute force over the same cosine arithmetic
+    val dot =
+      "aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    def norm(c: String) =
+      s"sqrt(aggregate(transform($c, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    val brute = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine", expr(s"$dot / (${norm("qv")} * ${norm("cv")})"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+
+  test("fewer probes scan fewer candidate rows") {
+    val cents = Ivf.train(spark, emb, k = 8, iters = 4)
+    val corpus = Ivf.assign(emb, cents, "embedding").cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    def candidates(nProbe: Int): Long = {
+      val probed = Ivf.search(spark, corpus, cents, queries,
+        topK = 1000000, nProbe = nProbe) // effectively no top-k cut
+      probed.count()
+    }
+    val c1 = candidates(1); val c3 = candidates(3)
+    assert(c1 < c3, s"nProbe=1 scanned $c1 vs nProbe=3 $c3")
+  }
+}
