@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.CorpusPipeline
+import graft.operators.CorpusPipeline.Config
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composed corpus-curation pipeline over the real documents table +
+  * targeted fixtures for each gate.
+  */
+class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("each stage only narrows the corpus; output is duplicate-free") {
+    val docs = Tables.documents(spark, dir)
+    val featured = CorpusPipeline.withFeatures(docs)
+    val cfg = Config()
+    val gated = CorpusPipeline.qualityGate(featured, cfg)
+    val exact = CorpusPipeline.exactDedup(gated)
+    val near = CorpusPipeline.nearDedup(exact, cfg)
+    val n0 = docs.count(); val n1 = gated.count()
+    val n2 = exact.count(); val n3 = near.count()
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 > 0)
+    // exact-dedup invariant: fingerprints unique afterwards
+    assert(exact.select("fp").distinct().count() == n2)
+    // gate invariant: survivors are en + above thresholds
+    assert(gated.filter(col("lang") =!= "en"
+      || col("n_tok") < cfg.minTokens || col("score") < cfg.minScore).isEmpty)
+  }
+
+  test("near-dup stage drops a planted shingle-identical copy") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs to the river where the dog is waiting in the sun " +
+      "and they walk home together in the evening light of the town"
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base + " extra tail words here"),  // near-dup of 1
+      (3L, "en", "completely different content about spark engines " +
+        "and the catalyst optimizer that plans the queries for the " +
+        "cluster to execute in parallel over the huge data of the lake"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusPipeline.curate(docs,
+        Config(minTokens = 10, minScore = 0.0, nearDupMinMatches = 6))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L)) // 2 dropped as near-dup of 1
+  }
+
+  test("stats summarize the curated corpus") {
+    val curated = CorpusPipeline.curate(Tables.documents(spark, dir))
+    val row = CorpusPipeline.stats(curated).head()
+    assert(row.getAs[Long]("n_docs") == curated.count())
+    assert(row.getAs[Long]("total_tokens") > 0)
+    val mean = row.getAs[Double]("mean_score")
+    assert(mean >= 0.4 && mean <= 1.0)
+  }
+}
