@@ -19,6 +19,7 @@ object SparkEntry {
     GeoQueries,
     FunctionBreadth,
     TextAnalysis,
+    TrainingData,
     Dedup,
     SimSearch)
 
