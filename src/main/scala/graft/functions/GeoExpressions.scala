@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -18,16 +18,19 @@ object GeoKernel {
     Geo.intersectionArea(a.toString, b.toString)
   def intersects(a: UTF8String, b: UTF8String): Boolean =
     Geo.intersects(a.toString, b.toString)
+  def envelope(wkt: UTF8String): GenericArrayData = {
+    val (a, b, c, d) = Geo.envelope(wkt.toString)
+    new GenericArrayData(Array(a, b, c, d))
+  }
 }
 
 /** Catalyst `Expression`s for the geometry family (SURVEY.md §2.9 F9,
   * §2.2 P6, §2.4 J1): `st_area`, `st_envelope`, `st_intersects`,
   * `st_intersection_area` over WKT strings.
   *
-  * Genuine engine extensions (Spark has no geo built-ins); scalar ones
+  * Genuine engine extensions (Spark has no geo built-ins); all four
   * implement `doGenCode` as a static call into [[GeoKernel]], so a
-  * plan using them keeps its whole-stage-codegen span. `st_envelope`
-  * (array-returning, dimension-side only) keeps CodegenFallback. The
+  * plan using them keeps its whole-stage-codegen span. The
   * raster normalize kernel (R1), per-pixel hot, is expressed with
   * codegen'd built-ins instead — see [[Raster.normalizeS2]].
   */
@@ -44,13 +47,12 @@ case class StArea(child: Expression) extends UnaryExpression {
 /** Envelope as array(minx, miny, maxx, maxy) — the reference's
   * `.bounds` (`code/dataset.py:38-40`).
   */
-case class StEnvelope(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class StEnvelope(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(wkt: Any): Any = {
-    val (a, b, c, d) = Geo.envelope(wkt.asInstanceOf[UTF8String].toString)
-    new GenericArrayData(Array(a, b, c, d))
-  }
+  override def nullSafeEval(wkt: Any): Any =
+    GeoKernel.envelope(wkt.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoKernel.envelope($c)")
   override protected def withNewChildInternal(c: Expression): StEnvelope = copy(c)
   override def prettyName: String = "st_envelope"
 }

@@ -137,7 +137,55 @@ object FunctionBreadth extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q50 — RANGE-frame window: per event, the sum of `value` over the
+  // same user's trailing hour (event-time range frame, not row
+  // frame). Numeric epoch-micros ordering so both engines frame
+  // identically; peers at equal ts are all included by RANGE
+  // semantics, so ties cannot flake the result.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, 0)
+    T.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("hour_sum",
+        sum(expr("CAST(value AS DECIMAL(18,2))")).over(w).cast("double"))
+      .select("user_id", "event_id", "hour_sum")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q50Sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS hour_sum
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q51 — exact percentiles (order statistics + linear interpolation:
+  // Spark `percentile` ≡ DuckDB `quantile_cont`).
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    T.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_tp"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_tp"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  private val q51Sql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median_tp,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_tp,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_range_frame" -> (q50 _),
+    "q51_percentiles" -> (q51 _),
     "q43_rank_windows" -> (q43 _),
     "q44_correlated_avg" -> (q44 _),
     "q45_string_agg" -> (q45 _),
@@ -145,6 +193,8 @@ object FunctionBreadth extends QueryModule {
     "q47_null_semantics" -> (q47 _))
 
   override val oracle: Map[String, String] = Map(
+    "q50_range_frame" -> q50Sql,
+    "q51_percentiles" -> q51Sql,
     "q43_rank_windows" -> q43Sql,
     "q44_correlated_avg" -> q44Sql,
     "q45_string_agg" -> q45Sql,

@@ -91,9 +91,11 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
       val row = spark.sql(
         s"""SELECT st_area('$toulouse') AS a,
            |  st_intersection_area('$toulouse', '$toulouse') AS ia,
-           |  st_intersects('$toulouse', '$toulouse') AS i""".stripMargin).head()
+           |  st_intersects('$toulouse', '$toulouse') AS i,
+           |  st_envelope('$toulouse') AS env""".stripMargin).head()
       assert(math.abs(row.getDouble(0) - toulouseArea) < 1e-12)
       assert(row.getBoolean(2))
+      assert(row.getSeq[Double](3) == Seq(1.2047, 43.3882, 1.5121, 43.6620))
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
