@@ -41,4 +41,35 @@ class AsOfJoinSpec extends AnyFunSuite with SharedSpark {
       (103L, None, None),
       (104L, None, None)))
   }
+
+  test("property: asOf equals a brute-force reference on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    def t(offMin: Int) = ts("2024-01-01 00:00:00").getTime + offMin * 60000L
+    // deliberately includes duplicate timestamps per key on both sides
+    val quotes = (1 to 200).map { i =>
+      Quote(s"S${rnd.nextInt(5)}", new Timestamp(t(rnd.nextInt(120))),
+        i.toLong, rnd.nextInt(1000) / 10.0)
+    }
+    val trades = (1 to 200).map { i =>
+      Trade(s"S${rnd.nextInt(6)}", new Timestamp(t(rnd.nextInt(120))),
+        1000L + i, rnd.nextInt(50).toLong)
+    }
+    val got = AsOfJoin.asOf(trades.toDF(), quotes.toDF(), Seq("sym"),
+        "tt", "qt", Seq("qid", "px"), "tid", "qid")
+      .collect()
+      .map(r => r.getAs[Long]("tid") -> Option(r.getAs[Any]("asof_qid")))
+      .toMap
+    // brute force: latest quote at or before the trade; ties on time
+    // resolved by largest qid (the merge formulation's sort order)
+    val expected = trades.map { tr =>
+      val c = quotes.filter(q => q.sym == tr.sym && !q.qt.after(tr.tt))
+      tr.tid -> (if (c.isEmpty) None
+        else Some(c.maxBy(q => (q.qt.getTime, q.qid)).qid))
+    }.toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (tid, want) =>
+      assert(got(tid) == want, s"trade $tid: got ${got(tid)}, want $want")
+    }
+  }
 }
