@@ -46,6 +46,16 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(Geo.intersectionArea(tri, box) - 2.0) < 1e-9)
   }
 
+  test("malformed and unsupported WKT fail loudly, not silently") {
+    assertThrows[IllegalArgumentException](Geo.parseWkt("LINESTRING (0 0, 1 1)"))
+    assertThrows[IllegalArgumentException](Geo.parseWkt("POLYGON 0 0, 1 1"))
+    assertThrows[IllegalArgumentException](Geo.area("not wkt at all"))
+    // non-convex clip polygon is rejected, never mis-computed
+    val nonConvex = "POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))"
+    val box = Geo.toWkt(Geo.boxRing(0, 0, 1, 1))
+    assertThrows[IllegalArgumentException](Geo.intersectionArea(box, nonConvex))
+  }
+
   test("disjoint geometries do not intersect") {
     val a = Geo.toWkt(Geo.boxRing(0, 0, 1, 1))
     val b = Geo.toWkt(Geo.boxRing(5, 5, 6, 6))
