@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale-critical physical-plan
+  * properties documented in PLANS.md, pinned as assertions so a
+  * future edit cannot silently turn a broadcast into a shuffle or
+  * push a filter out of the scan. Counts are over the pre-execution
+  * plan (AQE may coalesce at runtime; the shape is what we pin).
+  */
+class PlanShapeSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(q: String): String =
+    SparkEntry.queries(q)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def countNodes(plan: String, node: String): Int =
+    ("""\(\d+\) """ + node + "(?!\\w)").r.findAllIn(plan).length
+
+  test("q02: all predicates and the pruned projection reach the scan") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters:"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThan(l_quantity").foreach(f =>
+      assert(p.contains(f), s"missing pushed filter $f"))
+    // only the 6 needed columns are read (4 projected + 2 filter-only);
+    // +1 colon for the "ReadSchema:" label itself
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(schema.count(_ == ':') == 7, schema)
+  }
+
+  test("q03 flagship: broadcast joins, one shuffle, top-k collapse") {
+    val p = formatted("q03_top_revenue")
+    assert(countNodes(p, "BroadcastHashJoin") == 2)
+    assert(countNodes(p, "TakeOrderedAndProject") == 1)
+    assert(countNodes(p, "Exchange") == 1, p) // the groupBy only
+    assert(countNodes(p, "HashAggregate") == 2) // partial + final
+  }
+
+  test("q07 top-k: TakeOrderedAndProject with zero shuffles") {
+    val p = formatted("q07_topk_orders")
+    assert(countNodes(p, "TakeOrderedAndProject") == 1)
+    assert(countNodes(p, "Exchange") == 0)
+  }
+
+  test("q31 sketch build: one data shuffle, no row-blowup joins") {
+    val p = formatted("q31_simhash")
+    assert(countNodes(p, "Exchange") == 2, p) // agg + presentation sort
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(countNodes(p, "HashAggregate") >= 2) // partial + final
+  }
+
+  test("q36 as-of join: union + single keyed window pass, no join node") {
+    val p = formatted("q36_asof_join")
+    assert(countNodes(p, "Union") == 1)
+    assert(countNodes(p, "Window") == 1)
+    assert(countNodes(p, "Exchange") == 2, p) // window key + final sort
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin").foreach(j =>
+      assert(countNodes(p, j) == 0, s"unexpected $j in as-of plan"))
+  }
+
+  test("q44 correlated avg: the 25-row aggregate broadcasts") {
+    val p = formatted("q44_correlated_avg")
+    assert(countNodes(p, "BroadcastHashJoin") == 1)
+    assert(countNodes(p, "SortMergeJoin") == 0)
+  }
+}
