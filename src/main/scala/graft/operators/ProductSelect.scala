@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GeoFunctions
 
@@ -95,6 +96,45 @@ object ProductSelect {
         first("footprint_wkt").as("geom"))
       .orderBy(desc("area_ratio"), desc("origin_date"))
       .limit(1)
+
+  /** Batch form — best product for EVERY AOI at once (the reference
+    * iterates `AreaDataset.__getitem__` one AOI at a time,
+    * `code/dataset.py:35-59`; SURVEY §2.6 names this generalization).
+    * This is the shape that matters at 100 TB: thousands of AOIs ×
+    * millions of footprints go through the grid-bucketed spatial join
+    * (equi-join on cell id — no cross product), then ONE shuffle for
+    * the (aoi, product) coverage aggregation, then a per-AOI window
+    * argmax with the recency tie-break.
+    *
+    * @param aois columns (aoi_id, aoi_wkt); AOIs must be convex
+    *             (bboxes in the reference)
+    */
+  def bestPerAoi(spark: SparkSession, catalog: DataFrame, aois: DataFrame,
+      p: Params = Params(), cellSize: Double = 1.0): DataFrame = {
+    GeoFunctions.register(spark)
+    val candidates = unpackAttributes(catalog)
+      .filter(col("Collection") === p.collection)
+      .filter(col("productType") === p.productType)
+      .filter(col("ContentDate.Start") > p.startDate &&
+        col("ContentDate.Start") < p.endDate)
+      .filter(col("cloudCover") <= p.cloudCoverMax)
+    val joined = SpatialJoin.intersectJoin(spark, candidates, aois,
+      "footprint_wkt", "aoi_wkt", cellSize)
+    val w = Window.partitionBy("aoi_id")
+      .orderBy(desc("area_ratio"), desc("origin_date"))
+    joined
+      .withColumn("area_ratio",
+        expr("st_intersection_area(footprint_wkt, aoi_wkt)") /
+          expr("st_area(aoi_wkt)"))
+      .groupBy(col("aoi_id"), col("Id"))
+      .agg(sum("area_ratio").as("area_ratio"),
+        first("Name").as("name"), first("OriginDate").as("origin_date"),
+        first("tileId").as("tile"), first("cloudCover").as("cloudcoverage"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumnRenamed("Id", "uuid")
+  }
 
   /** Full product record, enriched like `code/imagery_store.py:259-269`
     * + `code/dataset.py:53-57` (F1/F2 name tokenization; bands from

@@ -108,6 +108,36 @@ class ProductSelectSpec extends AnyFunSuite with SharedSpark {
     assert(best.head().getAs[String]("uuid") == "t32")
   }
 
+  test("batch form: best product per AOI in one program") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // AOI A = the Toulouse box; AOI B = a box only `east1` touches
+    val east = "POLYGON ((1.7 43.2, 2.0 43.2, 2.0 43.8, 1.7 43.8, 1.7 43.2))"
+    val aois = Seq(("A", aoi),
+      ("B", "POLYGON ((1.75 43.3, 1.85 43.3, 1.85 43.4, 1.75 43.4, 1.75 43.3))"))
+      .toDF("aoi_id", "aoi_wkt")
+    val cat = catalog(Seq(
+      prod("full1", "2023-06-15", "2.0", full),
+      prod("half1", "2023-06-20", "1.0", half),
+      prod("east1", "2023-06-25", "0.5", east)))
+    val best = ProductSelect.bestPerAoi(spark, cat, aois, p)
+      .select("aoi_id", "uuid").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(best == Seq(("A", "full1"), ("B", "east1")))
+  }
+
+  test("batch form tie-break: most recent wins per AOI") {
+    val s = spark
+    import s.implicits._
+    val aois = Seq(("A", aoi)).toDF("aoi_id", "aoi_wkt")
+    val cat = catalog(Seq(
+      prod("older", "2023-03-10", "2.0", full),
+      prod("newer", "2023-09-10", "2.0", full)))
+    val best = ProductSelect.bestPerAoi(spark, cat, aois, p).head()
+    assert(best.getAs[String]("uuid") == "newer")
+  }
+
   test("empty candidate set yields empty result (P9 guard shape)") {
     val best = ProductSelect.bestProduct(spark, catalog(Seq(
       prod("off", "2023-06-15", "1.0", away))), aoi, p)
