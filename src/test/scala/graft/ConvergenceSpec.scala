@@ -43,6 +43,22 @@ class ConvergenceSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("order-sensitive queries are invariant to shuffle partitioning") {
+    // band-stack (explicit sort keys) and minhash (min-agg) must give
+    // identical results however Spark partitions the shuffle
+    val dir = "/root/testdata/sf0.001"
+    def run(q: String, parts: String): Seq[String] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    Seq("q34_band_stack", "q29_minhash_sigs", "q35_firstwins_mosaic")
+      .foreach { q =>
+        assert(run(q, "2") == run(q, "13"), s"$q varies with partitioning")
+      }
+  }
+
   test("salted join is row-identical to the plain join") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, dir)

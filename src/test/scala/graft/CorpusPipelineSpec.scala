@@ -47,6 +47,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq(1L, 3L)) // 2 dropped as near-dup of 1
   }
 
+  test("curate composes with shard packing end-to-end") {
+    val curated = CorpusPipeline.curate(Tables.documents(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = curated
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("shard", expr("CAST(floor((cum - n_tok) / 4000) AS BIGINT)"))
+    val shards = packed.groupBy("shard")
+      .agg(sum("n_tok").as("tokens"), count(lit(1)).as("docs"))
+      .orderBy("shard").collect()
+    assert(shards.nonEmpty)
+    // every shard starts below the budget boundary; token sums are
+    // budget-sized except possibly the last
+    shards.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("tokens") >= 4000 - 500 || shards.length == 1)
+    }
+    val total = shards.map(_.getAs[Long]("tokens")).sum
+    val expected = curated.agg(sum("n_tok")).head().getLong(0)
+    assert(total == expected) // packing loses nothing
+  }
+
   test("stats summarize the curated corpus") {
     val curated = CorpusPipeline.curate(Tables.documents(spark, dir))
     val row = CorpusPipeline.stats(curated).head()

@@ -79,6 +79,23 @@ class ODataSourceSpec extends AnyFunSuite with SharedSpark {
     assert(catalog.limit(2).collect().length == 2)
   }
 
+  test("column pruning reaches the reader (ReadSchema shrinks)") {
+    val q = catalog.select("Id", "S3Path")
+    val rows = q.collect()
+    assert(rows.length == 3 && rows.head.schema.fieldNames.toSeq == Seq("Id", "S3Path"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString()
+    // the DSv2 scan's output carries only the pruned columns
+    assert(scan.contains("Id") && !scan.contains("Attributes"), scan)
+  }
+
+  test("filter + limit + pruning compose in one scan") {
+    val q = catalog.filter(col("Collection") === "SENTINEL-2")
+      .select("Id").limit(1)
+    val got = q.collect()
+    assert(got.length == 1)
+    assert(Set("a1", "b2").contains(got.head.getString(0)))
+  }
+
   test("nested-attribute predicates remain residual and still filter") {
     // cloudCover lives inside Attributes post-unpack — Spark evaluates
     // the residual after the map projection (the reference's N1 path)
