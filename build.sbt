@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The full suite (52 queries x warmup + timed pass) generates more
+  // JIT-compiled + janino codegen code than the 240m default code
+  // cache holds; once it fills, the JIT disables and queries run
+  // interpreted with wild 10x slowdowns (observed: q33 1.8s -> 40s).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -10,19 +10,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up the session (codegen compiler, parquet reader paths,
-    // shuffle machinery) so per-query timings measure the queries.
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm up by executing the ENTIRE suite once untimed: a cold JVM
+    // pays codegen compilation + JIT per distinct query shape, which
+    // measured 2.5x on a cold run vs 1.09x warm (VERDICT r1). Timing
+    // the second pass measures the queries, not the compiler.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-warmup] $name failed: $e")
+      }
+    }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+        System.err.println(s"[bench] QUERY FAILED $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -86,13 +86,19 @@ object CorpusPipeline {
     val stackArgs = params.map { case (i, _, _) => s"$i, m$i" }.mkString(", ")
     val sig = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .selectExpr("doc_id", s"stack(${params.size}, $stackArgs) AS (i, mh)")
+    // Threshold applies PER PAIR: a pair must agree on >=
+    // nearDupMinMatches of the minhashes; only then is the larger
+    // doc_id dropped. (Grouping by b.doc_id alone would pool matches
+    // across ALL partners and over-drop docs that match many
+    // different docs on different bands.)
     val drop = sig.as("a").join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.mh") === col("b.mh")
           && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("b.doc_id").as("doc_id"))
+      .groupBy(col("a.doc_id").as("keep_id"), col("b.doc_id").as("doc_id"))
       .agg(countDistinct(col("a.i")).as("n_match"))
       .filter(col("n_match") >= cfg.nearDupMinMatches)
       .select("doc_id")
+      .distinct()
     deduped.join(drop, Seq("doc_id"), "left_anti")
   }
 

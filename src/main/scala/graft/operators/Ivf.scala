@@ -20,16 +20,17 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Squared-L2 distances from `vecCol` to each centroid, as an array
-    * column expression (pure built-in lambdas).
+    * column expression. The per-dimension arithmetic runs in the
+    * codegen'd `vec_l2_sq` kernel (graft.functions.VecExpressions) —
+    * the outer transform only iterates the k centroids.
     */
   private def distsExpr(vecCol: String): String =
-    s"""transform(__cents, c ->
-       |  aggregate(zip_with($vecCol, c, (a, b) -> (CAST(a AS DOUBLE) - b)
-       |            * (CAST(a AS DOUBLE) - b)),
-       |            CAST(0 AS DOUBLE), (s, x) -> s + x))""".stripMargin
+    s"transform(__cents, c -> vec_l2_sq(CAST($vecCol AS ARRAY<DOUBLE>), c))"
 
-  private def withCentroids(df: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+  private def withCentroids(df: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    graft.functions.VecFunctions.register(df.sparkSession)
     df.withColumn("__cents", typedlit(cents))
+  }
 
   /** Nearest-centroid cell id for every row (0-based). */
   def assign(df: DataFrame, cents: Seq[Seq[Double]], vecCol: String): DataFrame =
@@ -79,10 +80,9 @@ object Ivf {
            |  (d, i) -> struct(d AS d, i AS i))), 1, $nProbe), s -> s.i)""".stripMargin)))
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         col("probe").cast("int").as("cell"))
-    val dot =
-      "aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    val dot = "vec_dot_d(CAST(qv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>))"
     def norm(c: String) =
-      s"sqrt(aggregate(transform($c, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+      s"sqrt(vec_dot_d(CAST($c AS ARRAY<DOUBLE>), CAST($c AS ARRAY<DOUBLE>)))"
     val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
     corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"), col("cell"))
       .join(broadcast(probed), Seq("cell"))

@@ -54,6 +54,18 @@ object ProductSelect {
       .withColumn("relativeOrbitNumber",
         col("attrs")("relativeOrbitNumber").cast("int"))
 
+  /** Date-range bound, applied only for non-empty bounds: an empty
+    * startDate/endDate means "unbounded" on that side. (Unconditional
+    * `ContentDate.Start < ''` is false for every row, so default
+    * Params would silently return an empty result.)
+    */
+  private def dateBound(df: DataFrame, p: Params): DataFrame = {
+    var out = df
+    if (p.startDate.nonEmpty) out = out.filter(col("ContentDate.Start") > p.startDate)
+    if (p.endDate.nonEmpty) out = out.filter(col("ContentDate.Start") < p.endDate)
+    out
+  }
+
   /** P2–P5 (+P6 spatial prefilter when no tile id): the predicates the
     * reference compiles into its OData `$filter`
     * (`code/imagery_store.py:182-187`, `:216-221`). Expressed as plain
@@ -61,11 +73,9 @@ object ProductSelect {
     * catalog (parquet stats / DSv2 pushdown / the OData connector).
     */
   def filterCandidates(unpacked: DataFrame, p: Params, aoiWkt: String): DataFrame = {
-    var df = unpacked
+    var df = dateBound(unpacked
       .filter(col("Collection") === p.collection)
-      .filter(col("productType") === p.productType)
-      .filter(col("ContentDate.Start") > p.startDate &&
-        col("ContentDate.Start") < p.endDate)
+      .filter(col("productType") === p.productType), p)
       .filter(col("cloudCover") <= p.cloudCoverMax)
     df = p.tileId match {
       case Some(t) => df.filter(col("tileId") === t)
@@ -112,11 +122,9 @@ object ProductSelect {
   def bestPerAoi(spark: SparkSession, catalog: DataFrame, aois: DataFrame,
       p: Params = Params(), cellSize: Double = 1.0): DataFrame = {
     GeoFunctions.register(spark)
-    val candidates = unpackAttributes(catalog)
+    val candidates = dateBound(unpackAttributes(catalog)
       .filter(col("Collection") === p.collection)
-      .filter(col("productType") === p.productType)
-      .filter(col("ContentDate.Start") > p.startDate &&
-        col("ContentDate.Start") < p.endDate)
+      .filter(col("productType") === p.productType), p)
       .filter(col("cloudCover") <= p.cloudCoverMax)
     val joined = SpatialJoin.intersectJoin(spark, candidates, aois,
       "footprint_wkt", "aoi_wkt", cellSize)

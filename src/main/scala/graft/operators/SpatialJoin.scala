@@ -41,6 +41,17 @@ object SpatialJoin {
     * `leftGeom`/`rightGeom` name WKT columns; output = left columns +
     * right columns (caller ensures disjoint names).
     *
+    * CONSTRAINTS (inherited from the Geo kernel's exact predicate,
+    * Geo.scala): the RIGHT geometry must be CONVEX — `st_intersects`
+    * clips left against right (Sutherland–Hodgman) and throws
+    * IllegalArgumentException for a non-convex right ring; and the
+    * intersects test is POSITIVE-AREA — boundary-touching (zero-area)
+    * intersections report false, diverging from OGC ST_Intersects
+    * touch semantics. The reference's AOIs are bboxes, which satisfy
+    * both; general callers with non-convex or touch-sensitive right
+    * geometries must pre-convexify (e.g. join on the envelope) or
+    * accept open-set semantics.
+    *
     * @param cellSize grid pitch in geometry units — pick ≈ the median
     *                 geometry extent (the reference's S2 tiles are
     *                 ~1° — `cellSize = 1.0` for WGS84 footprints)

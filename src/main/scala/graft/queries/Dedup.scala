@@ -55,15 +55,17 @@ object Dedup extends QueryModule {
       |                   element_at(toks, i + 2))))
       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
 
-  // Cached: referenced 2-3x per downstream query (self-joins), and
-  // Spark re-executes common subplans per reference. At cluster scale
-  // the same move is "materialize the shingle index once" — the
-  // standard two-phase similarity-join layout.
+  // Cached + memoized (graft.CachedPlans): referenced 2-3x per
+  // downstream query (self-joins), and Spark re-executes common
+  // subplans per reference. At cluster scale the same move is
+  // "materialize the shingle index once" — the standard two-phase
+  // similarity-join layout.
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    T.documents(s, dir)
-      .select(col("doc_id"), expr(toksS).as("toks"))
-      .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
-      .cache()
+    graft.CachedPlans.of(s, dir, "shingled") {
+      T.documents(s, dir)
+        .select(col("doc_id"), expr(toksS).as("toks"))
+        .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
+    }
 
   // DuckDB-side shingles via positional self-join on exploded tokens.
   private val duckShingles =
@@ -139,18 +141,18 @@ object Dedup extends QueryModule {
   // ×12 row blowup, no second shuffle (the naive explode-params-
   // regroup shape moves 12× the data); unpivoted back to long form
   // with `stack` after aggregation. Same values, 1 shuffle.
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val h = shingled(s, dir)
-      .withColumn("h", expr(s"${h32S("sh")} % $P"))
-    val aggs = mhParams.map { case (i, a, b) =>
-      min(expr(s"($a * h + $b) % $P")).as(s"m$i")
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "signatures") { // tiny (12 rows/doc); self-joined in q30
+      val h = shingled(s, dir)
+        .withColumn("h", expr(s"${h32S("sh")} % $P"))
+      val aggs = mhParams.map { case (i, a, b) =>
+        min(expr(s"($a * h + $b) % $P")).as(s"m$i")
+      }
+      val stackArgs = mhParams.map { case (i, _, _) => s"$i, m$i" }.mkString(", ")
+      h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .selectExpr("doc_id",
+          s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)")
     }
-    val stackArgs = mhParams.map { case (i, _, _) => s"$i, m$i" }.mkString(", ")
-    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .selectExpr("doc_id",
-        s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)")
-      .cache() // tiny (12 rows/doc); self-joined in q30
-  }
 
   private def q29(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir)
@@ -213,22 +215,22 @@ object Dedup extends QueryModule {
   // extra exchanges); the signature is then a single per-row
   // expression over the 32 vote columns. Same values, ONE shuffle,
   // all codegen'd, partial aggregation map-side.
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val tf = T.documents(s, dir)
-      .select(col("doc_id"), explode(expr(toksS)).as("t"))
-      .withColumn("h", expr(h32S("t")))
-    val votes = (0 to 31).map { b =>
-      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as(s"v$b")
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "simhash") { // one row/doc; self-joined in q32
+      val tf = T.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toksS)).as("t"))
+        .withColumn("h", expr(h32S("t")))
+      val votes = (0 to 31).map { b =>
+        sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as(s"v$b")
+      }
+      val simExpr = (0 to 31)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          expr(s"CAST($simExpr AS BIGINT)").as("simhash"))
     }
-    val simExpr = (0 to 31)
-      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
-    tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        expr(s"CAST($simExpr AS BIGINT)").as("simhash"))
-      .cache() // one row/doc; self-joined in q32
-  }
 
   private def q31(s: SparkSession, dir: String): DataFrame =
     simhash(s, dir).select("doc_id", "simhash").orderBy("doc_id")

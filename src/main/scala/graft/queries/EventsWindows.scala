@@ -142,19 +142,26 @@ object EventsWindows extends QueryModule {
   // q34 — R2 band-stack shape: per key, values assembled into an
   // array in an explicit (ts, event_id) sort order — the engine's
   // answer to order-sensitive stacking under unordered shuffles
-  // (SURVEY §2.10 R2, §7.3 hard part c).
+  // (SURVEY §2.10 R2, §7.3 hard part c). The oracle-compared output
+  // is the posexploded (user_id, pos, value) long form — the driver's
+  // pandas hash harness can't canonicalize array columns (r1 q34
+  // failure), and `pos` still pins the exact stack order; the
+  // array-typed operator itself stays covered by RasterSpec.
   private def q34(s: SparkSession, dir: String): DataFrame =
     T.events(s, dir)
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
         col("value")))).as("seq"))
       .select(col("user_id"),
-        expr("transform(seq, x -> x.value)").as("bands"))
-      .orderBy("user_id")
+        posexplode(expr("transform(seq, x -> x.value)")).as(Seq("pos", "value")))
+      .orderBy("user_id", "pos")
 
   private val q34Sql =
-    """SELECT user_id, list(value ORDER BY ts, event_id) AS bands
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    """SELECT user_id, CAST(rn - 1 AS INTEGER) AS pos, value FROM (
+      |  SELECT user_id, value, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |ORDER BY user_id, pos""".stripMargin
 
   // ---------------------------------------------------------------
   // q35 — R5 mosaic first-wins semantics: per (key, hour-cell) the

@@ -31,22 +31,28 @@ object SimSearch extends QueryModule {
   private val quantD =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  private val normS =
-    "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
-  private val dotS =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+  // Codegen'd native kernels (graft.functions.VecExpressions) — the
+  // higher-order zip_with/aggregate forms are interpreted per element
+  // and dominated the pair-join hot path (and degrade 10x+ in long
+  // sessions as the interpreter's call sites go megamorphic).
+  private val normS = "vec_norm_sq(qv)"
+  private val dotS = "vec_dot(qv, cv)"
   private val cosS =
     "CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
 
-  /** Corpus with quantized vector + squared norm. Cached: every query
-    * here references it twice (corpus side + query/self-join side) and
-    * Spark re-executes common subplans per reference.
+  /** Corpus with quantized vector + squared norm. Cached + memoized
+    * (graft.CachedPlans): every query here references it twice (corpus
+    * side + query/self-join side) and Spark re-executes common
+    * subplans per reference.
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    T.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), expr(quantS).as("qv"))
-      .withColumn("n2", expr(normS))
-      .cache()
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(s) // vec_dot / vec_norm_sq
+    graft.CachedPlans.of(s, dir, "quantized") {
+      T.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), expr(quantS).as("qv"))
+        .withColumn("n2", expr(normS))
+    }
+  }
 
   /** Shared DuckDB prelude: quantized + norms + exploded components. */
   private val duckPrelude =

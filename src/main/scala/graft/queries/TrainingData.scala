@@ -16,13 +16,36 @@ object TrainingData extends QueryModule {
   private val nTokD = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
 
   // ---------------------------------------------------------------
-  // q48 — shard packing: documents stream into fixed token-budget
-  // shards in deterministic doc_id order; a document's shard is the
-  // budget bucket its first token lands in (running-sum window).
-  // Scale: at 100 TB, pack per (partition key, e.g. lang or domain)
-  // — the window then partitions by that key instead of being global;
-  // the global form here is the oracle-checkable core.
+  // Shard packing: documents stream into fixed token-budget shards in
+  // deterministic doc_id order; a document's shard is the budget
+  // bucket its first token lands in (running-sum window).
+  //
+  // PRIMARY operator (the 100 TB form): pack per partition key (lang,
+  // domain, ...) — the running-sum window partitions by that key, so
+  // the exchange is hashpartitioning(key) and every task packs one
+  // key group; no data ever funnels through a single task. Shard ids
+  // are (key, local shard #) — exactly how a real corpus is laid out
+  // (shards don't mix languages/domains anyway).
+  //
+  // q48 keeps the GLOBAL form (one total order over all docs) purely
+  // as the oracle-checkable core; its Window.orderBy with no
+  // partitionBy is a deliberate single-task plan and must never be
+  // used at scale — q52 is the production shape.
   private val budget = 4000L
+
+  /** Pack `df` into token-budget shards per `keyCols` group, streaming
+    * in `orderCol` order within each group. Output adds n_tok, cum
+    * (running token count within the group) and shard (0-based shard
+    * index within the group).
+    */
+  def packShards(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tokenBudget: Long = budget): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum("n_tok").over(w))
+      .withColumn("shard",
+        expr(s"CAST(floor((cum - n_tok) / $tokenBudget) AS BIGINT)"))
+  }
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy("doc_id")
@@ -44,6 +67,29 @@ object TrainingData extends QueryModule {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM (SELECT doc_id, $nTokD AS n_tok FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q52 — PARTITIONED shard packing (the production form of q48):
+  // per-language token-budget shards via packShards. The plan's only
+  // exchange is hashpartitioning(lang) — verified by PlanShapeSpec to
+  // contain no SinglePartition exchange.
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    packShards(
+      T.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(nTokS).as("n_tok")),
+      Seq("lang"), "doc_id")
+      .select("lang", "doc_id", "n_tok", "shard")
+      .orderBy("lang", "doc_id")
+
+  private val q52Sql =
+    s"""SELECT lang, doc_id, n_tok,
+       |  CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
+       |FROM (
+       |  SELECT lang, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (SELECT lang, doc_id, $nTokD AS n_tok FROM documents))
+       |ORDER BY lang, doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q49 — stratified sampling with per-language quotas, via a
@@ -74,9 +120,11 @@ object TrainingData extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
-    "q49_stratified_sample" -> (q49 _))
+    "q49_stratified_sample" -> (q49 _),
+    "q52_shard_pack_by_lang" -> (q52 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
-    "q49_stratified_sample" -> q49Sql)
+    "q49_stratified_sample" -> q49Sql,
+    "q52_shard_pack_by_lang" -> q52Sql)
 }

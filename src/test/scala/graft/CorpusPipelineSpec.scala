@@ -47,6 +47,29 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq(1L, 3L)) // 2 dropped as near-dup of 1
   }
 
+  test("near-dup threshold applies per pair, not pooled across partners") {
+    import spark.implicits._
+    // A and B are unrelated; C = A's words ++ B's words. For each
+    // minhash i, C's min over its shingle union is min(A's, B's) (bar
+    // the 2 boundary shingles), so C matches A OR B on nearly every
+    // band — pooled across partners that clears any threshold — but
+    // matches EACH of A and B on only about half the bands. Per-pair
+    // semantics must keep C; the pooled bug dropped it.
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu anchor beacon cedar"
+    val b = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty acorn badger camel donkey eagle falcon gopher heron"
+    val docs = Seq((1L, "en", a), (2L, "en", b), (3L, "en", a + " " + b))
+      .toDF("doc_id", "lang", "text")
+    val cfg = Config(minTokens = 10, minScore = 0.0, nearDupMinMatches = 9)
+    val out = CorpusPipeline
+      .nearDedup(CorpusPipeline.withFeatures(docs), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L, 3L)) // no single PAIR agrees on >= 9 bands
+  }
+
   test("curate composes with shard packing end-to-end") {
     val curated = CorpusPipeline.curate(Tables.documents(spark, dir))
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")

@@ -54,6 +54,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "HashAggregate") >= 2) // partial + final
   }
 
+  test("q52 partitioned shard packing: no single-partition exchange") {
+    val p = formatted("q52_shard_pack_by_lang")
+    // the running-sum window must repartition by lang, never funnel
+    // the table through one task (q48's global form is the documented
+    // oracle-only exception)
+    assert(p.contains("hashpartitioning(lang"), p)
+    val windowExchanges = p.linesIterator
+      .filter(_.contains("Arguments: SinglePartition")).size
+    // the only SinglePartition allowed is the final presentation
+    // rangepartitioning/sort — the window itself must not have one
+    assert(windowExchanges == 0, p)
+  }
+
   test("q36 as-of join: union + single keyed window pass, no join node") {
     val p = formatted("q36_asof_join")
     assert(countNodes(p, "Union") == 1)
