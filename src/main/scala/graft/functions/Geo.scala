@@ -91,6 +91,34 @@ object Geo {
     }
   }
 
+  /** Points of a ring chunk (parens already stripped). */
+  private def parsePoints(chunk: String): Ring = {
+    val c = chunk.trim
+    val inner = if (c.startsWith("(")) c.substring(1, matchingParen(c, 0)) else c
+    inner.split(",").map { pt =>
+      val xy = pt.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+  }
+
+  /** Full parse with interior rings: per polygon, (outer, holes).
+    * POINT and other ringless geometries fall back to [[parseWkt]]
+    * with no holes.
+    */
+  def parseWktFull(wkt: String): Seq[(Ring, Seq[Ring])] = {
+    val s = wkt.trim
+    val upper = s.toUpperCase
+    if (upper.startsWith("POLYGON")) {
+      val rings = splitTopLevel(body(s)).map(parsePoints)
+      Seq((rings.head, rings.tail))
+    } else if (upper.startsWith("MULTIPOLYGON")) {
+      splitTopLevel(body(s)).map { poly =>
+        val rings = splitTopLevel(poly).map(parsePoints)
+        (rings.head, rings.tail)
+      }
+    } else parseWkt(wkt).map(r => (r, Seq.empty[Ring]))
+  }
+
   /** Serialize a single ring as WKT POLYGON (auto-closing the ring). */
   def toWkt(ring: Ring): String = {
     val closed =
@@ -114,9 +142,15 @@ object Geo {
     acc / 2.0
   }
 
-  /** Unsigned planar area of a WKT geometry (sum over polygons). */
+  /** Unsigned planar area of a WKT geometry: sum over polygons of
+    * |outer| − Σ|holes| (interior rings subtract, shapely `.area`
+    * semantics).
+    */
   def area(wkt: String): Double =
-    parseWkt(wkt).map(r => math.abs(signedArea(r))).sum
+    parseWktFull(wkt).map { case (outer, holes) =>
+      math.max(0.0,
+        math.abs(signedArea(outer)) - holes.map(h => math.abs(signedArea(h))).sum)
+    }.sum
 
   /** Envelope (minx, miny, maxx, maxy). */
   def envelope(wkt: String): (Double, Double, Double, Double) = {
@@ -212,22 +246,35 @@ object Geo {
     intersectionArea(wktA, wktB) > 0.0
   }
 
-  /** Point-in-polygon (even-odd / ray-casting rule) against the first
-    * ring of each polygon. Used by the raster polygon mask (R3).
+  /** Even-odd / ray-casting point-in-ring test. */
+  private def pointInRing(ring: Ring, x: Double, y: Double): Boolean = {
+    val r = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
+    var inside = false
+    var i = 0
+    var j = r.length - 1
+    while (i < r.length) {
+      val (xi, yi) = r(i); val (xj, yj) = r(j)
+      if ((yi > y) != (yj > y) &&
+          x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** Point-in-polygon against outer rings only (holes ignored). Used
+    * where geometries are known hole-free; prefer
+    * [[containsPointFull]] for general polygons.
     */
   def containsPoint(rings: Seq[Ring], x: Double, y: Double): Boolean =
-    rings.exists { ring =>
-      val r = if (ring.length > 1 && ring.head == ring.last) ring.dropRight(1) else ring
-      var inside = false
-      var i = 0
-      var j = r.length - 1
-      while (i < r.length) {
-        val (xi, yi) = r(i); val (xj, yj) = r(j)
-        if ((yi > y) != (yj > y) &&
-            x < (xj - xi) * (y - yi) / (yj - yi) + xi) inside = !inside
-        j = i; i += 1
-      }
-      inside
+    rings.exists(pointInRing(_, x, y))
+
+  /** Hole-aware point-in-polygon: inside some outer ring AND outside
+    * that polygon's interior rings. Used by the raster polygon mask
+    * (R3).
+    */
+  def containsPointFull(polys: Seq[(Ring, Seq[Ring])], x: Double, y: Double): Boolean =
+    polys.exists { case (outer, holes) =>
+      pointInRing(outer, x, y) && !holes.exists(pointInRing(_, x, y))
     }
 
   /** F10 — CRS point transform: WGS84 (lon/lat degrees) ↔ spherical
@@ -244,6 +291,88 @@ object Geo {
     def mercatorToWgs84(x: Double, y: Double): (Double, Double) =
       (math.toDegrees(x / R),
         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+
+    // ---- UTM (transverse Mercator, WGS84 ellipsoid) ----------------
+    // The reference's actual reproject path is product-native UTM →
+    // EPSG:4326 (`/root/reference/code/tx.py:49-71`); these are the
+    // published Krüger/Karney series in the third flattening n
+    // (order n³ — sub-mm over a UTM zone), the same formulation PROJ
+    // uses (etmerc/utm).
+    private val a = 6378137.0                 // WGS84 semi-major
+    private val f = 1.0 / 298.257223563       // WGS84 flattening
+    private val n = f / (2.0 - f)             // third flattening
+    private val n2 = n * n; private val n3 = n2 * n
+    private val A = a / (1.0 + n) * (1.0 + n2 / 4.0 + n2 * n2 / 64.0)
+    private val k0 = 0.9996
+    private val E0 = 500000.0
+    private val alpha = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0,
+      13.0 * n2 / 48.0 - 3.0 * n3 / 5.0,
+      61.0 * n3 / 240.0)
+    private val beta = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0,
+      n2 / 48.0 + n3 / 15.0,
+      17.0 * n3 / 480.0)
+    private val delta = Array(
+      2.0 * n - 2.0 * n2 / 3.0 - 2.0 * n3,
+      7.0 * n2 / 3.0 - 8.0 * n3 / 5.0,
+      56.0 * n3 / 15.0)
+
+    /** UTM zone number for a longitude (degrees). */
+    def utmZone(lon: Double): Int =
+      math.min(60, (math.floor((lon + 180.0) / 6.0) + 1).toInt)
+
+    /** Central meridian (degrees) of a UTM zone. */
+    def utmCentralMeridian(zone: Int): Double = zone * 6.0 - 183.0
+
+    /** WGS84 lon/lat (degrees) → UTM (easting, northing) in `zone`.
+      * Southern-hemisphere northings carry the 10,000,000 m false
+      * northing when `north = false`.
+      */
+    def wgs84ToUtm(lon: Double, lat: Double, zone: Int,
+        north: Boolean = true): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dLam = math.toRadians(lon - utmCentralMeridian(zone))
+      val c = 2.0 * math.sqrt(n) / (1.0 + n)
+      val t = math.sinh(atanh(math.sin(phi)) - c * atanh(c * math.sin(phi)))
+      val xiP = math.atan2(t, math.cos(dLam))
+      val etaP = atanh(math.sin(dLam) / math.sqrt(1.0 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 3) {
+        xi += alpha(j - 1) * math.sin(2.0 * j * xiP) * math.cosh(2.0 * j * etaP)
+        eta += alpha(j - 1) * math.cos(2.0 * j * xiP) * math.sinh(2.0 * j * etaP)
+        j += 1
+      }
+      val e = E0 + k0 * A * eta
+      val nn = k0 * A * xi + (if (north) 0.0 else 10000000.0)
+      (e, nn)
+    }
+
+    /** UTM (easting, northing, zone) → WGS84 (lon, lat) degrees. */
+    def utmToWgs84(easting: Double, northing: Double, zone: Int,
+        north: Boolean = true): (Double, Double) = {
+      val xi0 = (northing - (if (north) 0.0 else 10000000.0)) / (k0 * A)
+      val eta0 = (easting - E0) / (k0 * A)
+      var xiP = xi0; var etaP = eta0
+      var j = 1
+      while (j <= 3) {
+        xiP -= beta(j - 1) * math.sin(2.0 * j * xi0) * math.cosh(2.0 * j * eta0)
+        etaP -= beta(j - 1) * math.cos(2.0 * j * xi0) * math.sinh(2.0 * j * eta0)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      var phi = chi
+      j = 1
+      while (j <= 3) {
+        phi += delta(j - 1) * math.sin(2.0 * j * chi)
+        j += 1
+      }
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      (utmCentralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
+    }
+
+    private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   }
 
   /** Transform every vertex of a WKT geometry with `f`. */

@@ -90,7 +90,7 @@ object Raster {
   // (`code/tx.py:25-35`) for non-rectangular AOIs; clipByBox is the
   // bbox fast path the reference's own AOIs exercise.
   def maskByPolygon(c: Chip, polygonWkt: String): Chip = {
-    val rings = Geo.parseWkt(polygonWkt)
+    val polys = Geo.parseWktFull(polygonWkt) // hole-aware
     val (bx1, by1, bx2, by2) = Geo.envelope(polygonWkt)
     val cropped = clipByBox(c, bx1, by1, bx2, by2)
     val pw = (cropped.maxx - cropped.minx) / math.max(cropped.width, 1)
@@ -102,7 +102,7 @@ object Raster {
       var cc = 0
       while (cc < cropped.width) {
         val x = cropped.minx + (cc + 0.5) * pw
-        if (!Geo.containsPoint(rings, x, y)) out(r * cropped.width + cc) = c.nodata
+        if (!Geo.containsPointFull(polys, x, y)) out(r * cropped.width + cc) = c.nodata
         cc += 1
       }
       r += 1
@@ -138,6 +138,56 @@ object Raster {
       r += 1
     }
     Chip(outW, outH, ominx, ominy, omaxx, omaxy, c.nodata, out)
+  }
+
+  // -----------------------------------------------------------------
+  // R4b — true CRS warp, nearest neighbor: for every OUTPUT pixel
+  // center (in the target CRS), `invMap` maps the point back into the
+  // source CRS and the nearest source pixel is sampled — the general
+  // `rasterio.reproject(..., Resampling.nearest)` shape
+  // (`/root/reference/code/tx.py:49-71`). resampleNearest is the
+  // identity-map special case of this.
+  def warpNearest(c: Chip, outW: Int, outH: Int,
+      ominx: Double, ominy: Double, omaxx: Double, omaxy: Double,
+      invMap: (Double, Double) => (Double, Double)): Chip = {
+    val out = Array.fill(outW * outH)(c.nodata)
+    val opw = (omaxx - ominx) / outW
+    val oph = (omaxy - ominy) / outH
+    val ipw = (c.maxx - c.minx) / c.width
+    val iph = (c.maxy - c.miny) / c.height
+    var r = 0
+    while (r < outH) {
+      val oy = omaxy - (r + 0.5) * oph
+      var cc = 0
+      while (cc < outW) {
+        val ox = ominx + (cc + 0.5) * opw
+        val (sx, sy) = invMap(ox, oy)
+        val ic = math.floor((sx - c.minx) / ipw).toInt
+        val ir = math.floor((c.maxy - sy) / iph).toInt
+        if (ir >= 0 && ir < c.height && ic >= 0 && ic < c.width)
+          out(r * outW + cc) = c.px(ir * c.width + ic)
+        cc += 1
+      }
+      r += 1
+    }
+    Chip(outW, outH, ominx, ominy, omaxx, omaxy, c.nodata, out)
+  }
+
+  /** The reference's reproject flow: a product-native UTM chip →
+    * EPSG:4326 (`calculate_default_transform(src_crs, 'EPSG:4326')`,
+    * `code/tx.py:49-63`). Output bounds = lon/lat envelope of the
+    * source corners; pixel counts carry over (≈ preserved
+    * resolution); sampling is nearest via the exact inverse (WGS84 →
+    * UTM) point transform.
+    */
+  def reprojectUtmToWgs84(c: Chip, zone: Int, north: Boolean = true): Chip = {
+    val corners = Seq((c.minx, c.miny), (c.minx, c.maxy),
+      (c.maxx, c.miny), (c.maxx, c.maxy))
+      .map { case (e, n) => Geo.Crs.utmToWgs84(e, n, zone, north) }
+    val lons = corners.map(_._1); val lats = corners.map(_._2)
+    warpNearest(c, c.width, c.height,
+      lons.min, lats.min, lons.max, lats.max,
+      (lon, lat) => Geo.Crs.wgs84ToUtm(lon, lat, zone, north))
   }
 
   // -----------------------------------------------------------------
@@ -200,22 +250,138 @@ object Raster {
     acc
   }
 
-  /** Typed Aggregator wrapper: distributed first-wins mosaic — reduce
-    * and merge both delegate to the commutative priority merge, so the
-    * result is invariant to Spark's partitioning/merge order.
+  /** Aggregation buffer for the distributed mosaic: a running union
+    * grid plus a per-pixel winning-priority array. Memory is O(grid
+    * area), NOT O(chips) — each incoming chip folds into the
+    * accumulator immediately (the commutative per-pixel
+    * min-by-priority), so a group of ten thousand overlapping chips
+    * holds one grid, never a chip list.
     */
-  case class PChipList(items: Seq[PChip])
+  case class MosaicBuf(present: Boolean, grid: Chip, prio: Array[Long])
 
+  /** Per-pixel merge of one accumulated (grid, prio) onto another —
+    * the buffer-combine form of [[mergeOnto]], carrying each pixel's
+    * own winning priority.
+    */
+  private def mergeBufOnto(acc: Chip, accPrio: Array[Long],
+      other: Chip, otherPrio: Array[Long]): Unit = {
+    val pw = (acc.maxx - acc.minx) / acc.width
+    val ph = (acc.maxy - acc.miny) / acc.height
+    val opw = (other.maxx - other.minx) / other.width
+    val oph = (other.maxy - other.miny) / other.height
+    var r = 0
+    while (r < other.height) {
+      val y = other.maxy - (r + 0.5) * oph
+      val ar = math.floor((acc.maxy - y) / ph).toInt
+      if (ar >= 0 && ar < acc.height) {
+        var cc = 0
+        while (cc < other.width) {
+          val v = other.px(r * other.width + cc)
+          if (v != other.nodata) {
+            val x = other.minx + (cc + 0.5) * opw
+            val ac = math.floor((x - acc.minx) / pw).toInt
+            if (ac >= 0 && ac < acc.width) {
+              val idx = ar * acc.width + ac
+              val p = otherPrio(r * other.width + cc)
+              if (acc.px(idx) == acc.nodata || p < accPrio(idx)) {
+                acc.px(idx) = v
+                accPrio(idx) = p
+              }
+            }
+          }
+          cc += 1
+        }
+      }
+      r += 1
+    }
+  }
+
+  /** Grow the buffer grid (same pitch, aligned lattice) to also cover
+    * `[minx,miny,maxx,maxy]`; no-op when already covered. Existing
+    * pixels copy across at their lattice offset.
+    */
+  private def expandTo(b: MosaicBuf, minx: Double, miny: Double,
+      maxx: Double, maxy: Double): MosaicBuf = {
+    val g = b.grid
+    if (minx >= g.minx && miny >= g.miny && maxx <= g.maxx && maxy <= g.maxy)
+      return b
+    val pw = (g.maxx - g.minx) / g.width
+    val ph = (g.maxy - g.miny) / g.height
+    val uminx = math.min(g.minx, minx); val umaxx = math.max(g.maxx, maxx)
+    val uminy = math.min(g.miny, miny); val umaxy = math.max(g.maxy, maxy)
+    val w = math.round((umaxx - uminx) / pw).toInt
+    val h = math.round((umaxy - uminy) / ph).toInt
+    val px = Array.fill(w * h)(g.nodata)
+    val prio = Array.fill(w * h)(Long.MaxValue)
+    val offC = math.round((g.minx - uminx) / pw).toInt
+    val offR = math.round((umaxy - g.maxy) / ph).toInt
+    var r = 0
+    while (r < g.height) {
+      System.arraycopy(g.px, r * g.width, px, (offR + r) * w + offC, g.width)
+      System.arraycopy(b.prio, r * g.width, prio, (offR + r) * w + offC, g.width)
+      r += 1
+    }
+    MosaicBuf(present = true,
+      Chip(w, h, uminx, uminy, umaxx, umaxy, g.nodata, px), prio)
+  }
+
+  /** Typed Aggregator: distributed first-wins mosaic. `reduce` folds
+    * every chip straight into the running union grid and `merge`
+    * combines two grids per pixel — both are the same commutative
+    * min-by-priority, so the result is invariant to Spark's
+    * partitioning/merge order AND the buffer never holds more than
+    * one grid (no chip buffering; see [[MosaicBuf]]). Chips of one
+    * group must share resolution and pixel-lattice alignment, and
+    * priorities must be unique per chip (equal-priority overlaps
+    * would be merge-order-dependent).
+    */
   class MosaicAggregator(nodata: Double)
-      extends Aggregator[PChip, PChipList, Chip] {
-    override def zero: PChipList = PChipList(Nil)
-    override def reduce(b: PChipList, a: PChip): PChipList =
-      PChipList(b.items :+ a)
-    override def merge(b1: PChipList, b2: PChipList): PChipList =
-      PChipList(b1.items ++ b2.items)
-    override def finish(r: PChipList): Chip =
-      mosaicFirstWins(r.items.sortBy(_.priority), nodata)
-    override def bufferEncoder: Encoder[PChipList] = Encoders.product[PChipList]
+      extends Aggregator[PChip, MosaicBuf, Chip] {
+
+    private def init(a: PChip): MosaicBuf = {
+      val c = a.chip
+      val prio = new Array[Long](c.px.length)
+      var i = 0
+      while (i < c.px.length) {
+        prio(i) = if (c.px(i) == c.nodata) Long.MaxValue else a.priority
+        i += 1
+      }
+      // re-home the chip onto this mosaic's nodata convention
+      val px = if (c.nodata == nodata) c.px.clone()
+        else c.px.map(v => if (v == c.nodata) nodata else v)
+      MosaicBuf(present = true,
+        Chip(c.width, c.height, c.minx, c.miny, c.maxx, c.maxy, nodata, px),
+        prio)
+    }
+
+    override def zero: MosaicBuf =
+      MosaicBuf(present = false, Chip(0, 0, 0, 0, 0, 0, nodata, Array.empty),
+        Array.empty)
+
+    override def reduce(b: MosaicBuf, a: PChip): MosaicBuf =
+      if (!b.present) init(a)
+      else {
+        val c = a.chip
+        val grown = expandTo(b, c.minx, c.miny, c.maxx, c.maxy)
+        mergeOnto(grown.grid, grown.prio, a)
+        grown
+      }
+
+    override def merge(b1: MosaicBuf, b2: MosaicBuf): MosaicBuf =
+      if (!b1.present) b2
+      else if (!b2.present) b1
+      else {
+        val g2 = b2.grid
+        val grown = expandTo(b1, g2.minx, g2.miny, g2.maxx, g2.maxy)
+        mergeBufOnto(grown.grid, grown.prio, g2, b2.prio)
+        grown
+      }
+
+    override def finish(r: MosaicBuf): Chip = {
+      require(r.present, "empty mosaic")
+      r.grid
+    }
+    override def bufferEncoder: Encoder[MosaicBuf] = Encoders.product[MosaicBuf]
     override def outputEncoder: Encoder[Chip] = Encoders.product[Chip]
   }
 }

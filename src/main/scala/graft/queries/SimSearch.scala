@@ -190,13 +190,92 @@ object SimSearch extends QueryModule {
        |ORDER BY cosine DESC, id_a, id_b
        |LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q53 — the TRAINED-IVF search path end-to-end: a fixed 4-centroid
+  // model (the quantized vectors of vec_id 0/10/20/30 — "trained"
+  // weights given as literals, exactly how a model ships), then
+  // Ivf.assign over the corpus and Ivf.search with nProbe=2 — so the
+  // probe-selection + cell-pruned join code path itself is
+  // oracle-checked, not just the precomputed-cell model of q26.
+  //
+  // Exactness: everything runs on the quantized vectors cast to
+  // DOUBLE. Quantized components are integers ≤ ~1e6, so every
+  // distance/dot/norm sum stays below 2^53 and is EXACT in float64 —
+  // independent of either engine's summation order; cosine then
+  // divides identical exact values.
+  private val centIds = Seq(0L, 10L, 20L, 30L)
+
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents: Seq[Seq[Double]] = corpus
+      .filter(col("vec_id").isin(centIds: _*))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
+    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    graft.operators.Ivf.search(s, assigned, cents, queries,
+        topK = 3, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q53Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM q),
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |    vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, e.i, e.val FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS d
+       |  FROM ex e JOIN cex c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist WHERE vec_id < 8) WHERE rn <= 2),
+       |norms AS (SELECT vec_id, SUM(val * val) AS n2 FROM ex GROUP BY 1),
+       |dots AS (
+       |  SELECT p.q_id, a.vec_id AS c_id, SUM(eq.val * ec.val) AS dot
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN ex eq ON eq.vec_id = p.q_id
+       |  JOIN ex ec ON ec.vec_id = a.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT q_id, c_id, dot / (sqrt(qn.n2) * sqrt(cn.n2)) AS cosine
+       |  FROM dots
+       |  JOIN norms qn ON qn.vec_id = q_id
+       |  JOIN norms cn ON cn.vec_id = c_id)
+       |SELECT q_id, rank, c_id, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, c_id) AS INTEGER) AS rank
+       |  FROM sc) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
-    "q33_embed_neardup" -> (q33 _))
+    "q33_embed_neardup" -> (q33 _),
+    "q53_ivf_search" -> (q53 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
     "q26_ann_ivf" -> q26Sql,
-    "q33_embed_neardup" -> q33Sql)
+    "q33_embed_neardup" -> q33Sql,
+    "q53_ivf_search" -> q53Sql)
 }

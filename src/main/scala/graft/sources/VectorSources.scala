@@ -17,18 +17,41 @@ object VectorSources {
 
   /** GeoJSON FeatureCollection → one row per feature: `properties.*`
     * + `geometry` (WKT). The feature unpack is N3 (`explode`); the
-    * Polygon→WKT render runs entirely in codegen'd array lambdas.
-    * Only Polygon geometries are supported (the reference's AOIs are
-    * bbox polygons, `data/toulouse_bbox_wgs84.geojson:6`).
+    * geometry→WKT render runs entirely in codegen'd array lambdas.
+    *
+    * Polygon (with interior rings/holes) and MultiPolygon collections
+    * are supported; the geometry kind is detected from the inferred
+    * nesting depth of `coordinates` (3 = Polygon rings, 4 =
+    * MultiPolygon), so a homogeneous file of either kind reads
+    * directly. Heterogeneous or other geometry types fail LOUDLY
+    * with the offending schema (no silent mis-parse).
     */
   def readGeoJson(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
     val exploded = raw.select(explode(col("features")).as("f"))
-    val wkt = expr(
-      """concat('POLYGON ((',
-        |  array_join(transform(f.geometry.coordinates[0],
-        |    p -> concat(CAST(p[0] AS STRING), ' ', CAST(p[1] AS STRING))), ', '),
-        |'))')""".stripMargin)
+    val coordsType = exploded.select(col("f.geometry.coordinates"))
+      .schema.head.dataType
+    def depth(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => 1 + depth(e)
+      case _ => 0
+    }
+    val pt = "p -> concat(CAST(p[0] AS STRING), ' ', CAST(p[1] AS STRING))"
+    val ring = s"r -> concat('(', array_join(transform(r, $pt), ', '), ')')"
+    val wkt = depth(coordsType) match {
+      case 3 => expr( // Polygon: ring 0 = outer, rings 1.. = holes
+        s"""concat('POLYGON (',
+           |  array_join(transform(f.geometry.coordinates, $ring), ', '),
+           |')')""".stripMargin)
+      case 4 => expr(
+        s"""concat('MULTIPOLYGON (',
+           |  array_join(transform(f.geometry.coordinates,
+           |    poly -> concat('(', array_join(transform(poly, $ring), ', '), ')')),
+           |    ', '),
+           |')')""".stripMargin)
+      case d => throw new IllegalArgumentException(
+        s"unsupported GeoJSON geometry nesting (depth $d: ${coordsType.sql}) " +
+          "— expected a homogeneous Polygon or MultiPolygon FeatureCollection")
+    }
     val propCols = exploded.select(col("f.properties.*")).columns.toSeq
     exploded.select(
       propCols.map(c => col(s"f.properties.$c").as(c)) :+ wkt.as("geometry"): _*)

@@ -28,6 +28,20 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(Geo.area(mp) - 3.0) < 1e-12)
   }
 
+  test("interior rings subtract from area; hole-aware containment") {
+    val holed = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert(math.abs(Geo.area(holed) - 15.0) < 1e-12)
+    val polys = Geo.parseWktFull(holed)
+    assert(polys.size == 1 && polys.head._2.size == 1)
+    assert(Geo.containsPointFull(polys, 3.0, 3.0))   // in shell
+    assert(!Geo.containsPointFull(polys, 1.5, 1.5))  // in hole
+    assert(!Geo.containsPointFull(polys, 5.0, 5.0))  // outside
+    // multipolygon with a hole in the first part
+    val mp = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1)), ((10 0, 11 0, 11 1, 10 1, 10 0)))"
+    assert(math.abs(Geo.area(mp) - 16.0) < 1e-12)
+    assert(Geo.containsPointFull(Geo.parseWktFull(mp), 10.5, 0.5))
+  }
+
   test("intersection area: half-overlapping boxes") {
     val a = Geo.toWkt(Geo.boxRing(0, 0, 2, 2))
     val b = Geo.toWkt(Geo.boxRing(1, 0, 3, 2))
@@ -120,5 +134,70 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(row.getDouble(1) - toulouseArea) < 1e-12)
     assert(!row.getBoolean(2))
     assert(row.getSeq[Double](3) == Seq(1.2047, 43.3882, 1.5121, 43.6620))
+  }
+
+  // ---- F10: UTM (transverse Mercator) ----------------------------
+
+  test("UTM golden: central-meridian points map to E=500000, N=k0*arc") {
+    // Independent cross-check: at the central meridian the northing
+    // is exactly k0 times the meridian arc length, which we compute
+    // here by numerically integrating the ellipsoid's meridian
+    // curvature radius — a formulation disjoint from the Krüger
+    // series under test.
+    val aEll = 6378137.0; val fEll = 1.0 / 298.257223563
+    val e2 = fEll * (2 - fEll)
+    def meridianArc(latDeg: Double): Double = {
+      val phi = math.toRadians(latDeg)
+      val steps = 200000
+      val h = phi / steps
+      // Simpson's rule over M'(θ) = a(1-e²)/(1-e² sin²θ)^(3/2)
+      def m(t: Double) = aEll * (1 - e2) / math.pow(1 - e2 * math.sin(t) * math.sin(t), 1.5)
+      var s = m(0) + m(phi)
+      var i = 1
+      while (i < steps) { s += (if (i % 2 == 1) 4 else 2) * m(i * h); i += 1 }
+      s * h / 3
+    }
+    for (lat <- Seq(10.0, 30.0, 45.0, 60.0, 80.0)) {
+      val (e, n) = Geo.Crs.wgs84ToUtm(9.0, lat, zone = 32) // 9°E = zone 32 CM
+      assert(math.abs(e - 500000.0) < 1e-6, s"easting at CM, lat=$lat")
+      assert(math.abs(n - 0.9996 * meridianArc(lat)) < 1e-3,
+        s"northing vs k0*meridian arc at lat=$lat: $n vs ${0.9996 * meridianArc(lat)}")
+    }
+  }
+
+  test("UTM golden: equator scale and symmetry about the central meridian") {
+    // on the equator, northing = 0 exactly
+    val (_, n0) = Geo.Crs.wgs84ToUtm(11.5, 0.0, zone = 32)
+    assert(math.abs(n0) < 1e-6)
+    // easting offsets are antisymmetric about the CM
+    val (eE, _) = Geo.Crs.wgs84ToUtm(9.0 + 2.0, 45.0, zone = 32)
+    val (eW, _) = Geo.Crs.wgs84ToUtm(9.0 - 2.0, 45.0, zone = 32)
+    assert(math.abs((eE - 500000.0) + (eW - 500000.0)) < 1e-6)
+    // zone arithmetic
+    assert(Geo.Crs.utmZone(1.35) == 31)   // Toulouse AOI
+    assert(Geo.Crs.utmZone(9.0) == 32)
+    assert(Geo.Crs.utmCentralMeridian(31) == 3.0)
+  }
+
+  test("property: UTM forward/inverse round-trip under 1e-7 degrees") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val zone = 1 + rnd.nextInt(60)
+      val cm = Geo.Crs.utmCentralMeridian(zone)
+      val lon = cm + (rnd.nextDouble() - 0.5) * 6.0
+      val lat = -80.0 + rnd.nextDouble() * 164.0
+      val north = lat >= 0
+      val (e, n) = Geo.Crs.wgs84ToUtm(lon, lat, zone, north)
+      val (lon2, lat2) = Geo.Crs.utmToWgs84(e, n, zone, north)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"round-trip drift at zone=$zone lon=$lon lat=$lat")
+    }
+  }
+
+  test("southern hemisphere carries the 10,000,000 m false northing") {
+    val (_, n) = Geo.Crs.wgs84ToUtm(9.0, -30.0, zone = 32, north = false)
+    assert(n > 6000000.0 && n < 10000000.0)
+    val (lon2, lat2) = Geo.Crs.utmToWgs84(500000.0, n, zone = 32, north = false)
+    assert(math.abs(lon2 - 9.0) < 1e-7 && math.abs(lat2 - (-30.0)) < 1e-7)
   }
 }

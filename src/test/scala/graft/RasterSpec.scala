@@ -130,6 +130,41 @@ class RasterSpec extends AnyFunSuite with SharedSpark {
       2.0, 2.0, 3.0, 3.0))
   }
 
+  // ---- R4b true CRS warp ------------------------------------------
+  test("warpNearest with identity map equals resampleNearest") {
+    val c = Chip(2, 2, 0, 0, 2, 2, -1.0, Array(0.0, 1.0, 2.0, 3.0))
+    val viaResample = Raster.resampleNearest(c, 4, 4, 0, 0, 2, 2)
+    val viaWarp = Raster.warpNearest(c, 4, 4, 0, 0, 2, 2, (x, y) => (x, y))
+    assert(viaWarp.px.toSeq == viaResample.px.toSeq)
+  }
+
+  test("reprojectUtmToWgs84 lands a UTM chip on the right lon/lat cells") {
+    // UTM zone 31 chip near the reference's Toulouse AOI (~1.35E,
+    // 43.5N): west half = 1.0, east half = 2.0
+    val e0 = 360000.0; val e1 = 368000.0
+    val n0 = 4816000.0; val n1 = 4824000.0
+    val px = Array.tabulate(8 * 8)(i => if (i % 8 < 4) 1.0 else 2.0)
+    val c = Chip(8, 8, e0, n0, e1, n1, 0.0, px)
+    val out = Raster.reprojectUtmToWgs84(c, zone = 31)
+    // bounds = lon/lat envelope of the UTM corners
+    val corners = Seq((e0, n0), (e0, n1), (e1, n0), (e1, n1))
+      .map { case (e, n) => graft.functions.Geo.Crs.utmToWgs84(e, n, 31) }
+    assert(math.abs(out.minx - corners.map(_._1).min) < 1e-12)
+    assert(math.abs(out.maxy - corners.map(_._2).max) < 1e-12)
+    assert(out.minx > 1.2 && out.maxx < 1.5 && out.miny > 43.4 && out.maxy < 43.6)
+    // a point safely in the west half keeps the west value; east ditto
+    def sample(lon: Double, lat: Double): Double = {
+      val pw = (out.maxx - out.minx) / out.width
+      val ph = (out.maxy - out.miny) / out.height
+      val cc = math.floor((lon - out.minx) / pw).toInt
+      val r = math.floor((out.maxy - lat) / ph).toInt
+      out.px(r * out.width + cc)
+    }
+    val (wLon, wLat) = graft.functions.Geo.Crs.utmToWgs84(e0 + 1000, (n0 + n1) / 2, 31)
+    val (eLon, eLat) = graft.functions.Geo.Crs.utmToWgs84(e1 - 1000, (n0 + n1) / 2, 31)
+    assert(sample(wLon, wLat) == 1.0 && sample(eLon, eLat) == 2.0)
+  }
+
   // ---- R5 mosaic --------------------------------------------------
   test("mosaic first-wins: lower priority wins overlaps; nodata loses") {
     val a = Chip(2, 1, 0, 0, 2, 1, 0.0, Array(1.0, 1.0))  // covers x[0,2]
@@ -159,5 +194,38 @@ class RasterSpec extends AnyFunSuite with SharedSpark {
     val agg = new Raster.MosaicAggregator(0.0).toColumn
     val out = ds.select(agg).head()
     assert(out.px.toSeq == Seq(1.0, 1.0, 2.0))
+  }
+
+  test("MosaicAggregator buffer is O(grid), not O(chips)") {
+    // fold many stacked chips through reduce: the buffer must stay
+    // one union grid — its pixel count bounded by the union extent,
+    // independent of how many chips were folded in
+    val agg = new Raster.MosaicAggregator(0.0)
+    val chips = (1 to 100).map(i =>
+      PChip(i.toLong, Chip(2, 1, 0, 0, 2, 1, 0.0, Array(i.toDouble, i.toDouble))))
+    val buf = chips.foldLeft(agg.zero)(agg.reduce)
+    assert(buf.grid.px.length == 2 && buf.prio.length == 2)
+    assert(agg.finish(buf).px.toSeq == Seq(1.0, 1.0)) // priority 1 wins
+  }
+
+  test("MosaicAggregator reduce/merge order-invariant with expansion") {
+    val agg = new Raster.MosaicAggregator(0.0)
+    val chips = Seq(
+      PChip(3, Chip(2, 2, 0, 0, 2, 2, 0.0, Array(3, 3, 3, 3.0))),
+      PChip(1, Chip(2, 2, 1, 1, 3, 3, 0.0, Array(1, 1, 1, 1.0))),
+      PChip(2, Chip(2, 2, 0, 1, 2, 3, 0.0, Array(2, 2, 2, 2.0))))
+    val expected = Raster.mosaicFirstWins(chips)
+    chips.permutations.foreach { p =>
+      // all through reduce
+      val all = agg.finish(p.foldLeft(agg.zero)(agg.reduce))
+      assert(all.px.toSeq == expected.px.toSeq, s"reduce order ${p.map(_.priority)}")
+      assert((all.minx, all.miny, all.maxx, all.maxy) ==
+        (expected.minx, expected.miny, expected.maxx, expected.maxy))
+      // split across two partial buffers, then merge
+      val b1 = p.take(1).foldLeft(agg.zero)(agg.reduce)
+      val b2 = p.drop(1).foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(b1, b2)).px.toSeq == expected.px.toSeq)
+      assert(agg.finish(agg.merge(b2, b1)).px.toSeq == expected.px.toSeq)
+    }
   }
 }

@@ -38,6 +38,50 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(area - (1.5121 - 1.2047) * (43.662 - 43.3882)) < 1e-9)
   }
 
+  test("S1: Polygon with an interior ring keeps the hole in the WKT") {
+    val holed =
+      """{"type":"FeatureCollection",
+        |"features":[{"type":"Feature","properties":{"fid":7},
+        | "geometry":{"type":"Polygon","coordinates":[
+        |  [[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]],
+        |  [[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,2.0],[1.0,1.0]]]}}]}
+        |""".stripMargin
+    val df = VectorSources.readGeoJson(spark, tmpFile(".geojson", holed))
+    val wkt = df.head().getAs[String]("geometry")
+    assert(wkt.startsWith("POLYGON ((0.0 0.0,"))
+    assert(wkt.contains("), (1.0 1.0,")) // interior ring present
+    // hole subtracts: 16 - 1
+    assert(math.abs(graft.functions.Geo.area(wkt) - 15.0) < 1e-12)
+  }
+
+  test("S1: MultiPolygon FeatureCollection reads and sums areas") {
+    val multi =
+      """{"type":"FeatureCollection",
+        |"features":[{"type":"Feature","properties":{"fid":9},
+        | "geometry":{"type":"MultiPolygon","coordinates":[
+        |  [[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]]],
+        |  [[[2.0,0.0],[4.0,0.0],[4.0,1.0],[2.0,1.0],[2.0,0.0]]]]}}]}
+        |""".stripMargin
+    val df = VectorSources.readGeoJson(spark, tmpFile(".geojson", multi))
+    val wkt = df.head().getAs[String]("geometry")
+    assert(wkt.startsWith("MULTIPOLYGON (((0.0 0.0,"))
+    assert(math.abs(graft.functions.Geo.area(wkt) - 3.0) < 1e-12)
+    // envelope spans both parts
+    assert(graft.functions.Geo.envelope(wkt) == ((0.0, 0.0, 4.0, 1.0)))
+  }
+
+  test("S1: non-polygon GeoJSON fails loudly") {
+    val pts =
+      """{"type":"FeatureCollection",
+        |"features":[{"type":"Feature","properties":{"fid":1},
+        | "geometry":{"type":"Point","coordinates":[1.0,2.0]}}]}
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      VectorSources.readGeoJson(spark, tmpFile(".geojson", pts))
+    }
+    assert(e.getMessage.contains("unsupported GeoJSON geometry nesting"))
+  }
+
   test("S2 + P10: CSV tile grid via suffix dispatch") {
     val csv = "tile_id,geometry\n31TCJ,\"POLYGON ((1 43, 2 43, 2 44, 1 44, 1 43))\"\n"
     val df = VectorSources.readVector(spark, tmpFile(".csv", csv))
