@@ -37,11 +37,12 @@ object RasterIO {
     * `<uuid>.tif` into a task-local temp dir, then promotes them into
     * the feature store (S8's `shutil.copyfile`,
     * `code/tx.py:92-96` — including its log-and-continue error
-    * handling). The codec is pluggable; the default serializer writes
-    * the raw pixel doubles (deterministic, testable).
+    * handling). The default codec is the real GeoTIFF encoder
+    * ([[GeoTiff.encode]], EPSG:4326 like `code/tx.py:57`); pass a
+    * custom `encode` for other profiles.
     */
   def writeChips(chips: Dataset[(String, Chip)], featureDir: String,
-      encode: Chip => Array[Byte] = encodeRaw): Unit = {
+      encode: Chip => Array[Byte] = GeoTiff.encode(_)): Unit = {
     val dir = featureDir
     chips.foreachPartition { it: Iterator[(String, Chip)] =>
       val tmp = Files.createTempDirectory("graft-chips")

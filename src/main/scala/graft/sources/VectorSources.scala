@@ -71,7 +71,8 @@ object VectorSources {
     if (lower.endsWith(".csv")) readCsvWkt(spark, path)
     else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
       readGeoJson(spark, path)
+    else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported vector format: $path (gpkg/shp need a third-party source)")
+      s"unsupported vector format: $path (gpkg needs a third-party source)")
   }
 }

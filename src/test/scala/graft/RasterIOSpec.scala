@@ -24,7 +24,7 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
       ("B08", 10, "31TCJ")))
   }
 
-  test("S7/S8: chips land in the feature store as <uuid>.tif") {
+  test("S7/S8: chips land in the feature store as GeoTIFF <uuid>.tif") {
     implicit val s = spark
     import s.implicits._
     val out = Files.createTempDirectory("graft-store").toString
@@ -32,8 +32,41 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
     RasterIO.writeChips(Seq(("u-1", chip), ("u-2", chip)).toDS(), out)
     val files = new java.io.File(out).list().sorted.toSeq
     assert(files == Seq("u-1.tif", "u-2.tif"))
-    val back = RasterIO.decodeRaw(Files.readAllBytes(Paths.get(out, "u-1.tif")))
+    val bytes = Files.readAllBytes(Paths.get(out, "u-1.tif"))
+    val (back, epsg) = graft.sources.GeoTiff.decode(bytes)
+    assert(epsg == 4326)
     assert(back == chip.copy(px = back.px) && back.px.toSeq == Seq(1.5, 2.5))
+  }
+
+  test("S7: GeoTIFF encode/decode round-trips bit-exactly with georeferencing") {
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(16 * 9)(rnd.nextDouble() * 10000 - 100)
+    val chip = Chip(16, 9, 360000.0, 4816000.0, 368000.0, 4824000.0, -9999.0, px)
+    val bytes = graft.sources.GeoTiff.encode(chip, epsg = 32631) // UTM 31N
+    // valid little-endian classic TIFF magic
+    assert(bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte && bytes(2) == 42)
+    val (back, epsg) = graft.sources.GeoTiff.decode(bytes)
+    assert(epsg == 32631)
+    assert(back.width == 16 && back.height == 9)
+    assert((back.minx, back.miny, back.maxx, back.maxy) ==
+      (chip.minx, chip.miny, chip.maxx, chip.maxy))
+    assert(back.nodata == -9999.0)
+    assert(back.px.toSeq == px.toSeq) // bit-exact pixels
+    // profile guard: a compressed/other-profile TIFF is rejected loudly
+    val mangled = bytes.clone()
+    // flip the Compression tag value (find tag 259 in the IFD) — decode
+    // must refuse, not mis-read
+    val e = intercept[IllegalArgumentException] {
+      val b = java.nio.ByteBuffer.wrap(mangled).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4)
+      val n = b.getShort(ifd)
+      (0 until n).foreach { i =>
+        val off = ifd + 2 + i * 12
+        if ((b.getShort(off) & 0xffff) == 259) b.putShort(off + 8, 5) // LZW
+      }
+      graft.sources.GeoTiff.decode(mangled)
+    }
+    assert(e.getMessage.contains("compressed TIFF unsupported"))
   }
 
   test("S6: token clock mints once, refreshes only after ttl") {

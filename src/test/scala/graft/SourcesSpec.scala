@@ -90,6 +90,73 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(graft.functions.Geo.area(row.getAs[String]("geometry")) == 1.0)
   }
 
+  // ---- S1: Shapefile (binary fixture built to the published spec) --
+
+  private def shpFixture(): (String, String) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // record 1: CW shell (0,0)->(0,4)->(4,4)->(4,0) + CCW hole
+    val shell = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val hole = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    // record 2: CW unit square at x=10
+    val sq = Seq((10.0, 0.0), (10.0, 1.0), (11.0, 1.0), (11.0, 0.0), (10.0, 0.0))
+    def content(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+      val nPts = rings.map(_.size).sum
+      val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * rings.size + 16 * nPts)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(5).putDouble(0).putDouble(0).putDouble(0).putDouble(0)
+      b.putInt(rings.size).putInt(nPts)
+      rings.scanLeft(0)(_ + _.size).dropRight(1).foreach(b.putInt)
+      rings.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    val recs = Seq(content(Seq(shell, hole)), content(Seq(sq)))
+    val fileLen = 100 + recs.map(8 + _.length).sum
+    val shp = ByteBuffer.allocate(fileLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994).putInt(24, fileLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000).putInt(32, 5)
+    shp.position(100)
+    recs.zipWithIndex.foreach { case (c, i) =>
+      shp.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(c.length / 2)
+      shp.put(c)
+    }
+    // dbf: NAME C(8) + RANK N(4), 2 records
+    val dbf = ByteBuffer.allocate(97 + 2 * 13).order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 3.toByte).putInt(4, 2).putShort(8, 97.toShort).putShort(10, 13.toShort)
+    def field(off: Int, name: String, t: Char, len: Int): Unit = {
+      name.getBytes("US-ASCII").zipWithIndex.foreach { case (ch, i) =>
+        dbf.put(off + i, ch) }
+      dbf.put(off + 11, t.toByte); dbf.put(off + 16, len.toByte)
+    }
+    field(32, "NAME", 'C', 8); field(64, "RANK", 'N', 4)
+    dbf.put(96, 0x0d.toByte)
+    dbf.position(97)
+    Seq(("alpha   ", "   1"), ("beta    ", "  22")).foreach { case (n, r) =>
+      dbf.put(' '.toByte).put(n.getBytes("US-ASCII")).put(r.getBytes("US-ASCII"))
+    }
+    val base = Files.createTempFile("graft-test", ".shp")
+    Files.write(base, shp.array())
+    val dbfPath = java.nio.file.Paths.get(base.toString.replaceAll("\\.shp$", ".dbf"))
+    Files.write(dbfPath, dbf.array())
+    base.toFile.deleteOnExit(); dbfPath.toFile.deleteOnExit()
+    (base.toString, dbfPath.toString)
+  }
+
+  test("S1: Shapefile + DBF read via suffix dispatch, holes intact") {
+    val (shpPath, _) = shpFixture()
+    val df = VectorSources.readVector(spark, shpPath)
+    val rows = df.orderBy("RANK").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("NAME") == "alpha")
+    assert(rows(0).getAs[Long]("RANK") == 1L)
+    val holed = rows(0).getAs[String]("geometry")
+    assert(holed.startsWith("POLYGON ((0.0 0.0,"))
+    assert(math.abs(graft.functions.Geo.area(holed) - 15.0) < 1e-12) // 16 - 1
+    assert(rows(1).getAs[String]("NAME") == "beta")
+    assert(graft.functions.Geo.area(rows(1).getAs[String]("geometry")) == 1.0)
+  }
+
   private val manifestXml =
     """<Level-2A_User_Product>
       |  <Product_Organisation>
