@@ -288,13 +288,58 @@ object Dedup extends QueryModule {
        |ORDER BY hamming, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q57 — near-dup CLUSTERS: connected components over the LSH
+  // candidate graph (q30's pairs), component id = smallest doc_id in
+  // the cluster. Pairwise drop-the-larger under-drops transitive
+  // groups (a~b, b~c but not a~c); clustering keeps exactly one
+  // representative per group — the correct curation semantics.
+  // Spark side: Components.connectedComponents (iterative min-label
+  // propagation, one join+agg per round, diameter-bounded); oracle:
+  // DuckDB recursive transitive closure.
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val edges = sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= 2)
+      .select("src", "dst")
+    graft.operators.Components.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  private val q57Sql =
+    s"""WITH RECURSIVE $duckSignatures,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |    FROM sig a
+       |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |      AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE n_match >= 2),
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
+       |SELECT a AS doc_id, MIN(b) AS component
+       |FROM reach GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
     "q29_minhash_sigs" -> (q29 _),
     "q30_lsh_candidates" -> (q30 _),
     "q31_simhash" -> (q31 _),
-    "q32_simhash_neardup" -> (q32 _))
+    "q32_simhash_neardup" -> (q32 _),
+    "q57_dup_clusters" -> (q57 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -302,5 +347,6 @@ object Dedup extends QueryModule {
     "q29_minhash_sigs" -> q29Sql,
     "q30_lsh_candidates" -> q30Sql,
     "q31_simhash" -> q31Sql,
-    "q32_simhash_neardup" -> q32Sql)
+    "q32_simhash_neardup" -> q32Sql,
+    "q57_dup_clusters" -> q57Sql)
 }

@@ -183,15 +183,88 @@ object TextAnalysis extends QueryModule {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q54 — BM25 keyword relevance over the corpus: the standard
+  // retrieval score (Robertson idf, k1=1.2, b=0.75) for a fixed term
+  // set, top-20 documents. The training-data use is query-based
+  // corpus slicing ("find docs about X to up/down-sample").
+  //
+  // Plan: tf is one explode+filter+groupBy over matching tokens only
+  // (the IN filter prunes before the shuffle); df and the corpus
+  // stats are tiny broadcast aggregates. Per-term scores are separate
+  // conditional SUMs (each sums one non-zero element → exact), added
+  // in a FIXED order; the only cross-engine wobble is ln()'s last
+  // ulp, absorbed by round(·, 6) on both sides.
+  private val bmTerms = Seq("spark", "vector", "query")
+
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+      .select(col("doc_id"), expr(toksS).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(bmTerms: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("f"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
+      "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    val idf = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    val perTerm = bmTerms.map(t =>
+      sum(expr(s"CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END")).as(s"s_$t"))
+    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25",
+        round(expr(bmTerms.map(t => s"s_$t").mkString(" + ")), 6))
+      .select("doc_id", "bm25")
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val q54Sql = {
+    val terms = bmTerms.map(t => s"'$t'").mkString(", ")
+    val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
+      "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    val idf = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    val perTerm = bmTerms.map(t =>
+      s"SUM(CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END) AS s_$t")
+      .mkString(",\n       |    ")
+    s"""WITH dd AS (
+       |  SELECT doc_id, CAST(len($toksD) AS BIGINT) AS dl, $toksD AS toks
+       |  FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dd),
+       |tok AS (SELECT doc_id, dl, unnest(toks) AS t FROM dd),
+       |tf AS (
+       |  SELECT doc_id, dl, t, COUNT(*) AS f FROM tok
+       |  WHERE t IN ($terms) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $perTerm
+       |  FROM tf JOIN dfq USING (t) CROSS JOIN stats
+       |  GROUP BY doc_id)
+       |SELECT doc_id,
+       |  round(${bmTerms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25
+       |FROM sc
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
     "q23_quality_score" -> (q23 _),
-    "q24_fingerprint" -> (q24 _))
+    "q24_fingerprint" -> (q24 _),
+    "q54_bm25" -> (q54 _))
 
   override val oracle: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_quality_score" -> q23Sql,
-    "q24_fingerprint" -> q24Sql)
+    "q24_fingerprint" -> q24Sql,
+    "q54_bm25" -> q54Sql)
 }

@@ -118,13 +118,56 @@ object TrainingData extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q55 — training-window chunking: split each document into
+  // fixed-size token windows (win=128) with overlap (stride=96) —
+  // the LM context-window assembly step after curation. Per-row
+  // integer arithmetic + one explode; embarrassingly parallel, no
+  // shuffle except the presentation sort. Window count =
+  // 1 + ceil((n - win)/stride) (one short window for tiny docs), so
+  // every token is covered and consecutive windows overlap by
+  // win - stride tokens.
+  private val win = 128L
+  private val stride = 96L
+
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), expr(nTokS).as("n_tok"))
+      .withColumn("n_win", expr(
+        s"CASE WHEN n_tok <= $win THEN CAST(1 AS BIGINT) " +
+          s"ELSE 1 + (n_tok - $win + ${stride - 1}) DIV $stride END"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("window_id"))
+      .select(
+        col("doc_id"),
+        col("window_id").cast("int").as("window_id"),
+        expr(s"window_id * $stride + 1").as("start_tok"),
+        expr(s"least($win, n_tok - window_id * $stride)").as("len_tok"))
+      .orderBy("doc_id", "window_id")
+
+  private val q55Sql =
+    s"""SELECT doc_id, CAST(window_id AS INTEGER) AS window_id,
+       |  window_id * $stride + 1 AS start_tok,
+       |  least($win, n_tok - window_id * $stride) AS len_tok
+       |FROM (
+       |  SELECT doc_id, n_tok,
+       |    unnest(generate_series(CAST(0 AS BIGINT), n_win - 1)) AS window_id
+       |  FROM (
+       |    SELECT doc_id, n_tok,
+       |      CASE WHEN n_tok <= $win THEN CAST(1 AS BIGINT)
+       |           ELSE 1 + (n_tok - $win + ${stride - 1}) // $stride END AS n_win
+       |    FROM (SELECT doc_id, $nTokD AS n_tok FROM documents)))
+       |ORDER BY doc_id, window_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
-    "q52_shard_pack_by_lang" -> (q52 _))
+    "q52_shard_pack_by_lang" -> (q52 _),
+    "q55_chunk_windows" -> (q55 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
     "q49_stratified_sample" -> q49Sql,
-    "q52_shard_pack_by_lang" -> q52Sql)
+    "q52_shard_pack_by_lang" -> q52Sql,
+    "q55_chunk_windows" -> q55Sql)
 }

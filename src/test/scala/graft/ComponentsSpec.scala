@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Components
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components: min-label propagation over small known
+  * graphs, including transitive chains longer than one hop (the case
+  * pairwise near-dup dropping gets wrong).
+  */
+class ComponentsSpec extends AnyFunSuite with SharedSpark {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, clique, and isolated pair resolve to min-id components") {
+    val comp = cc(Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4 (mixed orientation)
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L)))                    // pair
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 9) // only vertices that appear in edges
+  }
+
+  test("long chain converges within the iteration bound") {
+    // diameter 12: propagation needs several rounds, not one
+    val chain = (1L until 13L).map(i => (i, i + 1))
+    val comp = cc(chain)
+    assert((1L to 13L).forall(comp(_) == 1L))
+  }
+
+  test("label propagation matches a reference union-find") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    assert(cc(edges) == expected)
+  }
+}
