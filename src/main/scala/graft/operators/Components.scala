@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Eagerly materialize `df` and rebind it with FRESH attribute ids.
+    * localCheckpoint alone keeps the original exprIds, and after a few
+    * rounds of self-referencing union/join the duplicated ids break
+    * Catalyst's Union constraint rewrite (`key not found: id#N`);
+    * rebuilding from the checkpointed RDD gives each round a clean
+    * attribute namespace AND an O(1) plan.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** @param edges columns (src, dst) — undirected, any orientation.
     * @return (id, comp): every vertex that appears in `edges`, with
     *         comp = the smallest vertex id in its component.
@@ -32,9 +44,9 @@ object Components {
         col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().transform(pin)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).transform(pin)
     // min-propagation monotonically decreases the label sum; fixpoint
     // reached when the sum stops moving (one action per iteration)
     var prevSum = labels.agg(sum("comp")).head().getLong(0)
@@ -43,12 +55,12 @@ object Components {
     while (!converged && iter < maxIter) {
       val neigh = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      // eager localCheckpoint: truncates the iteration's lineage AND
-      // flattens the union plan so the pointer-jump self-join below
-      // has no ambiguous attributes
+      // pin: truncates the iteration's lineage and flattens the
+      // union plan so the pointer-jump self-join below has no
+      // ambiguous attributes
       val propagated = labels.select("id", "comp").union(neigh)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .transform(pin)
       // pointer jumping (path compression): comp(id) := comp(comp(id)).
       // Plain neighbor-min needs diameter-many rounds (a 60-chain at
       // sf0.1 cost 40+ s); halving the path each round converges in
@@ -58,6 +70,8 @@ object Components {
         .join(propagated.as("v"), col("u.comp") === col("v.id"))
         .select(col("u.id").as("id"),
           least(col("u.comp"), col("v.comp")).as("comp"))
+        .transform(pin) // materialize once: the sum below and the
+                        // next round both read it, not the join
       val newSum = updated.agg(sum("comp")).head().getLong(0)
       labels = updated
       converged = newSum == prevSum
