@@ -332,6 +332,45 @@ object Dedup extends QueryModule {
        |FROM reach GROUP BY a
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q58 — benchmark contamination check: which held-out/benchmark
+  // documents (modeled as doc_id % 97 == 0) appear verbatim in the
+  // training split, per language. The canonical content fingerprint
+  // (q27's md5 over normalized tokens) is the join key, so the check
+  // is whitespace/punctuation-invariant; near-dup contamination is
+  // the same query with the MinHash/LSH keys from q29/q30 in place
+  // of fp. One shuffle on the fingerprint (semi-join), one tiny agg.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"md5(concat_ws(' ', $toksS))").as("fp"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = bench.join(train.select("fp"), Seq("fp"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+    bench.groupBy("lang").agg(count(lit(1)).as("n_bench"))
+      .join(contaminated, Seq("lang"), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy("lang")
+  }
+
+  private val q58Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, md5(array_to_string($toksD, ' ')) AS fp
+       |  FROM documents),
+       |bench AS (SELECT * FROM d WHERE doc_id % 97 = 0),
+       |train AS (SELECT * FROM d WHERE doc_id % 97 <> 0),
+       |cont AS (
+       |  SELECT lang, COUNT(*) AS n_contaminated FROM bench
+       |  WHERE fp IN (SELECT fp FROM train)
+       |  GROUP BY lang)
+       |SELECT b.lang, COUNT(*) AS n_bench,
+       |  COALESCE(MIN(cont.n_contaminated), 0) AS n_contaminated
+       |FROM bench b LEFT JOIN cont ON cont.lang = b.lang
+       |GROUP BY b.lang
+       |ORDER BY b.lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -339,7 +378,8 @@ object Dedup extends QueryModule {
     "q30_lsh_candidates" -> (q30 _),
     "q31_simhash" -> (q31 _),
     "q32_simhash_neardup" -> (q32 _),
-    "q57_dup_clusters" -> (q57 _))
+    "q57_dup_clusters" -> (q57 _),
+    "q58_contamination" -> (q58 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -348,5 +388,6 @@ object Dedup extends QueryModule {
     "q30_lsh_candidates" -> q30Sql,
     "q31_simhash" -> q31Sql,
     "q32_simhash_neardup" -> q32Sql,
-    "q57_dup_clusters" -> q57Sql)
+    "q57_dup_clusters" -> q57Sql,
+    "q58_contamination" -> q58Sql)
 }

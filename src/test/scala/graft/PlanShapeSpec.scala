@@ -67,6 +67,26 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(windowExchanges == 0, p)
   }
 
+  test("q54 bm25: term filter prunes before any exchange; stats broadcast") {
+    val tree = formatted("q54_bm25").linesIterator
+      .takeWhile(!_.startsWith("(1)")).toSeq
+    // the IN(terms) filter sits between the explode (Generate) and
+    // the tf aggregation's Exchange — only matching tokens cross the
+    // wire. In the printed tree, deeper = later, so the pattern is
+    // Exchange ... Filter ... Generate within the tf branch.
+    val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
+    val generateIdx = tree.indexWhere(_.contains("Generate"))
+    val filterIdx = tree.lastIndexWhere(l => l.contains("Filter"),
+      generateIdx)
+    assert(exchangeIdx >= 0 && generateIdx > exchangeIdx, tree.mkString("\n"))
+    assert(filterIdx > exchangeIdx && filterIdx < generateIdx,
+      tree.mkString("\n"))
+    // df joins broadcast; the only cross join is the 1-row stats side
+    assert(tree.exists(_.contains("BroadcastHashJoin")))
+    assert(!tree.exists(_.contains("SortMergeJoin")))
+    assert(tree.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+  }
+
   test("q36 as-of join: union + single keyed window pass, no join node") {
     val p = formatted("q36_asof_join")
     assert(countNodes(p, "Union") == 1)
