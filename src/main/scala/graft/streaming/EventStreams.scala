@@ -70,4 +70,29 @@ object EventStreams {
       .withColumn("origin_ts", to_timestamp(col("OriginDate")))
       .withWatermark("origin_ts", watermark)
       .dropDuplicatesWithinWatermark("Id")
+
+  /** Stream-stream event-time interval join: attribute each `click`
+    * to the same user's `view` that happened at most `horizon` before
+    * it (the streaming twin of q36's as-of attribution). Watermarks on
+    * BOTH sides plus the time-range predicate bound the join state:
+    * views are dropped once no in-horizon click can still arrive —
+    * Spark's canonical state-bounded stream-stream join shape.
+    */
+  def clickViewJoin(views: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"), col("value"))
+      .withWatermark("c_ts", watermark)
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"), col("value"))
+  }
 }

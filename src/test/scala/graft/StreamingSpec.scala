@@ -91,4 +91,34 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(ids == Seq(1L, 2L, 3L, 4L, 5L))
     } finally q.stop()
   }
+
+  test("clickViewJoin attributes clicks to in-horizon views, matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 101, 1, "view", 0.0),
+      Ev(ts("2024-01-01 10:30:00"), 102, 1, "view", 0.0),
+      Ev(ts("2024-01-01 09:00:00"), 103, 2, "view", 0.0)) // > 1h before click
+    val clicks = Seq(
+      Ev(ts("2024-01-01 10:45:00"), 201, 1, "click", 7.0),  // joins 101+102
+      Ev(ts("2024-01-01 10:30:00"), 202, 2, "click", 8.0))  // no in-horizon view
+    val vMem = MemoryStream[Ev]; val cMem = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*); cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("click_id", "view_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got == Seq((201L, 101L), (201L, 102L)))
+      // batch twin: same predicate as a plain join
+      val bv = views.toDF(); val bc = clicks.toDF()
+      val batchGot = EventStreams.clickViewJoin(bv, bc)
+        .select("click_id", "view_id").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(batchGot == got) // streaming converges to the batch answer
+    } finally q.stop()
+  }
 }
