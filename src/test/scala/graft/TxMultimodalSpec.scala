@@ -79,4 +79,24 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
       .select("features_resized").head().getSeq[Float](0)
     assert(out == Seq(1f, 1f, 2f, 2f, 3f, 3f, 4f, 4f))
   }
+
+  test("multimodal: REAL tiff modality — decode, resize, re-encode distributed") {
+    import spark.implicits._
+    implicit val s = spark
+    val chip = graft.functions.Raster.Chip(4, 4, 0, 0, 4, 4, -1.0,
+      Array.tabulate(16)(_.toDouble))
+    val payload = graft.sources.GeoTiff.encode(chip)
+    // real feature decode
+    val f = Multimodal.decodeTiffFeatures(payload)
+    assert(f.toSeq == Seq(4f, 4f, 0f, 15f, 7.5f))
+    // distributed resize 4x4 -> 8x8 through mapPartitions
+    val resized = Multimodal.resizeTiffs(
+      Seq(Multimodal.TiffRow(1L, payload)).toDS(), 8, 8).collect()
+    val (back, epsg) = graft.sources.GeoTiff.decode(resized.head.payload)
+    assert(epsg == 4326 && back.width == 8 && back.height == 8)
+    // nearest upsample: each source pixel becomes a 2x2 block
+    assert(back.px(0) == 0.0 && back.px(1) == 0.0)  // row 0 from src row 0
+    assert(back.px(8 * 7) == 12.0)                   // bottom-left from src(3,0)
+    assert((back.minx, back.maxy) == (0.0, 4.0))     // bounds preserved
+  }
 }
