@@ -72,7 +72,8 @@ object VectorSources {
     else if (lower.endsWith(".geojson") || lower.endsWith(".json"))
       readGeoJson(spark, path)
     else if (lower.endsWith(".shp")) Shapefile.read(spark, path)
+    else if (lower.endsWith(".gpkg")) GeoPackage.read(spark, path)
     else throw new IllegalArgumentException(
-      s"unsupported vector format: $path (gpkg needs a third-party source)")
+      s"unsupported vector format: $path")
   }
 }

@@ -157,6 +157,38 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(graft.functions.Geo.area(rows(1).getAs[String]("geometry")) == 1.0)
   }
 
+  // ---- S1: GeoPackage (SQLite fixture in test resources) ----------
+
+  test("S1: GeoPackage layer reads attributes + WKT, holes and overflow intact") {
+    val path = getClass.getResource("/aoi_fixture.gpkg").getPath
+    val df = graft.sources.GeoPackage.read(spark, path)
+    val rows = df.orderBy("fid").collect()
+    assert(rows.length == 3)
+    assert(df.columns.toSeq == Seq("fid", "name", "rank", "note", "geometry"))
+    // row 1: polygon with a hole (area 16 - 1)
+    assert(rows(0).getAs[Long]("fid") == 1L)
+    assert(rows(0).getAs[String]("name") == "toulouse")
+    val holed = rows(0).getAs[String]("geometry")
+    assert(holed.startsWith("POLYGON ((0.0 0.0,"))
+    assert(math.abs(graft.functions.Geo.area(holed) - 15.0) < 1e-12)
+    // row 2 carries a 6000-char note — crosses a page: overflow chain
+    assert(rows(1).getAs[String]("note").length == 6000)
+    assert(rows(1).getAs[String]("note").forall(_ == 'x'))
+    assert(graft.functions.Geo.area(rows(1).getAs[String]("geometry")) == 1.0)
+    // row 3: MultiPolygon, summed area
+    val multi = rows(2).getAs[String]("geometry")
+    assert(multi.startsWith("MULTIPOLYGON ((("))
+    assert(math.abs(graft.functions.Geo.area(multi) - 3.0) < 1e-12)
+  }
+
+  test("S1: non-SQLite bytes fail loudly as GeoPackage") {
+    val bogus = tmpFile(".gpkg", "definitely not sqlite")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GeoPackage.read(spark, bogus)
+    }
+    assert(e.getMessage.contains("not a SQLite database"))
+  }
+
   private val manifestXml =
     """<Level-2A_User_Product>
       |  <Product_Organisation>
