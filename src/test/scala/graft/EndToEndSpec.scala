@@ -45,6 +45,42 @@ class EndToEndSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(row.getAs[Double]("area_ratio") - 1.0) < 1e-9)
   }
 
+  test("any vector format feeds the batch best-per-AOI pipeline") {
+    import org.apache.spark.sql.functions._
+    // the same unit-square AOI through three readers
+    val geojson = java.nio.file.Files.createTempFile("e2e", ".geojson")
+    java.nio.file.Files.writeString(geojson,
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{"aoi_id":1},"geometry":{"type":"Polygon","coordinates":
+        |[[[1.2,43.3],[1.6,43.3],[1.6,43.7],[1.2,43.7],[1.2,43.3]]]}}]}"""
+        .stripMargin.replace("\n", ""))
+    val csv = java.nio.file.Files.createTempFile("e2e", ".csv")
+    java.nio.file.Files.writeString(csv,
+      "aoi_id,geometry\n1,\"POLYGON ((1.2 43.3, 1.6 43.3, 1.6 43.7, 1.2 43.7, 1.2 43.3))\"\n")
+    val gpkg = getClass.getResource("/aoi_fixture.gpkg").getPath
+    val readers = Seq(geojson.toString, csv.toString, gpkg)
+    val areas = readers.map { p =>
+      graft.functions.Geo.area(
+        graft.sources.VectorSources.readVector(spark, p)
+          .select("geometry").head().getString(0))
+    }
+    assert(math.abs(areas(0) - 0.16) < 1e-9 && areas(0) == areas(1))
+    assert(math.abs(areas(2) - 15.0) < 1e-12) // gpkg fixture's own AOI
+    // gpkg AOIs drive the batch spatial-join pipeline end-to-end
+    val full = "POLYGON ((1.0 43.2, 1.7 43.2, 1.7 43.8, 1.0 43.8, 1.0 43.2))"
+    val records = "[" + rec("only", "2023-06-15", "2.0", full) + "]"
+    val catalog = spark.read.format("graft.sources.ODataCatalogSource")
+      .option("records", records).load()
+    val aois = graft.sources.VectorSources
+      .readVector(spark, geojson.toString)
+      .select(col("aoi_id"), col("geometry").as("aoi_wkt"))
+    val best = ProductSelect.bestPerAoi(spark, catalog, aois,
+      Params(startDate = "2023-01-01", endDate = "2024-01-01"))
+    val row = best.head()
+    assert(row.getAs[String]("uuid") == "only")
+    assert(math.abs(row.getAs[Double]("area_ratio") - 1.0) < 1e-9)
+  }
+
   test("incremental catalog poll dedups re-polled products by uuid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
