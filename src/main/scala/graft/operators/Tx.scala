@@ -83,4 +83,19 @@ object Tx {
           sc.chips.map(c => Raster.resampleNearest(c, w, h, x1, y1, x2, y2))))
     }
   }
+
+  /** The reference's FULL reproject flow: product-native UTM chips →
+    * normalize → stack → true CRS warp to EPSG:4326
+    * (`calculate_default_transform` + per-band `reproject`,
+    * `code/tx.py:49-71` invoked from `:117,:135`) — the warp per band
+    * chip, still a per-scene map, no shuffle beyond the stack.
+    */
+  def etlProcessToWgs84(chips: Dataset[BandChip], uint8: Boolean,
+      utmZone: Int, north: Boolean = true)
+      (implicit s: SparkSession): Dataset[Scene] = {
+    import s.implicits._
+    etlProcessTile(chips, uint8, None)
+      .map(sc => sc.copy(chips =
+        sc.chips.map(c => Raster.reprojectUtmToWgs84(c, utmZone, north))))
+  }
 }

@@ -80,6 +80,24 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq(1f, 1f, 2f, 2f, 3f, 3f, 4f, 4f))
   }
 
+  test("etlProcessToWgs84 warps stacked UTM bands to lon/lat bounds") {
+    import spark.implicits._
+    implicit val s = spark
+    val utmChip = graft.functions.Raster.Chip(4, 4,
+      360000.0, 4816000.0, 368000.0, 4824000.0, 0.0,
+      Array.tabulate(16)(i => (i + 1) * 1000.0))
+    val in = Seq(
+      Tx.BandChip("sceneA", "B03", utmChip),
+      Tx.BandChip("sceneA", "B02", utmChip)).toDS()
+    val out = Tx.etlProcessToWgs84(in, uint8 = false, utmZone = 31).collect()
+    assert(out.length == 1 && out.head.bands == Seq("B02", "B03"))
+    val warped = out.head.chips.head
+    // bounds landed in lon/lat around the Toulouse AOI
+    assert(warped.minx > 1.2 && warped.maxx < 1.5)
+    assert(warped.miny > 43.4 && warped.maxy < 43.6)
+    assert(warped.px.exists(_ != warped.nodata)) // real samples made it
+  }
+
   test("multimodal: REAL tiff modality — decode, resize, re-encode distributed") {
     import spark.implicits._
     implicit val s = spark
