@@ -47,6 +47,7 @@ object Components {
       .distinct().transform(pin)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).transform(pin)
+    if (labels.isEmpty) return labels // no edges -> no components
     // min-propagation monotonically decreases the label sum; fixpoint
     // reached when the sum stops moving (one action per iteration)
     var prevSum = labels.agg(sum("comp")).head().getLong(0)

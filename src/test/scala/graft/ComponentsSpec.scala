@@ -26,6 +26,10 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
     assert(comp.size == 9) // only vertices that appear in edges
   }
 
+  test("empty edge set yields an empty result, not a crash") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
   test("long chain converges within the iteration bound") {
     // diameter 12: propagation needs several rounds, not one
     val chain = (1L until 13L).map(i => (i, i + 1))

@@ -53,7 +53,8 @@ class ConvergenceSpec extends AnyFunSuite with SharedSpark {
       try SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    Seq("q34_band_stack", "q29_minhash_sigs", "q35_firstwins_mosaic")
+    Seq("q34_band_stack", "q29_minhash_sigs", "q35_firstwins_mosaic",
+      "q57_dup_clusters")
       .foreach { q =>
         assert(run(q, "2") == run(q, "13"), s"$q varies with partitioning")
       }
