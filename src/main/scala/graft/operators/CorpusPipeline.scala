@@ -25,7 +25,14 @@ object CorpusPipeline {
       minScore: Double = 0.4,
       langs: Set[String] = Set("en"),
       minhashBands: Int = 12,
-      nearDupMinMatches: Int = 9)
+      nearDupMinMatches: Int = 9,
+      /** Drop shingles appearing in more than this many documents
+        * before MinHashing — the hot-shingle (stopword 3-gram) skew
+        * mitigation for the inverted-index shuffle at scale. Stopword
+        * shingles carry no near-dup signal, so dropping them is also
+        * a precision win. Default: no cutoff (exact r1 semantics).
+        */
+      maxShingleDf: Long = Long.MaxValue)
 
   /** Per-row features (no shuffle). */
   def withFeatures(documents: DataFrame): DataFrame =
@@ -72,13 +79,26 @@ object CorpusPipeline {
       (8, 1025912127L, 412385243L), (9, 1352662387L, 923118203L),
       (10, 1575655961L, 147663229L), (11, 1925115615L, 582354979L))
       .take(cfg.minhashBands)
-    val sh = deduped.select(col("doc_id"),
+    val shAll = deduped.select(col("doc_id"),
         explode(expr(
           """CASE WHEN size(toks) >= 3 THEN
             |  array_distinct(transform(sequence(1, size(toks) - 2),
             |    i -> concat_ws(' ', element_at(toks, i),
             |         element_at(toks, i + 1), element_at(toks, i + 2))))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+    // hot-shingle cutoff: the few shingles above the document-
+    // frequency bound (a tiny list) broadcast into an anti-join, so
+    // the skewed keys never reach the signature shuffle
+    val shFiltered =
+      if (cfg.maxShingleDf == Long.MaxValue) shAll
+      else {
+        val hot = shAll.groupBy("sh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cfg.maxShingleDf)
+          .select("sh")
+        shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val sh = shFiltered
       .withColumn("h",
         expr(s"CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) % $P"))
     val aggs = params.map { case (i, a, b) =>

@@ -70,6 +70,26 @@ class CorpusPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq(1L, 2L, 3L)) // no single PAIR agrees on >= 9 bands
   }
 
+  test("hot-shingle df cutoff: inert above max df, disables matching at 0") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox runs to the river where the dog is waiting in the sun"
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base + " extra tail words here"))
+      .toDF("doc_id", "lang", "text")
+    val featured = CorpusPipeline.withFeatures(docs)
+    def survivors(cfg: CorpusPipeline.Config) =
+      CorpusPipeline.nearDedup(featured, cfg)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val cfg = Config(minTokens = 10, minScore = 0.0, nearDupMinMatches = 6)
+    // generous cutoff (every shingle df <= 2 here): identical result
+    assert(survivors(cfg) == survivors(cfg.copy(maxShingleDf = 2L)))
+    assert(survivors(cfg) == Seq(1L)) // 2 dropped as near-dup
+    // cutoff 0 removes every shingle: no candidates, nothing dropped
+    assert(survivors(cfg.copy(maxShingleDf = 0L)) == Seq(1L, 2L))
+  }
+
   test("curate composes with shard packing end-to-end") {
     val curated = CorpusPipeline.curate(Tables.documents(spark, dir))
     val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
