@@ -56,23 +56,25 @@ object Components {
     while (!converged && iter < maxIter) {
       val neigh = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      // pin: truncates the iteration's lineage and flattens the
-      // union plan so the pointer-jump self-join below has no
-      // ambiguous attributes
       val propagated = labels.select("id", "comp").union(neigh)
         .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jumping (path compression): follow comp one more hop
+      // through the PREVIOUS round's pinned labels — comp(id) :=
+      // min(comp(id), prev_comp(comp(id))). Plain neighbor-min needs
+      // diameter-many rounds (a 60-chain at sf0.1 cost 40+ s); the
+      // extra hop keeps convergence O(log diameter) while the whole
+      // round stays ONE plan with ONE pin (planning cost per round
+      // was half the operator's wall-clock). Jumping through labels
+      // (a pinned LogicalRDD with its own attributes) rather than
+      // `propagated` itself also avoids the self-join of a
+      // freshly-built union plan.
+      val prev = labels.select(col("id").as("v_id"), col("comp").as("v_comp"))
+      val updated = propagated
+        .join(prev, propagated("comp") === prev("v_id"), "left")
+        .select(propagated("id"),
+          least(propagated("comp"), coalesce(col("v_comp"), propagated("comp")))
+            .as("comp"))
         .transform(pin)
-      // pointer jumping (path compression): comp(id) := comp(comp(id)).
-      // Plain neighbor-min needs diameter-many rounds (a 60-chain at
-      // sf0.1 cost 40+ s); halving the path each round converges in
-      // O(log diameter) — comp always names a vertex present in
-      // labels, so the self-join hits.
-      val updated = propagated.as("u")
-        .join(propagated.as("v"), col("u.comp") === col("v.id"))
-        .select(col("u.id").as("id"),
-          least(col("u.comp"), col("v.comp")).as("comp"))
-        .transform(pin) // materialize once: the sum below and the
-                        // next round both read it, not the join
       val newSum = updated.agg(sum("comp")).head().getLong(0)
       labels = updated
       converged = newSum == prevSum
