@@ -87,6 +87,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(tree.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
   }
 
+  test("q53 ivf search: probes broadcast, cell equi-join, rank group-limit") {
+    val p = formatted("q53_ivf_search")
+    // the probed query side broadcasts; the corpus joins on the cell
+    // key (hash join), never a cross/sort-merge join
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "SortMergeJoin") == 0)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    // Spark 4 pushes the rank<=k filter into a pre-shuffle group limit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q58 contamination: fingerprint semi-join, no row-preserving join") {
+    val p = formatted("q58_contamination")
+    assert(p.contains("LeftSemi"), p) // bench side keeps only existence
+    assert(countNodes(p, "CartesianProduct") == 0)
+  }
+
   test("q36 as-of join: union + single keyed window pass, no join node") {
     val p = formatted("q36_asof_join")
     assert(countNodes(p, "Union") == 1)

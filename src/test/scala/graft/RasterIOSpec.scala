@@ -69,6 +69,26 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("compressed TIFF unsupported"))
   }
 
+  test("S7 property: GeoTIFF round-trips arbitrary chip shapes bit-exactly") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 25) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(40)
+      val minx = rnd.nextDouble() * 1000 - 500
+      val miny = rnd.nextDouble() * 1000 - 500
+      val chip = Chip(w, h, minx, miny,
+        minx + rnd.nextDouble() * 100 + 1, miny + rnd.nextDouble() * 100 + 1,
+        nodata = -1.0,
+        Array.fill(w * h)(rnd.nextDouble() * 1e6 - 1e3))
+      val epsg = if (rnd.nextBoolean()) 4326 else 32600 + rnd.nextInt(60) + 1
+      val (back, e2) = graft.sources.GeoTiff.decode(
+        graft.sources.GeoTiff.encode(chip, epsg))
+      assert(e2 == epsg && back.width == w && back.height == h)
+      assert(back.px.toSeq == chip.px.toSeq)
+      assert(math.abs(back.maxx - chip.maxx) < 1e-9 &&
+        math.abs(back.miny - chip.miny) < 1e-9)
+    }
+  }
+
   test("S6: token clock mints once, refreshes only after ttl") {
     var clock = 0L
     val mints = new AtomicInteger(0)
