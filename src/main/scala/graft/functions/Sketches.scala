@@ -81,4 +81,87 @@ object Sketches {
     override def bufferEncoder: Encoder[CMS] = Encoders.product[CMS]
     override def outputEncoder: Encoder[CMS] = Encoders.product[CMS]
   }
+
+  // -----------------------------------------------------------------
+  // HyperLogLog — distinct-count sketch (the published Flajolet et al.
+  // register scheme): register j keeps the max leading-zero rank of
+  // hashes landing in bucket j. The merge is element-wise MAX —
+  // commutative, associative, idempotent — so partial sketches from
+  // any partitioning (and retried tasks) combine to the SAME sketch:
+  // fully deterministic, unlike sampling-based cardinality estimates.
+  // Companion to exact COUNT(DISTINCT): at 100 TB the exact form
+  // shuffles every key once; the sketch is one shuffle-free pass and
+  // a (1 << p)-byte merge.
+
+  case class HLL(p: Int, registers: Array[Byte]) {
+    /** Standard HLL estimate with the small-range linear-counting
+      * correction (the published bias corrections for this register
+      * count).
+      */
+    def estimate: Double = {
+      val m = registers.length
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        invSum += 1.0 / (1L << (registers(i) & 0xff)).toDouble
+        if (registers(i) == 0) zeros += 1
+        i += 1
+      }
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _ => 0.7213 / (1.0 + 1.079 / m)
+      }
+      val raw = alpha * m * m / invSum
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    }
+    def add(token: String): HLL = {
+      val h = Sketches.hash64(token)
+      val idx = (h >>> (64 - p)).toInt
+      val rest = h << p
+      val rank = (java.lang.Long.numberOfLeadingZeros(rest | (1L << (p - 1))) + 1)
+        .toByte
+      if ((registers(idx) & 0xff) < rank) registers(idx) = rank
+      this
+    }
+    def mergeWith(o: HLL): HLL = {
+      require(p == o.p, "sketch precision mismatch")
+      var i = 0
+      while (i < registers.length) {
+        if ((o.registers(i) & 0xff) > (registers(i) & 0xff))
+          registers(i) = o.registers(i)
+        i += 1
+      }
+      this
+    }
+  }
+
+  def emptyHll(p: Int = 12): HLL = HLL(p, new Array[Byte](1 << p))
+
+  /** Deterministic 64-bit hash (FNV-1a + finalizer) over UTF-8. */
+  private[functions] def hash64(token: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
+  /** Typed Aggregator: Dataset[String] → HLL. */
+  class HllAggregator(p: Int = 12) extends Aggregator[String, HLL, HLL] {
+    override def zero: HLL = emptyHll(p)
+    override def reduce(b: HLL, a: String): HLL = b.add(a)
+    override def merge(b1: HLL, b2: HLL): HLL = b1.mergeWith(b2)
+    override def finish(r: HLL): HLL = r
+    override def bufferEncoder: Encoder[HLL] = Encoders.product[HLL]
+    override def outputEncoder: Encoder[HLL] = Encoders.product[HLL]
+  }
 }

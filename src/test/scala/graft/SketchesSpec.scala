@@ -49,4 +49,45 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     val dist = ds.select(new CountMinAggregator(4, 512).toColumn).head()
     assert(dist.counts.toSeq == local.counts.toSeq)
   }
+
+  // ---- HyperLogLog ----------------------------------------------
+
+  test("HLL estimates distinct counts within a few percent") {
+    val n = 20000
+    val tokens = (0 until n).map(i => s"item-$i")
+    val hll = tokens.foldLeft(Sketches.emptyHll(12))((s, t) => s.add(t))
+    val est = hll.estimate
+    assert(math.abs(est - n) / n < 0.05, s"estimate $est for $n")
+    // duplicates don't move the estimate (idempotent add)
+    val hll2 = (tokens ++ tokens ++ tokens)
+      .foldLeft(Sketches.emptyHll(12))((s, t) => s.add(t))
+    assert(hll2.estimate == est)
+    // small range uses linear counting: near-exact
+    val small = (0 until 30).map(i => s"s$i")
+      .foldLeft(Sketches.emptyHll(12))((s, t) => s.add(t))
+    assert(math.abs(small.estimate - 30) < 1.0)
+  }
+
+  test("HLL merge is order- and partitioning-invariant") {
+    val tokens = (0 until 5000).map(i => s"item-$i")
+    val whole = tokens.foldLeft(Sketches.emptyHll(10))((s, t) => s.add(t))
+    val parts = tokens.grouped(700).map(
+      _.foldLeft(Sketches.emptyHll(10))((s, t) => s.add(t))).toSeq
+    val mergedFwd = parts.map(p => Sketches.HLL(p.p, p.registers.clone()))
+      .reduceLeft(_.mergeWith(_))
+    val mergedRev = parts.reverse.map(p => Sketches.HLL(p.p, p.registers.clone()))
+      .reduceLeft(_.mergeWith(_))
+    assert(mergedFwd.registers.toSeq == whole.registers.toSeq)
+    assert(mergedRev.registers.toSeq == whole.registers.toSeq)
+  }
+
+  test("distributed HLL over Spark matches the local sketch") {
+    import spark.implicits._
+    val tokens = (0 until 8000).map(i => s"item-${i % 3000}") // 3000 distinct
+    val local = tokens.foldLeft(Sketches.emptyHll(12))((s, t) => s.add(t))
+    val dist = spark.createDataset(tokens).repartition(16)
+      .select(new Sketches.HllAggregator(12).toColumn).head()
+    assert(dist.registers.toSeq == local.registers.toSeq)
+    assert(math.abs(dist.estimate - 3000) / 3000 < 0.05)
+  }
 }
