@@ -254,17 +254,42 @@ object TextAnalysis extends QueryModule {
        |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q56 — corpus vocabulary statistics: per token, document frequency
+  // (docs containing it) and collection frequency (total occurrences)
+  // — the df/cf table that drives tokenizer training, stopword
+  // cutoffs (Dedup's maxShingleDf), and BM25's idf. Two aggregations
+  // sharing one explode; exact integers. Top-30 by df with total
+  // ordering.
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toksS)).as("t"))
+      .groupBy("t")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(desc("df"), desc("cf"), col("t"))
+      .limit(30)
+
+  private val q56Sql =
+    s"""SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |  COUNT(*) AS cf
+       |FROM (SELECT doc_id, unnest($toksD) AS t FROM documents)
+       |GROUP BY t
+       |ORDER BY df DESC, cf DESC, t
+       |LIMIT 30""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
     "q23_quality_score" -> (q23 _),
     "q24_fingerprint" -> (q24 _),
-    "q54_bm25" -> (q54 _))
+    "q54_bm25" -> (q54 _),
+    "q56_vocab_df" -> (q56 _))
 
   override val oracle: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_quality_score" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
-    "q54_bm25" -> q54Sql)
+    "q54_bm25" -> q54Sql,
+    "q56_vocab_df" -> q56Sql)
 }
