@@ -62,6 +62,57 @@ object GeoQueries extends QueryModule {
        |ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q59 — the grid-bucketed spatial join OPERATOR itself
+  // (operators/SpatialJoin.intersectJoin: cell explode → equi-join →
+  // reference-cell dedup → exact predicate) against a brute-force
+  // DuckDB overlap join. Footprints synthesized from part integers
+  // (as q38); AOIs are 25 integer boxes from the nation table. The
+  // oracle proves BOTH that no intersecting pair is missed by the
+  // bucketing AND that the reference-cell trick emits each pair
+  // exactly once — with the declared positive-area intersects
+  // semantics on both sides.
+  private val aoiX1 = "CAST(n_nationkey * 4 AS DOUBLE)"
+  private val aoiY1 = "CAST(n_nationkey * 3 AS DOUBLE)"
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val fp = T.part(s, dir)
+      .withColumn("x1", expr(fx1)).withColumn("y1", expr(fy1))
+      .withColumn("x2", expr(fx2)).withColumn("y2", expr(fy2))
+      .withColumn("geom", expr(
+        """concat('POLYGON ((', CAST(x1 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y1 AS INT), '))')""".stripMargin))
+      .select(col("p_partkey"), col("geom"))
+    val aois = T.nation(s, dir)
+      .withColumn("ax1", expr(aoiX1)).withColumn("ay1", expr(aoiY1))
+      .withColumn("aoi_wkt", expr(
+        """concat('POLYGON ((', CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), ', ',
+          | CAST(ax1 + 10 AS INT), ' ', CAST(ay1 AS INT), ', ',
+          | CAST(ax1 + 10 AS INT), ' ', CAST(ay1 + 8 AS INT), ', ',
+          | CAST(ax1 AS INT), ' ', CAST(ay1 + 8 AS INT), ', ',
+          | CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), '))')""".stripMargin))
+      .select(col("n_nationkey").as("aoi_id"), col("aoi_wkt"))
+    graft.operators.SpatialJoin
+      .intersectJoin(s, fp, aois, "geom", "aoi_wkt", cellSize = 8.0)
+      .select(col("aoi_id").cast("long").as("aoi_id"), col("p_partkey"))
+      .orderBy("aoi_id", "p_partkey")
+  }
+
+  private val q59Sql =
+    s"""SELECT CAST(a.aoi_id AS BIGINT) AS aoi_id, f.p_partkey
+       |FROM (
+       |  SELECT p_partkey, $fx1 AS x1, $fy1 AS y1, $fx2 AS x2, $fy2 AS y2
+       |  FROM part) f
+       |CROSS JOIN (
+       |  SELECT n_nationkey AS aoi_id, $aoiX1 AS ax1, $aoiY1 AS ay1
+       |  FROM nation) a
+       |WHERE LEAST(f.x2, a.ax1 + 10) > GREATEST(f.x1, a.ax1)
+       |  AND LEAST(f.y2, a.ay1 + 8) > GREATEST(f.y1, a.ay1)
+       |ORDER BY aoi_id, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val sumVal = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -82,9 +133,11 @@ object GeoQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_geo_coverage" -> (q38 _),
-    "q39_pivot" -> (q39 _))
+    "q39_pivot" -> (q39 _),
+    "q59_spatial_join" -> (q59 _))
 
   override val oracle: Map[String, String] = Map(
     "q38_geo_coverage" -> q38Sql,
-    "q39_pivot" -> q39Sql)
+    "q39_pivot" -> q39Sql,
+    "q59_spatial_join" -> q59Sql)
 }
