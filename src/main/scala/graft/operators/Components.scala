@@ -45,8 +45,12 @@ object Components {
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .distinct().transform(pin)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).transform(pin)
+    // seed = one propagation round for free: comp(v) = min(v, min
+    // neighbor) straight out of the first aggregation
+    var labels = sym.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("comp"))
+      .select(col("src").as("id"), col("comp"))
+      .transform(pin)
     if (labels.isEmpty) return labels // no edges -> no components
     // min-propagation monotonically decreases the label sum; fixpoint
     // reached when the sum stops moving (one action per iteration)
@@ -69,11 +73,18 @@ object Components {
       // `propagated` itself also avoids the self-join of a
       // freshly-built union plan.
       val prev = labels.select(col("id").as("v_id"), col("comp").as("v_comp"))
-      val updated = propagated
+      val prev2 = labels.select(col("id").as("w_id"), col("comp").as("w_comp"))
+      val hop1 = propagated
         .join(prev, propagated("comp") === prev("v_id"), "left")
         .select(propagated("id"),
           least(propagated("comp"), coalesce(col("v_comp"), propagated("comp")))
-            .as("comp"))
+            .as("c1"))
+      // second hop through the same pinned labels: two pointer jumps
+      // per round, still one plan + one pin
+      val updated = hop1
+        .join(prev2, hop1("c1") === prev2("w_id"), "left")
+        .select(hop1("id"),
+          least(col("c1"), coalesce(col("w_comp"), col("c1"))).as("comp"))
         .transform(pin)
       val newSum = updated.agg(sum("comp")).head().getLong(0)
       labels = updated
