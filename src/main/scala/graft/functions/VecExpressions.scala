@@ -27,8 +27,15 @@ import org.apache.spark.sql.types._
   * `nullSafeEval`/`defineCodeGen` as usual.
   */
 object VecKernel {
+  // Embeddings are fixed-dim by construction: a length mismatch is a
+  // wiring bug (mixed models, truncated column), and silently
+  // truncating would return a plausible-but-wrong similarity through
+  // every oracle-free path (Ivf.assign/search). Fail loudly instead.
+  private def checkDims(an: Int, bn: Int): Unit =
+    if (an != bn) throw new IllegalArgumentException(
+      s"vector dimension mismatch: $an vs $bn")
   def dotL(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements(); checkDims(n, b.numElements())
     var s = 0L; var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
     s
@@ -40,13 +47,13 @@ object VecKernel {
     s
   }
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements(); checkDims(n, b.numElements())
     var s = 0.0; var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
   def l2SqD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements(); checkDims(n, b.numElements())
     var s = 0.0; var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     s

@@ -35,11 +35,17 @@ object Components {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param edges columns (src, dst) — undirected, any orientation.
+    * @param strict throw instead of warn when maxIter is hit without
+    *        converging — un-converged labels mean SPLIT duplicate
+    *        clusters downstream, silently under-deduplicating.
     * @return (id, comp): every vertex that appears in `edges`, with
     *         comp = the smallest vertex id in its component.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+      strict: Boolean = false): DataFrame = {
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"),
@@ -91,6 +97,13 @@ object Components {
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents did not converge in $maxIter " +
+        "iterations — labels may split components (duplicate clusters " +
+        "under-merged); raise maxIter"
+      if (strict) throw new IllegalStateException(msg)
+      log.warn(msg)
     }
     labels
   }

@@ -109,15 +109,17 @@ object Multimodal {
 
   /** Distributed image resize over binary GeoTIFF payloads: decode →
     * nearest-neighbor resample to (w, h) over the same bounds →
-    * re-encode. Per-partition batch shape like [[extractFeatures]];
-    * every step is real (GeoTiff codec + Raster kernel).
+    * re-encode, preserving each payload's own CRS tag (a resize must
+    * not rewrite a UTM tiff's metadata to another EPSG).
+    * Per-partition batch shape like [[extractFeatures]]; every step
+    * is real (GeoTiff codec + Raster kernel).
     */
-  def resizeTiffs(tiffs: Dataset[TiffRow], w: Int, h: Int, epsg: Int = 4326)
+  def resizeTiffs(tiffs: Dataset[TiffRow], w: Int, h: Int)
       (implicit s: SparkSession): Dataset[TiffRow] = {
     import s.implicits._
     tiffs.mapPartitions { it =>
       it.map { row =>
-        val (chip, _) = graft.sources.GeoTiff.decode(row.payload)
+        val (chip, epsg) = graft.sources.GeoTiff.decode(row.payload)
         val resized = graft.functions.Raster.resampleNearest(
           chip, w, h, chip.minx, chip.miny, chip.maxx, chip.maxy)
         TiffRow(row.media_id, graft.sources.GeoTiff.encode(resized, epsg))

@@ -171,10 +171,14 @@ object GeoPackage {
       }
     }.toMap
 
-  /** Column names from a CREATE TABLE statement (top-level commas;
-    * trailing table constraints skipped).
+  /** Column (name, declared type) pairs from a CREATE TABLE statement
+    * (top-level commas; trailing table constraints skipped). The
+    * declared type is everything after the name up to the first
+    * column-constraint keyword — needed because SQLite stores values
+    * by value, not by declaration: a REAL column legally holds
+    * integer-encoded values on disk.
     */
-  private def columnsOf(sql: String): Seq[String] = {
+  private def columnsOf(sql: String): Seq[(String, String)] = {
     val open = sql.indexOf('(')
     val body = sql.substring(open + 1, sql.lastIndexOf(')'))
     var depth = 0
@@ -188,10 +192,32 @@ object GeoPackage {
     }
     parts += cur.toString
     val constraintKw = Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+    val colConstraintKw = Set("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK",
+      "DEFAULT", "COLLATE", "REFERENCES", "GENERATED", "AS", "AUTOINCREMENT")
     parts.result().map(_.trim).filter(_.nonEmpty)
       .filterNot(p => constraintKw.contains(
         p.split("[\\s(]+").head.toUpperCase))
-      .map(_.split("\\s+").head.replaceAll("[\"'`\\[\\]]", ""))
+      .map { p =>
+        val toks = p.split("\\s+")
+        val name = toks.head.replaceAll("[\"'`\\[\\]]", "")
+        val decl = toks.drop(1)
+          .takeWhile(t => !colConstraintKw.contains(t.toUpperCase))
+          .mkString(" ")
+        (name, decl)
+      }
+  }
+
+  /** SQLite type affinity of a declared column type (the published
+    * affinity rules): INT→'I', CHAR/CLOB/TEXT→'T', BLOB/empty→'B',
+    * REAL/FLOA/DOUB→'R', else NUMERIC→'N'.
+    */
+  private def affinityOf(decl: String): Char = {
+    val u = decl.toUpperCase
+    if (u.contains("INT")) 'I'
+    else if (u.contains("CHAR") || u.contains("CLOB") || u.contains("TEXT")) 'T'
+    else if (u.isEmpty || u.contains("BLOB")) 'B'
+    else if (u.contains("REAL") || u.contains("FLOA") || u.contains("DOUB")) 'R'
+    else 'N'
   }
 
   // ---- GeoPackage geometry blob + WKB ----------------------------
@@ -288,7 +314,8 @@ object GeoPackage {
         layers.head
     }
     val (rootpage, createSql) = tables(table)
-    val cols = columnsOf(createSql)
+    val colDecls = columnsOf(createSql)
+    val cols = colDecls.map(_._1)
     val geomIdx = cols.indexOf(geomCol)
     require(geomIdx >= 0, s"geometry column $geomCol not in $cols")
 
@@ -299,16 +326,49 @@ object GeoPackage {
       vals
     }
     val attrIdx = cols.indices.filterNot(_ == geomIdx)
+    // Type from declared affinity first, stored serial types second:
+    // SQLite stores REAL-affinity values with no fractional part as
+    // INTEGER on disk, so observed-only inference would mistype (or
+    // mix-type) a valid REAL column. NUMERIC/BLOB affinity falls back
+    // to the widest observed numeric type.
+    val sparkTypes: Map[Int, DataType] = attrIdx.map { i =>
+      val observed = raw.iterator.map(_(i)).filter(_ != null)
+        .map {
+          case _: Long => LongType: DataType
+          case _: Double => DoubleType
+          case _: String => StringType
+          case _ => BinaryType
+        }.toSet
+      val dt = affinityOf(colDecls(i)._2) match {
+        case 'R' => DoubleType
+        case 'I' | 'N' =>
+          if (observed.contains(DoubleType)) DoubleType
+          else if (observed.contains(StringType)) StringType
+          else LongType
+        case 'T' => StringType
+        case _ =>
+          if (observed == Set[DataType](LongType)) LongType
+          else if (observed.subsetOf(Set[DataType](LongType, DoubleType)))
+            DoubleType
+          else StringType
+      }
+      i -> dt
+    }.toMap
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (l: Long, DoubleType) => l.toDouble
+      case (d: Double, LongType) => d.toLong
+      case (s: String, t) if t != StringType =>
+        throw new IllegalArgumentException(
+          s"cannot coerce text value '$s' to $t")
+      case (x, StringType) if !x.isInstanceOf[String] => x.toString
+      case (x, _) => x
+    }
     val fields = attrIdx.map { i =>
-      val dt = raw.iterator.map(_(i)).collectFirst {
-        case _: Long => LongType
-        case _: Double => DoubleType
-        case _: String => StringType
-      }.getOrElse(StringType)
-      StructField(cols(i), dt, nullable = true)
+      StructField(cols(i), sparkTypes(i), nullable = true)
     } :+ StructField("geometry", StringType)
     val rows = raw.map { vals =>
-      Row.fromSeq(attrIdx.map(vals(_)) :+
+      Row.fromSeq(attrIdx.map(i => coerce(vals(i), sparkTypes(i))) :+
         gpkgGeometryToWkt(vals(geomIdx).asInstanceOf[Array[Byte]]))
     }
     spark.createDataFrame(

@@ -37,8 +37,12 @@ object GeoTiff {
     val keysOff = auxOff + 72       // 16 shorts
     val nodataStr = c.nodata.toString
     val nodataBytes = (nodataStr + "\u0000").getBytes("US-ASCII")
+    // TIFF spec: values of count*size <= 4 bytes live INLINE in the
+    // tag's value field, not behind an offset (the default 0.0 nodata
+    // is exactly 4 bytes — '0.0'+NUL).
+    val nodataInline = nodataBytes.length <= 4
     val nodataOff = auxOff + 104
-    var ifdOff = nodataOff + nodataBytes.length
+    var ifdOff = nodataOff + (if (nodataInline) 0 else nodataBytes.length)
     if (ifdOff % 2 == 1) ifdOff += 1 // TIFF offsets must be even
 
     case class Tag(id: Int, tpe: Int, count: Int, value: Long)
@@ -58,7 +62,8 @@ object GeoTiff {
       Tag(33550, TYPE_DOUBLE, 3, scaleOff),     // ModelPixelScale
       Tag(33922, TYPE_DOUBLE, 6, tieOff),       // ModelTiepoint
       Tag(34735, TYPE_SHORT, 16, keysOff),      // GeoKeyDirectory
-      Tag(42113, TYPE_ASCII, nodataBytes.length, nodataOff)) // GDAL_NODATA
+      Tag(42113, TYPE_ASCII, nodataBytes.length,
+        if (nodataInline) 0 else nodataOff)) // GDAL_NODATA
 
     val total = ifdOff + 2 + tags.size * 12 + 4
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
@@ -79,12 +84,14 @@ object GeoTiff {
       1025, 0, 1, 1,         // GTRasterType: PixelIsArea
       csKey, 0, 1, epsg)
       .foreach(v => buf.putShort(v.toShort))
-    buf.put(nodataBytes)
+    if (!nodataInline) buf.put(nodataBytes)
     buf.position(ifdOff)
     buf.putShort(tags.size.toShort)
     tags.foreach { t =>
       buf.putShort(t.id.toShort).putShort(t.tpe.toShort).putInt(t.count)
-      if (t.tpe == TYPE_SHORT && t.count == 1)
+      if (t.id == 42113 && nodataInline)
+        buf.put(java.util.Arrays.copyOf(nodataBytes, 4))
+      else if (t.tpe == TYPE_SHORT && t.count == 1)
         buf.putShort(t.value.toShort).putShort(0)
       else buf.putInt(t.value.toInt)
     }
@@ -104,13 +111,15 @@ object GeoTiff {
     val ifdOff = buf.getInt()
     buf.position(ifdOff)
     val nTags = buf.getShort().toInt
-    // tag id -> (type, count, raw value field)
-    val tags = (1 to nTags).map { _ =>
+    // tag id -> (type, count, raw value field). Values of
+    // count*size <= 4 are inline: their bytes sit AT the value field
+    // (position ifdOff + 2 + i*12 + 8), not behind an offset.
+    val tags = (0 until nTags).map { i =>
       val id = buf.getShort() & 0xffff
       val tpe = buf.getShort().toInt
       val count = buf.getInt()
       val value = buf.getInt()
-      id -> ((tpe, count, value))
+      id -> ((tpe, count, value, ifdOff + 2 + i * 12 + 8))
     }.toMap
     def short1(id: Int, default: Int = -1): Int =
       tags.get(id).map(t => t._3 & 0xffff).getOrElse(default)
@@ -121,7 +130,7 @@ object GeoTiff {
     require(short1(277, 1) == 1, "only single-band supported")
     val w = long1(256); val h = long1(257)
     val doubles = (id: Int) => {
-      val (tpe, count, off) = tags(id)
+      val (tpe, count, off, _) = tags(id)
       require(tpe == TYPE_DOUBLE, s"tag $id not DOUBLE")
       val b = ByteBuffer.wrap(bytes, off, count * 8).order(ByteOrder.LITTLE_ENDIAN)
       Array.fill(count)(b.getDouble)
@@ -129,11 +138,12 @@ object GeoTiff {
     val scale = doubles(33550); val tie = doubles(33922)
     val minx = tie(3); val maxy = tie(4)
     val maxx = minx + scale(0) * w; val miny = maxy - scale(1) * h
-    val nodata = tags.get(42113).map { case (_, count, off) =>
-      new String(bytes, off, count, "US-ASCII").takeWhile(_ != '\u0000')
+    val nodata = tags.get(42113).map { case (_, count, off, valuePos) =>
+      val src = if (count <= 4) valuePos else off
+      new String(bytes, src, count, "US-ASCII").takeWhile(_ != '\u0000')
         .trim.toDouble
     }.getOrElse(0.0)
-    val epsg = tags.get(34735).map { case (_, count, off) =>
+    val epsg = tags.get(34735).map { case (_, count, off, _) =>
       val b = ByteBuffer.wrap(bytes, off, count * 2).order(ByteOrder.LITTLE_ENDIAN)
       val shorts = Array.fill(count)(b.getShort().toInt & 0xffff)
       // keys start at index 4, 4 shorts each: (id, loc, count, value)

@@ -55,4 +55,19 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
       .map(v => v -> find(v)).toMap
     assert(cc(edges) == expected)
   }
+
+  test("strict mode surfaces non-convergence at maxIter loudly") {
+    import spark.implicits._
+    // a 40-vertex chain cannot converge in 1 round even with two
+    // pointer jumps; silent exit would split the cluster downstream
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 1, strict = true).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // non-strict completes and a higher cap converges to one component
+    val ok = Components.connectedComponents(chain)
+      .collect().map(_.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
 }

@@ -63,4 +63,29 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
     val c1 = candidates(1); val c3 = candidates(3)
     assert(c1 < c3, s"nProbe=1 scanned $c1 vs nProbe=3 $c3")
   }
+
+  test("vec_* kernels reject dimension mismatch instead of truncating") {
+    // a mixed-model embedding column must fail loudly, not return a
+    // plausible-but-wrong similarity through oracle-free paths
+    graft.functions.VecFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.selectExpr("vec_dot_d(a, b)").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(e).contains("dimension mismatch") ||
+      e.getMessage.contains("dimension mismatch"))
+    val li = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      li.selectExpr("vec_l2_sq(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>))").collect()
+    }
+    assert(rootMsg(e2).contains("dimension mismatch") ||
+      e2.getMessage.contains("dimension mismatch"))
+    // equal dims still compute
+    val ok = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("vec_dot_d(a, b)").head().getDouble(0)
+    assert(ok == 11.0)
+  }
 }

@@ -89,6 +89,27 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("S7: GDAL_NODATA values <= 4 bytes are stored inline per TIFF spec") {
+    // '0.0'+NUL is exactly 4 bytes: the tag's value field must hold
+    // the ASCII bytes themselves, not an offset — external readers
+    // (GDAL) misparse the offset form.
+    val chip = Chip(2, 1, 0, 0, 2, 1, 0.0, Array(1.0, 2.0))
+    val bytes = graft.sources.GeoTiff.encode(chip)
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = b.getInt(4)
+    val n = b.getShort(ifd)
+    val nodataEntry = (0 until n).map(i => ifd + 2 + i * 12)
+      .find(off => (b.getShort(off) & 0xffff) == 42113).get
+    assert(b.getInt(nodataEntry + 4) == 4) // count
+    val inline = new String(bytes, nodataEntry + 8, 4, "US-ASCII")
+    assert(inline.startsWith("0.0")) // ASCII in the value field itself
+    val (back, _) = graft.sources.GeoTiff.decode(bytes)
+    assert(back.nodata == 0.0 && back.px.toSeq == Seq(1.0, 2.0))
+    // > 4 bytes keeps the (spec-legal) offset form and round-trips
+    val far = graft.sources.GeoTiff.encode(chip.copy(nodata = -9999.5))
+    assert(graft.sources.GeoTiff.decode(far)._1.nodata == -9999.5)
+  }
+
   test("S6: token clock mints once, refreshes only after ttl") {
     var clock = 0L
     val mints = new AtomicInteger(0)

@@ -181,6 +181,22 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(graft.functions.Geo.area(multi) - 3.0) < 1e-12)
   }
 
+  test("S1: GeoPackage REAL column types from declared affinity, not storage") {
+    // SQLite stores REAL values with no fractional part as INTEGER on
+    // disk; the reader must type from the CREATE TABLE declaration.
+    val path = getClass.getResource("/aoi_real_fixture.gpkg").getPath
+    val df = graft.sources.GeoPackage.read(spark, path)
+    assert(df.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // NUMERIC column with mixed integer/real storage widens to Double
+    assert(df.schema("yield").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = df.orderBy("fid").collect()
+    assert(rows(0).getAs[Double]("score") == 2.0) // integer-stored on disk
+    assert(rows(1).getAs[Double]("score") == 2.5)
+    assert(rows(0).getAs[Double]("yield") == 7.0)
+    assert(rows(1).getAs[Double]("yield") == 7.25)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("score")))
+  }
+
   test("S1: non-SQLite bytes fail loudly as GeoPackage") {
     val bogus = tmpFile(".gpkg", "definitely not sqlite")
     val e = intercept[IllegalArgumentException] {

@@ -116,5 +116,10 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(back.px(0) == 0.0 && back.px(1) == 0.0)  // row 0 from src row 0
     assert(back.px(8 * 7) == 12.0)                   // bottom-left from src(3,0)
     assert((back.minx, back.maxy) == (0.0, 4.0))     // bounds preserved
+    // a UTM-tagged payload keeps ITS OWN CRS through a resize
+    val utmPayload = graft.sources.GeoTiff.encode(chip, epsg = 32631)
+    val utmBack = Multimodal.resizeTiffs(
+      Seq(Multimodal.TiffRow(2L, utmPayload)).toDS(), 2, 2).collect()
+    assert(graft.sources.GeoTiff.decode(utmBack.head.payload)._2 == 32631)
   }
 }
