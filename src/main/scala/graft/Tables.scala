@@ -50,7 +50,18 @@ object CachedPlans {
   def of(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     memo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     val key = s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir:$tag"
-    memo.computeIfAbsent(key, _ => (s, build.cache()))._2
+    // get-then-putIfAbsent instead of computeIfAbsent: builders nest
+    // (the shingle index builds on the cached token table), and a
+    // nested computeIfAbsent on one ConcurrentHashMap is a recursive
+    // update. The race (two threads building the same plan) is benign:
+    // one extra cache() that the loser never references.
+    val existing = memo.get(key)
+    if (existing != null) existing._2
+    else {
+      val built = (s, build.cache())
+      val prev = memo.putIfAbsent(key, built)
+      if (prev != null) prev._2 else built._2
+    }
   }
 }
 

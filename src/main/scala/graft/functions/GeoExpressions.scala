@@ -22,6 +22,27 @@ object GeoKernel {
     val (a, b, c, d) = Geo.envelope(wkt.toString)
     new GenericArrayData(Array(a, b, c, d))
   }
+  /** Grid cells "cx:cy" overlapped by the geometry's envelope — ONE
+    * WKT parse and a tight loop, vs the interpreted
+    * sequence/transform/flatten lambda pipeline it replaces (higher-
+    * order functions don't codegen and go megamorphic in long
+    * sessions — see [[VecKernel]]).
+    */
+  def gridCells(wkt: UTF8String, cell: Double): GenericArrayData = {
+    val (x1, y1, x2, y2) = Geo.envelope(wkt.toString)
+    val cx1 = math.floor(x1 / cell).toInt; val cx2 = math.floor(x2 / cell).toInt
+    val cy1 = math.floor(y1 / cell).toInt; val cy2 = math.floor(y2 / cell).toInt
+    val out = new Array[Any]((cx2 - cx1 + 1) * (cy2 - cy1 + 1))
+    var i = 0; var cx = cx1
+    while (cx <= cx2) {
+      var cy = cy1
+      while (cy <= cy2) {
+        out(i) = UTF8String.fromString(s"$cx:$cy"); i += 1; cy += 1
+      }
+      cx += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Catalyst `Expression`s for the geometry family (SURVEY.md §2.9 F9,
@@ -89,6 +110,24 @@ case class StIntersectionArea(left: Expression, right: Expression)
   override def prettyName: String = "st_intersection_area"
 }
 
+/** Envelope grid-cell assignment for the bucketed spatial join
+  * (`st_grid_cells(wkt, cell_size)` → array of "cx:cy") — the cell
+  * explode key of [[graft.operators.SpatialJoin]].
+  */
+case class StGridCells(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(wkt: Any, cell: Any): Any =
+    GeoKernel.gridCells(wkt.asInstanceOf[UTF8String],
+      cell.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.gridCells($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGridCells =
+    copy(l, r)
+  override def prettyName: String = "st_grid_cells"
+}
+
 /** Registration of the st_* family into a session's FunctionRegistry,
   * so they are usable from `expr("st_area(wkt)")` / `spark.sql`.
   * Callable directly or via [[GraftExtensions]]
@@ -109,7 +148,10 @@ object GeoFunctions {
       (e: Seq[Expression]) => StIntersects(e(0), e(1))),
     ("st_intersection_area",
       info("st_intersection_area", "st_intersection_area(a, convex_b)"),
-      (e: Seq[Expression]) => StIntersectionArea(e(0), e(1))))
+      (e: Seq[Expression]) => StIntersectionArea(e(0), e(1))),
+    ("st_grid_cells",
+      info("st_grid_cells", "st_grid_cells(wkt, cell_size) - envelope grid cells"),
+      (e: Seq[Expression]) => StGridCells(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * curation pipeline can keep exactly one representative per cluster
   * (drop-the-larger-id on pairs under-drops transitive groups).
   *
-  * Scale design: each iteration is one equi-join (labels onto the
-  * symmetrized edge list) plus one min-aggregation — the standard
-  * large-graph CC loop; iterations are bounded by the component
-  * diameter (near-dup clusters are shallow; maxIter guards
-  * pathological chains). Each iteration ends in an EAGER
+  * Scale design is SIZE-ADAPTIVE. Candidate graphs are sparse by
+  * construction (only pairs that survived banding), so the common
+  * case is a driver-sized edge list — solved exactly with one
+  * collect + union-find (`maxLocalEdges` cutover, one Spark job).
+  * Above the cutover the distributed loop runs: each iteration is
+  * one equi-join (labels onto the symmetrized edge list) plus one
+  * min-aggregation — the standard large-graph CC loop; iterations
+  * are bounded by the component diameter (near-dup clusters are
+  * shallow; maxIter guards pathological chains). Each iteration of
+  * that loop ends in an EAGER
   * `localCheckpoint`: iteration k's plan references iteration k-1
   * twice (union + join), so without truncation the logical plan
   * doubles per round — 2^k nodes — and analysis OOMs around depth
@@ -37,27 +42,65 @@ object Components {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Union-find with path compression over an edge array — the
+    * driver-side kernel behind the small-graph fast path.
+    */
+  private def unionFind(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x // compress the walked path
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(v => v -> find(v)).toMap
+  }
+
   /** @param edges columns (src, dst) — undirected, any orientation.
     * @param strict throw instead of warn when maxIter is hit without
     *        converging — un-converged labels mean SPLIT duplicate
     *        clusters downstream, silently under-deduplicating.
+    * @param maxLocalEdges size-adaptive cutover: at or below this many
+    *        (symmetrized) edges the component structure is solved with
+    *        a driver-side union-find in ONE job instead of the
+    *        iterative join loop. A near-dup candidate graph is sparse
+    *        by construction (only pairs surviving the banding filter),
+    *        so in practice even web-scale corpora land under a few
+    *        million edges — the same driver-memory budget class as the
+    *        IVF centroid collect. Set 0 to force the distributed loop.
     * @return (id, comp): every vertex that appears in `edges`, with
     *         comp = the smallest vertex id in its component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, maxLocalEdges: Long = 1L << 22): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .distinct().transform(pin)
+    val nEdges = sym.count() // cheap: counts the pinned RDD
+    if (nEdges <= maxLocalEdges) {
+      // Small-graph fast path: one collect + exact union-find. The
+      // distributed loop below costs 2 jobs per round (pin +
+      // convergence check); for a driver-sized edge list that fixed
+      // overhead dominates by 10x+.
+      val pairs = sym.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      val labels = unionFind(pairs).toSeq
+      import spark.implicits._
+      return labels.toDF("id", "comp")
+    }
     // seed = one propagation round for free: comp(v) = min(v, min
     // neighbor) straight out of the first aggregation
     var labels = sym.groupBy("src")
       .agg(least(min(col("dst")), col("src")).as("comp"))
       .select(col("src").as("id"), col("comp"))
       .transform(pin)
-    if (labels.isEmpty) return labels // no edges -> no components
     // min-propagation monotonically decreases the label sum; fixpoint
     // reached when the sum stops moving (one action per iteration)
     var prevSum = labels.agg(sum("comp")).head().getLong(0)

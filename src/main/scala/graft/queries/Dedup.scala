@@ -59,12 +59,15 @@ object Dedup extends QueryModule {
   // downstream query (self-joins), and Spark re-executes common
   // subplans per reference. At cluster scale the same move is
   // "materialize the shingle index once" — the standard two-phase
-  // similarity-join layout.
+  // similarity-join layout. The index stores the 64-bit shingle HASH,
+  // not the string: the self-join shuffles 8-byte keys instead of
+  // ~25-byte 3-gram strings (collisions are ~n²/2³² rare and
+  // identical across engines, so the oracle still matches exactly).
   private def shingled(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "shingled") {
-      T.documents(s, dir)
-        .select(col("doc_id"), expr(toksS).as("toks"))
+      TextAnalysis.tokenized(s, dir)
         .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
+        .select(col("doc_id"), expr(h32S("sh")).as("hs"))
     }
 
   // DuckDB-side shingles via positional self-join on exploded tokens.
@@ -83,8 +86,8 @@ object Dedup extends QueryModule {
   // fingerprint, keep-first (min doc_id). One shuffle on the hash —
   // the 100 TB exact-dedup plan.
   private def q27(s: SparkSession, dir: String): DataFrame =
-    T.documents(s, dir)
-      .select(expr(s"md5(concat_ws(' ', $toksS))").as("fp"), col("doc_id"))
+    TextAnalysis.tokenized(s, dir)
+      .select(expr("md5(concat_ws(' ', toks))").as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
@@ -106,7 +109,7 @@ object Dedup extends QueryModule {
     val sh = shingled(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -121,10 +124,11 @@ object Dedup extends QueryModule {
 
   private val q28Sql =
     s"""WITH $duckShingles,
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
@@ -144,7 +148,7 @@ object Dedup extends QueryModule {
   private def signatures(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "signatures") { // tiny (12 rows/doc); self-joined in q30
       val h = shingled(s, dir)
-        .withColumn("h", expr(s"${h32S("sh")} % $P"))
+        .withColumn("h", expr(s"hs % $P"))
       val aggs = mhParams.map { case (i, a, b) =>
         min(expr(s"($a * h + $b) % $P")).as(s"m$i")
       }
@@ -217,8 +221,8 @@ object Dedup extends QueryModule {
   // all codegen'd, partial aggregation map-side.
   private def simhash(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "simhash") { // one row/doc; self-joined in q32
-      val tf = T.documents(s, dir)
-        .select(col("doc_id"), explode(expr(toksS)).as("t"))
+      val tf = TextAnalysis.tokenized(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
         .withColumn("h", expr(h32S("t")))
       val votes = (0 to 31).map { b =>
         sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END"))
@@ -341,9 +345,9 @@ object Dedup extends QueryModule {
   // the same query with the MinHash/LSH keys from q29/q30 in place
   // of fp. One shuffle on the fingerprint (semi-join), one tiny agg.
   private def q58(s: SparkSession, dir: String): DataFrame = {
-    val docs = T.documents(s, dir)
+    val docs = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), col("lang"),
-        expr(s"md5(concat_ws(' ', $toksS))").as("fp"))
+        expr("md5(concat_ws(' ', toks))").as("fp"))
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val train = docs.filter(col("doc_id") % 97 =!= 0)
     val contaminated = bench.join(train.select("fp"), Seq("fp"), "left_semi")

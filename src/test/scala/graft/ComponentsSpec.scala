@@ -59,15 +59,31 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
   test("strict mode surfaces non-convergence at maxIter loudly") {
     import spark.implicits._
     // a 40-vertex chain cannot converge in 1 round even with two
-    // pointer jumps; silent exit would split the cluster downstream
+    // pointer jumps; silent exit would split the cluster downstream.
+    // maxLocalEdges = 0 forces the distributed loop.
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
-      Components.connectedComponents(chain, maxIter = 1, strict = true).collect()
+      Components.connectedComponents(chain, maxIter = 1, strict = true,
+        maxLocalEdges = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // non-strict completes and a higher cap converges to one component
-    val ok = Components.connectedComponents(chain)
+    val ok = Components.connectedComponents(chain, maxLocalEdges = 0)
       .collect().map(_.getLong(1)).toSet
     assert(ok == Set(1L))
+  }
+
+  test("driver fast path and distributed loop agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val fast = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Components.connectedComponents(df, maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast.nonEmpty)
   }
 }
