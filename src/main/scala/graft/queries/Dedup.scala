@@ -301,7 +301,10 @@ object Dedup extends QueryModule {
   // Spark side: Components.connectedComponents (iterative min-label
   // propagation, one join+agg per round, diameter-bounded); oracle:
   // DuckDB recursive transitive closure.
-  private def q57(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, component) labels over the LSH candidate graph — the
+    * shared core of q57 and q60.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val sig = signatures(s, dir)
     val edges = sig.as("a").join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
@@ -312,8 +315,10 @@ object Dedup extends QueryModule {
       .select("src", "dst")
     graft.operators.Components.connectedComponents(edges)
       .select(col("id").as("doc_id"), col("comp").as("component"))
-      .orderBy("doc_id")
   }
+
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir).orderBy("doc_id")
 
   private val q57Sql =
     s"""WITH RECURSIVE $duckSignatures,
@@ -335,6 +340,66 @@ object Dedup extends QueryModule {
        |SELECT a AS doc_id, MIN(b) AS component
        |FROM reach GROUP BY a
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q60 — cluster REPRESENTATIVE selection: the step after q57 that
+  // completes the near-dup curation story — per duplicate cluster,
+  // keep the best member (longest document; tie-break smallest
+  // doc_id) and report cluster size. "Drop all but the best" is the
+  // quality-preserving form of dedup (min-id keep-first discards the
+  // richer copy whenever the shorter one has the smaller id).
+  // Plan: CC labels (size-adaptive operator) joined to the cached
+  // token table; per-cluster argmax is a rank-1 window, which Spark
+  // executes as WindowGroupLimit (no full sort materialization).
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val m = ccLabels(s, dir).join(
+      TextAnalysis.tokenized(s, dir)
+        .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tok")),
+      "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(desc("n_tok"), col("doc_id"))
+    val reps = m.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_id"),
+        col("n_tok").as("rep_tokens"))
+    val sizes = m.groupBy("component").agg(count(lit(1)).as("n_members"))
+    reps.join(sizes, "component")
+      .select("component", "rep_id", "rep_tokens", "n_members")
+      .orderBy("component")
+  }
+
+  private val q60Sql =
+    s"""WITH RECURSIVE $duckSignatures,
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |    FROM sig a
+       |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |      AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE n_match >= 2),
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+       |comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a),
+       |m AS (
+       |  SELECT c.component, c.doc_id,
+       |    CAST(len($toksD) AS BIGINT) AS n_tok
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+       |reps AS (
+       |  SELECT component, doc_id AS rep_id, n_tok AS rep_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY component
+       |      ORDER BY n_tok DESC, doc_id) AS rn
+       |  FROM m)
+       |SELECT r.component, r.rep_id, r.rep_tokens, g.n_members
+       |FROM (SELECT * FROM reps WHERE rn = 1) r
+       |JOIN (SELECT component, COUNT(*) AS n_members FROM m GROUP BY 1) g
+       |  USING (component)
+       |ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------
   // q58 — benchmark contamination check: which held-out/benchmark
@@ -383,7 +448,8 @@ object Dedup extends QueryModule {
     "q31_simhash" -> (q31 _),
     "q32_simhash_neardup" -> (q32 _),
     "q57_dup_clusters" -> (q57 _),
-    "q58_contamination" -> (q58 _))
+    "q58_contamination" -> (q58 _),
+    "q60_cluster_reps" -> (q60 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -393,5 +459,6 @@ object Dedup extends QueryModule {
     "q31_simhash" -> q31Sql,
     "q32_simhash_neardup" -> q32Sql,
     "q57_dup_clusters" -> q57Sql,
-    "q58_contamination" -> q58Sql)
+    "q58_contamination" -> q58Sql,
+    "q60_cluster_reps" -> q60Sql)
 }

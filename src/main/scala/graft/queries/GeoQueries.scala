@@ -113,6 +113,43 @@ object GeoQueries extends QueryModule {
        |ORDER BY aoi_id, p_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q62 — Z-ORDER (Morton) clustering key over footprint envelopes:
+  // interleave the bits of the envelope-origin cell coordinates so
+  // that sorting/bucketing by the key places spatially-near tiles in
+  // the same files — the standard lakehouse layout move that turns a
+  // 2-D bbox query into a few contiguous key ranges (partition/file
+  // pruning instead of a full scan). Closed-form bit arithmetic,
+  // textually identical in both engines; 8 bits per axis covers the
+  // synthetic grid.
+  private def mortonS(x: String, y: String): String =
+    (0 until 8).map(b =>
+      s"shiftleft(shiftright($x, $b) & 1, ${2 * b}) + " +
+        s"shiftleft(shiftright($y, $b) & 1, ${2 * b + 1})")
+      .mkString(" + ")
+  private def mortonD(x: String, y: String): String =
+    (0 until 8).map(b =>
+      s"(((($x) >> $b) & 1) << ${2 * b}) + (((($y) >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    T.part(s, dir)
+      .withColumn("cx", expr(s"CAST(p_partkey % 97 AS BIGINT)"))
+      .withColumn("cy", expr(s"CAST(p_partkey % 89 AS BIGINT)"))
+      .withColumn("zkey", expr(s"CAST(${mortonS("cx", "cy")} AS BIGINT)"))
+      .select("p_partkey", "cx", "cy", "zkey")
+      .orderBy("zkey", "p_partkey")
+
+  private val q62Sql =
+    s"""SELECT p_partkey, cx, cy,
+       |  CAST(${mortonD("cx", "cy")} AS BIGINT) AS zkey
+       |FROM (
+       |  SELECT p_partkey,
+       |    CAST(p_partkey % 97 AS BIGINT) AS cx,
+       |    CAST(p_partkey % 89 AS BIGINT) AS cy
+       |  FROM part)
+       |ORDER BY zkey, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val sumVal = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -134,10 +171,12 @@ object GeoQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_geo_coverage" -> (q38 _),
     "q39_pivot" -> (q39 _),
-    "q59_spatial_join" -> (q59 _))
+    "q59_spatial_join" -> (q59 _),
+    "q62_zorder_key" -> (q62 _))
 
   override val oracle: Map[String, String] = Map(
     "q38_geo_coverage" -> q38Sql,
     "q39_pivot" -> q39Sql,
-    "q59_spatial_join" -> q59Sql)
+    "q59_spatial_join" -> q59Sql,
+    "q62_zorder_key" -> q62Sql)
 }

@@ -267,15 +267,61 @@ object SimSearch extends QueryModule {
        |  FROM sc) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q63 — signed-random-projection (SRP) sketch: a 16-bit hash of
+  // each embedding where bit j = sign(<v, r_j>) for a deterministic
+  // pseudo-random hyperplane r_j (entries ±1 from the md5 parity of
+  // (j, dim)) — the cosine-LSH family: vectors with high cosine agree
+  // on most bits, so banding the sketch gives embedding near-dup
+  // candidates without an index (the SimHash move, on vectors).
+  // Plan: ONE explode from the cached quantized table and 16
+  // conditional SUMs in a single groupBy — the q31 shape; signed sums
+  // are exact integers, so bits (and the sketch) are cross-engine
+  // exact.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val ex = quantized(s, dir)
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("i0", "v")))
+      .withColumn("i", col("i0") + 1) // match DuckDB's 1-based subscripts
+    val sums = (0 until 16).map { j =>
+      sum(expr(
+        s"""CASE WHEN CAST(conv(substring(md5(concat('$j', ':',
+           | CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0
+           | THEN v ELSE -v END""".stripMargin)).as(s"s$j")
+    }
+    val sketch = (0 until 16)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    ex.groupBy("vec_id").agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), expr(s"CAST($sketch AS BIGINT)").as("srp"))
+      .orderBy("vec_id")
+  }
+
+  private val q63Sql =
+    s"""$duckPrelude,
+       |sums AS (
+       |  SELECT vec_id, j,
+       |    SUM(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':'
+       |        || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+       |      THEN v ELSE -v END) AS sj
+       |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+       |  GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  CAST(SUM(CASE WHEN sj > 0 THEN (CAST(1 AS BIGINT) << j)
+       |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS srp
+       |FROM sums GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
     "q33_embed_neardup" -> (q33 _),
-    "q53_ivf_search" -> (q53 _))
+    "q53_ivf_search" -> (q53 _),
+    "q63_srp_sketch" -> (q63 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
     "q26_ann_ivf" -> q26Sql,
     "q33_embed_neardup" -> q33Sql,
-    "q53_ivf_search" -> q53Sql)
+    "q53_ivf_search" -> q53Sql,
+    "q63_srp_sketch" -> q63Sql)
 }

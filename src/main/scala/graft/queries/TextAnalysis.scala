@@ -291,13 +291,100 @@ object TextAnalysis extends QueryModule {
        |ORDER BY df DESC, cf DESC, t
        |LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q61 — TF-IDF top terms per document: the classic relevance
+  // weighting (tf * ln(N/df)) that drives corpus slicing, stopword
+  // discovery, and keyword extraction; top-3 terms per doc with
+  // deterministic tie-break. Plan: one explode from the cached token
+  // table → tf groupBy; df and N are tiny broadcast aggregates; the
+  // per-doc top-3 is a rank window Spark runs as WindowGroupLimit.
+  // Cross-engine: tf/df/N are exact integers; ln()'s last ulp is
+  // absorbed by round(·, 6) (the BM25 rule).
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("f"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), col("t"))
+    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+      .withColumn("tfidf", expr(
+        "round(CAST(f AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "t", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  private val q61Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksD) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, t,
+       |    round(CAST(f AS DOUBLE)
+       |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN dfq USING (t) CROSS JOIN stats)
+       |SELECT doc_id, rank, t, tfidf FROM (
+       |  SELECT doc_id, t, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, t) AS rank
+       |  FROM sc) WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q64 — bigram language-model statistics: corpus bigram counts and
+  // the conditional probability p(w2 | w1) = C(w1 w2) / C(w1 ·) with
+  // the denominator counted over bigram PREFIX positions (so the
+  // probabilities per w1 sum to exactly 1) — the n-gram stats behind
+  // tokenizer merges and LM smoke checks. Top-30 with total order.
+  // Bigrams come from zipping the token array with its own tail —
+  // no positional self-join of the exploded token table.
+  private val bigramsS =
+    """CASE WHEN size(toks) >= 2 THEN
+      |  zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+      |    (a, b) -> struct(a AS w1, b AS w2))
+      |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin
+
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val bg = tokenized(s, dir)
+      .select(explode(expr(bigramsS)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    c2.join(broadcast(c1), "w1")
+      .withColumn("p", expr("CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE)"))
+      .select("w1", "w2", "n", "p")
+      .orderBy(desc("n"), col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val q64Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, $toksD AS l FROM documents)),
+       |bg AS (
+       |  SELECT a.t AS w1, b.t AS w2
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
+       |SELECT w1, w2, n, CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+       |FROM c2 JOIN c1 USING (w1)
+       |ORDER BY n DESC, w1, w2
+       |LIMIT 30""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
     "q23_quality_score" -> (q23 _),
     "q24_fingerprint" -> (q24 _),
     "q54_bm25" -> (q54 _),
-    "q56_vocab_df" -> (q56 _))
+    "q56_vocab_df" -> (q56 _),
+    "q61_tfidf_top_terms" -> (q61 _),
+    "q64_bigram_stats" -> (q64 _))
 
   override val oracle: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
@@ -305,5 +392,7 @@ object TextAnalysis extends QueryModule {
     "q23_quality_score" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q54_bm25" -> q54Sql,
-    "q56_vocab_df" -> q56Sql)
+    "q56_vocab_df" -> q56Sql,
+    "q61_tfidf_top_terms" -> q61Sql,
+    "q64_bigram_stats" -> q64Sql)
 }

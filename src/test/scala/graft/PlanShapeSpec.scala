@@ -119,4 +119,33 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "BroadcastHashJoin") == 1)
     assert(countNodes(p, "SortMergeJoin") == 0)
   }
+
+  test("q61 tfidf: df/N broadcast onto tf, rank collapses to group-limit") {
+    val p = formatted("q61_tfidf_top_terms")
+    assert(countNodes(p, "BroadcastHashJoin") == 1)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 1) // 1-row stats
+    assert(countNodes(p, "SortMergeJoin") == 0)
+    assert(p.contains("WindowGroupLimit"), p) // top-3 never sorts whole docs
+  }
+
+  test("q62 z-order key: pure per-row map, zero exchanges before the sort") {
+    val p = formatted("q62_zorder_key")
+    // one presentation sort only — the key itself must be map-side
+    assert(countNodes(p, "Exchange") == 1, p)
+    assert(countNodes(p, "HashAggregate") == 0)
+  }
+
+  test("q63 srp sketch: one aggregation shuffle from the explode") {
+    val p = formatted("q63_srp_sketch")
+    assert(countNodes(p, "Exchange") == 2, p) // agg + presentation sort
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("q64 bigram stats: prefix counts broadcast, top-k collapses") {
+    val p = formatted("q64_bigram_stats")
+    assert(countNodes(p, "BroadcastHashJoin") == 1)
+    assert(countNodes(p, "SortMergeJoin") == 0)
+    assert(countNodes(p, "TakeOrderedAndProject") == 1)
+  }
 }
