@@ -86,11 +86,45 @@ object AdvancedJoins extends QueryModule {
       | AND abs(epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 1000000
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q65 — Bloom-pruned semi join (operators/BloomPrune): keep fact
+  // rows whose supplier belongs to one nation's supplier set, with
+  // the fact side pruned MAP-SIDE by a Bloom filter built from the
+  // dimension subset in one aggregation — the runtime-filter shape
+  // that shrinks the semi-join shuffle to ~selectivity of the fact
+  // table. The exact semi join after the prune removes false
+  // positives, so the oracle is the PLAIN semi join: a hash match
+  // proves the filter admits every true match (no false negatives)
+  // and that the survivors' join is exact.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val suppliers = T.supplier(s, dir)
+      .filter(col("s_nationkey") === 3)
+      .select("s_suppkey")
+    graft.operators.BloomPrune.prunedSemiJoin(
+      T.lineitem(s, dir), "l_suppkey", suppliers, "s_suppkey")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
+  private val q65Sql =
+    """SELECT l_suppkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_asof_join" -> (q36 _),
-    "q37_range_join" -> (q37 _))
+    "q37_range_join" -> (q37 _),
+    "q65_bloom_semijoin" -> (q65 _))
 
   override val oracle: Map[String, String] = Map(
     "q36_asof_join" -> q36Sql,
-    "q37_range_join" -> q37Sql)
+    "q37_range_join" -> q37Sql,
+    "q65_bloom_semijoin" -> q65Sql)
 }
