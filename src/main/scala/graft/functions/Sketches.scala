@@ -164,4 +164,80 @@ object Sketches {
     override def bufferEncoder: Encoder[HLL] = Encoders.product[HLL]
     override def outputEncoder: Encoder[HLL] = Encoders.product[HLL]
   }
+
+  // -----------------------------------------------------------------
+  // Quantile sketch — the buffer-collapse compactor family (MRL /
+  // KLL lineage): level i holds up to k values each representing
+  // 2^i originals; a full level sorts and keeps every other element
+  // one level up. Rank error is O(n log(n/k) / k) — at k=256 the
+  // p50/p95/p99 of a 100 TB length distribution come out of one
+  // shuffle-free pass + a few-KB merge, where the exact form
+  // (q51-style percentile) must sort or multi-pass the column.
+  // Compaction keeps elements at EVEN positions (deterministic, not
+  // coin-flipped): identical inputs — including speculative task
+  // retries — always build the identical sketch.
+
+  case class QSketch(k: Int, n: Long, levels: Seq[Seq[Double]]) {
+    def add(x: Double): QSketch = {
+      val ls = levels.toBuffer
+      ls(0) = ls(0) :+ x
+      QSketch(k, n + 1, compactFrom(ls, 0))
+    }
+    def mergeWith(o: QSketch): QSketch = {
+      require(k == o.k, "sketch k mismatch")
+      val depth = math.max(levels.length, o.levels.length)
+      val ls = (0 until depth).map { i =>
+        levels.applyOrElse(i, (_: Int) => Vector.empty[Double]) ++
+          o.levels.applyOrElse(i, (_: Int) => Vector.empty[Double])
+      }.toBuffer
+      QSketch(k, n + o.n, compactFrom(ls, 0))
+    }
+    private def compactFrom(ls: scala.collection.mutable.Buffer[Seq[Double]],
+        from: Int): Seq[Seq[Double]] = {
+      var i = from
+      while (i < ls.length) {
+        if (ls(i).length > k) {
+          val sorted = ls(i).sorted
+          val kept = sorted.indices.collect {
+            case j if j % 2 == 0 => sorted(j)
+          }
+          ls(i) = Vector.empty
+          if (i + 1 >= ls.length) ls.append(Vector.empty)
+          ls(i + 1) = ls(i + 1) ++ kept
+        }
+        i += 1
+      }
+      ls.toSeq
+    }
+    /** Estimated value at quantile q in [0, 1] — weighted rank walk
+      * over the level buffers (weight 2^level per element).
+      */
+    def quantile(q: Double): Double = {
+      val weighted = levels.zipWithIndex.flatMap { case (buf, lvl) =>
+        buf.map(v => (v, 1L << lvl))
+      }.sortBy(_._1)
+      require(weighted.nonEmpty, "empty sketch")
+      val total = weighted.map(_._2).sum
+      val target = math.min((q * total).toLong, total - 1)
+      var acc = 0L
+      weighted.foreach { case (v, w) =>
+        acc += w
+        if (acc > target) return v
+      }
+      weighted.last._1
+    }
+  }
+
+  def emptyQuantile(k: Int = 256): QSketch = QSketch(k, 0L, Seq(Vector.empty))
+
+  /** Typed Aggregator: Dataset[Double] → QSketch. */
+  class QuantileAggregator(k: Int = 256)
+      extends Aggregator[Double, QSketch, QSketch] {
+    override def zero: QSketch = emptyQuantile(k)
+    override def reduce(b: QSketch, a: Double): QSketch = b.add(a)
+    override def merge(b1: QSketch, b2: QSketch): QSketch = b1.mergeWith(b2)
+    override def finish(r: QSketch): QSketch = r
+    override def bufferEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+    override def outputEncoder: Encoder[QSketch] = Encoders.product[QSketch]
+  }
 }

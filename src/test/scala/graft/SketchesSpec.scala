@@ -90,4 +90,53 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     assert(dist.registers.toSeq == local.registers.toSeq)
     assert(math.abs(dist.estimate - 3000) / 3000 < 0.05)
   }
+
+  test("quantile sketch: bounded rank error on shuffled input") {
+    val rnd = new scala.util.Random(11)
+    val n = 50000
+    val xs = rnd.shuffle((1 to n).map(_.toDouble).toVector)
+    val sk = xs.foldLeft(Sketches.emptyQuantile(256))(_.add(_))
+    assert(sk.n == n)
+    // values ARE their own ranks here, so the estimate's rank error is
+    // |estimate - q*n|; the compactor bound at k=256 is well under 2%
+    Seq(0.01, 0.25, 0.5, 0.75, 0.95, 0.99).foreach { q =>
+      val est = sk.quantile(q)
+      assert(math.abs(est - q * n) <= 0.02 * n,
+        s"q=$q est=$est true=${q * n}")
+    }
+  }
+
+  test("quantile sketch merge stays within bound in any merge order") {
+    val rnd = new scala.util.Random(23)
+    val n = 40000
+    val xs = rnd.shuffle((1 to n).map(_.toDouble).toVector)
+    val parts = xs.grouped(7001)
+      .map(_.foldLeft(Sketches.emptyQuantile(256))(_.add(_))).toSeq
+    val fwd = parts.reduceLeft(_.mergeWith(_))
+    val rev = parts.reverse.reduceLeft(_.mergeWith(_))
+    Seq(fwd, rev).foreach { m =>
+      assert(m.n == n)
+      Seq(0.1, 0.5, 0.9).foreach { q =>
+        assert(math.abs(m.quantile(q) - q * n) <= 0.03 * n,
+          s"q=$q est=${m.quantile(q)}")
+      }
+    }
+  }
+
+  test("distributed quantile sketch over Spark: doc-length p50/p95") {
+    import spark.implicits._
+    val lens = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST(length(text) AS DOUBLE)").as("len")).as[Double]
+    val sk = lens.repartition(8)
+      .select(new Sketches.QuantileAggregator(256).toColumn).head()
+    val exact = lens.collect().sorted
+    val n = exact.length
+    Seq(0.5, 0.95).foreach { q =>
+      val est = sk.quantile(q)
+      val estRank = exact.count(_ <= est)
+      assert(math.abs(estRank - q * n) <= math.max(0.05 * n, 3.0),
+        s"q=$q est=$est rank=$estRank n=$n")
+    }
+  }
 }
