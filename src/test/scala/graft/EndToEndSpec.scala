@@ -81,6 +81,39 @@ class EndToEndSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(row.getAs[Double]("area_ratio") - 1.0) < 1e-9)
   }
 
+  test("training-data assembly end-to-end: curate -> pack -> write -> read") {
+    import org.apache.spark.sql.functions._
+    // the full beyond-reference pipeline over the real documents table:
+    // quality gate + exact + near dedup, token-budget packing per lang,
+    // sharded sorted parquet layout, and a trainer-side read-back
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val curated = graft.operators.CorpusPipeline.curate(docs)
+    val nIn = docs.count(); val nOut = curated.count()
+    assert(nOut > 0 && nOut <= nIn) // curation only narrows
+    val packed = queries.TrainingData.packShards(
+      curated.select(col("doc_id"), col("lang"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)")
+          .as("n_tok")),
+      Seq("lang"), "doc_id")
+      .select("lang", "doc_id", "n_tok", "shard")
+    val out = java.nio.file.Files.createTempDirectory("graft-e2e-shards").toString
+    graft.operators.ShardWriter.writeShards(packed, out, Seq("lang"), "doc_id")
+    val back = spark.read.parquet(out)
+    assert(back.count() == nOut) // every curated doc landed in a shard
+    // shard numbering is contiguous from 0 within each lang (exact
+    // budget semantics are q48/q52's oracle-checked core)
+    // partition-column inference reads `shard` back as INT — cast
+    back.groupBy("lang")
+      .agg(min(col("shard").cast("long")).as("lo"),
+        max(col("shard").cast("long")).as("hi"),
+        countDistinct("shard").as("n"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 0L && r.getLong(3) == r.getLong(2) + 1, r)
+      }
+    assert(back.select("lang").distinct().count() ==
+      curated.select("lang").distinct().count())
+  }
+
   test("incremental catalog poll dedups re-polled products by uuid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
