@@ -21,7 +21,8 @@ object SparkEntry {
     TextAnalysis,
     TrainingData,
     Dedup,
-    SimSearch)
+    SimSearch,
+    CorpusMaintenance)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for an append-only lake without a table
+  * format: keyed UPSERT (SCD-1 merge) and snapshot DIFF — the two
+  * primitives behind incremental corpus refreshes ("this week's crawl
+  * updates/extends last week's corpus"; the reference's analog is the
+  * date-windowed re-poll that re-returns known products,
+  * `/root/reference/code/imagery_store.py:184`).
+  *
+  * Scale design: both are ONE full-outer equi-join on the key — the
+  * minimal shuffle for reconciling two keyed datasets; no windows, no
+  * skew (keys are unique per side). On a real lake the snapshots are
+  * bucketed by the key, making the join exchange-free (BucketingSpec
+  * proves the co-located pattern).
+  */
+object SnapshotOps {
+
+  /** SCD-1 upsert: rows of `updates` replace same-key rows of `base`;
+    * unmatched update rows are inserts. Column sets must match.
+    * Output columns: key, then base's non-key columns (values
+    * update-wins), plus `src` ∈ {inserted, updated, carried}.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.filterNot(_ == key).toSeq
+    val b = base.as("b"); val u = updates.as("u")
+    val picked = cols.map(c =>
+      coalesce(col(s"u.$c"), col(s"b.$c")).as(c))
+    val src = when(col(s"b.$key").isNull, lit("inserted"))
+      .when(col(s"u.$key").isNotNull, lit("updated"))
+      .otherwise(lit("carried")).as("src")
+    b.join(u, col(s"b.$key") === col(s"u.$key"), "full_outer")
+      .select(coalesce(col(s"u.$key"), col(s"b.$key")).as(key) +:
+        (picked :+ src): _*)
+  }
+
+  /** Change classification between two snapshots by key, using
+    * `fpCol` as the content fingerprint: added / deleted / updated /
+    * unchanged.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      fpCol: String): DataFrame = {
+    val o = oldSnap.as("o"); val n = newSnap.as("n")
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        coalesce(col(s"n.$key"), col(s"o.$key")).as(key),
+        when(col(s"o.$key").isNull, lit("added"))
+          .when(col(s"n.$key").isNull, lit("deleted"))
+          .when(col(s"o.$fpCol") =!= col(s"n.$fpCol"), lit("updated"))
+          .otherwise(lit("unchanged")).as("change"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Incremental corpus maintenance (operators/SnapshotOps) plus
+  * balanced per-group sampling — the refresh-cycle tier of a
+  * training-data pipeline: "merge this crawl into the corpus, report
+  * what changed, draw a balanced eval slice".
+  *
+  * The update/delete workloads are synthesized DETERMINISTICALLY from
+  * the documents table (modulus gates on doc_id), so both engines see
+  * the same snapshots and the oracle is plain SQL.
+  */
+object CorpusMaintenance extends QueryModule {
+
+  import TextAnalysis.{toksD}
+
+  // new crawl: docs % 7 == 0 re-crawled with changed content (fp from
+  // the REVERSED token stream), plus brand-new ids above 1e6 for
+  // docs % 13 == 0
+  private def fpS(tokExpr: String) = s"md5(concat_ws(' ', $tokExpr))"
+  private def fpD(tokExpr: String) = s"md5(array_to_string($tokExpr, ' '))"
+  private val toksSpark = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  // ---------------------------------------------------------------
+  // q66 — keyed SCD-1 upsert (SnapshotOps.upsert): updates replace,
+  // unmatched updates insert, everything else carries. One full-outer
+  // equi-join; per-lang counts by change source.
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+    val base = docs
+      .select(col("doc_id"), col("lang"), expr(fpS(toksSpark)).as("fp"))
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"),
+        expr(s"md5(concat_ws(' ', reverse($toksSpark)))").as("fp"))
+      .unionByName(
+        docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            expr(fpS(toksSpark)).as("fp")))
+    graft.operators.SnapshotOps.upsert(base, updates, "doc_id")
+      .groupBy("lang", "src").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "src")
+  }
+
+  private val q66Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, ${fpD(toksD)} AS fp FROM documents),
+       |updates AS (
+       |  SELECT doc_id, lang,
+       |    md5(array_to_string(list_reverse($toksD), ' ')) AS fp
+       |  FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, ${fpD(toksD)} FROM documents
+       |  WHERE doc_id % 13 = 0),
+       |merged AS (
+       |  SELECT COALESCE(u.lang, b.lang) AS lang,
+       |    CASE WHEN b.doc_id IS NULL THEN 'inserted'
+       |         WHEN u.doc_id IS NOT NULL THEN 'updated'
+       |         ELSE 'carried' END AS src
+       |  FROM base b FULL OUTER JOIN updates u ON u.doc_id = b.doc_id)
+       |SELECT lang, src, COUNT(*) AS n FROM merged
+       |GROUP BY lang, src
+       |ORDER BY lang, src""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q67 — snapshot DIFF (SnapshotOps.diff): classify keys across two
+  // crawls as added / deleted / updated / unchanged by content
+  // fingerprint; per-lang change report. Deletions modeled as
+  // doc_id % 11 == 0 missing from the new snapshot.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val old = T.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(fpS(toksSpark)).as("fp"))
+    val neu = T.documents(s, dir)
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0,
+          expr(s"md5(concat_ws(' ', reverse($toksSpark)))"))
+          .otherwise(expr(fpS(toksSpark))).as("fp"))
+      .unionByName(
+        T.documents(s, dir).filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            expr(fpS(toksSpark)).as("fp")))
+    val langs = old.select(col("doc_id"), col("lang"))
+      .unionByName(neu.select(col("doc_id"), col("lang"))).distinct()
+    graft.operators.SnapshotOps.diff(old, neu, "doc_id", "fp")
+      .join(langs, "doc_id")
+      .groupBy("lang", "change").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "change")
+  }
+
+  private val q67Sql =
+    s"""WITH old AS (
+       |  SELECT doc_id, lang, ${fpD(toksD)} AS fp FROM documents),
+       |neu AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN md5(array_to_string(list_reverse($toksD), ' '))
+       |      ELSE ${fpD(toksD)} END AS fp
+       |  FROM documents WHERE doc_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, ${fpD(toksD)} FROM documents
+       |  WHERE doc_id % 13 = 0),
+       |d AS (
+       |  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'deleted'
+       |         WHEN o.fp <> n.fp THEN 'updated'
+       |         ELSE 'unchanged' END AS change
+       |  FROM old o FULL OUTER JOIN neu n ON n.doc_id = o.doc_id),
+       |langs AS (
+       |  SELECT DISTINCT doc_id, lang FROM (
+       |    SELECT doc_id, lang FROM old
+       |    UNION ALL SELECT doc_id, lang FROM neu))
+       |SELECT l.lang, d.change, COUNT(*) AS n
+       |FROM d JOIN langs l USING (doc_id)
+       |GROUP BY l.lang, d.change
+       |ORDER BY l.lang, d.change""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q68 — BALANCED per-group sample: exactly min(k, group size) docs
+  // per lang, picked by deterministic hash order (reproducible across
+  // runs and engines, unlike rand()) — the eval-slice draw. The rank
+  // window collapses to WindowGroupLimit: no full per-group sort
+  // materialization.
+  private val sampleK = 5
+  private val gateHashS =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+  private val gateHashD =
+    "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    T.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(gateHashS).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= sampleK)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
+  private val q68Sql =
+    s"""SELECT lang, rk, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY $gateHashD, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $sampleK
+       |ORDER BY lang, rk""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_snapshot_upsert" -> (q66 _),
+    "q67_snapshot_diff" -> (q67 _),
+    "q68_balanced_sample" -> (q68 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q66_snapshot_upsert" -> q66Sql,
+    "q67_snapshot_diff" -> q67Sql,
+    "q68_balanced_sample" -> q68Sql)
+}
