@@ -43,17 +43,22 @@ object BloomPrune {
     val spark = large.sparkSession
     BloomFunctions.register(spark)
     import spark.implicits._
+    // Key normalization: try_cast (NOT cast — ANSI mode throws on
+    // malformed input) + drop NULLs. A plain semi join silently drops
+    // NULL/malformed keys, so the pruned form must too — and the
+    // primitive Long encoder in the aggregation would throw on NULLs.
+    val smallKeys = small
+      .select(expr(s"try_cast($smallKey AS BIGINT)").as(largeKey)).na.drop
     // one-row aggregate: the filter itself is the only thing collected
-    val filter = small.select(col(smallKey).cast("long")).as[Long]
+    val filter = smallKeys.as[Long]
       .select(new Bloom.BloomAggregator(numBits, k).toColumn)
       .head()
     large
       .withColumn("__bloom", lit(filter.words))
       .filter(expr(
-        s"bloom_might_contain(__bloom, $k, CAST($largeKey AS BIGINT))"))
+        s"bloom_might_contain(__bloom, $k, try_cast($largeKey AS BIGINT))"))
       .drop("__bloom")
-      .join(small.select(col(smallKey).as(largeKey)).distinct(),
-        Seq(largeKey), "left_semi")
+      .join(smallKeys.distinct(), Seq(largeKey), "left_semi")
       .select(large.columns.map(col).toIndexedSeq: _*) // original column order
   }
 }

@@ -58,7 +58,11 @@ object Components {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    parent.keysIterator.map(v => v -> find(v)).toMap
+    // snapshot the key set before the final resolve: find() mutates
+    // the map (path compression), and mutating a mutable.HashMap while
+    // iterating it is not contractually safe
+    val ks = parent.keys.toArray
+    ks.iterator.map(v => v -> find(v)).toMap
   }
 
   /** @param edges columns (src, dst) — undirected, any orientation.

@@ -26,8 +26,13 @@ object SnapshotOps {
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = base.columns.filterNot(_ == key).toSeq
     val b = base.as("b"); val u = updates.as("u")
+    // Row-wise replace keyed on the update's KEY presence, not
+    // per-column coalesce: a matched update that legitimately sets a
+    // column to NULL must win over the stale base value (SCD-1
+    // replace semantics).
     val picked = cols.map(c =>
-      coalesce(col(s"u.$c"), col(s"b.$c")).as(c))
+      when(col(s"u.$key").isNotNull, col(s"u.$c"))
+        .otherwise(col(s"b.$c")).as(c))
     val src = when(col(s"b.$key").isNull, lit("inserted"))
       .when(col(s"u.$key").isNotNull, lit("updated"))
       .otherwise(lit("carried")).as("src")

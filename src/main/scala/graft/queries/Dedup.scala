@@ -59,8 +59,9 @@ object Dedup extends QueryModule {
   // downstream query (self-joins), and Spark re-executes common
   // subplans per reference. At cluster scale the same move is
   // "materialize the shingle index once" — the standard two-phase
-  // similarity-join layout. The index stores the 64-bit shingle HASH,
-  // not the string: the self-join shuffles 8-byte keys instead of
+  // similarity-join layout. The index stores the 32-bit shingle hash
+  // (in a BIGINT column — first 8 md5 hex chars, matching the n²/2³²
+  // collision estimate), not the string: the self-join shuffles 8-byte keys instead of
   // ~25-byte 3-gram strings (collisions are ~n²/2³² rare and
   // identical across engines, so the oracle still matches exactly).
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -302,9 +303,13 @@ object Dedup extends QueryModule {
   // propagation, one join+agg per round, diameter-bounded); oracle:
   // DuckDB recursive transitive closure.
   /** (doc_id, component) labels over the LSH candidate graph — the
-    * shared core of q57 and q60.
+    * shared core of q57, q60, and q70. `maxLocalEdges` passes through
+    * to the size-adaptive Components operator (0 forces the
+    * distributed join loop — the 100 TB code path, certified by q70
+    * under the same oracle as q57).
     */
-  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+  private def ccLabels(s: SparkSession, dir: String,
+      maxLocalEdges: Long = 1L << 22): DataFrame = {
     val sig = signatures(s, dir)
     val edges = sig.as("a").join(sig.as("b"),
         col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
@@ -313,7 +318,8 @@ object Dedup extends QueryModule {
       .agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= 2)
       .select("src", "dst")
-    graft.operators.Components.connectedComponents(edges)
+    graft.operators.Components
+      .connectedComponents(edges, maxLocalEdges = maxLocalEdges)
       .select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
@@ -440,6 +446,130 @@ object Dedup extends QueryModule {
        |GROUP BY b.lang
        |ORDER BY b.lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q69 — the SKEW-SAFE certified near-dup shape: q28's inverted-index
+  // Jaccard with a document-frequency cutoff on shingles. A stopword
+  // 3-gram ("one of the") appearing in f docs contributes f² join rows
+  // on ONE key in q28's self-join — the one scale risk flagged in the
+  // round-3 audit. Here the few shingles above the df bound (a tiny
+  // list) are aggregated and BROADCAST into an anti-join, so hot keys
+  // never reach the self-join shuffle; Jaccard is then exact over the
+  // pruned shingle sets (same semantics as
+  // CorpusPipeline.Config.maxShingleDf). Hot shingles carry no
+  // near-dup signal, so the cutoff is also a precision win. The
+  // broadcast-anti-before-self-join plan is pinned in PlanShapeSpec.
+  // Cutoff 4 ≈ the 99th-percentile document frequency of the sf0.01
+  // corpus, so the filter genuinely fires under the driver's gate
+  // (151 hot shingles dropped) — not a vacuous bound above max(df).
+  private[graft] val q69MaxDf = 4L
+
+  private def prunedShingles(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "shingled_pruned") {
+      val sh = shingled(s, dir)
+      val hot = sh.groupBy("hs").agg(count(lit(1)).as("df"))
+        .filter(col("df") > q69MaxDf).select("hs")
+      sh.join(broadcast(hot), Seq("hs"), "left_anti")
+    }
+
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val pr = prunedShingles(s, dir)
+    val sizes = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pr.as("a").join(pr.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  private val q69Sql =
+    s"""WITH $duckShingles,
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
+       |hot AS (SELECT hs FROM shh GROUP BY hs HAVING COUNT(*) > $q69MaxDf),
+       |pr AS (SELECT * FROM shh WHERE hs NOT IN (SELECT hs FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM pr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM pr a JOIN pr b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY jaccard DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q70 — the DISTRIBUTED connected-components loop under the oracle
+  // gate: q57's exact computation with maxLocalEdges = 0, forcing the
+  // iterative join + double-pointer-jumping path
+  // (operators/Components.scala) that runs when the candidate graph
+  // exceeds driver memory — the 100 TB code path. Same DuckDB oracle
+  // (and hence, per the driver's hash compare, identical output) as
+  // q57's union-find fast path.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir, maxLocalEdges = 0).orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // q71 — the streaming near-dup detector's batch twin under the
+  // oracle gate: StreamingNearDup.bandCandidates (the SAME
+  // flatMapGroupsWithState code that runs under readStream) executed
+  // on the documents table as a batch Dataset, reduced to candidate
+  // pairs (first bucket occupant vs later arrival, >= 2 of 4 shared
+  // bands — q30's threshold on the streaming parameter table). In
+  // batch mode each (band, band_val) group sees all arrivals at once
+  // with empty state, so first = min doc_id — exactly what the DuckDB
+  // twin states in closed form.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        col("text"))
+      .as[graft.streaming.StreamingNearDup.DocEvent]
+    graft.streaming.StreamingNearDup.bandCandidates(docs)(s)
+      .toDF()
+      .filter(col("seen_before"))
+      .groupBy(col("first_doc").as("doc_a"), col("doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // streaming band params = first 4 rows of the MinHash table
+  private val q71Values = mhParams.take(4)
+    .map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  private val q71Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${h32D("t")} % $P AS h
+       |  FROM (SELECT doc_id, unnest($toksD) AS t FROM documents)),
+       |params AS (SELECT * FROM (VALUES $q71Values) t(i, a, b)),
+       |bv AS (
+       |  SELECT doc_id, i AS band, MIN((a * h + b) % $P) AS band_val
+       |  FROM tok CROSS JOIN params GROUP BY 1, 2),
+       |b AS (
+       |  SELECT d.doc_id, p.i AS band,
+       |    COALESCE(bv.band_val, CAST(-1 AS BIGINT)) AS band_val
+       |  FROM documents d CROSS JOIN params p
+       |  LEFT JOIN bv ON bv.doc_id = d.doc_id AND bv.band = p.i),
+       |firsts AS (
+       |  SELECT band, band_val, MIN(doc_id) AS doc_a
+       |  FROM b GROUP BY 1, 2)
+       |SELECT f.doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |FROM b JOIN firsts f ON f.band = b.band AND f.band_val = b.band_val
+       |WHERE b.doc_id <> f.doc_a
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -449,7 +579,10 @@ object Dedup extends QueryModule {
     "q32_simhash_neardup" -> (q32 _),
     "q57_dup_clusters" -> (q57 _),
     "q58_contamination" -> (q58 _),
-    "q60_cluster_reps" -> (q60 _))
+    "q60_cluster_reps" -> (q60 _),
+    "q69_neardup_df_cutoff" -> (q69 _),
+    "q70_cc_distributed" -> (q70 _),
+    "q71_streaming_neardup_batch" -> (q71 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -460,5 +593,8 @@ object Dedup extends QueryModule {
     "q32_simhash_neardup" -> q32Sql,
     "q57_dup_clusters" -> q57Sql,
     "q58_contamination" -> q58Sql,
-    "q60_cluster_reps" -> q60Sql)
+    "q60_cluster_reps" -> q60Sql,
+    "q69_neardup_df_cutoff" -> q69Sql,
+    "q70_cc_distributed" -> q57Sql, // identical semantics, forced distributed path
+    "q71_streaming_neardup_batch" -> q71Sql)
 }

@@ -150,6 +150,96 @@ object GeoQueries extends QueryModule {
        |ORDER BY zkey, p_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q72 — the reference's WHOLE flagship pipeline (E3: catalog filter →
+  // attribute unpack → spatial join → coverage score → per-AOI argmax
+  // with recency tie-break) in its BATCH/scale form,
+  // ProductSelect.bestPerAoi, under the oracle gate. The catalog is
+  // synthesized from part integers (q38/q59's footprint generator +
+  // an Attributes array like the reference's OData payload), AOIs from
+  // nation (q59's 25 boxes); the DuckDB twin is the brute-force
+  // overlay + window argmax. OriginDate is injective in p_partkey so
+  // the (area_ratio DESC, origin_date DESC) tie-break is a total
+  // order — both engines must pick the same winner. All ratios are
+  // integer-valued-double divisions by the constant AOI area (80):
+  // IEEE-identical across engines, so the hash compare is exact.
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val catalog = T.part(s, dir)
+      .withColumn("x1", expr(fx1)).withColumn("y1", expr(fy1))
+      .withColumn("x2", expr(fx2)).withColumn("y2", expr(fy2))
+      .withColumn("geom", expr(
+        """concat('POLYGON ((', CAST(x1 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y1 AS INT), ', ',
+          | CAST(x2 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y2 AS INT), ', ',
+          | CAST(x1 AS INT), ' ', CAST(y1 AS INT), '))')""".stripMargin))
+      .select(
+        col("p_partkey").cast("string").as("Id"),
+        concat(lit("S2A_MSIL2A_"),
+          lpad(col("p_partkey").cast("string"), 7, "0")).as("Name"),
+        concat(lit("/eodata/"), col("p_partkey").cast("string")).as("S3Path"),
+        lpad(col("p_partkey").cast("string"), 9, "0").as("OriginDate"),
+        struct(lit("2024-06-01T00:00:00.000Z").as("Start"),
+          lit("2024-06-01T00:10:00.000Z").as("End")).as("ContentDate"),
+        lit("SENTINEL-2").as("Collection"),
+        col("geom").as("footprint_wkt"),
+        array(
+          struct(lit("cloudCover").as("Name"),
+            (col("p_partkey") % 10).cast("string").as("Value")),
+          struct(lit("productType").as("Name"), lit("S2MSI2A").as("Value")),
+          struct(lit("tileId").as("Name"),
+            concat(lit("T"), (col("p_partkey") % 60).cast("string")).as("Value")),
+          struct(lit("relativeOrbitNumber").as("Name"),
+            (col("p_partkey") % 143).cast("string").as("Value"))).as("Attributes"))
+    val aois = T.nation(s, dir)
+      .withColumn("ax1", expr(aoiX1)).withColumn("ay1", expr(aoiY1))
+      .withColumn("aoi_wkt", expr(
+        """concat('POLYGON ((', CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), ', ',
+          | CAST(ax1 + 10 AS INT), ' ', CAST(ay1 AS INT), ', ',
+          | CAST(ax1 + 10 AS INT), ' ', CAST(ay1 + 8 AS INT), ', ',
+          | CAST(ax1 AS INT), ' ', CAST(ay1 + 8 AS INT), ', ',
+          | CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), '))')""".stripMargin))
+      .select(col("n_nationkey").as("aoi_id"), col("aoi_wkt"))
+    graft.operators.ProductSelect
+      .bestPerAoi(s, catalog, aois, cellSize = 8.0)
+      .select(col("aoi_id").cast("long").as("aoi_id"), col("uuid"),
+        col("area_ratio"), col("name"), col("origin_date"), col("tile"),
+        col("cloudcoverage"))
+      .orderBy("aoi_id")
+  }
+
+  private val q72Sql =
+    s"""WITH f AS (
+       |  SELECT p_partkey, x1, y1, x2, y2,
+       |    CAST(p_partkey AS VARCHAR) AS uuid,
+       |    'S2A_MSIL2A_' || lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS name,
+       |    lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS origin_date,
+       |    'T' || CAST(p_partkey % 60 AS VARCHAR) AS tile,
+       |    CAST(p_partkey % 10 AS DOUBLE) AS cloudcoverage
+       |  FROM (
+       |    SELECT p_partkey, $fx1 AS x1, $fy1 AS y1, $fx2 AS x2, $fy2 AS y2
+       |    FROM part WHERE p_partkey % 10 <= 4)),
+       |a AS (
+       |  SELECT n_nationkey AS aoi_id, $aoiX1 AS ax1, $aoiY1 AS ay1
+       |  FROM nation),
+       |scored AS (
+       |  SELECT a.aoi_id, f.uuid,
+       |    GREATEST(0, LEAST(f.x2, a.ax1 + 10) - GREATEST(f.x1, a.ax1))
+       |      * GREATEST(0, LEAST(f.y2, a.ay1 + 8) - GREATEST(f.y1, a.ay1))
+       |      / 80.0 AS area_ratio,
+       |    f.name, f.origin_date, f.tile, f.cloudcoverage
+       |  FROM f CROSS JOIN a
+       |  WHERE LEAST(f.x2, a.ax1 + 10) > GREATEST(f.x1, a.ax1)
+       |    AND LEAST(f.y2, a.ay1 + 8) > GREATEST(f.y1, a.ay1)),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY aoi_id
+       |    ORDER BY area_ratio DESC, origin_date DESC) AS rn
+       |  FROM scored)
+       |SELECT CAST(aoi_id AS BIGINT) AS aoi_id, uuid, area_ratio,
+       |  name, origin_date, tile, cloudcoverage
+       |FROM ranked WHERE rn = 1
+       |ORDER BY aoi_id""".stripMargin
+
+  // ---------------------------------------------------------------
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val sumVal = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
@@ -172,11 +262,13 @@ object GeoQueries extends QueryModule {
     "q38_geo_coverage" -> (q38 _),
     "q39_pivot" -> (q39 _),
     "q59_spatial_join" -> (q59 _),
-    "q62_zorder_key" -> (q62 _))
+    "q62_zorder_key" -> (q62 _),
+    "q72_best_per_aoi" -> (q72 _))
 
   override val oracle: Map[String, String] = Map(
     "q38_geo_coverage" -> q38Sql,
     "q39_pivot" -> q39Sql,
     "q59_spatial_join" -> q59Sql,
-    "q62_zorder_key" -> q62Sql)
+    "q62_zorder_key" -> q62Sql,
+    "q72_best_per_aoi" -> q72Sql)
 }

@@ -43,6 +43,21 @@ class BloomSpec extends AnyFunSuite with SharedSpark {
     assert(pruned == plain && pruned.nonEmpty)
   }
 
+  test("prunedSemiJoin tolerates NULL keys on the small side") {
+    import spark.implicits._
+    val large = (1L to 100L).map(i => (i, i % 7)).toDF("id", "key")
+    // a NULL key and a non-castable string key (casts to NULL) must be
+    // dropped like the plain semi join drops them — not NPE in the
+    // primitive-Long aggregation
+    val small = Seq(Some("3"), None, Some("x")).toDF("k")
+    val pruned = BloomPrune.prunedSemiJoin(large, "key", small, "k")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val plain = large.join(small,
+        large("key") === expr("try_cast(k AS BIGINT)"), "left_semi")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(pruned == plain && pruned.nonEmpty)
+  }
+
   test("the bloom membership filter sits before the join in the plan") {
     import spark.implicits._
     // parquet-backed large side: over a LocalRelation the optimizer

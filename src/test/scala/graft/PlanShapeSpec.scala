@@ -148,4 +148,26 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "SortMergeJoin") == 0)
     assert(countNodes(p, "TakeOrderedAndProject") == 1)
   }
+
+  test("q69 df-cutoff near-dup: hot shingles leave via a broadcast " +
+      "anti-join BEFORE the pair self-join") {
+    val p = formatted("q69_neardup_df_cutoff")
+    // the certified skew-safe shape: the tiny hot-shingle list
+    // broadcasts into a LeftAnti hash join on the shingle index, so
+    // skewed keys never reach the self-join's shuffle
+    assert(p.contains("BroadcastHashJoin LeftAnti BuildRight"), p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
+    assert(countNodes(p, "TakeOrderedAndProject") == 1)
+  }
+
+  test("q72 bestPerAoi: cell equi-join, rank-1 collapses to group limit") {
+    val p = formatted("q72_best_per_aoi")
+    // thousands of AOIs x footprints must go through the grid-bucket
+    // equi-join — never a cross product — and the per-AOI argmax must
+    // collapse to a pre-shuffle WindowGroupLimit
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
