@@ -1,0 +1,356 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** JPEG 2000 (JP2) input support for S5 — the one reference data path
+  * whose pixels the engine previously never touched
+  * (`/root/reference/code/tx.py:26,38,42` reads Sentinel-2 band
+  * rasters through rasterio/OpenJPEG).
+  *
+  * Scope decision (SURVEY §2.1 S5): a from-scratch EBCOT/MQ entropy
+  * decoder cannot be validated in this container (no imaging
+  * libraries to produce or cross-check real codestreams), so the
+  * DETERMINISTIC stages are implemented for real and the entropy
+  * stage is an explicit, loudly-failing extension point:
+  *
+  *   - [[Jp2.parseHeader]] — real: JP2 container boxes (signature/
+  *     ftyp/jp2h/ihdr/jp2c, ISO 15444-1 §I.4-I.5) and codestream
+  *     markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC, ITU-T T.800 Annex A),
+  *     including the Sentinel-2 profile fields (image/tile grid,
+  *     component bit depth, decomposition levels, 5/3 vs 9/7,
+  *     code-block geometry, tile-part layout);
+  *   - [[Wavelet53]] — real: the reversible 5/3 lifting DWT
+  *     (ITU-T T.800 Annex F), forward + inverse, multi-level 2-D,
+  *     property-tested to round-trip bit-exactly on any shape;
+  *   - [[Jp2.EntropyDecoder]] — the plug: tier-1/tier-2 (packet
+  *     parse + MQ arithmetic decode of code blocks) must be supplied;
+  *     the default [[Jp2.UnimplementedEntropy]] throws
+  *     UnsupportedOperationException naming exactly what is missing.
+  *
+  * [[Jp2.decode]] wires the three: with a real entropy stage plugged
+  * in it produces pixels (Jp2Spec proves this end-to-end by plugging
+  * a fake entropy stage that emits known wavelet coefficients);
+  * without one it fails loudly instead of silently mis-decoding.
+  */
+object Jp2 {
+
+  /** Parsed JP2/codestream structure — everything tier-2 needs. */
+  case class Header(
+      width: Int, height: Int, xOff: Int, yOff: Int,
+      tileWidth: Int, tileHeight: Int,
+      components: Int, bitDepth: Int, signed: Boolean,
+      levels: Int, reversible: Boolean,
+      progression: Int, layers: Int,
+      codeblockW: Int, codeblockH: Int,
+      tileParts: Seq[TilePart])
+
+  /** One SOT..SOD tile-part: `dataOffset`/`dataLength` locate the
+    * entropy-coded packet stream inside the original byte array.
+    */
+  case class TilePart(tileIndex: Int, partIndex: Int,
+      dataOffset: Int, dataLength: Int)
+
+  /** The extension point: turn the entropy-coded tile-part streams
+    * into the quantized wavelet-coefficient plane (Mallat layout,
+    * `width*height`, row-major) for one component.
+    */
+  trait EntropyDecoder {
+    def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int]
+  }
+
+  /** Default plug: refuse loudly. A silent zero-fill would mis-decode
+    * every pixel; the error names the missing stage and the contract.
+    */
+  object UnimplementedEntropy extends EntropyDecoder {
+    def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] =
+      throw new UnsupportedOperationException(
+        "JP2 entropy decode (EBCOT tier-1/tier-2: packet headers + MQ " +
+          "arithmetic decoding of code blocks, ITU-T T.800 Annexes B-D) " +
+          "is not implemented in this zero-dependency build. Header " +
+          s"parse succeeded ($header). Plug a graft.sources.Jp2" +
+          ".EntropyDecoder producing the Mallat-layout coefficient " +
+          "plane; Jp2.decode then applies the reversible 5/3 inverse " +
+          "DWT (implemented, tested) to yield pixels.")
+  }
+
+  /** Decode one component to pixels: header parse (real) → entropy
+    * stage (pluggable) → multi-level inverse 5/3 DWT (real) → DC
+    * level shift for unsigned components (T.800 G.1.2).
+    */
+  def decode(bytes: Array[Byte], component: Int = 0,
+      entropy: EntropyDecoder = UnimplementedEntropy): (Header, Array[Int]) = {
+    val h = parseHeader(bytes)
+    require(h.reversible,
+      "only the reversible (5/3) transform is supported; this " +
+        "codestream uses the irreversible 9/7")
+    val coeffs = entropy.decode(h, bytes, component)
+    require(coeffs.length == h.width * h.height,
+      s"entropy stage returned ${coeffs.length} coefficients for " +
+        s"${h.width}x${h.height}")
+    val px = Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
+    if (!h.signed) {
+      val shift = 1 << (h.bitDepth - 1)
+      var i = 0; while (i < px.length) { px(i) += shift; i += 1 }
+    }
+    (h, px)
+  }
+
+  // -- container / codestream parse --------------------------------
+
+  private val SIG_BOX = 0x6a502020 // 'jP\x20\x20'
+  private val FTYP = 0x66747970
+  private val JP2H = 0x6a703268
+  private val IHDR = 0x69686472
+  private val JP2C = 0x6a703263
+
+  /** Parse a JP2 container or a raw codestream (starts FF4F). */
+  def parseHeader(bytes: Array[Byte]): Header = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0x4f)
+      parseCodestream(buf, 0, bytes.length)
+    else parseBoxes(buf, bytes.length)
+  }
+
+  private def parseBoxes(buf: ByteBuffer, end: Int): Header = {
+    var off = 0
+    var codestream: Option[(Int, Int)] = None
+    var first = true
+    while (off + 8 <= end && codestream.isEmpty) {
+      val len0 = buf.getInt(off)
+      val btype = buf.getInt(off + 4)
+      val (payload, boxLen) =
+        if (len0 == 1) (off + 16, buf.getLong(off + 8).toInt) // XLBox
+        else if (len0 == 0) (off + 8, end - off)              // to EOF
+        else (off + 8, len0)
+      if (first) {
+        require(btype == SIG_BOX && buf.getInt(payload) == 0x0d0a870a,
+          "not a JP2 file: missing signature box")
+        first = false
+      }
+      if (btype == JP2C) codestream = Some((payload, off + boxLen))
+      off += boxLen
+      require(boxLen > 0, "corrupt box length")
+    }
+    val (cs, csEnd) = codestream.getOrElse(
+      throw new IllegalArgumentException("no jp2c codestream box"))
+    parseCodestream(buf, cs, csEnd)
+  }
+
+  private def parseCodestream(buf: ByteBuffer, start: Int, end: Int): Header = {
+    require((buf.get(start) & 0xff) == 0xff && (buf.get(start + 1) & 0xff) == 0x4f,
+      "codestream does not start with SOC")
+    var off = start + 2
+    var siz: Option[(Int, Int, Int, Int, Int, Int, Int, Int, Boolean)] = None
+    var cod: Option[(Int, Int, Int, Int, Int, Boolean)] = None
+    val tileParts = Seq.newBuilder[TilePart]
+    var done = false
+    while (!done && off + 2 <= end) {
+      val marker = ((buf.get(off) & 0xff) << 8) | (buf.get(off + 1) & 0xff)
+      marker match {
+        case 0xffd9 => done = true // EOC
+        case 0xff51 => // SIZ
+          val p = off + 4
+          val x = buf.getInt(p + 2); val y = buf.getInt(p + 6)
+          val xo = buf.getInt(p + 10); val yo = buf.getInt(p + 14)
+          val tw = buf.getInt(p + 18); val th = buf.getInt(p + 22)
+          val csiz = buf.getShort(p + 34) & 0xffff
+          val ssiz = buf.get(p + 36) & 0xff
+          siz = Some((x, y, xo, yo, tw, th, csiz,
+            (ssiz & 0x7f) + 1, (ssiz & 0x80) != 0))
+          off += 2 + (buf.getShort(off + 2) & 0xffff)
+        case 0xff52 => // COD
+          val p = off + 4
+          val prog = buf.get(p + 1) & 0xff
+          val layers = buf.getShort(p + 2) & 0xffff
+          val levels = buf.get(p + 5) & 0xff
+          val cbw = 1 << ((buf.get(p + 6) & 0x0f) + 2)
+          val cbh = 1 << ((buf.get(p + 7) & 0x0f) + 2)
+          val reversible = (buf.get(p + 9) & 0xff) == 1
+          cod = Some((prog, layers, levels, cbw, cbh, reversible))
+          off += 2 + (buf.getShort(off + 2) & 0xffff)
+        case 0xff90 => // SOT: Lsot Isot Psot TPsot TNsot, then th segments, SOD, data
+          val p = off + 4
+          val isot = buf.getShort(p) & 0xffff
+          val psot0 = buf.getInt(p + 2)
+          val tpsot = buf.get(p + 6) & 0xff
+          val psot = if (psot0 == 0) end - off else psot0 // 0 = to EOC
+          // walk tile-part header segments (COD/QCD/PLT/COM may appear
+          // here, T.800 A.4.2) until the SOD marker; data follows it
+          var q = off + 12
+          while (!(((buf.get(q) & 0xff) == 0xff) && (buf.get(q + 1) & 0xff) == 0x93))
+            q += 2 + (buf.getShort(q + 2) & 0xffff)
+          val dataOff = q + 2
+          tileParts += TilePart(isot, tpsot, dataOff, off + psot - dataOff)
+          off += psot
+        case m if m >= 0xff30 && m <= 0xff3f => off += 2 // segmentless
+        case _ => // any other segment: skip by its length
+          off += 2 + (buf.getShort(off + 2) & 0xffff)
+      }
+    }
+    val (x, y, xo, yo, tw, th, nc, depth, signed) = siz.getOrElse(
+      throw new IllegalArgumentException("codestream has no SIZ segment"))
+    val (prog, layers, levels, cbw, cbh, rev) = cod.getOrElse(
+      throw new IllegalArgumentException("codestream has no COD segment"))
+    Header(x - xo, y - yo, xo, yo, tw, th, nc, depth, signed,
+      levels, rev, prog, layers, cbw, cbh, tileParts.result())
+  }
+}
+
+/** Reversible 5/3 (LeGall) lifting wavelet, ITU-T T.800 Annex F:
+  * integer-exact, bit-perfect round trip. The 1-D transforms work on
+  * the INTERLEAVED signal (even = low, odd = high) with whole-sample
+  * symmetric extension (period 2n-2), which is how the spec defines
+  * boundary handling — the reflection of an even index is always
+  * even and of an odd index always odd, so each lifting step reads
+  * only already-final samples of the right parity.
+  */
+object Wavelet53 {
+
+  private def refl(i: Int, n: Int): Int =
+    if (n == 1) 0
+    else {
+      val p = 2 * n - 2
+      val j = ((i % p) + p) % p
+      if (j < n) j else p - j
+    }
+
+  /** Forward 1-D, interleaved in/out: y(odd) = high, y(even) = low. */
+  def forward1d(x: Array[Int]): Array[Int] = {
+    val n = x.length
+    if (n == 1) return x.clone()
+    val y = new Array[Int](n)
+    def xe(i: Int) = x(refl(i, n))
+    var i = 1
+    while (i < n) { // predict: d = x_odd - floor((left + right) / 2)
+      y(i) = x(i) - Math.floorDiv(xe(i - 1) + xe(i + 1), 2)
+      i += 2
+    }
+    def ye(i: Int) = y(refl(i, n)) // reflection of odd is odd: final
+    i = 0
+    while (i < n) { // update: s = x_even + floor((d_l + d_r + 2) / 4)
+      y(i) = x(i) + Math.floorDiv(ye(i - 1) + ye(i + 1) + 2, 4)
+      i += 2
+    }
+    y
+  }
+
+  /** Inverse 1-D, exact inverse of [[forward1d]]. */
+  def inverse1d(y: Array[Int]): Array[Int] = {
+    val n = y.length
+    if (n == 1) return y.clone()
+    val x = new Array[Int](n)
+    def ye(i: Int) = y(refl(i, n))
+    var i = 0
+    while (i < n) { // un-update
+      x(i) = y(i) - Math.floorDiv(ye(i - 1) + ye(i + 1) + 2, 4)
+      i += 2
+    }
+    def xe(i: Int) = x(refl(i, n)) // reflection of even is even: final
+    i = 1
+    while (i < n) { // un-predict
+      x(i) = y(i) + Math.floorDiv(xe(i - 1) + xe(i + 1), 2)
+      i += 2
+    }
+    x
+  }
+
+  /** Split an interleaved line into [low | high] (Mallat order):
+    * low = ceil(n/2) even samples first.
+    */
+  private def deinterleave(y: Array[Int]): Array[Int] = {
+    val n = y.length; val nl = n - n / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(if (i % 2 == 0) i / 2 else nl + i / 2) = y(i); i += 1 }
+    out
+  }
+
+  private def interleave(m: Array[Int]): Array[Int] = {
+    val n = m.length; val nl = n - n / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) { out(i) = m(if (i % 2 == 0) i / 2 else nl + i / 2); i += 1 }
+    out
+  }
+
+  /** Multi-level forward 2-D over a row-major image: rows then
+    * columns per level, recursing on the LL (top-left) region.
+    * Output is the standard Mallat layout.
+    */
+  def forward2d(img: Array[Int], w: Int, h: Int, levels: Int): Array[Int] = {
+    require(img.length == w * h, s"${img.length} != $w x $h")
+    val a = img.clone()
+    var (cw, ch) = (w, h)
+    var lev = 0
+    while (lev < levels && (cw > 1 || ch > 1)) {
+      transformRegion(a, w, cw, ch, forward = true)
+      cw = cw - cw / 2; ch = ch - ch / 2
+      lev += 1
+    }
+    a
+  }
+
+  /** Multi-level inverse 2-D — exact inverse of [[forward2d]]. */
+  def inverse2d(coeffs: Array[Int], w: Int, h: Int, levels: Int): Array[Int] = {
+    require(coeffs.length == w * h, s"${coeffs.length} != $w x $h")
+    val a = coeffs.clone()
+    // Rebuild the REGION sizes forward transformed per level (LL_0 =
+    // full image down to LL_{levels-1}), prepending as we descend so
+    // the list ends up innermost-first — the order the inverse must
+    // undo them in.
+    var regions = List.empty[(Int, Int)]
+    var (cw, ch) = (w, h)
+    var lev = 0
+    while (lev < levels && (cw > 1 || ch > 1)) {
+      regions = (cw, ch) :: regions
+      cw = cw - cw / 2; ch = ch - ch / 2
+      lev += 1
+    }
+    for ((lw, lh) <- regions) transformRegion(a, w, lw, lh, forward = false)
+    a
+  }
+
+  /** One level over the top-left cw×ch region of a row-major array
+    * with full-image stride `stride`.
+    */
+  private def transformRegion(a: Array[Int], stride: Int, cw: Int, ch: Int,
+      forward: Boolean): Unit = {
+    val row = new Array[Int](cw)
+    val colBuf = new Array[Int](ch)
+    if (forward) {
+      var r = 0
+      while (r < ch) {
+        System.arraycopy(a, r * stride, row, 0, cw)
+        val t = deinterleave(forward1d(row))
+        System.arraycopy(t, 0, a, r * stride, cw)
+        r += 1
+      }
+      var c = 0
+      while (c < cw) {
+        var r2 = 0
+        while (r2 < ch) { colBuf(r2) = a(r2 * stride + c); r2 += 1 }
+        val t = deinterleave(forward1d(colBuf))
+        r2 = 0
+        while (r2 < ch) { a(r2 * stride + c) = t(r2); r2 += 1 }
+        c += 1
+      }
+    } else {
+      var c = 0
+      while (c < cw) {
+        var r2 = 0
+        while (r2 < ch) { colBuf(r2) = a(r2 * stride + c); r2 += 1 }
+        val t = inverse1d(interleave(colBuf))
+        r2 = 0
+        while (r2 < ch) { a(r2 * stride + c) = t(r2); r2 += 1 }
+        c += 1
+      }
+      var r = 0
+      while (r < ch) {
+        System.arraycopy(a, r * stride, row, 0, cw)
+        val t = inverse1d(interleave(row))
+        System.arraycopy(t, 0, a, r * stride, cw)
+        r += 1
+      }
+    }
+  }
+}
