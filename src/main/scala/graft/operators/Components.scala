@@ -40,6 +40,20 @@ object Components {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** [[pin]] plus the convergence metric (sum of the `comp` column,
+    * ordinal 1) computed as a raw job over the just-checkpointed
+    * blocks. The loop needs this sum every round; computing it with
+    * `agg(sum(...))` would pay a full Catalyst analyze/optimize/
+    * codegen cycle per iteration — measurable fixed cost that AQE
+    * can't remove — where a fold over the cached RDD partitions is
+    * planning-free.
+    */
+  private def pinWithCompSum(df: DataFrame): (DataFrame, Long) = {
+    val cp = df.localCheckpoint()
+    val sum = cp.rdd.aggregate(0L)((a, r) => a + r.getLong(1), _ + _)
+    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), sum)
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Union-find with path compression over an edge array — the
@@ -101,13 +115,11 @@ object Components {
     }
     // seed = one propagation round for free: comp(v) = min(v, min
     // neighbor) straight out of the first aggregation
-    var labels = sym.groupBy("src")
+    var (labels, prevSum) = pinWithCompSum(sym.groupBy("src")
       .agg(least(min(col("dst")), col("src")).as("comp"))
-      .select(col("src").as("id"), col("comp"))
-      .transform(pin)
+      .select(col("src").as("id"), col("comp")))
     // min-propagation monotonically decreases the label sum; fixpoint
-    // reached when the sum stops moving (one action per iteration)
-    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    // reached when the sum stops moving
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -134,16 +146,16 @@ object Components {
             .as("c1"))
       // second hop through the same pinned labels: two pointer jumps
       // per round, still one plan + one pin
-      val updated = hop1
+      val (updated, newSum) = pinWithCompSum(hop1
         .join(prev2, hop1("c1") === prev2("w_id"), "left")
         .select(hop1("id"),
-          least(col("c1"), coalesce(col("w_comp"), col("c1"))).as("comp"))
-        .transform(pin)
-      val newSum = updated.agg(sum("comp")).head().getLong(0)
+          least(col("c1"), coalesce(col("w_comp"), col("c1"))).as("comp")))
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
+      log.warn(s"connectedComponents round $iter labelSum=$newSum" +
+        (if (converged) " (fixpoint)" else ""))
     }
     if (!converged) {
       val msg = s"connectedComponents did not converge in $maxIter " +
