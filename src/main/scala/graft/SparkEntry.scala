@@ -22,7 +22,8 @@ object SparkEntry {
     TrainingData,
     Dedup,
     SimSearch,
-    CorpusMaintenance)
+    CorpusMaintenance,
+    PipelineOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):

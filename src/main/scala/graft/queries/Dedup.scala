@@ -308,16 +308,25 @@ object Dedup extends QueryModule {
     * distributed join loop — the 100 TB code path, certified by q70
     * under the same oracle as q57).
     */
+  /** LSH candidate edges (src < dst, ≥ 2 of 12 matching minhashes) —
+    * memoized: the SAME edge list feeds q57 (fast path), q60 (reps),
+    * q70 (forced-distributed path), and q80 (degree stats); build the
+    * signature self-join once per (session, sf dir).
+    */
+  private def candidateEdges(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "cc_edges") {
+      val sig = signatures(s, dir)
+      sig.as("a").join(sig.as("b"),
+          col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .agg(count(lit(1)).as("n_match"))
+        .filter(col("n_match") >= 2)
+    }
+
   private def ccLabels(s: SparkSession, dir: String,
       maxLocalEdges: Long = 1L << 22): DataFrame = {
-    val sig = signatures(s, dir)
-    val edges = sig.as("a").join(sig.as("b"),
-        col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .agg(count(lit(1)).as("n_match"))
-      .filter(col("n_match") >= 2)
-      .select("src", "dst")
+    val edges = candidateEdges(s, dir).select("src", "dst")
     graft.operators.Components
       .connectedComponents(edges, maxLocalEdges = maxLocalEdges)
       .select(col("id").as("doc_id"), col("comp").as("component"))
@@ -570,6 +579,97 @@ object Dedup extends QueryModule {
        |HAVING COUNT(*) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q78 — MinHash estimation AUDIT: for every LSH candidate pair,
+  // the signature-estimated Jaccard (matching minhashes / 12) next
+  // to the EXACT shingle-set Jaccard, with the absolute error — the
+  // quality gauge a pipeline publishes before trusting approximate
+  // dedup at 100 TB. All three inputs are memoized plans (candidate
+  // edges, shingle index, set sizes); the exact intersection reuses
+  // q28's inverted-index join — never per-pair set materialization.
+  // est/exact are single IEEE divisions of exact integers; round(·,6)
+  // for presentation uniformity with the other float outputs.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    candidateEdges(s, dir)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"), col("n_match"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("est_jaccard",
+        round(expr("CAST(n_match AS DOUBLE) / 12.0"), 6))
+      .withColumn("exact_jaccard",
+        round(expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"), 6))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .select("doc_a", "doc_b", "n_match", "est_jaccard", "exact_jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val q78Sql =
+    s"""WITH $duckSignatures,
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS h2 FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |  FROM sig a JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM shh a JOIN shh b ON b.h2 = a.h2 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_match,
+       |    round(CAST(c.n_match AS DOUBLE) / 12.0, 6) AS est_jaccard,
+       |    round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE), 6)
+       |      AS exact_jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_match, est_jaccard, exact_jaccard,
+       |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+       |FROM j ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q80 — candidate-graph degree histogram: per-node degree over the
+  // LSH candidate edges, rolled up to (degree, n_nodes) — THE skew
+  // diagnostic for the dedup path (a hub node = a hot bucket that
+  // becomes a straggler in the CC join loop; q69's df-cutoff is the
+  // mitigation this histogram justifies). Reuses the memoized edge
+  // list; two tiny shuffles on id then degree.
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val e = candidateEdges(s, dir)
+    e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val q80Sql =
+    s"""WITH $duckSignatures,
+       |edges AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS degree FROM (
+       |    SELECT doc_a AS id FROM edges
+       |    UNION ALL SELECT doc_b FROM edges)
+       |  GROUP BY id)
+       |SELECT degree, COUNT(*) AS n_nodes
+       |FROM deg GROUP BY degree
+       |ORDER BY degree""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -582,7 +682,9 @@ object Dedup extends QueryModule {
     "q60_cluster_reps" -> (q60 _),
     "q69_neardup_df_cutoff" -> (q69 _),
     "q70_cc_distributed" -> (q70 _),
-    "q71_streaming_neardup_batch" -> (q71 _))
+    "q71_streaming_neardup_batch" -> (q71 _),
+    "q78_jaccard_audit" -> (q78 _),
+    "q80_degree_stats" -> (q80 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -596,5 +698,7 @@ object Dedup extends QueryModule {
     "q60_cluster_reps" -> q60Sql,
     "q69_neardup_df_cutoff" -> q69Sql,
     "q70_cc_distributed" -> q57Sql, // identical semantics, forced distributed path
-    "q71_streaming_neardup_batch" -> q71Sql)
+    "q71_streaming_neardup_batch" -> q71Sql,
+    "q78_jaccard_audit" -> q78Sql,
+    "q80_degree_stats" -> q80Sql)
 }

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline analytics beyond the reference's own surface:
+  * behavioral funnels, interval/session coverage, boilerplate
+  * (repetition) detection, lexicon redaction, temperature-weighted
+  * language mixing, and n-gram LM scoring — the operations a
+  * training-data curation pipeline runs between "crawl landed" and
+  * "shards shipped".
+  *
+  * Scale notes per query are inline; the common discipline: one
+  * shuffle per logical reduction, exact integer arithmetic wherever
+  * the oracle hash-compares, `round(·, 6)` only to absorb ln()'s
+  * last-ulp wobble (same rule as q54's BM25), and every output in a
+  * total order.
+  */
+object PipelineOps extends QueryModule {
+
+  import TextAnalysis.{toksD}
+
+  // ---------------------------------------------------------------
+  // q73 — ordered conversion funnel over the event stream: per user
+  // the FIRST time of each stage, a stage counts only if it happens
+  // strictly after the previous stage's first time (view → click →
+  // signup → purchase). One groupBy(user) with conditional MINs — no
+  // joins, no windows; at 100 TB this is a single shuffle on user_id
+  // with map-side partial aggregation.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    T.events(s, dir)
+      .groupBy("user_id")
+      .agg(firstTs("view"), firstTs("click"), firstTs("signup"),
+        firstTs("purchase"))
+      .agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_click"),
+        count(when(col("t_signup") > col("t_click")
+          && col("t_click") > col("t_view"), 1)).as("n_signup"),
+        count(when(col("t_purchase") > col("t_signup")
+          && col("t_signup") > col("t_click")
+          && col("t_click") > col("t_view"), 1)).as("n_purchase"))
+  }
+
+  private val q73Sql =
+    """WITH stage AS (
+      |  SELECT user_id,
+      |    MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+      |    MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+      |    MIN(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+      |    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      |  COUNT(*) FILTER (WHERE t_click > t_view) AS n_click,
+      |  COUNT(*) FILTER (WHERE t_signup > t_click AND t_click > t_view)
+      |    AS n_signup,
+      |  COUNT(*) FILTER (WHERE t_purchase > t_signup AND t_signup > t_click
+      |    AND t_click > t_view) AS n_purchase
+      |FROM stage""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q74 — interval-union session coverage: per user, merge events
+  // into sessions (gap > 30 min starts a new one) and report session
+  // count, total covered time, and event count. The covered time is
+  // the union length of the per-session intervals — computed as the
+  // sum of within-session consecutive gaps, which is order-
+  // insensitive under ts ties (the multiset of consecutive diffs of
+  // a sorted sequence doesn't depend on tie order). Exact integer
+  // micros throughout (q19's discipline); one window + one groupBy,
+  // both on user_id — a single shuffle, reused by both steps.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    T.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        (sum(when(col("gap").isNull || col("gap") > 1800000000L, 1L)
+          .otherwise(0L))).as("n_sessions"),
+        sum(when(col("gap") <= 1800000000L, col("gap")).otherwise(0L))
+          .as("covered_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val q74Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |          PARTITION BY user_id
+      |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN gap <= 1800000000 THEN gap ELSE 0 END) AS BIGINT)
+      |    AS covered_us,
+      |  COUNT(*) AS n_events
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q75 — repetition/boilerplate detection: per document the most-
+  // frequent-token share of all tokens, bucketed to deciles, counted
+  // per (lang, bucket). High buckets = TTR-degenerate boilerplate the
+  // pipeline drops before training. The decile is exact integer
+  // arithmetic ((10*max)/n with integer division) — no float compare
+  // risk. Two groupBys: (doc,tok) then doc — both shuffle on doc_id
+  // (the second is a sub-key regroup; AQE coalesces), then a tiny
+  // (lang, bucket) rollup.
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n"), max("c").as("mx"))
+      .withColumn("bucket", expr("CAST((10 * mx) DIV n AS INT)"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket")
+
+  private val q75Sql =
+    s"""WITH tc AS (
+       |  SELECT doc_id, lang, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, lang, unnest($toksD) AS t FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(MAX(c) AS BIGINT) AS mx
+       |  FROM tc GROUP BY 1, 2)
+       |SELECT lang, CAST((10 * mx) // n AS INTEGER) AS bucket,
+       |  COUNT(*) AS n_docs
+       |FROM per_doc GROUP BY 1, 2
+       |ORDER BY lang, bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q76 — lexicon redaction scan: count and strip occurrences of a
+  // sensitive-term lexicon (here a demo alternation; in production
+  // the compiled pattern of a PII/blocklist lexicon) and report
+  // per-language hit statistics. Pure per-row regexp work (codegen'd
+  // built-ins, no UDF) + one tiny lang rollup — embarrassingly
+  // parallel at 100 TB. The redacted length comes from a global
+  // regexp_replace with '' (Spark replaces all matches by default;
+  // DuckDB needs the 'g' flag).
+  private val redactS = "'\\\\b(key|value|table|row)\\\\b'"
+  private val redactD = "'\\b(key|value|table|row)\\b'"
+
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .withColumn("hits",
+        expr(s"CAST(size(regexp_extract_all(lower(text), $redactS, 0)) AS BIGINT)"))
+      .withColumn("removed",
+        expr(s"CAST(length(lower(text)) - length(regexp_replace(lower(text), $redactS, '')) AS BIGINT)"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("hits") > 0, 1)).as("docs_hit"),
+        sum("hits").as("total_hits"),
+        sum("removed").as("chars_removed"))
+      .orderBy("lang")
+
+  private val q76Sql =
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(lower(text), $redactD)) AS BIGINT)
+       |      AS hits,
+       |    CAST(length(lower(text))
+       |      - length(regexp_replace(lower(text), $redactD, '', 'g'))
+       |      AS BIGINT) AS removed
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE hits > 0) AS docs_hit,
+       |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+       |  CAST(SUM(removed) AS BIGINT) AS chars_removed
+       |FROM h GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q77 — temperature-weighted language mixture (the multilingual
+  // sampling rule: weight_l ∝ n_l^α, α = 0.5): per language the doc
+  // count, the α-weight, and the target document count for a
+  // 100k-doc mixture. The per-lang table is tiny (an aggregate of
+  // the corpus), so the normalizing window is a 5-row frame; the
+  // only float work is sqrt + one 5-term sum, absorbed by
+  // round(·, 6) / integer rounding.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    T.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sw", expr("sqrt(CAST(n_docs AS DOUBLE))"))
+      .withColumn("denom", sum("sw").over(w))
+      .select(col("lang"), col("n_docs"),
+        round(col("sw") / col("denom"), 6).as("weight"),
+        expr("CAST(round(100000 * sw / denom) AS BIGINT)").as("target_docs"))
+      .orderBy("lang")
+  }
+
+  private val q77Sql =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS sw
+      |  FROM documents GROUP BY lang),
+      |d AS (SELECT *, SUM(sw) OVER () AS denom FROM c)
+      |SELECT lang, n_docs, round(sw / denom, 6) AS weight,
+      |  CAST(round(100000 * sw / denom) AS BIGINT) AS target_docs
+      |FROM d ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q79 — bigram language-model document scoring: per document the
+  // mean log conditional probability avg ln p(w2|w1) under the
+  // corpus-global bigram model (q64's counts) — the LM-quality
+  // signal behind perplexity-style corpus filters. The global count
+  // tables are small aggregates → broadcast joins (no shuffle of
+  // the per-doc bigram stream by w1); ln's last-ulp wobble and the
+  // float sum are absorbed by round(·, 6) (q54's rule).
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val bg = TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bg.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(expr("ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))")), 6)
+          .as("avg_lp"))
+      .orderBy("doc_id")
+  }
+
+  private val q79Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, $toksD AS l FROM documents)),
+       |bg AS (
+       |  SELECT a.doc_id, a.t AS w1, b.t AS w2
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  round(AVG(ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS avg_lp
+       |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_funnel" -> (q73 _),
+    "q74_session_coverage" -> (q74 _),
+    "q75_repetition" -> (q75 _),
+    "q76_redaction" -> (q76 _),
+    "q77_temperature_mix" -> (q77 _),
+    "q79_bigram_logprob" -> (q79 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q73_funnel" -> q73Sql,
+    "q74_session_coverage" -> q74Sql,
+    "q75_repetition" -> q75Sql,
+    "q76_redaction" -> q76Sql,
+    "q77_temperature_mix" -> q77Sql,
+    "q79_bigram_logprob" -> q79Sql)
+}

@@ -343,7 +343,7 @@ object TextAnalysis extends QueryModule {
   // tokenizer merges and LM smoke checks. Top-30 with total order.
   // Bigrams come from zipping the token array with its own tail —
   // no positional self-join of the exploded token table.
-  private val bigramsS =
+  private[queries] val bigramsS =
     """CASE WHEN size(toks) >= 2 THEN
       |  zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
       |    (a, b) -> struct(a AS w1, b AS w2))
