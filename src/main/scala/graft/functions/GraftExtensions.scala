@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * [[GeoFunctions.register]] for sessions built without the conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     (GeoFunctions.all ++ VecFunctions.all).foreach { case (name, inf, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name), inf, builder))
     }
+    // naive st_intersects theta-join → grid-bucketed equi-join
+    ext.injectOptimizerRule(_ => graft.plans.SpatialJoinRule)
+  }
 }

@@ -74,8 +74,8 @@ object GeoQueries extends QueryModule {
   private val aoiX1 = "CAST(n_nationkey * 4 AS DOUBLE)"
   private val aoiY1 = "CAST(n_nationkey * 3 AS DOUBLE)"
 
-  private def q59(s: SparkSession, dir: String): DataFrame = {
-    val fp = T.part(s, dir)
+  private def footprints(s: SparkSession, dir: String): DataFrame =
+    T.part(s, dir)
       .withColumn("x1", expr(fx1)).withColumn("y1", expr(fy1))
       .withColumn("x2", expr(fx2)).withColumn("y2", expr(fy2))
       .withColumn("geom", expr(
@@ -85,7 +85,9 @@ object GeoQueries extends QueryModule {
           | CAST(x1 AS INT), ' ', CAST(y2 AS INT), ', ',
           | CAST(x1 AS INT), ' ', CAST(y1 AS INT), '))')""".stripMargin))
       .select(col("p_partkey"), col("geom"))
-    val aois = T.nation(s, dir)
+
+  private def aoiBoxes(s: SparkSession, dir: String): DataFrame =
+    T.nation(s, dir)
       .withColumn("ax1", expr(aoiX1)).withColumn("ay1", expr(aoiY1))
       .withColumn("aoi_wkt", expr(
         """concat('POLYGON ((', CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), ', ',
@@ -94,11 +96,13 @@ object GeoQueries extends QueryModule {
           | CAST(ax1 AS INT), ' ', CAST(ay1 + 8 AS INT), ', ',
           | CAST(ax1 AS INT), ' ', CAST(ay1 AS INT), '))')""".stripMargin))
       .select(col("n_nationkey").as("aoi_id"), col("aoi_wkt"))
+
+  private def q59(s: SparkSession, dir: String): DataFrame =
     graft.operators.SpatialJoin
-      .intersectJoin(s, fp, aois, "geom", "aoi_wkt", cellSize = 8.0)
+      .intersectJoin(s, footprints(s, dir), aoiBoxes(s, dir),
+        "geom", "aoi_wkt", cellSize = 8.0)
       .select(col("aoi_id").cast("long").as("aoi_id"), col("p_partkey"))
       .orderBy("aoi_id", "p_partkey")
-  }
 
   private val q59Sql =
     s"""SELECT CAST(a.aoi_id AS BIGINT) AS aoi_id, f.p_partkey
@@ -111,6 +115,24 @@ object GeoQueries extends QueryModule {
        |WHERE LEAST(f.x2, a.ax1 + 10) > GREATEST(f.x1, a.ax1)
        |  AND LEAST(f.y2, a.ay1 + 8) > GREATEST(f.y1, a.ay1)
        |ORDER BY aoi_id, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q81 — the OPTIMIZER-RULE path to the same spatial join: the user
+  // writes the naive theta-join `join(aois, st_intersects(g, a))` —
+  // which Spark alone plans as a nested-loop/cartesian — and
+  // plans.SpatialJoinRule rewrites it to q59's grid-bucketed
+  // equi-join during optimization. Same inputs, same brute-force
+  // DuckDB oracle as q59: certifies the rewrite is semantics-
+  // preserving end-to-end (PlanShapeSpec asserts the plan shape).
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    graft.plans.SpatialJoinRule.install(s)
+    s.conf.set("spark.graft.spatial.cellSize", "8.0")
+    footprints(s, dir)
+      .join(aoiBoxes(s, dir), expr("st_intersects(geom, aoi_wkt)"))
+      .select(col("aoi_id").cast("long").as("aoi_id"), col("p_partkey"))
+      .orderBy("aoi_id", "p_partkey")
+  }
 
   // ---------------------------------------------------------------
   // q62 — Z-ORDER (Morton) clustering key over footprint envelopes:
@@ -263,12 +285,15 @@ object GeoQueries extends QueryModule {
     "q39_pivot" -> (q39 _),
     "q59_spatial_join" -> (q59 _),
     "q62_zorder_key" -> (q62 _),
-    "q72_best_per_aoi" -> (q72 _))
+    "q72_best_per_aoi" -> (q72 _),
+    "q81_auto_spatial_join" -> (q81 _))
 
   override val oracle: Map[String, String] = Map(
     "q38_geo_coverage" -> q38Sql,
     "q39_pivot" -> q39Sql,
     "q59_spatial_join" -> q59Sql,
     "q62_zorder_key" -> q62Sql,
-    "q72_best_per_aoi" -> q72Sql)
+    "q72_best_per_aoi" -> q72Sql,
+    // identical semantics through the optimizer-rule path
+    "q81_auto_spatial_join" -> q59Sql)
 }
