@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,7 +32,19 @@ object GeoKernel {
     val (x1, y1, x2, y2) = Geo.envelope(wkt.toString)
     val cx1 = math.floor(x1 / cell).toInt; val cx2 = math.floor(x2 / cell).toInt
     val cy1 = math.floor(y1 / cell).toInt; val cy2 = math.floor(y2 / cell).toInt
-    val out = new Array[Any]((cx2 - cx1 + 1) * (cy2 - cy1 + 1))
+    // Long arithmetic: a large-extent envelope at a fine pitch must
+    // fail LOUDLY here, not wrap Int and surface as an executor OOM /
+    // NegativeArraySizeException three stages later. Callers that can
+    // see such rows route them through a theta-join instead
+    // ([[graft.plans.SpatialJoinRule]]'s maxCellsPerRow split).
+    val n = (cx2.toLong - cx1.toLong + 1L) * (cy2.toLong - cy1.toLong + 1L)
+    if (n > MaxCellsHard)
+      throw new IllegalArgumentException(
+        s"st_grid_cells: envelope [$x1,$y1,$x2,$y2] spans $n cells at " +
+          s"pitch $cell (hard cap $MaxCellsHard); raise the cell size, or " +
+          "keep spark.graft.spatial.autoGridJoin on so oversized rows " +
+          "take the guarded theta-join path")
+    val out = new Array[Any](n.toInt)
     var i = 0; var cx = cx1
     while (cx <= cx2) {
       var cy = cy1
@@ -42,6 +54,42 @@ object GeoKernel {
       cx += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Hard per-row cap for [[gridCells]] materialization (4M cells ≈
+    * hundreds of MB of cell strings — far past any sane join fanout).
+    */
+  val MaxCellsHard: Long = 1L << 22
+
+  /** Grid cells the envelope would span at `cell` pitch — the cheap
+    * Long-valued pre-check [[graft.plans.SpatialJoinRule]] uses to
+    * route oversized rows away from [[gridCells]] explosion. Uses the
+    * SAME saturating `math.floor(·).toInt` per-axis conversion as
+    * [[gridCells]], so `count ≤ k` ⇒ `gridCells` emits exactly
+    * `count` cells.
+    */
+  def cellCount(wkt: UTF8String, cell: Double): Long = {
+    val (x1, y1, x2, y2) = Geo.envelope(wkt.toString)
+    (math.floor(x2 / cell).toInt.toLong - math.floor(x1 / cell).toInt + 1L) *
+      (math.floor(y2 / cell).toInt.toLong - math.floor(y1 / cell).toInt + 1L)
+  }
+
+  /** Top-left shared cell of two envelopes ([minx,miny,maxx,maxy]) —
+    * the reference cell of the grid-join dedup. Kept HERE, next to
+    * [[gridCells]], so the two cell-id formatters are provably the
+    * same math: `math.floor(·/cell).toInt` (Double→Int SATURATES on
+    * overflow — a plan-side Cast(Long→Int) would throw under ANSI
+    * mode and wrap without it, silently dropping pairs at extreme
+    * coordinates).
+    */
+  def refCell(lEnv: org.apache.spark.sql.catalyst.util.ArrayData,
+      rEnv: org.apache.spark.sql.catalyst.util.ArrayData,
+      cell: Double): UTF8String = {
+    val cx = math.max(math.floor(lEnv.getDouble(0) / cell).toInt,
+      math.floor(rEnv.getDouble(0) / cell).toInt)
+    val cy = math.max(math.floor(lEnv.getDouble(1) / cell).toInt,
+      math.floor(rEnv.getDouble(1) / cell).toInt)
+    UTF8String.fromString(s"$cx:$cy")
   }
 }
 
@@ -128,6 +176,47 @@ case class StGridCells(left: Expression, right: Expression)
   override def prettyName: String = "st_grid_cells"
 }
 
+/** `st_cell_count(wkt, cell_size)` — how many grid cells the
+  * geometry's envelope spans, WITHOUT materializing them. The
+  * oversized-row routing predicate of [[graft.plans.SpatialJoinRule]]
+  * (rows over `spark.graft.spatial.maxCellsPerRow` skip the cell
+  * explode and take the exact theta-join).
+  */
+case class StCellCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(wkt: Any, cell: Any): Any =
+    GeoKernel.cellCount(wkt.asInstanceOf[UTF8String],
+      cell.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.cellCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCount =
+    copy(l, r)
+  override def prettyName: String = "st_cell_count"
+}
+
+/** `st_ref_cell(l_env, r_env, cell_size)` — the top-left cell shared
+  * by two envelopes, formatted with [[GeoKernel.refCell]] (identical
+  * saturating math to [[GeoKernel.gridCells]]; see its doc for why a
+  * plan-built Cast chain is NOT equivalent).
+  */
+case class StRefCell(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    GeoKernel.refCell(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.GeoKernel.refCell($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): StRefCell = copy(f, s, t)
+  override def prettyName: String = "st_ref_cell"
+}
+
 /** Registration of the st_* family into a session's FunctionRegistry,
   * so they are usable from `expr("st_area(wkt)")` / `spark.sql`.
   * Callable directly or via [[GraftExtensions]]
@@ -151,7 +240,10 @@ object GeoFunctions {
       (e: Seq[Expression]) => StIntersectionArea(e(0), e(1))),
     ("st_grid_cells",
       info("st_grid_cells", "st_grid_cells(wkt, cell_size) - envelope grid cells"),
-      (e: Seq[Expression]) => StGridCells(e(0), e(1))))
+      (e: Seq[Expression]) => StGridCells(e(0), e(1))),
+    ("st_cell_count",
+      info("st_cell_count", "st_cell_count(wkt, cell_size) - envelope grid-cell count"),
+      (e: Seq[Expression]) => StCellCount(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -1,12 +1,12 @@
 package graft.plans
 
-import graft.functions.{StEnvelope, StGridCells, StIntersects}
+import graft.functions.{StCellCount, StEnvelope, StGridCells, StIntersects, StRefCell}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
 
 /** Catalyst optimizer rule: rewrite a naive spatial theta-join
   *
@@ -37,7 +37,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   *     exploded cell id);
   *   - cell pitch from `spark.graft.spatial.cellSize` (default 1.0,
   *     ≈ the median geometry extent in geometry units; the session
-  *     that owns the query sets it per corpus).
+  *     that owns the query sets it per corpus);
+  *   - rows whose envelope spans more than
+  *     `spark.graft.spatial.maxCellsPerRow` cells (default 4096) are
+  *     NOT exploded — a continent-sized geometry at a fine pitch
+  *     would fan out to millions of rows (and past Int range,
+  *     overflow). The rewrite instead splits each side on a cheap
+  *     `st_cell_count` predicate and unions three disjoint branches:
+  *     small×small takes the grid equi-join; big×all and small×big
+  *     keep the ORIGINAL theta-join (exactly the plan the user wrote,
+  *     now bounded to the rare oversized rows — with AQE, an empty
+  *     big side collapses the fallback branch at runtime). The
+  *     fallback joins carry the marker `st_intersects(..) = true`
+  *     conjunct so the rule's own fixed-point pass leaves them alone.
   *
   * Install via `spark.sql.extensions=graft.functions.GraftExtensions`
   * or programmatically with [[SpatialJoinRule.install]].
@@ -54,6 +66,9 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def cellSize: Double =
     conf.getConfString("spark.graft.spatial.cellSize", "1.0").toDouble
+
+  private def maxCellsPerRow: Long =
+    conf.getConfString("spark.graft.spatial.maxCellsPerRow", "4096").toLong
 
   private def boundTo(e: Expression, p: LogicalPlan): Boolean =
     e.references.nonEmpty && e.references.subsetOf(p.outputSet)
@@ -81,39 +96,64 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, si: StIntersects,
       rest: Seq[Expression]): LogicalPlan = {
     val cs = Literal(cellSize, DoubleType)
+    val maxC = Literal(maxCellsPerRow, LongType)
     val (lGeom, rGeom) =
       if (boundTo(si.left, j.left)) (si.left, si.right) else (si.right, si.left)
 
-    // Per side: project the envelope ONCE (one WKT parse, carried
-    // through the join for the reference-cell arithmetic), then
-    // explode the overlapped grid cells.
+    // Oversized-row routing predicates — cheap Long count, NO cell
+    // materialization. Null geometries fail both predicates and are
+    // dropped, exactly as the original null join condition dropped
+    // them.
+    def small(g: Expression) = LessThanOrEqual(StCellCount(g, cs), maxC)
+    def big(g: Expression) = GreaterThan(StCellCount(g, cs), maxC)
+
+    // GRID BRANCH (small × small). Per side: keep only bounded rows,
+    // project the envelope ONCE (one WKT parse, carried through the
+    // join for the reference-cell arithmetic), then explode the
+    // overlapped grid cells.
     def prep(child: LogicalPlan, geom: Expression)
         : (LogicalPlan, Attribute, Attribute) = {
       val env = Alias(StEnvelope(geom), "__env")()
       val cell = AttributeReference("__cell", StringType, nullable = false)()
       val gen = Generate(Explode(StGridCells(geom, cs)), Nil, outer = false,
-        None, Seq(cell), Project(child.output :+ env, child))
+        None, Seq(cell), Project(child.output :+ env,
+          Filter(small(geom), child)))
       (gen, env.toAttribute, cell)
     }
     val (lPlan, lEnv, lCell) = prep(j.left, lGeom)
     val (rPlan, rEnv, rCell) = prep(j.right, rGeom)
 
     // Reference cell = top-left cell of the envelope intersection,
-    // from the carried envelopes ([minx, miny, maxx, maxy], 1-based
-    // element_at). The Long→Int→String casts reproduce GeoKernel
-    // .gridCells' "cx:cy" formatting exactly.
-    def minCell(env: Attribute, i: Int): Expression =
-      Floor(Divide(ElementAt(env, Literal(i)), cs))
-    def axis(i: Int): Expression =
-      Cast(Cast(Greatest(Seq(minCell(lEnv, i), minCell(rEnv, i))),
-        IntegerType), StringType)
-    val refCell = Concat(Seq(axis(1), Literal(":"), axis(2)))
+    // computed by the SAME saturating kernel math as st_grid_cells'
+    // ids (GeoKernel.refCell) — a plan-built Cast(Long→Int) chain
+    // would throw under ANSI mode / wrap without it at extreme
+    // coordinates while the kernel saturates, silently dropping
+    // pairs.
+    val refCell = StRefCell(lEnv, rEnv, cs)
 
     // Equi-conjunct first (join planning extracts it as the hash
     // key); reference-cell dedup and the EXACT original predicate run
     // as the join's residual filter on the few cell-sharing pairs.
-    val newCond = (Seq(EqualTo(lCell, rCell), EqualTo(lCell, refCell), si)
+    val gridCond = (Seq(EqualTo(lCell, rCell), EqualTo(lCell, refCell), si)
       ++ rest).reduce(And)
-    Project(j.output, Join(lPlan, rPlan, Inner, Some(newCond), j.hint))
+    val grid = Project(j.output,
+      Join(lPlan, rPlan, Inner, Some(gridCond), j.hint))
+
+    // FALLBACK BRANCHES: oversized rows keep the user's original
+    // theta-join, partitioned disjointly (big-left × all, small-left
+    // × big-right) so the union never duplicates a pair. The
+    // `st_intersects = true` wrapper is semantically identical for
+    // join conditions (null ⇒ row dropped either way) and hides the
+    // top-level StIntersects conjunct from this rule's fixed-point
+    // re-pass.
+    val marked = (Seq(EqualTo(si, Literal(true, BooleanType)): Expression)
+      ++ rest).reduce(And)
+    val bigLeft = Project(j.output,
+      Join(Filter(big(lGeom), j.left), j.right, Inner, Some(marked), j.hint))
+    val bigRight = Project(j.output,
+      Join(Filter(small(lGeom), j.left), Filter(big(rGeom), j.right),
+        Inner, Some(marked), j.hint))
+    Union(Seq(grid, bigLeft, bigRight), byName = false,
+      allowMissingCol = false)
   }
 }

@@ -123,13 +123,20 @@ object GeoQueries extends QueryModule {
   // plans.SpatialJoinRule rewrites it to q59's grid-bucketed
   // equi-join during optimization. Same inputs, same brute-force
   // DuckDB oracle as q59: certifies the rewrite is semantics-
-  // preserving end-to-end (PlanShapeSpec asserts the plan shape).
+  // preserving end-to-end (SpatialJoinRuleSpec pins the synthetic
+  // plan shape; PlanShapeSpec's q81 case pins THIS query's plan).
+  // Built on a CHILD session (`newSession` shares the SparkContext
+  // but isolates conf + optimizer registrations) so the rule install
+  // and the 8.0 cell pitch never leak into the shared bench/verify
+  // session — a later naive st_intersects join there must stay
+  // un-rewritten unless its owner opts in.
   private def q81(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GeoFunctions.register(s)
-    graft.plans.SpatialJoinRule.install(s)
-    s.conf.set("spark.graft.spatial.cellSize", "8.0")
-    footprints(s, dir)
-      .join(aoiBoxes(s, dir), expr("st_intersects(geom, aoi_wkt)"))
+    val s2 = s.newSession()
+    graft.functions.GeoFunctions.register(s2)
+    graft.plans.SpatialJoinRule.install(s2)
+    s2.conf.set("spark.graft.spatial.cellSize", "8.0")
+    footprints(s2, dir)
+      .join(aoiBoxes(s2, dir), expr("st_intersects(geom, aoi_wkt)"))
       .select(col("aoi_id").cast("long").as("aoi_id"), col("p_partkey"))
       .orderBy("aoi_id", "p_partkey")
   }

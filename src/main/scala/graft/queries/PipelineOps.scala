@@ -213,18 +213,22 @@ object PipelineOps extends QueryModule {
   // q79 — bigram language-model document scoring: per document the
   // mean log conditional probability avg ln p(w2|w1) under the
   // corpus-global bigram model (q64's counts) — the LM-quality
-  // signal behind perplexity-style corpus filters. The global count
-  // tables are small aggregates → broadcast joins (no shuffle of
-  // the per-doc bigram stream by w1); ln's last-ulp wobble and the
-  // float sum are absorbed by round(·, 6) (q54's rule).
+  // signal behind perplexity-style corpus filters. The count-table
+  // joins carry NO broadcast hint: c2 is the corpus-global bigram
+  // table, which grows toward vocabulary² with corpus size — at the
+  // 100 TB design point a forced broadcast would OOM the driver. A
+  // shuffle join on (w1, w2) is the scale-safe plan; AQE still
+  // broadcasts at runtime whenever the measured size is small (as it
+  // is at test SF). ln's last-ulp wobble and the float sum are
+  // absorbed by round(·, 6) (q54's rule).
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val bg = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    bg.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(expr("ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))")), 6)

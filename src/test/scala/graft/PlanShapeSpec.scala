@@ -170,4 +170,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q81 auto spatial join: optimizer supplies the grid equi-join; " +
+      "any nested loop is the st_cell_count-guarded oversized-row fallback") {
+    val df = SparkEntry.queries("q81_auto_spatial_join")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // both sides' cell explodes made it into the ACTUAL q81 plan (the
+    // synthetic-join twin of this assertion lives in
+    // SpatialJoinRuleSpec) and nothing planned a cross product
+    assert(countNodes(p, "Generate") == 2, p)
+    assert(countNodes(p, "CartesianProduct") == 0, p)
+    val bnl = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    bnl.foreach(b => assert(b.exists {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.toString.contains("st_cell_count")
+      case _ => false
+    }, s"unguarded nested-loop join:\n$p"))
+  }
 }
