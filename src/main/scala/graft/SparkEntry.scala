@@ -23,7 +23,8 @@ object SparkEntry {
     Dedup,
     SimSearch,
     CorpusMaintenance,
-    PipelineOps)
+    PipelineOps,
+    Analytics)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset-diagnostics tier: the distribution / outlier / cadence /
+  * schema reports a pipeline operator runs over a new drop of data
+  * before (and after) it enters training — fixed-width histograms,
+  * per-key z-score outliers, inter-arrival cadence, and the
+  * [[graft.operators.Profile]] column profile.
+  *
+  * Scale shapes: every query is one scan plus at most one
+  * aggregation exchange; the two-pass forms (histogram bounds,
+  * z-score stats) join a KEY-CARDINALITY-sized aggregate back onto
+  * the stream — AQE broadcasts it at runtime, and at 100 TB it stays
+  * driver-safe because its size is bounded by #buckets / #keys, not
+  * by data volume.
+  *
+  * Cross-engine exactness: `value` carries exactly 2 decimals, so
+  * `CAST(value AS DECIMAL(18,2))` is lossless and all sums route
+  * through DECIMAL (order-independent); derived doubles come from
+  * exact integers/decimals via textually identical expressions; time
+  * arithmetic is integer microseconds (`unix_micros`/`epoch_us`).
+  */
+object Analytics extends QueryModule {
+
+  // ---------------------------------------------------------------
+  // q82 — fixed-width HISTOGRAM of events.value, 20 buckets over the
+  // observed [min, max]: the standard numeric-feature distribution
+  // report. Two passes: a 1-row min/max aggregate, then bucket =
+  // clamped floor of the affine map — identical FLOOR-then-CAST text
+  // in both engines (DuckDB's bare double→int cast ROUNDS; flooring
+  // first makes the cast exact).
+  private val bucketCase =
+    "CASE WHEN mx = mn THEN 0 ELSE " +
+      "LEAST(CAST(FLOOR((value - mn) * 20.0 / (mx - mn)) AS INTEGER), 19) END"
+
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    val st = ev.agg(min("value").as("mn"), max("value").as("mx"))
+    ev.crossJoin(st)
+      .withColumn("bucket", expr(bucketCase))
+      .groupBy("bucket", "mn", "mx") // mn/mx constant: same groups
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_value"))
+      .select(col("bucket"), col("n"), col("sum_value"),
+        expr("round(mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0, 6)")
+          .as("lo"),
+        expr("round(mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0, 6)")
+          .as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val q82Sql =
+    s"""WITH st AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events),
+       |b AS (
+       |  SELECT $bucketCase AS bucket, value, mn, mx
+       |  FROM events CROSS JOIN st)
+       |SELECT bucket, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       |  round(mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0, 6) AS lo,
+       |  round(mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0, 6) AS hi
+       |FROM b GROUP BY bucket, mn, mx
+       |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q83 — per-key Z-SCORE OUTLIERS: mean/std per event_type from
+  // exact decimal moments (n, Σv, Σv²), then the top-20 |z| rows.
+  // The moments table has one row per event type (bounded key
+  // cardinality → broadcast-safe at any scale, no hint needed).
+  // sqrt/÷ are IEEE-correctly-rounded in both engines, so identical
+  // expressions over exact moments give bit-equal z.
+  private val meanE = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val zE =
+    s"(value - $meanE) / sqrt(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) " +
+      s"- ($meanE) * ($meanE))"
+
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+    val st = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      expr("SUM(CAST(value AS DECIMAL(18,2)))").as("sv"),
+      expr("SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))")
+        .as("svv"))
+    ev.join(st, "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr(s"round($zE, 6)").as("z"))
+      .orderBy(abs(col("z")).desc, col("event_id"))
+      .limit(20)
+  }
+
+  private val q83Sql =
+    s"""WITH st AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+       |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS svv
+       |  FROM events GROUP BY event_type)
+       |SELECT * FROM (
+       |  SELECT event_id, e.event_type, value, round($zE, 6) AS z
+       |  FROM events e JOIN st ON st.event_type = e.event_type)
+       |ORDER BY abs(z) DESC, event_id
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q84 — per-user INTER-ARRIVAL cadence: gaps between consecutive
+  // events (lag over (ts, event_id) — the unique tiebreak makes the
+  // window total-ordered), reported as per-user min/max/mean gap.
+  // One window pass partitioned by the high-cardinality user_id,
+  // then the groupBy collapses in place (same partitioning — AQE
+  // elides the second exchange).
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        min("gap").as("min_gap_us"),
+        max("gap").as("max_gap_us"),
+        expr("round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)" +
+          " / 1000000.0, 6)").as("avg_gap_s"))
+      .orderBy("user_id")
+  }
+
+  private val q84Sql =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP))
+       |      - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |          PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+       |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+       |  round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
+       |    / 1000000.0, 6) AS avg_gap_s
+       |FROM g GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q87 — COLUMN PROFILE of the orders table via operators.Profile:
+  // one scan, one aggregate, row-per-column report. The raw-DOUBLE
+  // price column is pre-cast to DECIMAL(18,2) (lossless for 2-decimal
+  // money) so its min/max stringification is engine-stable — the
+  // documented composition pattern for ambiguous renderings.
+  private val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      T.orders(s, dir).withColumn("o_totalprice",
+        col("o_totalprice").cast("decimal(18,2)")),
+      profCols)
+      .orderBy("col_name")
+
+  private val q87Sql = profCols.map { c =>
+    val e = if (c == "o_totalprice") s"CAST($c AS DECIMAL(18,2))" else c
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($e) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct,
+       |  CAST(MIN($e) AS VARCHAR) AS min_val,
+       |  CAST(MAX($e) AS VARCHAR) AS max_val
+       |FROM orders""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_histogram" -> (q82 _),
+    "q83_zscore_outliers" -> (q83 _),
+    "q84_gap_stats" -> (q84 _),
+    "q87_column_profile" -> (q87 _))
+
+  override val oracle: Map[String, String] = Map(
+    "q82_histogram" -> q82Sql,
+    "q83_zscore_outliers" -> q83Sql,
+    "q84_gap_stats" -> q84Sql,
+    "q87_column_profile" -> q87Sql)
+}

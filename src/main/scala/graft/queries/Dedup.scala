@@ -670,6 +670,59 @@ object Dedup extends QueryModule {
        |FROM deg GROUP BY degree
        |ORDER BY degree""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q85 — TRIANGLE census + global clustering coefficient over the
+  // LSH candidate graph: near-dup clusters should be clique-ish
+  // (high closure); a low coefficient with high degrees means the
+  // banding is bridging unrelated docs (hot-bucket false positives —
+  // q80's histogram says where, this says how much). Node-iterator
+  // shape: edges oriented src<dst, so each triangle is counted ONCE
+  // via two hash equi-joins — the standard distributed triangle plan
+  // (no per-node neighborhood materialization, no cross product).
+  // Wedges come from the degree aggregate: Σ d(d-1)/2 in exact
+  // integer math.
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val e = candidateEdges(s, dir).select("src", "dst")
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(e.as("ac"), col("ac.src") === col("ab.src")
+        && col("ac.dst") === col("bc.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .agg(expr("CAST(SUM((d * (d - 1)) DIV 2) AS BIGINT)").as("n_wedges"))
+    tri.crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        expr("round(CASE WHEN n_wedges > 0 THEN 3.0 * " +
+          "CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) " +
+          "ELSE 0.0 END, 6)").as("global_clustering"))
+  }
+
+  private val q85Sql =
+    s"""WITH $duckSignatures,
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sig a JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM edges ab
+       |  JOIN edges bc ON bc.src = ab.dst
+       |  JOIN edges ac ON ac.src = ab.src AND ac.dst = bc.dst),
+       |wed AS (
+       |  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM (
+       |    SELECT COUNT(*) AS d FROM (
+       |      SELECT src AS id FROM edges
+       |      UNION ALL SELECT dst FROM edges)
+       |    GROUP BY id))
+       |SELECT n_triangles, n_wedges,
+       |  round(CASE WHEN n_wedges > 0 THEN 3.0 *
+       |    CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS global_clustering
+       |FROM tri CROSS JOIN wed""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -684,7 +737,8 @@ object Dedup extends QueryModule {
     "q70_cc_distributed" -> (q70 _),
     "q71_streaming_neardup_batch" -> (q71 _),
     "q78_jaccard_audit" -> (q78 _),
-    "q80_degree_stats" -> (q80 _))
+    "q80_degree_stats" -> (q80 _),
+    "q85_triangles" -> (q85 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -700,5 +754,6 @@ object Dedup extends QueryModule {
     "q70_cc_distributed" -> q57Sql, // identical semantics, forced distributed path
     "q71_streaming_neardup_batch" -> q71Sql,
     "q78_jaccard_audit" -> q78Sql,
-    "q80_degree_stats" -> q80Sql)
+    "q80_degree_stats" -> q80Sql,
+    "q85_triangles" -> q85Sql)
 }

@@ -376,6 +376,51 @@ object TextAnalysis extends QueryModule {
        |ORDER BY n DESC, w1, w2
        |LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q86 — QUALITY-WEIGHTED Bernoulli sampling: keep doc with
+  // probability = its q23 quality score, decided by a DETERMINISTIC
+  // per-doc uniform u = 24-bit md5 prefix of the doc id / 2^24 —
+  // never rand() (retry/stage-replay changes rand()'s row set;
+  // hash-gating is stable under replay and reproducible across runs
+  // and engines — the same rule as q49's stratified sampler). The
+  // composed form of "sample the corpus proportional to quality"
+  // that a mixture builder (q77) feeds on. Pure per-row map, no
+  // shuffle before the presentation sort.
+  private val uE =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) " +
+      "AS DOUBLE) / 16777216.0"
+  private val uD =
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT " +
+      "AS DOUBLE) / 16777216.0"
+
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"), expr(hitS(enW)).as("h_en"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_uniq"),
+        col("h_en"))
+      .filter(col("n_tok") > 0)
+      .withColumn("score", expr(scoreExpr))
+      .withColumn("u", expr(uE))
+      .filter(col("u") < col("score"))
+      .select(col("doc_id"), expr("round(score, 6)").as("score"),
+        expr("round(u, 6)").as("u"))
+      .orderBy("doc_id")
+
+  private val q86Sql =
+    s"""SELECT doc_id, round(score, 6) AS score, round(u, 6) AS u
+       |FROM (
+       |  SELECT doc_id, $scoreExpr AS score, $uD AS u
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len($toksD) AS BIGINT) AS n_tok,
+       |      CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       |      ${hitD(enW)} AS h_en
+       |    FROM documents) WHERE n_tok > 0)
+       |WHERE u < score
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
@@ -384,7 +429,8 @@ object TextAnalysis extends QueryModule {
     "q54_bm25" -> (q54 _),
     "q56_vocab_df" -> (q56 _),
     "q61_tfidf_top_terms" -> (q61 _),
-    "q64_bigram_stats" -> (q64 _))
+    "q64_bigram_stats" -> (q64 _),
+    "q86_weighted_sample" -> (q86 _))
 
   override val oracle: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
@@ -394,5 +440,6 @@ object TextAnalysis extends QueryModule {
     "q54_bm25" -> q54Sql,
     "q56_vocab_df" -> q56Sql,
     "q61_tfidf_top_terms" -> q61Sql,
-    "q64_bigram_stats" -> q64Sql)
+    "q64_bigram_stats" -> q64Sql,
+    "q86_weighted_sample" -> q86Sql)
 }
