@@ -723,6 +723,87 @@ object Dedup extends QueryModule {
        |    ELSE 0.0 END, 6) AS global_clustering
        |FROM tri CROSS JOIN wed""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q88 — INCREMENTAL near-dup: a new crawl batch (doc_id % 10 == 0,
+  // synthesized deterministically) checked against the standing
+  // corpus (the rest). The join probes the corpus shingle index with
+  // ONLY the new side — new×corpus, never corpus×corpus — so a daily
+  // increment costs |batch|-proportional work regardless of corpus
+  // size: THE property that makes dedup maintainable at 100 TB
+  // (re-pairing the whole corpus per drop would be quadratic in
+  // history). Exact Jaccard ≥ 0.5 gate on integer-derived doubles
+  // (bit-identical cross-engine, so the threshold cannot flake).
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val fresh = sh.filter(col("doc_id") % 10 === 0)
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    fresh.as("a").join(corpus.as("b"), col("a.hs") === col("b.hs"))
+      .groupBy(col("a.doc_id").as("new_doc"), col("b.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("new_doc"), col("sz").as("sz_a")),
+        "new_doc")
+      .join(sizes.select(col("doc_id").as("corpus_doc"), col("sz").as("sz_b")),
+        "corpus_doc")
+      .withColumn("jaccard",
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("new_doc"), col("corpus_doc"), col("inter"),
+        expr("round(jaccard, 6)").as("jaccard"))
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  private val q88Sql =
+    s"""WITH $duckShingles,
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc, COUNT(*) AS inter
+       |  FROM shh a JOIN shh b ON a.hs = b.hs
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT new_doc, corpus_doc, inter, round(jaccard, 6) AS jaccard FROM (
+       |  SELECT new_doc, corpus_doc, inter,
+       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = new_doc
+       |  JOIN sizes sb ON sb.doc_id = corpus_doc)
+       |WHERE jaccard >= 0.5
+       |ORDER BY new_doc, corpus_doc""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q89 — cross-SOURCE duplication matrix: LSH candidate pairs
+  // rolled up to (source_a, source_b) counts — the "how much does
+  // crawl A replicate crawl B" report that decides which source to
+  // drop from a mixture (the aggregate view of q58's contamination
+  // check). Reuses the memoized edge list; two dimension-sized
+  // lookups (doc_id → source) that AQE broadcasts.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val src = T.documents(s, dir).select(col("doc_id"), col("source"))
+    candidateEdges(s, dir)
+      .join(src.select(col("doc_id").as("src"), col("source").as("source_a")),
+        "src")
+      .join(src.select(col("doc_id").as("dst"), col("source").as("source_b")),
+        "dst")
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val q89Sql =
+    s"""WITH $duckSignatures,
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sig a JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT da.source AS source_a, db.source AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM edges
+       |JOIN documents da ON da.doc_id = src
+       |JOIN documents db ON db.doc_id = dst
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -738,7 +819,9 @@ object Dedup extends QueryModule {
     "q71_streaming_neardup_batch" -> (q71 _),
     "q78_jaccard_audit" -> (q78 _),
     "q80_degree_stats" -> (q80 _),
-    "q85_triangles" -> (q85 _))
+    "q85_triangles" -> (q85 _),
+    "q88_incremental_neardup" -> (q88 _),
+    "q89_source_overlap" -> (q89 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -755,5 +838,7 @@ object Dedup extends QueryModule {
     "q71_streaming_neardup_batch" -> q71Sql,
     "q78_jaccard_audit" -> q78Sql,
     "q80_degree_stats" -> q80Sql,
-    "q85_triangles" -> q85Sql)
+    "q85_triangles" -> q85Sql,
+    "q88_incremental_neardup" -> q88Sql,
+    "q89_source_overlap" -> q89Sql)
 }
