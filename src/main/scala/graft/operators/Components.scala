@@ -49,7 +49,10 @@ object Components {
     * planning-free.
     */
   private def pinWithCompSum(df: DataFrame): (DataFrame, Long) = {
-    val cp = df.localCheckpoint()
+    // LAZY checkpoint + one fold: the aggregate job both materializes
+    // the checkpoint blocks and computes the sum — one job per round,
+    // not a materialize job followed by a sum job
+    val cp = df.localCheckpoint(eager = false)
     val sum = cp.rdd.aggregate(0L)((a, r) => a + r.getLong(1), _ + _)
     (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), sum)
   }
@@ -91,11 +94,18 @@ object Components {
     *        so in practice even web-scale corpora land under a few
     *        million edges — the same driver-memory budget class as the
     *        IVF centroid collect. Set 0 to force the distributed loop.
+    * @param jumpsPerRound static pointer jumps appended to each
+    *        round's neighbor-min (each is one more equi-join through
+    *        the pinned previous labels). Default 2 is the measured
+    *        optimum on LSH candidate graphs — see the loop-body
+    *        comment for why more jumps (or jumping through current
+    *        labels) does not pay.
     * @return (id, comp): every vertex that appears in `edges`, with
     *         comp = the smallest vertex id in its component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
-      strict: Boolean = false, maxLocalEdges: Long = 1L << 22): DataFrame = {
+      strict: Boolean = false, maxLocalEdges: Long = 1L << 22,
+      jumpsPerRound: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -127,29 +137,33 @@ object Components {
         .select(sym("src").as("id"), col("comp"))
       val propagated = labels.select("id", "comp").union(neigh)
         .groupBy("id").agg(min("comp").as("comp"))
-      // pointer jumping (path compression): follow comp one more hop
+      // pointer jumping (path compression): follow comp k more hops
       // through the PREVIOUS round's pinned labels — comp(id) :=
-      // min(comp(id), prev_comp(comp(id))). Plain neighbor-min needs
-      // diameter-many rounds (a 60-chain at sf0.1 cost 40+ s); the
-      // extra hop keeps convergence O(log diameter) while the whole
-      // round stays ONE plan with ONE pin (planning cost per round
-      // was half the operator's wall-clock). Jumping through labels
-      // (a pinned LogicalRDD with its own attributes) rather than
-      // `propagated` itself also avoids the self-join of a
-      // freshly-built union plan.
-      val prev = labels.select(col("id").as("v_id"), col("comp").as("v_comp"))
-      val prev2 = labels.select(col("id").as("w_id"), col("comp").as("w_comp"))
-      val hop1 = propagated
-        .join(prev, propagated("comp") === prev("v_id"), "left")
-        .select(propagated("id"),
-          least(propagated("comp"), coalesce(col("v_comp"), propagated("comp")))
-            .as("c1"))
-      // second hop through the same pinned labels: two pointer jumps
-      // per round, still one plan + one pin
-      val (updated, newSum) = pinWithCompSum(hop1
-        .join(prev2, hop1("c1") === prev2("w_id"), "left")
-        .select(hop1("id"),
-          least(col("c1"), coalesce(col("w_comp"), col("c1"))).as("comp")))
+      // min(comp(id), prev_comp^k(comp(id))). Plain neighbor-min
+      // needs diameter-many rounds (a 60-chain at sf0.1 cost 40+ s);
+      // the jumps keep label chains compressed while the whole round
+      // stays ONE plan with ONE pin (planning + fixed job cost per
+      // round is half the operator's wall-clock). Jumping through
+      // `labels` (a pinned LogicalRDD with its own attributes)
+      // rather than the freshly-built `propagated` keeps plan depth
+      // linear in k and avoids self-joining a union plan. Measured
+      // on the sf0.1 candidate graph: k=2 compresses every stale
+      // pointer chain the round exposes (k>2 leaves round counts
+      // unchanged — the residual rounds are frontier flooding, which
+      // jumping cannot shortcut), and jumping through the CURRENT
+      // round's labels instead (classic doubling) recomputes the
+      // neighbor-min subplan per jump for barely one round saved —
+      // 2x slower end-to-end. k=2 static is the measured optimum.
+      var cur = propagated.select(col("id"), col("comp"))
+      for (k <- 1 to jumpsPerRound) {
+        val p = labels.select(col("id").as(s"p${k}_id"),
+          col("comp").as(s"p${k}_comp"))
+        cur = cur.join(p, cur("comp") === p(s"p${k}_id"), "left")
+          .select(cur("id"),
+            least(cur("comp"), coalesce(col(s"p${k}_comp"), cur("comp")))
+              .as("comp"))
+      }
+      val (updated, newSum) = pinWithCompSum(cur)
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
