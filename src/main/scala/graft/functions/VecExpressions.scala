@@ -58,6 +58,25 @@ object VecKernel {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     s
   }
+  /** Asymmetric-distance computation for product quantization:
+    * Σ_j lut(j)(code(j)) — the per-row cost of a PQ scan is m array
+    * lookups + m adds, NOT a d-dimensional distance. Out-of-range
+    * codes fail loudly (a corrupted code would otherwise read another
+    * codeword's distance and silently mis-rank).
+    */
+  def pqAdc(code: ArrayData, lut: ArrayData): Double = {
+    val m = code.numElements(); checkDims(m, lut.numElements())
+    var s = 0.0; var j = 0
+    while (j < m) {
+      val row = lut.getArray(j)
+      val c = code.getInt(j)
+      if (c < 0 || c >= row.numElements()) throw new IllegalArgumentException(
+        s"pq code $c out of range for codebook of ${row.numElements()} " +
+          s"codewords (subspace $j)")
+      s += row.getDouble(c); j += 1
+    }
+    s
+  }
 }
 
 /** vec_dot(array<bigint>, array<bigint>) -> bigint — exact integer dot
@@ -151,6 +170,32 @@ case class VecL2SqD(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2_sq"
 }
 
+/** vec_pq_adc(code array<int>, lut array<array<double>>) -> double —
+  * PQ asymmetric distance: the code column is the corpus side
+  * (m small ints per row), the look-up table is the query side
+  * (per-query distances to every codeword, broadcast). Keeps the
+  * PQ scan's hot path in one codegen span like its vec_* siblings.
+  */
+case class VecPqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<INT>, ARRAY<ARRAY<DOUBLE>>) args, " +
+          s"got ${left.dataType.sql}, ${right.dataType.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernel.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecPqAdc =
+    copy(l, r)
+  override def prettyName: String = "vec_pq_adc"
+}
+
 /** Registry for the vec_* family — mirror of [[GeoFunctions]]. */
 object VecFunctions {
 
@@ -166,7 +211,10 @@ object VecFunctions {
     ("vec_dot_d", info("vec_dot_d", "vec_dot_d(a, b) - double dot product"),
       (e: Seq[Expression]) => VecDotD(e(0), e(1))),
     ("vec_l2_sq", info("vec_l2_sq", "vec_l2_sq(a, b) - squared L2 distance"),
-      (e: Seq[Expression]) => VecL2SqD(e(0), e(1))))
+      (e: Seq[Expression]) => VecL2SqD(e(0), e(1))),
+    ("vec_pq_adc", info("vec_pq_adc",
+      "vec_pq_adc(code, lut) - PQ asymmetric distance"),
+      (e: Seq[Expression]) => VecPqAdc(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

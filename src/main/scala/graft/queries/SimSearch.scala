@@ -311,17 +311,84 @@ object SimSearch extends QueryModule {
        |FROM sums GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q90 — PRODUCT-QUANTIZATION search end-to-end (operators.Pq):
+  // a fixed 4-subspace × 4-codeword model (codewords = the quantized
+  // subvectors of vec_id 0/10/20/30 — "trained" weights shipped as
+  // literals, the q53 pattern), Pq.encode over the corpus (64 floats
+  // → 4 small codes), per-query LUTs, vec_pq_adc scan, top-3 by
+  // asymmetric L2. PQ is the memory-scale complement of q53's IVF:
+  // the scan reads CODES, not vectors.
+  //
+  // Exactness: quantized components are integers ≤ ~1e6 as doubles;
+  // each 16-dim subspace distance ≤ 16·(2e6)² < 2^53 is exact, and
+  // the 4-term ADC sum of exact integers is exact in any order —
+  // both engines compute bit-identical adc, so ranking cannot flake.
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val m = 4; val subDim = 16
+    val base = corpus.filter(col("vec_id").isin(centIds: _*))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
+    val codebooks = (0 until m).map(j =>
+      base.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    val encoded = graft.operators.Pq.encode(corpus, codebooks, "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    graft.operators.Pq.adcSearch(encoded, codebooks, queries, topK = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q90Sql =
+    s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
+       |    CAST(unnest(qv) AS DOUBLE) AS val
+       |  FROM q),
+       |sub AS (
+       |  SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS j, i, val FROM ex),
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, s.j, s.i, s.val FROM cent c
+       |  JOIN sub s ON s.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT s.vec_id, s.j, c.cid,
+       |    SUM((s.val - c.val) * (s.val - c.val)) AS d
+       |  FROM sub s JOIN cex c ON c.j = s.j AND c.i = s.i
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |adc AS (
+       |  SELECT d.vec_id AS q_id, co.vec_id AS c_id, SUM(d.d) AS adc
+       |  FROM code co JOIN dist d ON d.j = co.j AND d.cid = co.cid
+       |  WHERE d.vec_id < 8 AND co.vec_id <> d.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, c_id, adc FROM (
+       |  SELECT q_id, c_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, c_id) AS INTEGER) AS rank
+       |  FROM adc) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
     "q33_embed_neardup" -> (q33 _),
     "q53_ivf_search" -> (q53 _),
-    "q63_srp_sketch" -> (q63 _))
+    "q63_srp_sketch" -> (q63 _),
+    "q90_pq_adc_search" -> (q90 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
     "q26_ann_ivf" -> q26Sql,
     "q33_embed_neardup" -> q33Sql,
     "q53_ivf_search" -> q53Sql,
-    "q63_srp_sketch" -> q63Sql)
+    "q63_srp_sketch" -> q63Sql,
+    "q90_pq_adc_search" -> q90Sql)
 }
