@@ -42,11 +42,34 @@ object Bench {
       n -> allPasses.map(_.toMap.apply(n)).min
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // The driver records only a fixed-size tail of the sbt output, so
+    // the summary line must stay SHORT: per-query keys are shortened
+    // to their unique `qNN` prefix and values rounded to ms. The full
+    // names + full precision + per-pass timings go to a sidecar file.
+    def short(n: String) = {
+      val p = n.takeWhile(_ != '_')
+      if (p.matches("q\\d+")) p else n
+    }
+    val qs = results.map { case (k, v) => s"${jstr(short(k))}:${f3(v)}" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(short(k))}:${jstr(v.take(60))}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val passTotals = allPasses.map(_.map(_._2).sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val passTotals = allPasses.map(p => f3(p.map(_._2).sum)).mkString("[", ",", "]")
+    val detailPath = "BENCH_DETAIL.json"
+    val detail = {
+      val dq = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      val passes = allPasses.map(p =>
+        p.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
+      val de = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -182,6 +182,31 @@ case class StGridCells(left: Expression, right: Expression)
   * (rows over `spark.graft.spatial.maxCellsPerRow` skip the cell
   * explode and take the exact theta-join).
   */
+/** Evaluation twin of [[StIntersects]] used by
+  * [[graft.plans.SpatialJoinRule]] to mark the oversized-row fallback
+  * joins it emits. The rule matches only [[StIntersects]], so a join
+  * condition carrying this class is never re-rewritten — and unlike
+  * the previous `st_intersects = true` wrapper, no builtin optimizer
+  * rule (`SimplifyBinaryComparison` unwraps `EqualTo(b, true)` to `b`)
+  * can normalize an expression class it does not know back into the
+  * matched form. That keeps the rule idempotent even when installed in
+  * the fixed-point operator-optimization batch via
+  * `spark.sql.extensions` / `injectOptimizerRule`.
+  */
+case class StIntersectsNoRewrite(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoKernel.intersects(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.intersects($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectsNoRewrite =
+    copy(l, r)
+  override def prettyName: String = "st_intersects_norewrite"
+}
+
 case class StCellCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType

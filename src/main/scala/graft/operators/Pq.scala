@@ -72,10 +72,18 @@ object Pq {
     *
     * `corpus` must carry `codeCol` from [[encode]]; queries bring the
     * raw vector.
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals
+    * the query id — the right default when queries are drawn FROM the
+    * corpus (self is always the trivial distance-0 neighbor). Pass
+    * false for an external query set whose id namespace is unrelated
+    * to the corpus: there an accidental id collision is a legitimate
+    * neighbor, not "self", and must stay in the top-k.
     */
   def adcSearch(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       queries: DataFrame, topK: Int, vecCol: String = "embedding",
-      idCol: String = "vec_id", codeCol: String = "code"): DataFrame = {
+      idCol: String = "vec_id", codeCol: String = "code",
+      excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VecFunctions.register(corpus.sparkSession)
     val (m, subDim) = requireModel(codebooks)
     var q = queries
@@ -91,9 +99,9 @@ object Pq {
       expr(s"array(${(0 until m).map(j => s"__lut$j").mkString(", ")})")
         .as("__lut"))
     val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
-    corpus.select(col(idCol).as("c_id"), col(codeCol))
+    val paired = corpus.select(col(idCol).as("c_id"), col(codeCol))
       .crossJoin(broadcast(luts)) // query set = model-sized side
-      .filter(col("c_id") =!= col("q_id"))
+    (if (excludeSelf) paired.filter(col("c_id") =!= col("q_id")) else paired)
       .withColumn("adc", expr(s"vec_pq_adc($codeCol, __lut)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

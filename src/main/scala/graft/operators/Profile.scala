@@ -47,28 +47,39 @@ object Profile {
     * @return one row per column: (col_name, n_rows, n_nulls,
     *         n_distinct, min_val, max_val).
     */
+  // Column names are interpolated into stack() SQL both as string
+  // literals and as backquoted identifiers — escape both so a name
+  // containing ' or ` can't break expr() parsing or mislabel a row.
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlId(s: String): String =
+    "`" + s.replace("`", "``") + "`"
+
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: no columns requested")
-    // pass 1: null counts + typed extrema, one wide simple aggregate
+    // pass 1: null counts + typed extrema, one wide simple aggregate.
+    // col() parses its argument as a (backtick-aware) attribute name,
+    // so column READS go through sqlId too.
     val aggs = cols.flatMap { c =>
       Seq(
         // coalesce: SUM over an empty table is NULL, but "0 nulls" is
         // the truthful report for an empty input
-        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col(sqlId(c)).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"__${c}__nulls"),
-        min(col(c)).cast("string").as(s"__${c}__min"),
-        max(col(c)).cast("string").as(s"__${c}__max"))
+        min(col(sqlId(c))).cast("string").as(s"__${c}__min"),
+        max(col(sqlId(c))).cast("string").as(s"__${c}__max"))
     } :+ count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', `__${c}__nulls`, `__${c}__min`, `__${c}__max`")
+      s"${sqlLit(c)}, ${sqlId(s"__${c}__nulls")}, " +
+        s"${sqlId(s"__${c}__min")}, ${sqlId(s"__${c}__max")}")
       .mkString(", ") + ") AS (col_name, n_nulls, min_val, max_val)"
     val extrema = wide.select(col("__total").as("n_rows"), expr(stackExpr))
 
     // pass 2: melt to (col_name, value) and count distincts per group
     val meltExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+      s"${sqlLit(c)}, CAST(${sqlId(c)} AS STRING)").mkString(", ") +
       ") AS (col_name, __val)"
     val dist = df.select(expr(meltExpr)).groupBy("col_name")
       .agg((if (exactDistinct) countDistinct(col("__val"))

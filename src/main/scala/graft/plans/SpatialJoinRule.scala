@@ -1,12 +1,12 @@
 package graft.plans
 
-import graft.functions.{StCellCount, StEnvelope, StGridCells, StIntersects, StRefCell}
+import graft.functions.{StCellCount, StEnvelope, StGridCells, StIntersects, StIntersectsNoRewrite, StRefCell}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Catalyst optimizer rule: rewrite a naive spatial theta-join
   *
@@ -48,8 +48,10 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
   *     keep the ORIGINAL theta-join (exactly the plan the user wrote,
   *     now bounded to the rare oversized rows — with AQE, an empty
   *     big side collapses the fallback branch at runtime). The
-  *     fallback joins carry the marker `st_intersects(..) = true`
-  *     conjunct so the rule's own fixed-point pass leaves them alone.
+  *     fallback joins re-issue the exact predicate as the opaque
+  *     [[graft.functions.StIntersectsNoRewrite]] twin so neither this
+  *     rule's fixed-point re-pass nor any builtin simplification can
+  *     turn it back into a matched `st_intersects` conjunct.
   *
   * Install via `spark.sql.extensions=graft.functions.GraftExtensions`
   * or programmatically with [[SpatialJoinRule.install]].
@@ -141,12 +143,15 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
     // FALLBACK BRANCHES: oversized rows keep the user's original
     // theta-join, partitioned disjointly (big-left × all, small-left
-    // × big-right) so the union never duplicates a pair. The
-    // `st_intersects = true` wrapper is semantically identical for
-    // join conditions (null ⇒ row dropped either way) and hides the
-    // top-level StIntersects conjunct from this rule's fixed-point
-    // re-pass.
-    val marked = (Seq(EqualTo(si, Literal(true, BooleanType)): Expression)
+    // × big-right) so the union never duplicates a pair. The exact
+    // predicate is re-issued as StIntersectsNoRewrite — an evaluation
+    // twin this rule never matches. An opaque expression class (not a
+    // `= true` wrapper) is required because SimplifyBinaryComparison
+    // rewrites `EqualTo(b, true)` back to `b` in the same fixed-point
+    // batch this rule runs in under `spark.sql.extensions`, which
+    // would re-expose the StIntersects conjunct and grow the plan
+    // every iteration.
+    val marked = (Seq(StIntersectsNoRewrite(si.left, si.right): Expression)
       ++ rest).reduce(And)
     val bigLeft = Project(j.output,
       Join(Filter(big(lGeom), j.left), j.right, Inner, Some(marked), j.hint))

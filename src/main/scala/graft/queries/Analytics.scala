@@ -72,11 +72,15 @@ object Analytics extends QueryModule {
   // The moments table has one row per event type (bounded key
   // cardinality → broadcast-safe at any scale, no hint needed).
   // sqrt/÷ are IEEE-correctly-rounded in both engines, so identical
-  // expressions over exact moments give bit-equal z.
+  // expressions over exact moments give bit-equal z. The variance is
+  // guarded: a zero-variance group (or one rounded slightly negative
+  // by the decimal→double moments) yields NULL z in BOTH engines —
+  // unguarded, Spark returns NaN while DuckDB errors on sqrt(<0).
   private val meanE = "CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val varE =
+    s"CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) - ($meanE) * ($meanE)"
   private val zE =
-    s"(value - $meanE) / sqrt(CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) " +
-      s"- ($meanE) * ($meanE))"
+    s"CASE WHEN ($varE) > 0 THEN (value - $meanE) / sqrt($varE) ELSE NULL END"
 
   private def q83(s: SparkSession, dir: String): DataFrame = {
     val ev = T.events(s, dir)
@@ -88,7 +92,7 @@ object Analytics extends QueryModule {
     ev.join(st, "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         expr(s"round($zE, 6)").as("z"))
-      .orderBy(abs(col("z")).desc, col("event_id"))
+      .orderBy(abs(col("z")).desc_nulls_last, col("event_id"))
       .limit(20)
   }
 
@@ -101,7 +105,7 @@ object Analytics extends QueryModule {
        |SELECT * FROM (
        |  SELECT event_id, e.event_type, value, round($zE, 6) AS z
        |  FROM events e JOIN st ON st.event_type = e.event_type)
-       |ORDER BY abs(z) DESC, event_id
+       |ORDER BY abs(z) DESC NULLS LAST, event_id
        |LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------

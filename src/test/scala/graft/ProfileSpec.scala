@@ -55,6 +55,16 @@ class ProfileSpec extends AnyFunSuite with SharedSpark {
     assert("""\(\d+\) (Scan|LocalTableScan)""".r.findAllIn(p).length == 2, p)
   }
 
+  test("column names containing quotes and backticks are escaped") {
+    val hostile = sample
+      .withColumnRenamed("s", "we`ird")
+      .withColumnRenamed("v", "it's")
+    val rows = Profile.profile(hostile, Seq("k", "we`ird", "it's"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.keySet == Set("k", "we`ird", "it's")) // labels intact
+    assert(rows("k") == 4L && rows("we`ird") == 2L && rows("it's") == 3L)
+  }
+
   test("empty input yields zero-row counts, null extrema") {
     val empty = sample.filter("k < 0")
     val r = Profile.profile(empty, Seq("k")).collect().head
