@@ -123,6 +123,20 @@ object Components {
       import spark.implicits._
       return labels.toDF("id", "comp")
     }
+    // Size the loop's shuffle partitions to the GRAPH, not the session
+    // default: each round runs 4-5 exchanges of the edge/label tables,
+    // and a candidate graph is usually orders of magnitude smaller
+    // than the corpus that produced it — at the session's corpus-sized
+    // setting every round pays partitions×exchanges near-empty tasks
+    // (the dominant cost of the loop at test scale), while a truly
+    // huge graph gets MORE partitions than the default, keeping
+    // per-task edge counts bounded. ~64k edges per partition; restored
+    // after the loop.
+    val conf = spark.conf
+    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    val target = math.min(math.max(4L, nEdges / 65536 + 1), 1L << 14)
+    conf.set("spark.sql.shuffle.partitions", target.toString)
+    try {
     // seed = one propagation round for free: comp(v) = min(v, min
     // neighbor) straight out of the first aggregation
     var (labels, prevSum) = pinWithCompSum(sym.groupBy("src")
@@ -179,5 +193,6 @@ object Components {
       log.warn(msg)
     }
     labels
+    } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -270,12 +270,23 @@ object Dedup extends QueryModule {
     val banded = sim.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("j"))
       .withColumn("band", expr("shiftright(simhash, 8 * j) & 255"))
+    // Pairs sharing k bands would surface k times; instead of a
+    // DISTINCT (a full shuffle of every candidate pair — the dominant
+    // cost of this query) each pair is emitted ONLY from the first
+    // band both signatures agree on, computed arithmetically from the
+    // xor of the two signatures already present in the joined row —
+    // the same reference-dedup trick as the spatial join's top-left
+    // cell. The residual predicate is codegen'd and leaves the
+    // orderBy+limit as a shuffle-free TakeOrdered over unique pairs.
+    val firstMatch = "CASE " + (0 to 3).map(j =>
+      s"WHEN (shiftright(a.simhash ^ b.simhash, ${8 * j}) & 255) = 0 THEN $j")
+      .mkString(" ") + " END"
     banded.as("a").join(banded.as("b"),
         col("a.j") === col("b.j") && col("a.band") === col("b.band")
-          && col("a.doc_id") < col("b.doc_id"))
+          && col("a.doc_id") < col("b.doc_id")
+          && col("a.j") === expr(firstMatch))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
-      .distinct()
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(50)
   }
