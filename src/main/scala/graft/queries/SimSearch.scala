@@ -376,13 +376,99 @@ object SimSearch extends QueryModule {
        |  FROM adc) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q91 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): cluster the
+  // embedding space with the coarse quantizer (the q53 fixed-centroid
+  // model standing in for the trained k-means), compare pairs ONLY
+  // within a cluster, and drop every vector that has a lower-id
+  // cluster-mate with cosine ≥ τ — keeping the smallest id as the
+  // representative. Output: one row per dropped vector with its
+  // keeper, how many close neighbors condemned it, and the max
+  // cosine. Greedy-by-id within-cluster dedup; TRANSITIVE cluster
+  // collapse is deliberately q57's CC operator, not this one.
+  //
+  // Scale: the within-cell self-join is the q33 shape — O(n²/k)
+  // comparisons with k (clusters) grown with the corpus (Ivf.train),
+  // bounding per-cell fan-out; never all-pairs. τ = 0.4 is calibrated
+  // to the synthetic near-orthogonal test embeddings (max in-cell
+  // cosine ≈ 0.5-0.6); real sentence embeddings sit at ~0.95+.
+  //
+  // Exactness: dots/norms of ≤1e6-magnitude integer components in
+  // float64 are exact (< 2^53) in any summation order; both engines
+  // then divide and compare identical values, so the τ cut and the
+  // max() cannot flake across engines.
+  private val semTau = 0.4
+
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"),
+        col("n2"))
+    val cents: Seq[Seq[Double]] = corpus
+      .filter(col("vec_id").isin(centIds: _*))
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
+    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
+    val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
+      col("embedding").as("va"), col("n2").as("na"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+      col("embedding").as("vb"), col("n2").as("nb"))
+    a.join(b, col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(
+        "vec_dot_d(va, vb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      .filter(col("cosine") >= semTau)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(min("id_a").as("keep_id"), count(lit(1)).as("n_close"),
+        max("cosine").as("max_cos"))
+      .orderBy("drop_id")
+  }
+
+  private val q91Sql =
+    s"""$duckPrelude,
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, e.i, e.v FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST((e.v - c.v) AS DOUBLE) * CAST((e.v - c.v) AS DOUBLE)) AS d
+       |  FROM ex e JOIN cex c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+       |  FROM assigned a
+       |  JOIN assigned b ON b.cell = a.cell AND a.vec_id < b.vec_id
+       |  JOIN ex ea ON ea.vec_id = a.vec_id
+       |  JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n na ON na.vec_id = id_a
+       |  JOIN n nb ON nb.vec_id = id_b)
+       |SELECT id_b AS drop_id, MIN(id_a) AS keep_id,
+       |  COUNT(*) AS n_close, MAX(cosine) AS max_cos
+       |FROM sc WHERE cosine >= $semTau
+       |GROUP BY id_b
+       |ORDER BY drop_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
     "q33_embed_neardup" -> (q33 _),
     "q53_ivf_search" -> (q53 _),
     "q63_srp_sketch" -> (q63 _),
-    "q90_pq_adc_search" -> (q90 _))
+    "q90_pq_adc_search" -> (q90 _),
+    "q91_semantic_dedup" -> (q91 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -390,5 +476,6 @@ object SimSearch extends QueryModule {
     "q33_embed_neardup" -> q33Sql,
     "q53_ivf_search" -> q53Sql,
     "q63_srp_sketch" -> q63Sql,
-    "q90_pq_adc_search" -> q90Sql)
+    "q90_pq_adc_search" -> q90Sql,
+    "q91_semantic_dedup" -> q91Sql)
 }
