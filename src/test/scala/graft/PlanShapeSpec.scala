@@ -171,6 +171,35 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q32 simhash pairs: no re-shuffle of the candidate-pair set") {
+    // Pair dedup is the first-matching-band residual predicate, so
+    // NOTHING may aggregate or exchange between the band self-join
+    // and the top-k: the old DISTINCT form shuffled every candidate
+    // pair (the dominant cost). Tree is printed parent-first, so all
+    // aggregates (the simhash build) must sit BELOW the join.
+    val tree = formatted("q32_simhash_neardup").linesIterator
+      .takeWhile(!_.startsWith("(1)")).toSeq
+    assert(tree.head.contains("TakeOrderedAndProject") ||
+      tree.exists(_.contains("TakeOrderedAndProject")), tree.mkString("\n"))
+    val joinIdx = tree.indexWhere(_.contains("Join"))
+    assert(joinIdx > 0, tree.mkString("\n"))
+    tree.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("HashAggregate") || l.contains("Exchange"))
+        assert(i > joinIdx,
+          s"aggregate/exchange above the pair join at line $i:\n" +
+            tree.mkString("\n"))
+    }
+  }
+
+  test("q91 semantic dedup: within-cell equi-join, never all-pairs") {
+    val p = formatted("q91_semantic_dedup")
+    assert(countNodes(p, "CartesianProduct") == 0, p)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    // the cluster id must be the join key (hash or sort-merge on cell)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q81 auto spatial join: optimizer supplies the grid equi-join; " +
       "any nested loop is the st_cell_count-guarded oversized-row fallback") {
     val df = SparkEntry.queries("q81_auto_spatial_join")(spark, dir)
