@@ -268,7 +268,11 @@ object GeoFunctions {
       (e: Seq[Expression]) => StGridCells(e(0), e(1))),
     ("st_cell_count",
       info("st_cell_count", "st_cell_count(wkt, cell_size) - envelope grid-cell count"),
-      (e: Seq[Expression]) => StCellCount(e(0), e(1))))
+      (e: Seq[Expression]) => StCellCount(e(0), e(1))),
+    ("st_intersects_norewrite",
+      info("st_intersects_norewrite",
+        "st_intersects_norewrite(a, b) - st_intersects exempt from the auto grid-join rewrite"),
+      (e: Seq[Expression]) => StIntersectsNoRewrite(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -159,15 +159,69 @@ object TrainingData extends QueryModule {
        |    FROM (SELECT doc_id, $nTokD AS n_tok FROM documents)))
        |ORDER BY doc_id, window_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q92 — deterministic SEEDED SHUFFLE + train/val/test split: every
+  // document hashes to a split (90/5/5) and to a training ORDER
+  // inside its split, both functions of (doc_id, seed) only — so the
+  // assignment is reproducible run-to-run, independent of partition
+  // layout or arrival order, and re-seeding re-shuffles without
+  // touching the data. This is the training-order stage that follows
+  // packing: model training must not see the corpus in crawl order
+  // (md5 decorrelates it), and eval splits must be stable across
+  // pipeline re-runs (hash-of-id, never random()).
+  //
+  // Scale: one scan; the split hash is a per-row expression; the
+  // per-split position is a window over the 3-way split partition —
+  // at lake scale the position would be assigned per (split, shard)
+  // group exactly as q52 partitions its window, so nothing funnels
+  // through one task (the 3-partition window form here is the
+  // oracle-checkable core, as q48 is for q52).
+  private val shufSeed = 42
+  private val splitKeyS =
+    s"md5(concat(CAST(doc_id AS STRING), ':$shufSeed'))"
+  private val splitKeyD = s"md5(CAST(doc_id AS VARCHAR) || ':$shufSeed')"
+
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      s"CAST(conv(substring($splitKeyS, 1, 4), 16, 10) AS BIGINT) % 100"
+    val w = Window.partitionBy("split").orderBy("skey", "doc_id")
+    T.documents(s, dir)
+      .select(col("doc_id"), expr(splitKeyS).as("skey"),
+        expr(bucket).as("b"))
+      .withColumn("split", expr(
+        "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' " +
+          "ELSE 'test' END"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select("split", "pos", "doc_id")
+      .orderBy("split", "pos")
+  }
+
+  private val q92Sql =
+    s"""SELECT split, pos, doc_id FROM (
+       |  SELECT split, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY split
+       |      ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM (
+       |    SELECT doc_id, skey,
+       |      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+       |           ELSE 'test' END AS split
+       |    FROM (
+       |      SELECT doc_id, $splitKeyD AS skey,
+       |        ('0x' || substring($splitKeyD, 1, 4))::BIGINT % 100 AS b
+       |      FROM documents)))
+       |ORDER BY split, pos""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
     "q52_shard_pack_by_lang" -> (q52 _),
-    "q55_chunk_windows" -> (q55 _))
+    "q55_chunk_windows" -> (q55 _),
+    "q92_seeded_split" -> (q92 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
     "q49_stratified_sample" -> q49Sql,
     "q52_shard_pack_by_lang" -> q52Sql,
-    "q55_chunk_windows" -> q55Sql)
+    "q55_chunk_windows" -> q55Sql,
+    "q92_seeded_split" -> q92Sql)
 }

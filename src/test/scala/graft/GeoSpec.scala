@@ -200,4 +200,31 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     val (lon2, lat2) = Geo.Crs.utmToWgs84(500000.0, n, zone = 32, north = false)
     assert(math.abs(lon2 - 9.0) < 1e-7 && math.abs(lat2 - (-30.0)) < 1e-7)
   }
+
+  test("StIntersectsNoRewrite is an exact evaluation twin of StIntersects") {
+    // The SpatialJoinRule fallback marker must agree with the real
+    // predicate on every pair (incl. null propagation) — interpreted
+    // AND codegen'd — or the oversized-row fallback would return
+    // different pairs than the predicate the user wrote.
+    import spark.implicits._
+    val polys = Seq(
+      "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))",
+      "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+      "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))", // shares an edge with #1
+      null)
+    val pairs = for (a <- polys; b <- polys) yield (a, b)
+    val df = pairs.toDF("a", "b")
+    graft.functions.GeoFunctions.register(spark)
+    val got = df.selectExpr("a", "b", "st_intersects(a, b) AS real",
+      "st_intersects_norewrite(a, b) AS marker").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(2) == r.isNullAt(3),
+        s"null parity broke for ${r.get(0)} / ${r.get(1)}")
+      if (!r.isNullAt(2))
+        assert(r.getBoolean(2) == r.getBoolean(3),
+          s"value parity broke for ${r.get(0)} / ${r.get(1)}")
+    }
+    assert(got.count(r => !r.isNullAt(2) && r.getBoolean(2)) > 0)
+  }
 }
