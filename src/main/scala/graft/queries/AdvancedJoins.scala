@@ -118,13 +118,47 @@ object AdvancedJoins extends QueryModule {
       |GROUP BY l_suppkey
       |ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q93 — SALTED JOIN under the oracle gate: the
+  // operators.SkewJoin.saltedInnerJoin path (deterministic salt on
+  // the big side, small side replicated saltFactor times) certified
+  // result-identical to the plain join — the DuckDB twin IS the
+  // unsalted join, so a hash match proves salting changes the
+  // partitioning and nothing else. This is the explicit skew weapon
+  // for when AQE's runtime skew split can't apply (skewed side feeds
+  // an aggregation, or a hot key dominates a sort-merge partition);
+  // at 100 TB the hot-custkey order stream is exactly this shape.
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val big = T.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderkey"),
+        col("o_totalprice"))
+    val small = T.customer(s, dir)
+      .select(col("c_custkey").as("ck"), col("c_mktsegment"))
+    graft.operators.SkewJoin
+      .saltedInnerJoin(big, small, Seq("ck"), "o_orderkey", saltFactor = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q93Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_asof_join" -> (q36 _),
     "q37_range_join" -> (q37 _),
-    "q65_bloom_semijoin" -> (q65 _))
+    "q65_bloom_semijoin" -> (q65 _),
+    "q93_salted_join" -> (q93 _))
 
   override val oracle: Map[String, String] = Map(
     "q36_asof_join" -> q36Sql,
     "q37_range_join" -> q37Sql,
-    "q65_bloom_semijoin" -> q65Sql)
+    "q65_bloom_semijoin" -> q65Sql,
+    "q93_salted_join" -> q93Sql)
 }
