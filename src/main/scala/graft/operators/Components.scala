@@ -130,16 +130,18 @@ object Components {
     // setting every round pays partitions×exchanges near-empty tasks
     // (the dominant cost of the loop at test scale), while a truly
     // huge graph gets MORE partitions than the default, keeping
-    // per-task edge counts bounded. ~64k edges per partition; restored
-    // after the loop.
-    val conf = spark.conf
-    val prevShuffle = conf.get("spark.sql.shuffle.partitions")
+    // per-task edge counts bounded (~64k edges per partition). The
+    // sizing lives in a CHILD session (newSession: own SQLConf, shared
+    // context/cache) so a concurrent query planning in the caller's
+    // session never observes the loop's setting; the result is
+    // re-bound to the caller's session before returning.
+    val loopSession = spark.newSession()
     val target = math.min(math.max(4L, nEdges / 65536 + 1), 1L << 14)
-    conf.set("spark.sql.shuffle.partitions", target.toString)
-    try {
+    loopSession.conf.set("spark.sql.shuffle.partitions", target.toString)
+    val symLoop = loopSession.createDataFrame(sym.rdd, sym.schema)
     // seed = one propagation round for free: comp(v) = min(v, min
     // neighbor) straight out of the first aggregation
-    var (labels, prevSum) = pinWithCompSum(sym.groupBy("src")
+    var (labels, prevSum) = pinWithCompSum(symLoop.groupBy("src")
       .agg(least(min(col("dst")), col("src")).as("comp"))
       .select(col("src").as("id"), col("comp")))
     // min-propagation monotonically decreases the label sum; fixpoint
@@ -147,8 +149,8 @@ object Components {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neigh = sym.join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("comp"))
+      val neigh = symLoop.join(labels, symLoop("dst") === labels("id"))
+        .select(symLoop("src").as("id"), col("comp"))
       val propagated = labels.select("id", "comp").union(neigh)
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jumping (path compression): follow comp k more hops
@@ -192,7 +194,9 @@ object Components {
       if (strict) throw new IllegalStateException(msg)
       log.warn(msg)
     }
-    labels
-    } finally conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // labels is a pinned LogicalRDD — re-bind it to the CALLER's
+    // session so downstream plans (joins against caller DataFrames)
+    // plan under the caller's conf, not the loop's
+    spark.createDataFrame(labels.rdd, labels.schema)
   }
 }
