@@ -66,6 +66,42 @@ object Ivf {
     cents
   }
 
+  /** [[train]] with centroids rounded to the INTEGER LATTICE after
+    * every mean update (floor(m + 0.5) — one fixed rule, applied to
+    * identical doubles everywhere). With integer-valued inputs this
+    * makes the whole Lloyd loop REPRODUCIBLE: every distance and
+    * every mean numerator is a sum of integer-valued float64 terms
+    * below 2^53 — exact in ANY accumulation order — so two runs on
+    * different partitionings/cluster topologies (or a re-train months
+    * later) produce a bit-identical model, where float means drift by
+    * summation order and cascade into different assignments next
+    * round. Accuracy cost ≤ 0.5 per dimension — noise against
+    * quantized-embedding components (~1e6 quanta). Inputs must be
+    * integer-valued (e.g. the 1e6-quantized corpus); the oracle-gated
+    * q94 certifies this loop against an engine-independent twin.
+    */
+  def trainLattice(spark: SparkSession, embeddings: DataFrame, k: Int,
+      iters: Int, vecCol: String = "embedding", idCol: String = "vec_id")
+      : Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = embeddings.orderBy(idCol).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
+    (1 to iters).foreach { _ =>
+      val means = assign(embeddings, cents, vecCol)
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rows => rows.sortBy(_.getInt(1))
+          .map(r => math.floor(r.getDouble(2) + 0.5)).toSeq)
+        .toMap
+      // empty cells keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** Top-k cosine search probing the `nProbe` nearest cells per query.
     * `corpus` must carry the `cell` column from [[assign]]; queries
     * are assigned their probe cells here and broadcast.

@@ -461,6 +461,61 @@ object SimSearch extends QueryModule {
        |GROUP BY id_b
        |ORDER BY drop_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q94 — the k-means TRAIN loop under the oracle gate
+  // (Ivf.trainLattice): 2 full Lloyd iterations — deterministic
+  // first-k init, distributed nearest-centroid assignment (first-min
+  // tie-break), per-(cell,dim) mean ROUNDED to the integer lattice,
+  // empty cells keeping their previous centroid — against a DuckDB
+  // twin that unrolls the same two iterations in SQL. Lattice
+  // rounding (floor(m + 0.5) on identical doubles) is what makes the
+  // loop engine- and order-independent: every distance and mean
+  // numerator is an exact-in-float64 sum of integer-valued terms, so
+  // a hash match certifies the WHOLE training trajectory, not one
+  // step. Output = the trained model, one row per (cid, dim).
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val model = graft.operators.Ivf.trainLattice(s, corpus, k = 4, iters = 2)
+    import s.implicits._
+    model.zipWithIndex.flatMap { case (c, cid) =>
+      c.zipWithIndex.map { case (v, dim) => (cid, dim, v.toLong) }
+    }.toDF("cid", "dim", "v").orderBy("cid", "dim")
+  }
+
+  private val q94Sql = {
+    def step(n: Int, prev: String) =
+      s"""d$n AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+         |  FROM ex e JOIN $prev c ON c.i = e.i
+         |  GROUP BY 1, 2),
+         |a$n AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$n) WHERE rn = 1),
+         |m$n AS (
+         |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
+         |  FROM a$n a JOIN ex e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |c$n AS (
+         |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN m$n m ON m.cid = p.cid AND m.i = p.i)"""
+        .stripMargin
+    s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
+       |    CAST(unnest(qv) AS DOUBLE) AS v
+       |  FROM q),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex
+       |  WHERE vec_id < 4),
+       |${step(1, "c0")},
+       |${step(2, "c1")}
+       |SELECT cid, CAST(i - 1 AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
+       |FROM c2 ORDER BY cid, dim""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -468,7 +523,8 @@ object SimSearch extends QueryModule {
     "q53_ivf_search" -> (q53 _),
     "q63_srp_sketch" -> (q63 _),
     "q90_pq_adc_search" -> (q90 _),
-    "q91_semantic_dedup" -> (q91 _))
+    "q91_semantic_dedup" -> (q91 _),
+    "q94_kmeans_train" -> (q94 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -477,5 +533,6 @@ object SimSearch extends QueryModule {
     "q53_ivf_search" -> q53Sql,
     "q63_srp_sketch" -> q63Sql,
     "q90_pq_adc_search" -> q90Sql,
-    "q91_semantic_dedup" -> q91Sql)
+    "q91_semantic_dedup" -> q91Sql,
+    "q94_kmeans_train" -> q94Sql)
 }
