@@ -47,9 +47,14 @@ object Bench {
     // the summary line must stay SHORT: per-query keys are shortened
     // to their unique `qNN` prefix and values rounded to ms. The full
     // names + full precision + per-pass timings go to a sidecar file.
+    val prefixCounts = names.groupBy(_.takeWhile(_ != '_'))
+      .view.mapValues(_.size).toMap
+    // collision guard: if two queries ever share a qNN prefix, keep
+    // their full names — duplicate JSON keys would silently drop one
+    // timing (parsers keep last-wins)
     def short(n: String) = {
       val p = n.takeWhile(_ != '_')
-      if (p.matches("q\\d+")) p else n
+      if (p.matches("q\\d+") && prefixCounts(p) == 1) p else n
     }
     val qs = results.map { case (k, v) => s"${jstr(short(k))}:${f3(v)}" }
       .mkString("{", ",", "}")

@@ -182,9 +182,25 @@ case class StGridCells(left: Expression, right: Expression)
   * (rows over `spark.graft.spatial.maxCellsPerRow` skip the cell
   * explode and take the exact theta-join).
   */
+case class StCellCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(wkt: Any, cell: Any): Any =
+    GeoKernel.cellCount(wkt.asInstanceOf[UTF8String],
+      cell.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.cellCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCount =
+    copy(l, r)
+  override def prettyName: String = "st_cell_count"
+}
+
 /** Evaluation twin of [[StIntersects]] used by
   * [[graft.plans.SpatialJoinRule]] to mark the oversized-row fallback
-  * joins it emits. The rule matches only [[StIntersects]], so a join
+  * joins it emits (also registered as `st_intersects_norewrite` — the
+  * user-facing per-predicate opt-out from the auto grid-join
+  * rewrite). The rule matches only [[StIntersects]], so a join
   * condition carrying this class is never re-rewritten — and unlike
   * the previous `st_intersects = true` wrapper, no builtin optimizer
   * rule (`SimplifyBinaryComparison` unwraps `EqualTo(b, true)` to `b`)
@@ -205,20 +221,6 @@ case class StIntersectsNoRewrite(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersectsNoRewrite =
     copy(l, r)
   override def prettyName: String = "st_intersects_norewrite"
-}
-
-case class StCellCount(left: Expression, right: Expression)
-    extends BinaryExpression {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(wkt: Any, cell: Any): Any =
-    GeoKernel.cellCount(wkt.asInstanceOf[UTF8String],
-      cell.asInstanceOf[Double])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.GeoKernel.cellCount($a, $b)")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCount =
-    copy(l, r)
-  override def prettyName: String = "st_cell_count"
 }
 
 /** `st_ref_cell(l_env, r_env, cell_size)` — the top-left cell shared

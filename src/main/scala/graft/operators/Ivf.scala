@@ -42,23 +42,33 @@ object Ivf {
 
   /** Lloyd's k-means: deterministic init (first k rows by `idCol`),
     * distributed assignment + per-(cell,dim) mean, `iters` rounds.
-    * Returns the k centroids (driver-side model).
+    * Returns the k centroids (driver-side model). Works on any
+    * numeric array column (float or double).
     */
   def train(spark: SparkSession, embeddings: DataFrame, k: Int, iters: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Seq[Double]] = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): Seq[Seq[Double]] =
+    lloyd(embeddings, k, iters, vecCol, idCol, identity)
+
+  /** Shared Lloyd loop: `roundMean` post-processes every updated
+    * centroid component (identity for [[train]], lattice rounding for
+    * [[trainLattice]]) — ONE loop so init, tie-break, and empty-cell
+    * semantics cannot diverge between the two trainers.
+    */
+  private def lloyd(embeddings: DataFrame, k: Int, iters: Int,
+      vecCol: String, idCol: String, roundMean: Double => Double)
+      : Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = embeddings.orderBy(idCol).limit(k)
       .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
     (1 to iters).foreach { _ =>
-      val assigned = assign(embeddings, cents, vecCol)
-      val means = assigned
+      val means = assign(embeddings, cents, vecCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(avg(col("v").cast("double")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
-        .view.mapValues(rows =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .view.mapValues(rows => rows.sortBy(_.getInt(1))
+          .map(r => roundMean(r.getDouble(2))).toSeq)
         .toMap
       // empty cells keep their previous centroid
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
@@ -82,25 +92,8 @@ object Ivf {
     */
   def trainLattice(spark: SparkSession, embeddings: DataFrame, k: Int,
       iters: Int, vecCol: String = "embedding", idCol: String = "vec_id")
-      : Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = embeddings.orderBy(idCol).limit(k)
-      .select(vecCol).collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue).toSeq).toSeq
-    (1 to iters).foreach { _ =>
-      val means = assign(embeddings, cents, vecCol)
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .view.mapValues(rows => rows.sortBy(_.getInt(1))
-          .map(r => math.floor(r.getDouble(2) + 0.5)).toSeq)
-        .toMap
-      // empty cells keep their previous centroid
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
-    cents
-  }
+      : Seq[Seq[Double]] =
+    lloyd(embeddings, k, iters, vecCol, idCol, m => math.floor(m + 0.5))
 
   /** Top-k cosine search probing the `nProbe` nearest cells per query.
     * `corpus` must carry the `cell` column from [[assign]]; queries

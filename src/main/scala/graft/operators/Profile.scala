@@ -47,17 +47,25 @@ object Profile {
     * @return one row per column: (col_name, n_rows, n_nulls,
     *         n_distinct, min_val, max_val).
     */
-  // Column names are interpolated into stack() SQL both as string
-  // literals and as backquoted identifiers — escape both so a name
-  // containing ' or ` can't break expr() parsing or mislabel a row.
-  private def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  // Column names appear in the stack() SQL only as backquoted
+  // IDENTIFIERS (backtick-doubled — the identifier grammar is the
+  // same in every parser mode). The report LABEL is never a SQL
+  // string literal: literal escaping is parser-mode-dependent
+  // (spark.sql.parser.escapedStringLiterals flips the meaning of a
+  // backslash), so labels travel as integer ordinals through stack()
+  // and get their names back from a parser-free programmatic join.
   private def sqlId(s: String): String =
     "`" + s.replace("`", "``") + "`"
 
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: no columns requested")
+    val s = df.sparkSession
+    import s.implicits._
+    // ordinal → name map, built WITHOUT the SQL parser; k rows,
+    // broadcast onto the k-row report
+    val names = broadcast(
+      cols.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__ord", "col_name"))
     // pass 1: null counts + typed extrema, one wide simple aggregate.
     // col() parses its argument as a (backtick-aware) attribute name,
     // so column READS go through sqlId too.
@@ -71,21 +79,23 @@ object Profile {
         max(col(sqlId(c))).cast("string").as(s"__${c}__max"))
     } :+ count(lit(1)).as("__total")
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"${sqlLit(c)}, ${sqlId(s"__${c}__nulls")}, " +
-        s"${sqlId(s"__${c}__min")}, ${sqlId(s"__${c}__max")}")
-      .mkString(", ") + ") AS (col_name, n_nulls, min_val, max_val)"
+    val stackExpr = s"stack(${cols.size}, " + cols.zipWithIndex.map {
+      case (c, i) =>
+        s"$i, ${sqlId(s"__${c}__nulls")}, " +
+          s"${sqlId(s"__${c}__min")}, ${sqlId(s"__${c}__max")}"
+    }.mkString(", ") + ") AS (__ord, n_nulls, min_val, max_val)"
     val extrema = wide.select(col("__total").as("n_rows"), expr(stackExpr))
 
-    // pass 2: melt to (col_name, value) and count distincts per group
-    val meltExpr = s"stack(${cols.size}, " + cols.map(c =>
-      s"${sqlLit(c)}, CAST(${sqlId(c)} AS STRING)").mkString(", ") +
-      ") AS (col_name, __val)"
-    val dist = df.select(expr(meltExpr)).groupBy("col_name")
+    // pass 2: melt to (ordinal, value) and count distincts per group
+    val meltExpr = s"stack(${cols.size}, " + cols.zipWithIndex.map {
+      case (c, i) => s"$i, CAST(${sqlId(c)} AS STRING)"
+    }.mkString(", ") + ") AS (__ord, __val)"
+    val dist = df.select(expr(meltExpr)).groupBy("__ord")
       .agg((if (exactDistinct) countDistinct(col("__val"))
             else approx_count_distinct(col("__val"))).as("n_distinct"))
 
-    extrema.join(dist, Seq("col_name"), "left")
+    extrema.join(dist, Seq("__ord"), "left")
+      .join(names, Seq("__ord"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_val"), col("max_val"))

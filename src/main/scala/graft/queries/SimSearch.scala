@@ -205,13 +205,23 @@ object SimSearch extends QueryModule {
   // divides identical exact values.
   private val centIds = Seq(0L, 10L, 20L, 30L)
 
+  /** The fixed 4-centroid "trained model" shared by q53/q90/q91: the
+    * quantized vectors of `centIds`, ordered by vec_id so cid = rank —
+    * the same contract as the DuckDB twins'
+    * `ROW_NUMBER() OVER (ORDER BY vec_id) - 1`. Model-sized driver
+    * collect; change the convention HERE and in those twins together.
+    */
+  private def fixedCentroids(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    quantized(s, dir)
+      .filter(col("vec_id").isin(centIds: _*))
+      .orderBy("vec_id")
+      .select(expr("CAST(qv AS ARRAY<DOUBLE>)"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-    val cents: Seq[Seq[Double]] = corpus
-      .filter(col("vec_id").isin(centIds: _*))
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
+    val cents = fixedCentroids(s, dir)
     val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
     val queries = corpus.filter(col("vec_id") < 8)
     graft.operators.Ivf.search(s, assigned, cents, queries,
@@ -328,9 +338,7 @@ object SimSearch extends QueryModule {
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
     val m = 4; val subDim = 16
-    val base = corpus.filter(col("vec_id").isin(centIds: _*))
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
+    val base = fixedCentroids(s, dir)
     val codebooks = (0 until m).map(j =>
       base.map(v => v.slice(j * subDim, (j + 1) * subDim)))
     val encoded = graft.operators.Pq.encode(corpus, codebooks, "embedding")
@@ -403,11 +411,8 @@ object SimSearch extends QueryModule {
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"),
         col("n2"))
-    val cents: Seq[Seq[Double]] = corpus
-      .filter(col("vec_id").isin(centIds: _*))
-      .orderBy("vec_id").select("vec_id", "embedding").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq // model-sized driver collect
-    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
+    val assigned = graft.operators.Ivf.assign(corpus,
+      fixedCentroids(s, dir), "embedding")
     val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
       col("embedding").as("va"), col("n2").as("na"))
     val b = assigned.select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
