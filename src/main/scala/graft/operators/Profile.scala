@@ -60,12 +60,9 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: no columns requested")
-    val s = df.sparkSession
-    import s.implicits._
-    // ordinal → name map, built WITHOUT the SQL parser; k rows,
-    // broadcast onto the k-row report
-    val names = broadcast(
-      cols.zipWithIndex.map { case (c, i) => (i, c) }.toDF("__ord", "col_name"))
+    // ordinal → name lookup, built WITHOUT the SQL parser: a typedlit
+    // array literal indexed per report row (k elements, no join)
+    val nameOf = element_at(typedlit(cols), col("__ord") + 1)
     // pass 1: null counts + typed extrema, one wide simple aggregate.
     // col() parses its argument as a (backtick-aware) attribute name,
     // so column READS go through sqlId too.
@@ -95,8 +92,7 @@ object Profile {
             else approx_count_distinct(col("__val"))).as("n_distinct"))
 
     extrema.join(dist, Seq("__ord"), "left")
-      .join(names, Seq("__ord"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+      .select(nameOf.as("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_val"), col("max_val"))
   }

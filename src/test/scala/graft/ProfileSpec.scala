@@ -50,10 +50,9 @@ class ProfileSpec extends AnyFunSuite with SharedSpark {
     val p = Profile.profile(sample, Seq("k", "s", "v"))
       .queryExecution.explainString(FormattedMode)
     // the k-way multi-distinct Expand rewrite (whose plan cost grows
-    // super-linearly in k) must NOT appear; the melt form scans the
-    // INPUT twice (+1 scan of the k-row ordinal→name map)
+    // super-linearly in k) must NOT appear; the melt form scans twice
     assert(!p.contains("Expand"), p)
-    assert("""\(\d+\) (Scan|LocalTableScan)""".r.findAllIn(p).length == 3, p)
+    assert("""\(\d+\) (Scan|LocalTableScan)""".r.findAllIn(p).length == 2, p)
   }
 
   test("column names containing quotes and backticks are escaped") {
