@@ -54,7 +54,7 @@ object Ivf {
     * [[trainLattice]]) — ONE loop so init, tie-break, and empty-cell
     * semantics cannot diverge between the two trainers.
     */
-  private def lloyd(embeddings: DataFrame, k: Int, iters: Int,
+  private[operators] def lloyd(embeddings: DataFrame, k: Int, iters: Int,
       vecCol: String, idCol: String, roundMean: Double => Double)
       : Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = embeddings.orderBy(idCol).limit(k)

@@ -109,9 +109,11 @@ object Pq {
   }
 
   /** Per-subspace Lloyd's k-means (deterministic init: the first k
-    * rows by `idCol`), reusing [[Ivf.assign]] for the distributed
-    * assignment step. m × iters passes over the (sliced) corpus;
-    * only k × subDim means ever reach the driver.
+    * rows by `idCol`), delegating each subspace to [[Ivf]]'s shared
+    * Lloyd loop — one implementation of init/tie-break/empty-cell
+    * semantics across the coarse quantizer and the PQ codebooks.
+    * m × iters passes over the (sliced) corpus; only k × subDim means
+    * ever reach the driver.
     */
   def train(embeddings: DataFrame, m: Int, k: Int, iters: Int,
       vecCol: String = "embedding", idCol: String = "vec_id")
@@ -123,22 +125,7 @@ object Pq {
       val sub = embeddings.select(col(idCol).as("id"), expr(
         s"slice(CAST($vecCol AS ARRAY<DOUBLE>), ${j * subDim + 1}, $subDim)")
         .as("v"))
-      var cents: Seq[Seq[Double]] = sub.orderBy("id").limit(k)
-        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
-      (1 to iters).foreach { _ =>
-        val means = Ivf.assign(sub, cents, "v")
-          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg(avg(col("x").cast("double")).as("mv"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .view.mapValues(rows =>
-            rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-          .toMap
-        // empty cells keep their previous codeword
-        cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-      }
-      cents
+      Ivf.lloyd(sub, k, iters, "v", "id", identity)
     }
   }
 }
