@@ -521,6 +521,81 @@ object SimSearch extends QueryModule {
        |FROM c2 ORDER BY cid, dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q95 — INCREMENTAL semantic dedup: q91's decision applied to an
+  // arriving batch (vec_id % 10 = 7 stands in for "today's crawl")
+  // against the already-indexed corpus — the production shape for a
+  // continuously-growing lake, where re-running all-pairs dedup per
+  // ingest is the thing you must never do. A new vector is compared
+  // ONLY within its cluster cell, against (a) every indexed vector
+  // and (b) earlier arrivals of its own batch (lower id — the same
+  // greedy order q91 uses); dropped if any such neighbor reaches
+  // cosine ≥ τ. Embeddings twin of q88's text-side incremental
+  // near-dup. Scale: per-ingest cost is |batch|·(cell density), never
+  // |corpus|²; the index side would be pre-partitioned by cell.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.operators.Ivf.assign(
+      quantized(s, dir)
+        .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"),
+          col("n2")),
+      fixedCentroids(s, dir), "embedding")
+    val a = assigned.select(col("vec_id").as("id_a"), col("cell"),
+      col("embedding").as("va"), col("n2").as("na"))
+    val b = assigned.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("id_b"), col("cell").as("cell_b"),
+        col("embedding").as("vb"), col("n2").as("nb"))
+    a.join(b, col("cell") === col("cell_b")
+        && (col("id_a") % 10 =!= 7 || col("id_a") < col("id_b")))
+      .withColumn("cosine", expr(
+        "vec_dot_d(va, vb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      .filter(col("cosine") >= semTau)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(min("id_a").as("keep_id"), count(lit(1)).as("n_close"),
+        max("cosine").as("max_cos"))
+      .orderBy("drop_id")
+  }
+
+  private val q95Sql =
+    s"""$duckPrelude,
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, e.i, e.v FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST((e.v - c.v) AS DOUBLE) * CAST((e.v - c.v) AS DOUBLE)) AS d
+       |  FROM ex e JOIN cex c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+       |  FROM assigned a
+       |  JOIN assigned b ON b.cell = a.cell
+       |  JOIN ex ea ON ea.vec_id = a.vec_id
+       |  JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+       |  WHERE b.vec_id % 10 = 7
+       |    AND (a.vec_id % 10 != 7 OR a.vec_id < b.vec_id)
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n na ON na.vec_id = id_a
+       |  JOIN n nb ON nb.vec_id = id_b)
+       |SELECT id_b AS drop_id, MIN(id_a) AS keep_id,
+       |  COUNT(*) AS n_close, MAX(cosine) AS max_cos
+       |FROM sc WHERE cosine >= $semTau
+       |GROUP BY id_b
+       |ORDER BY drop_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -529,7 +604,8 @@ object SimSearch extends QueryModule {
     "q63_srp_sketch" -> (q63 _),
     "q90_pq_adc_search" -> (q90 _),
     "q91_semantic_dedup" -> (q91 _),
-    "q94_kmeans_train" -> (q94 _))
+    "q94_kmeans_train" -> (q94 _),
+    "q95_incr_semantic_dedup" -> (q95 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -539,5 +615,6 @@ object SimSearch extends QueryModule {
     "q63_srp_sketch" -> q63Sql,
     "q90_pq_adc_search" -> q90Sql,
     "q91_semantic_dedup" -> q91Sql,
-    "q94_kmeans_train" -> q94Sql)
+    "q94_kmeans_train" -> q94Sql,
+    "q95_incr_semantic_dedup" -> q95Sql)
 }
