@@ -88,4 +88,27 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
       .selectExpr("vec_dot_d(a, b)").head().getDouble(0)
     assert(ok == 11.0)
   }
+
+  test("trainLattice is partitioning-invariant (bit-identical model)") {
+    // The property the lattice variant exists for: with integer-valued
+    // inputs, every distance and mean numerator is exact in float64
+    // regardless of accumulation order, so the SAME model must come
+    // out however the data is partitioned — the single-node stand-in
+    // for "same model on any cluster topology / any retrain".
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 300L).map { id =>
+      val center = (id % 3).toInt * 1000
+      (id, Array.tabulate(8)(d => (center + rnd.nextInt(100) + d).toDouble))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val models = Seq(df.repartition(1), df.repartition(7),
+      df.repartition(13, col("vec_id"))).map { layout =>
+      Ivf.trainLattice(spark, layout, k = 3, iters = 3)
+    }
+    assert(models(0) == models(1) && models(1) == models(2),
+      s"model diverged across partitionings:\n${models.mkString("\n")}")
+    // and the model is on the integer lattice
+    assert(models.head.flatten.forall(v => v == math.floor(v)))
+  }
 }

@@ -191,6 +191,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q92 seeded split: per-split window, no single-partition funnel") {
+    val p = formatted("q92_seeded_split")
+    // the position window must repartition by split, and nothing may
+    // funnel the table through one task (the presentation sort is a
+    // rangepartitioning)
+    assert(p.contains("hashpartitioning(split"), p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+  }
+
   test("q91 semantic dedup: within-cell equi-join, never all-pairs") {
     val p = formatted("q91_semantic_dedup")
     assert(countNodes(p, "CartesianProduct") == 0, p)
