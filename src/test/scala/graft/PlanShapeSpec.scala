@@ -209,6 +209,44 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("ALL queries: no cartesian product; nested-loop joins and " +
+      "single-partition exchanges only where reviewed") {
+    // Blanket audit across the whole suite: a future edit that turns
+    // an equi-join into a cross product, or funnels a table through
+    // one task, fails HERE even without a dedicated per-query pin.
+    //
+    // BroadcastNestedLoopJoin allowlist — every entry broadcasts a
+    // MODEL-SIZED side (bounded by k/stats, not by the corpus):
+    //   q25  brute-force kNN recall oracle (by design; scale path is q26)
+    //   q54/q61/q82/q85  1-row corpus-stats / bounded-stats cross join
+    //   q81  st_cell_count-guarded oversized-row fallback (pin below)
+    //   q90  PQ LUT broadcast (query set = model-sized side)
+    val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
+      "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
+      "q90_pq_adc_search")
+    // SinglePartition allowlist — every entry collapses a k-row or
+    // 1-row intermediate (never the input table):
+    //   q48  global shard pack (documented oracle-only form; q52 is
+    //        the production shape and is pinned to have none)
+    //   q54/q61/q82  1-row stats aggregate
+    //   q73/q77/q85/q87  k-row report/funnel aggregate
+    val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
+      "q73_funnel", "q77_temperature_mix", "q82_histogram",
+      "q85_triangles", "q87_column_profile")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p = formatted(n)
+      val bad = Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$n: CartesianProduct"),
+        Option.when(p.contains("BroadcastNestedLoopJoin")
+          && !bnlOk(n))(s"$n: unreviewed BroadcastNestedLoopJoin"),
+        Option.when(p.linesIterator
+          .exists(_.contains("Arguments: SinglePartition"))
+          && !spOk(n))(s"$n: unreviewed SinglePartition exchange"))
+      bad.flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("q81 auto spatial join: optimizer supplies the grid equi-join; " +
       "any nested loop is the st_cell_count-guarded oversized-row fallback") {
     val df = SparkEntry.queries("q81_auto_spatial_join")(spark, dir)
