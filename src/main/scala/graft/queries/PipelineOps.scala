@@ -251,13 +251,69 @@ object PipelineOps extends QueryModule {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q98 — PMI collocation mining: the top bigrams by pointwise
+  // mutual information, pmi = ln(p(w1,w2) / (p(w1·)·p(·w2))) with
+  // the marginals counted over bigram FIRST/SECOND positions (so the
+  // three distributions share one sample space and the estimator is
+  // self-consistent). The standard phrase/merge-candidate detector
+  // for tokenizer construction — raw frequency (q64) surfaces "of
+  // the"; PMI surfaces pairs that co-occur far above chance. A
+  // minimum-support cut (n ≥ 5) drops the unstable low-count tail,
+  // as usual for PMI.
+  //
+  // Scale: three aggregations off one shared bigram stream (all
+  // map-side partial); no broadcast hints on the w1/w2 marginals —
+  // they are vocabulary-sized and grow with the corpus (q79's rule;
+  // AQE still broadcasts when measured-small). The 1-row total is a
+  // literal cross join. Exactness: n·N and n1·m2 are exact BIGINTs
+  // (≤ ~2^42 at any plausible corpus), their DOUBLE quotient is one
+  // correctly-rounded op, and ln's ulp wobble is absorbed by
+  // round(·, 6); ties in the rounded pmi break on (w1, w2).
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val bg = TextAnalysis.tokenized(s, dir)
+      .select(explode(expr(TextAnalysis.bigramsS)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val r1 = bg.groupBy("w2").agg(count(lit(1)).as("m2"))
+    val tot = bg.agg(count(lit(1)).as("nn"))
+    c2.filter(col("n") >= 5)
+      .join(c1, "w1")
+      .join(r1, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        round(expr("ln(CAST(n * nn AS DOUBLE) / CAST(n1 * m2 AS DOUBLE))"), 6))
+      .select("w1", "w2", "n", "pmi")
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val q98Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, $toksD AS l FROM documents)),
+       |bg AS (
+       |  SELECT a.t AS w1, b.t AS w2
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+       |r1 AS (SELECT w2, COUNT(*) AS m2 FROM bg GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nn FROM bg)
+       |SELECT w1, w2, n,
+       |  round(ln(CAST(n * nn AS DOUBLE) / CAST(n1 * m2 AS DOUBLE)), 6) AS pmi
+       |FROM c2 JOIN c1 USING (w1) JOIN r1 USING (w2) CROSS JOIN tot
+       |WHERE n >= 5
+       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
     "q75_repetition" -> (q75 _),
     "q76_redaction" -> (q76 _),
     "q77_temperature_mix" -> (q77 _),
-    "q79_bigram_logprob" -> (q79 _))
+    "q79_bigram_logprob" -> (q79 _),
+    "q98_pmi_collocations" -> (q98 _))
 
   override val oracle: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
@@ -265,5 +321,6 @@ object PipelineOps extends QueryModule {
     "q75_repetition" -> q75Sql,
     "q76_redaction" -> q76Sql,
     "q77_temperature_mix" -> q77Sql,
-    "q79_bigram_logprob" -> q79Sql)
+    "q79_bigram_logprob" -> q79Sql,
+    "q98_pmi_collocations" -> q98Sql)
 }

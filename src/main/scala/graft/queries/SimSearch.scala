@@ -596,6 +596,194 @@ object SimSearch extends QueryModule {
        |GROUP BY id_b
        |ORDER BY drop_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q96 — ANN RECALL audit: recall@5 of the trained-IVF search
+  // (q53's fixed 4-centroid model, nProbe=2) against the brute-force
+  // ground truth (q25's plan at k=5), per query. The evaluation
+  // harness every ANN deployment needs before trusting an index:
+  // recall collapse is how a bad quantizer silently poisons a
+  // retrieval pipeline, and the measurement is itself a distributed
+  // query (ground truth = one corpus scan per query batch).
+  //
+  // Scale: ground truth runs over a SAMPLED query set (here: the 8
+  // eval queries) — the brute scan is per-eval-batch, not per-corpus
+  // pair; the IVF side is the production probe-pruned plan. Both
+  // sides end in TakeOrdered-sized per-query top-k; the final
+  // join+agg touches 5·|Q| rows.
+  //
+  // Exactness: both rankings are bit-stable (q25/q53's integer-
+  // quantization argument), so the top-5 SETS are deterministic;
+  // hits is an integer and recall = hits / 5.0 divides exact values.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val corpusD = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = fixedCentroids(s, dir)
+    val assigned = graft.operators.Ivf.assign(corpusD, cents, "embedding")
+    val ivfTop = graft.operators.Ivf.search(s, assigned, cents,
+        corpusD.filter(col("vec_id") < 8), topK = 5, nProbe = 2)
+      .select(col("q_id"), col("c_id"), lit(1L).as("hit"))
+    val corpus = quantized(s, dir)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val queries = quantized(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"), col("n2").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    val bruteTop = corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
+      .withColumn("dot", expr(dotS))
+      .withColumn("cosine", expr(cosS))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "c_id")
+    bruteTop.join(ivfTop, Seq("q_id", "c_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .withColumn("recall", expr("CAST(hits AS DOUBLE) / 5.0"))
+      .orderBy("q_id")
+  }
+
+  private val q96Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM q),
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |    vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, e.i, e.val FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS d
+       |  FROM ex e JOIN cex c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist WHERE vec_id < 8) WHERE rn <= 2),
+       |norms AS (SELECT vec_id, SUM(val * val) AS n2 FROM ex GROUP BY 1),
+       |idots AS (
+       |  SELECT p.q_id, a.vec_id AS c_id, SUM(eq.val * ec.val) AS dot
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN ex eq ON eq.vec_id = p.q_id
+       |  JOIN ex ec ON ec.vec_id = a.vec_id AND ec.i = eq.i
+       |  GROUP BY 1, 2),
+       |itop AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |        dot / (sqrt(qn.n2) * sqrt(cn.n2)) DESC, c_id) AS rank
+       |    FROM idots
+       |    JOIN norms qn ON qn.vec_id = q_id
+       |    JOIN norms cn ON cn.vec_id = c_id)
+       |  WHERE rank <= 5),
+       |bdots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, SUM(a.val * b.val) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8 GROUP BY 1, 2),
+       |btop AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |        dot / (sqrt(qn.n2) * sqrt(cn.n2)) DESC, c_id) AS rank
+       |    FROM bdots
+       |    JOIN norms qn ON qn.vec_id = q_id
+       |    JOIN norms cn ON cn.vec_id = c_id)
+       |  WHERE rank <= 5)
+       |SELECT b.q_id, CAST(COUNT(i.c_id) AS BIGINT) AS hits,
+       |  CAST(COUNT(i.c_id) AS DOUBLE) / 5.0 AS recall
+       |FROM btop b LEFT JOIN itop i ON i.q_id = b.q_id AND i.c_id = b.c_id
+       |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q97 — embedding-CLUSTER COHESION diagnostics: per label (the
+  // cluster key), member count, min/mean/max cosine of each member
+  // to the cluster centroid, and how many members sit within τ=0.2
+  // of it. The dataset-quality report behind "are these clusters
+  // real": a label whose min_cos craters flags mislabeled or
+  // heterogeneous data before it reaches training.
+  //
+  // Exactness: cosine is scale-invariant, so the centroid DIRECTION
+  // is the component-wise integer SUM vector (never mean — the mean
+  // divides early and goes order-dependent). With a coarser 1e3
+  // quantization, components ≤ ~6e2, sum-vector components ≤ n·6e2
+  // and every dot/norm term stays far below 2^63: all sums are exact
+  // BIGINT in any order in both engines. The only floats are
+  // sqrt/divide of identical integers (+ round-6 on the one avg).
+  //
+  // Scale: the per-(label, dim) sum is a map-side-partial agg; the
+  // centroid table is k×d — model-sized — and broadcast back onto
+  // the member scan. Two shuffles total, both key-sized.
+  private val cohesionTau = 0.2
+  private val quant3S =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+  private val quant3D =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val m = T.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), expr(quant3S).as("v3"))
+      .withColumn("n2", expr("vec_norm_sq(v3)"))
+    val cent = m.select(col("label"), posexplode(col("v3")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(sum("v").as("sv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(i, sv))), s -> s.sv)")
+        .as("cv"))
+      .withColumn("cn2", expr("vec_norm_sq(cv)"))
+    m.join(broadcast(cent), "label")
+      .withColumn("cos", expr(
+        "CAST(vec_dot(v3, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"),
+        round(min("cos"), 6).as("min_cos"),
+        round(avg("cos"), 6).as("mean_cos"),
+        round(max("cos"), 6).as("max_cos"),
+        sum(expr(s"CASE WHEN cos >= $cohesionTau THEN 1L ELSE 0L END"))
+          .as("n_tight"))
+      .orderBy("label")
+  }
+
+  private val q97Sql =
+    s"""WITH q3 AS (
+       |  SELECT vec_id, label, $quant3D AS v FROM embeddings),
+       |ex3 AS (
+       |  SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS val
+       |  FROM q3),
+       |sv AS (
+       |  SELECT label, i, CAST(SUM(val) AS BIGINT) AS s
+       |  FROM ex3 GROUP BY 1, 2),
+       |cn AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS cn2 FROM sv GROUP BY 1),
+       |n3 AS (
+       |  SELECT vec_id, label, CAST(SUM(val * val) AS BIGINT) AS n2
+       |  FROM ex3 GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT e.vec_id, e.label, CAST(SUM(e.val * s.s) AS BIGINT) AS dot
+       |  FROM ex3 e JOIN sv s ON s.label = e.label AND s.i = e.i
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT d.vec_id, d.label,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(n3.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+       |  FROM dots d
+       |  JOIN n3 ON n3.vec_id = d.vec_id
+       |  JOIN cn ON cn.label = d.label)
+       |SELECT label, COUNT(*) AS n_members,
+       |  round(MIN(cos), 6) AS min_cos,
+       |  round(AVG(cos), 6) AS mean_cos,
+       |  round(MAX(cos), 6) AS max_cos,
+       |  CAST(SUM(CASE WHEN cos >= $cohesionTau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tight
+       |FROM cs GROUP BY label ORDER BY label""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -605,7 +793,9 @@ object SimSearch extends QueryModule {
     "q90_pq_adc_search" -> (q90 _),
     "q91_semantic_dedup" -> (q91 _),
     "q94_kmeans_train" -> (q94 _),
-    "q95_incr_semantic_dedup" -> (q95 _))
+    "q95_incr_semantic_dedup" -> (q95 _),
+    "q96_ann_recall" -> (q96 _),
+    "q97_cluster_cohesion" -> (q97 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -616,5 +806,7 @@ object SimSearch extends QueryModule {
     "q90_pq_adc_search" -> q90Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q94_kmeans_train" -> q94Sql,
-    "q95_incr_semantic_dedup" -> q95Sql)
+    "q95_incr_semantic_dedup" -> q95Sql,
+    "q96_ann_recall" -> q96Sql,
+    "q97_cluster_cohesion" -> q97Sql)
 }

@@ -209,6 +209,38 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q96 ann recall: both top-5 ranks collapse to group limits; " +
+      "the IVF side joins on the cell key") {
+    val p = formatted("q96_ann_recall")
+    // brute ground truth AND the probe-pruned search each collapse
+    // rank<=5 into a pre-shuffle WindowGroupLimit; the audited IVF
+    // side must stay a cell equi-join (hash), never a cross join
+    assert(countNodes(p, "WindowGroupLimit") >= 2, p)
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+  }
+
+  test("q97 cluster cohesion: model-sized centroids broadcast onto " +
+      "the member scan; no all-pairs shape") {
+    val p = formatted("q97_cluster_cohesion")
+    // the k×d centroid table broadcasts back onto members (label
+    // equi-join); nothing shuffles except the two keyed aggregations
+    assert(countNodes(p, "BroadcastHashJoin") == 1, p)
+    assert(countNodes(p, "SortMergeJoin") == 0)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
+    assert(countNodes(p, "CartesianProduct") == 0)
+  }
+
+  test("q98 pmi: vocabulary-sized marginals never broadcast-hinted; " +
+      "top-k collapses") {
+    val p = formatted("q98_pmi_collocations")
+    // w1/w2 marginal joins carry no broadcast hint (they grow with
+    // the corpus — q79's rule); only the 1-row total broadcasts
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(countNodes(p, "TakeOrderedAndProject") == 1, p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+  }
+
   test("ALL queries: no cartesian product; nested-loop joins and " +
       "single-partition exchanges only where reviewed") {
     // Blanket audit across the whole suite: a future edit that turns
@@ -221,18 +253,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q54/q61/q82/q85  1-row corpus-stats / bounded-stats cross join
     //   q81  st_cell_count-guarded oversized-row fallback (pin below)
     //   q90  PQ LUT broadcast (query set = model-sized side)
+    //   q96  brute-force ground truth of the recall audit (the 8-query
+    //        eval batch broadcasts; the IVF side under audit is equi)
+    //   q98  1-row bigram-total cross join
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
-      "q90_pq_adc_search")
+      "q90_pq_adc_search", "q96_ann_recall", "q98_pmi_collocations")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
     //        the production shape and is pinned to have none)
     //   q54/q61/q82  1-row stats aggregate
     //   q73/q77/q85/q87  k-row report/funnel aggregate
+    //   q98  1-row bigram-total aggregate
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
-      "q85_triangles", "q87_column_profile")
+      "q85_triangles", "q87_column_profile", "q98_pmi_collocations")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
