@@ -735,6 +735,83 @@ object Dedup extends QueryModule {
        |FROM tri CROSS JOIN wed""".stripMargin
 
   // ---------------------------------------------------------------
+  // q100 — PAGERANK over the LSH candidate graph, two full power
+  // iterations under the oracle gate (the q94 move, for graphs):
+  // pr⁰ = 1/N, prᵏ⁺¹(v) = 0.15/N + 0.85·Σ_{u∼v} prᵏ(u)/deg(u) on the
+  // symmetrized edges. Centrality in the near-dup graph ranks the
+  // documents whose removal breaks the most duplication mass — the
+  // prioritization signal for manual dedup review (degree alone,
+  // q80, over-weights hub FALSE positives; PageRank discounts
+  // neighbors that are themselves hubs). Certifying two unrolled
+  // iterations certifies the whole iterate-join-agg pattern: the
+  // production loop is this plan repeated with the q57/q70 pin
+  // discipline.
+  //
+  // Scale: per iteration one equi-join of edges with the label table
+  // + one keyed aggregation — the CC loop's exchange profile. The
+  // symmetrized edges and the degree table are memoized+cached (each
+  // is referenced by both iterations; Spark re-executes common
+  // subplans per reference), and the node count is ONE driver scalar
+  // off the cached degrees — the Components.nEdges pattern, not a
+  // per-reference 1-row cross join. Exactness: every division has
+  // bit-identical operands cross-engine; the only order-dependent
+  // step is the neighbor SUM of ~1e-3-scale doubles, whose
+  // reduction-order wobble (≪1e-12) is absorbed by round-6 on the
+  // final output only. Output = the full scored node table in id
+  // order — no rank cut, so a boundary tie cannot flake the row set.
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val sym = graft.CachedPlans.of(s, dir, "cc_sym") {
+      val e = candidateEdges(s, dir).select("src", "dst")
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val deg = graft.CachedPlans.of(s, dir, "cc_deg") {
+      sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    }
+    val n = deg.count() // node count: one scalar off the cached degrees
+    // Spark parses bare decimal SQL literals as DECIMAL — cast them
+    // to DOUBLE so the arithmetic is the same IEEE path DuckDB takes
+    val d85 = "CAST(0.85 AS DOUBLE)"
+    val base = s"CAST(0.15 AS DOUBLE) / CAST($n AS DOUBLE)"
+    val seed = s"(CAST(1 AS DOUBLE) / CAST($n AS DOUBLE))"
+    val pr1 = sym.join(deg, "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(expr(s"$seed / deg")).as("sm"))
+      .select(col("id"), expr(s"$base + $d85 * sm").as("ppr"))
+    sym.join(pr1.withColumnRenamed("id", "src"), "src")
+      .join(deg, "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum(expr("ppr / deg")).as("sm"))
+      .select(col("id"), round(expr(s"$base + $d85 * sm"), 6).as("pr"))
+      .orderBy("id")
+  }
+
+  private val q100Sql =
+    s"""WITH $duckSignatures,
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sig a JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sym AS (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT dst, src FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |pr1 AS (
+       |  SELECT s.dst AS id, 0.15 / nn.n + 0.85 * SUM((1.0 / nn.n) / d.deg)
+       |    AS ppr
+       |  FROM sym s JOIN deg d ON d.src = s.src CROSS JOIN nn
+       |  GROUP BY s.dst, nn.n)
+       |SELECT s.dst AS id,
+       |  round(0.15 / nn.n + 0.85 * SUM(p.ppr / d.deg), 6) AS pr
+       |FROM sym s
+       |JOIN deg d ON d.src = s.src
+       |JOIN pr1 p ON p.id = s.src
+       |CROSS JOIN nn
+       |GROUP BY s.dst, nn.n
+       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q88 — INCREMENTAL near-dup: a new crawl batch (doc_id % 10 == 0,
   // synthesized deterministically) checked against the standing
   // corpus (the rest). The join probes the corpus shingle index with
@@ -832,7 +909,8 @@ object Dedup extends QueryModule {
     "q80_degree_stats" -> (q80 _),
     "q85_triangles" -> (q85 _),
     "q88_incremental_neardup" -> (q88 _),
-    "q89_source_overlap" -> (q89 _))
+    "q89_source_overlap" -> (q89 _),
+    "q100_pagerank" -> (q100 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -851,5 +929,6 @@ object Dedup extends QueryModule {
     "q80_degree_stats" -> q80Sql,
     "q85_triangles" -> q85Sql,
     "q88_incremental_neardup" -> q88Sql,
-    "q89_source_overlap" -> q89Sql)
+    "q89_source_overlap" -> q89Sql,
+    "q100_pagerank" -> q100Sql)
 }

@@ -306,6 +306,53 @@ object PipelineOps extends QueryModule {
        |WHERE n >= 5
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99 — intra-document repeated-WINDOW dedup accounting: slide a
+  // 3-token window over each document, keep only the FIRST occurrence
+  // of each distinct window within the doc, and report per affected
+  // document how many windows a span-dedup pass would drop. The
+  // span-level companion to q75's token-share heuristic — this is the
+  // transform-side measurement behind repetition-stripping curation
+  // (the full transform keeps min(pos) per (doc, gram); the counts
+  // here are exactly its drop ledger).
+  //
+  // Scale: windows are generated per-row by a codegen'd transform
+  // over the token array (no positional self-join), then ONE shuffle
+  // on doc_id — the (doc, gram) regroup is a sub-key of doc_id, so
+  // AQE runs it shuffle-free after the first exchange. All counts
+  // and the ratio's inputs are exact integers.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val gramsS =
+      """CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(1, size(toks) - 2),
+        |    i -> concat_ws(' ', slice(toks, i, 3)))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+    TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(gramsS)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_windows"), sum(col("c") - 1).as("n_dropped"))
+      .filter(col("n_dropped") > 0)
+      .withColumn("drop_ratio",
+        expr("CAST(n_dropped AS DOUBLE) / CAST(n_windows AS DOUBLE)"))
+      .orderBy("doc_id")
+  }
+
+  private val q99Sql =
+    s"""WITH t AS (SELECT doc_id, $toksD AS l FROM documents),
+       |g AS (
+       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i)),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+       |    CAST(SUM(c - 1) AS BIGINT) AS n_dropped
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_windows, n_dropped,
+       |  CAST(n_dropped AS DOUBLE) / CAST(n_windows AS DOUBLE) AS drop_ratio
+       |FROM d WHERE n_dropped > 0
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
@@ -313,7 +360,8 @@ object PipelineOps extends QueryModule {
     "q76_redaction" -> (q76 _),
     "q77_temperature_mix" -> (q77 _),
     "q79_bigram_logprob" -> (q79 _),
-    "q98_pmi_collocations" -> (q98 _))
+    "q98_pmi_collocations" -> (q98 _),
+    "q99_window_dedup" -> (q99 _))
 
   override val oracle: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
@@ -322,5 +370,6 @@ object PipelineOps extends QueryModule {
     "q76_redaction" -> q76Sql,
     "q77_temperature_mix" -> q77Sql,
     "q79_bigram_logprob" -> q79Sql,
-    "q98_pmi_collocations" -> q98Sql)
+    "q98_pmi_collocations" -> q98Sql,
+    "q99_window_dedup" -> q99Sql)
 }

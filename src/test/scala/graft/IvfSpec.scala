@@ -51,6 +51,43 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
+  test("full-probe search IS brute force, rank for rank (quantized-exact)") {
+    // With nProbe = k every cell is probed, so the candidate set is
+    // the whole corpus minus self — the IVF plan must then reproduce
+    // the brute-force ranking EXACTLY, not approximately. Run on
+    // integer-quantized vectors so every dot/norm is exact in float64
+    // in any accumulation order: strict triple equality cannot flake.
+    graft.functions.VecFunctions.register(spark)
+    val corpusQ = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))")
+      .as("embedding"))
+    val cents = Ivf.train(spark, corpusQ, k = 8, iters = 2)
+    val corpus = Ivf.assign(corpusQ, cents, "embedding").cache()
+    val queries = corpusQ.filter(col("vec_id") < 10)
+
+    val ivf = Ivf.search(spark, corpus, cents, queries, topK = 5, nProbe = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("cosine"), col("c_id"))
+    val brute = corpusQ.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(queries
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine", expr(
+        "vec_dot_d(qv, cv) / (sqrt(vec_dot_d(qv, qv)) * sqrt(vec_dot_d(cv, cv)))"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("c_id"))).toSet
+
+    assert(ivf == brute,
+      s"full-probe IVF diverged from brute force: ${ivf diff brute} vs ${brute diff ivf}")
+  }
+
   test("fewer probes scan fewer candidate rows") {
     val cents = Ivf.train(spark, emb, k = 8, iters = 4)
     val corpus = Ivf.assign(emb, cents, "embedding").cache()
