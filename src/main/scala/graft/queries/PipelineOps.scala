@@ -316,11 +316,15 @@ object PipelineOps extends QueryModule {
   // (the full transform keeps min(pos) per (doc, gram); the counts
   // here are exactly its drop ledger).
   //
-  // Scale: windows are generated per-row by a codegen'd transform
-  // over the token array (no positional self-join), then ONE shuffle
-  // on doc_id — the (doc, gram) regroup is a sub-key of doc_id, so
-  // AQE runs it shuffle-free after the first exchange. All counts
-  // and the ratio's inputs are exact integers.
+  // Scale: a document's windows all live in ITS OWN row, so the
+  // whole ledger is per-row expression work — windows via a
+  // codegen'd transform, dropped count = size(g) - size(
+  // array_distinct(g)) — with ZERO data exchanges (the only
+  // exchange in the plan is the presentation sort, pinned). The
+  // explode → groupBy(doc, gram) → groupBy(doc) formulation would
+  // shuffle the entire window stream to compute a quantity each row
+  // already holds. All counts and the ratio's inputs are exact
+  // integers.
   private def q99(s: SparkSession, dir: String): DataFrame = {
     val gramsS =
       """CASE WHEN size(toks) >= 3 THEN
@@ -328,10 +332,11 @@ object PipelineOps extends QueryModule {
         |    i -> concat_ws(' ', slice(toks, i, 3)))
         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
     TextAnalysis.tokenized(s, dir)
-      .select(col("doc_id"), explode(expr(gramsS)).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_windows"), sum(col("c") - 1).as("n_dropped"))
+      .select(col("doc_id"), expr(gramsS).as("g"))
+      .select(col("doc_id"),
+        expr("CAST(size(g) AS BIGINT)").as("n_windows"),
+        expr("CAST(size(g) - size(array_distinct(g)) AS BIGINT)")
+          .as("n_dropped"))
       .filter(col("n_dropped") > 0)
       .withColumn("drop_ratio",
         expr("CAST(n_dropped AS DOUBLE) / CAST(n_windows AS DOUBLE)"))
@@ -341,13 +346,16 @@ object PipelineOps extends QueryModule {
   private val q99Sql =
     s"""WITH t AS (SELECT doc_id, $toksD AS l FROM documents),
        |g AS (
-       |  SELECT doc_id, array_to_string(l[i:i+2], ' ') AS gram
-       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i)),
-       |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       |  SELECT doc_id,
+       |    CASE WHEN len(l) >= 3 THEN
+       |      list_transform(generate_series(1, len(l) - 2),
+       |        i -> array_to_string(l[i:i+2], ' '))
+       |    ELSE [] END AS g
+       |  FROM t),
        |d AS (
-       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
-       |    CAST(SUM(c - 1) AS BIGINT) AS n_dropped
-       |  FROM c GROUP BY 1)
+       |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_windows,
+       |    CAST(len(g) - len(list_distinct(g)) AS BIGINT) AS n_dropped
+       |  FROM g)
        |SELECT doc_id, n_windows, n_dropped,
        |  CAST(n_dropped AS DOUBLE) / CAST(n_windows AS DOUBLE) AS drop_ratio
        |FROM d WHERE n_dropped > 0

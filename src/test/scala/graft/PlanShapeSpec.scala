@@ -241,6 +241,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "CartesianProduct") == 0)
   }
 
+  test("q99 window dedup: pure per-row ledger — no explode, no data " +
+      "exchange") {
+    val p = formatted("q99_window_dedup")
+    // the whole drop ledger is per-row expression work; the only
+    // exchange is the presentation sort's range partitioning
+    assert(countNodes(p, "Generate") == 0, p)
+    assert(countNodes(p, "Exchange") == 1, p)
+    assert(countNodes(p, "HashAggregate") == 0, p)
+  }
+
   test("ALL queries: no cartesian product; nested-loop joins and " +
       "single-partition exchanges only where reviewed") {
     // Blanket audit across the whole suite: a future edit that turns
