@@ -361,6 +361,88 @@ object PipelineOps extends QueryModule {
        |FROM d WHERE n_dropped > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q101 — COHORT RETENTION matrix: users bucketed by first-seen
+  // DAY (the cohort — day granularity because the synthetic user
+  // base onboards fast; production would use weeks), then distinct
+  // active users per (cohort day, activity week) with the retention
+  // fraction — the standard engagement decay report. Days/weeks are
+  // integer indices from a fixed epoch date (exact integer
+  // arithmetic — no engine week-truncation or timezone semantics in
+  // the output). Plan: one groupBy(user)
+  // for first-seen, an equi-join back on user_id (co-partitioned
+  // with the groupBy's exchange), a (cohort, week) distinct-count,
+  // and the k-row cohort-size table joined back. Retention divides
+  // exact integers.
+  private val weekS = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7 AS INT)"
+  private val weekD = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INTEGER)"
+
+  private val dayS = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS INT)"
+  private val dayD = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)"
+
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val ev = T.events(s, dir)
+      .select(col("user_id"), expr(dayS).as("day"), expr(weekS).as("week"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    ev.join(first, "user_id")
+      .groupBy("cohort", "week")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        expr("CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)"))
+      .select("cohort", "week", "n_active", "cohort_size", "retention")
+      .orderBy("cohort", "week")
+  }
+
+  private val q101Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, $dayD AS day, $weekD AS week FROM events),
+       |first AS (
+       |  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+       |sizes AS (
+       |  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort),
+       |act AS (
+       |  SELECT f.cohort, e.week, COUNT(DISTINCT e.user_id) AS n_active
+       |  FROM ev e JOIN first f ON f.user_id = e.user_id
+       |  GROUP BY 1, 2)
+       |SELECT a.cohort, a.week, a.n_active, s.cohort_size,
+       |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+       |FROM act a JOIN sizes s ON s.cohort = a.cohort
+       |ORDER BY a.cohort, a.week""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q102 — CONVERSION-LAG histogram: for users whose first purchase
+  // follows their first view, the whole-day lag between the two,
+  // rolled up to (lag_days, n_users). The time-to-convert
+  // distribution behind funnel health (q73 counts the stages; this
+  // measures the latency between them). One groupBy(user) with two
+  // conditional MINs, then a per-row day difference and a k-row
+  // rollup — exact integer day arithmetic end to end.
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    T.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      .filter(col("t_view").isNotNull && col("t_buy") > col("t_view"))
+      .withColumn("lag_days",
+        expr("CAST(datediff(CAST(t_buy AS DATE), CAST(t_view AS DATE)) AS INT)"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_days")
+
+  private val q102Sql =
+    """WITH stage AS (
+      |  SELECT user_id,
+      |    MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+      |    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_buy
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(datediff('day', CAST(t_view AS DATE), CAST(t_buy AS DATE))
+      |    AS INTEGER) AS lag_days,
+      |  COUNT(*) AS n_users
+      |FROM stage
+      |WHERE t_view IS NOT NULL AND t_buy > t_view
+      |GROUP BY 1 ORDER BY lag_days""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
@@ -369,7 +451,9 @@ object PipelineOps extends QueryModule {
     "q77_temperature_mix" -> (q77 _),
     "q79_bigram_logprob" -> (q79 _),
     "q98_pmi_collocations" -> (q98 _),
-    "q99_window_dedup" -> (q99 _))
+    "q99_window_dedup" -> (q99 _),
+    "q101_cohort_retention" -> (q101 _),
+    "q102_conversion_lag" -> (q102 _))
 
   override val oracle: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
@@ -379,5 +463,7 @@ object PipelineOps extends QueryModule {
     "q77_temperature_mix" -> q77Sql,
     "q79_bigram_logprob" -> q79Sql,
     "q98_pmi_collocations" -> q98Sql,
-    "q99_window_dedup" -> q99Sql)
+    "q99_window_dedup" -> q99Sql,
+    "q101_cohort_retention" -> q101Sql,
+    "q102_conversion_lag" -> q102Sql)
 }
