@@ -262,22 +262,28 @@ object PipelineOps extends QueryModule {
   // minimum-support cut (n ≥ 5) drops the unstable low-count tail,
   // as usual for PMI.
   //
-  // Scale: three aggregations off one shared bigram stream (all
-  // map-side partial); no broadcast hints on the w1/w2 marginals —
-  // they are vocabulary-sized and grow with the corpus (q79's rule;
-  // AQE still broadcasts when measured-small). The 1-row total is a
-  // literal cross join. Exactness: n·N and n1·m2 are exact BIGINTs
-  // (≤ ~2^42 at any plausible corpus), their DOUBLE quotient is one
+  // Scale: ONE pass over the corpus-sized bigram stream builds the
+  // (w1, w2) counts; the marginals and the total are derived from
+  // that vocabulary²-sized aggregate (c1 = Σn by w1, r1 = Σn by w2,
+  // N = Σn), never by re-scanning the corpus. The derived tables are
+  // cached — Spark re-executes common subplans per reference, and c2
+  // feeds four. No broadcast hints on the w1/w2 marginals — they are
+  // vocabulary-sized and grow with the corpus (q79's rule; AQE still
+  // broadcasts when measured-small). The 1-row total is a literal
+  // cross join. Exactness: n·N and n1·m2 are exact BIGINTs (≤ ~2^42
+  // at any plausible corpus), their DOUBLE quotient is one
   // correctly-rounded op, and ln's ulp wobble is absorbed by
   // round(·, 6); ties in the rounded pmi break on (w1, w2).
   private def q98(s: SparkSession, dir: String): DataFrame = {
-    val bg = TextAnalysis.tokenized(s, dir)
-      .select(explode(expr(TextAnalysis.bigramsS)).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
-    val r1 = bg.groupBy("w2").agg(count(lit(1)).as("m2"))
-    val tot = bg.agg(count(lit(1)).as("nn"))
+    val c2 = graft.CachedPlans.of(s, dir, "pmi_c2") {
+      TextAnalysis.tokenized(s, dir)
+        .select(explode(expr(TextAnalysis.bigramsS)).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    }
+    val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
+    val r1 = c2.groupBy("w2").agg(sum("n").as("m2"))
+    val tot = c2.agg(sum("n").as("nn"))
     c2.filter(col("n") >= 5)
       .join(c1, "w1")
       .join(r1, "w2")
@@ -297,9 +303,9 @@ object PipelineOps extends QueryModule {
        |  SELECT a.t AS w1, b.t AS w2
        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
        |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
-       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
-       |r1 AS (SELECT w2, COUNT(*) AS m2 FROM bg GROUP BY 1),
-       |tot AS (SELECT COUNT(*) AS nn FROM bg)
+       |c1 AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+       |r1 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS m2 FROM c2 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c2)
        |SELECT w1, w2, n,
        |  round(ln(CAST(n * nn AS DOUBLE) / CAST(n1 * m2 AS DOUBLE)), 6) AS pmi
        |FROM c2 JOIN c1 USING (w1) JOIN r1 USING (w2) CROSS JOIN tot

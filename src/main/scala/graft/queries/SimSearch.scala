@@ -218,18 +218,14 @@ object SimSearch extends QueryModule {
       .select(expr("CAST(qv AS ARRAY<DOUBLE>)"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
 
-  private def q53(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-    val cents = fixedCentroids(s, dir)
-    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
-    val queries = corpus.filter(col("vec_id") < 8)
-    graft.operators.Ivf.search(s, assigned, cents, queries,
-        topK = 3, nProbe = 2)
-      .orderBy("q_id", "rank")
-  }
-
-  private val q53Sql =
+  /** Shared DuckDB CTE chain of the TRAINED-IVF twins (q53 search,
+    * q96 recall audit): double-cast quantized vectors, the
+    * fixed-centroid model, corpus assignment, nProbe=2 probes for
+    * the vec_id < 8 eval queries, and norms. ONE copy — the cid and
+    * probe conventions drift together with [[fixedCentroids]] (see
+    * its scaladoc) instead of across verbatim twins.
+    */
+  private val duckIvfTrained =
     s"""WITH q AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -257,7 +253,22 @@ object SimSearch extends QueryModule {
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
        |    FROM dist WHERE vec_id < 8) WHERE rn <= 2),
-       |norms AS (SELECT vec_id, SUM(val * val) AS n2 FROM ex GROUP BY 1),
+       |norms AS (SELECT vec_id, SUM(val * val) AS n2 FROM ex GROUP BY 1)"""
+      .stripMargin
+
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = fixedCentroids(s, dir)
+    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    graft.operators.Ivf.search(s, assigned, cents, queries,
+        topK = 3, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q53Sql =
+    s"""$duckIvfTrained,
        |dots AS (
        |  SELECT p.q_id, a.vec_id AS c_id, SUM(eq.val * ec.val) AS dot
        |  FROM probes p
@@ -641,34 +652,7 @@ object SimSearch extends QueryModule {
   }
 
   private val q96Sql =
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
-       |  FROM embeddings),
-       |ex AS (
-       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM q),
-       |cent AS (
-       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-       |    vec_id
-       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
-       |cex AS (
-       |  SELECT c.cid, e.i, e.val FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
-       |dist AS (
-       |  SELECT e.vec_id, c.cid, SUM((e.val - c.val) * (e.val - c.val)) AS d
-       |  FROM ex e JOIN cex c ON c.i = e.i
-       |  GROUP BY 1, 2),
-       |assigned AS (
-       |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM dist) WHERE rn = 1),
-       |probes AS (
-       |  SELECT vec_id AS q_id, cid AS cell FROM (
-       |    SELECT vec_id, cid,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM dist WHERE vec_id < 8) WHERE rn <= 2),
-       |norms AS (SELECT vec_id, SUM(val * val) AS n2 FROM ex GROUP BY 1),
+    s"""$duckIvfTrained,
        |idots AS (
        |  SELECT p.q_id, a.vec_id AS c_id, SUM(eq.val * ec.val) AS dot
        |  FROM probes p
@@ -714,10 +698,12 @@ object SimSearch extends QueryModule {
   // Exactness: cosine is scale-invariant, so the centroid DIRECTION
   // is the component-wise integer SUM vector (never mean — the mean
   // divides early and goes order-dependent). With a coarser 1e3
-  // quantization, components ≤ ~6e2, sum-vector components ≤ n·6e2
-  // and every dot/norm term stays far below 2^63: all sums are exact
-  // BIGINT in any order in both engines. The only floats are
-  // sqrt/divide of identical integers (+ round-6 on the one avg).
+  // quantization, components ≤ ~6e2, sum-vector components ≤ n·6e2:
+  // member dots stay exact in int64 to n ~ 4e11 members/cluster, and
+  // the centroid norm (quadratic in n — int64 would wrap at n ≈ 6e5)
+  // routes through DECIMAL/HUGEINT, exact to n ~ 1e16. All sums are
+  // exact in any order in both engines; the only floats are
+  // sqrt/divide of identical exact values (+ round-6 on the one avg).
   //
   // Scale: the per-(label, dim) sum is a map-side-partial agg; the
   // centroid table is k×d — model-sized — and broadcast back onto
@@ -733,12 +719,18 @@ object SimSearch extends QueryModule {
     val m = T.embeddings(s, dir)
       .select(col("vec_id"), col("label"), expr(quant3S).as("v3"))
       .withColumn("n2", expr("vec_norm_sq(v3)"))
+    // cn2 = Σ sv² grows QUADRATICALLY in cluster size (sv ~ n·6e2, a
+    // term sv² ~ n²·3.6e5): int64 silently wraps past n ≈ 6e5
+    // members/cluster, so the squares route through DECIMAL (Spark) /
+    // HUGEINT (DuckDB) — exact 128-bit headroom to n ~ 1e16 — and
+    // only the final exact value rounds once to DOUBLE for the sqrt.
     val cent = m.select(col("label"), posexplode(col("v3")).as(Seq("i", "v")))
       .groupBy("label", "i").agg(sum("v").as("sv"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(i, sv))), s -> s.sv)")
-        .as("cv"))
-      .withColumn("cn2", expr("vec_norm_sq(cv)"))
+        .as("cv"),
+        sum(expr("CAST(sv AS DECIMAL(19, 0)) * CAST(sv AS DECIMAL(19, 0))"))
+          .as("cn2"))
     m.join(broadcast(cent), "label")
       .withColumn("cos", expr(
         "CAST(vec_dot(v3, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))"))
@@ -761,7 +753,9 @@ object SimSearch extends QueryModule {
        |sv AS (
        |  SELECT label, i, CAST(SUM(val) AS BIGINT) AS s
        |  FROM ex3 GROUP BY 1, 2),
-       |cn AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS cn2 FROM sv GROUP BY 1),
+       |cn AS (
+       |  SELECT label, SUM(CAST(s AS HUGEINT) * s) AS cn2
+       |  FROM sv GROUP BY 1),
        |n3 AS (
        |  SELECT vec_id, label, CAST(SUM(val * val) AS BIGINT) AS n2
        |  FROM ex3 GROUP BY 1, 2),
