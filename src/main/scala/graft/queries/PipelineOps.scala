@@ -225,8 +225,10 @@ object PipelineOps extends QueryModule {
     val bg = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // the corpus-global model comes from the shared cached aggregate;
+    // only the per-doc scoring stream re-explodes the corpus
+    val c2 = TextAnalysis.bigramCounts(s, dir)
+    val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
     bg.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .groupBy("doc_id")
@@ -275,12 +277,7 @@ object PipelineOps extends QueryModule {
   // correctly-rounded op, and ln's ulp wobble is absorbed by
   // round(·, 6); ties in the rounded pmi break on (w1, w2).
   private def q98(s: SparkSession, dir: String): DataFrame = {
-    val c2 = graft.CachedPlans.of(s, dir, "pmi_c2") {
-      TextAnalysis.tokenized(s, dir)
-        .select(explode(expr(TextAnalysis.bigramsS)).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    }
+    val c2 = TextAnalysis.bigramCounts(s, dir)
     val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
     val r1 = c2.groupBy("w2").agg(sum("n").as("m2"))
     val tot = c2.agg(sum("n").as("nn"))

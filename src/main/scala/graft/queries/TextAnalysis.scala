@@ -349,12 +349,23 @@ object TextAnalysis extends QueryModule {
       |    (a, b) -> struct(a AS w1, b AS w2))
       |ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) END""".stripMargin
 
+  /** Corpus-global bigram counts (w1, w2, n) — memoized+cached: the
+    * ONE corpus-scale explode+aggregate that q64's LM stats, q79's
+    * per-doc scoring, and q98's PMI all consume; every marginal
+    * (prefix, suffix, total) derives from it by summation instead of
+    * re-scanning the corpus.
+    */
+  private[queries] def bigramCounts(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "bigram_c2") {
+      tokenized(s, dir)
+        .select(explode(expr(bigramsS)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    }
+
   private def q64(s: SparkSession, dir: String): DataFrame = {
-    val bg = tokenized(s, dir)
-      .select(explode(expr(bigramsS)).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val c2 = bigramCounts(s, dir)
+    val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
     c2.join(broadcast(c1), "w1")
       .withColumn("p", expr("CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE)"))
       .select("w1", "w2", "n", "p")
