@@ -99,16 +99,25 @@ object Ivf {
     * `corpus` must carry the `cell` column from [[assign]]; queries
     * are assigned their probe cells here and broadcast.
     */
-  def search(spark: SparkSession, corpus: DataFrame, cents: Seq[Seq[Double]],
-      queries: DataFrame, topK: Int, nProbe: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val probed = withCentroids(queries, cents)
+  /** The query-side probe selection shared by [[search]] and the
+    * composed IVF-PQ path (q103): per query the `nProbe` nearest
+    * centroid cells (distance then cid tie-break), one output row
+    * per (query, probed cell) with the raw vector carried along.
+    */
+  def probeCells(queries: DataFrame, cents: Seq[Seq[Double]], nProbe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    withCentroids(queries, cents)
       .withColumn("__d", expr(distsExpr(vecCol)))
       .withColumn("probe", explode(expr(
         s"""transform(slice(array_sort(zip_with(__d, sequence(0, size(__d) - 1),
            |  (d, i) -> struct(d AS d, i AS i))), 1, $nProbe), s -> s.i)""".stripMargin)))
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         col("probe").cast("int").as("cell"))
+
+  def search(spark: SparkSession, corpus: DataFrame, cents: Seq[Seq[Double]],
+      queries: DataFrame, topK: Int, nProbe: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val probed = probeCells(queries, cents, nProbe, vecCol, idCol)
     val dot = "vec_dot_d(CAST(qv AS ARRAY<DOUBLE>), CAST(cv AS ARRAY<DOUBLE>))"
     def norm(c: String) =
       s"sqrt(vec_dot_d(CAST($c AS ARRAY<DOUBLE>), CAST($c AS ARRAY<DOUBLE>)))"

@@ -108,6 +108,51 @@ object Pq {
       .select("q_id", "rank", "c_id", "adc")
   }
 
+  /** Cell-pruned ADC search — the composed IVF-PQ index (FAISS's
+    * IndexIVFPQ, by_residual=false form): [[Ivf]] routes each query
+    * to its probed cells, and within those cells distance is m code
+    * lookups against the query's LUT instead of d multiply-adds.
+    * The two scale levers compose: the scan touches nProbe/k of the
+    * corpus, and what it touches is codes, not vectors.
+    *
+    * `corpus` carries `cellCol` (from [[Ivf.assign]]) and `codeCol`
+    * (from [[encode]]); `probedQueries` is [[Ivf.probeCells]]'s
+    * output — (q_id, qv, cell), one row per probe. The LUT side is
+    * query-batch-sized and broadcasts; the join is a cell equi-join
+    * (never a cross join — the [[adcSearch]] brute shape is the
+    * deliberate no-index baseline). A corpus row lives in exactly
+    * one cell and probe cells are distinct per query, so no
+    * (q_id, c_id) pair can duplicate.
+    */
+  def adcSearchCells(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      probedQueries: DataFrame, topK: Int, idCol: String = "vec_id",
+      codeCol: String = "code", cellCol: String = "cell",
+      excludeSelf: Boolean = true): DataFrame = {
+    graft.functions.VecFunctions.register(corpus.sparkSession)
+    val (m, subDim) = requireModel(codebooks)
+    var q = probedQueries
+    (0 until m).foreach { j =>
+      q = q
+        .withColumn(s"__ps$j", expr(
+          s"slice(CAST(qv AS ARRAY<DOUBLE>), ${j * subDim + 1}, $subDim)"))
+        .withColumn(s"__pc$j", typedlit(codebooks(j)))
+        .withColumn(s"__lut$j",
+          expr(s"transform(__pc$j, c -> vec_l2_sq(__ps$j, c))"))
+    }
+    val luts = q.select(col("q_id"), col(cellCol),
+      expr(s"array(${(0 until m).map(j => s"__lut$j").mkString(", ")})")
+        .as("__lut"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val paired = corpus
+      .select(col(idCol).as("c_id"), col(cellCol), col(codeCol))
+      .join(broadcast(luts), Seq(cellCol))
+    (if (excludeSelf) paired.filter(col("c_id") =!= col("q_id")) else paired)
+      .withColumn("adc", expr(s"vec_pq_adc($codeCol, __lut)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "c_id", "adc")
+  }
+
   /** Per-subspace Lloyd's k-means (deterministic init: the first k
     * rows by `idCol`), delegating each subspace to [[Ivf]]'s shared
     * Lloyd loop — one implementation of init/tie-break/empty-cell

@@ -778,6 +778,64 @@ object SimSearch extends QueryModule {
        |    AS n_tight
        |FROM cs GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q103 — the COMPOSED IVF-PQ index end-to-end (FAISS IndexIVFPQ,
+  // by_residual=false form): the coarse quantizer routes each query
+  // to nProbe=2 cells (q53's trained model), and within those cells
+  // distance is 4 code lookups against the query's LUT (q90's PQ
+  // model) instead of 64 multiply-adds. The two scale levers
+  // compose: the scan touches nProbe/k of the corpus, and what it
+  // touches is CODES, not vectors — the memory-and-compute shape a
+  // 100 TB embedding lake actually deploys. Exactness: q90's
+  // argument verbatim (integer-valued doubles, every subspace
+  // distance and the 4-term ADC sum exact in float64 in any order).
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = fixedCentroids(s, dir)
+    val m = 4; val subDim = 16
+    val codebooks = (0 until m).map(j =>
+      cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
+    val encoded = graft.operators.Pq.encode(assigned, codebooks, "embedding")
+    val probed = graft.operators.Ivf.probeCells(
+      corpus.filter(col("vec_id") < 8), cents, nProbe = 2)
+    graft.operators.Pq.adcSearchCells(encoded, codebooks, probed, topK = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q103Sql =
+    s"""$duckIvfTrained,
+       |sub AS (
+       |  SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS j, i, val FROM ex),
+       |pcex AS (
+       |  SELECT c.cid, s.j, s.i, s.val FROM cent c
+       |  JOIN sub s ON s.vec_id = c.vec_id),
+       |pdist AS (
+       |  SELECT s.vec_id, s.j, c.cid,
+       |    SUM((s.val - c.val) * (s.val - c.val)) AS d
+       |  FROM sub s JOIN pcex c ON c.j = s.j AND c.i = s.i
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+       |    FROM pdist) WHERE rn = 1),
+       |adc AS (
+       |  SELECT p.q_id, a.vec_id AS c_id, SUM(pd.d) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN code co ON co.vec_id = a.vec_id
+       |  JOIN pdist pd ON pd.vec_id = p.q_id AND pd.j = co.j
+       |    AND pd.cid = co.cid
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, c_id, adc FROM (
+       |  SELECT q_id, c_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, c_id) AS INTEGER) AS rank
+       |  FROM adc) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -789,7 +847,8 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> (q94 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
-    "q97_cluster_cohesion" -> (q97 _))
+    "q97_cluster_cohesion" -> (q97 _),
+    "q103_ivfpq_search" -> (q103 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -802,5 +861,6 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> q94Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
-    "q97_cluster_cohesion" -> q97Sql)
+    "q97_cluster_cohesion" -> q97Sql,
+    "q103_ivfpq_search" -> q103Sql)
 }

@@ -251,6 +251,17 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "HashAggregate") == 0, p)
   }
 
+  test("q103 ivf-pq: LUTs broadcast onto a cell equi-join over codes; " +
+      "never the brute cross-join shape") {
+    val p = formatted("q103_ivfpq_search")
+    // q90's BroadcastNestedLoopJoin is the deliberate no-index
+    // baseline; the composed index must stay a cell hash join
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ALL queries: no cartesian product; nested-loop joins and " +
       "single-partition exchanges only where reviewed") {
     // Blanket audit across the whole suite: a future edit that turns
