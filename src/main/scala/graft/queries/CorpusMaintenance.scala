@@ -151,13 +151,71 @@ object CorpusMaintenance extends QueryModule {
        |WHERE rk <= $sampleK
        |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q104 — DISTRIBUTION-DRIFT report (PSI): each source's document-
+  // length distribution (100-char buckets) scored against the whole
+  // corpus with the population stability index,
+  // Σ_b (p_src - p_corpus) · ln(p_src / p_corpus) — the standard
+  // data-ops drift gate (rule of thumb: > 0.2 = investigate before
+  // the source poisons the mixture). Buckets are the source's own
+  // support (every source bucket exists in the corpus by
+  // construction, so the term set is deterministic and no epsilon
+  // smoothing is needed).
+  //
+  // Scale: two keyed aggregations off one scan + k-row joins; the
+  // 1-row corpus total crosses (q54's stats pattern). Exactness:
+  // the ln runs on ONE exact rational (c·N)/(C·n) — integer
+  // products ≤ ~2^62 at any plausible corpus — and the per-bucket
+  // terms are identical doubles cross-engine; only their ~30-term
+  // sum is order-dependent, absorbed by round-6 (q79's rule).
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+      .select(col("source"), expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
+    val src = docs.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val tot = docs.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val ns = src.groupBy("source").agg(sum("c").as("n"))
+    val nt = tot.agg(sum("ct").as("nn"))
+    src.join(tot, "bucket")
+      .join(ns, "source")
+      .crossJoin(broadcast(nt))
+      .withColumn("term", expr(
+        """(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          | * ln(CAST(c * nn AS DOUBLE) / CAST(ct * n AS DOUBLE))"""
+          .stripMargin))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_buckets"), round(sum("term"), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  private val q104Sql =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars // 100 AS INTEGER) AS bucket
+      |  FROM documents),
+      |src AS (SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |tot AS (SELECT bucket, COUNT(*) AS ct FROM d GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
+      |SELECT source, COUNT(*) AS n_buckets,
+      |  round(SUM(
+      |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    * ln(CAST(c * nn AS DOUBLE) / CAST(ct * n AS DOUBLE))), 6) AS psi
+      |FROM src
+      |JOIN tot USING (bucket)
+      |JOIN ns USING (source)
+      |CROSS JOIN nt
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_snapshot_upsert" -> (q66 _),
     "q67_snapshot_diff" -> (q67 _),
-    "q68_balanced_sample" -> (q68 _))
+    "q68_balanced_sample" -> (q68 _),
+    "q104_drift_psi" -> (q104 _))
 
   override val oracle: Map[String, String] = Map(
     "q66_snapshot_upsert" -> q66Sql,
     "q67_snapshot_diff" -> q67Sql,
-    "q68_balanced_sample" -> q68Sql)
+    "q68_balanced_sample" -> q68Sql,
+    "q104_drift_psi" -> q104Sql)
 }

@@ -211,17 +211,69 @@ object TrainingData extends QueryModule {
        |      FROM documents)))
        |ORDER BY split, pos""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q105 — SHARD-BALANCE audit over q52's production packing: per
+  // language the shard count and the min/max/avg shard token fill
+  // plus the fill ratio of the worst shard against the budget. The
+  // release gate for packed training data — a shard far under
+  // budget wastes a whole accelerator step; only the LAST shard of
+  // a group may legitimately be short, so max_fill vs min_fill
+  // localizes packing bugs. All exact integers; the two ratios
+  // divide exact values.
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    packShards(
+      T.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(nTokS).as("n_tok")),
+      Seq("lang"), "doc_id")
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_shards"),
+        sum("n_docs").as("n_docs"),
+        min("tokens").as("min_fill"),
+        max("tokens").as("max_fill"),
+        sum("tokens").as("total_tokens"))
+      .withColumn("avg_fill",
+        expr("CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)"))
+      .withColumn("min_fill_ratio",
+        expr(s"CAST(min_fill AS DOUBLE) / CAST($budget AS DOUBLE)"))
+      .orderBy("lang")
+
+  private val q105Sql =
+    s"""WITH packed AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT lang, doc_id, n_tok,
+       |      SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT lang, doc_id, $nTokD AS n_tok FROM documents))),
+       |per_shard AS (
+       |  SELECT lang, shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tokens
+       |  FROM packed GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_shards,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  MIN(tokens) AS min_fill, MAX(tokens) AS max_fill,
+       |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_fill,
+       |  CAST(MIN(tokens) AS DOUBLE) / CAST($budget AS DOUBLE)
+       |    AS min_fill_ratio
+       |FROM per_shard GROUP BY lang ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
     "q52_shard_pack_by_lang" -> (q52 _),
     "q55_chunk_windows" -> (q55 _),
-    "q92_seeded_split" -> (q92 _))
+    "q92_seeded_split" -> (q92 _),
+    "q105_shard_balance" -> (q105 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
     "q49_stratified_sample" -> q49Sql,
     "q52_shard_pack_by_lang" -> q52Sql,
     "q55_chunk_windows" -> q55Sql,
-    "q92_seeded_split" -> q92Sql)
+    "q92_seeded_split" -> q92Sql,
+    "q105_shard_balance" -> q105Sql)
 }
