@@ -95,10 +95,6 @@ object Ivf {
       : Seq[Seq[Double]] =
     lloyd(embeddings, k, iters, vecCol, idCol, m => math.floor(m + 0.5))
 
-  /** Top-k cosine search probing the `nProbe` nearest cells per query.
-    * `corpus` must carry the `cell` column from [[assign]]; queries
-    * are assigned their probe cells here and broadcast.
-    */
   /** The query-side probe selection shared by [[search]] and the
     * composed IVF-PQ path (q103): per query the `nProbe` nearest
     * centroid cells (distance then cid tie-break), one output row
@@ -114,6 +110,10 @@ object Ivf {
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         col("probe").cast("int").as("cell"))
 
+  /** Top-k cosine search probing the `nProbe` nearest cells per query.
+    * `corpus` must carry the `cell` column from [[assign]]; queries
+    * are assigned their probe cells ([[probeCells]]) and broadcast.
+    */
   def search(spark: SparkSession, corpus: DataFrame, cents: Seq[Seq[Double]],
       queries: DataFrame, topK: Int, nProbe: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {

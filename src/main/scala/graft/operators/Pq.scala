@@ -64,6 +64,43 @@ object Pq {
         Seq(s"__ps$j", s"__pc$j", s"__pd$j")): _*)
   }
 
+  /** Per-query m×k look-up tables: one `__lut` array column
+    * (distance from the query's j-th subvector to every codeword of
+    * codebook j), keeping `keepCols` alongside `q_id`. The shared
+    * query-side half of [[adcSearch]] and [[adcSearchCells]].
+    */
+  private def withLuts(queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      vecCol: String, idCol: String, keepCols: Seq[String]): DataFrame = {
+    val (m, subDim) = requireModel(codebooks)
+    var q = queries
+    (0 until m).foreach { j =>
+      q = q
+        .withColumn(s"__ps$j", expr(
+          s"slice(CAST($vecCol AS ARRAY<DOUBLE>), ${j * subDim + 1}, $subDim)"))
+        .withColumn(s"__pc$j", typedlit(codebooks(j)))
+        .withColumn(s"__lut$j",
+          expr(s"transform(__pc$j, c -> vec_l2_sq(__ps$j, c))"))
+    }
+    q.select(col(idCol).as("q_id") +: keepCols.map(col) :+
+      expr(s"array(${(0 until m).map(j => s"__lut$j").mkString(", ")})")
+        .as("__lut"): _*)
+  }
+
+  /** The shared corpus-side tail: ADC per (query, corpus code) pair,
+    * optional self-exclusion, and the rank<=topK collapse (tie-break
+    * by ascending corpus id; Spark turns the window into a
+    * pre-shuffle WindowGroupLimit).
+    */
+  private def adcTopK(paired: DataFrame, codeCol: String, topK: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    (if (excludeSelf) paired.filter(col("c_id") =!= col("q_id")) else paired)
+      .withColumn("adc", expr(s"vec_pq_adc($codeCol, __lut)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "rank", "c_id", "adc")
+  }
+
   /** Top-k ADC search: each query precomputes its m×k look-up table
     * (distance to every codeword, one small array literal's worth of
     * work), the LUTs broadcast onto the encoded corpus, and each
@@ -85,27 +122,10 @@ object Pq {
       idCol: String = "vec_id", codeCol: String = "code",
       excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VecFunctions.register(corpus.sparkSession)
-    val (m, subDim) = requireModel(codebooks)
-    var q = queries
-    (0 until m).foreach { j =>
-      q = q
-        .withColumn(s"__ps$j", expr(
-          s"slice(CAST($vecCol AS ARRAY<DOUBLE>), ${j * subDim + 1}, $subDim)"))
-        .withColumn(s"__pc$j", typedlit(codebooks(j)))
-        .withColumn(s"__lut$j",
-          expr(s"transform(__pc$j, c -> vec_l2_sq(__ps$j, c))"))
-    }
-    val luts = q.select(col(idCol).as("q_id"),
-      expr(s"array(${(0 until m).map(j => s"__lut$j").mkString(", ")})")
-        .as("__lut"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val luts = withLuts(queries, codebooks, vecCol, idCol, Nil)
     val paired = corpus.select(col(idCol).as("c_id"), col(codeCol))
       .crossJoin(broadcast(luts)) // query set = model-sized side
-    (if (excludeSelf) paired.filter(col("c_id") =!= col("q_id")) else paired)
-      .withColumn("adc", expr(s"vec_pq_adc($codeCol, __lut)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("q_id", "rank", "c_id", "adc")
+    adcTopK(paired, codeCol, topK, excludeSelf)
   }
 
   /** Cell-pruned ADC search — the composed IVF-PQ index (FAISS's
@@ -127,30 +147,14 @@ object Pq {
   def adcSearchCells(corpus: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
       probedQueries: DataFrame, topK: Int, idCol: String = "vec_id",
       codeCol: String = "code", cellCol: String = "cell",
-      excludeSelf: Boolean = true): DataFrame = {
+      vecCol: String = "qv", excludeSelf: Boolean = true): DataFrame = {
     graft.functions.VecFunctions.register(corpus.sparkSession)
-    val (m, subDim) = requireModel(codebooks)
-    var q = probedQueries
-    (0 until m).foreach { j =>
-      q = q
-        .withColumn(s"__ps$j", expr(
-          s"slice(CAST(qv AS ARRAY<DOUBLE>), ${j * subDim + 1}, $subDim)"))
-        .withColumn(s"__pc$j", typedlit(codebooks(j)))
-        .withColumn(s"__lut$j",
-          expr(s"transform(__pc$j, c -> vec_l2_sq(__ps$j, c))"))
-    }
-    val luts = q.select(col("q_id"), col(cellCol),
-      expr(s"array(${(0 until m).map(j => s"__lut$j").mkString(", ")})")
-        .as("__lut"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val luts = withLuts(probedQueries, codebooks, vecCol, "q_id",
+      Seq(cellCol))
     val paired = corpus
       .select(col(idCol).as("c_id"), col(cellCol), col(codeCol))
       .join(broadcast(luts), Seq(cellCol))
-    (if (excludeSelf) paired.filter(col("c_id") =!= col("q_id")) else paired)
-      .withColumn("adc", expr(s"vec_pq_adc($codeCol, __lut)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("q_id", "rank", "c_id", "adc")
+    adcTopK(paired, codeCol, topK, excludeSelf)
   }
 
   /** Per-subspace Lloyd's k-means (deterministic init: the first k

@@ -81,14 +81,25 @@ object TrainingData extends QueryModule {
       .select("lang", "doc_id", "n_tok", "shard")
       .orderBy("lang", "doc_id")
 
-  private val q52Sql =
+  /** Shared DuckDB CTE body of the per-language packing twins (q52
+    * production packing, q105 balance audit): ONE copy of the
+    * cum-window + floor((cum - n_tok) / budget) rule, so the audit's
+    * oracle cannot drift from the packing it audits. (q48's global
+    * form deliberately stays separate — it is the documented
+    * oracle-only shape.)
+    */
+  private val duckPackedByLang =
     s"""SELECT lang, doc_id, n_tok,
-       |  CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
-       |FROM (
-       |  SELECT lang, doc_id, n_tok,
-       |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM (SELECT lang, doc_id, $nTokD AS n_tok FROM documents))
+       |    CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT lang, doc_id, n_tok,
+       |      SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM (SELECT lang, doc_id, $nTokD AS n_tok FROM documents))"""
+      .stripMargin
+
+  private val q52Sql =
+    s"""$duckPackedByLang
        |ORDER BY lang, doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -241,13 +252,7 @@ object TrainingData extends QueryModule {
 
   private val q105Sql =
     s"""WITH packed AS (
-       |  SELECT lang, doc_id, n_tok,
-       |    CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
-       |  FROM (
-       |    SELECT lang, doc_id, n_tok,
-       |      SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |    FROM (SELECT lang, doc_id, $nTokD AS n_tok FROM documents))),
+       |  $duckPackedByLang),
        |per_shard AS (
        |  SELECT lang, shard, COUNT(*) AS n_docs,
        |    CAST(SUM(n_tok) AS BIGINT) AS tokens

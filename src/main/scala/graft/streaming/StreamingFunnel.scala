@@ -22,9 +22,11 @@ import java.sql.Timestamp
   * stage, bit-equal to q73's per-user logic. StreamingFunnelSpec
   * asserts that equality.
   *
-  * State per user is four Longs + the emitted watermark — bounded,
-  * high-cardinality keyed, expired by processing-time timeout (the
-  * StatefulSessions discipline).
+  * State per user is four Longs + the emitted watermark — tiny and
+  * high-cardinality keyed. It is NOT expired by default: funnels
+  * exist to catch long-lag conversions, and expiry would both drop
+  * them and re-emit climbed stages for returning users (see the
+  * `stateTtl` param doc for the opt-in trade).
   */
 object StreamingFunnel {
 
@@ -55,13 +57,27 @@ object StreamingFunnel {
     case _ => st.purchase
   }
 
-  def stages(events: Dataset[FunnelEvent])(implicit s: SparkSession)
-      : Dataset[StageOut] = {
+  /** @param stateTtl optional processing-time TTL after which an idle
+    *        user's state is dropped. Default None: state is NEVER
+    *        expired — a funnel's whole point is long-lag conversions
+    *        (q102 measures lags of days), and expiry trades
+    *        correctness for memory in two visible ways: a conversion
+    *        arriving after expiry under-counts (the earlier stages'
+    *        first times are gone), and a returning user RE-emits the
+    *        stages it climbs again, double-counting transitions.
+    *        Pass a TTL only when the key space is unbounded and the
+    *        consumer tolerates both effects past the horizon.
+    */
+  def stages(events: Dataset[FunnelEvent], stateTtl: Option[String] = None)
+      (implicit s: SparkSession): Dataset[StageOut] = {
     import s.implicits._
     val streaming = events.isStreaming // don't capture the Dataset in the closure
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[FunnelEvent],
             state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
@@ -70,7 +86,10 @@ object StreamingFunnel {
           } else {
             var st = state.getOption.getOrElse(unseen)
             it.foreach { e =>
-              val t = e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
+              // floorDiv: plain / truncates toward zero and mis-orders
+              // pre-1970 timestamps against their sub-second nanos
+              val t = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+                e.ts.getNanos / 1000
               e.event_type match {
                 case "view" => st = st.copy(view = math.min(st.view, t))
                 case "click" => st = st.copy(click = math.min(st.click, t))
@@ -85,8 +104,8 @@ object StreamingFunnel {
               .map(k => StageOut(user, k, reachedAt(st, k)))
             st = st.copy(emitted = math.max(st.emitted, stage))
             state.update(st)
-            if (streaming)
-              state.setTimeoutDuration("1 hour")
+            stateTtl.foreach(ttl =>
+              if (streaming) state.setTimeoutDuration(ttl))
             out.iterator
           }
       }
