@@ -48,7 +48,7 @@ object BloomPrune {
     // NULL/malformed keys, so the pruned form must too — and the
     // primitive Long encoder in the aggregation would throw on NULLs.
     val smallKeys = small
-      .select(expr(s"try_cast($smallKey AS BIGINT)").as(largeKey)).na.drop
+      .select(expr(s"try_cast($smallKey AS BIGINT)").as(largeKey)).na.drop()
     // one-row aggregate: the filter itself is the only thing collected
     val filter = smallKeys.as[Long]
       .select(new Bloom.BloomAggregator(numBits, k).toColumn)
