@@ -62,6 +62,54 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(onboarding.filter(col("retention") =!= 1.0).count() == 0)
   }
 
+  test("q104 PSI is non-negative for every source") {
+    // each term (p_src - p_corpus) * ln(p_src / p_corpus) has both
+    // factors sharing a sign, so the sum is >= 0 up to round-6
+    val df = SparkEntry.queries("q104_drift_psi")(spark, dir)
+    assert(df.filter(col("psi") < -1e-6).count() == 0)
+  }
+
+  test("q105 shard fills are ordered min <= avg <= max and consistent") {
+    val bad = SparkEntry.queries("q105_shard_balance")(spark, dir)
+      .filter(col("min_fill") > col("avg_fill")
+        || col("avg_fill") > col("max_fill")
+        || col("n_shards") < 1
+        || col("total_tokens") < col("min_fill") * col("n_shards")
+        || col("total_tokens") > col("max_fill") * col("n_shards"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q103 ivf-pq results come only from the query's probed cells") {
+    // the composed index must never return a vector outside the
+    // coarse quantizer's routing — a cross-join fallback or a cell
+    // mixup would surface here as an out-of-probe hit. Rebuild
+    // q103's own fixed model (the quantized vectors of ids
+    // 0/10/20/30) and check every hit's corpus cell is among its
+    // query's probe cells.
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))")
+        .as("embedding"))
+    val fixed = corpus.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+      .orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val assigned = graft.operators.Ivf.assign(corpus, fixed, "embedding")
+      .select(col("vec_id").as("c_id"), col("cell").as("c_cell"))
+    val probed = graft.operators.Ivf.probeCells(
+        corpus.filter(col("vec_id") < 8), fixed, nProbe = 2)
+      .select(col("q_id"), col("cell").as("p_cell"))
+    val outOfProbe = SparkEntry.queries("q103_ivfpq_search")(spark, dir)
+      .join(assigned, "c_id")
+      .join(probed, "q_id")
+      .groupBy("q_id", "c_id")
+      .agg(max(when(col("c_cell") === col("p_cell"), 1).otherwise(0))
+        .as("in_probe"))
+      .filter(col("in_probe") === 0)
+      .count()
+    assert(outOfProbe == 0)
+  }
+
   test("q99 ledger never reports more drops than droppable windows") {
     val df = SparkEntry.queries("q99_window_dedup")(spark, dir)
     assert(df.filter(col("n_dropped") >= col("n_windows")).count() == 0)
