@@ -272,10 +272,13 @@ object PipelineOps extends QueryModule {
   // feeds four. No broadcast hints on the w1/w2 marginals — they are
   // vocabulary-sized and grow with the corpus (q79's rule; AQE still
   // broadcasts when measured-small). The 1-row total is a literal
-  // cross join. Exactness: n·N and n1·m2 are exact BIGINTs (≤ ~2^42
-  // at any plausible corpus), their DOUBLE quotient is one
-  // correctly-rounded op, and ln's ulp wobble is absorbed by
-  // round(·, 6); ties in the rounded pmi break on (w1, w2).
+  // cross join. Exactness: the marginal products scale as N² in the
+  // total bigram count, so past ~3·10⁹ bigrams a BIGINT product
+  // would silently wrap under non-ANSI mode — both n·N and n1·m2 are
+  // therefore routed through DECIMAL(38,0) (HUGEINT on the oracle
+  // side), exact to 10³⁸, before the one correctly-rounded DOUBLE
+  // quotient; ln's ulp wobble is absorbed by round(·, 6); ties in
+  // the rounded pmi break on (w1, w2).
   private def q98(s: SparkSession, dir: String): DataFrame = {
     val c2 = TextAnalysis.bigramCounts(s, dir)
     val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
@@ -286,7 +289,9 @@ object PipelineOps extends QueryModule {
       .join(r1, "w2")
       .crossJoin(broadcast(tot))
       .withColumn("pmi",
-        round(expr("ln(CAST(n * nn AS DOUBLE) / CAST(n1 * m2 AS DOUBLE))"), 6))
+        round(expr(
+          """ln(CAST(CAST(n AS DECIMAL(38,0)) * nn AS DOUBLE) /
+            |   CAST(CAST(n1 AS DECIMAL(38,0)) * m2 AS DOUBLE))""".stripMargin), 6))
       .select("w1", "w2", "n", "pmi")
       .orderBy(desc("pmi"), col("w1"), col("w2"))
       .limit(20)
@@ -304,7 +309,8 @@ object PipelineOps extends QueryModule {
        |r1 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS m2 FROM c2 GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c2)
        |SELECT w1, w2, n,
-       |  round(ln(CAST(n * nn AS DOUBLE) / CAST(n1 * m2 AS DOUBLE)), 6) AS pmi
+       |  round(ln(CAST(CAST(n AS HUGEINT) * nn AS DOUBLE)
+       |         / CAST(CAST(n1 AS HUGEINT) * m2 AS DOUBLE)), 6) AS pmi
        |FROM c2 JOIN c1 USING (w1) JOIN r1 USING (w2) CROSS JOIN tot
        |WHERE n >= 5
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
@@ -376,8 +382,12 @@ object PipelineOps extends QueryModule {
   // for first-seen, an equi-join back on user_id (co-partitioned
   // with the groupBy's exchange), a (cohort, week) distinct-count,
   // and the k-row cohort-size table joined back. Retention divides
-  // exact integers.
-  private val weekS = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7 AS INT)"
+  // exact integers. The week index is FLOOR division on both engines
+  // — Spark's DIV truncates toward zero while DuckDB's // floors, so
+  // they'd disagree on any pre-epoch event (-3 DIV 7 = 0 vs -1);
+  // floor(day / 7.0) is exact here (|day| < 2^31 ≪ 2^53).
+  private val weekS =
+    "CAST(FLOOR(datediff(CAST(ts AS DATE), DATE'2024-01-01') / 7.0D) AS INT)"
   private val weekD = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INTEGER)"
 
   private val dayS = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS INT)"

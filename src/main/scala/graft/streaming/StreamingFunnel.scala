@@ -77,37 +77,43 @@ object StreamingFunnel {
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageOut](
-        OutputMode.Append(), timeoutConf) {
-        (user: Long, it: Iterator[FunnelEvent],
-            state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var st = state.getOption.getOrElse(unseen)
-            it.foreach { e =>
-              // floorDiv: plain / truncates toward zero and mis-orders
-              // pre-1970 timestamps against their sub-second nanos
-              val t = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
-                e.ts.getNanos / 1000
-              e.event_type match {
-                case "view" => st = st.copy(view = math.min(st.view, t))
-                case "click" => st = st.copy(click = math.min(st.click, t))
-                case "signup" => st = st.copy(signup = math.min(st.signup, t))
-                case "purchase" =>
-                  st = st.copy(purchase = math.min(st.purchase, t))
-                case _ => ()
-              }
-            }
-            val stage = stageOf(st)
-            val out = ((st.emitted + 1) to stage)
-              .map(k => StageOut(user, k, reachedAt(st, k)))
-            st = st.copy(emitted = math.max(st.emitted, stage))
-            state.update(st)
-            stateTtl.foreach(ttl =>
-              if (streaming) state.setTimeoutDuration(ttl))
-            out.iterator
-          }
-      }
+        OutputMode.Append(), timeoutConf)(processGroup(stateTtl, streaming))
   }
+
+  /** The per-group state transition, exposed so the timeout branch is
+    * unit-testable with Spark's public `TestGroupState` — a real
+    * ProcessingTimeTimeout MemoryStream test spins no-data timer
+    * batches (see StatefulSessions' testing discipline).
+    */
+  private[graft] def processGroup(stateTtl: Option[String], streaming: Boolean)(
+      user: Long, it: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[StageOut] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(unseen)
+      it.foreach { e =>
+        // floorDiv: plain / truncates toward zero and mis-orders
+        // pre-1970 timestamps against their sub-second nanos
+        val t = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L +
+          e.ts.getNanos / 1000
+        e.event_type match {
+          case "view" => st = st.copy(view = math.min(st.view, t))
+          case "click" => st = st.copy(click = math.min(st.click, t))
+          case "signup" => st = st.copy(signup = math.min(st.signup, t))
+          case "purchase" =>
+            st = st.copy(purchase = math.min(st.purchase, t))
+          case _ => ()
+        }
+      }
+      val stage = stageOf(st)
+      val out = ((st.emitted + 1) to stage)
+        .map(k => StageOut(user, k, reachedAt(st, k)))
+      st = st.copy(emitted = math.max(st.emitted, stage))
+      state.update(st)
+      stateTtl.foreach(ttl =>
+        if (streaming) state.setTimeoutDuration(ttl))
+      out.iterator
+    }
 }
