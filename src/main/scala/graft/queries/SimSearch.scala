@@ -836,6 +836,77 @@ object SimSearch extends QueryModule {
        |  FROM adc) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q106 — EMBEDDING-SPACE drift gate (PSI over IVF cell occupancy):
+  // q104 scores length-distribution drift, but what actually rots an
+  // ANN index is drift in EMBEDDING space — a source whose vectors
+  // migrate between coarse-quantizer cells changes cell occupancy,
+  // inflates probe fan-out, and invalidates the recall audit (q96).
+  // So: assign every corpus vector to its IVF cell (q53's trained
+  // model), join source from `documents` (vec_id = doc_id), and score
+  // each source's cell-occupancy histogram against the whole corpus
+  // with the population stability index — q104's exact-PSI shape with
+  // cells as buckets. Every source cell exists in the corpus by
+  // construction, so the term set is deterministic and no smoothing
+  // is needed.
+  //
+  // Scale: the assignment is one scan with the k-centroid broadcast
+  // (q53's path); then two keyed aggs over (source, cell) — k·|sources|
+  // rows — and k-row joins; the 1-row corpus total crosses (q104's
+  // pattern). Exactness: cell ids are exact (integer-valued doubles in
+  // the quantizer, q53's argument); counts are integers; the ln runs
+  // on ONE exact rational (c·nn)/(ct·n) routed through DECIMAL(38,0)
+  // (HUGEINT on the oracle side) — count products scale as N² in
+  // corpus size, so BIGINT would wrap past ~3e9 docs (q98's rule);
+  // the ≤k-term sum is absorbed by round(·, 6).
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = fixedCentroids(s, dir)
+    val cells = graft.operators.Ivf.assign(corpus, cents, "embedding")
+      .select(col("vec_id"), col("cell"))
+      .join(T.documents(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select("source", "cell")
+    val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("cell").agg(count(lit(1)).as("ct"))
+    val ns = src.groupBy("source").agg(sum("c").as("n"))
+    val nt = tot.agg(sum("ct").as("nn"))
+    src.join(tot, "cell")
+      .join(ns, "source")
+      .crossJoin(broadcast(nt))
+      .withColumn("term", expr(
+        """(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          | * ln(CAST(CAST(c AS DECIMAL(38,0)) * nn AS DOUBLE)
+          |      / CAST(CAST(ct AS DECIMAL(38,0)) * n AS DOUBLE))"""
+          .stripMargin))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_cells"), round(sum("term"), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  private val q106Sql =
+    s"""$duckIvfTrained,
+       |sc AS (
+       |  SELECT d.source, a.cell
+       |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+       |src AS (SELECT source, cell, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+       |tot AS (SELECT cell, COUNT(*) AS ct FROM sc GROUP BY 1),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
+       |SELECT source, COUNT(*) AS n_cells,
+       |  round(SUM(
+       |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+       |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+       |    * ln(CAST(CAST(c AS HUGEINT) * nn AS DOUBLE)
+       |         / CAST(CAST(ct AS HUGEINT) * n AS DOUBLE))), 6) AS psi
+       |FROM src
+       |JOIN tot USING (cell)
+       |JOIN ns USING (source)
+       |CROSS JOIN nt
+       |GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -848,7 +919,8 @@ object SimSearch extends QueryModule {
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
     "q97_cluster_cohesion" -> (q97 _),
-    "q103_ivfpq_search" -> (q103 _))
+    "q103_ivfpq_search" -> (q103 _),
+    "q106_embed_drift_psi" -> (q106 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -862,5 +934,6 @@ object SimSearch extends QueryModule {
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
     "q97_cluster_cohesion" -> q97Sql,
-    "q103_ivfpq_search" -> q103Sql)
+    "q103_ivfpq_search" -> q103Sql,
+    "q106_embed_drift_psi" -> q106Sql)
 }

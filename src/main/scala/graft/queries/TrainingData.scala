@@ -266,13 +266,79 @@ object TrainingData extends QueryModule {
        |    AS min_fill_ratio
        |FROM per_shard GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107 — deterministic SOURCE-MIXTURE INTERLEAVE at shard-write
+  // time: the materialization step between q77 (which only SCORES the
+  // temperature mixture) and ShardWriter (which preserves whatever
+  // order it is given). Each source's documents are merged into one
+  // global training order by weighted-fair-queueing virtual time —
+  // the k-th doc of source s goes at vt = k / w_s with w_s = √n_s
+  // (temperature α = 0.5, q77's rule; the shared normalizer Σ√n
+  // cancels in the ordering) — so every PREFIX of the stream carries
+  // the sources in ~√n proportion instead of in crawl-concatenation
+  // blocks, and re-running the pipeline reproduces the order exactly
+  // (pure function of (doc_id, per-source counts): no RNG, no
+  // partition-layout dependence). The interleaved stream then packs
+  // into token-budget shards (q48's running-sum rule) and is what
+  // ShardWriter materializes (ShardWriterSpec proves the order +
+  // per-shard mixture survive the write).
+  //
+  // Scale: the per-source rank is a hashpartitioning(source) window
+  // (q52's shape); the GLOBAL position/packing window is the
+  // oracle-checkable core, q48's documented single-task form — the
+  // production write range-partitions by vt instead (total order
+  // without one task seeing all rows; ShardWriterSpec's mixture
+  // check covers per-shard ratios). Exactness: vt = k/√n_s is one
+  // IEEE-correctly-rounded sqrt + one divide from exact integers —
+  // bit-identical cross-engine, and vt ties break on (source,
+  // doc_id), so pos/cum/shard are all exact.
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = T.documents(s, dir)
+      .select(col("doc_id"), col("source"), expr(nTokS).as("n_tok"))
+    val ns = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val wPos = Window.orderBy("vt", "source", "doc_id")
+    val wCum = wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(ns), "source")
+      .withColumn("k", row_number().over(wSrc).cast("long"))
+      .withColumn("vt",
+        expr("CAST(k AS DOUBLE) / sqrt(CAST(n_src AS DOUBLE))"))
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+      .withColumn("cum", sum("n_tok").over(wCum))
+      .withColumn("shard",
+        expr(s"CAST(floor((cum - n_tok) / $budget) AS BIGINT)"))
+      .select("pos", "source", "doc_id", "n_tok", "shard")
+      .orderBy("pos")
+  }
+
+  private val q107Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $nTokD AS n_tok FROM documents),
+       |ns AS (SELECT source, COUNT(*) AS n_src FROM d GROUP BY 1),
+       |i AS (
+       |  SELECT d.doc_id, d.source, d.n_tok,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+       |      AS DOUBLE) / sqrt(CAST(n_src AS DOUBLE)) AS vt
+       |  FROM d JOIN ns USING (source)),
+       |o AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vt, source, doc_id) - 1
+       |      AS BIGINT) AS pos,
+       |    SUM(n_tok) OVER (ORDER BY vt, source, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM i)
+       |SELECT pos, source, doc_id, n_tok,
+       |  CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
+       |FROM o ORDER BY pos""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
     "q52_shard_pack_by_lang" -> (q52 _),
     "q55_chunk_windows" -> (q55 _),
     "q92_seeded_split" -> (q92 _),
-    "q105_shard_balance" -> (q105 _))
+    "q105_shard_balance" -> (q105 _),
+    "q107_mixture_interleave" -> (q107 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
@@ -280,5 +346,6 @@ object TrainingData extends QueryModule {
     "q52_shard_pack_by_lang" -> q52Sql,
     "q55_chunk_windows" -> q55Sql,
     "q92_seeded_split" -> q92Sql,
-    "q105_shard_balance" -> q105Sql)
+    "q105_shard_balance" -> q105Sql,
+    "q107_mixture_interleave" -> q107Sql)
 }
