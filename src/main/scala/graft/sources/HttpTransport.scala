@@ -68,11 +68,23 @@ object HttpTransport {
     * (caught and logged by [[Download.fetchPartition]]).
     */
   def getStep(auth: () => String, timeoutMs: Int = 30000)(url: String)
+      : Either[String, Array[Byte]] = step(Some(auth), timeoutMs)(url)
+
+  /** Plain unauthenticated GET through the redirect loop — the
+    * catalog-search transport (the reference's bare `requests.get`
+    * of the OData query, `imagery_store.py:188`; only downloads
+    * carry the Bearer token there too).
+    */
+  def get(url: String, timeoutMs: Int = 30000): Array[Byte] =
+    Download.followRedirects(url, step(None, timeoutMs))
+
+  private def step(auth: Option[() => String], timeoutMs: Int)(url: String)
       : Either[String, Array[Byte]] = {
     val conn = connect(url, timeoutMs)
     try {
       conn.setInstanceFollowRedirects(false)
-      conn.setRequestProperty("Authorization", s"Bearer ${auth()}")
+      auth.foreach(a =>
+        conn.setRequestProperty("Authorization", s"Bearer ${a()}"))
       conn.getResponseCode match {
         case c if c == 301 || c == 302 || c == 303 || c == 307 =>
           Left(Option(conn.getHeaderField("Location"))

@@ -23,17 +23,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * the clauses the reference bakes by hand), `SupportsPushDownLimit`
   * maps to `$top` (the server's 20-product page cap,
   * `code/imagery_store.py:45`), and `SupportsPushDownRequiredColumns`
-  * prunes the projection. The transport is pluggable: this offline
-  * build serves records from a JSON file / inline JSON (option
-  * `path` / `records`) — the recorded shape of a catalog response —
-  * while honoring the pushed filters + limit the way the server
-  * would. A networked deployment swaps the fetch in
-  * [[ODataPartitionReader]] for an HTTP GET of
-  * [[ODataFilterCompiler.searchQuery]]; the plan seen by Spark is
-  * identical.
+  * prunes the projection. Two transports, same plan:
+  *
+  *   - recorded (option `path` / `records`): serves a captured
+  *     catalog response while honoring the pushed filters + limit
+  *     the way the server would;
+  *   - live (option `url`): the partition reader GETs
+  *     [[ODataFilterCompiler.searchUri]] — compiled `$filter` +
+  *     `$top` ON THE WIRE — over [[HttpTransport]] from the
+  *     executor (ODataHttpIntegrationSpec drives this end-to-end
+  *     against a loopback server).
   *
   * Usage: `spark.read.format("graft.sources.ODataCatalogSource")
-  *   .option("records", json).load()`
+  *   .option("records", json).load()` (or `.option("url", base)`)
   */
 class ODataCatalogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -68,10 +70,12 @@ class ODataCatalogTable(properties: util.Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ODataScanBuilder(
       Option(options.get("records")).orElse(Option(properties.get("records"))),
-      Option(options.get("path")).orElse(Option(properties.get("path"))))
+      Option(options.get("path")).orElse(Option(properties.get("path"))),
+      Option(options.get("url")).orElse(Option(properties.get("url"))))
 }
 
-class ODataScanBuilder(records: Option[String], path: Option[String])
+class ODataScanBuilder(records: Option[String], path: Option[String],
+    url: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
@@ -97,13 +101,29 @@ class ODataScanBuilder(records: Option[String], path: Option[String])
     }
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
-      val json = records.getOrElse {
-        val p = path.getOrElse(
-          throw new IllegalArgumentException("need option records or path"))
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-          java.nio.charset.StandardCharsets.UTF_8)
+      // The LIVE path: compile the pushed predicates + limit into the
+      // OData query string — server-side filtering reaches the wire,
+      // exactly the clauses the reference hand-assembles
+      // (`code/imagery_store.py:182-187`). The fetch itself happens in
+      // the partition READER, i.e. on an executor, not the driver.
+      url match {
+        case Some(base) =>
+          val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
+          // no pushed limit → the server's 20-product page cap
+          // (`code/imagery_store.py:45`)
+          val top = if (limit == Int.MaxValue) 20 else limit
+          val q = ODataFilterCompiler.searchUri(base, clause, top)
+          Array(ODataInputPartition(null, pushed, limit, required, Some(q)))
+        case None =>
+          val json = records.getOrElse {
+            val p = path.getOrElse(throw new IllegalArgumentException(
+              "need option records, path, or url"))
+            new String(
+              java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+              java.nio.charset.StandardCharsets.UTF_8)
+          }
+          Array(ODataInputPartition(json, pushed, limit, required))
       }
-      Array(ODataInputPartition(json, pushed, limit, required))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       (p: InputPartition) => {
@@ -114,18 +134,27 @@ class ODataScanBuilder(records: Option[String], path: Option[String])
 }
 
 case class ODataInputPartition(json: String, pushed: Array[Filter],
-    limit: Int, required: StructType) extends InputPartition
+    limit: Int, required: StructType,
+    queryUrl: Option[String] = None) extends InputPartition
 
-/** Parses the recorded response and serves it "as the server would":
-  * pushed filters and the `$top` limit are applied HERE — rows that a
-  * real OData endpoint would never return do not reach Spark.
+/** Parses the recorded response — or, on the live path, GETs
+  * `queryUrl` over [[HttpTransport]] first — and serves it "as the
+  * server would": pushed filters and the `$top` limit are applied
+  * HERE too (idempotent against a server that already honored
+  * `$filter`/`$top`) — rows that a real OData endpoint would never
+  * return do not reach Spark.
   */
 class ODataPartitionReader(part: ODataInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val iter: Iterator[JsonNode] = {
-    val root = mapper.readTree(part.json)
+    val body = part.queryUrl match {
+      case Some(q) => new String(HttpTransport.get(q),
+        java.nio.charset.StandardCharsets.UTF_8)
+      case None => part.json
+    }
+    val root = mapper.readTree(body)
     val nodes =
       if (root.isArray) root.elements()
       else if (root.has("value")) root.get("value").elements() // OData envelope
@@ -180,6 +209,7 @@ object ODataPartitionReader {
   def eval(f: Filter, n: JsonNode): Boolean = f match {
     case And(l, r) => eval(l, n) && eval(r, n)
     case Or(l, r) => eval(l, n) || eval(r, n)
+    case IsNotNull(a) => cmp(a, n).isDefined
     case EqualTo(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) == 0)
     case GreaterThan(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) > 0)
     case GreaterThanOrEqual(a, v) => cmp(a, n).exists(_.compareTo(coerce(a, v)) >= 0)

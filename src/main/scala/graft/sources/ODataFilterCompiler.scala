@@ -60,6 +60,16 @@ object ODataFilterCompiler {
 
   /** Compile one Catalyst source filter to an OData clause. */
   def compile(f: Filter): Option[String] = f match {
+    // Spark pairs every comparison with an IsNotNull guard; OData
+    // renders it as `ne null`. Accepting it matters beyond fidelity:
+    // an unpushed IsNotNull leaves a residual Filter node that blocks
+    // LIMIT pushdown, so `$top` would never reach the wire.
+    case IsNotNull(a) if a == "Collection" =>
+      Some("Collection ne null")
+    case IsNotNull(a) if a == "ContentDate.Start" =>
+      Some("ContentDate/Start ne null")
+    case IsNotNull(a) if a == "ContentDate.End" =>
+      Some("ContentDate/End ne null")
     case EqualTo(a, v) => field(a, "eq", v)
     case GreaterThan(a, v) => field(a, "gt", v)
     case GreaterThanOrEqual(a, v) => field(a, "ge", v)
@@ -85,4 +95,13 @@ object ODataFilterCompiler {
     */
   def searchQuery(baseUrl: String, filter: String, top: Int): String =
     s"$baseUrl/Products?$$filter=$filter&$$expand=Attributes&$$top=$top"
+
+  /** Wire-safe form of [[searchQuery]]: the $filter clause is
+    * percent-encoded so the result parses as a `java.net.URI` (the
+    * reference's requests library encodes implicitly).
+    */
+  def searchUri(baseUrl: String, filter: String, top: Int): String = {
+    val enc = java.net.URLEncoder.encode(filter, "UTF-8").replace("+", "%20")
+    s"$baseUrl/Products?$$filter=$enc&$$expand=Attributes&$$top=$top"
+  }
 }
