@@ -2,35 +2,35 @@ package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** JPEG 2000 (JP2) input support for S5 — the one reference data path
-  * whose pixels the engine previously never touched
-  * (`/root/reference/code/tx.py:26,38,42` reads Sentinel-2 band
-  * rasters through rasterio/OpenJPEG).
+/** JPEG 2000 (JP2) decoder for S5 — the reference reads Sentinel-2
+  * band rasters through rasterio/OpenJPEG
+  * (`/root/reference/code/tx.py:26,38,42`); this is the
+  * zero-dependency equivalent for the reversible single-tile profile,
+  * every stage implemented from the public spec:
   *
-  * Scope decision (SURVEY §2.1 S5): a from-scratch EBCOT/MQ entropy
-  * decoder cannot be validated in this container (no imaging
-  * libraries to produce or cross-check real codestreams), so the
-  * DETERMINISTIC stages are implemented for real and the entropy
-  * stage is an explicit, loudly-failing extension point:
+  *   - [[Jp2.parseHeader]] — JP2 container boxes (signature/ftyp/
+  *     jp2h/ihdr/jp2c, ISO 15444-1 §I.4-I.5) and codestream markers
+  *     (SOC/SIZ/COD/QCD/SOT/SOD/EOC, ITU-T T.800 Annex A), including
+  *     the Sentinel-2 profile fields (image/tile grid, bit depth,
+  *     decomposition levels, 5/3 vs 9/7, code-block geometry,
+  *     QCD guard bits + per-subband exponents, tile-part layout);
+  *   - [[Jp2.T800Entropy]] — the DEFAULT entropy stage: tier-2
+  *     packet-header parse with tag trees ([[Tier2]], Annex B), MQ
+  *     arithmetic decoding ([[Mq]], Annex C) and EBCOT tier-1
+  *     bit-plane coding ([[Ebcot]], Annex D);
+  *   - [[Wavelet53]] — the reversible 5/3 lifting DWT (Annex F),
+  *     forward + inverse, multi-level 2-D, property-tested to
+  *     round-trip bit-exactly on any shape.
   *
-  *   - [[Jp2.parseHeader]] — real: JP2 container boxes (signature/
-  *     ftyp/jp2h/ihdr/jp2c, ISO 15444-1 §I.4-I.5) and codestream
-  *     markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC, ITU-T T.800 Annex A),
-  *     including the Sentinel-2 profile fields (image/tile grid,
-  *     component bit depth, decomposition levels, 5/3 vs 9/7,
-  *     code-block geometry, tile-part layout);
-  *   - [[Wavelet53]] — real: the reversible 5/3 lifting DWT
-  *     (ITU-T T.800 Annex F), forward + inverse, multi-level 2-D,
-  *     property-tested to round-trip bit-exactly on any shape;
-  *   - [[Jp2.EntropyDecoder]] — the plug: tier-1/tier-2 (packet
-  *     parse + MQ arithmetic decode of code blocks) must be supplied;
-  *     the default [[Jp2.UnimplementedEntropy]] throws
-  *     UnsupportedOperationException naming exactly what is missing.
-  *
-  * [[Jp2.decode]] wires the three: with a real entropy stage plugged
-  * in it produces pixels (Jp2Spec proves this end-to-end by plugging
-  * a fake entropy stage that emits known wavelet coefficients);
-  * without one it fails loudly instead of silently mis-decoding.
+  * Validation without imaging libraries: Jp2Spec's test-only encoder
+  * (Jp2Fixture) emits conformant codestreams and the decode is
+  * proven BIT-EXACT against the source pixels across shapes, depths,
+  * levels, and content; MqSpec pins the arithmetic coder
+  * independently so encoder/decoder bugs cannot cancel silently.
+  * Codestreams outside the profile (9/7, multi-tile, non-reversible
+  * quantization) are rejected loudly, never mis-decoded; the
+  * [[Jp2.UnimplementedEntropy]] plug remains for callers that want
+  * the refusing behavior of rounds ≤ 7.
   */
 object Jp2 {
 
@@ -42,7 +42,15 @@ object Jp2 {
       levels: Int, reversible: Boolean,
       progression: Int, layers: Int,
       codeblockW: Int, codeblockH: Int,
-      tileParts: Seq[TilePart])
+      tileParts: Seq[TilePart],
+      guardBits: Int = 0, sbExponents: Seq[Int] = Nil) {
+    /** Max bit-planes Mb = G + eps_b - 1 (E.1, reversible/no-quant)
+      * for subband index `b` in SPqcd order (LL, then HL/LH/HH per
+      * resolution, coarsest first).
+      */
+    def maxBitplanes(b: Int): Int =
+      guardBits + sbExponents(math.min(b, sbExponents.length - 1)) - 1
+  }
 
   /** One SOT..SOD tile-part: `dataOffset`/`dataLength` locate the
     * entropy-coded packet stream inside the original byte array.
@@ -58,8 +66,10 @@ object Jp2 {
     def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int]
   }
 
-  /** Default plug: refuse loudly. A silent zero-fill would mis-decode
-    * every pixel; the error names the missing stage and the contract.
+  /** Refusing plug (no longer the default — [[T800Entropy]] is): kept
+    * for callers that must fail fast instead of decoding, and as the
+    * loud error text for profile gaps. A silent zero-fill would
+    * mis-decode every pixel; the error names the stage and contract.
     */
   object UnimplementedEntropy extends EntropyDecoder {
     def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] =
@@ -73,12 +83,53 @@ object Jp2 {
           "DWT (implemented, tested) to yield pixels.")
   }
 
+  /** The real entropy stage (no longer a refusing stub): tier-2
+    * packet parse ([[Tier2.parsePackets]]) routes each code-block's
+    * MQ codeword segment into the tier-1 bit-plane decoder
+    * ([[Ebcot.decodeBlock]]), and the coefficients land at their
+    * subband offsets in the Mallat plane. Scope = the reversible
+    * single-tile profile (one tile-part, one layer, default precinct
+    * and code-block style); anything else still refuses loudly via
+    * the requires. Jp2Spec proves decode∘encode bit-exact against
+    * the test-only fixture encoder.
+    */
+  object T800Entropy extends EntropyDecoder {
+    def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] = {
+      require(component == 0 && header.components >= 1,
+        s"single-component profile; asked for component $component")
+      require(header.tileParts.size == 1,
+        s"single tile-part profile; found ${header.tileParts.size}")
+      require(header.sbExponents.nonEmpty,
+        "QCD carries no exponents (non-reversible quantization style?)")
+      val tp = header.tileParts.head
+      val plane = new Array[Int](header.width * header.height)
+      for (c <- Tier2.parsePackets(bytes, tp.dataOffset, header)) {
+        val mb = header.maxBitplanes(c.sb.qcdIdx)
+        val msbPlane = mb - c.zeroBitplanes - 1
+        val coeffs = Ebcot.decodeBlock(bytes, c.dataFrom, c.dataUntil,
+          c.cb.w, c.cb.h, c.sb.band, c.numPasses, msbPlane)
+        var y = 0
+        while (y < c.cb.h) {
+          var x = 0
+          while (x < c.cb.w) {
+            plane((c.sb.y0 + c.cb.y0 + y) * header.width +
+              (c.sb.x0 + c.cb.x0 + x)) = coeffs(y * c.cb.w + x)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      plane
+    }
+  }
+
   /** Decode one component to pixels: header parse (real) → entropy
-    * stage (pluggable) → multi-level inverse 5/3 DWT (real) → DC
-    * level shift for unsigned components (T.800 G.1.2).
+    * stage (tier-2 + tier-1, [[T800Entropy]]) → multi-level inverse
+    * 5/3 DWT (real) → DC level shift for unsigned components
+    * (T.800 G.1.2).
     */
   def decode(bytes: Array[Byte], component: Int = 0,
-      entropy: EntropyDecoder = UnimplementedEntropy): (Header, Array[Int]) = {
+      entropy: EntropyDecoder = T800Entropy): (Header, Array[Int]) = {
     val h = parseHeader(bytes)
     require(h.reversible,
       "only the reversible (5/3) transform is supported; this " +
@@ -142,12 +193,23 @@ object Jp2 {
     var off = start + 2
     var siz: Option[(Int, Int, Int, Int, Int, Int, Int, Int, Boolean)] = None
     var cod: Option[(Int, Int, Int, Int, Int, Boolean)] = None
+    var guard = 0
+    var exps: Seq[Int] = Nil
     val tileParts = Seq.newBuilder[TilePart]
     var done = false
     while (!done && off + 2 <= end) {
       val marker = ((buf.get(off) & 0xff) << 8) | (buf.get(off + 1) & 0xff)
       marker match {
         case 0xffd9 => done = true // EOC
+        case 0xff5c => // QCD: Sqcd = (guard << 5) | style; style 0 =
+          // no quantization (reversible): one 8-bit SPqcd per subband,
+          // exponent in the top 5 bits (A.6.4)
+          val len = buf.getShort(off + 2) & 0xffff
+          val sqcd = buf.get(off + 4) & 0xff
+          guard = sqcd >>> 5
+          if ((sqcd & 0x1f) == 0)
+            exps = (0 until len - 3).map(i => (buf.get(off + 5 + i) & 0xff) >>> 3)
+          off += 2 + len
         case 0xff51 => // SIZ
           val p = off + 4
           val x = buf.getInt(p + 2); val y = buf.getInt(p + 6)
@@ -192,7 +254,8 @@ object Jp2 {
     val (prog, layers, levels, cbw, cbh, rev) = cod.getOrElse(
       throw new IllegalArgumentException("codestream has no COD segment"))
     Header(x - xo, y - yo, xo, yo, tw, th, nc, depth, signed,
-      levels, rev, prog, layers, cbw, cbh, tileParts.result())
+      levels, rev, prog, layers, cbw, cbh, tileParts.result(),
+      guard, exps)
   }
 }
 

@@ -16,10 +16,8 @@ object RasterIO {
   /** S5 — raster scan: `spark.read.format("binaryFile")` over a glob
     * of band files; band/tile/date parsed from the filename with the
     * reference's tokenization (F1/F2,
-    * `/root/reference/code/imagery_store.py:118-128`). The JP2 decode
-    * itself is a pluggable codec (no imaging libs in this container);
-    * everything else — distributed scan, filename parse, partition
-    * shape — is real.
+    * `/root/reference/code/imagery_store.py:118-128`). Pixels decode
+    * with [[decodeBandPixels]] (the in-house T.800 path, [[Jp2]]).
     */
   def readBandFiles(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile")
@@ -32,6 +30,27 @@ object RasterIO {
         regexp_extract(col("file"), "_([0-9]+)m", 1).cast("int"))
       .withColumn("tile",
         regexp_extract(col("file"), "(?:^|_)T([0-9A-Z]{5})_", 1))
+
+  /** S5 — distributed pixel decode over a [[readBandFiles]] scan:
+    * adds (width, height, pixels) per band file via [[Jp2.decode]]
+    * (tier-2 + MQ + EBCOT + inverse 5/3 DWT, component 0). A UDF is
+    * the right tool here — the work IS the per-row codec (no builtin
+    * exists, and per-element expression overhead is noise against
+    * entropy decoding); the scan stays an embarrassingly parallel
+    * map, one file per task slot, no shuffle.
+    */
+  def decodeBandPixels(bands: DataFrame): DataFrame = {
+    val dec = udf { content: Array[Byte] =>
+      val (h, px) = Jp2.decode(content)
+      (h.width, h.height, px)
+    }
+    bands
+      .withColumn("decoded", dec(col("content")))
+      .withColumn("width", col("decoded._1"))
+      .withColumn("height", col("decoded._2"))
+      .withColumn("pixels", col("decoded._3"))
+      .drop("decoded")
+  }
 
   /** S7 — partition-local raster sink: each task writes its chips as
     * `<uuid>.tif` into a task-local temp dir, then promotes them into

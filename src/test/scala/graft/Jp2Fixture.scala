@@ -1,0 +1,243 @@
+package graft
+
+import graft.sources.{Ebcot, Mq, Tier2, Wavelet53}
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+/** TEST-ONLY JPEG 2000 encoder — the golden-fixture generator that
+  * proves [[graft.sources.Jp2.T800Entropy]] end-to-end: it emits a
+  * spec-conformant reversible single-tile codestream (SIZ/COD/QCD +
+  * one SOT/SOD tile-part, LRCP single-layer packets, tier-1 coded
+  * code-blocks) that Jp2.decode must reproduce bit-exactly. The
+  * library deliberately ships no JP2 WRITER (the reference never
+  * writes JP2 — only GeoTIFF, S7); this lives in test scope.
+  *
+  * The encoder mirrors Ebcot's decoder pass structure using the same
+  * shared context-formation code (Ebcot.Block), so a context-model
+  * bug cannot hide by symmetric cancellation in MQ (MqSpec pins the
+  * coder itself independently).
+  */
+object Jp2Fixture {
+
+  val guardBits = 2
+
+  /** Tier-1 encode one code-block; None when all-zero (the block is
+    * then simply not included in its packet). Returns (MQ segment,
+    * numbps, numPasses).
+    */
+  def encodeBlock(coeffs: Array[Int], w: Int, h: Int, band: Int)
+      : Option[(Array[Byte], Int, Int)] = {
+    val mag = coeffs.map(math.abs)
+    val maxMag = mag.max
+    if (maxMag == 0) return None
+    val numbps = 32 - Integer.numberOfLeadingZeros(maxMag)
+    val numPasses = 3 * numbps - 2
+    val mq = new Mq.Encoder
+    val cx = Ebcot.freshContexts()
+    val blk = new Ebcot.Block(w, h, band)
+    var pass = 0
+    var plane = numbps - 1
+    var passType = 2 // the MSB plane has only a cleanup pass
+    while (pass < numPasses) {
+      passType match {
+        case 0 => spp(mq, cx, blk, mag, coeffs, plane)
+        case 1 => mrp(mq, cx, blk, mag, plane)
+        case 2 => cup(mq, cx, blk, mag, coeffs, plane)
+      }
+      pass += 1
+      if (passType == 2) {
+        plane -= 1; passType = 0
+        java.util.Arrays.fill(blk.visited, false)
+      } else passType += 1
+    }
+    Some((mq.flush(), numbps, numPasses))
+  }
+
+  private def encodeSign(mq: Mq.Encoder, cx: Mq.Contexts, blk: Ebcot.Block,
+      coeffs: Array[Int], x: Int, y: Int): Unit = {
+    val i = y * blk.w + x
+    blk.sig(i) = true
+    blk.neg(i) = coeffs(i) < 0
+    val (sc, xor) = blk.scCx(x, y)
+    mq.encode(cx, sc, (if (blk.neg(i)) 1 else 0) ^ xor)
+  }
+
+  private def spp(mq: Mq.Encoder, cx: Mq.Contexts, blk: Ebcot.Block,
+      mag: Array[Int], coeffs: Array[Int], plane: Int): Unit =
+    Ebcot.scan(blk.w, blk.h) { (x, y, _) =>
+      val i = y * blk.w + x
+      if (!blk.sig(i)) {
+        val zc = blk.zcCx(x, y)
+        if (zc != Ebcot.CxZc) {
+          blk.visited(i) = true
+          val bit = (mag(i) >>> plane) & 1
+          mq.encode(cx, zc, bit)
+          if (bit == 1) {
+            blk.v(i) |= 1 << plane
+            encodeSign(mq, cx, blk, coeffs, x, y)
+          }
+        }
+      }
+    }
+
+  private def mrp(mq: Mq.Encoder, cx: Mq.Contexts, blk: Ebcot.Block,
+      mag: Array[Int], plane: Int): Unit =
+    Ebcot.scan(blk.w, blk.h) { (x, y, _) =>
+      val i = y * blk.w + x
+      if (blk.sig(i) && !blk.visited(i)) {
+        mq.encode(cx, blk.mrCx(x, y), (mag(i) >>> plane) & 1)
+        blk.refined(i) = true
+      }
+    }
+
+  private def cup(mq: Mq.Encoder, cx: Mq.Contexts, blk: Ebcot.Block,
+      mag: Array[Int], coeffs: Array[Int], plane: Int): Unit = {
+    var skipX = -1
+    var skipUntilY = -1
+    Ebcot.scan(blk.w, blk.h) { (x, y, y0) =>
+      val i = y * blk.w + x
+      if (x == skipX && y <= skipUntilY) ()
+      else if (y == y0 && blk.rlEligible(x, y0)) {
+        val first = (0 until 4)
+          .find(k => ((mag((y0 + k) * blk.w + x) >>> plane) & 1) == 1)
+        first match {
+          case None =>
+            mq.encode(cx, Ebcot.CxRl, 0)
+            skipX = x; skipUntilY = y0 + 3
+          case Some(k) =>
+            mq.encode(cx, Ebcot.CxRl, 1)
+            mq.encode(cx, Ebcot.CxUni, (k >> 1) & 1)
+            mq.encode(cx, Ebcot.CxUni, k & 1)
+            val yy = y0 + k
+            blk.v(yy * blk.w + x) |= 1 << plane
+            encodeSign(mq, cx, blk, coeffs, x, yy)
+            skipX = x; skipUntilY = yy
+        }
+      } else if (!blk.sig(i) && !blk.visited(i)) {
+        val bit = (mag(i) >>> plane) & 1
+        mq.encode(cx, blk.zcCx(x, y), bit)
+        if (bit == 1) {
+          blk.v(i) |= 1 << plane
+          encodeSign(mq, cx, blk, coeffs, x, y)
+        }
+      }
+    }
+  }
+
+  private case class Contribution(sbIdx: Int, data: Array[Byte],
+      zeroBp: Int, numPasses: Int)
+
+  /** Encode a full raw codestream (FF4F…FFD9): unsigned `bitDepth`
+    * pixels, `levels` 5/3 decomposition levels, `cbw`×`cbh`
+    * code-blocks (powers of two in [4, 1024]).
+    */
+  def encode(img: Array[Int], w: Int, h: Int, levels: Int,
+      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16): Array[Byte] = {
+    require(img.length == w * h)
+    // DC shift + forward DWT (bit-exact partner of the decode path)
+    val shifted = img.map(_ - (1 << (bitDepth - 1)))
+    val coeffPlane = Wavelet53.forward2d(shifted, w, h, levels)
+
+    val resolutions = Tier2.subbands(w, h, levels)
+    val nSb = resolutions.map(_.size).sum
+    // tier-1 encode everything, tracking per-subband max bit-planes
+    val maxBps = new Array[Int](nSb)
+    val packets = resolutions.map { res =>
+      res.map { sb =>
+        val blocks = Tier2.codeBlocks(sb, cbw, cbh)
+        val encoded = blocks.map { cb =>
+          val blockCoeffs = Array.tabulate(cb.w * cb.h) { i =>
+            val (x, y) = (i % cb.w, i / cb.w)
+            coeffPlane((sb.y0 + cb.y0 + y) * w + (sb.x0 + cb.x0 + x))
+          }
+          val r = encodeBlock(blockCoeffs, cb.w, cb.h, sb.band)
+          r.foreach { case (_, bps, _) =>
+            maxBps(sb.qcdIdx) = math.max(maxBps(sb.qcdIdx), bps)
+          }
+          r
+        }
+        (sb, blocks, encoded)
+      }
+    }
+    val exps = maxBps.map(b => math.max(1, b - guardBits + 1))
+    val mb = exps.map(_ + guardBits - 1)
+
+    // tier-2: one packet per resolution (single layer, LRCP)
+    val body = new ByteArrayOutputStream()
+    for (res <- packets) {
+      val hdr = new Tier2.BitWriter
+      hdr.bit(1) // non-empty
+      val bodies = Seq.newBuilder[Array[Byte]]
+      for ((sb, blocks, encoded) <- res) {
+        if (blocks.nonEmpty) {
+          val gw = (sb.w + cbw - 1) / cbw
+          val gh = blocks.length / gw
+          val incl = new Tier2.TagTree(gw, gh)
+          val imsb = new Tier2.TagTree(gw, gh)
+          for ((enc, bi) <- encoded.zipWithIndex) {
+            incl.set(bi % gw, bi / gw, if (enc.isDefined) 0 else 1)
+            imsb.set(bi % gw, bi / gw,
+              enc.map { case (_, bps, _) => mb(sb.qcdIdx) - bps }.getOrElse(0))
+          }
+          incl.build(); imsb.build()
+          for ((enc, bi) <- encoded.zipWithIndex) {
+            val (bx, by) = (bi % gw, bi / gw)
+            incl.encode(hdr, bx, by, 1)
+            enc.foreach { case (bytes, _, numPasses) =>
+              imsb.encode(hdr, bx, by, 999)
+              Tier2.writeNumPasses(hdr, numPasses)
+              var lblock = 3
+              val base = Tier2.floorLog2(numPasses)
+              while (bytes.length >= (1 << (lblock + base))) {
+                hdr.bit(1); lblock += 1
+              }
+              hdr.bit(0)
+              hdr.bits(bytes.length, lblock + base)
+              bodies += bytes
+            }
+          }
+        }
+      }
+      body.write(hdr.flush())
+      bodies.result().foreach(body.write)
+    }
+    val tileData = body.toByteArray
+
+    // markers
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeShort(0xFF4F) // SOC
+    d.writeShort(0xFF51) // SIZ
+    d.writeShort(41)
+    d.writeShort(0) // Rsiz
+    d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
+    d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
+    d.writeShort(1) // Csiz
+    d.writeByte(bitDepth - 1) // unsigned
+    d.writeByte(1); d.writeByte(1)
+    d.writeShort(0xFF52) // COD
+    d.writeShort(12)
+    d.writeByte(0) // Scod: default precincts, no SOP/EPH
+    d.writeByte(0) // LRCP
+    d.writeShort(1) // layers
+    d.writeByte(0) // no MCT
+    d.writeByte(levels)
+    d.writeByte(Tier2.floorLog2(cbw) - 2)
+    d.writeByte(Tier2.floorLog2(cbh) - 2)
+    d.writeByte(0) // default code-block style
+    d.writeByte(1) // 5/3 reversible
+    d.writeShort(0xFF5C) // QCD
+    d.writeShort(3 + nSb)
+    d.writeByte(guardBits << 5) // style 0: no quantization
+    exps.foreach(e => d.writeByte(e << 3))
+    d.writeShort(0xFF90) // SOT
+    d.writeShort(10)
+    d.writeShort(0) // Isot
+    d.writeInt(12 + 2 + tileData.length) // Psot
+    d.writeByte(0); d.writeByte(1) // TPsot, TNsot
+    d.writeShort(0xFF93) // SOD
+    d.write(tileData)
+    d.writeShort(0xFFD9) // EOC
+    d.flush()
+    bos.toByteArray
+  }
+}

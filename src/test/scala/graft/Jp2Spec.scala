@@ -170,12 +170,95 @@ class Jp2Spec extends AnyFunSuite {
     assert(px.toSeq == img.toSeq)
   }
 
-  test("default entropy plug fails loudly, naming the missing stage") {
+  test("the UnimplementedEntropy plug still fails loudly, naming the stage") {
     val bytes = codestream(32, 32, 8, 2, reversible = true, Array[Byte](0))
-    val err = intercept[UnsupportedOperationException] { Jp2.decode(bytes) }
+    val err = intercept[UnsupportedOperationException] {
+      Jp2.decode(bytes, entropy = Jp2.UnimplementedEntropy)
+    }
     assert(err.getMessage.contains("EBCOT"))
     assert(err.getMessage.contains("MQ"))
     assert(err.getMessage.contains("EntropyDecoder"))
+  }
+
+  // -- the real entropy stage: tier-2 + tier-1 + MQ ----------------
+
+  test("tier-1 code-block round-trip: every band, sparse and dense") {
+    val rng = new Random(91)
+    for {
+      band <- 0 to 3
+      (w, h) <- Seq((16, 16), (7, 5), (16, 3), (3, 16), (1, 1), (64, 64),
+        (5, 11))
+      density <- Seq(0.05, 0.5, 1.0)
+    } {
+      val coeffs = Array.fill(w * h)(
+        if (rng.nextDouble() < density) rng.nextInt(2048) - 1024 else 0)
+      graft.Jp2Fixture.encodeBlock(coeffs, w, h, band) match {
+        case None => assert(coeffs.forall(_ == 0))
+        case Some((bytes, numbps, numPasses)) =>
+          val got = graft.sources.Ebcot.decodeBlock(bytes, 0, bytes.length,
+            w, h, band, numPasses, numbps - 1)
+          assert(got.toSeq == coeffs.toSeq,
+            s"band=$band ${w}x$h density=$density")
+      }
+    }
+  }
+
+  test("tag trees round-trip through the stuffed-bit header I/O") {
+    val rng = new Random(17)
+    for ((w, h) <- Seq((1, 1), (3, 2), (8, 8), (5, 7))) {
+      val values = Array.fill(w * h)(rng.nextInt(6))
+      val t = new graft.sources.Tier2.TagTree(w, h)
+      for (y <- 0 until h; x <- 0 until w) t.set(x, y, values(y * w + x))
+      t.build()
+      val out = new graft.sources.Tier2.BitWriter
+      for (y <- 0 until h; x <- 0 until w) t.encode(out, x, y, 999)
+      val data = out.flush()
+      val in = new graft.sources.Tier2.BitReader(data, 0)
+      val t2 = new graft.sources.Tier2.TagTree(w, h)
+      for (y <- 0 until h; x <- 0 until w) {
+        var k = 1
+        while (!t2.decode(in, x, y, k)) k += 1
+        assert(k - 1 == values(y * w + x), s"leaf ($x,$y) in ${w}x$h")
+      }
+    }
+  }
+
+  test("full decode: pixels round-trip bit-exactly through a real codestream") {
+    val rng = new Random(23)
+    for {
+      (w, h, levels, cb) <- Seq((64, 48, 3, 16), (33, 27, 2, 16),
+        (128, 96, 5, 32), (16, 16, 1, 16), (8, 8, 0, 16), (75, 1, 2, 16),
+        (1, 40, 2, 16))
+    } {
+      val img = Array.fill(w * h)(rng.nextInt(256))
+      val cs = graft.Jp2Fixture.encode(img, w, h, levels, cbw = cb, cbh = cb)
+      val (hdr, px) = Jp2.decode(cs)
+      assert(hdr.width == w && hdr.height == h && hdr.levels == levels)
+      assert(px.toSeq == img.toSeq, s"${w}x$h levels=$levels cb=$cb")
+    }
+  }
+
+  test("full decode: structured content (flat regions, gradients, edges)") {
+    val (w, h) = (96, 64)
+    val flat = Array.fill(w * h)(200)
+    val gradient = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+    val edges = Array.tabulate(w * h) { i =>
+      if ((i % w) / 16 % 2 == 0 ^ (i / w) / 16 % 2 == 0) 255 else 0
+    }
+    for (img <- Seq(flat, gradient, edges)) {
+      val cs = graft.Jp2Fixture.encode(img, w, h, levels = 3)
+      assert(Jp2.decode(cs)._2.toSeq == img.toSeq)
+    }
+  }
+
+  test("full decode inside a JP2 container, 12-bit Sentinel-style depth") {
+    val rng = new Random(44)
+    val (w, h) = (40, 56)
+    val img = Array.fill(w * h)(rng.nextInt(1 << 12))
+    val cs = graft.Jp2Fixture.encode(img, w, h, levels = 4, bitDepth = 12)
+    val (hdr, px) = Jp2.decode(jp2Container(cs))
+    assert(hdr.bitDepth == 12)
+    assert(px.toSeq == img.toSeq)
   }
 
   test("irreversible 9/7 codestreams are rejected up front") {

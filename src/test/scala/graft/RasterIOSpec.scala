@@ -150,4 +150,31 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
     assert(got.size == 19) // u7 skipped, logged
     assert(got.toMap.keySet == urls.toSet - "u7")
   }
+
+  test("S5: scanned JP2 band files decode to bit-exact pixels, distributed") {
+    val rng = new scala.util.Random(5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jp2")
+    val images = Seq(
+      ("T32UPU_20230615T100031_B02_10m.jp2", 48, 32),
+      ("T32UPU_20230615T100031_B03_10m.jp2", 40, 40),
+      ("T33UVP_20230715T100029_B8A_20m.jp2", 33, 27)).map {
+      case (name, w, h) =>
+        val img = Array.fill(w * h)(rng.nextInt(1 << 12))
+        java.nio.file.Files.write(dir.resolve(name),
+          Jp2Fixture.encode(img, w, h, levels = 3, bitDepth = 12))
+        name -> ((w, h, img))
+    }.toMap
+    val decoded = graft.sources.RasterIO.decodeBandPixels(
+      graft.sources.RasterIO.readBandFiles(spark, dir.toString))
+      .select("file", "band", "width", "height", "pixels")
+      .collect()
+    assert(decoded.length == 3)
+    decoded.foreach { r =>
+      val (w, h, img) = images(r.getString(0))
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      assert(r.getSeq[Int](4).toSeq == img.toSeq,
+        s"${r.getString(0)} pixels corrupted")
+    }
+    assert(decoded.map(_.getString(1)).sorted.toSeq == Seq("B02", "B03", "B8A"))
+  }
 }
