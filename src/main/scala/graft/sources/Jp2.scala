@@ -97,16 +97,31 @@ object Jp2 {
     def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] = {
       require(component == 0 && header.components >= 1,
         s"single-component profile; asked for component $component")
-      require(header.tileParts.size == 1,
-        s"single tile-part profile; found ${header.tileParts.size}")
+      require(header.tileParts.nonEmpty &&
+        header.tileParts.forall(_.tileIndex == 0),
+        s"single-tile profile; tile indices " +
+          header.tileParts.map(_.tileIndex).distinct.mkString(","))
       require(header.sbExponents.nonEmpty,
         "QCD carries no exponents (non-reversible quantization style?)")
-      val tp = header.tileParts.head
+      // A tile's packet stream may span multiple tile-parts (real
+      // Sentinel-2 writes one per resolution); tile-part boundaries
+      // fall on packet boundaries (A.4.2), so concatenating the data
+      // segments in TPsot order restores one contiguous stream.
+      val data = {
+        val parts = header.tileParts.sortBy(_.partIndex)
+        val out = new Array[Byte](parts.map(_.dataLength).sum)
+        var at = 0
+        for (p <- parts) {
+          System.arraycopy(bytes, p.dataOffset, out, at, p.dataLength)
+          at += p.dataLength
+        }
+        out
+      }
       val plane = new Array[Int](header.width * header.height)
-      for (c <- Tier2.parsePackets(bytes, tp.dataOffset, header)) {
+      for (c <- Tier2.parsePackets(data, 0, header)) {
         val mb = header.maxBitplanes(c.sb.qcdIdx)
         val msbPlane = mb - c.zeroBitplanes - 1
-        val coeffs = Ebcot.decodeBlock(bytes, c.dataFrom, c.dataUntil,
+        val coeffs = Ebcot.decodeBlock(data, c.dataFrom, c.dataUntil,
           c.cb.w, c.cb.h, c.sb.band, c.numPasses, msbPlane)
         var y = 0
         while (y < c.cb.h) {

@@ -128,10 +128,13 @@ object Jp2Fixture {
 
   /** Encode a full raw codestream (FF4F…FFD9): unsigned `bitDepth`
     * pixels, `levels` 5/3 decomposition levels, `cbw`×`cbh`
-    * code-blocks (powers of two in [4, 1024]).
+    * code-blocks (powers of two in [4, 1024]). `tileParts` > 1 splits
+    * the packet stream across that many SOT/SOD tile-parts at packet
+    * boundaries (the real Sentinel-2 one-part-per-resolution layout).
     */
   def encode(img: Array[Int], w: Int, h: Int, levels: Int,
-      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16): Array[Byte] = {
+      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16,
+      tileParts: Int = 1): Array[Byte] = {
     require(img.length == w * h)
     // DC shift + forward DWT (bit-exact partner of the decode path)
     val shifted = img.map(_ - (1 << (bitDepth - 1)))
@@ -161,9 +164,12 @@ object Jp2Fixture {
     val exps = maxBps.map(b => math.max(1, b - guardBits + 1))
     val mb = exps.map(_ + guardBits - 1)
 
-    // tier-2: one packet per resolution (single layer, LRCP)
-    val body = new ByteArrayOutputStream()
+    // tier-2: one packet per resolution (single layer, LRCP), kept
+    // separate so the stream can split across tile-parts on packet
+    // boundaries
+    val packetBytes = Seq.newBuilder[Array[Byte]]
     for (res <- packets) {
+      val body = new ByteArrayOutputStream()
       val hdr = new Tier2.BitWriter
       hdr.bit(1) // non-empty
       val bodies = Seq.newBuilder[Array[Byte]]
@@ -199,8 +205,24 @@ object Jp2Fixture {
       }
       body.write(hdr.flush())
       bodies.result().foreach(body.write)
+      packetBytes += body.toByteArray
     }
-    val tileData = body.toByteArray
+    // distribute whole packets round-robin-contiguously over the
+    // requested tile-part count (first parts get the extra packets)
+    val allPackets = packetBytes.result()
+    val nParts = math.min(math.max(tileParts, 1), allPackets.size)
+    val perPart: Seq[Array[Byte]] = {
+      val groups = Array.fill(nParts)(new ByteArrayOutputStream())
+      val base = allPackets.size / nParts
+      val extra = allPackets.size % nParts
+      var pi = 0
+      for ((g, gi) <- groups.zipWithIndex) {
+        val take = base + (if (gi < extra) 1 else 0)
+        allPackets.slice(pi, pi + take).foreach(g.write)
+        pi += take
+      }
+      groups.map(_.toByteArray).toSeq
+    }
 
     // markers
     val bos = new ByteArrayOutputStream()
@@ -229,13 +251,15 @@ object Jp2Fixture {
     d.writeShort(3 + nSb)
     d.writeByte(guardBits << 5) // style 0: no quantization
     exps.foreach(e => d.writeByte(e << 3))
-    d.writeShort(0xFF90) // SOT
-    d.writeShort(10)
-    d.writeShort(0) // Isot
-    d.writeInt(12 + 2 + tileData.length) // Psot
-    d.writeByte(0); d.writeByte(1) // TPsot, TNsot
-    d.writeShort(0xFF93) // SOD
-    d.write(tileData)
+    for ((partData, pi) <- perPart.zipWithIndex) {
+      d.writeShort(0xFF90) // SOT
+      d.writeShort(10)
+      d.writeShort(0) // Isot
+      d.writeInt(12 + 2 + partData.length) // Psot
+      d.writeByte(pi); d.writeByte(perPart.size) // TPsot, TNsot
+      d.writeShort(0xFF93) // SOD
+      d.write(partData)
+    }
     d.writeShort(0xFFD9) // EOC
     d.flush()
     bos.toByteArray

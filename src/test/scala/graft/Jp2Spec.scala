@@ -238,6 +238,19 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("full decode across multiple tile-parts (Sentinel's per-resolution split)") {
+    val rng = new Random(67)
+    val (w, h, levels) = (64, 48, 3)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    for (parts <- Seq(2, 4)) { // levels+1 = 4 packets → also one-per-part
+      val cs = graft.Jp2Fixture.encode(img, w, h, levels, tileParts = parts)
+      val hdr = Jp2.parseHeader(cs)
+      assert(hdr.tileParts.size == parts,
+        s"fixture should emit $parts tile-parts")
+      assert(Jp2.decode(cs)._2.toSeq == img.toSeq, s"parts=$parts")
+    }
+  }
+
   test("full decode: structured content (flat regions, gradients, edges)") {
     val (w, h) = (96, 64)
     val flat = Array.fill(w * h)(200)

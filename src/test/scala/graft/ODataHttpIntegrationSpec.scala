@@ -31,14 +31,28 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
     x.close()
   }
 
-  /** Deterministic per-file payload, > 8 KiB so chunking is real. */
-  private def payload(name: String): Array[Byte] =
-    Array.tabulate(9000 + name.hashCode.abs % 500)(i => (i % 251).toByte)
-
   private val bandFiles = Seq(
     "T32UPU_20230615T100031_B02_10m.jp2",
     "T32UPU_20230615T100031_B03_10m.jp2",
     "T33UVP_20230715T100029_B8A_20m.jp2")
+
+  /** Real 12-bit JP2 codestreams (Jp2Fixture, 2 tile-parts like real
+    * Sentinel-2 products), > 8 KiB so the chunked reader is real.
+    */
+  private val bandImages: Map[String, (Int, Int, Array[Int])] = {
+    val rng = new scala.util.Random(29)
+    bandFiles.map { name =>
+      val (w, h) = (128, 96)
+      name -> ((w, h, Array.fill(w * h)(rng.nextInt(1 << 12))))
+    }.toMap
+  }
+  private val bandPayloads: Map[String, Array[Byte]] =
+    bandImages.map { case (name, (w, h, img)) =>
+      name -> Jp2Fixture.encode(img, w, h, levels = 3, bitDepth = 12,
+        tileParts = 2)
+    }
+
+  private def payload(name: String): Array[Byte] = bandPayloads(name)
 
   private def catalogJson(base: String): String = {
     val products = bandFiles.zipWithIndex.map { case (f, i) =>
@@ -123,17 +137,36 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
       }
 
       // 3. the downloaded files flow into the distributed band scan
-      val bands = RasterIO.readBandFiles(spark, dir.toString)
-        .select("file", "band", "resolution_m", "tile", "length")
+      //    AND decode to bit-exact pixels (tier-2 + MQ + EBCOT + DWT)
+      val bands = RasterIO.decodeBandPixels(
+        RasterIO.readBandFiles(spark, dir.toString))
+        .select("file", "band", "resolution_m", "tile", "width", "height",
+          "pixels")
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
-          r.getString(3), r.getLong(4)))
-        .sortBy(_._1)
-      assert(bands.map(_._1).toSeq == bandFiles.sorted)
-      assert(bands.map(b => (b._2, b._3, b._4)).toSeq == Seq(
+        .sortBy(_.getString(0))
+      assert(bands.map(_.getString(0)).toSeq == bandFiles.sorted)
+      assert(bands.map(r => (r.getString(1), r.getInt(2), r.getString(3)))
+        .toSeq == Seq(
         ("B02", 10, "32UPU"), ("B03", 10, "32UPU"), ("B8A", 20, "33UVP")))
-      bands.foreach { case (f, _, _, _, len) =>
-        assert(len == payload(f).length.toLong, s"$f size mismatch")
+      bands.foreach { r =>
+        val (w, h, img) = bandImages(r.getString(0))
+        assert(r.getInt(4) == w && r.getInt(5) == h)
+        assert(r.getSeq[Int](6).toSeq == img.toSeq,
+          s"${r.getString(0)}: pixels corrupted in the search->download->" +
+            "scan->decode pipeline")
+      }
+
+      // 4. and the first raster transform runs on them — the
+      //    reference's R1 normalize (tx.py:20-23) on decoded pixels
+      val norm = RasterIO.decodeBandPixels(
+        RasterIO.readBandFiles(spark, dir.toString))
+        .select(col("file"), graft.functions.Raster.normalizeS2(
+          expr("transform(pixels, x -> CAST(x AS DOUBLE))")).as("u8"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      bandImages.foreach { case (name, (_, _, img)) =>
+        val expected = img.map(v =>
+          graft.functions.Raster.normalizeS2Scalar(v.toDouble)).toSeq
+        assert(norm(name).toSeq == expected, s"$name normalize mismatch")
       }
     }
   }
