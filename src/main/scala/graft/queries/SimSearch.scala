@@ -907,6 +907,95 @@ object SimSearch extends QueryModule {
        |CROSS JOIN nt
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q108 — INDEX-STALENESS audit (the retrain decision gate): the
+  // cell-migration matrix between the SHIPPED coarse quantizer (q53's
+  // fixed model) and a one-Lloyd-step retrain on today's corpus
+  // (Ivf.trainLattice, q94's certified loop). Every off-diagonal
+  // entry is a vector whose cell — and therefore probe route, ADC
+  // cell, and partition — changes if the new model ships; the
+  // diagonal mass is what stays valid. Together with q96 (recall) and
+  // q106 (occupancy drift) this closes the ANN maintenance loop:
+  // drift says WHEN to retrain, this says what a retrain COSTS (the
+  // fraction of a 100 TB cell-partitioned corpus that must move).
+  //
+  // Scale: two model-sized broadcasts + one scan each for the two
+  // assignments, a vec_id equi-join of two (id, cell) columns, and a
+  // ≤k² aggregate; the 1-row total crosses (q104's pattern).
+  // Exactness: both models are integer-lattice centroids, so every
+  // distance is an exact-in-float64 integer sum (q94's argument);
+  // counts are integers and frac is one correctly-rounded divide
+  // absorbed by round(·, 6).
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val oldModel = fixedCentroids(s, dir)
+    val newModel = graft.operators.Ivf.trainLattice(s, corpus, k = 4, iters = 1)
+    val asgOld = graft.operators.Ivf.assign(corpus, oldModel, "embedding")
+      .select(col("vec_id"), col("cell").as("cell_old"))
+    val asgNew = graft.operators.Ivf.assign(corpus, newModel, "embedding")
+      .select(col("vec_id"), col("cell").as("cell_new"))
+    val mg = asgOld.join(asgNew, "vec_id")
+      .groupBy("cell_old", "cell_new").agg(count(lit(1)).as("n"))
+    val nt = mg.agg(sum("n").as("nn"))
+    mg.crossJoin(broadcast(nt))
+      .withColumn("frac",
+        round(expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"), 6))
+      .select("cell_old", "cell_new", "n", "frac")
+      .orderBy("cell_old", "cell_new")
+  }
+
+  private val q108Sql = {
+    val rn1 = (src: String, as: String) =>
+      s"""$as AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM $src) WHERE rn = 1)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS v FROM q),
+       |centA AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cexA AS (
+       |  SELECT c.cid, e.i, e.v FROM centA c JOIN ex e ON e.vec_id = c.vec_id),
+       |dA AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM ex e JOIN cexA c ON c.i = e.i GROUP BY 1, 2),
+       |${rn1("dA", "aA")},
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex
+       |  WHERE vec_id < 4),
+       |d1 AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM ex e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+       |${rn1("d1", "a1")},
+       |m1 AS (
+       |  SELECT a.cid, e.i, floor(avg(e.v) + 0.5) AS v
+       |  FROM a1 a JOIN ex e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
+       |  FROM c0 p LEFT JOIN m1 m ON m.cid = p.cid AND m.i = p.i),
+       |dB AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM ex e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
+       |${rn1("dB", "aB")},
+       |mg AS (
+       |  SELECT a.cid AS cell_old, b.cid AS cell_new, COUNT(*) AS n
+       |  FROM aA a JOIN aB b USING (vec_id) GROUP BY 1, 2),
+       |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM mg)
+       |SELECT cell_old, cell_new, n,
+       |  round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS frac
+       |FROM mg CROSS JOIN nt
+       |ORDER BY cell_old, cell_new""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -920,7 +1009,8 @@ object SimSearch extends QueryModule {
     "q96_ann_recall" -> (q96 _),
     "q97_cluster_cohesion" -> (q97 _),
     "q103_ivfpq_search" -> (q103 _),
-    "q106_embed_drift_psi" -> (q106 _))
+    "q106_embed_drift_psi" -> (q106 _),
+    "q108_cell_migration" -> (q108 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -935,5 +1025,6 @@ object SimSearch extends QueryModule {
     "q96_ann_recall" -> q96Sql,
     "q97_cluster_cohesion" -> q97Sql,
     "q103_ivfpq_search" -> q103Sql,
-    "q106_embed_drift_psi" -> q106Sql)
+    "q106_embed_drift_psi" -> q106Sql,
+    "q108_cell_migration" -> q108Sql)
 }

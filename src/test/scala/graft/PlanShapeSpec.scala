@@ -279,10 +279,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q98  1-row bigram-total cross join
     //   q104 1-row corpus-total cross join
     //   q106 1-row corpus-total cross join (q104's pattern on cells)
+    //   q108 1-row migration-total cross join (q104's pattern)
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q98_pmi_collocations",
-      "q104_drift_psi", "q106_embed_drift_psi")
+      "q104_drift_psi", "q106_embed_drift_psi", "q108_cell_migration")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -295,10 +296,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q107 global interleave order/packing window (documented
     //        oracle-only core, q48's rule; the production write
     //        range-partitions by vt — see the q107 scaladoc)
+    //   q108 1-row migration-total aggregate (≤k² input rows)
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
-      "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave")
+      "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
+      "q108_cell_migration")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

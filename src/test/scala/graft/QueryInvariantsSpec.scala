@@ -69,6 +69,35 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(df.filter(col("psi") < -1e-6).count() == 0)
   }
 
+  test("q106 embedding-drift PSI is non-negative and covers <= k cells") {
+    val df = SparkEntry.queries("q106_embed_drift_psi")(spark, dir).cache()
+    assert(df.filter(col("psi") < -1e-6).count() == 0)
+    assert(df.filter(col("n_cells") < 1 || col("n_cells") > 4).count() == 0)
+  }
+
+  test("q107 interleave is a dense total order with monotone shards") {
+    val df = SparkEntry.queries("q107_mixture_interleave")(spark, dir)
+      .orderBy("pos").cache()
+    val n = df.count()
+    // positions are exactly 0..n-1 (a permutation of the corpus)
+    assert(df.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .collect()(0).toSeq == Seq(0L, n - 1, n))
+    // token-budget packing never decreases the shard id along the order
+    val shards = df.select("shard").collect().map(_.getLong(0))
+    assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q108 migration matrix partitions the corpus and frac sums to 1") {
+    val df = SparkEntry.queries("q108_cell_migration")(spark, dir).cache()
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    val corpus = Tables.embeddings(spark, dir).count()
+    assert(total == corpus, s"matrix mass $total != corpus $corpus")
+    val fracSum = df.agg(sum("frac")).collect()(0).getDouble(0)
+    assert(math.abs(fracSum - 1.0) <= df.count() * 5e-7 + 1e-9)
+    assert(df.filter(col("cell_old") < 0 || col("cell_old") > 3
+      || col("cell_new") < 0 || col("cell_new") > 3).count() == 0)
+  }
+
   test("q105 shard fills are ordered min <= avg <= max and consistent") {
     val bad = SparkEntry.queries("q105_shard_balance")(spark, dir)
       .filter(col("min_fill") > col("avg_fill")
