@@ -43,13 +43,23 @@ object Jp2 {
       progression: Int, layers: Int,
       codeblockW: Int, codeblockH: Int,
       tileParts: Seq[TilePart],
-      guardBits: Int = 0, sbExponents: Seq[Int] = Nil) {
-    /** Max bit-planes Mb = G + eps_b - 1 (E.1, reversible/no-quant)
-      * for subband index `b` in SPqcd order (LL, then HL/LH/HH per
-      * resolution, coarsest first).
+      guardBits: Int = 0, sbExponents: Seq[Int] = Nil,
+      sbMantissas: Seq[Int] = Nil) {
+    /** Max bit-planes Mb = G + eps_b - 1 (E.1) for subband index `b`
+      * in SPqcd order (LL, then HL/LH/HH per resolution, coarsest
+      * first).
       */
     def maxBitplanes(b: Int): Int =
       guardBits + sbExponents(math.min(b, sbExponents.length - 1)) - 1
+
+    /** Irreversible quantization step Δ_b = 2^(R_b − ε_b)(1 + μ_b/2^11)
+      * (E.1.1), with R_b = bit depth + the subband's log2 gain.
+      */
+    def quantStep(b: Int, log2Gain: Int): Double = {
+      val eps = sbExponents(math.min(b, sbExponents.length - 1))
+      val mu = sbMantissas(math.min(b, sbMantissas.length - 1))
+      math.pow(2.0, bitDepth + log2Gain - eps) * (1.0 + mu / 2048.0)
+    }
   }
 
   /** One SOT..SOD tile-part: `dataOffset`/`dataLength` locate the
@@ -138,25 +148,67 @@ object Jp2 {
     }
   }
 
-  /** Decode one component to pixels: header parse (real) → entropy
-    * stage (tier-2 + tier-1, [[T800Entropy]]) → multi-level inverse
-    * 5/3 DWT (real) → DC level shift for unsigned components
-    * (T.800 G.1.2).
+  /** Per-subband log2 gain of the DWT (E.1: LL 0, HL/LH 1, HH 2). */
+  private def log2Gain(band: Int): Int = band match {
+    case 0 => 0
+    case 3 => 2
+    case _ => 1
+  }
+
+  /** Decode one component to pixels: header parse → entropy stage
+    * (tier-2 + tier-1, [[T800Entropy]]) → reversible path: inverse
+    * 5/3 DWT on the raw coefficients; irreversible path: midpoint
+    * dequantization (E.1.1.2, r = 0.5) per subband then inverse 9/7
+    * DWT with round-to-nearest — in both cases followed by the DC
+    * level shift for unsigned components (G.1.2).
     */
   def decode(bytes: Array[Byte], component: Int = 0,
       entropy: EntropyDecoder = T800Entropy): (Header, Array[Int]) = {
     val h = parseHeader(bytes)
-    require(h.reversible,
-      "only the reversible (5/3) transform is supported; this " +
-        "codestream uses the irreversible 9/7")
+    require(h.reversible || h.sbMantissas.nonEmpty,
+      "irreversible 9/7 codestream without scalar-expounded " +
+        "quantization (QCD style 2) — out of profile")
     val coeffs = entropy.decode(h, bytes, component)
     require(coeffs.length == h.width * h.height,
       s"entropy stage returned ${coeffs.length} coefficients for " +
         s"${h.width}x${h.height}")
-    val px = Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
+    val px =
+      if (h.reversible) Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
+      else {
+        val dq = new Array[Double](coeffs.length)
+        for {
+          res <- Tier2.subbands(h.width, h.height, h.levels)
+          sb <- res
+        } {
+          val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
+          var y = 0
+          while (y < sb.h) {
+            var x = 0
+            while (x < sb.w) {
+              val i = (sb.y0 + y) * h.width + (sb.x0 + x)
+              val q = coeffs(i)
+              dq(i) =
+                if (q == 0) 0.0
+                else math.signum(q.toDouble) * (math.abs(q) + 0.5) * step
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Wavelet97.inverse2d(dq, h.width, h.height, h.levels)
+          .map(v => math.rint(v).toInt)
+      }
     if (!h.signed) {
       val shift = 1 << (h.bitDepth - 1)
-      var i = 0; while (i < px.length) { px(i) += shift; i += 1 }
+      val cap = (1 << h.bitDepth) - 1
+      var i = 0
+      while (i < px.length) {
+        px(i) += shift
+        if (!h.reversible) { // lossy path: clamp to the sample range
+          if (px(i) < 0) px(i) = 0 else if (px(i) > cap) px(i) = cap
+        }
+        i += 1
+      }
     }
     (h, px)
   }
@@ -210,20 +262,34 @@ object Jp2 {
     var cod: Option[(Int, Int, Int, Int, Int, Boolean)] = None
     var guard = 0
     var exps: Seq[Int] = Nil
+    var mants: Seq[Int] = Nil
     val tileParts = Seq.newBuilder[TilePart]
     var done = false
     while (!done && off + 2 <= end) {
       val marker = ((buf.get(off) & 0xff) << 8) | (buf.get(off + 1) & 0xff)
       marker match {
         case 0xffd9 => done = true // EOC
-        case 0xff5c => // QCD: Sqcd = (guard << 5) | style; style 0 =
-          // no quantization (reversible): one 8-bit SPqcd per subband,
-          // exponent in the top 5 bits (A.6.4)
+        case 0xff5c => // QCD: Sqcd = (guard << 5) | style (A.6.4).
+          // Style 0 = no quantization (reversible): 8-bit SPqcd per
+          // subband, exponent in the top 5 bits. Style 2 = scalar
+          // expounded (irreversible): 16-bit SPqcd per subband,
+          // exponent in the top 5 bits, 11-bit mantissa below.
           val len = buf.getShort(off + 2) & 0xffff
           val sqcd = buf.get(off + 4) & 0xff
           guard = sqcd >>> 5
-          if ((sqcd & 0x1f) == 0)
-            exps = (0 until len - 3).map(i => (buf.get(off + 5 + i) & 0xff) >>> 3)
+          (sqcd & 0x1f) match {
+            case 0 =>
+              exps = (0 until len - 3).map(i =>
+                (buf.get(off + 5 + i) & 0xff) >>> 3)
+            case 2 =>
+              val n = (len - 3) / 2
+              val sp = (0 until n).map(i =>
+                buf.getShort(off + 5 + 2 * i) & 0xffff)
+              exps = sp.map(_ >>> 11)
+              mants = sp.map(_ & 0x7ff)
+            case _ => // style 1 (scalar derived): out of profile,
+              // leaves exps empty so decode refuses loudly
+          }
           off += 2 + len
         case 0xff51 => // SIZ
           val p = off + 4
@@ -270,7 +336,154 @@ object Jp2 {
       throw new IllegalArgumentException("codestream has no COD segment"))
     Header(x - xo, y - yo, xo, yo, tw, th, nc, depth, signed,
       levels, rev, prog, layers, cbw, cbh, tileParts.result(),
-      guard, exps)
+      guard, exps, mants)
+  }
+}
+
+/** Irreversible 9/7 (CDF) lifting wavelet, ITU-T T.800 Annex F
+  * (Table F.4 lifting constants), interleaved convention and
+  * whole-sample symmetric extension matching [[Wavelet53]]. Forward +
+  * inverse are exact mirrors (floating-point, so the ROUND TRIP is
+  * exact only up to IEEE arithmetic — the lossy-ness of the 9/7 path
+  * comes from quantization, not the transform; Jp2Spec bounds the
+  * end-to-end reconstruction error). Scaling convention: low-pass
+  * × 1/K, high-pass × K on analysis, inverted on synthesis.
+  */
+object Wavelet97 {
+  private val Alpha = -1.586134342059924
+  private val Beta = -0.052980118572961
+  private val Gamma = 0.882911075530934
+  private val Delta = 0.443506852043971
+  private val K = 1.230174104914001
+
+  private def refl(i: Int, n: Int): Int =
+    if (n == 1) 0
+    else {
+      val p = 2 * n - 2
+      val j = ((i % p) + p) % p
+      if (j < n) j else p - j
+    }
+
+  private def lift(y: Array[Double], c: Double, odd: Boolean): Unit = {
+    val n = y.length
+    def ye(i: Int) = y(refl(i, n))
+    var i = if (odd) 1 else 0
+    while (i < n) { y(i) += c * (ye(i - 1) + ye(i + 1)); i += 2 }
+  }
+
+  def forward1d(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    if (n == 1) return x.clone()
+    val y = x.clone()
+    lift(y, Alpha, odd = true)
+    lift(y, Beta, odd = false)
+    lift(y, Gamma, odd = true)
+    lift(y, Delta, odd = false)
+    var i = 0
+    while (i < n) { y(i) /= K; i += 1 } // low
+    i = 1
+    while (i < n) { y(i) *= K * K; i += 2 } // high (undo low scale, apply K)
+    y
+  }
+
+  def inverse1d(y: Array[Double]): Array[Double] = {
+    val n = y.length
+    if (n == 1) return y.clone()
+    val x = y.clone()
+    var i = 0
+    while (i < n) { x(i) *= K; i += 1 }
+    i = 1
+    while (i < n) { x(i) /= K * K; i += 2 }
+    lift(x, -Delta, odd = false)
+    lift(x, -Gamma, odd = true)
+    lift(x, -Beta, odd = false)
+    lift(x, -Alpha, odd = true)
+    x
+  }
+
+  private def deinterleave(y: Array[Double]): Array[Double] = {
+    val n = y.length; val nl = n - n / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(if (i % 2 == 0) i / 2 else nl + i / 2) = y(i); i += 1 }
+    out
+  }
+
+  private def interleave(m: Array[Double]): Array[Double] = {
+    val n = m.length; val nl = n - n / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = m(if (i % 2 == 0) i / 2 else nl + i / 2); i += 1 }
+    out
+  }
+
+  def forward2d(img: Array[Double], w: Int, h: Int, levels: Int): Array[Double] = {
+    require(img.length == w * h)
+    val a = img.clone()
+    var (cw, ch) = (w, h)
+    var lev = 0
+    while (lev < levels && (cw > 1 || ch > 1)) {
+      transformRegion(a, w, cw, ch, forward = true)
+      cw = cw - cw / 2; ch = ch - ch / 2
+      lev += 1
+    }
+    a
+  }
+
+  def inverse2d(coeffs: Array[Double], w: Int, h: Int, levels: Int): Array[Double] = {
+    require(coeffs.length == w * h)
+    val a = coeffs.clone()
+    var regions = List.empty[(Int, Int)]
+    var (cw, ch) = (w, h)
+    var lev = 0
+    while (lev < levels && (cw > 1 || ch > 1)) {
+      regions = (cw, ch) :: regions
+      cw = cw - cw / 2; ch = ch - ch / 2
+      lev += 1
+    }
+    for ((lw, lh) <- regions) transformRegion(a, w, lw, lh, forward = false)
+    a
+  }
+
+  private def transformRegion(a: Array[Double], stride: Int, cw: Int, ch: Int,
+      forward: Boolean): Unit = {
+    val row = new Array[Double](cw)
+    val colBuf = new Array[Double](ch)
+    if (forward) {
+      var r = 0
+      while (r < ch) {
+        System.arraycopy(a, r * stride, row, 0, cw)
+        val t = deinterleave(forward1d(row))
+        System.arraycopy(t, 0, a, r * stride, cw)
+        r += 1
+      }
+      var c = 0
+      while (c < cw) {
+        var r2 = 0
+        while (r2 < ch) { colBuf(r2) = a(r2 * stride + c); r2 += 1 }
+        val t = deinterleave(forward1d(colBuf))
+        r2 = 0
+        while (r2 < ch) { a(r2 * stride + c) = t(r2); r2 += 1 }
+        c += 1
+      }
+    } else {
+      var c = 0
+      while (c < cw) {
+        var r2 = 0
+        while (r2 < ch) { colBuf(r2) = a(r2 * stride + c); r2 += 1 }
+        val t = inverse1d(interleave(colBuf))
+        r2 = 0
+        while (r2 < ch) { a(r2 * stride + c) = t(r2); r2 += 1 }
+        c += 1
+      }
+      var r = 0
+      while (r < ch) {
+        System.arraycopy(a, r * stride, row, 0, cw)
+        val t = inverse1d(interleave(row))
+        System.arraycopy(t, 0, a, r * stride, cw)
+        r += 1
+      }
+    }
   }
 }
 

@@ -234,6 +234,12 @@ object Tier2 {
     val out = Seq.newBuilder[BlockContribution]
     var pos = from
     for (res <- subbands(header.width, header.height, header.levels)) {
+      // SOP marker before the packet (B.10.3, 6 bytes). Sniffing is
+      // unambiguous: inside a header the byte after 0xFF carries a
+      // stuffed 0 MSB (≤ 0x7F), and an MQ codeword never has a byte
+      // > 0x8F after 0xFF — so FF 91 here can only be SOP.
+      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+          (data(pos + 1) & 0xff) == 0x91) pos += 6
       val in = new BitReader(data, pos)
       val perBlock = Seq.newBuilder[(Subband, CodeBlock, Int, Int, Int)]
       if (in.bit() == 1) { // non-empty packet
@@ -261,6 +267,10 @@ object Tier2 {
       }
       in.align()
       pos = in.pos
+      // EPH marker after the packet header (B.10.4, 2 bytes) — same
+      // unambiguity argument as SOP above.
+      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+          (data(pos + 1) & 0xff) == 0x92) pos += 2
       for ((sb, cb, zbp, np, len) <- perBlock.result()) {
         out += BlockContribution(sb, cb, zbp, np, pos, pos + len)
         pos += len

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Ebcot, Mq, Tier2, Wavelet53}
+import graft.sources.{Ebcot, Mq, Tier2, Wavelet53, Wavelet97}
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 /** TEST-ONLY JPEG 2000 encoder — the golden-fixture generator that
@@ -134,16 +134,62 @@ object Jp2Fixture {
     */
   def encode(img: Array[Int], w: Int, h: Int, levels: Int,
       bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16,
-      tileParts: Int = 1): Array[Byte] = {
+      tileParts: Int = 1, sopEph: Boolean = false): Array[Byte] = {
     require(img.length == w * h)
     // DC shift + forward DWT (bit-exact partner of the decode path)
     val shifted = img.map(_ - (1 << (bitDepth - 1)))
     val coeffPlane = Wavelet53.forward2d(shifted, w, h, levels)
+    val (packets, maxBps) = tier1Encode(coeffPlane, w, h, levels, cbw, cbh)
+    val exps = maxBps.map(b => math.max(1, b - guardBits + 1))
+    assemble(w, h, levels, bitDepth, cbw, cbh, tileParts, sopEph,
+      reversible = true, guardBits, exps, None, packets)
+  }
 
+  /** Encode with the IRREVERSIBLE 9/7 transform + scalar-expounded
+    * quantization (QCD style 2), step Δ_b = 1 (ε_b = R_b, μ_b = 0) so
+    * the end-to-end reconstruction error is bounded by the midpoint
+    * rule, not by coarse steps. Guard bits absorb whatever coefficient
+    * growth the 9/7 synthesis produces.
+    */
+  def encode97(img: Array[Int], w: Int, h: Int, levels: Int,
+      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16): Array[Byte] = {
+    require(img.length == w * h)
+    val shifted = img.map(v => (v - (1 << (bitDepth - 1))).toDouble)
+    val coeffs = Wavelet97.forward2d(shifted, w, h, levels)
+    // quantize per subband with Δ_b = 2^(R_b − ε_b) = 1 (ε_b = R_b)
     val resolutions = Tier2.subbands(w, h, levels)
     val nSb = resolutions.map(_.size).sum
-    // tier-1 encode everything, tracking per-subband max bit-planes
-    val maxBps = new Array[Int](nSb)
+    val gain = (b: Int) => if (b == 0) 0 else if (b == 3) 2 else 1
+    val exps = new Array[Int](nSb)
+    val q = new Array[Int](w * h)
+    for (res <- resolutions; sb <- res) {
+      exps(sb.qcdIdx) = bitDepth + gain(sb.band) // Δ = 1
+      for (y <- 0 until sb.h; x <- 0 until sb.w) {
+        val i = (sb.y0 + y) * w + (sb.x0 + x)
+        q(i) = (math.signum(coeffs(i)) * math.floor(math.abs(coeffs(i)))).toInt
+      }
+    }
+    val (packets, maxBps) = tier1Encode(q, w, h, levels, cbw, cbh)
+    // Mb = G + ε_b − 1 must cover every block's bit-planes
+    val guard = math.max(2,
+      (0 until nSb).map(b => maxBps(b) - exps(b) + 1).max)
+    require(guard <= 7, s"guard bits $guard exceed the 3-bit field")
+    assemble(w, h, levels, bitDepth, cbw, cbh, tileParts = 1,
+      sopEph = false, reversible = false, guard, exps,
+      Some(Array.fill(nSb)(0)), packets)
+  }
+
+  private type Encoded =
+    Seq[Seq[(Tier2.Subband, Seq[Tier2.CodeBlock],
+      Seq[Option[(Array[Byte], Int, Int)]])]]
+
+  /** Tier-1 encode every code-block of every subband; returns the
+    * per-resolution structure plus per-subband max bit-planes.
+    */
+  private def tier1Encode(coeffPlane: Array[Int], w: Int, h: Int,
+      levels: Int, cbw: Int, cbh: Int): (Encoded, Array[Int]) = {
+    val resolutions = Tier2.subbands(w, h, levels)
+    val maxBps = new Array[Int](resolutions.map(_.size).sum)
     val packets = resolutions.map { res =>
       res.map { sb =>
         val blocks = Tier2.codeBlocks(sb, cbw, cbh)
@@ -161,15 +207,27 @@ object Jp2Fixture {
         (sb, blocks, encoded)
       }
     }
-    val exps = maxBps.map(b => math.max(1, b - guardBits + 1))
-    val mb = exps.map(_ + guardBits - 1)
+    (packets, maxBps)
+  }
+
+  /** Tier-2 packets + markers around already-encoded blocks. */
+  private def assemble(w: Int, h: Int, levels: Int, bitDepth: Int,
+      cbw: Int, cbh: Int, tileParts: Int, sopEph: Boolean,
+      reversible: Boolean, guard: Int, exps: Array[Int],
+      mants: Option[Array[Int]], packets: Encoded): Array[Byte] = {
+    val nSb = exps.length
+    val mb = exps.map(_ + guard - 1)
 
     // tier-2: one packet per resolution (single layer, LRCP), kept
     // separate so the stream can split across tile-parts on packet
     // boundaries
     val packetBytes = Seq.newBuilder[Array[Byte]]
-    for (res <- packets) {
+    for ((res, ri) <- packets.zipWithIndex) {
       val body = new ByteArrayOutputStream()
+      if (sopEph) { // SOP: marker, Lsop=4, Nsop = packet sequence #
+        body.write(Array[Byte](0xFF.toByte, 0x91.toByte, 0, 4,
+          ((ri >> 8) & 0xff).toByte, (ri & 0xff).toByte))
+      }
       val hdr = new Tier2.BitWriter
       hdr.bit(1) // non-empty
       val bodies = Seq.newBuilder[Array[Byte]]
@@ -204,6 +262,7 @@ object Jp2Fixture {
         }
       }
       body.write(hdr.flush())
+      if (sopEph) body.write(Array[Byte](0xFF.toByte, 0x92.toByte)) // EPH
       bodies.result().foreach(body.write)
       packetBytes += body.toByteArray
     }
@@ -238,7 +297,7 @@ object Jp2Fixture {
     d.writeByte(1); d.writeByte(1)
     d.writeShort(0xFF52) // COD
     d.writeShort(12)
-    d.writeByte(0) // Scod: default precincts, no SOP/EPH
+    d.writeByte(if (sopEph) 0x06 else 0) // Scod: default precincts; SOP+EPH bits
     d.writeByte(0) // LRCP
     d.writeShort(1) // layers
     d.writeByte(0) // no MCT
@@ -246,11 +305,18 @@ object Jp2Fixture {
     d.writeByte(Tier2.floorLog2(cbw) - 2)
     d.writeByte(Tier2.floorLog2(cbh) - 2)
     d.writeByte(0) // default code-block style
-    d.writeByte(1) // 5/3 reversible
+    d.writeByte(if (reversible) 1 else 0) // transform: 5/3 or 9/7
     d.writeShort(0xFF5C) // QCD
-    d.writeShort(3 + nSb)
-    d.writeByte(guardBits << 5) // style 0: no quantization
-    exps.foreach(e => d.writeByte(e << 3))
+    mants match {
+      case None => // style 0: no quantization, 8-bit SPqcd
+        d.writeShort(3 + nSb)
+        d.writeByte(guard << 5)
+        exps.foreach(e => d.writeByte(e << 3))
+      case Some(mu) => // style 2: scalar expounded, 16-bit SPqcd
+        d.writeShort(3 + 2 * nSb)
+        d.writeByte((guard << 5) | 2)
+        exps.zip(mu).foreach { case (e, m) => d.writeShort((e << 11) | m) }
+    }
     for ((partData, pi) <- perPart.zipWithIndex) {
       d.writeShort(0xFF90) // SOT
       d.writeShort(10)

@@ -251,6 +251,23 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("full decode with SOP/EPH markers (real encoders emit them)") {
+    val rng = new Random(71)
+    val (w, h) = (48, 40)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    val cs = graft.Jp2Fixture.encode(img, w, h, levels = 2, sopEph = true)
+    // the markers are really in the stream
+    assert(cs.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x91))
+    assert(cs.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x92))
+    assert(Jp2.decode(cs)._2.toSeq == img.toSeq)
+    // and combined with the tile-part split
+    val cs2 = graft.Jp2Fixture.encode(img, w, h, levels = 2, sopEph = true,
+      tileParts = 2)
+    assert(Jp2.decode(cs2)._2.toSeq == img.toSeq)
+  }
+
   test("full decode: structured content (flat regions, gradients, edges)") {
     val (w, h) = (96, 64)
     val flat = Array.fill(w * h)(200)
@@ -274,7 +291,39 @@ class Jp2Spec extends AnyFunSuite {
     assert(px.toSeq == img.toSeq)
   }
 
-  test("irreversible 9/7 codestreams are rejected up front") {
+  test("9/7 wavelet: forward/inverse mirror to machine precision") {
+    val rng = new Random(97)
+    for {
+      (w, h) <- Seq((1, 1), (7, 7), (13, 9), (64, 48), (33, 65))
+      levels <- Seq(1, 3)
+    } {
+      val img = Array.fill(w * h)(rng.nextInt(4096) - 2048.0)
+      val rt = graft.sources.Wavelet97.inverse2d(
+        graft.sources.Wavelet97.forward2d(img, w, h, levels), w, h, levels)
+      val maxErr = img.zip(rt).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr < 1e-6, s"${w}x$h levels=$levels err=$maxErr")
+    }
+  }
+
+  test("full decode of an irreversible 9/7 codestream within the " +
+      "quantization error bound") {
+    val rng = new Random(79)
+    for ((w, h, levels, depth) <- Seq((64, 48, 3, 8), (40, 56, 2, 12))) {
+      val img = Array.fill(w * h)(rng.nextInt(1 << depth))
+      val cs = graft.Jp2Fixture.encode97(img, w, h, levels, bitDepth = depth)
+      val (hdr, px) = Jp2.decode(cs)
+      assert(!hdr.reversible && hdr.sbMantissas.nonEmpty)
+      val errs = img.zip(px).map { case (a, b) => math.abs(a - b) }
+      val mean = errs.sum.toDouble / errs.length
+      // Δ = 1 midpoint quantization: per-coefficient error ≤ 0.5,
+      // bounded pixel error through the 9/7 synthesis gain
+      assert(errs.max <= 8, s"${w}x$h: max error ${errs.max}")
+      assert(mean <= 1.5, s"${w}x$h: mean error $mean")
+    }
+  }
+
+  test("irreversible 9/7 without expounded quantization is rejected") {
+    // reversible=false but QCD style 0 — an out-of-profile mix
     val bytes = codestream(32, 32, 8, 2, reversible = false, Array[Byte](0))
     val err = intercept[IllegalArgumentException] { Jp2.decode(bytes) }
     assert(err.getMessage.contains("9/7"))
