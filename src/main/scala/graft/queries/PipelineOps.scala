@@ -456,6 +456,56 @@ object PipelineOps extends QueryModule {
       |WHERE t_view IS NOT NULL AND t_buy > t_view
       |GROUP BY 1 ORDER BY lag_days""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q110 — TOKEN-BUDGET PLANNING over the source mixture: q77's
+  // temperature rule applied where it is actually used — deciding how
+  // a fixed training budget (10M tokens here) splits across sources
+  // by w_s ∝ √tokens_s, and what REPETITION factor that implies
+  // (epochs = target/available; epochs > 1 means the source repeats
+  // in training — the over-sampling signal every data plan needs
+  // before a run, not after). The per-source table is an aggregate of
+  // the corpus, so the normalizing window is a ~|sources|-row frame
+  // (q77's reviewed pattern). Exactness: integer token sums; sqrt +
+  // divides correctly rounded; round(·, 6) absorbs the k-term denom
+  // sum; target_tokens' integer rounding is the q77-certified form.
+  private val tokenBudget = 10000000L
+  private val nTok110 =
+    "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)"
+  private val nTok110D =
+    "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
+
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    T.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(expr(nTok110)).as("n_tokens"))
+      .withColumn("sw", expr("sqrt(CAST(n_tokens AS DOUBLE))"))
+      .withColumn("denom", sum("sw").over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sw") / col("denom"), 6).as("weight"),
+        expr(s"CAST(round($tokenBudget * sw / denom) AS BIGINT)")
+          .as("target_tokens"),
+        round(expr(s"$tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE)"), 6)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  private val q110Sql =
+    s"""WITH c AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM($nTok110D) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |d AS (
+       |  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS sw,
+       |    SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS denom
+       |  FROM c)
+       |SELECT source, n_docs, n_tokens,
+       |  round(sw / denom, 6) AS weight,
+       |  CAST(round($tokenBudget * sw / denom) AS BIGINT) AS target_tokens,
+       |  round($tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE), 6)
+       |    AS epochs
+       |FROM d ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
@@ -466,7 +516,8 @@ object PipelineOps extends QueryModule {
     "q98_pmi_collocations" -> (q98 _),
     "q99_window_dedup" -> (q99 _),
     "q101_cohort_retention" -> (q101 _),
-    "q102_conversion_lag" -> (q102 _))
+    "q102_conversion_lag" -> (q102 _),
+    "q110_token_budget" -> (q110 _))
 
   override val oracle: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
@@ -478,5 +529,6 @@ object PipelineOps extends QueryModule {
     "q98_pmi_collocations" -> q98Sql,
     "q99_window_dedup" -> q99Sql,
     "q101_cohort_retention" -> q101Sql,
-    "q102_conversion_lag" -> q102Sql)
+    "q102_conversion_lag" -> q102Sql,
+    "q110_token_budget" -> q110Sql)
 }

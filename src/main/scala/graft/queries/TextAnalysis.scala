@@ -432,6 +432,52 @@ object TextAnalysis extends QueryModule {
        |WHERE u < score
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q109 — BOILERPLATE-TEMPLATE detection: per source, the top-3 most
+  // frequent 5-token document PREFIXES with their share of the
+  // source's documents — the crawl-cleaning step that catches
+  // templated pages (cookie banners, listing skeletons, mirror
+  // headers) before they flood dedup with near-identical openings.
+  // A prefix share near 1.0 marks a source that is one template.
+  //
+  // Scale: one scan + a (source, prefix)-keyed agg + a per-source
+  // WindowGroupLimit top-3 + a source-keyed count join — nothing
+  // global. Exactness: counts are integers; rank breaks ties on
+  // (c DESC, prefix); share is one correctly-rounded divide.
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("c"), col("prefix"))
+    val pref = T.documents(s, dir)
+      .select(col("source"),
+        expr(s"concat_ws(' ', slice($toksS, 1, 5))").as("prefix"))
+      .groupBy("source", "prefix").agg(count(lit(1)).as("c"))
+    val ns = pref.groupBy("source").agg(sum("c").as("n"))
+    pref
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(ns, "source")
+      .select(col("source"), col("rk"), col("prefix"), col("c"),
+        round(expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"), 6).as("share"))
+      .orderBy("source", "rk")
+  }
+
+  private val q109Sql =
+    s"""WITH p AS (
+       |  SELECT source, array_to_string(($toksD)[1:5], ' ') AS prefix
+       |  FROM documents),
+       |c AS (SELECT source, prefix, COUNT(*) AS c FROM p GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |r AS (
+       |  SELECT source, prefix, c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY c DESC, prefix) AS INTEGER) AS rk
+       |  FROM c)
+       |SELECT source, rk, prefix, c,
+       |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+       |FROM r JOIN ns USING (source)
+       |WHERE rk <= 3
+       |ORDER BY source, rk""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
@@ -441,7 +487,8 @@ object TextAnalysis extends QueryModule {
     "q56_vocab_df" -> (q56 _),
     "q61_tfidf_top_terms" -> (q61 _),
     "q64_bigram_stats" -> (q64 _),
-    "q86_weighted_sample" -> (q86 _))
+    "q86_weighted_sample" -> (q86 _),
+    "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
     "q21_token_stats" -> q21Sql,
@@ -452,5 +499,6 @@ object TextAnalysis extends QueryModule {
     "q56_vocab_df" -> q56Sql,
     "q61_tfidf_top_terms" -> q61Sql,
     "q64_bigram_stats" -> q64Sql,
-    "q86_weighted_sample" -> q86Sql)
+    "q86_weighted_sample" -> q86Sql,
+    "q109_boilerplate_prefixes" -> q109Sql)
 }

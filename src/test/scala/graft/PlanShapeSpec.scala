@@ -297,11 +297,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //        oracle-only core, q48's rule; the production write
     //        range-partitions by vt — see the q107 scaladoc)
     //   q108 1-row migration-total aggregate (≤k² input rows)
+    //   q110 |sources|-row normalizing window (q77's pattern on tokens)
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
-      "q108_cell_migration")
+      "q108_cell_migration", "q110_token_budget")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
