@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming DISTRIBUTION-DRIFT gate — the stream analog of the batch
+  * release gates q104 (length PSI) / q106 (embedding-cell PSI): score
+  * each source's per-window document-length histogram against a
+  * REFERENCE distribution (the accepted corpus) with the population
+  * stability index, emitting one row per (window, source) when the
+  * window closes. This is the operator that pages a data-ops rotation
+  * the hour a source starts drifting, instead of at the next batch
+  * audit.
+  *
+  * Scale design: state per (source, window) key is the bucket-count
+  * map — O(#buckets) (~hundreds of longs), NOT the events (the naive
+  * windowed `collect_list` buffers every event; Spark's single-
+  * aggregation limit for streams rules out the two-level groupBy, so
+  * keyed state with in-place counting is the right shape). Keys
+  * expire on timeout, so state is bounded by
+  * |sources| × |open windows|. The reference histogram is a
+  * driver-side map broadcast into the closure — model-sized, like the
+  * IVF centroids.
+  *
+  * The batch path (same function on a batch Dataset) emits every
+  * window at group end; StreamingDriftSpec proves it equal to the
+  * oracle-certified q104 when the reference IS the corpus
+  * distribution, and certifies the timeout branch via TestGroupState
+  * (the StatefulSessions/StreamingFunnel discipline — a
+  * ProcessingTimeTimeout spun through MemoryStream flakes, see
+  * StatefulSessions).
+  */
+object StreamingDrift {
+
+  case class DocEvent(ts: Timestamp, source: String, n_chars: Long)
+  case class DriftOut(window_start: Timestamp, source: String,
+      n_docs: Long, n_buckets: Int, psi: Double)
+
+  val windowMs: Long = 3600L * 1000
+  val bucketChars: Long = 100L
+  /** Floor for reference buckets the accepted corpus never saw —
+    * keeps ln finite; a drifting source hitting unseen buckets is
+    * exactly what must score HIGH.
+    */
+  val refFloor: Double = 1e-6
+
+  /** The per-group transition, exposed for direct spec testing. */
+  def transition(reference: Map[Int, Double], streaming: Boolean)(
+      key: (String, Long), it: Iterator[DocEvent],
+      state: GroupState[Map[Int, Long]]): Iterator[DriftOut] = {
+    val (source, winStart) = key
+    if (state.hasTimedOut) {
+      val counts = state.getOption.getOrElse(Map.empty[Int, Long])
+      state.remove()
+      Iterator.single(toOut(source, winStart, counts, reference))
+    } else {
+      var counts = state.getOption.getOrElse(Map.empty[Int, Long])
+      it.foreach { d =>
+        val b = (d.n_chars / bucketChars).toInt
+        counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+      }
+      state.update(counts)
+      if (streaming) {
+        state.setTimeoutDuration(windowMs)
+        Iterator.empty
+      } else Iterator.single(toOut(source, winStart, counts, reference))
+    }
+  }
+
+  def driftPsi(docs: Dataset[DocEvent], reference: Map[Int, Double])(
+      implicit s: SparkSession): Dataset[DriftOut] = {
+    import s.implicits._
+    val streaming = docs.isStreaming
+    docs
+      .groupByKey(d =>
+        (d.source, Math.floorDiv(d.ts.getTime, windowMs) * windowMs))
+      .flatMapGroupsWithState[Map[Int, Long], DriftOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        transition(reference, streaming))
+  }
+
+  /** PSI of the observed counts against the reference; terms summed
+    * in bucket order for run-to-run determinism.
+    */
+  def psi(counts: Map[Int, Long], reference: Map[Int, Double]): Double = {
+    val n = counts.values.sum.toDouble
+    counts.toSeq.sortBy(_._1).map { case (b, c) =>
+      val p = c / n
+      val q = math.max(reference.getOrElse(b, 0.0), refFloor)
+      (p - q) * math.log(p / q)
+    }.sum
+  }
+
+  private def toOut(source: String, winStart: Long, counts: Map[Int, Long],
+      reference: Map[Int, Double]): DriftOut =
+    DriftOut(new Timestamp(winStart), source, counts.values.sum,
+      counts.size, psi(counts, reference))
+}

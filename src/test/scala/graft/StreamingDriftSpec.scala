@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.StreamingDrift
+import graft.streaming.StreamingDrift.{DocEvent, DriftOut}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** StreamingDrift vs its oracle-certified batch gate: with the
+  * reference histogram set to the corpus's own length distribution,
+  * the batch path must reproduce q104's per-source PSI values; the
+  * ProcessingTimeTimeout branch is certified via TestGroupState
+  * (the StatefulSessions/StreamingFunnel discipline).
+  */
+class StreamingDriftSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpusReference(): Map[Int, Double] = {
+    val counts = Tables.documents(spark, dir)
+      .selectExpr("CAST(n_chars DIV 100 AS INT) AS bucket")
+      .groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    counts.view.mapValues(_ / n).toMap
+  }
+
+  test("batch path reproduces the certified q104 PSI per source") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ref = corpusReference()
+    val t0 = Timestamp.valueOf("2024-01-01 00:30:00")
+    val docs = Tables.documents(spark, dir)
+      .select("source", "n_chars").as[(String, Long)]
+      .map { case (src, nc) => DocEvent(t0, src, nc) }
+    val got = StreamingDrift.driftPsi(docs, ref)
+      .collect().map(o => o.source -> o.psi).toMap
+    val want = SparkEntry.queries("q104_drift_psi")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, psi) =>
+      assert(math.abs(got(src) - psi) < 2e-6,
+        s"$src: stream ${got(src)} vs q104 $psi")
+    }
+  }
+
+  test("windows split by event time; counts accumulate across calls") {
+    val ref = Map(0 -> 0.5, 1 -> 0.5)
+    val tr = StreamingDrift.transition(ref, streaming = true) _
+    val key = ("web", 0L)
+    val st = TestGroupState.create[Map[Int, Long]](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.of(java.lang.Long.MAX_VALUE), hasTimedOut = false)
+    // two micro-batches into the same open window: nothing emitted,
+    // state keeps the running bucket counts
+    val ev = (nc: Long) => DocEvent(new Timestamp(1000), "web", nc)
+    assert(tr(key, Iterator(ev(10), ev(120)), st).isEmpty)
+    assert(tr(key, Iterator(ev(30)), st).isEmpty)
+    assert(st.get == Map(0 -> 2L, 1 -> 1L))
+  }
+
+  test("timeout emits the PSI row and clears the window's state") {
+    val ref = Map(0 -> 0.5, 1 -> 0.5)
+    val tr = StreamingDrift.transition(ref, streaming = true) _
+    val fired = TestGroupState.create[Map[Int, Long]](
+      Optional.of(Map(0 -> 2L, 1 -> 1L)),
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.of(java.lang.Long.MAX_VALUE), hasTimedOut = true)
+    val out = tr(("web", 0L), Iterator.empty, fired).toSeq
+    assert(out.size == 1)
+    val o = out.head
+    assert(o.source == "web" && o.n_docs == 3 && o.n_buckets == 2)
+    val expected = StreamingDrift.psi(Map(0 -> 2L, 1 -> 1L), ref)
+    assert(math.abs(o.psi - expected) < 1e-12)
+    assert(fired.isRemoved, "window state must clear after emission")
+  }
+
+  test("unseen buckets hit the reference floor and score high") {
+    val ref = Map(0 -> 1.0) // corpus only ever saw bucket 0
+    // a source entirely in bucket 9 (unseen): p=1, q=floor → large PSI
+    val psi = StreamingDrift.psi(Map(9 -> 5L), ref)
+    assert(psi > 10, s"unseen-bucket drift scored only $psi")
+  }
+}
