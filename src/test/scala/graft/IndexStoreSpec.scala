@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{IndexStore, Ivf, Pq}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index persistence: save→load→search must be bit-identical to the
+  * in-session IVF-PQ path (q103's shape), the model must round-trip
+  * exactly, and a probed read must touch ONLY the probed cell
+  * directories (partition pruning on disk, not just in the plan).
+  */
+class IndexStoreSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), expr(
+      """CAST(transform(embedding,
+        | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        | AS ARRAY<DOUBLE>)""".stripMargin).as("embedding"))
+
+  test("save -> load -> search is bit-identical to the in-session path") {
+    val c = corpus.cache()
+    try {
+      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val m = 4; val subDim = 16
+      val codebooks = (0 until m).map(j =>
+        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+        "embedding")
+      val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
+        nProbe = 2)
+
+      val fresh = Pq.adcSearchCells(encoded, codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+      val out = java.nio.file.Files.createTempDirectory("graft-index").toString
+      IndexStore.save(encoded, cents, codebooks, out)
+
+      // model round-trips exactly
+      assert(IndexStore.loadCentroids(spark, out) == cents)
+      assert(IndexStore.loadCodebooks(spark, out) == codebooks)
+
+      // search over the LOADED codes reproduces the session results
+      val loaded = IndexStore.loadCodes(spark, out)
+      val again = Pq.adcSearchCells(loaded, codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(again == fresh)
+
+      // partition pruning: a probed read touches only probed cell dirs
+      val probeCells = probed.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val files = loaded
+        .filter(col("cell").isin(probeCells.toSeq.map(Integer.valueOf): _*))
+        .inputFiles
+      assert(files.nonEmpty)
+      assert(files.forall(f => probeCells.exists(c => f.contains(s"cell=$c"))),
+        s"scan escaped the probed cells: ${files.mkString("\n")}")
+      // and at least one non-probed cell exists that was NOT read
+      val allCells = loaded.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if ((allCells -- probeCells).nonEmpty) {
+        val unprobed = (allCells -- probeCells).head
+        assert(!files.exists(_.contains(s"cell=$unprobed")))
+      }
+    } finally c.unpersist()
+  }
+}
