@@ -191,6 +191,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q109 boilerplate prefixes: per-source group limit, no global funnel") {
+    val p = formatted("q109_boilerplate_prefixes")
+    // the top-3 collapses to a pre-shuffle WindowGroupLimit per
+    // source; nothing funnels through one task
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+  }
+
+  test("q107 mixture interleave: the per-source rank window partitions " +
+      "by source before the documented global core") {
+    val p = formatted("q107_mixture_interleave")
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("q106 embedding drift: assignment is a scan-side projection; " +
+      "the doc join is an equi-join") {
+    val p = formatted("q106_embed_drift_psi")
+    assert(countNodes(p, "CartesianProduct") == 0, p)
+    // exactly the one reviewed 1-row total BNLJ, nothing else
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q92 seeded split: per-split window, no single-partition funnel") {
     val p = formatted("q92_seeded_split")
     // the position window must repartition by split, and nothing may
