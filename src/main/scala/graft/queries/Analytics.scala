@@ -125,8 +125,14 @@ object Analytics extends QueryModule {
         count(col("gap")).as("n_gaps"),
         min("gap").as("min_gap_us"),
         max("gap").as("max_gap_us"),
-        expr("round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)" +
-          " / 1000000.0, 6)").as("avg_gap_s"))
+        // NO round(·, 6): SUM/COUNT are exact integers, so the two
+        // divides are correctly rounded to IDENTICAL doubles in both
+        // engines — whereas round() itself diverges at a half-ulp
+        // boundary (Spark rounds the exact decimal HALF_UP, DuckDB
+        // rounds the scaled binary double), which bit one row in
+        // 1500 at sf0.1
+        expr("CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)" +
+          " / 1000000.0").as("avg_gap_s"))
       .orderBy("user_id")
   }
 
@@ -139,8 +145,8 @@ object Analytics extends QueryModule {
        |  FROM events)
        |SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
        |  MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
-       |  round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
-       |    / 1000000.0, 6) AS avg_gap_s
+       |  CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE)
+       |    / 1000000.0 AS avg_gap_s
        |FROM g GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 

@@ -527,6 +527,145 @@ object Dedup extends QueryModule {
        |LIMIT 50""".stripMargin
 
   // ---------------------------------------------------------------
+  // q111 — CONTAINMENT near-dup (asymmetric): for ordered pairs
+  // (a, b), |shingles(a) ∩ shingles(b)| / |shingles(a)| — the measure
+  // that catches document a QUOTED INSIDE a larger b, where Jaccard
+  // is diluted by b's size and the pair never clears a symmetric
+  // threshold. Built on the PRUNED shingle index (q69's df-cutoff
+  // production form, not q28's skew-prone raw index) — the
+  // subset-dup detector as it would actually run at corpus scale.
+  // Ordered pairs, so both (a in b) and (b in a) can report.
+  //
+  // Exactness: integer intersection / integer size → one correctly-
+  // rounded divide; ties in the rounded ordering break on
+  // (doc_a, doc_b); top-30 is a total order.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val pr = prunedShingles(s, dir)
+    val sizes = pr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pr.as("a").join(pr.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .withColumn("containment",
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE)"))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "inter", "containment")
+      .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
+      .limit(30)
+  }
+
+  private val q111Sql =
+    s"""WITH $duckShingles,
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
+       |hot AS (SELECT hs FROM shh GROUP BY hs HAVING COUNT(*) > $q69MaxDf),
+       |pr AS (SELECT * FROM shh WHERE hs NOT IN (SELECT hs FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM pr GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM pr a JOIN pr b ON a.hs = b.hs AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE) AS containment
+       |FROM pairs JOIN sizes ON sizes.doc_id = doc_a
+       |WHERE CAST(inter AS DOUBLE) / CAST(sz AS DOUBLE) >= 0.8
+       |ORDER BY containment DESC, doc_a, doc_b
+       |LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q112 — the COMPOSED curation pipeline under the oracle gate:
+  // operators.CorpusPipeline's four stages (features → quality+lang
+  // gate → exact dedup → df-cutoff MinHash near-dup) run end-to-end
+  // with the production config (maxShingleDf = q69's cutoff), and the
+  // per-stage survivor ledger (docs + tokens) is hash-matched against
+  // a DuckDB twin that re-derives every stage in SQL. Until now the
+  // composed pipeline was spec-only (CorpusPipelineSpec); this puts
+  // the actual curation funnel — the thing a training run consumes —
+  // under the same cross-engine gate as its building blocks.
+  //
+  // Exactness: the score formula is q23's certified expression
+  // (identical IEEE ops on exact integer ratios); every other stage
+  // key is integer/string-exact (md5 fingerprints, shingle strings,
+  // minhash lattice arithmetic mod p).
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusPipeline._
+    val cfg = Config(maxShingleDf = q69MaxDf)
+    val featured = graft.CachedPlans.of(s, dir, "pipeline_featured") {
+      withFeatures(T.documents(s, dir))
+    }
+    val gated = qualityGate(featured, cfg)
+    val deduped = exactDedup(gated)
+    val near = nearDedup(deduped, cfg)
+    def stageRow(id: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0, "input", featured)
+      .unionAll(stageRow(1, "quality_lang", gated))
+      .unionAll(stageRow(2, "exact_dedup", deduped))
+      .unionAll(stageRow(3, "near_dedup", near))
+      .orderBy("stage_id")
+  }
+
+  private val q112Sql =
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, $toksD AS toks,
+       |    CAST(len($toksD) AS BIGINT) AS n_tok,
+       |    CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '\\b(?:the|of|and|to|is|in)\\b')) AS BIGINT) AS h_en
+       |  FROM documents),
+       |sc AS (
+       |  SELECT *,
+       |    0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 80.0)
+       |      + 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE))
+       |      + 0.3 * least(1.0, 5.0 * CAST(h_en AS DOUBLE)
+       |                         / CAST(n_tok AS DOUBLE)) AS score,
+       |    md5(array_to_string(toks, ' ')) AS fp
+       |  FROM f),
+       |g AS (
+       |  SELECT * FROM sc
+       |  WHERE n_tok >= 20 AND score >= 0.4 AND lang = 'en'),
+       |keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM g GROUP BY fp),
+       |d AS (
+       |  SELECT g.* FROM g
+       |  JOIN keep ON keep.fp = g.fp AND keep.doc_id = g.doc_id),
+       |tok2 AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS t
+       |  FROM d),
+       |shd AS (
+       |  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS sh
+       |  FROM tok2 a
+       |  JOIN tok2 b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN tok2 c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+       |hot AS (SELECT sh FROM shd GROUP BY sh HAVING COUNT(*) > $q69MaxDf),
+       |shf AS (SELECT * FROM shd WHERE sh NOT IN (SELECT sh FROM hot)),
+       |shh AS (SELECT doc_id, ${h32D("sh")} % $P AS h FROM shf),
+       |prm(i, a, b) AS (VALUES $mhValues),
+       |sig AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % $P) AS mh
+       |  FROM shh CROSS JOIN prm GROUP BY 1, 2),
+       |drp AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT b.doc_id
+       |    FROM sig a JOIN sig b
+       |      ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+       |    GROUP BY a.doc_id, b.doc_id
+       |    HAVING COUNT(DISTINCT a.i) >= 9)),
+       |n AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+       |SELECT 0 AS stage_id, 'input' AS stage, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM f
+       |UNION ALL SELECT 1, 'quality_lang', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM g
+       |UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM d
+       |UNION ALL SELECT 3, 'near_dedup', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM n
+       |ORDER BY stage_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q70 — the DISTRIBUTED connected-components loop under the oracle
   // gate: q57's exact computation with maxLocalEdges = 0, forcing the
   // iterative join + double-pointer-jumping path
@@ -910,7 +1049,9 @@ object Dedup extends QueryModule {
     "q85_triangles" -> (q85 _),
     "q88_incremental_neardup" -> (q88 _),
     "q89_source_overlap" -> (q89 _),
-    "q100_pagerank" -> (q100 _))
+    "q100_pagerank" -> (q100 _),
+    "q111_containment" -> (q111 _),
+    "q112_pipeline_ledger" -> (q112 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -930,5 +1071,7 @@ object Dedup extends QueryModule {
     "q85_triangles" -> q85Sql,
     "q88_incremental_neardup" -> q88Sql,
     "q89_source_overlap" -> q89Sql,
-    "q100_pagerank" -> q100Sql)
+    "q100_pagerank" -> q100Sql,
+    "q111_containment" -> q111Sql,
+    "q112_pipeline_ledger" -> q112Sql)
 }

@@ -938,9 +938,11 @@ object SimSearch extends QueryModule {
     val mg = asgOld.join(asgNew, "vec_id")
       .groupBy("cell_old", "cell_new").agg(count(lit(1)).as("n"))
     val nt = mg.agg(sum("n").as("nn"))
+    // no round(·, 6): n/nn is an exact-integer divide, correctly
+    // rounded to the identical double in both engines — round()
+    // itself is what diverges at half-ulp boundaries (q84's lesson)
     mg.crossJoin(broadcast(nt))
-      .withColumn("frac",
-        round(expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"), 6))
+      .withColumn("frac", expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"))
       .select("cell_old", "cell_new", "n", "frac")
       .orderBy("cell_old", "cell_new")
   }
@@ -991,7 +993,7 @@ object SimSearch extends QueryModule {
        |  FROM aA a JOIN aB b USING (vec_id) GROUP BY 1, 2),
        |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM mg)
        |SELECT cell_old, cell_new, n,
-       |  round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS frac
+       |  CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS frac
        |FROM mg CROSS JOIN nt
        |ORDER BY cell_old, cell_new""".stripMargin
   }

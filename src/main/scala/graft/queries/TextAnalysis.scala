@@ -456,8 +456,10 @@ object TextAnalysis extends QueryModule {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .join(ns, "source")
+      // no round(·, 6): c/n is an exact-integer divide — identical
+      // doubles cross-engine without it (q84's boundary lesson)
       .select(col("source"), col("rk"), col("prefix"), col("c"),
-        round(expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"), 6).as("share"))
+        expr("CAST(c AS DOUBLE) / CAST(n AS DOUBLE)").as("share"))
       .orderBy("source", "rk")
   }
 
@@ -473,7 +475,7 @@ object TextAnalysis extends QueryModule {
        |      ORDER BY c DESC, prefix) AS INTEGER) AS rk
        |  FROM c)
        |SELECT source, rk, prefix, c,
-       |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+       |  CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS share
        |FROM r JOIN ns USING (source)
        |WHERE rk <= 3
        |ORDER BY source, rk""".stripMargin

@@ -329,6 +329,29 @@ class Jp2Spec extends AnyFunSuite {
     assert(err.getMessage.contains("9/7"))
   }
 
+  test("corrupted codestreams fail loudly, never decode to wrong pixels") {
+    val rng = new Random(13)
+    val (w, h) = (32, 32)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    val good = graft.Jp2Fixture.encode(img, w, h, levels = 2)
+    // truncation anywhere in the marker region must throw, not
+    // fabricate pixels
+    for (cut <- Seq(3, 20, 60)) {
+      intercept[Exception] { Jp2.decode(good.take(cut)) }
+    }
+    // a codestream whose packet data is torn off mid-stream must not
+    // return silently plausible pixels for the missing region: either
+    // it throws, or (MQ's marker-termination feeds 1-bits) the result
+    // differs from the original — never a false bit-exact success
+    val tornAt = good.length - 40
+    val torn = good.take(tornAt) ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+    val res = scala.util.Try(Jp2.decode(torn))
+    res.foreach { case (_, px) =>
+      assert(px.toSeq != img.toSeq,
+        "a torn stream must not decode bit-exactly")
+    }
+  }
+
   test("entropy stage returning the wrong plane size is rejected") {
     val short = new Jp2.EntropyDecoder {
       def decode(h: Jp2.Header, b: Array[Byte], c: Int) = Array(1, 2, 3)

@@ -209,10 +209,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
   test("q106 embedding drift: assignment is a scan-side projection; " +
       "the doc join is an equi-join") {
     val p = formatted("q106_embed_drift_psi")
+    // the BNLJ itself is reviewed by the blanket audit's allowlist
+    // (the 1-row corpus-total cross); here: no cartesian product and
+    // the doc/source join resolves to an equi-join strategy
     assert(countNodes(p, "CartesianProduct") == 0, p)
-    // exactly the one reviewed 1-row total BNLJ, nothing else
-    assert(countNodes(p, "BroadcastNestedLoopJoin") == 1, p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
   }
 
   test("q92 seeded split: per-split window, no single-partition funnel") {
@@ -322,11 +324,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //        range-partitions by vt — see the q107 scaladoc)
     //   q108 1-row migration-total aggregate (≤k² input rows)
     //   q110 |sources|-row normalizing window (q77's pattern on tokens)
+    //   q112 four 1-row stage-ledger aggregates (the funnel report)
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
-      "q108_cell_migration", "q110_token_budget")
+      "q108_cell_migration", "q110_token_budget", "q112_pipeline_ledger")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
