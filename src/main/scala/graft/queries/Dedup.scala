@@ -752,11 +752,15 @@ object Dedup extends QueryModule {
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .withColumn("est_jaccard",
-        round(expr("CAST(n_match AS DOUBLE) / 12.0"), 6))
+      // no round(·, 6) anywhere here: every quantity is an exact-
+      // integer divide (or an abs-difference of two), so the doubles
+      // are bit-identical cross-engine without it — and round() itself
+      // is what diverges at half-ulp boundaries (q84's sf0.1 lesson;
+      // n_match/12 is exactly the small-denominator class that hits)
+      .withColumn("est_jaccard", expr("CAST(n_match AS DOUBLE) / 12.0"))
       .withColumn("exact_jaccard",
-        round(expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"), 6))
-      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+        expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
       .select("doc_a", "doc_b", "n_match", "est_jaccard", "exact_jaccard", "abs_err")
       .orderBy("doc_a", "doc_b")
   }
@@ -776,16 +780,16 @@ object Dedup extends QueryModule {
        |  GROUP BY 1, 2),
        |j AS (
        |  SELECT c.doc_a, c.doc_b, c.n_match,
-       |    round(CAST(c.n_match AS DOUBLE) / 12.0, 6) AS est_jaccard,
-       |    round(CAST(COALESCE(i.i, 0) AS DOUBLE)
-       |      / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE), 6)
+       |    CAST(c.n_match AS DOUBLE) / 12.0 AS est_jaccard,
+       |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+       |      / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE)
        |      AS exact_jaccard
        |  FROM cand c
        |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
        |  JOIN sizes sa ON sa.doc_id = c.doc_a
        |  JOIN sizes sb ON sb.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, n_match, est_jaccard, exact_jaccard,
-       |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+       |  abs(est_jaccard - exact_jaccard) AS abs_err
        |FROM j ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
@@ -844,9 +848,11 @@ object Dedup extends QueryModule {
       .agg(expr("CAST(SUM((d * (d - 1)) DIV 2) AS BIGINT)").as("n_wedges"))
     tri.crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
-        expr("round(CASE WHEN n_wedges > 0 THEN 3.0 * " +
+        // exact-integer divide: identical cross-engine unrounded
+        // (q84's half-ulp boundary lesson)
+        expr("CASE WHEN n_wedges > 0 THEN 3.0 * " +
           "CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) " +
-          "ELSE 0.0 END, 6)").as("global_clustering"))
+          "ELSE 0.0 END").as("global_clustering"))
   }
 
   private val q85Sql =
@@ -868,9 +874,9 @@ object Dedup extends QueryModule {
        |      UNION ALL SELECT dst FROM edges)
        |    GROUP BY id))
        |SELECT n_triangles, n_wedges,
-       |  round(CASE WHEN n_wedges > 0 THEN 3.0 *
+       |  CASE WHEN n_wedges > 0 THEN 3.0 *
        |    CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-       |    ELSE 0.0 END, 6) AS global_clustering
+       |    ELSE 0.0 END AS global_clustering
        |FROM tri CROSS JOIN wed""".stripMargin
 
   // ---------------------------------------------------------------
@@ -975,8 +981,9 @@ object Dedup extends QueryModule {
       .withColumn("jaccard",
         expr("CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)"))
       .filter(col("jaccard") >= 0.5)
+      // exact-integer divide: identical cross-engine unrounded
       .select(col("new_doc"), col("corpus_doc"), col("inter"),
-        expr("round(jaccard, 6)").as("jaccard"))
+        col("jaccard"))
       .orderBy("new_doc", "corpus_doc")
   }
 
@@ -989,7 +996,7 @@ object Dedup extends QueryModule {
        |  FROM shh a JOIN shh b ON a.hs = b.hs
        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
        |  GROUP BY 1, 2)
-       |SELECT new_doc, corpus_doc, inter, round(jaccard, 6) AS jaccard FROM (
+       |SELECT new_doc, corpus_doc, inter, jaccard FROM (
        |  SELECT new_doc, corpus_doc, inter,
        |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
        |  FROM pairs
