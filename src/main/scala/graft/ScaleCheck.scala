@@ -21,7 +21,8 @@ object ScaleCheck {
   private val defaults = Seq("q03_top_revenue", "q28_ngram_jaccard",
     "q53_ivf_search", "q70_cc_distributed", "q99_window_dedup",
     "q103_ivfpq_search", "q106_embed_drift_psi", "q107_mixture_interleave",
-    "q108_cell_migration", "q109_boilerplate_prefixes", "q110_token_budget")
+    "q108_cell_migration", "q109_boilerplate_prefixes", "q110_token_budget",
+    "q111_containment", "q112_pipeline_ledger")
   private val sfs = Seq("0.001", "0.01", "0.1")
 
   def main(args: Array[String]): Unit = {

@@ -596,7 +596,11 @@ object Dedup extends QueryModule {
       withFeatures(T.documents(s, dir))
     }
     val gated = qualityGate(featured, cfg)
-    val deduped = exactDedup(gated)
+    // the exact-dedup survivors feed BOTH their own ledger row and the
+    // near-dup stage's whole shingle/minhash chain — cache once
+    val deduped = graft.CachedPlans.of(s, dir, "pipeline_deduped") {
+      exactDedup(gated)
+    }
     val near = nearDedup(deduped, cfg)
     def stageRow(id: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
