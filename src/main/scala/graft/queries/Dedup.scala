@@ -346,26 +346,79 @@ object Dedup extends QueryModule {
   private def q57(s: SparkSession, dir: String): DataFrame =
     ccLabels(s, dir).orderBy("doc_id")
 
+  /** Shared recursive-CTE connected-components labeling over the LSH
+    * candidate graph — ONE copy serving q57/q70 (the labels) and q113
+    * (the savings rollup), so the oracle's notion of "cluster" cannot
+    * drift between them.
+    */
+  private val duckCcLabels =
+    """edges AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+      |    FROM sig a
+      |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+      |      AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  WHERE n_match >= 2),
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM edges
+      |  UNION SELECT doc_b, doc_a FROM edges),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+      |lab AS (
+      |  SELECT a AS doc_id, MIN(b) AS component
+      |  FROM reach GROUP BY a)""".stripMargin
+
   private val q57Sql =
     s"""WITH RECURSIVE $duckSignatures,
-       |edges AS (
-       |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
-       |    FROM sig a
-       |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
-       |      AND a.doc_id < b.doc_id
-       |    GROUP BY 1, 2)
-       |  WHERE n_match >= 2),
-       |sym AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM edges
-       |  UNION SELECT doc_b, doc_a FROM edges),
-       |reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b)
-       |SELECT a AS doc_id, MIN(b) AS component
-       |FROM reach GROUP BY a
+       |$duckCcLabels
+       |SELECT doc_id, component FROM lab
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q113 — DEDUP-SAVINGS report: the cluster-size distribution over
+  // q57's components with what removal buys — docs and tokens
+  // removable when each cluster keeps its q60-style best member
+  // (rep tokens = the cluster max; ties don't change the value).
+  // This is the number a data lead actually asks for before paying
+  // for a dedup pass: "how much of the corpus is duplicate mass, and
+  // in what cluster shapes?" (many pairs vs few giant clusters need
+  // different mitigations). All exact integers; one k-row rollup on
+  // top of the CC labels.
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir)
+      .join(TextAnalysis.tokenized(s, dir)
+        .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tok")),
+        "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("sz"), sum("n_tok").as("toks"),
+        max("n_tok").as("rep_toks"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("toks - rep_toks")).as("tokens_removable"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        expr("sz * n_clusters").as("n_docs"),
+        expr("(sz - 1) * n_clusters").as("docs_removable"),
+        col("tokens_removable"))
+      .orderBy("cluster_size")
+
+  private val q113Sql =
+    s"""WITH RECURSIVE $duckSignatures,
+       |$duckCcLabels,
+       |nt AS (
+       |  SELECT doc_id, CAST(len($toksD) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |per_c AS (
+       |  SELECT component, COUNT(*) AS sz,
+       |    CAST(SUM(n_tok) AS BIGINT) AS toks, MAX(n_tok) AS rep_toks
+       |  FROM lab JOIN nt USING (doc_id) GROUP BY 1)
+       |SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST((sz - 1) * COUNT(*) AS BIGINT) AS docs_removable,
+       |  CAST(SUM(toks - rep_toks) AS BIGINT) AS tokens_removable
+       |FROM per_c GROUP BY sz ORDER BY sz""".stripMargin
 
   // ---------------------------------------------------------------
   // q60 — cluster REPRESENTATIVE selection: the step after q57 that
@@ -1062,7 +1115,8 @@ object Dedup extends QueryModule {
     "q89_source_overlap" -> (q89 _),
     "q100_pagerank" -> (q100 _),
     "q111_containment" -> (q111 _),
-    "q112_pipeline_ledger" -> (q112 _))
+    "q112_pipeline_ledger" -> (q112 _),
+    "q113_dedup_savings" -> (q113 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -1084,5 +1138,6 @@ object Dedup extends QueryModule {
     "q89_source_overlap" -> q89Sql,
     "q100_pagerank" -> q100Sql,
     "q111_containment" -> q111Sql,
-    "q112_pipeline_ledger" -> q112Sql)
+    "q112_pipeline_ledger" -> q112Sql,
+    "q113_dedup_savings" -> q113Sql)
 }
