@@ -87,6 +87,19 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q113 savings rollup is consistent with the q57 labels it rolls up") {
+    val savings = SparkEntry.queries("q113_dedup_savings")(spark, dir).cache()
+    val labeled = SparkEntry.queries("q57_dup_clusters")(spark, dir).count()
+    val nDocs = savings.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(nDocs == labeled, s"rollup covers $nDocs docs, labels $labeled")
+    // every cluster in the candidate graph has >= 2 members, removal
+    // always saves something, and docs_removable = n_docs - n_clusters
+    assert(savings.filter(col("cluster_size") < 2).count() == 0)
+    assert(savings.filter(col("tokens_removable") <= 0).count() == 0)
+    assert(savings.filter(
+      col("docs_removable") =!= col("n_docs") - col("n_clusters")).count() == 0)
+  }
+
   test("q108 migration matrix partitions the corpus and frac sums to 1") {
     val df = SparkEntry.queries("q108_cell_migration")(spark, dir).cache()
     val total = df.agg(sum("n")).collect()(0).getLong(0)
