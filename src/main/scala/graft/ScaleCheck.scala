@@ -28,6 +28,11 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args(0).split(",").toSeq else defaults
     val passes = if (args.length > 1) args(1).toInt else 2
+    // optional explicit dir list (e.g. a ScaleCorpus output) instead
+    // of the three stock sf dirs
+    val dirs =
+      if (args.length > 2) args(2).split(",").toSeq
+      else sfs.map(s => s"/root/testdata/sf$s")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,20 +41,23 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       val q = SparkEntry.queries(name)
-      val times = sfs.map { sf =>
-        val dir = s"/root/testdata/sf$sf"
+      val times = dirs.map { dir =>
         q(spark, dir).count() // warmup
         val t = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           q(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-        println(f"[scale] $name sf=$sf $t%.3f s")
+        println(f"[scale] $name dir=$dir $t%.3f s")
         t
       }
-      val e1 = math.log10(times(1) / times(0))
-      val e2 = math.log10(times(2) / times(1))
-      println(f"[scale] $name exponents: 0.001->0.01 $e1%.2f, 0.01->0.1 $e2%.2f")
+      if (times.length == 3 && args.length <= 2) {
+        val e1 = math.log10(times(1) / times(0))
+        val e2 = math.log10(times(2) / times(1))
+        println(f"[scale] $name exponents: 0.001->0.01 $e1%.2f, 0.01->0.1 $e2%.2f")
+      } else if (times.length >= 2) {
+        println(f"[scale] $name ratio last/first: ${times.last / times.head}%.2f")
+      }
     }
     spark.stop()
   }
