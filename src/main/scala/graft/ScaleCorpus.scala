@@ -65,7 +65,24 @@ object ScaleCorpus {
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"[scalecorpus] done: $out")
+
+    // embeddings: jittered copies of the real vectors (±0.01 per dim,
+    // hash-seeded) — preserves the cluster structure the IVF family
+    // routes on, so index-vs-brute timings stay meaningful
+    val baseVecs = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    val bvv = spark.sparkContext.broadcast(baseVecs)
+    spark.range(baseVecs.length.toLong * factor).map { i =>
+      val (_, v0, lab) = bvv.value((i % bvv.value.length).toInt)
+      val v = v0.zipWithIndex.map { case (x, d) =>
+        x + ((h(i, 1000L + d) % 2001L) - 1000L) / 100000.0f
+      }
+      (i, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"[scalecorpus] done: $out (documents + embeddings)")
     spark.stop()
   }
 }
