@@ -642,33 +642,41 @@ object Dedup extends QueryModule {
   // (identical IEEE ops on exact integer ratios); every other stage
   // key is integer/string-exact (md5 fingerprints, shingle strings,
   // minhash lattice arithmetic mod p).
-  private def q112(s: SparkSession, dir: String): DataFrame = {
+  /** The four staged frames shared by q112 (corpus ledger) and q114
+    * (per-source funnel) — ONE construction, so the two reports can
+    * never disagree about what a stage is. Featured and exact-dedup
+    * survivors are memoized: each feeds its own ledger row AND every
+    * later stage.
+    */
+  private def pipelineStages(s: SparkSession, dir: String)
+      : Seq[(Int, String, DataFrame)] = {
     import graft.operators.CorpusPipeline._
     val cfg = Config(maxShingleDf = q69MaxDf)
     val featured = graft.CachedPlans.of(s, dir, "pipeline_featured") {
       withFeatures(T.documents(s, dir))
     }
     val gated = qualityGate(featured, cfg)
-    // the exact-dedup survivors feed BOTH their own ledger row and the
-    // near-dup stage's whole shingle/minhash chain — cache once
     val deduped = graft.CachedPlans.of(s, dir, "pipeline_deduped") {
       exactDedup(gated)
     }
     val near = nearDedup(deduped, cfg)
-    def stageRow(id: Int, name: String, df: DataFrame) =
+    Seq((0, "input", featured), (1, "quality_lang", gated),
+      (2, "exact_dedup", deduped), (3, "near_dedup", near))
+  }
+
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    pipelineStages(s, dir).map { case (id, name, df) =>
       df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
-    stageRow(0, "input", featured)
-      .unionAll(stageRow(1, "quality_lang", gated))
-      .unionAll(stageRow(2, "exact_dedup", deduped))
-      .unionAll(stageRow(3, "near_dedup", near))
-      .orderBy("stage_id")
-  }
+    }.reduce(_ unionAll _).orderBy("stage_id")
 
-  private val q112Sql =
-    s"""WITH f AS (
-       |  SELECT doc_id, lang, $toksD AS toks,
+  /** Shared DuckDB CTE chain of the staged pipeline (f → g → d → n),
+    * ONE copy under q112 and q114.
+    */
+  private val duckPipelineStages =
+    s"""f AS (
+       |  SELECT doc_id, lang, source, $toksD AS toks,
        |    CAST(len($toksD) AS BIGINT) AS n_tok,
        |    CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
        |    CAST(len(regexp_extract_all(lower(text),
@@ -711,7 +719,11 @@ object Dedup extends QueryModule {
        |      ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
        |    GROUP BY a.doc_id, b.doc_id
        |    HAVING COUNT(DISTINCT a.i) >= 9)),
-       |n AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+       |n AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM drp))"""
+      .stripMargin
+
+  private val q112Sql =
+    s"""WITH $duckPipelineStages
        |SELECT 0 AS stage_id, 'input' AS stage, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM f
        |UNION ALL SELECT 1, 'quality_lang', COUNT(*),
@@ -721,6 +733,35 @@ object Dedup extends QueryModule {
        |UNION ALL SELECT 3, 'near_dedup', COUNT(*),
        |  CAST(SUM(n_tok) AS BIGINT) FROM n
        |ORDER BY stage_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q114 — the PER-SOURCE pipeline funnel: q112's ledger drilled down
+  // to the dimension an operator actually acts on — which SOURCE
+  // loses how much mass at which stage (the "who is responsible for
+  // the loss" view: a source wiped out by the quality gate needs a
+  // crawler fix; one wiped out by near-dup needs a mirror check).
+  // Sources with zero survivors at a stage simply have no row there
+  // (identical semantics both engines). Same staged frames and CTE
+  // chain as q112 — the two reports cannot drift.
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    pipelineStages(s, dir).map { case (id, name, df) =>
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(col("source"), lit(id).as("stage_id"),
+          lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _).orderBy("source", "stage_id")
+
+  private val q114Sql =
+    s"""WITH $duckPipelineStages
+       |SELECT source, 0 AS stage_id, 'input' AS stage, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM f GROUP BY source
+       |UNION ALL SELECT source, 1, 'quality_lang', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM g GROUP BY source
+       |UNION ALL SELECT source, 2, 'exact_dedup', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM d GROUP BY source
+       |UNION ALL SELECT source, 3, 'near_dedup', COUNT(*),
+       |  CAST(SUM(n_tok) AS BIGINT) FROM n GROUP BY source
+       |ORDER BY source, stage_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q70 — the DISTRIBUTED connected-components loop under the oracle
@@ -1116,7 +1157,8 @@ object Dedup extends QueryModule {
     "q100_pagerank" -> (q100 _),
     "q111_containment" -> (q111 _),
     "q112_pipeline_ledger" -> (q112 _),
-    "q113_dedup_savings" -> (q113 _))
+    "q113_dedup_savings" -> (q113 _),
+    "q114_source_funnel" -> (q114 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -1139,5 +1181,6 @@ object Dedup extends QueryModule {
     "q100_pagerank" -> q100Sql,
     "q111_containment" -> q111Sql,
     "q112_pipeline_ledger" -> q112Sql,
-    "q113_dedup_savings" -> q113Sql)
+    "q113_dedup_savings" -> q113Sql,
+    "q114_source_funnel" -> q114Sql)
 }

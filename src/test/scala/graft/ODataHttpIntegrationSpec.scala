@@ -106,6 +106,27 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
     finally server.stop(0)
   }
 
+  test("a failing catalog endpoint surfaces as an error, never an empty scan") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/odata/Products",
+      (x: HttpExchange) => respond(x, 503, "maintenance".getBytes))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val err = intercept[Exception] {
+        spark.read.format("graft.sources.ODataCatalogSource")
+          .option("url", s"$base/odata").load().count()
+      }
+      // a 503 must propagate (wrapped by Spark's task retry), not
+      // silently yield zero products
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(err).exists(_.getMessage != null) &&
+        chain(err).exists(t => Option(t.getMessage).exists(_.contains("503"))),
+        chain(err).map(_.toString).mkString("\n"))
+    } finally server.stop(0)
+  }
+
   test("catalog scan -> authenticated download -> band scan, end-to-end") {
     withServer { base =>
       // 1. DSv2 catalog scan over HTTP with pushdown on the wire
