@@ -24,7 +24,8 @@ object SparkEntry {
     SimSearch,
     CorpusMaintenance,
     PipelineOps,
-    Analytics)
+    Analytics,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):

@@ -659,7 +659,9 @@ object Dedup extends QueryModule {
     val deduped = graft.CachedPlans.of(s, dir, "pipeline_deduped") {
       exactDedup(gated)
     }
-    val near = nearDedup(deduped, cfg)
+    val near = graft.CachedPlans.of(s, dir, "pipeline_near") {
+      nearDedup(deduped, cfg)
+    }
     Seq((0, "input", featured), (1, "quality_lang", gated),
       (2, "exact_dedup", deduped), (3, "near_dedup", near))
   }

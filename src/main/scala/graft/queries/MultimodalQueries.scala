@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{QueryModule, Tables => T}
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The multimodal plumbing (operators.Multimodal) under the
+  * cross-engine oracle gate. The stub codec is a DETERMINISTIC
+  * function of the payload bytes (a rolling byte hash folded into 16
+  * buckets), so its features are oracle-expressible: DuckDB re-derives
+  * the same fold with list_reduce over the byte list and the driver
+  * hash-compares. What this certifies end-to-end: binary-column
+  * construction (string → UTF-8 bytes), the Dataset[Media] schema, the
+  * repartition-by-kind + mapPartitions batch shape, the feature
+  * contract (16 floats, each an exact 24-bit rational so the
+  * cross-engine compare is bit-stable), and the resize transform.
+  */
+object MultimodalQueries extends QueryModule {
+
+  // Payloads derive from the documents table: sanitize to printable
+  // ASCII so UTF-8 bytes == characters and DuckDB's character fold
+  // sees the identical byte stream.
+  private val sanS = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+  private val sanD = "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+
+  // ---------------------------------------------------------------
+  // q116 — batch feature extraction over binary media payloads:
+  // documents → Media(payload = UTF-8 bytes) → extractFeatures
+  // (per-partition batch decode) → resizeFeatures (16 → 8 nearest-
+  // index) → per-media feature sample. Features scale back to their
+  // integer accumulators (f · 2^24 — exact, see Multimodal.decodeStub)
+  // so the output is integer-exact cross-engine.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("lang").as("kind"),
+        expr(s"CAST($sanS AS BINARY)").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+      .as[Multimodal.Media]
+    val feats = Multimodal.extractFeatures(media)(s).toDF()
+    Multimodal.resizeFeatures(feats, newDim = 8)
+      .select(col("media_id"), col("kind"),
+        expr("CAST(CAST(features[0] AS DOUBLE) * 16777216 AS BIGINT)")
+          .as("f0"),
+        expr("CAST(CAST(features[7] AS DOUBLE) * 16777216 AS BIGINT)")
+          .as("f7"),
+        expr("CAST(CAST(features[15] AS DOUBLE) * 16777216 AS BIGINT)")
+          .as("f15"),
+        // resized[3] samples features[3·16/8] = features[6]
+        expr("CAST(CAST(features_resized[3] AS DOUBLE) * 16777216 AS BIGINT)")
+          .as("r3"))
+      .orderBy("media_id")
+  }
+
+  private val q116Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, lang AS kind, $sanD AS s
+       |  FROM documents),
+       |b AS (
+       |  SELECT media_id, kind,
+       |    list_transform(range(1, CAST(length(s) AS BIGINT) + 1),
+       |      i -> unicode(substr(s, CAST(i AS INTEGER), 1))) AS bytes
+       |  FROM m),
+       |f AS (
+       |  SELECT media_id, kind,
+       |    list_transform(range(0, 16), j ->
+       |      list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_filter(bytes, (x, i) -> (i - 1) % 16 = j)),
+       |        (acc, x) -> (acc * 31 + x) & 16777215)) AS accs
+       |  FROM b)
+       |SELECT media_id, kind,
+       |  accs[1] AS f0, accs[8] AS f7, accs[16] AS f15, accs[7] AS r3
+       |FROM f ORDER BY media_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q116_media_features" -> (q116 _))
+
+  override val oracle: Map[String, String] =
+    Map("q116_media_features" -> q116Sql)
+}

@@ -998,6 +998,51 @@ object SimSearch extends QueryModule {
        |ORDER BY cell_old, cell_new""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q117 — IVF-PQ search VIA THE PERSISTED INDEX (q103 through
+  // operators.IndexStore): build + save the index once per (session,
+  // corpus), then run the search entirely from ON-DISK state — loaded
+  // centroids route the probes, loaded codebooks build the LUTs, and
+  // the code scan reads the cell-partitioned parquet layout restricted
+  // to the probed cells, so Catalyst partition pruning cuts the read
+  // to nProbe directories on disk (PlanShapeSpec pins inputFiles ⊂
+  // probed cells). Hash-matched against q103's oracle: persistence
+  // must be invisible to results. The probed-cell collect is
+  // |queries|·nProbe values — model-sized.
+  private val q117Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val subDim = 16
+    val out = q117Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val corpus = quantized(s, dir)
+          .select(col("vec_id"),
+            expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+        val cents = fixedCentroids(s, dir)
+        val codebooks = (0 until m).map(j =>
+          cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+        val encoded = graft.operators.Pq.encode(
+          graft.operators.Ivf.assign(corpus, cents, "embedding"),
+          codebooks, "embedding")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q117-index").toString
+        graft.operators.IndexStore.save(encoded, cents, codebooks, path)
+        path
+      })
+    val cents = graft.operators.IndexStore.loadCentroids(s, out)
+    val codebooks = graft.operators.IndexStore.loadCodebooks(s, out)
+    val queries = quantized(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val probed = graft.operators.Ivf.probeCells(queries, cents, nProbe = 2)
+    val probeCells = probed.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = graft.operators.IndexStore.loadCodes(s, out)
+      .filter(col("cell").isin(probeCells: _*))
+    graft.operators.Pq.adcSearchCells(codes, codebooks, probed, topK = 3)
+      .orderBy("q_id", "rank")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -1012,7 +1057,8 @@ object SimSearch extends QueryModule {
     "q97_cluster_cohesion" -> (q97 _),
     "q103_ivfpq_search" -> (q103 _),
     "q106_embed_drift_psi" -> (q106 _),
-    "q108_cell_migration" -> (q108 _))
+    "q108_cell_migration" -> (q108 _),
+    "q117_indexed_search" -> (q117 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1028,5 +1074,8 @@ object SimSearch extends QueryModule {
     "q97_cluster_cohesion" -> q97Sql,
     "q103_ivfpq_search" -> q103Sql,
     "q106_embed_drift_psi" -> q106Sql,
-    "q108_cell_migration" -> q108Sql)
+    "q108_cell_migration" -> q108Sql,
+    // q117 searches via the persisted index — same results as the
+    // in-session composition, so the same oracle certifies it.
+    "q117_indexed_search" -> q103Sql)
 }

@@ -331,6 +331,124 @@ object TrainingData extends QueryModule {
        |  CAST(floor((cum - n_tok) / $budget) AS BIGINT) AS shard
        |FROM o ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q115 — the PRODUCTION mixture interleave: q107's semantics with
+  // the global position/packing window REPLACED by the scale-safe
+  // two-phase form, certified against the SAME oracle (identical
+  // output, hash-matched). This closes the q48/q92/q107 weak family:
+  // unlike q107's documented single-task oracle core, no window here
+  // sees more than one partition's rows.
+  //
+  // Shape (the q52 move, one decade up):
+  //   1. per-source rank k — hashpartitioning(source) window (as q107);
+  //   2. vt = k/√n_src, then a DETERMINISTIC range bucket
+  //      b = floor(vt/vtMax · B): bucket boundaries derive from the
+  //      model-sized per-source counts (vtMax = √max n_src), NOT from
+  //      RangePartitioner sampling — reproducible run-to-run, and
+  //      bucket order IS vt order, so concatenating buckets
+  //      reconstructs the total order;
+  //   3. partition-local rank + running token sum — a window
+  //      partitioned by bucket (hashpartitioning(bucket), every task
+  //      sums one bucket);
+  //   4. per-bucket (row, token) totals — B aggregate rows — collect
+  //      to the driver (model-sized, the Ivf-centroid class of
+  //      collect), prefix-sum there, and broadcast back as offsets:
+  //      pos = local rank + row offset, cum = local sum + token
+  //      offset. No SinglePartition exchange anywhere (PlanShapeSpec
+  //      pins it); the bucketed frame is memoized so the offsets pass
+  //      and the main plan share one computation.
+  //
+  // Bucket balance: source s contributes √n_s rows per unit vt until
+  // exhausted at vt = √n_s, so early buckets are heavier by at most
+  // Σ_s√n_s / √max n_s ≤ |sources| — bounded, and at lake scale B
+  // scales with the cluster while the bound stays |sources|.
+  private val interleaveBuckets = 32
+
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    val wLoc = Window.partitionBy("bucket").orderBy("vt", "source", "doc_id")
+    val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = graft.CachedPlans.of(s, dir, "q115_bucketed") {
+      val docs = T.documents(s, dir)
+        .select(col("doc_id"), col("source"), expr(nTokS).as("n_tok"))
+      val ns = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      // vtMax from the per-source counts: |sources| rows, model-sized
+      val vtMax = ns.collect().map(r => math.sqrt(r.getLong(1).toDouble)).max
+      docs.join(broadcast(ns), "source")
+        .withColumn("k", row_number().over(wSrc).cast("long"))
+        .withColumn("vt",
+          expr("CAST(k AS DOUBLE) / sqrt(CAST(n_src AS DOUBLE))"))
+        .withColumn("bucket", least(
+          floor(col("vt") / lit(vtMax) * lit(interleaveBuckets)).cast("int"),
+          lit(interleaveBuckets - 1)))
+        .withColumn("lpos", (row_number().over(wLoc) - 1).cast("long"))
+        .withColumn("lcum", sum("n_tok").over(wLocCum))
+    }
+    // B-row totals -> driver prefix sums -> broadcast offsets
+    val totals = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("tok"))
+      .collect().sortBy(_.getInt(0))
+    var rowOff = 0L; var tokOff = 0L
+    val offs = totals.map { r =>
+      val o = (r.getInt(0), rowOff, tokOff)
+      rowOff += r.getLong(1); tokOff += r.getLong(2); o
+    }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("bucket", "row_off", "tok_off")
+    bucketed.join(broadcast(offDf), "bucket")
+      .withColumn("pos", col("lpos") + col("row_off"))
+      .withColumn("cum", col("lcum") + col("tok_off"))
+      .withColumn("shard",
+        expr(s"CAST(floor((cum - n_tok) / $budget) AS BIGINT)"))
+      .select("pos", "source", "doc_id", "n_tok", "shard")
+      .orderBy("pos")
+  }
+
+  // ---------------------------------------------------------------
+  // q118 — the PARTITIONED seeded split (q92's production form,
+  // certified against q92's oracle): the per-split position window is
+  // partitioned by (split, bucket) where bucket = the first hex char
+  // of the order key itself. Because the bucket is a PREFIX of skey,
+  // ordering by (bucket, skey) IS ordering by skey — so local ranks
+  // plus per-(split, bucket) row offsets (3·16 aggregate rows,
+  // driver prefix-summed exactly as q115) reconstruct q92's global
+  // per-split positions with no window over more than one task's
+  // rows. md5 spreads doc ids uniformly over buckets, so the 16-way
+  // (or at scale 16^2/16^3-way — widen the prefix) fan-out is
+  // balance-free by construction.
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      s"CAST(conv(substring($splitKeyS, 1, 4), 16, 10) AS BIGINT) % 100"
+    val wLoc = Window.partitionBy("split", "bucket").orderBy("skey", "doc_id")
+    val split = graft.CachedPlans.of(s, dir, "q118_bucketed") {
+      T.documents(s, dir)
+        .select(col("doc_id"), expr(splitKeyS).as("skey"),
+          expr(bucket).as("b"))
+        .withColumn("split", expr(
+          "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' " +
+            "ELSE 'test' END"))
+        .withColumn("bucket", expr("substring(skey, 1, 1)"))
+        .withColumn("lpos", (row_number().over(wLoc) - 1).cast("long"))
+    }
+    val totals = split.groupBy("split", "bucket").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offs = totals
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        var off = 0L
+        rows.sortBy(_._2).map { case (sp, b, cnt) =>
+          val o = (sp, b, off); off += cnt; o
+        }
+      }
+    import s.implicits._
+    val offDf = offs.toDF("split", "bucket", "row_off")
+    split.join(broadcast(offDf), Seq("split", "bucket"))
+      .withColumn("pos", col("lpos") + col("row_off"))
+      .select("split", "pos", "doc_id")
+      .orderBy("split", "pos")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
@@ -338,7 +456,9 @@ object TrainingData extends QueryModule {
     "q55_chunk_windows" -> (q55 _),
     "q92_seeded_split" -> (q92 _),
     "q105_shard_balance" -> (q105 _),
-    "q107_mixture_interleave" -> (q107 _))
+    "q107_mixture_interleave" -> (q107 _),
+    "q115_interleave_rangepart" -> (q115 _),
+    "q118_split_partitioned" -> (q118 _))
 
   override val oracle: Map[String, String] = Map(
     "q48_shard_pack" -> q48Sql,
@@ -347,5 +467,9 @@ object TrainingData extends QueryModule {
     "q55_chunk_windows" -> q55Sql,
     "q92_seeded_split" -> q92Sql,
     "q105_shard_balance" -> q105Sql,
-    "q107_mixture_interleave" -> q107Sql)
+    "q107_mixture_interleave" -> q107Sql,
+    // q115/q118 are the PRODUCTION twins of q107/q92: identical
+    // output, scale-safe plan — certified against the same oracle.
+    "q115_interleave_rangepart" -> q107Sql,
+    "q118_split_partitioned" -> q92Sql)
 }

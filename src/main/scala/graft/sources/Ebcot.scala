@@ -165,6 +165,12 @@ object Ebcot {
     */
   def decodeBlock(data: Array[Byte], from: Int, until: Int,
       w: Int, h: Int, band: Int, numPasses: Int, msbPlane: Int): Array[Int] = {
+    // msbPlane < 0 means the packet header claimed more zero bit-planes
+    // than Mb-1 — a corrupt header; returning an all-zero block would
+    // hide it, so refuse loudly (fail-loudly contract of the module).
+    require(msbPlane >= 0,
+      s"EBCOT: msbPlane=$msbPlane < 0 (zeroBitplanes exceeds Mb-1 — " +
+        "corrupt tier-2 packet header)")
     val mq = new Mq.Decoder(data, from, until)
     val cx = freshContexts()
     val blk = new Block(w, h, band)
@@ -183,6 +189,12 @@ object Ebcot {
         java.util.Arrays.fill(blk.visited, false)
       } else passType += 1
     }
+    // If the plane counter hit -1 before all claimed passes ran, the
+    // header's numPasses exceeds the available bit-planes — a silent
+    // truncation would return partially-decoded coefficients.
+    require(pass == numPasses,
+      s"EBCOT: header claims $numPasses passes but only $pass fit in " +
+        s"${msbPlane + 1} bit-planes (corrupt tier-2 packet header)")
     blk.coefficients
   }
 

@@ -105,8 +105,12 @@ object Jp2 {
     */
   object T800Entropy extends EntropyDecoder {
     def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] = {
-      require(component == 0 && header.components >= 1,
-        s"single-component profile; asked for component $component")
+      // components == 1, not >= 1: a multi-component stream (e.g. RGB)
+      // interleaves per-component packets that parsePackets would
+      // silently mis-parse as single-component — refuse loudly instead.
+      require(component == 0 && header.components == 1,
+        s"single-component profile; stream has ${header.components} " +
+          s"components, asked for component $component")
       require(header.tileParts.nonEmpty &&
         header.tileParts.forall(_.tileIndex == 0),
         s"single-tile profile; tile indices " +

@@ -267,11 +267,21 @@ object Tier2 {
       }
       in.align()
       pos = in.pos
+      // Fail loudly on truncation: a corrupt/short packet header can
+      // otherwise push byte ranges past the data and Mq.Decoder would
+      // synthesize deterministic garbage coefficients silently.
+      require(pos <= data.length,
+        s"JP2 tier-2: packet header ran past codestream end " +
+          s"(pos=$pos, len=${data.length})")
       // EPH marker after the packet header (B.10.4, 2 bytes) — same
       // unambiguity argument as SOP above.
       if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
           (data(pos + 1) & 0xff) == 0x92) pos += 2
       for ((sb, cb, zbp, np, len) <- perBlock.result()) {
+        require(len >= 0 && pos + len <= data.length,
+          s"JP2 tier-2: code-block segment [${pos}, ${pos + len}) " +
+            s"exceeds codestream length ${data.length} (corrupt or " +
+            "truncated packet header)")
         out += BlockContribution(sb, cb, zbp, np, pos, pos + len)
         pos += len
       }

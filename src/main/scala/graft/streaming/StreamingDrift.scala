@@ -82,6 +82,17 @@ object StreamingDrift {
 
   /** PSI of the observed counts against the reference; terms summed
     * in bucket order for run-to-run determinism.
+    *
+    * ONE-SIDED by design: only buckets observed in the window
+    * contribute — a reference bucket whose mass VANISHES from the
+    * source adds nothing (matching the q104 batch oracle semantics,
+    * pinned by StreamingDriftSpec). Threshold guidance: this gate
+    * pages on shifted/new mass, not on missing mass; if "source
+    * stopped producing a length class entirely" must page too, pair
+    * it with a bucket-coverage check (n_buckets vs the reference's
+    * bucket count, already emitted per window) or add the symmetric
+    * term q*ln(q/p) with p floored at refFloor over reference-only
+    * buckets — deliberately NOT done here to keep batch ≡ streaming.
     */
   def psi(counts: Map[Int, Long], reference: Map[Int, Double]): Double = {
     val n = counts.values.sum.toDouble
