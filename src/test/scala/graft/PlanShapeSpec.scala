@@ -206,6 +206,54 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("q115 production interleave: every window partition-local, " +
+      "offsets broadcast — no single-partition exchange anywhere") {
+    val p = formatted("q115_interleave_rangepart")
+    // per-source rank repartitions by source; the position/packing
+    // windows repartition by the deterministic range bucket; the
+    // B-row offset table joins back as a broadcast — the q107
+    // semantics with no task ever seeing more than one partition
+    assert(p.contains("hashpartitioning(source"), p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+  }
+
+  test("q118 partitioned split: (split, key-prefix) windows; no " +
+      "single-partition exchange") {
+    val p = formatted("q118_split_partitioned")
+    assert(p.contains("hashpartitioning(split"), p)
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+  }
+
+  test("q117 persisted-index search: the code scan partition-prunes " +
+      "to the probed cells on disk") {
+    val df = SparkEntry.queries("q117_indexed_search")(spark, dir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // the probed-cell restriction must reach the parquet scan as a
+    // PARTITION filter (pruned directories, not a post-scan filter)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") && !l.contains("[]")), p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    // and on DISK: every code file read lives under a cell= directory
+    // of the probed subset (strictly fewer than the index's cells
+    // when an unprobed cell exists)
+    val codeFiles = df.inputFiles.filter(_.contains("/codes/"))
+    assert(codeFiles.nonEmpty)
+    assert(codeFiles.forall(_.contains("cell=")), codeFiles.mkString("\n"))
+    val cellsRead = codeFiles
+      .map(_.replaceAll(".*cell=(\\d+).*", "$1").toInt).toSet
+    val codesRoot = new java.io.File(
+      new java.net.URI(codeFiles.head)).getParentFile.getParentFile
+    val allCells = codesRoot.listFiles
+      .filter(_.getName.startsWith("cell=")).map(_.getName.drop(5).toInt).toSet
+    assert(cellsRead.subsetOf(allCells))
+    if ((allCells -- cellsRead).nonEmpty)
+      assert(cellsRead.size < allCells.size)
+  }
+
   test("q106 embedding drift: assignment is a scan-side projection; " +
       "the doc join is an equi-join") {
     val p = formatted("q106_embed_drift_psi")
@@ -320,8 +368,8 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q104 1-row corpus-total aggregate
     //   q106 1-row corpus-total aggregate (q104's pattern on cells)
     //   q107 global interleave order/packing window (documented
-    //        oracle-only core, q48's rule; the production write
-    //        range-partitions by vt — see the q107 scaladoc)
+    //        oracle-only core, q48's rule; q115 is the CERTIFIED
+    //        production twin — same oracle, pinned to have none)
     //   q108 1-row migration-total aggregate (≤k² input rows)
     //   q110 |sources|-row normalizing window (q77's pattern on tokens)
     //   q112 four 1-row stage-ledger aggregates (the funnel report)
