@@ -207,15 +207,65 @@ object CorpusMaintenance extends QueryModule {
       |CROSS JOIN nt
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q120 — corpus RELEASE MANIFEST: the per-source integrity record a
+  // dataset release ships — document count, token total, id range,
+  // and an ORDER-INDEPENDENT content checksum (sum of per-document
+  // 60-bit content-hash fragments mod 2^61-1). Any changed, added,
+  // dropped, or duplicated document changes the checksum regardless
+  // of row order or partitioning, so two independently produced
+  // copies of a release can be compared with |sources| rows instead
+  // of a full diff (q67 is the row-level drill-down when they
+  // disagree). Sum (not XOR-fold) so an even number of identical
+  // copies cannot cancel out.
+  //
+  // Exactness: the per-doc hash is the first 15 md5 hex chars
+  // (< 2^60); the sum routes through DECIMAL(38,0)/HUGEINT (the
+  // q98/q106 overflow rule — int64 would wrap past ~2^4 docs of
+  // headroom at lake scale) and reduces mod the Mersenne prime
+  // 2^61-1 back to an exact BIGINT. One keyed aggregation; nothing
+  // global.
+  private val manifestMod = 2305843009213693951L // 2^61 - 1
+  private def h60S(e: String) =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  private def h60D(e: String) =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        expr(h60S(s"concat_ws(' ', $toksSpark)")).as("h"),
+        expr(s"CAST(size($toksSpark) AS BIGINT)").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"),
+        expr(s"CAST(sum(CAST(h AS DECIMAL(38, 0))) % $manifestMod AS BIGINT)")
+          .as("content_checksum"))
+      .orderBy("source")
+
+  private val q120Sql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(len($toksD) AS BIGINT)) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       |  CAST(SUM(CAST(${h60D(s"array_to_string($toksD, ' ')")} AS HUGEINT))
+       |    % $manifestMod AS BIGINT) AS content_checksum
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_snapshot_upsert" -> (q66 _),
     "q67_snapshot_diff" -> (q67 _),
     "q68_balanced_sample" -> (q68 _),
-    "q104_drift_psi" -> (q104 _))
+    "q104_drift_psi" -> (q104 _),
+    "q120_release_manifest" -> (q120 _))
 
   override val oracle: Map[String, String] = Map(
     "q66_snapshot_upsert" -> q66Sql,
     "q67_snapshot_diff" -> q67Sql,
     "q68_balanced_sample" -> q68Sql,
-    "q104_drift_psi" -> q104Sql)
+    "q104_drift_psi" -> q104Sql,
+    "q120_release_manifest" -> q120Sql)
 }

@@ -1138,6 +1138,102 @@ object Dedup extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q119 — EXACT SUBSTRING duplication profile (the suffix-style
+  // dedup of "repeated spans across documents", bucketized): every
+  // k-token window (k = 8) hashes to a 32-bit key; a window that
+  // occurs in ≥ 2 DISTINCT documents is a cross-document duplicated
+  // span (within-document repetition is q75's job). Per document:
+  // window count, duplicated-window count, the number of token
+  // POSITIONS covered by at least one duplicated window (the mass an
+  // exact-substring dedup pass would actually cut — interval union
+  // over fixed-length windows, computed exactly), and the dup ratio.
+  // This is the operator that catches verbatim boilerplate/quotation
+  // reuse that doc-level Jaccard (q28/q69) dilutes away on long
+  // documents.
+  //
+  // Scale: window build is per-row (transform over sequence); the
+  // duplicated-hash set is ONE aggregation on the window hash (never
+  // a self-join — a hot boilerplate window costs its count, not
+  // count²); the rejoin is a linear equi-join on the hash; the
+  // coverage union explodes k× the DUPLICATED windows only. All
+  // shuffles are key-sized; nothing quadratic anywhere (contrast
+  // q28's documented hot-shingle f² self-join).
+  private val subK = 8
+  private val subWinS =
+    s"""CASE WHEN size(toks) >= $subK THEN
+       |  transform(sequence(1, size(toks) - ${subK - 1}),
+       |    i -> array_join(slice(toks, i, $subK), ' '))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  /** The (doc_id, start, window-hash) frame — memoized: referenced by
+    * the dup-hash aggregate AND the rejoin.
+    */
+  private def subWindows(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "subwin8") {
+      TextAnalysis.tokenized(s, dir)
+        .select(col("doc_id"), posexplode(expr(subWinS)).as(Seq("p", "w")))
+        .select(col("doc_id"), (col("p") + 1).as("start"),
+          expr(h32S("w")).as("hw"))
+    }
+
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val wins = subWindows(s, dir)
+    val dupHashes = wins.groupBy("hw")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("hw")
+    val dupWins = wins.join(dupHashes, "hw")
+    val totals = wins.groupBy("doc_id").agg(count(lit(1)).as("n_win"))
+    val dupCnt = dupWins.groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val covered = dupWins
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${subK - 1})")).as("pos"))
+      .groupBy("doc_id")
+      .agg(countDistinct("pos").as("dup_tokens"))
+    totals
+      .join(dupCnt, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_win AS DOUBLE)")
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q119Sql =
+    s"""WITH d AS (SELECT doc_id, $toksD AS l FROM documents),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, CAST(len(l) AS BIGINT) - ${subK - 2})) AS start,
+       |    l
+       |  FROM d WHERE len(l) >= $subK),
+       |wh AS (
+       |  SELECT doc_id, start,
+       |    ${h32D(s"array_to_string(l[start:start+${subK - 1}], ' ')")} AS hw
+       |  FROM w),
+       |dup AS (
+       |  SELECT hw FROM wh GROUP BY hw
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT doc_id, start FROM wh JOIN dup USING (hw)),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_win FROM wh GROUP BY doc_id),
+       |dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM dw GROUP BY doc_id),
+       |cov AS (
+       |  SELECT doc_id, COUNT(DISTINCT pos) AS dup_tokens FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(start, start + ${subK - 1})) AS pos
+       |    FROM dw)
+       |  GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_win,
+       |  CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(dc.n_dup, 0) AS DOUBLE) / CAST(t.n_win AS DOUBLE)
+       |    AS dup_ratio
+       |FROM tot t
+       |LEFT JOIN dc ON dc.doc_id = t.doc_id
+       |LEFT JOIN cov ON cov.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -1160,7 +1256,8 @@ object Dedup extends QueryModule {
     "q111_containment" -> (q111 _),
     "q112_pipeline_ledger" -> (q112 _),
     "q113_dedup_savings" -> (q113 _),
-    "q114_source_funnel" -> (q114 _))
+    "q114_source_funnel" -> (q114 _),
+    "q119_substring_dup" -> (q119 _))
 
   override val oracle: Map[String, String] = Map(
     "q27_exact_dedup" -> q27Sql,
@@ -1184,5 +1281,6 @@ object Dedup extends QueryModule {
     "q111_containment" -> q111Sql,
     "q112_pipeline_ledger" -> q112Sql,
     "q113_dedup_savings" -> q113Sql,
-    "q114_source_funnel" -> q114Sql)
+    "q114_source_funnel" -> q114Sql,
+    "q119_substring_dup" -> q119Sql)
 }
