@@ -46,6 +46,24 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$out/model/codebooks")
   }
 
+  /** Append newly encoded vectors to an existing index WITHOUT
+    * touching resident codes: the new files land inside their `cell=`
+    * directories (parquet append, same one-exchange discipline as
+    * [[save]]); the model tables are immutable. Correct because cell
+    * assignment and PQ codes are per-vector functions of the SAVED
+    * model, so append-then-search is bit-identical to a full rebuild
+    * (pinned by q121 against q103's oracle). This is the 100 TB
+    * maintenance story: ingest streams INTO the index between
+    * retrains, while q106's drift gate and q108's migration audit
+    * decide when the model itself has rotted enough to rebuild.
+    */
+  def append(encoded: DataFrame, out: String, idCol: String = "vec_id",
+      cellCol: String = "cell", codeCol: String = "code"): Unit =
+    encoded.select(col(idCol), col(cellCol), col(codeCol))
+      .repartition(col(cellCol))
+      .write.mode("append").partitionBy(cellCol)
+      .parquet(s"$out/codes")
+
   /** The cell-partitioned code table; filter on `cell` before use so
     * partition pruning cuts the scan to the probed directories.
     */

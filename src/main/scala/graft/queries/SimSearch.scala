@@ -1012,24 +1012,29 @@ object SimSearch extends QueryModule {
   private val q117Index =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def q117(s: SparkSession, dir: String): DataFrame = {
+  /** The double-cast corpus + the fixed IVF-PQ model (m=4 subspaces
+    * of 16 dims over the fixed centroids) shared by the persisted-
+    * index twins q117/q121.
+    */
+  private def ivfPqParts(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
     val m = 4; val subDim = 16
-    val out = q117Index.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:$dir", _ => {
-        val corpus = quantized(s, dir)
-          .select(col("vec_id"),
-            expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-        val cents = fixedCentroids(s, dir)
-        val codebooks = (0 until m).map(j =>
-          cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
-        val encoded = graft.operators.Pq.encode(
-          graft.operators.Ivf.assign(corpus, cents, "embedding"),
-          codebooks, "embedding")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q117-index").toString
-        graft.operators.IndexStore.save(encoded, cents, codebooks, path)
-        path
-      })
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = fixedCentroids(s, dir)
+    val codebooks = (0 until m).map(j =>
+      cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    (corpus, cents, codebooks)
+  }
+
+  /** Search entirely from ON-DISK state: loaded centroids route the
+    * probes, loaded codebooks build the LUTs, and the code scan is
+    * restricted to the probed cells so partition pruning cuts the
+    * read to nProbe directories (the probed-cell collect is
+    * |queries|·nProbe values — model-sized).
+    */
+  private def searchFromDisk(s: SparkSession, dir: String, out: String)
+      : DataFrame = {
     val cents = graft.operators.IndexStore.loadCentroids(s, out)
     val codebooks = graft.operators.IndexStore.loadCodebooks(s, out)
     val queries = quantized(s, dir).filter(col("vec_id") < 8)
@@ -1041,6 +1046,56 @@ object SimSearch extends QueryModule {
       .filter(col("cell").isin(probeCells: _*))
     graft.operators.Pq.adcSearchCells(codes, codebooks, probed, topK = 3)
       .orderBy("q_id", "rank")
+  }
+
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val out = q117Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (corpus, cents, codebooks) = ivfPqParts(s, dir)
+        val encoded = graft.operators.Pq.encode(
+          graft.operators.Ivf.assign(corpus, cents, "embedding"),
+          codebooks, "embedding")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q117-index").toString
+        graft.operators.IndexStore.save(encoded, cents, codebooks, path)
+        path
+      })
+    searchFromDisk(s, dir, out)
+  }
+
+  // ---------------------------------------------------------------
+  // q121 — INCREMENTAL index growth (IndexStore.append): half the
+  // corpus is saved as the initial index, the other half appended
+  // later WITHOUT touching resident codes or the model — then the
+  // search runs from disk and must hash-match the SAME oracle as the
+  // build-everything-at-once path (q103/q117): cell assignment and
+  // PQ codes are per-vector functions of the saved model, so ingest
+  // order cannot leak into results. This closes the ANN maintenance
+  // loop operationally: stream new vectors INTO the index (here)
+  // between retrains; q106's drift gate and q108's migration audit
+  // decide when the model has rotted enough to rebuild.
+  private val q121Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val out = q121Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (corpus, cents, codebooks) = ivfPqParts(s, dir)
+        def encodedHalf(even: Boolean) = {
+          val half = corpus.filter(
+            if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0)
+          graft.operators.Pq.encode(
+            graft.operators.Ivf.assign(half, cents, "embedding"),
+            codebooks, "embedding")
+        }
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q121-index").toString
+        graft.operators.IndexStore.save(encodedHalf(even = true),
+          cents, codebooks, path)
+        graft.operators.IndexStore.append(encodedHalf(even = false), path)
+        path
+      })
+    searchFromDisk(s, dir, out)
   }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1058,7 +1113,8 @@ object SimSearch extends QueryModule {
     "q103_ivfpq_search" -> (q103 _),
     "q106_embed_drift_psi" -> (q106 _),
     "q108_cell_migration" -> (q108 _),
-    "q117_indexed_search" -> (q117 _))
+    "q117_indexed_search" -> (q117 _),
+    "q121_index_append" -> (q121 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1075,7 +1131,9 @@ object SimSearch extends QueryModule {
     "q103_ivfpq_search" -> q103Sql,
     "q106_embed_drift_psi" -> q106Sql,
     "q108_cell_migration" -> q108Sql,
-    // q117 searches via the persisted index — same results as the
-    // in-session composition, so the same oracle certifies it.
-    "q117_indexed_search" -> q103Sql)
+    // q117 searches via the persisted index and q121 via the
+    // incrementally-grown one — same results as the in-session
+    // composition, so the same oracle certifies both.
+    "q117_indexed_search" -> q103Sql,
+    "q121_index_append" -> q103Sql)
 }
