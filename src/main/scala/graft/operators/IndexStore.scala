@@ -64,6 +64,49 @@ object IndexStore {
       .write.mode("append").partitionBy(cellCol)
       .parquet(s"$out/codes")
 
+  /** Remove tombstoned vectors from the index by rewriting ONLY the
+    * cells that contain them — the delete half of the maintenance
+    * story ([[append]] is the ingest half): takedowns, TTL expiry,
+    * and dedup-decided removals must not force a corpus-wide index
+    * rebuild at 100 TB.
+    *
+    * Mechanics: the tombstone set broadcasts onto a code scan to find
+    * the affected cells (a model-sized `cell` collect, ≤ k values);
+    * survivors of those cells — and only those cells, so the read is
+    * partition-pruned to the affected directories — are written to a
+    * staging dir and swapped in with O(affected-cells) driver renames.
+    * A cell whose every resident was tombstoned simply has its
+    * directory removed (the dynamic-partition-overwrite alternative
+    * silently leaves such stale dirs in place, which is why the swap
+    * is explicit). Untouched cell directories keep their original
+    * files byte-for-byte (pinned by IndexStoreSpec), so a 1-cell
+    * delete on a k-cell index rewrites 1/k of the codes.
+    */
+  def delete(s: SparkSession, out: String, tombstones: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val ids = broadcast(tombstones.select(col(idCol)).distinct())
+    val codes = loadCodes(s, out)
+    val affected = codes.join(ids, Seq(idCol))
+      .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val survivors = codes
+      .filter(col("cell").isin(affected: _*))
+      .join(ids, Seq(idCol), "left_anti")
+    val staging = s"$out/codes_staging_${java.util.UUID.randomUUID}"
+    survivors.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val conf = s.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    try affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$out/codes/cell=$c")
+      val next = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      fs.delete(live, true)
+      if (fs.exists(next)) require(fs.rename(next, live),
+        s"IndexStore.delete: rename $next -> $live failed")
+    } finally fs.delete(stagingPath, true)
+  }
+
   /** The cell-partitioned code table; filter on `cell` before use so
     * partition pruning cuts the scan to the probed directories.
     */

@@ -790,21 +790,21 @@ object SimSearch extends QueryModule {
   // argument verbatim (integer-valued doubles, every subspace
   // distance and the 4-term ADC sum exact in float64 in any order).
   private def q103(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-    val cents = fixedCentroids(s, dir)
-    val m = 4; val subDim = 16
-    val codebooks = (0 until m).map(j =>
-      cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
-    val assigned = graft.operators.Ivf.assign(corpus, cents, "embedding")
-    val encoded = graft.operators.Pq.encode(assigned, codebooks, "embedding")
+    val (corpus, cents, codebooks) = ivfPqParts(s, dir)
     val probed = graft.operators.Ivf.probeCells(
       corpus.filter(col("vec_id") < 8), cents, nProbe = 2)
-    graft.operators.Pq.adcSearchCells(encoded, codebooks, probed, topK = 3)
+    graft.operators.Pq.adcSearchCells(encodedIvfPq(s, dir), codebooks,
+        probed, topK = 3)
       .orderBy("q_id", "rank")
   }
 
-  private val q103Sql =
+  /** Shared DuckDB CTE chain of the IVF-PQ search family (q103 and
+    * the persisted-index twins): PQ codes from the fixed model and
+    * the probed-cell ADC table. `candFilter` narrows the candidate
+    * side of the ADC join — the deletion twin (q122) excludes its
+    * tombstoned ids there.
+    */
+  private def duckIvfPqAdc(candFilter: String): String =
     s"""$duckIvfTrained,
        |sub AS (
        |  SELECT vec_id, CAST((i - 1) // 16 AS INTEGER) AS j, i, val FROM ex),
@@ -824,17 +824,22 @@ object SimSearch extends QueryModule {
        |adc AS (
        |  SELECT p.q_id, a.vec_id AS c_id, SUM(pd.d) AS adc
        |  FROM probes p
-       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id$candFilter
        |  JOIN code co ON co.vec_id = a.vec_id
        |  JOIN pdist pd ON pd.vec_id = p.q_id AND pd.j = co.j
        |    AND pd.cid = co.cid
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def ivfPqSearchSql(candFilter: String): String =
+    s"""${duckIvfPqAdc(candFilter)}
        |SELECT q_id, rank, c_id, adc FROM (
        |  SELECT q_id, c_id, adc,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY adc, c_id) AS INTEGER) AS rank
        |  FROM adc) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+
+  private val q103Sql = ivfPqSearchSql("")
 
   // ---------------------------------------------------------------
   // q106 — EMBEDDING-SPACE drift gate (PSI over IVF cell occupancy):
@@ -1027,6 +1032,19 @@ object SimSearch extends QueryModule {
     (corpus, cents, codebooks)
   }
 
+  /** The assigned+PQ-encoded corpus under the fixed model, cached and
+    * memoized (graft.CachedPlans): q103's search, q123's shortlist,
+    * and the three index-build paths (q117/q121/q122) all consume the
+    * same encode — one scan instead of five per session.
+    */
+  private def encodedIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "ivfpq_encoded") {
+      val (corpus, cents, codebooks) = ivfPqParts(s, dir)
+      graft.operators.Pq.encode(
+        graft.operators.Ivf.assign(corpus, cents, "embedding"),
+        codebooks, "embedding")
+    }
+
   /** Search entirely from ON-DISK state: loaded centroids route the
     * probes, loaded codebooks build the LUTs, and the code scan is
     * restricted to the probed cells so partition pruning cuts the
@@ -1051,13 +1069,11 @@ object SimSearch extends QueryModule {
   private def q117(s: SparkSession, dir: String): DataFrame = {
     val out = q117Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
-        val (corpus, cents, codebooks) = ivfPqParts(s, dir)
-        val encoded = graft.operators.Pq.encode(
-          graft.operators.Ivf.assign(corpus, cents, "embedding"),
-          codebooks, "embedding")
+        val (_, cents, codebooks) = ivfPqParts(s, dir)
         val path = java.nio.file.Files
           .createTempDirectory("graft-q117-index").toString
-        graft.operators.IndexStore.save(encoded, cents, codebooks, path)
+        graft.operators.IndexStore.save(encodedIvfPq(s, dir), cents,
+          codebooks, path)
         path
       })
     searchFromDisk(s, dir, out)
@@ -1080,23 +1096,111 @@ object SimSearch extends QueryModule {
   private def q121(s: SparkSession, dir: String): DataFrame = {
     val out = q121Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
-        val (corpus, cents, codebooks) = ivfPqParts(s, dir)
-        def encodedHalf(even: Boolean) = {
-          val half = corpus.filter(
-            if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0)
-          graft.operators.Pq.encode(
-            graft.operators.Ivf.assign(half, cents, "embedding"),
-            codebooks, "embedding")
-        }
+        val (_, cents, codebooks) = ivfPqParts(s, dir)
+        // assignment and codes are per-vector functions of the model,
+        // so halving AFTER the (cached) encode is identical to
+        // encoding each half separately
+        def half(even: Boolean) = encodedIvfPq(s, dir).filter(
+          if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0)
         val path = java.nio.file.Files
           .createTempDirectory("graft-q121-index").toString
-        graft.operators.IndexStore.save(encodedHalf(even = true),
+        graft.operators.IndexStore.save(half(even = true),
           cents, codebooks, path)
-        graft.operators.IndexStore.append(encodedHalf(even = false), path)
+        graft.operators.IndexStore.append(half(even = false), path)
         path
       })
     searchFromDisk(s, dir, out)
   }
+
+  // ---------------------------------------------------------------
+  // q122 — index DELETION with cell-pruned repair (IndexStore
+  // .delete): tombstone every vec_id ≡ 3 (mod 10) — a takedown /
+  // TTL / dedup-removal batch — and rewrite ONLY the cells holding
+  // them (staging write + per-cell swap; untouched cell directories
+  // keep their original files). The post-delete search must
+  // hash-match the oracle's search over the corpus MINUS the
+  // tombstones: q121 certifies ingest-into-the-index, this certifies
+  // removal-from-it — together the full between-retrains maintenance
+  // cycle. The deleted ids include query 3 itself: it still probes
+  // (queries come from outside the index) but may no longer be
+  // anyone's candidate.
+  private val q122Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val out = q122Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (_, cents, codebooks) = ivfPqParts(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-q122-index").toString
+        graft.operators.IndexStore.save(encodedIvfPq(s, dir), cents,
+          codebooks, path)
+        graft.operators.IndexStore.delete(s, path,
+          quantized(s, dir).filter(col("vec_id") % 10 === 3)
+            .select("vec_id"))
+        path
+      })
+    searchFromDisk(s, dir, out)
+  }
+
+  private val q122Sql = ivfPqSearchSql(" AND a.vec_id % 10 <> 3")
+
+  // ---------------------------------------------------------------
+  // q123 — ADC shortlist + EXACT re-rank: the standard recall
+  // recovery for PQ's lossy distances (FAISS's refine / RFlat): the
+  // cheap code scan nominates top-8 per query by ADC, then only
+  // those 8 rows fetch their true vectors and re-rank by exact
+  // squared L2, emitting top-3. The expensive exact arithmetic runs
+  // on |Q|·8 rows instead of the probed corpus — at 100 TB the
+  // vector fetch is a broadcast-shortlist equi-join against the
+  // vector table, never a second corpus scan. Exactness: the
+  // shortlist is q103's (exact ADC ordering, c_id tie-break); d2 is
+  // an integer-valued sum of 64 integer squares (max ~2.6e14 <
+  // 2^53), exact in float64 in any order, cast to BIGINT on both
+  // sides.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, cents, codebooks) = ivfPqParts(s, dir)
+    val probed = graft.operators.Ivf.probeCells(
+      corpus.filter(col("vec_id") < 8), cents, nProbe = 2)
+    val shortlist = graft.operators.Pq.adcSearchCells(
+        encodedIvfPq(s, dir), codebooks, probed, topK = 8)
+      .select("q_id", "c_id")
+    val qside = quantized(s, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val cside = quantized(s, dir)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    cside.join(broadcast(shortlist), Seq("c_id"))
+      .join(broadcast(qside), Seq("q_id"))
+      .withColumn("d2", expr(
+        """CAST(vec_l2_sq(CAST(qv AS ARRAY<DOUBLE>),
+          |  CAST(cv AS ARRAY<DOUBLE>)) AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(w).cast("integer"))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "c_id", "d2")
+      .orderBy("q_id", "rank")
+  }
+
+  private val q123Sql =
+    s"""${duckIvfPqAdc("")},
+       |sl AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+       |    FROM adc) WHERE rn <= 8),
+       |rr AS (
+       |  SELECT sl.q_id, sl.c_id,
+       |    CAST(SUM((eq.val - ec.val) * (eq.val - ec.val)) AS BIGINT) AS d2
+       |  FROM sl
+       |  JOIN ex eq ON eq.vec_id = sl.q_id
+       |  JOIN ex ec ON ec.vec_id = sl.c_id AND ec.i = eq.i
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, c_id, d2 FROM (
+       |  SELECT q_id, c_id, d2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY d2, c_id) AS INTEGER) AS rank
+       |  FROM rr) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
@@ -1114,7 +1218,9 @@ object SimSearch extends QueryModule {
     "q106_embed_drift_psi" -> (q106 _),
     "q108_cell_migration" -> (q108 _),
     "q117_indexed_search" -> (q117 _),
-    "q121_index_append" -> (q121 _))
+    "q121_index_append" -> (q121 _),
+    "q122_index_delete" -> (q122 _),
+    "q123_exact_rerank" -> (q123 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1135,5 +1241,9 @@ object SimSearch extends QueryModule {
     // incrementally-grown one — same results as the in-session
     // composition, so the same oracle certifies both.
     "q117_indexed_search" -> q103Sql,
-    "q121_index_append" -> q103Sql)
+    "q121_index_append" -> q103Sql,
+    // q122 deletes ids ≡ 3 (mod 10) from the index, so its oracle is
+    // the same search with those ids excluded from the candidates
+    "q122_index_delete" -> q122Sql,
+    "q123_exact_rerank" -> q123Sql)
 }

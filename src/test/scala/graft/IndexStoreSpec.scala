@@ -67,4 +67,69 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       }
     } finally c.unpersist()
   }
+
+  test("delete rewrites only the affected cells and matches a filtered " +
+      "rebuild; a fully-tombstoned cell's directory is removed") {
+    val c = corpus.cache()
+    try {
+      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val m = 4; val subDim = 16
+      val codebooks = (0 until m).map(j =>
+        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+        "embedding")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-index-del").toString
+      IndexStore.save(encoded, cents, codebooks, out)
+
+      def cellFiles(): Map[Int, Set[String]] = {
+        val root = new java.io.File(s"$out/codes")
+        root.listFiles.filter(_.getName.startsWith("cell="))
+          .map(d => d.getName.drop(5).toInt ->
+            d.listFiles.map(f => s"${f.getName}:${f.length}").toSet)
+          .toMap
+      }
+      val before = cellFiles()
+      assert(before.size >= 2, s"need >=2 cells, got ${before.keySet}")
+
+      // tombstone every resident of ONE cell plus one resident of
+      // another — exercises both the full-cell and partial-cell paths
+      val byCell = encoded.select("vec_id", "cell").collect()
+        .groupBy(_.getInt(1)).map { case (k, rs) =>
+          k -> rs.map(_.getLong(0)).sorted.toSeq }
+      val emptied = byCell.keys.min
+      val partial = byCell.keys.filter(_ != emptied).min
+      val tombIds = byCell(emptied) :+ byCell(partial).head
+      import spark.implicits._
+      IndexStore.delete(spark, out, tombIds.toDF("vec_id"))
+
+      val after = cellFiles()
+      // the fully-tombstoned cell's directory is gone (not stale)
+      assert(!after.contains(emptied), s"cell=$emptied dir survived")
+      // the partially-tombstoned cell was rewritten
+      assert(after(partial) != before(partial))
+      // every untouched cell kept its exact files
+      (before.keySet - emptied - partial).foreach { k =>
+        assert(after(k) == before(k), s"untouched cell=$k was rewritten")
+      }
+
+      // post-delete search == search over a filtered rebuild
+      val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
+        nProbe = 2)
+      val got = Pq.adcSearchCells(IndexStore.loadCodes(spark, out),
+          codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      val want = Pq.adcSearchCells(
+          encoded.filter(!col("vec_id").isin(tombIds.map(Long.box): _*)),
+          codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got == want)
+
+      // deleting ids absent from the index is a no-op
+      IndexStore.delete(spark, out, Seq(999999L).toDF("vec_id"))
+      assert(cellFiles() == after)
+    } finally c.unpersist()
+  }
 }

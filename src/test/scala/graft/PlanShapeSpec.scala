@@ -229,7 +229,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
 
   test("q117 persisted-index search: the code scan partition-prunes " +
       "to the probed cells on disk") {
-    val df = SparkEntry.queries("q117_indexed_search")(spark, dir)
+    assertIndexSearchPruned("q117_indexed_search")
+  }
+
+  test("q121 appended index: search stays cell-pruned over the grown " +
+      "layout (resident + appended files)") {
+    assertIndexSearchPruned("q121_index_append")
+  }
+
+  test("q122 post-delete index: search stays cell-pruned over the " +
+      "repaired layout") {
+    assertIndexSearchPruned("q122_index_delete")
+  }
+
+  /** The persisted-index search family's disk contract: the probed-cell
+    * restriction reaches the parquet scan as a PARTITION filter and
+    * every code file read lives under a probed `cell=` directory.
+    */
+  private def assertIndexSearchPruned(qname: String): Unit = {
+    val df = SparkEntry.queries(qname)(spark, dir)
     val p = df.queryExecution.explainString(FormattedMode)
     // the probed-cell restriction must reach the parquet scan as a
     // PARTITION filter (pruned directories, not a post-scan filter)
@@ -252,6 +270,17 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(cellsRead.subsetOf(allCells))
     if ((allCells -- cellsRead).nonEmpty)
       assert(cellsRead.size < allCells.size)
+  }
+
+  test("q123 exact re-rank: the vector fetch is a broadcast-shortlist " +
+      "equi-join, never a second corpus-wide pair join") {
+    val p = formatted("q123_exact_rerank")
+    // shortlist (|Q|*8 rows) broadcasts onto the vector table; the
+    // query side broadcasts too; the re-rank window partitions by q_id
+    assert(countNodes(p, "BroadcastHashJoin") >= 2, p)
+    assert(countNodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("hashpartitioning(q_id"), p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
   }
 
   test("q106 embedding drift: assignment is a scan-side projection; " +
