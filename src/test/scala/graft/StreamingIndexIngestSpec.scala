@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{IndexStore, Ivf, Pq}
+import graft.streaming.StreamingIndexIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Test row type at top level so Dataset encoders resolve without an
+  * outer scope (MemoryStream instantiates it reflectively).
+  */
+case class IngestVec(vec_id: Long, embedding: Seq[Double])
+
+/** Streaming ingest into the persisted index: after any prefix of
+  * micro-batches, searching the on-disk index is bit-identical to a
+  * batch rebuild over the vectors ingested so far, and a replayed
+  * micro-batch (foreachBatch's at-least-once restart path) does not
+  * duplicate codes.
+  */
+class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), expr(
+      """CAST(transform(embedding,
+        | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        | AS ARRAY<DOUBLE>)""".stripMargin).as("embedding"))
+
+  
+
+  test("stream-appended index == batch-built index; replays are no-ops") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c = corpus.cache()
+    try {
+      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val m = 4; val subDim = 16
+      val codebooks = (0 until m).map(j =>
+        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
+        nProbe = 2)
+      def search(codes: org.apache.spark.sql.DataFrame) =
+        Pq.adcSearchCells(codes, codebooks, probed, topK = 3)
+          .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+      // bootstrap: vec_id < 20 saved as the initial index
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-stream-index").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-stream-ck").toString
+      IndexStore.save(
+        Pq.encode(Ivf.assign(c.filter(col("vec_id") < 20), cents,
+          "embedding"), codebooks, "embedding"),
+        cents, codebooks, out)
+
+      val all = c.select(col("vec_id"), col("embedding"))
+        .as[IngestVec].collect().sortBy(_.vec_id)
+      val (wave1, wave2) = all.filter(_.vec_id >= 20).partition(_.vec_id < 40)
+
+      val mem = MemoryStream[IngestVec]
+      val q = StreamingIndexIngest.start(mem.toDF(), cents, codebooks,
+        out, ck)
+      try {
+        mem.addData(wave1.toIndexedSeq)
+        q.processAllAvailable()
+        // mid-stream: index == batch build over everything ingested
+        assert(search(IndexStore.loadCodes(spark, out)) ==
+          search(Pq.encode(Ivf.assign(c.filter(col("vec_id") < 40), cents,
+            "embedding"), codebooks, "embedding")))
+        mem.addData(wave2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val full = search(Pq.encode(Ivf.assign(c, cents, "embedding"),
+        codebooks, "embedding"))
+      assert(search(IndexStore.loadCodes(spark, out)) == full)
+
+      // at-least-once replay: re-running an already-committed batch id
+      // is skipped by the commit log — codes do not duplicate
+      val replay = StreamingIndexIngest.ingestBatch(
+        wave2.toIndexedSeq.toDF(), batchId = 1L, cents, codebooks, out)
+      assert(!replay)
+      assert(search(IndexStore.loadCodes(spark, out)) == full)
+      // counts, not just top-k: no row was appended twice
+      assert(IndexStore.loadCodes(spark, out).count() == all.length)
+
+      // a genuinely new batch id still lands
+      val extra = StreamingIndexIngest.ingestBatch(
+        Seq(IngestVec(9000L, all.head.embedding)).toDF(), batchId = 99L,
+        cents, codebooks, out)
+      assert(extra)
+      assert(IndexStore.loadCodes(spark, out).count() == all.length + 1)
+    } finally c.unpersist()
+  }
+}
