@@ -107,6 +107,47 @@ object IndexStore {
     } finally fs.delete(stagingPath, true)
   }
 
+  /** Coalesce each cell's code files — the small-files counterpart of
+    * [[append]]: every streaming micro-batch lands at least one file
+    * per touched cell, and a year of ingest turns the probed read's
+    * nProbe directory scans into nProbe × thousands of file opens.
+    * Compaction rewrites each cell whose file count exceeds
+    * `maxFilesPerCell` into `filesPerCell` files (same staging +
+    * per-cell swap as [[delete]], so cells already within budget keep
+    * their exact files and readers never see a half-compacted cell).
+    * Content is preserved row-for-row — codes are unordered within a
+    * cell (search is a full probed-cell scan), so no order contract
+    * exists to violate; IndexStoreSpec pins multiset equality and
+    * search equality.
+    */
+  def compact(s: SparkSession, out: String, maxFilesPerCell: Int = 4,
+      filesPerCell: Int = 1): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$out/codes")
+    val fs = root.getFileSystem(conf)
+    val oversized = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-")) >
+        maxFilesPerCell)
+      .map(_.getPath.getName.drop(5).toInt) // cell ids are Ivf's Int
+    if (oversized.isEmpty) return
+    val staging = s"$out/codes_staging_${java.util.UUID.randomUUID}"
+    loadCodes(s, out) // Int-typed isin keeps the read partition-pruned
+      .filter(col("cell").isin(oversized.map(Integer.valueOf): _*))
+      .repartition(filesPerCell, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    try oversized.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$out/codes/cell=$c")
+      val next = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      require(fs.exists(next), s"IndexStore.compact: staged cell=$c missing")
+      fs.delete(live, true)
+      require(fs.rename(next, live),
+        s"IndexStore.compact: rename $next -> $live failed")
+    } finally fs.delete(stagingPath, true)
+  }
+
   /** The cell-partitioned code table; filter on `cell` before use so
     * partition pruning cuts the scan to the probed directories.
     */

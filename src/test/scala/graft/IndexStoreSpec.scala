@@ -132,4 +132,75 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       assert(cellFiles() == after)
     } finally c.unpersist()
   }
+
+  test("compact coalesces only over-budget cells, preserving rows " +
+      "and search results") {
+    val c = corpus.cache()
+    try {
+      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .orderBy("vec_id").select("embedding")
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val m = 4; val subDim = 16
+      val codebooks = (0 until m).map(j =>
+        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+        "embedding").cache()
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-index-compact").toString
+      // seed with one cell's rows, then append the rest one vector at
+      // a time — small files pile up in the appended cells
+      val cells = encoded.select("cell").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val keepSmall = cells.head
+      IndexStore.save(encoded.filter(col("cell") === keepSmall),
+        cents, codebooks, out)
+      val rest = encoded.filter(col("cell") =!= keepSmall)
+        .select("vec_id").collect().map(_.getLong(0))
+      rest.foreach { id =>
+        IndexStore.append(encoded.filter(col("vec_id") === id), out)
+      }
+
+      def files(): Map[Int, Set[String]] = {
+        val root = new java.io.File(s"$out/codes")
+        root.listFiles.filter(_.getName.startsWith("cell="))
+          .map(d => d.getName.drop(5).toInt ->
+            d.listFiles.filter(_.getName.startsWith("part-"))
+              .map(f => s"${f.getName}:${f.length}").toSet)
+          .toMap
+      }
+      val before = files()
+      assert(before.exists(_._2.size > 4), s"no over-budget cell: $before")
+      val rows = IndexStore.loadCodes(spark, out)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+        .toMap
+      val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
+        nProbe = 2)
+      val want = Pq.adcSearchCells(IndexStore.loadCodes(spark, out),
+          codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+
+      IndexStore.compact(spark, out)
+
+      val after = files()
+      // every over-budget cell now holds one file; the rest untouched
+      before.foreach { case (k, fs) =>
+        if (fs.size > 4) assert(after(k).size == 1, s"cell=$k: ${after(k)}")
+        else assert(after(k) == fs, s"under-budget cell=$k was rewritten")
+      }
+      // multiset row equality and identical search
+      val rowsAfter = IndexStore.loadCodes(spark, out)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+        .toMap
+      assert(rowsAfter == rows)
+      val got = Pq.adcSearchCells(IndexStore.loadCodes(spark, out),
+          codebooks, probed, topK = 3)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got == want)
+
+      // idempotent: a second compact is a no-op on the file layout
+      IndexStore.compact(spark, out)
+      assert(files() == after)
+      encoded.unpersist()
+    } finally c.unpersist()
+  }
 }
