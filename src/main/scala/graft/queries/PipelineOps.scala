@@ -506,6 +506,81 @@ object PipelineOps extends QueryModule {
        |    AS epochs
        |FROM d ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q124 — DSIR-style importance weighting for data selection (Xie
+  // et al. 2023, "Data Selection for Language Models via Importance
+  // Resampling"): score every document by how target-like its hashed
+  // n-gram feature profile is, where the target is the English slice
+  // and raw is the whole corpus. Features are word unigrams hashed
+  // into B=64 buckets (q63's md5 device, so both engines hash
+  // identically); each bucket gets an add-1-smoothed log-likelihood
+  // ratio λ_b = ln(p_target(b) / p_raw(b)), and a document scores
+  // Σ_b n_db·λ_b over its own bucket counts. Top-15 by score is the
+  // selection front a pipeline would resample from.
+  //
+  // Scale: ONE pass over the shared tokenized table builds the
+  // per-(doc, bucket) counts; the model is B rows (broadcast), the
+  // totals are 1-row cross joins, and the per-doc reduce is a keyed
+  // agg — no corpus-sized join anywhere. Exactness: the smoothed
+  // ratio is ONE exact rational — (ct+1)(Nr+B) / ((cr+1)(Nt+B)) —
+  // whose count products scale as N², so both sides route through
+  // DECIMAL(38,0)/HUGEINT (q98's rule) before the one
+  // correctly-rounded DOUBLE divide and ln; the ≤B-term per-doc sum
+  // is order-wobbly and absorbed by round(·, 6); ties in the rounded
+  // score break on doc_id.
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val tok = TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
+      .withColumn("b", expr(
+        s"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), $B)"))
+    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n")).cache()
+    val raw = db.groupBy("b").agg(sum("n").as("cr"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val lam = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(raw.agg(sum("cr").as("nr"))))
+      .crossJoin(broadcast(tgt.agg(sum("ct").as("nt"))))
+      .withColumn("lam", expr(
+        s"""ln(CAST(CAST(ct + 1 AS DECIMAL(38,0)) * (nr + $B) AS DOUBLE) /
+           |   CAST(CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $B) AS DOUBLE))"""
+          .stripMargin))
+      .select("b", "lam")
+    db.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(round(sum(expr("n * lam")), 6).as("dsir_score"))
+      .join(T.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang")), Seq("doc_id"))
+      .select("doc_id", "source", "lang", "dsir_score")
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(15)
+  }
+
+  private val q124Sql =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS b
+       |  FROM (SELECT doc_id, lang, unnest(${TextAnalysis.toksD}) AS t
+       |        FROM documents)),
+       |db AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY 1, 2),
+       |raw AS (SELECT b, SUM(n) AS cr FROM db GROUP BY 1),
+       |tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en'
+       |        GROUP BY 1),
+       |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+       |               (SELECT SUM(ct) FROM tgt) AS nt),
+       |lam AS (
+       |  SELECT r.b,
+       |    ln(CAST(CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT) * (nr + 64)
+       |          AS DOUBLE) /
+       |       CAST(CAST(r.cr + 1 AS HUGEINT) * (nt + 64) AS DOUBLE)) AS lam
+       |  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot),
+       |sc AS (
+       |  SELECT d.doc_id, round(SUM(d.n * l.lam), 6) AS dsir_score
+       |  FROM db d JOIN lam l ON l.b = d.b GROUP BY 1)
+       |SELECT sc.doc_id, dd.source, dd.lang, sc.dsir_score
+       |FROM sc JOIN documents dd ON dd.doc_id = sc.doc_id
+       |ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 15""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
@@ -517,7 +592,8 @@ object PipelineOps extends QueryModule {
     "q99_window_dedup" -> (q99 _),
     "q101_cohort_retention" -> (q101 _),
     "q102_conversion_lag" -> (q102 _),
-    "q110_token_budget" -> (q110 _))
+    "q110_token_budget" -> (q110 _),
+    "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
@@ -530,5 +606,6 @@ object PipelineOps extends QueryModule {
     "q99_window_dedup" -> q99Sql,
     "q101_cohort_retention" -> q101Sql,
     "q102_conversion_lag" -> q102Sql,
-    "q110_token_budget" -> q110Sql)
+    "q110_token_budget" -> q110Sql,
+    "q124_dsir_weights" -> q124Sql)
 }
