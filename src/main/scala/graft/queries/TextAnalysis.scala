@@ -480,7 +480,88 @@ object TextAnalysis extends QueryModule {
        |WHERE rk <= 3
        |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q125 — BPE merge training (graft.operators.Bpe): the first 3
+  // byte-pair merges over the corpus vocabulary, Sennrich et al.
+  // greedy semantics — the actual tokenizer-construction step that
+  // q98's PMI mining only nominates candidates for. Each round is
+  // one lead-window + one keyed agg over the VOCABULARY (not the
+  // corpus), a 1-row TakeOrderedAndProject best-pair collect (the
+  // Lloyd-loop discipline), and a window-only merge application
+  // (greedy non-overlap = odd offsets within runs of consecutive
+  // matches; see Bpe.scala — no self-join, no driver data). The
+  // oracle unrolls the same three rounds as SQL windows, so the
+  // run-parity formulation itself is cross-engine certified.
+  // Exactness: integer count sums; count ties break on (a, b) —
+  // ASCII-only tokens, identical collation.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = tokenized(s, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val (merges, _) = graft.operators.Bpe.train(vocab, steps = 3)
+    merges.toDF().select("step", "merge_left", "merge_right", "cnt")
+      .orderBy("step")
+  }
+
+  /** One BPE round as a DuckDB CTE block: pair counts from `sIn`,
+    * best pair `bK`, merged symbols `sOut` (the Spark windows,
+    * verbatim in SQL).
+    */
+  private def bpeRoundSql(k: Int, sIn: String): String =
+    s"""p$k AS (
+       |  SELECT w, n, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
+       |  FROM $sIn),
+       |b$k AS (
+       |  SELECT sym AS a, nsym AS b, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM p$k WHERE nsym IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$k AS (
+       |  SELECT p.w, p.n, p.pos, p.sym, p.nsym,
+       |    (p.sym = b$k.a AND p.nsym = b$k.b) AS m
+       |  FROM p$k p CROSS JOIN b$k),
+       |r$k AS (
+       |  SELECT *, CASE WHEN m THEN pos - COUNT(CASE WHEN m THEN 1 END)
+       |    OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |    END AS rk
+       |  FROM m$k),
+       |k$k AS (
+       |  SELECT *, CASE WHEN m THEN ROW_NUMBER()
+       |    OVER (PARTITION BY w, rk ORDER BY pos) END AS off
+       |  FROM r$k),
+       |g$k AS (
+       |  SELECT *, (m AND off % 2 = 1) AS keep,
+       |    COALESCE(LAG(m AND off % 2 = 1)
+       |      OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+       |  FROM k$k),
+       |s${k + 1} AS (
+       |  SELECT w, n, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |    CASE WHEN keep THEN sym || nsym ELSE sym END AS sym
+       |  FROM g$k WHERE NOT consumed)""".stripMargin
+
+  private val q125Sql =
+    s"""WITH v AS (
+       |  SELECT t AS w, COUNT(*) AS n
+       |  FROM (SELECT unnest($toksD) AS t FROM documents) GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, n,
+       |    generate_subscripts(string_split(w, ''), 1) AS pos,
+       |    unnest(string_split(w, '')) AS sym
+       |  FROM v),
+       |${bpeRoundSql(0, "s0")},
+       |${bpeRoundSql(1, "s1")},
+       |${bpeRoundSql(2, "s2")}
+       |SELECT * FROM (
+       |  SELECT 1 AS step, a AS merge_left, b AS merge_right, cnt FROM b0
+       |  UNION ALL
+       |  SELECT 2, a, b, cnt FROM b1
+       |  UNION ALL
+       |  SELECT 3, a, b, cnt FROM b2)
+       |ORDER BY step""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_bpe_merges" -> (q125 _),
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
     "q23_quality_score" -> (q23 _),
@@ -493,6 +574,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q125_bpe_merges" -> q125Sql,
     "q21_token_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,
     "q23_quality_score" -> q23Sql,

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge training: the window-only relational merge application
+  * must equal the textbook sequential fold (greedy left-to-right
+  * non-overlapping), and the trainer must reproduce a hand-checked
+  * example.
+  */
+class BpeSpec extends AnyFunSuite with SharedSpark {
+
+  /** Reference semantics: one greedy left-to-right pass. */
+  private def foldMerge(syms: List[String], a: String, b: String)
+      : List[String] = syms match {
+    case x :: y :: rest if x == a && y == b =>
+      (a + b) :: foldMerge(rest, a, b)
+    case x :: rest => x :: foldMerge(rest, a, b)
+    case Nil => Nil
+  }
+
+  test("hand-checked example: 'aaab bab' style corpus") {
+    implicit val s = spark
+    import s.implicits._
+    // vocab: aaab x3, ab x2, ba x1 — pairs: aa:6(w1 has 2 per word? no:
+    // positions (a,a),(a,a),(a,b) per 'aaab') => aa: 2*3=6, ab: 3+2=5,
+    // ba: 1. Best = aa. After merge: aaab -> [aa,a,b] (greedy), pairs:
+    // (aa,a):3, (a,b):3+2=5, (b,a):1 -> best ab.
+    val vocab = Seq(("aaab", 3L), ("ab", 2L), ("ba", 1L)).toDF("w", "n")
+    val (merges, fin) = Bpe.train(vocab, steps = 2)
+    assert(merges.map(m => (m.step, m.merge_left, m.merge_right, m.cnt)) ==
+      Seq((1, "a", "a", 6L), (2, "a", "b", 5L)))
+    val aaab = fin.filter(col("w") === "aaab").orderBy("pos")
+      .select("sym").collect().map(_.getString(0)).toSeq
+    assert(aaab == Seq("aa", "ab"))
+    val ba = fin.filter(col("w") === "ba").orderBy("pos")
+      .select("sym").collect().map(_.getString(0)).toSeq
+    assert(ba == Seq("b", "a"))
+  }
+
+  test("property: relational merge application == sequential fold") {
+    implicit val s = spark
+    import s.implicits._
+    // adversarial alphabet of 2 symbols so overlapping runs (aaaa...)
+    // and interleavings (abab...) occur constantly; every length-<=6
+    // binary word plus a seeded random batch of longer ones
+    val rnd = new scala.util.Random(42)
+    val exhaustive = (1 to 6).flatMap(len =>
+      (0 until (1 << len)).map(bits =>
+        (0 until len).map(i => if ((bits >> i & 1) == 0) "a" else "b")
+          .mkString))
+    val longer = Seq.fill(40)(
+      Seq.fill(7 + rnd.nextInt(10))(if (rnd.nextBoolean()) "a" else "b")
+        .mkString)
+    val words = (exhaustive ++ longer).distinct
+    val vocab = words.map(w => (w, 1L)).toDF("w", "n")
+    val (merges, fin) = Bpe.train(vocab, steps = 2)
+    // replay the reported merges with the reference fold
+    val expected = words.map { w =>
+      val after = merges.foldLeft(w.map(_.toString).toList) {
+        (syms, m) => foldMerge(syms, m.merge_left, m.merge_right)
+      }
+      w -> after
+    }.toMap
+    val got = fin.select("w", "pos", "sym").orderBy("w", "pos")
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toList)
+      .toMap
+    assert(got == expected)
+  }
+}
