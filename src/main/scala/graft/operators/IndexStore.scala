@@ -148,6 +148,31 @@ object IndexStore {
     } finally fs.delete(stagingPath, true)
   }
 
+  /** Operational DESCRIBE of a persisted index: per-cell code count,
+    * file count, and bytes — the health table the maintenance loop
+    * reads to decide [[append]]/[[delete]]/[[compact]]/retrain (file
+    * fan-out → compact; occupancy skew vs q106's drift gate →
+    * retrain). The code counts come from one cell-keyed aggregate
+    * over the (column-pruned) code scan; the file/byte columns are a
+    * driver listing — O(cells + files) METADATA, never data.
+    */
+  def stats(s: SparkSession, out: String): DataFrame = {
+    import s.implicits._
+    val counts = loadCodes(s, out)
+      .groupBy("cell").agg(count(lit(1)).as("n_codes"))
+    val root = new org.apache.hadoop.fs.Path(s"$out/codes")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val parts = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        (d.getPath.getName.drop(5).toInt, parts.length.toLong,
+          parts.map(_.getLen).sum)
+      }.toDF("cell", "n_files", "bytes")
+    counts.join(files, Seq("cell")).orderBy("cell")
+  }
+
   /** The cell-partitioned code table; filter on `cell` before use so
     * partition pruning cuts the scan to the probed directories.
     */

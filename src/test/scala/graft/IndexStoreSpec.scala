@@ -200,6 +200,23 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       // idempotent: a second compact is a no-op on the file layout
       IndexStore.compact(spark, out)
       assert(files() == after)
+
+      // stats: the DESCRIBE table agrees with the data and the disk
+      val st = IndexStore.stats(spark, out).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val wantCounts = IndexStore.loadCodes(spark, out)
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(st.keySet == files().keySet)
+      st.foreach { case (cell, (nCodes, nFiles, bytes)) =>
+        assert(nCodes == wantCounts(cell), s"cell=$cell codes")
+        assert(nFiles == files()(cell).size.toLong, s"cell=$cell files")
+        assert(bytes ==
+          new java.io.File(s"$out/codes/cell=$cell").listFiles
+            .filter(_.getName.startsWith("part-")).map(_.length).sum,
+          s"cell=$cell bytes")
+      }
       encoded.unpersist()
     } finally c.unpersist()
   }
