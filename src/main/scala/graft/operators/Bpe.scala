@@ -42,43 +42,69 @@ object Bpe {
   case class Merge(step: Int, merge_left: String, merge_right: String,
     cnt: Long)
 
+  private val wWin = Window.partitionBy("w").orderBy("pos")
+
+  /** Initial symbolization: one row per character of each word. */
+  private def explodeChars(vocab: DataFrame): DataFrame = vocab
+    .select(col("w"), col("n"),
+      posexplode(expr("split(w, '')")).as(Seq("pos0", "sym")))
+    .withColumn("pos", col("pos0") + 1).drop("pos0")
+
+  /** Symbol rows with the successor symbol alongside. */
+  private def paired(rows: DataFrame): DataFrame =
+    rows.withColumn("nsym", lead("sym", 1).over(wWin))
+
+  /** Greedy left-to-right non-overlapping application of ONE merge
+    * (see the object scaladoc for the run-parity argument).
+    */
+  private def applyMerge(p: DataFrame, a: String, b: String): DataFrame = p
+    .withColumn("m", col("sym") === lit(a) && col("nsym") === lit(b))
+    .withColumn("rk", when(col("m"), col("pos") -
+      count(when(col("m"), 1))
+        .over(wWin.rowsBetween(Window.unboundedPreceding, 0))))
+    .withColumn("off", when(col("m"),
+      row_number().over(Window.partitionBy("w", "rk").orderBy("pos"))))
+    .withColumn("keep", col("m") && col("off") % 2 === 1)
+    .withColumn("consumed",
+      coalesce(lag("keep", 1).over(wWin), lit(false)))
+    .filter(!col("consumed"))
+    .select(col("w"), col("n"),
+      row_number().over(wWin).as("pos"),
+      when(col("keep"), concat(col("sym"), col("nsym")))
+        .otherwise(col("sym")).as("sym"))
+
   /** Train `steps` merges over `vocab` (columns `w`, `n`). Returns
     * the merge table (driver-side, `steps` rows — model-sized) and
     * the final symbolized vocabulary (w, n, pos, sym).
     */
   def train(vocab: DataFrame, steps: Int)
       : (Seq[Merge], DataFrame) = {
-    val wWin = Window.partitionBy("w").orderBy("pos")
-    var rows = vocab
-      .select(col("w"), col("n"),
-        posexplode(expr("split(w, '')")).as(Seq("pos0", "sym")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
-      .localCheckpoint()
+    var rows = explodeChars(vocab).localCheckpoint()
     val merges = (1 to steps).map { step =>
-      val paired = rows.withColumn("nsym", lead("sym", 1).over(wWin))
-      val bestRow = paired.filter(col("nsym").isNotNull)
+      val p = paired(rows)
+      val bestRow = p.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum("n").as("cnt"))
         .orderBy(desc("cnt"), col("sym"), col("nsym"))
         .limit(1).collect()(0)
       val (a, b) = (bestRow.getString(0), bestRow.getString(1))
-      val applied = paired
-        .withColumn("m", col("sym") === lit(a) && col("nsym") === lit(b))
-        .withColumn("rk", when(col("m"), col("pos") -
-          count(when(col("m"), 1))
-            .over(wWin.rowsBetween(Window.unboundedPreceding, 0))))
-        .withColumn("off", when(col("m"),
-          row_number().over(Window.partitionBy("w", "rk").orderBy("pos"))))
-        .withColumn("keep", col("m") && col("off") % 2 === 1)
-        .withColumn("consumed",
-          coalesce(lag("keep", 1).over(wWin), lit(false)))
-        .filter(!col("consumed"))
-        .select(col("w"), col("n"),
-          row_number().over(wWin).as("pos"),
-          when(col("keep"), concat(col("sym"), col("nsym")))
-            .otherwise(col("sym")).as("sym"))
-      rows = applied.localCheckpoint()
+      rows = applyMerge(p, a, b).localCheckpoint()
       Merge(step, a, b, bestRow.getLong(2))
     }
     (merges, rows)
   }
+
+  /** INFERENCE: segment new words under an already-trained merge
+    * table — merges apply in training order (Sennrich's tokenizer
+    * semantics), each through the same window formulation training
+    * used, so train-time and serve-time segmentation cannot drift.
+    * No driver data beyond the model itself; new-word streams
+    * segment with `steps` window passes over (w, pos, sym) rows.
+    * Returns (w, n, pos, sym).
+    */
+  def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.step).foldLeft(explodeChars(vocab).localCheckpoint()) {
+      (rows, m) =>
+        applyMerge(paired(rows), m.merge_left, m.merge_right)
+          .localCheckpoint()
+    }
 }

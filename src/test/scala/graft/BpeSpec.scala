@@ -68,5 +68,21 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toList)
       .toMap
     assert(got == expected)
+
+    // inference: segmenting UNSEEN words under the trained merges
+    // equals the fold replay — train-time and serve-time agree
+    val unseen = Seq("aabbaabb", "bbbbbbb", "abba", "a", "b")
+      .filterNot(words.contains)
+    val seg = Bpe.segment(unseen.map(w => (w, 1L)).toDF("w", "n"), merges)
+      .select("w", "pos", "sym").orderBy("w", "pos")
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toList)
+      .toMap
+    unseen.foreach { w =>
+      val want = merges.foldLeft(w.map(_.toString).toList) {
+        (syms, m) => foldMerge(syms, m.merge_left, m.merge_right)
+      }
+      assert(seg(w) == want, s"segment($w)")
+    }
   }
 }
