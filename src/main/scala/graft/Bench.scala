@@ -50,11 +50,14 @@ object Bench {
     }
     retimed.foreach { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
+      // append the extra timing ONLY on success: a fast failure's
+      // time-to-exception must not become the query's official min
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        byQ(name) = byQ(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench-retime] $name failed: $e")
       }
-      byQ(name) = byQ(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { n => n -> byQ(n).min }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -24,19 +24,12 @@ object IndexMaintBench {
       println(f"[maint] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val corpus = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr(
-        """CAST(transform(embedding,
-          | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-          | AS ARRAY<DOUBLE>)""".stripMargin).as("embedding"))
+    val corpus = graft.operators.FixedModel.quantizedCast(spark, dir)
     val n = corpus.count()
     println(s"[maint] corpus $dir: $n vectors")
-    val cents = corpus.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
-      .orderBy("vec_id").select("embedding")
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
-    val m = 4; val subDim = 16
-    val codebooks = (0 until m).map(j =>
-      cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    val cents = graft.operators.FixedModel.centroids(corpus,
+      Seq(0L, 10L, 20L, 30L))
+    val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
 
     val encoded = timed("encode (assign + pq, materialized)") {
       val e = Pq.encode(Ivf.assign(corpus, cents, "embedding"), codebooks,

@@ -80,17 +80,27 @@ object Bpe {
   def train(vocab: DataFrame, steps: Int)
       : (Seq[Merge], DataFrame) = {
     var rows = explodeChars(vocab).localCheckpoint()
-    val merges = (1 to steps).map { step =>
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val p = paired(rows)
-      val bestRow = p.filter(col("nsym").isNotNull)
+      // headOption, not (0): a vocabulary of single-symbol words has
+      // no adjacent pair left — stop with the merges found so far
+      // rather than crash on an empty collect
+      p.filter(col("nsym").isNotNull)
         .groupBy("sym", "nsym").agg(sum("n").as("cnt"))
         .orderBy(desc("cnt"), col("sym"), col("nsym"))
-        .limit(1).collect()(0)
-      val (a, b) = (bestRow.getString(0), bestRow.getString(1))
-      rows = applyMerge(p, a, b).localCheckpoint()
-      Merge(step, a, b, bestRow.getLong(2))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(bestRow) =>
+          val (a, b) = (bestRow.getString(0), bestRow.getString(1))
+          rows = applyMerge(p, a, b).localCheckpoint()
+          merges += Merge(step, a, b, bestRow.getLong(2))
+          step += 1
+      }
     }
-    (merges, rows)
+    (merges.result(), rows)
   }
 
   /** INFERENCE: segment new words under an already-trained merge

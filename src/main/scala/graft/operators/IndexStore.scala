@@ -81,6 +81,11 @@ object IndexStore {
     * is explicit). Untouched cell directories keep their original
     * files byte-for-byte (pinned by IndexStoreSpec), so a 1-cell
     * delete on a k-cell index rewrites 1/k of the codes.
+    *
+    * A delete that would empty EVERY cell refuses loudly: a zero-file
+    * `codes/` directory is unreadable (parquet schema inference has
+    * nothing to read), so "remove everything" is a drop-the-index
+    * operation, not a delete.
     */
   def delete(s: SparkSession, out: String, tombstones: DataFrame,
       idCol: String = "vec_id"): Unit = {
@@ -95,6 +100,26 @@ object IndexStore {
     val staging = s"$out/codes_staging_${java.util.UUID.randomUUID}"
     survivors.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(s"$out/codes")
+    val rootFs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val allCells = rootFs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.drop(5))
+    val stagedCells = {
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      if (rootFs.exists(sp)) rootFs.listStatus(sp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(_.getPath.getName.drop(5))
+      else Seq.empty
+    }
+    val affectedNames = affected.map(_.toString)
+    if (stagedCells.isEmpty && affectedNames.toSet == allCells.toSet) {
+      rootFs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw new IllegalArgumentException(
+        "IndexStore.delete: tombstones cover every resident vector — " +
+          "an empty codes/ layout is unreadable; drop and rebuild the " +
+          "index instead")
+    }
     val conf = s.sparkContext.hadoopConfiguration
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val fs = stagingPath.getFileSystem(conf)
@@ -112,16 +137,19 @@ object IndexStore {
     * per touched cell, and a year of ingest turns the probed read's
     * nProbe directory scans into nProbe × thousands of file opens.
     * Compaction rewrites each cell whose file count exceeds
-    * `maxFilesPerCell` into `filesPerCell` files (same staging +
-    * per-cell swap as [[delete]], so cells already within budget keep
-    * their exact files and readers never see a half-compacted cell).
-    * Content is preserved row-for-row — codes are unordered within a
-    * cell (search is a full probed-cell scan), so no order contract
-    * exists to violate; IndexStoreSpec pins multiset equality and
-    * search equality.
+    * `maxFilesPerCell` into ONE file (same staging + per-cell swap
+    * as [[delete]], so cells already within budget keep their exact
+    * files and readers never see a half-compacted cell). The rewrite
+    * is `repartition(col("cell"))` — cells hash across the session's
+    * shuffle partitions, so different cells compact in PARALLEL and
+    * each writes exactly one file (a single-valued hash key yields
+    * one partition per cell). Content is preserved row-for-row —
+    * codes are unordered within a cell (search is a full probed-cell
+    * scan), so no order contract exists to violate; IndexStoreSpec
+    * pins multiset equality and search equality.
     */
-  def compact(s: SparkSession, out: String, maxFilesPerCell: Int = 4,
-      filesPerCell: Int = 1): Unit = {
+  def compact(s: SparkSession, out: String, maxFilesPerCell: Int = 4)
+      : Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$out/codes")
     val fs = root.getFileSystem(conf)
@@ -135,7 +163,7 @@ object IndexStore {
     val staging = s"$out/codes_staging_${java.util.UUID.randomUUID}"
     loadCodes(s, out) // Int-typed isin keeps the read partition-pruned
       .filter(col("cell").isin(oversized.map(Integer.valueOf): _*))
-      .repartition(filesPerCell, col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     try oversized.foreach { c =>

@@ -1014,6 +1014,22 @@ object SimSearch extends QueryModule {
   // probed cells). Hash-matched against q103's oracle: persistence
   // must be invisible to results. The probed-cell collect is
   // |queries|·nProbe values — model-sized.
+  /** Session-scoped on-disk index for the persisted-search twins:
+    * created once per (application, sf dir) and removed on JVM exit —
+    * repeated bench/driver runs must not accumulate index copies in
+    * the temp dir.
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   private val q117Index =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1023,12 +1039,11 @@ object SimSearch extends QueryModule {
     */
   private def ivfPqParts(s: SparkSession, dir: String)
       : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    val m = 4; val subDim = 16
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
     val cents = fixedCentroids(s, dir)
-    val codebooks = (0 until m).map(j =>
-      cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+    // slicing convention shared with the specs/bench harnesses
+    val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
     (corpus, cents, codebooks)
   }
 
@@ -1070,8 +1085,7 @@ object SimSearch extends QueryModule {
     val out = q117Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
         val (_, cents, codebooks) = ivfPqParts(s, dir)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q117-index").toString
+        val path = tempIndexDir("graft-q117-index")
         graft.operators.IndexStore.save(encodedIvfPq(s, dir), cents,
           codebooks, path)
         path
@@ -1102,8 +1116,7 @@ object SimSearch extends QueryModule {
         // encoding each half separately
         def half(even: Boolean) = encodedIvfPq(s, dir).filter(
           if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q121-index").toString
+        val path = tempIndexDir("graft-q121-index")
         graft.operators.IndexStore.save(half(even = true),
           cents, codebooks, path)
         graft.operators.IndexStore.append(half(even = false), path)
@@ -1131,8 +1144,7 @@ object SimSearch extends QueryModule {
     val out = q122Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
         val (_, cents, codebooks) = ivfPqParts(s, dir)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-q122-index").toString
+        val path = tempIndexDir("graft-q122-index")
         graft.operators.IndexStore.save(encodedIvfPq(s, dir), cents,
           codebooks, path)
         graft.operators.IndexStore.delete(s, path,

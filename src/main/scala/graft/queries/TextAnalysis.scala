@@ -504,7 +504,11 @@ object TextAnalysis extends QueryModule {
     String, (Seq[graft.operators.Bpe.Merge], DataFrame)]()
 
   private def bpeTrained(s: SparkSession, dir: String)
-      : (Seq[graft.operators.Bpe.Merge], DataFrame) =
+      : (Seq[graft.operators.Bpe.Merge], DataFrame) = {
+    // drop entries whose session died — they pin checkpointed RDD
+    // state (the CachedPlans eviction rule)
+    bpeMemo.entrySet().removeIf(
+      e => e.getValue._2.sparkSession.sparkContext.isStopped)
     bpeMemo.computeIfAbsent(
       s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
@@ -513,6 +517,7 @@ object TextAnalysis extends QueryModule {
           .groupBy("w").agg(count(lit(1)).as("n"))
         graft.operators.Bpe.train(vocab, steps = 3)
       })
+  }
 
   private def q125(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -258,6 +258,13 @@ object Tier2 {
                 val numPasses = readNumPasses(in)
                 var lblock = 3
                 while (in.bit() == 1) lblock += 1
+                // a conforming encoder cannot need >31 length bits;
+                // corrupt 1-run garbage otherwise inflates lblock
+                // until bits() shifts wrap
+                require(lblock + floorLog2(numPasses) <= 31,
+                  s"JP2 tier-2: Lblock signalling ran away " +
+                    s"(lblock=$lblock, numPasses=$numPasses) — corrupt " +
+                    "packet header")
                 val len = in.bits(lblock + floorLog2(numPasses))
                 perBlock += ((sb, cb, zeroBp, numPasses, len))
               }
@@ -278,8 +285,12 @@ object Tier2 {
       if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
           (data(pos + 1) & 0xff) == 0x92) pos += 2
       for ((sb, cb, zbp, np, len) <- perBlock.result()) {
-        require(len >= 0 && pos + len <= data.length,
-          s"JP2 tier-2: code-block segment [${pos}, ${pos + len}) " +
+        // Long arithmetic: a corrupt header can decode len near
+        // Int.MaxValue, and `pos + len` would wrap negative and slip
+        // PAST an Int comparison — the exact corruption this guard
+        // exists to catch.
+        require(len >= 0 && pos.toLong + len <= data.length,
+          s"JP2 tier-2: code-block segment [${pos}, ${pos.toLong + len}) " +
             s"exceeds codestream length ${data.length} (corrupt or " +
             "truncated packet header)")
         out += BlockContribution(sb, cb, zbp, np, pos, pos + len)

@@ -15,27 +15,41 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Idempotence: `foreachBatch` is at-least-once — after a restart
   * Spark replays the last uncommitted batch. A replayed append would
   * duplicate codes (and silently skew ADC top-k), so each batch
-  * commits through a marker log: `out/_ingest_log/<batchId>` is
-  * written AFTER the append, and a batch whose marker exists is
-  * skipped. This closes the restart-replay path (the common failure);
-  * the residual crash window between append and marker needs a
-  * transactional table format, which plain parquet does not offer —
-  * callers needing that guarantee should ingest into a staging table
-  * and compact. Scale: per batch, one exchange on cell (the
+  * commits through a marker log written AFTER the append; a batch
+  * whose marker exists is skipped. Markers are keyed by
+  * (stream token, batchId), where the token derives from the
+  * CHECKPOINT location: a restart of the same stream (same
+  * checkpoint, where Spark resumes batch numbering) hits the same
+  * token and replays are skipped, while a NEW stream into the same
+  * index (fresh checkpoint — Structured Streaming restarts batchIds
+  * at 0) gets a fresh token and its early batches are NOT mistaken
+  * for the old stream's. Keying by batchId alone would turn
+  * checkpoint loss into silent data loss. The residual crash window
+  * between append and marker needs a transactional table format,
+  * which plain parquet does not offer — callers needing that
+  * guarantee should ingest into a staging table and compact. Scale:
+  * per batch, one exchange on cell (the
   * [[graft.operators.IndexStore.append]] discipline) and one marker
   * touch; the model stays a broadcast-sized closure.
   */
 object StreamingIndexIngest {
 
-  /** Encode + append one micro-batch, skipping batch ids already in
-    * the commit log. Factored out of [[start]] so replay semantics
-    * are testable without crashing a real stream.
+  /** Stable per-stream token: same checkpoint → same token across
+    * restarts; different checkpoint → different token.
+    */
+  def streamToken(checkpoint: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
+  /** Encode + append one micro-batch, skipping (token, batchId)
+    * pairs already in the commit log. Factored out of [[start]] so
+    * replay semantics are testable without crashing a real stream.
     */
   def ingestBatch(batch: DataFrame, batchId: Long, cents: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]], out: String,
+      codebooks: Seq[Seq[Seq[Double]]], out: String, token: String,
       vecCol: String = "embedding"): Boolean = {
     val s = batch.sparkSession
-    val log = new org.apache.hadoop.fs.Path(s"$out/_ingest_log/$batchId")
+    val log = new org.apache.hadoop.fs.Path(s"$out/_ingest_log/$token-$batchId")
     val fs = log.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(log)) false
     else {
@@ -55,11 +69,13 @@ object StreamingIndexIngest {
     */
   def start(vectors: DataFrame, cents: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]], out: String, checkpoint: String,
-      vecCol: String = "embedding"): StreamingQuery =
+      vecCol: String = "embedding"): StreamingQuery = {
+    val token = streamToken(checkpoint)
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, batchId, cents, codebooks, out, vecCol); ()
+        ingestBatch(batch, batchId, cents, codebooks, out, token, vecCol); ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

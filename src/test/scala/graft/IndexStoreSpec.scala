@@ -13,21 +13,14 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def corpus = Tables.embeddings(spark, dir)
-    .select(col("vec_id"), expr(
-      """CAST(transform(embedding,
-        | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-        | AS ARRAY<DOUBLE>)""".stripMargin).as("embedding"))
+  private def corpus = graft.operators.FixedModel.quantizedCast(spark, dir)
 
   test("save -> load -> search is bit-identical to the in-session path") {
     val c = corpus.cache()
     try {
-      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      val m = 4; val subDim = 16
-      val codebooks = (0 until m).map(j =>
-        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
       val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
         "embedding")
       val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
@@ -72,12 +65,9 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       "rebuild; a fully-tombstoned cell's directory is removed") {
     val c = corpus.cache()
     try {
-      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      val m = 4; val subDim = 16
-      val codebooks = (0 until m).map(j =>
-        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
       val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
         "embedding")
       val out = java.nio.file.Files
@@ -130,6 +120,17 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       // deleting ids absent from the index is a no-op
       IndexStore.delete(spark, out, Seq(999999L).toDF("vec_id"))
       assert(cellFiles() == after)
+
+      // a delete that would empty EVERY remaining cell refuses loudly
+      // (an empty codes/ layout is unreadable) and changes nothing
+      val remaining = IndexStore.loadCodes(spark, out)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val ex = intercept[IllegalArgumentException] {
+        IndexStore.delete(spark, out, remaining.toDF("vec_id"))
+      }
+      assert(ex.getMessage.contains("drop and rebuild"))
+      assert(cellFiles() == after)
+      assert(IndexStore.loadCodes(spark, out).count() == remaining.length)
     } finally c.unpersist()
   }
 
@@ -137,12 +138,9 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       "and search results") {
     val c = corpus.cache()
     try {
-      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      val m = 4; val subDim = 16
-      val codebooks = (0 until m).map(j =>
-        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
       val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
         "embedding").cache()
       val out = java.nio.file.Files

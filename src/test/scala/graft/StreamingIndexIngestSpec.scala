@@ -21,11 +21,7 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def corpus = Tables.embeddings(spark, dir)
-    .select(col("vec_id"), expr(
-      """CAST(transform(embedding,
-        | x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-        | AS ARRAY<DOUBLE>)""".stripMargin).as("embedding"))
+  private def corpus = graft.operators.FixedModel.quantizedCast(spark, dir)
 
   
 
@@ -35,12 +31,9 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
     implicit val sqlCtx = spark.sqlContext
     val c = corpus.cache()
     try {
-      val cents = c.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
-        .orderBy("vec_id").select("embedding")
-        .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      val m = 4; val subDim = 16
-      val codebooks = (0 until m).map(j =>
-        cents.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
       val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
         nProbe = 2)
       def search(codes: org.apache.spark.sql.DataFrame) =
@@ -79,10 +72,13 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
         codebooks, "embedding"))
       assert(search(IndexStore.loadCodes(spark, out)) == full)
 
-      // at-least-once replay: re-running an already-committed batch id
-      // is skipped by the commit log — codes do not duplicate
+      // at-least-once replay: re-running an already-committed
+      // (stream, batchId) is skipped by the commit log — codes do
+      // not duplicate
+      val token = StreamingIndexIngest.streamToken(ck)
       val replay = StreamingIndexIngest.ingestBatch(
-        wave2.toIndexedSeq.toDF(), batchId = 1L, cents, codebooks, out)
+        wave2.toIndexedSeq.toDF(), batchId = 1L, cents, codebooks, out,
+        token)
       assert(!replay)
       assert(search(IndexStore.loadCodes(spark, out)) == full)
       // counts, not just top-k: no row was appended twice
@@ -91,9 +87,19 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
       // a genuinely new batch id still lands
       val extra = StreamingIndexIngest.ingestBatch(
         Seq(IngestVec(9000L, all.head.embedding)).toDF(), batchId = 99L,
-        cents, codebooks, out)
+        cents, codebooks, out, token)
       assert(extra)
       assert(IndexStore.loadCodes(spark, out).count() == all.length + 1)
+
+      // a NEW stream (fresh checkpoint) restarts batch numbering at
+      // 0 — its batches must NOT be mistaken for the old stream's
+      // committed ids (markers are keyed per stream token)
+      val fresh = StreamingIndexIngest.ingestBatch(
+        Seq(IngestVec(9001L, all.head.embedding)).toDF(), batchId = 0L,
+        cents, codebooks, out,
+        StreamingIndexIngest.streamToken(s"$ck-second-run"))
+      assert(fresh)
+      assert(IndexStore.loadCodes(spark, out).count() == all.length + 2)
     } finally c.unpersist()
   }
 }
