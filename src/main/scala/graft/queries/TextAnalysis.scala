@@ -627,7 +627,54 @@ object TextAnalysis extends QueryModule {
        |    / CAST(SUM(n) AS BIGINT) AS compression
        |FROM s3""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q127 — shard packing under the TRAINED tokenizer: q52's
+  // per-language token-budget packing, but budgeted by the document's
+  // ACTUAL piece count under q125's merge table instead of the regex
+  // token proxy — context-length budgets are denominated in tokenizer
+  // pieces, so this is the number a training-data release actually
+  // packs by. Pieces per word come from the memoized symbolized
+  // vocabulary (one keyed agg); the corpus join is word-equi (vocab
+  // grows with the corpus → no broadcast hint, q79's rule); packing
+  // is TrainingData.packShards — the certified production window
+  // (hashpartitioning(lang), no single-task funnel). Exactness:
+  // integer counts end to end; the shard rule floor((cum-n)/budget)
+  // is q52's certified fragment verbatim.
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val (_, fin) = bpeTrained(s, dir)
+    val ppw = fin.groupBy("w").agg(count(lit(1)).as("ppw"))
+    val docPieces = tokenized(s, dir)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+      .join(ppw, Seq("w"))
+      .groupBy("doc_id", "lang").agg(sum("ppw").as("n_tok"))
+    TrainingData.packShards(docPieces, Seq("lang"), "doc_id")
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pieces"))
+      .orderBy("lang", "shard")
+  }
+
+  private val q127Sql =
+    s"""$bpeCtesSql,
+       |ppw AS (SELECT w, COUNT(*) AS ppw FROM s3 GROUP BY 1),
+       |docp AS (
+       |  SELECT doc_id, lang, CAST(SUM(ppw) AS BIGINT) AS n_tok
+       |  FROM (SELECT doc_id, lang, unnest($toksD) AS w FROM documents) t
+       |  JOIN ppw USING (w) GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(floor((cum - n_tok) / 4000) AS BIGINT) AS shard
+       |  FROM (
+       |    SELECT lang, doc_id, n_tok,
+       |      SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM docp))
+       |SELECT lang, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS pieces
+       |FROM packed GROUP BY 1, 2
+       |ORDER BY lang, shard""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_bpe_pack" -> (q127 _),
     "q125_bpe_merges" -> (q125 _),
     "q126_bpe_compression" -> (q126 _),
     "q21_token_stats" -> (q21 _),
@@ -642,6 +689,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q127_bpe_pack" -> q127Sql,
     "q125_bpe_merges" -> q125Sql,
     "q126_bpe_compression" -> q126Sql,
     "q21_token_stats" -> q21Sql,
