@@ -540,9 +540,13 @@ object TextAnalysis extends QueryModule {
        |  FROM p$k WHERE nsym IS NOT NULL GROUP BY 1, 2
        |  ORDER BY cnt DESC, a, b LIMIT 1),
        |m$k AS (
+       |  -- LEFT join, not CROSS: an EXHAUSTED round (empty b$k — the
+       |  -- vocabulary has no adjacent pair left) must be a no-op that
+       |  -- passes the symbols through, exactly like Bpe.train's early
+       |  -- stop, not empty the corpus
        |  SELECT p.w, p.n, p.pos, p.sym, p.nsym,
-       |    (p.sym = b$k.a AND p.nsym = b$k.b) AS m
-       |  FROM p$k p CROSS JOIN b$k),
+       |    COALESCE(p.sym = b$k.a AND p.nsym = b$k.b, FALSE) AS m
+       |  FROM p$k p LEFT JOIN b$k ON TRUE),
        |r$k AS (
        |  SELECT *, CASE WHEN m THEN pos - COUNT(CASE WHEN m THEN 1 END)
        |    OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
@@ -643,10 +647,17 @@ object TextAnalysis extends QueryModule {
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val (_, fin) = bpeTrained(s, dir)
     val ppw = fin.groupBy("w").agg(count(lit(1)).as("ppw"))
-    val docPieces = tokenized(s, dir)
-      .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+    val summed = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
       .join(ppw, Seq("w"))
-      .groupBy("doc_id", "lang").agg(sum("ppw").as("n_tok"))
+      .groupBy("doc_id").agg(sum("ppw").as("pieces_sum"))
+    // LEFT join back to documents: a zero-token doc still occupies a
+    // slot in the release packing with n_tok = 0 (q52's semantics —
+    // dropping it silently would understate every n_docs count)
+    val docPieces = T.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(summed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pieces_sum"), lit(0L)).as("n_tok"))
     TrainingData.packShards(docPieces, Seq("lang"), "doc_id")
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pieces"))
@@ -656,10 +667,13 @@ object TextAnalysis extends QueryModule {
   private val q127Sql =
     s"""$bpeCtesSql,
        |ppw AS (SELECT w, COUNT(*) AS ppw FROM s3 GROUP BY 1),
+       |summed AS (
+       |  SELECT doc_id, CAST(SUM(ppw) AS BIGINT) AS pieces_sum
+       |  FROM (SELECT doc_id, unnest($toksD) AS w FROM documents) t
+       |  JOIN ppw USING (w) GROUP BY 1),
        |docp AS (
-       |  SELECT doc_id, lang, CAST(SUM(ppw) AS BIGINT) AS n_tok
-       |  FROM (SELECT doc_id, lang, unnest($toksD) AS w FROM documents) t
-       |  JOIN ppw USING (w) GROUP BY 1, 2),
+       |  SELECT d.doc_id, d.lang, COALESCE(s.pieces_sum, 0) AS n_tok
+       |  FROM documents d LEFT JOIN summed s ON s.doc_id = d.doc_id),
        |packed AS (
        |  SELECT lang, doc_id, n_tok,
        |    CAST(floor((cum - n_tok) / 4000) AS BIGINT) AS shard
