@@ -19,15 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; all values are micro-aligned, so read the
-    * raw int64 nanos (legacy conf) and rebuild a TimestampType column.
+  /** events.parquet has shipped with two physical `ts` layouts across
+    * testdata generations: TIMESTAMP(NANOS) (rejected by Spark's
+    * vectorized reader — read as raw int64 nanos via the legacy conf
+    * and rebuild, micros-aligned) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Both normalize to one session-UTC TimestampType
+    * column so every downstream query sees a single schema.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

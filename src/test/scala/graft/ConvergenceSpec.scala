@@ -21,10 +21,18 @@ class ConvergenceSpec extends AnyFunSuite with SharedSpark {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+    // normalize ts exactly as Tables.events does (the physical layout
+    // has varied across testdata generations: int64 nanos vs micros)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawStream = spark.readStream.schema(rawSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampType => rawStream
+      case _ => rawStream.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     val q = EventStreams.tumblingAgg(stream)
       .writeStream.format("memory").queryName("conv")
       .outputMode("complete").start()
