@@ -104,12 +104,18 @@ object Bpe {
   }
 
   /** INFERENCE: segment new words under an already-trained merge
-    * table — merges apply in training order (Sennrich's tokenizer
-    * semantics), each through the same window formulation training
-    * used, so train-time and serve-time segmentation cannot drift.
-    * No driver data beyond the model itself; new-word streams
-    * segment with `steps` window passes over (w, pos, sym) rows.
-    * Returns (w, n, pos, sym).
+    * table — merges apply in training order, ONCE each, through the
+    * same window formulation training used, so serve-time
+    * segmentation is exactly THIS trainer's semantics (BpeSpec pins
+    * the fold equivalence) and train/serve cannot drift within this
+    * engine. Note the deliberate scope: standard BPE inference
+    * (re-scan the merge list to fixpoint) can differ on unseen words
+    * where a later merge recreates a symbol an earlier merge pairs
+    * with (e.g. "aba" via (a,ba) vs (ab,a)) — the single ordered
+    * pass is the contract here, not a claim of reference-tokenizer
+    * equivalence. No driver data beyond the model itself; new-word
+    * streams segment with `steps` window passes over (w, pos, sym)
+    * rows. Returns (w, n, pos, sym).
     */
   def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
     merges.sortBy(_.step).foldLeft(explodeChars(vocab).localCheckpoint()) {
@@ -117,4 +123,28 @@ object Bpe {
         applyMerge(paired(rows), m.merge_left, m.merge_right)
           .localCheckpoint()
     }
+
+  /** SERVE-time fast path: [[segment]] is linear in merge count (one
+    * window pass per merge — fine for training's vocabulary-bound
+    * loop, wrong for segmenting a stream under a production 32k-merge
+    * model). But the trained model already CONTAINS the fold's output
+    * for every training word — the symbolized vocabulary IS
+    * word→pieces — so known words are answered by ONE broadcast
+    * equi-join against it (the lookup is model-sized: it ships with
+    * the merge table), and only out-of-vocabulary words pay the
+    * per-merge fold. Equivalence is structural for known words (the
+    * lookup rows are definitionally the fold applied to those words)
+    * and BpeSpec proves lookup + OOV-fold == sequential fold over its
+    * exhaustive battery. Returns (w, n, pos, sym) with `n` taken from
+    * the SERVE vocab (the model's training counts do not leak out).
+    */
+  def segmentServe(vocab: DataFrame, merges: Seq[Merge],
+      trained: DataFrame): DataFrame = {
+    val pieces = trained.select(col("w"), col("pos"), col("sym"))
+    val known = vocab.join(broadcast(pieces), Seq("w"))
+      .select(col("w"), col("n"), col("pos"), col("sym"))
+    val oov = vocab.join(broadcast(pieces.select("w").distinct()),
+      Seq("w"), "left_anti")
+    known.unionByName(segment(oov, merges))
+  }
 }

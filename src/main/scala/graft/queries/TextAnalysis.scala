@@ -687,7 +687,95 @@ object TextAnalysis extends QueryModule {
        |FROM packed GROUP BY 1, 2
        |ORDER BY lang, shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q128 — SERVE-time BPE segmentation (Bpe.segmentServe): tokenize a
+  // serve stream (part names ∪ a held-out document slice) and segment
+  // every word under q125's trained merge table. The scale story is
+  // the fast path: Bpe.segment is one window pass PER MERGE — right
+  // for training (vocabulary-bound loop), wrong for serving under a
+  // production 32k-merge model — but the trained symbolized
+  // vocabulary IS word→pieces, so known words are answered by ONE
+  // broadcast equi-join against the model and only OOV words (part's
+  // novel nouns here) pay the per-merge fold. The oracle knows
+  // nothing of the shortcut: it applies the three unrolled merge
+  // rounds directly to the held-out vocab, so the lookup path is
+  // certified against the semantic ground truth, not against itself.
+  // Exactness: integer counts; pieces concatenate in pos order
+  // (string_agg ORDER BY pos == array_sort on the unique-pos struct).
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val (merges, fin) = bpeTrained(s, dir)
+    val held = T.part(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(p_name), '[a-z0-9]+', 0)")).as("w"))
+      .unionByName(tokenized(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(explode(col("toks")).as("w")))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    graft.operators.Bpe.segmentServe(held, merges, fin)
+      .groupBy("w", "n")
+      .agg(count(lit(1)).as("n_pieces"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, " +
+          "sym))), x -> x.sym), ' ')").as("pieces"))
+      .orderBy("w")
+  }
+
+  /** One SERVE round as a DuckDB CTE block: apply the TRAINING
+    * chain's best pair `b$k` to the held-out rows `hs$k` — the same
+    * run-parity windows as [[bpeRoundSql]], minus the pair counting
+    * (the model is fixed at serve time).
+    */
+  private def bpeServeRoundSql(k: Int): String =
+    s"""hp$k AS (
+       |  SELECT w, n, pos, sym,
+       |    LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
+       |  FROM hs$k),
+       |hm$k AS (
+       |  SELECT p.w, p.n, p.pos, p.sym, p.nsym,
+       |    COALESCE(p.sym = b$k.a AND p.nsym = b$k.b, FALSE) AS m
+       |  FROM hp$k p LEFT JOIN b$k ON TRUE),
+       |hr$k AS (
+       |  SELECT *, CASE WHEN m THEN pos - COUNT(CASE WHEN m THEN 1 END)
+       |    OVER (PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |    END AS rk
+       |  FROM hm$k),
+       |hk$k AS (
+       |  SELECT *, CASE WHEN m THEN ROW_NUMBER()
+       |    OVER (PARTITION BY w, rk ORDER BY pos) END AS off
+       |  FROM hr$k),
+       |hg$k AS (
+       |  SELECT *, (m AND off % 2 = 1) AS keep,
+       |    COALESCE(LAG(m AND off % 2 = 1)
+       |      OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+       |  FROM hk$k),
+       |hs${k + 1} AS (
+       |  SELECT w, n, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |    CASE WHEN keep THEN sym || nsym ELSE sym END AS sym
+       |  FROM hg$k WHERE NOT consumed)""".stripMargin
+
+  private val q128Sql =
+    s"""$bpeCtesSql,
+       |hv AS (
+       |  SELECT w, COUNT(*) AS n FROM (
+       |    SELECT unnest(regexp_extract_all(lower(p_name), '[a-z0-9]+')) AS w
+       |    FROM part
+       |    UNION ALL
+       |    SELECT unnest($toksD) AS w FROM documents WHERE doc_id % 10 = 0)
+       |  GROUP BY 1),
+       |hs0 AS (
+       |  SELECT w, n,
+       |    generate_subscripts(string_split(w, ''), 1) AS pos,
+       |    unnest(string_split(w, '')) AS sym
+       |  FROM hv),
+       |${bpeServeRoundSql(0)},
+       |${bpeServeRoundSql(1)},
+       |${bpeServeRoundSql(2)}
+       |SELECT w, n, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |  STRING_AGG(sym, ' ' ORDER BY pos) AS pieces
+       |FROM hs3 GROUP BY w, n
+       |ORDER BY w""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
     "q125_bpe_merges" -> (q125 _),
     "q126_bpe_compression" -> (q126 _),
@@ -703,6 +791,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,
     "q125_bpe_merges" -> q125Sql,
     "q126_bpe_compression" -> q126Sql,

@@ -85,4 +85,38 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       assert(seg(w) == want, s"segment($w)")
     }
   }
+
+  test("serve fast path: broadcast lookup + OOV fold == sequential " +
+      "fold on a mixed known/unseen battery") {
+    implicit val s = spark
+    import s.implicits._
+    val trainWords = (1 to 5).flatMap(len =>
+      (0 until (1 << len)).map(bits =>
+        (0 until len).map(i => if ((bits >> i & 1) == 0) "a" else "b")
+          .mkString)).distinct
+    val vocab = trainWords.map(w => (w, 1L)).toDF("w", "n")
+    val (merges, trained) = Bpe.train(vocab, steps = 3)
+
+    // serve stream: every training word (lookup path, with serve-side
+    // counts that differ from training's) plus unseen words including
+    // longer run/interleave shapes (OOV fold path)
+    val unseen = Seq("aaaaaaa", "abababab", "bbaabbaa", "aabbbbaa",
+      "babababa", "c", "cab", "abc").filterNot(trainWords.contains)
+    val serveVocab = (trainWords.map(w => (w, 7L)) ++
+      unseen.map(w => (w, 2L))).toDF("w", "n")
+
+    val got = Bpe.segmentServe(serveVocab, merges, trained)
+      .select("w", "n", "pos", "sym").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.head.getLong(1),
+        rs.sortBy(_.getInt(2)).map(_.getString(3)).toList))
+      .toMap
+    (trainWords.map((_, 7L)) ++ unseen.map((_, 2L))).foreach { case (w, n) =>
+      val want = merges.foldLeft(w.map(_.toString).toList) {
+        (syms, m) => foldMerge(syms, m.merge_left, m.merge_right)
+      }
+      assert(got(w) == ((n, want)), s"segmentServe($w)")
+    }
+    assert(got.size == trainWords.size + unseen.size)
+  }
 }
