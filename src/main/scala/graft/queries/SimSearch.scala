@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables => T}
+import graft.operators.IndexStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -864,15 +865,25 @@ object SimSearch extends QueryModule {
   // (HUGEINT on the oracle side) — count products scale as N² in
   // corpus size, so BIGINT would wrap past ~3e9 docs (q98's rule);
   // the ≤k-term sum is absorbed by round(·, 6).
+  /** (source, cell) of every corpus vector under the fixed model —
+    * one assignment scan + doc join shared by the drift twins
+    * q106/q130 (CachedPlans: the marginal cost of the second gate is
+    * two keyed aggs, not a re-assignment).
+    */
+  private def sourceCells(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "drift_source_cells") {
+      val corpus = quantized(s, dir)
+        .select(col("vec_id"),
+          expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+      graft.operators.Ivf.assign(corpus, fixedCentroids(s, dir), "embedding")
+        .select(col("vec_id"), col("cell"))
+        .join(T.documents(s, dir).select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+        .select("source", "cell")
+    }
+
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-    val cents = fixedCentroids(s, dir)
-    val cells = graft.operators.Ivf.assign(corpus, cents, "embedding")
-      .select(col("vec_id"), col("cell"))
-      .join(T.documents(s, dir).select(col("doc_id"), col("source")),
-        col("vec_id") === col("doc_id"))
-      .select("source", "cell")
+    val cells = sourceCells(s, dir)
     val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
     val tot = cells.groupBy("cell").agg(count(lit(1)).as("ct"))
     val ns = src.groupBy("source").agg(sum("c").as("n"))
@@ -909,6 +920,98 @@ object SimSearch extends QueryModule {
        |FROM src
        |JOIN tot USING (cell)
        |JOIN ns USING (source)
+       |CROSS JOIN nt
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q130 — TWO-SIDED drift gate (the q106 variant closing the
+  // advisor's one-sidedness thread): q106's PSI sums only over
+  // buckets the source OCCUPIES, so a source that silently stops
+  // producing an entire cell — a broken feed, a filter gone wrong —
+  // under-pages. Here a dropped bucket is INJECTED (the
+  // lexicographically-first source goes dark in its own
+  // top-occupancy cell — a deterministic 1-row argmax, ties on cell)
+  // and every source is scored over the FULL reference support:
+  // observed cells contribute q106's exact-rational term; cells the
+  // source never hit contribute the symmetric term with the observed
+  // share floored at 1e-6 (StreamingDrift.psiTwoSided's formula, so
+  // the streaming gate's opt-in math is what gets certified
+  // cross-engine). The injected source must report
+  // n_cells_missing ≥ 1 and a strictly larger PSI than its one-sided
+  // score — missing mass now pages.
+  //
+  // Scale: shares q106's one assignment scan (sourceCells); the grid
+  // is |sources|·k rows (model-sized); the drop argmax is a 1-row
+  // TakeOrdered broadcast. Exactness: observed terms are q106's
+  // decimal-routed exact rationals; missing terms are the same
+  // textual double expression on both engines (1e-6 constants, one
+  // mult, one divide, one ln — IEEE-identical); round-6 absorbs the
+  // ≤k-term sum order.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val cells = sourceCells(s, dir)
+    val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
+    // the injected feed break: first source's biggest cell goes dark
+    val drop = src.orderBy(col("source"), desc("c"), col("cell")).limit(1)
+      .select("source", "cell")
+    val obs = src.join(broadcast(drop), Seq("source", "cell"), "left_anti")
+    // reference = the accepted corpus occupancy (pre-break)
+    val tot = cells.groupBy("cell").agg(count(lit(1)).as("ct"))
+    val ns = obs.groupBy("source").agg(sum("c").as("n"))
+    val nt = tot.agg(sum("ct").as("nn"))
+    ns.crossJoin(broadcast(tot))
+      .join(obs, Seq("source", "cell"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("term", expr(
+        """CASE WHEN c IS NOT NULL THEN
+          |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+          |   - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * ln(CAST(CAST(c AS DECIMAL(38,0)) * nn AS DOUBLE)
+          |       / CAST(CAST(ct AS DECIMAL(38,0)) * n AS DOUBLE))
+          |ELSE
+          |  (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          |  * ln(1e-6 * CAST(nn AS DOUBLE) / CAST(ct AS DOUBLE))
+          |END""".stripMargin))
+      .groupBy("source")
+      .agg(count(when(col("c").isNotNull, 1)).as("n_cells_obs"),
+        count(when(col("c").isNull, 1)).as("n_cells_missing"),
+        round(sum("term"), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  private val q130Sql =
+    s"""$duckIvfTrained,
+       |sc AS (
+       |  SELECT d.source, a.cell
+       |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+       |src AS (SELECT source, cell, COUNT(*) AS c FROM sc GROUP BY 1, 2),
+       |drp AS (
+       |  SELECT source, cell FROM src
+       |  ORDER BY source, c DESC, cell LIMIT 1),
+       |obs AS (
+       |  SELECT s.* FROM src s
+       |  WHERE NOT EXISTS (SELECT 1 FROM drp d
+       |    WHERE d.source = s.source AND d.cell = s.cell)),
+       |tot AS (SELECT cell, COUNT(*) AS ct FROM sc GROUP BY 1),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM obs GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
+       |SELECT source,
+       |  CAST(COUNT(CASE WHEN c IS NOT NULL THEN 1 END) AS BIGINT)
+       |    AS n_cells_obs,
+       |  CAST(COUNT(CASE WHEN c IS NULL THEN 1 END) AS BIGINT)
+       |    AS n_cells_missing,
+       |  round(SUM(
+       |    CASE WHEN c IS NOT NULL THEN
+       |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+       |       - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      * ln(CAST(CAST(c AS HUGEINT) * nn AS DOUBLE)
+       |           / CAST(CAST(ct AS HUGEINT) * n AS DOUBLE))
+       |    ELSE
+       |      (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+       |      * ln(1e-6 * CAST(nn AS DOUBLE) / CAST(ct AS DOUBLE))
+       |    END), 6) AS psi
+       |FROM ns
+       |CROSS JOIN tot
+       |LEFT JOIN obs USING (source, cell)
        |CROSS JOIN nt
        |GROUP BY source ORDER BY source""".stripMargin
 
@@ -1158,6 +1261,47 @@ object SimSearch extends QueryModule {
   private val q122Sql = ivfPqSearchSql(" AND a.vec_id % 10 <> 3")
 
   // ---------------------------------------------------------------
+  // q129 — search an index built BY THE STREAMING INGEST PATH
+  // (streaming.StreamingIndexIngest): the index starts EMPTY (a
+  // model-only save — the versioned manifest keeps a zero-code index
+  // readable), every code arrives via Structured Streaming micro-
+  // batches (a file stream over the vector corpus, one file per
+  // trigger, so the commit log sees several distinct batchIds), and
+  // the maintenance loop then bounds the micro-batch fan-out
+  // (compact) and GCs superseded versions (vacuum). The search runs
+  // from disk and must hash-match q103's oracle — the same gate that
+  // certified the batch-built (q117) and batch-appended (q121)
+  // indexes now certifies the streaming-built one: cell assignment
+  // and PQ codes are per-vector functions of the saved model, so
+  // HOW codes arrived (one save, one append, or N micro-batches)
+  // cannot leak into results. This moves the streaming ingest from
+  // spec-land into the cross-engine gate.
+  private val q129Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val out = q129Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (corpus, cents, codebooks) = ivfPqParts(s, dir)
+        val path = tempIndexDir("graft-q129-index")
+        val ck = tempIndexDir("graft-q129-ck")
+        val feed = tempIndexDir("graft-q129-feed")
+        IndexStore.save(encodedIvfPq(s, dir).limit(0), cents, codebooks,
+          path)
+        corpus.repartition(4).write.mode("overwrite").parquet(feed)
+        val stream = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val q = graft.streaming.StreamingIndexIngest.start(
+          stream, cents, codebooks, path, ck)
+        try q.processAllAvailable() finally q.stop()
+        IndexStore.compact(s, path, maxFilesPerCell = 2)
+        IndexStore.vacuum(s, path)
+        path
+      })
+    searchFromDisk(s, dir, out)
+  }
+
+  // ---------------------------------------------------------------
   // q123 — ADC shortlist + EXACT re-rank: the standard recall
   // recovery for PQ's lossy distances (FAISS's refine / RFlat): the
   // cheap code scan nominates top-8 per query by ADC, then only
@@ -1232,7 +1376,9 @@ object SimSearch extends QueryModule {
     "q117_indexed_search" -> (q117 _),
     "q121_index_append" -> (q121 _),
     "q122_index_delete" -> (q122 _),
-    "q123_exact_rerank" -> (q123 _))
+    "q123_exact_rerank" -> (q123 _),
+    "q129_stream_index_search" -> (q129 _),
+    "q130_drift_twosided" -> (q130 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1257,5 +1403,10 @@ object SimSearch extends QueryModule {
     // q122 deletes ids ≡ 3 (mod 10) from the index, so its oracle is
     // the same search with those ids excluded from the candidates
     "q122_index_delete" -> q122Sql,
-    "q123_exact_rerank" -> q123Sql)
+    "q123_exact_rerank" -> q123Sql,
+    // q129 searches the STREAMING-built index — code arrival path
+    // (save vs append vs micro-batches) cannot change results, so
+    // q103's oracle certifies it like q117/q121.
+    "q129_stream_index_search" -> q103Sql,
+    "q130_drift_twosided" -> q130Sql)
 }

@@ -45,15 +45,18 @@ object StreamingDrift {
     */
   val refFloor: Double = 1e-6
 
-  /** The per-group transition, exposed for direct spec testing. */
-  def transition(reference: Map[Int, Double], streaming: Boolean)(
+  /** The per-group transition, exposed for direct spec testing.
+    * `twoSided` switches the emitted score to [[psiTwoSided]].
+    */
+  def transition(reference: Map[Int, Double], streaming: Boolean,
+      twoSided: Boolean = false)(
       key: (String, Long), it: Iterator[DocEvent],
       state: GroupState[Map[Int, Long]]): Iterator[DriftOut] = {
     val (source, winStart) = key
     if (state.hasTimedOut) {
       val counts = state.getOption.getOrElse(Map.empty[Int, Long])
       state.remove()
-      Iterator.single(toOut(source, winStart, counts, reference))
+      Iterator.single(toOut(source, winStart, counts, reference, twoSided))
     } else {
       var counts = state.getOption.getOrElse(Map.empty[Int, Long])
       it.foreach { d =>
@@ -64,11 +67,13 @@ object StreamingDrift {
       if (streaming) {
         state.setTimeoutDuration(windowMs)
         Iterator.empty
-      } else Iterator.single(toOut(source, winStart, counts, reference))
+      } else Iterator.single(toOut(source, winStart, counts, reference,
+        twoSided))
     }
   }
 
-  def driftPsi(docs: Dataset[DocEvent], reference: Map[Int, Double])(
+  def driftPsi(docs: Dataset[DocEvent], reference: Map[Int, Double],
+      twoSided: Boolean = false)(
       implicit s: SparkSession): Dataset[DriftOut] = {
     import s.implicits._
     val streaming = docs.isStreaming
@@ -77,7 +82,7 @@ object StreamingDrift {
         (d.source, Math.floorDiv(d.ts.getTime, windowMs) * windowMs))
       .flatMapGroupsWithState[Map[Int, Long], DriftOut](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
-        transition(reference, streaming))
+        transition(reference, streaming, twoSided))
   }
 
   /** PSI of the observed counts against the reference; terms summed
@@ -88,11 +93,12 @@ object StreamingDrift {
     * source adds nothing (matching the q104 batch oracle semantics,
     * pinned by StreamingDriftSpec). Threshold guidance: this gate
     * pages on shifted/new mass, not on missing mass; if "source
-    * stopped producing a length class entirely" must page too, pair
-    * it with a bucket-coverage check (n_buckets vs the reference's
-    * bucket count, already emitted per window) or add the symmetric
-    * term q*ln(q/p) with p floored at refFloor over reference-only
-    * buckets — deliberately NOT done here to keep batch ≡ streaming.
+    * stopped producing a length class entirely" must page too, opt
+    * into [[psiTwoSided]] (the `twoSided` flag on [[driftPsi]]),
+    * which adds the symmetric term for reference-only buckets with
+    * the observed share floored at refFloor — certified cross-engine
+    * by the q130 batch twin. The default stays one-sided to match
+    * the q104 batch oracle semantics.
     */
   def psi(counts: Map[Int, Long], reference: Map[Int, Double]): Double = {
     val n = counts.values.sum.toDouble
@@ -103,8 +109,28 @@ object StreamingDrift {
     }.sum
   }
 
+  /** TWO-SIDED variant: [[psi]] plus the symmetric term for reference
+    * buckets the window never observed — their observed share is
+    * floored at [[refFloor]], so vanished mass contributes
+    * (refFloor - q)·ln(refFloor/q) ≈ q·ln(q/refFloor) > 0 and a
+    * source that silently stops producing a length class pages too
+    * (the one-sidedness caveat on [[psi]], closed as an opt-in; the
+    * batch twin q130 certifies the term cross-engine). Terms sum in
+    * bucket order, missing-bucket terms after observed ones — fixed
+    * order, deterministic across runs.
+    */
+  def psiTwoSided(counts: Map[Int, Long], reference: Map[Int, Double])
+      : Double =
+    psi(counts, reference) +
+      reference.toSeq.sortBy(_._1).collect {
+        case (b, q) if !counts.contains(b) && q > 0.0 =>
+          (refFloor - q) * math.log(refFloor / q)
+      }.sum
+
   private def toOut(source: String, winStart: Long, counts: Map[Int, Long],
-      reference: Map[Int, Double]): DriftOut =
+      reference: Map[Int, Double], twoSided: Boolean): DriftOut =
     DriftOut(new Timestamp(winStart), source, counts.values.sum,
-      counts.size, psi(counts, reference))
+      counts.size,
+      if (twoSided) psiTwoSided(counts, reference)
+      else psi(counts, reference))
 }

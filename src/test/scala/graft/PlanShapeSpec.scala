@@ -387,11 +387,14 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //        q104's pattern; the λ model itself is B=64 rows)
     //   q126 1-row corpus-chars cross join onto the 1-row piece
     //        aggregate (q104's pattern)
+    //   q130 k-row reference-grid cross join (the full-support PSI
+    //        needs every (source, cell) pair — model-sized) + the
+    //        1-row corpus-total cross (q106's pattern)
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q108_cell_migration",
-      "q124_dsir_weights", "q126_bpe_compression")
+      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -409,12 +412,14 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q112 four 1-row stage-ledger aggregates (the funnel report)
     //   q124 two 1-row feature-total aggregates (q104's pattern)
     //   q126 two 1-row corpus-total aggregates (the audit report)
+    //   q130 1-row corpus-total aggregate + 1-row drop argmax
+    //        (q106's pattern on the two-sided gate)
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
       "q108_cell_migration", "q110_token_budget", "q112_pipeline_ledger",
-      "q124_dsir_weights", "q126_bpe_compression")
+      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

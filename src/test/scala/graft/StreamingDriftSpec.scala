@@ -82,4 +82,39 @@ class StreamingDriftSpec extends AnyFunSuite with SharedSpark {
     val psi = StreamingDrift.psi(Map(9 -> 5L), ref)
     assert(psi > 10, s"unseen-bucket drift scored only $psi")
   }
+
+  test("two-sided PSI pages on VANISHED mass where one-sided is blind") {
+    // reference has two equal classes; the source now produces ONLY
+    // class 0, perfectly matching the reference there... in shares?
+    // no: its observed share of bucket 0 is 1.0 vs reference 0.5, so
+    // one-sided still moves — use a reference where the surviving
+    // bucket keeps its exact share, the canonical blind spot:
+    // observed {0: 5} vs reference {0: 1.0 of observed support}. With
+    // ref = {0 -> 1.0, 1 -> 0.0}... a zero-mass reference bucket is
+    // excluded by q>0. The pure blind spot: counts whose support
+    // shares renormalize to the reference exactly.
+    val ref = Map(0 -> 0.5, 1 -> 0.25, 2 -> 0.25)
+    val counts = Map(0 -> 2L, 1 -> 1L, 2 -> 1L)
+    // matching support: both gates agree exactly (no missing term)
+    assert(StreamingDrift.psiTwoSided(counts, ref) ==
+      StreamingDrift.psi(counts, ref))
+    // bucket 2 vanishes but 0 and 1 keep their RELATIVE shares ⇒
+    // one-sided moves a little; two-sided must additionally carry
+    // the missing-mass term (refFloor - q)·ln(refFloor/q) exactly
+    val dropped = Map(0 -> 2L, 1 -> 1L)
+    val one = StreamingDrift.psi(dropped, ref)
+    val two = StreamingDrift.psiTwoSided(dropped, ref)
+    val f = StreamingDrift.refFloor
+    val missingTerm = (f - 0.25) * math.log(f / 0.25)
+    assert(math.abs(two - (one + missingTerm)) < 1e-15)
+    assert(two > one, "vanished mass must increase the two-sided score")
+    // and the transition wires the flag through to emitted rows
+    val tr = StreamingDrift.transition(ref, streaming = true,
+      twoSided = true) _
+    val fired = TestGroupState.create[Map[Int, Long]](
+      Optional.of(dropped), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.of(java.lang.Long.MAX_VALUE), hasTimedOut = true)
+    val o = tr(("web", 0L), Iterator.empty, fired).toSeq.head
+    assert(math.abs(o.psi - two) < 1e-12)
+  }
 }
