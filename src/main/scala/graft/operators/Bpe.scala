@@ -57,8 +57,23 @@ object Bpe {
   /** Greedy left-to-right non-overlapping application of ONE merge
     * (see the object scaladoc for the run-parity argument).
     */
-  private def applyMerge(p: DataFrame, a: String, b: String): DataFrame = p
-    .withColumn("m", col("sym") === lit(a) && col("nsym") === lit(b))
+  private def applyMerge(p: DataFrame, a: String, b: String): DataFrame =
+    applyMerges(p, Seq((a, b)))
+
+  /** Apply SEVERAL pairwise symbol-disjoint merges in one window
+    * pass. Disjointness (no symbol of one pair equals a symbol — or
+    * the merged output — of another) means matches of DIFFERENT
+    * pairs can never be adjacent: adjacency of a match ending at
+    * `pos+1` and one starting at `pos+1` forces `b_i == a_j`, which
+    * disjointness forbids. So every run of consecutive matched
+    * positions belongs to ONE pair and the single-merge run-parity
+    * argument applies verbatim to the OR'd match predicate.
+    */
+  private def applyMerges(p: DataFrame, pairs: Seq[(String, String)])
+      : DataFrame = p
+    .withColumn("m", pairs.map { case (a, b) =>
+      col("sym") === lit(a) && col("nsym") === lit(b)
+    }.reduce(_ || _))
     .withColumn("rk", when(col("m"), col("pos") -
       count(when(col("m"), 1))
         .over(wWin.rowsBetween(Window.unboundedPreceding, 0))))
@@ -98,6 +113,102 @@ object Bpe {
           rows = applyMerge(p, a, b).localCheckpoint()
           merges += Merge(step, a, b, bestRow.getLong(2))
           step += 1
+      }
+    }
+    (merges.result(), rows)
+  }
+
+  /** [[train]] with per-round MERGE BATCHING — identical output
+    * (merge table INCLUDING counts, and final symbolization), fewer
+    * driver round-trips. At realistic merge counts (a production
+    * tokenizer is 32k merges) the sequential loop's cost is dominated
+    * by per-round fixed job latency, not data (BpeScaleBench), so the
+    * scale lever is merges-per-round.
+    *
+    * Exactness argument — each round commits a PREFIX of what the
+    * sequential trainer would do. Candidates are walked in the
+    * sequential order (cnt DESC, a, b) and accepted while BOTH:
+    *
+    *   1. symbol-disjoint from every already-accepted pair's {a, b,
+    *      a+b}: applying earlier accepted merges then neither
+    *      creates, destroys, nor recounts this pair's adjacencies
+    *      (and no cross-pair match adjacency exists — see
+    *      [[applyMerges]]);
+    *   2. cnt strictly exceeds every already-accepted pair's
+    *      NEW-PAIR BOUND — the max weight of any single triple
+    *      (x, a_i, b_i) or (a_i, b_i, y), which upper-bounds the
+    *      count of any pair the i-th merge can CREATE ((x, a_i b_i)
+    *      needs an x-then-merged-occurrence adjacency, one per such
+    *      triple at most). Pairs merges DESTROY or shrink can only
+    *      rank lower than they did. So at each accepted position the
+    *      sequential trainer's argmax is exactly this candidate —
+    *      unchanged count, nothing new or changed can beat it
+    *      (strictness beats ties regardless of lexicographic order).
+    *
+    * The first rejection STOPS the batch (a rejected candidate's
+    * post-merge count is unknown — it must be recounted next round).
+    * Worst case every batch has size 1 and this IS [[train]] with
+    * one extra bounded aggregate per round; BpeSpec proves equality
+    * on adversarial interleaved batteries and on disjoint-alphabet
+    * vocabularies where batches actually widen.
+    */
+  def trainBatched(vocab: DataFrame, steps: Int, batchK: Int = 32)
+      : (Seq[Merge], DataFrame) = {
+    var rows = explodeChars(vocab).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var done = 0
+    var exhausted = false
+    while (done < steps && !exhausted) {
+      val p = paired(rows)
+      val cands = p.filter(col("nsym").isNotNull)
+        .groupBy("sym", "nsym").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("sym"), col("nsym"))
+        .limit(math.min(batchK, steps - done)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
+      else {
+        // new-pair bounds for the candidate set: one bounded
+        // aggregate over the triple view, returned per candidate
+        val s = p.sparkSession
+        import s.implicits._
+        val candDf = broadcast(
+          cands.toSeq.map { case (a, b, _) => (a, b) }.toDF("ca", "cb"))
+        val t = p.withColumn("nnsym", lead("sym", 2).over(wWin))
+          .filter(col("nnsym").isNotNull)
+          .groupBy("sym", "nsym", "nnsym").agg(sum("n").as("tc"))
+        val bounds = t.join(candDf,
+            (col("sym") === col("ca") && col("nsym") === col("cb")) ||
+              (col("nsym") === col("ca") && col("nnsym") === col("cb")))
+          .groupBy("ca", "cb").agg(max("tc").as("bound"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var used = Set.empty[String]
+        var maxBound = -1L
+        var stop = false
+        var nAcc = 0
+        cands.foreach { case (a, b, cnt) =>
+          if (!stop) {
+            val syms = Set(a, b, a + b)
+            val ok = nAcc == 0 ||
+              (syms.intersect(used).isEmpty && cnt > maxBound)
+            if (ok) {
+              accepted += ((a, b, cnt))
+              used ++= syms
+              maxBound = math.max(maxBound,
+                bounds.getOrElse((a, b), -1L))
+              nAcc += 1
+            } else stop = true
+          }
+        }
+        val batch = accepted.result()
+        rows = applyMerges(p, batch.map { case (a, b, _) => (a, b) })
+          .localCheckpoint()
+        batch.foreach { case (a, b, cnt) =>
+          done += 1
+          merges += Merge(done, a, b, cnt)
+        }
       }
     }
     (merges.result(), rows)

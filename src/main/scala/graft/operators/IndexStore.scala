@@ -352,6 +352,38 @@ object IndexStore {
   def version(s: SparkSession, out: String): Long =
     requireManifest(s, out).version
 
+  /** The commit history still on disk: one row per retained manifest
+    * (version, n_files, n_cells) — METADATA only, newest last. After
+    * [[vacuum]] only the retained window remains.
+    */
+  def history(s: SparkSession, out: String): DataFrame = {
+    import s.implicits._
+    val (fs, dir) = hfs(s, manifestsDir(out))
+    listManifests(fs, dir).map { case (v, p) =>
+      val m = readManifest(fs, v, p)
+      (v, m.files.size.toLong, m.files.map(cellOf).distinct.size.toLong)
+    }.toDF("version", "n_files", "n_cells").orderBy("version")
+  }
+
+  /** Time-travel read: the code table AS OF a specific committed
+    * version (must not have been [[vacuum]]ed away). The serve-side
+    * use is a search fleet pinning one version across its queries
+    * while maintenance commits land; the audit-side use is diffing
+    * two versions (q67's snapshot-diff pattern applies directly).
+    */
+  def loadCodesAt(s: SparkSession, out: String, version: Long): DataFrame = {
+    val (fs, dir) = hfs(s, manifestsDir(out))
+    listManifests(fs, dir).find(_._1 == version) match {
+      case Some((v, p)) =>
+        val m = readManifest(fs, v, p)
+        readFiles(s, out, m.schema, m.files)
+      case None => throw new IllegalArgumentException(
+        s"IndexStore.loadCodesAt: version $version not on disk under " +
+          s"$out (vacuumed or never committed); available: " +
+          listManifests(fs, dir).map(_._1).mkString(", "))
+    }
+  }
+
   /** Operational DESCRIBE of a persisted index: per-cell code count,
     * live file count, and bytes — the health table the maintenance
     * loop reads to decide [[append]]/[[delete]]/[[compact]]/retrain

@@ -86,6 +86,46 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("batched trainer == sequential trainer: merge table (with " +
+      "counts) and final symbolization, interacting AND disjoint " +
+      "vocabularies, all batch widths") {
+    implicit val s = spark
+    import s.implicits._
+    // battery 1: the adversarial 2-letter battery — top pairs overlap
+    // constantly, so batches collapse toward width 1 and the
+    // stop-at-first-rejection path is exercised every round
+    val rnd = new scala.util.Random(7)
+    val binary = ((1 to 6).flatMap(len =>
+      (0 until (1 << len)).map(bits =>
+        (0 until len).map(i => if ((bits >> i & 1) == 0) "a" else "b")
+          .mkString)) ++ Seq.fill(30)(
+      Seq.fill(5 + rnd.nextInt(8))(if (rnd.nextBoolean()) "a" else "b")
+        .mkString)).distinct.map(w => (w, 1L + (w.length % 3)))
+    // battery 2: disjoint letter groups with interleaved ranks — the
+    // top pairs (cc, ee, gg, ...) are symbol-disjoint so batches
+    // genuinely widen past 1
+    val grouped = "cdefghij".toSeq.grouped(2).toSeq.zipWithIndex.flatMap {
+      case (Seq(x, y), i) => Seq(
+        (s"$x$x$y$y$x", 50L - i), (s"$y$x$y$x", 30L - i),
+        (s"$x$y$y", 20L - i), (s"$y$y$x$x", 10L + i))
+    }
+    Seq("binary" -> binary, "grouped" -> grouped).foreach {
+      case (tag, words) =>
+        val vocab = words.toDF("w", "n")
+        val steps = 8
+        val (seqMerges, seqFin) = Bpe.train(vocab, steps)
+        def key(df: org.apache.spark.sql.DataFrame) =
+          df.select("w", "n", "pos", "sym").collect()
+            .map(_.toSeq).sortBy(_.toString).toSeq
+        val want = key(seqFin)
+        Seq(1, 3, 32).foreach { k =>
+          val (batMerges, batFin) = Bpe.trainBatched(vocab, steps, k)
+          assert(batMerges == seqMerges, s"$tag batchK=$k merge table")
+          assert(key(batFin) == want, s"$tag batchK=$k symbolization")
+        }
+    }
+  }
+
   test("serve fast path: broadcast lookup + OOV fold == sequential " +
       "fold on a mixed known/unseen battery") {
     implicit val s = spark

@@ -209,6 +209,22 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
         .groupBy(identity).view.mapValues(_.length).toMap
       assert(rowsAgain == rowsV1)
 
+      // history: one row per commit, versions contiguous from 1
+      val hist = IndexStore.history(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(hist.map(_._1).toSeq ==
+        (1L to IndexStore.version(spark, out)).toSeq)
+
+      // time-travel: an explicit as-of read of version 1 equals the
+      // pinned reader; the latest-version read equals loadCodes
+      val travel = IndexStore.loadCodesAt(spark, out, 1L)
+        .collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(travel == rowsV1)
+      intercept[IllegalArgumentException] {
+        IndexStore.loadCodesAt(spark, out, 999L)
+      }
+
       // a FRESH reader sees the latest version: delete+re-append is
       // the identity on content here, so the multiset matches v1 too
       val rowsLatest = IndexStore.loadCodes(spark, out)
