@@ -50,6 +50,11 @@ object IndexMaintBench {
         corpus.filter(col("vec_id") % 10 === 3).select("vec_id"))
     }
     timed("compact") { IndexStore.compact(spark, out) }
+    timed("vacuum (GC superseded versions)") {
+      IndexStore.vacuum(spark, out)
+    }
+    println("[maint] history:")
+    IndexStore.history(spark, out).show(false)
     val probed = Ivf.probeCells(corpus.filter(col("vec_id") < 8), cents,
       nProbe = 2)
     timed("search warm") {

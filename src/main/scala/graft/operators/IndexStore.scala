@@ -108,11 +108,17 @@ object IndexStore {
         "versioned index (create it with save())"))
 
   /** Atomically publish version `version`: write to a dot-temp name,
-    * then ONE rename. A failed rename (e.g. a racing writer already
-    * committed this version) throws with the old version intact.
+    * then ONE rename. A racing writer that already committed this
+    * version makes the commit throw with the winner's version intact:
+    * the pre-rename existence check catches it on filesystems whose
+    * rename OVERWRITES an existing destination (POSIX — pinned by
+    * IndexStoreSpec's race case), and the rename result catches it on
+    * those whose rename refuses (HDFS). The residual TOCTOU window is
+    * covered by the documented single-writer contract — the check
+    * turns a contract violation into a loud failure, not silence.
     */
-  private def commitManifest(s: SparkSession, out: String, version: Long,
-      schema: StructType, files: Seq[String]): Unit = {
+  private[graft] def commitManifest(s: SparkSession, out: String,
+      version: Long, schema: StructType, files: Seq[String]): Unit = {
     val (fs, dir) = hfs(s, manifestsDir(out))
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID}")
@@ -121,11 +127,11 @@ object IndexStore {
     try o.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
     val dst = new Path(dir, manifestName(version))
-    if (!fs.rename(tmp, dst)) {
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"IndexStore: commit of version $version failed (concurrent " +
-          s"writer?) — index remains at the previous version")
+          s"writer?) — index remains at the committed version")
     }
   }
 

@@ -332,6 +332,45 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     } finally c.unpersist()
   }
 
+  test("a racing writer loses loudly: a commit whose version was " +
+      "already taken throws and the index stays at the winner's " +
+      "version") {
+    val c = corpus.cache()
+    try {
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+        "embedding")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-index-race").toString
+      IndexStore.save(encoded.filter(col("vec_id") < 20), cents,
+        codebooks, out)
+      // two writers read v1 and both derive successor v2: the first
+      // commit wins; the second MUST throw — even on POSIX, where a
+      // bare rename would silently overwrite the winner's manifest
+      val schema = IndexStore.loadCodes(spark, out).schema
+      IndexStore.commitManifest(spark, out, 2L, schema, Seq.empty)
+      val rowsBefore = IndexStore.loadCodes(spark, out).count()
+      assert(rowsBefore == 0L) // the winner's (empty) commit is live
+      intercept[IllegalStateException] {
+        IndexStore.commitManifest(spark, out, 2L, schema, Seq.empty)
+      }
+      // the loser changed nothing visible
+      assert(IndexStore.version(spark, out) == 2L)
+      assert(IndexStore.loadCodes(spark, out).count() == rowsBefore)
+      // and the END-TO-END surface on top of the guard: an append
+      // whose read-commit cycle runs AFTER the winner's commit simply
+      // builds v3 on the winner's state — versions stay linear
+      IndexStore.append(encoded.filter(col("vec_id") >= 20), out)
+      assert(IndexStore.version(spark, out) == 3L)
+      val n20 = encoded.filter(col("vec_id") >= 20).count()
+      assert(IndexStore.loadCodes(spark, out).count() == n20)
+      IndexStore.vacuum(spark, out)
+      assert(IndexStore.loadCodes(spark, out).count() == n20)
+    } finally c.unpersist()
+  }
+
   test("an empty save is readable and appendable (the streaming " +
       "bootstrap path)") {
     val c = corpus.cache()

@@ -242,6 +242,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assertIndexSearchPruned("q122_index_delete")
   }
 
+  test("q129 streaming-built index: search stays cell-pruned over " +
+      "the compacted+vacuumed micro-batch layout") {
+    assertIndexSearchPruned("q129_stream_index_search")
+  }
+
   /** The persisted-index search family's disk contract: the probed-cell
     * restriction reaches the parquet scan as a PARTITION filter and
     * every code file read lives under a probed `cell=` directory.
