@@ -1169,8 +1169,8 @@ object SimSearch extends QueryModule {
     * read to nProbe directories (the probed-cell collect is
     * |queries|·nProbe values — model-sized).
     */
-  private def searchFromDisk(s: SparkSession, dir: String, out: String)
-      : DataFrame = {
+  private def searchFromDisk(s: SparkSession, dir: String, out: String,
+      asOf: Option[Long] = None): DataFrame = {
     val cents = graft.operators.IndexStore.loadCentroids(s, out)
     val codebooks = graft.operators.IndexStore.loadCodebooks(s, out)
     val queries = quantized(s, dir).filter(col("vec_id") < 8)
@@ -1178,7 +1178,8 @@ object SimSearch extends QueryModule {
     val probed = graft.operators.Ivf.probeCells(queries, cents, nProbe = 2)
     val probeCells = probed.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val codes = graft.operators.IndexStore.loadCodes(s, out)
+    val codes = asOf.fold(graft.operators.IndexStore.loadCodes(s, out))(
+        v => graft.operators.IndexStore.loadCodesAt(s, out, v))
       .filter(col("cell").isin(probeCells: _*))
     graft.operators.Pq.adcSearchCells(codes, codebooks, probed, topK = 3)
       .orderBy("q_id", "rank")
@@ -1243,8 +1244,8 @@ object SimSearch extends QueryModule {
   private val q122Index =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def q122(s: SparkSession, dir: String): DataFrame = {
-    val out = q122Index.computeIfAbsent(
+  private def q122Out(s: SparkSession, dir: String): String =
+    q122Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
         val (_, cents, codebooks) = ivfPqParts(s, dir)
         val path = tempIndexDir("graft-q122-index")
@@ -1255,10 +1256,26 @@ object SimSearch extends QueryModule {
             .select("vec_id"))
         path
       })
-    searchFromDisk(s, dir, out)
-  }
+
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    searchFromDisk(s, dir, q122Out(s, dir))
 
   private val q122Sql = ivfPqSearchSql(" AND a.vec_id % 10 <> 3")
+
+  // ---------------------------------------------------------------
+  // q131 — TIME-TRAVEL search (IndexStore.loadCodesAt): the SAME
+  // on-disk index q122 deleted from serves BOTH points in time —
+  // version 1 (pre-delete) hash-matches the full-corpus oracle
+  // (q103's) while the current version hash-matches the post-delete
+  // oracle (q122's, certified there). This is the versioned
+  // manifest's reader contract made cross-engine-checkable: commits
+  // never mutate files, so an as-of read reconstructs the exact
+  // pre-maintenance result from the retained manifest — the serve
+  // fleet's pin-a-version story and the audit-side "what did the
+  // index answer LAST week" story in one query. Marginal cost is one
+  // probed search; the index build is q122's memo.
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    searchFromDisk(s, dir, q122Out(s, dir), asOf = Some(1L))
 
   // ---------------------------------------------------------------
   // q129 — search an index built BY THE STREAMING INGEST PATH
@@ -1378,7 +1395,8 @@ object SimSearch extends QueryModule {
     "q122_index_delete" -> (q122 _),
     "q123_exact_rerank" -> (q123 _),
     "q129_stream_index_search" -> (q129 _),
-    "q130_drift_twosided" -> (q130 _))
+    "q130_drift_twosided" -> (q130 _),
+    "q131_index_timetravel" -> (q131 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1408,5 +1426,9 @@ object SimSearch extends QueryModule {
     // (save vs append vs micro-batches) cannot change results, so
     // q103's oracle certifies it like q117/q121.
     "q129_stream_index_search" -> q103Sql,
-    "q130_drift_twosided" -> q130Sql)
+    "q130_drift_twosided" -> q130Sql,
+    // q131 reads q122's index AS OF version 1 — before the delete —
+    // so the FULL-corpus oracle must come back, not q122's filtered
+    // one: the same store certifies two versions against two oracles.
+    "q131_index_timetravel" -> q103Sql)
 }

@@ -247,6 +247,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assertIndexSearchPruned("q129_stream_index_search")
   }
 
+  test("q131 time-travel search: the as-of read is still a " +
+      "cell-pruned scan of the pinned version's files") {
+    assertIndexSearchPruned("q131_index_timetravel")
+  }
+
   /** The persisted-index search family's disk contract: the probed-cell
     * restriction reaches the parquet scan as a PARTITION filter and
     * every code file read lives under a probed `cell=` directory.
