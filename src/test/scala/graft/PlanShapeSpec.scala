@@ -252,6 +252,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assertIndexSearchPruned("q131_index_timetravel")
   }
 
+  test("q128 serve-time BPE: known words answer via broadcast " +
+      "lookup joins; every window partitions by the word") {
+    val p = formatted("q128_bpe_serve")
+    // the known-word path is ONE broadcast lookup join (the OOV
+    // anti-join + per-merge fold run eagerly into the fold's
+    // checkpoint and never appear here — serving known words costs
+    // no windows at all); nothing funnels through one task
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "SortMergeJoin") == 0, p)
+    assert(countNodes(p, "CartesianProduct") == 0, p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+    assert(p.contains("hashpartitioning(w"), p)
+  }
+
   /** The persisted-index search family's disk contract: the probed-cell
     * restriction reaches the parquet scan as a PARTITION filter and
     * every code file read lives under a probed `cell=` directory.
