@@ -24,10 +24,17 @@ object Tables {
     * vectorized reader — read as raw int64 nanos via the legacy conf
     * and rebuild, micros-aligned) and plain timestamp[us] (read as
     * TIMESTAMP_NTZ). Both normalize to one session-UTC TimestampType
-    * column so every downstream query sees a single schema.
+    * column so every downstream query sees a single schema. The NTZ
+    * branch's cast interprets the naive wall time IN THE SESSION
+    * TIME ZONE — the int64-nanos branch is epoch-based and
+    * timezone-independent — so the session zone is pinned to UTC
+    * here (not just in the entry points): the two physical layouts
+    * must yield the same instants for ANY caller, and every oracle
+    * twin reads the parquet as naive-UTC.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   out/codes/cell=<c>/<commit>-part-*.parquet  (vec_id, code ARRAY<INT>)
   *   out/codes/_manifests/v<n>.manifest          (version commit log)
-  *   out/model/centroids/                        (cid, dim, v)
-  *   out/model/codebooks/                        (j, cid, dim, v)
+  *   out/model/m-<commit>/centroids/             (cid, dim, v)
+  *   out/model/m-<commit>/codebooks/             (j, cid, dim, v)
   *
   * VERSIONED COMMITS (the Iceberg-style move): data files are
   * IMMUTABLE — no maintenance operation ever rewrites or deletes a
@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * into the cell directories under commit-unique names, and then
   * makes the new version visible by atomically renaming ONE manifest
   * file (`_manifests/v<n>.manifest`: line 1 the row schema as JSON,
-  * the rest the live file paths relative to `codes/`). [[loadCodes]]
+  * line 2 the model directory this version searches under, the rest
+  * the live file paths relative to `codes/` with their byte lengths —
+  * so [[stats]] and [[history]] are pure metadata). [[loadCodes]]
   * resolves the newest manifest, so:
   *
   *   - a READER is atomic: it either sees version n or version n+1,
@@ -35,18 +37,47 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     reader holding v sees v's rows across a concurrent
   *     delete+compact);
   *   - a WRITER crash at ANY point before the manifest rename leaves
-  *     the previous version fully intact — the failure residue is
-  *     orphaned (unreferenced) files, never lost live data, and
-  *     [[vacuum]] collects them;
+  *     the previous version fully intact — including [[save]], which
+  *     recreates the index as a FULL-SNAPSHOT commit (version n+1
+  *     with a fresh model directory) rather than clearing the layout:
+  *     the failure residue is orphaned (unreferenced) files, never
+  *     lost live data, and [[vacuum]] collects them;
   *   - superseded files stay on disk until [[vacuum]], which retains
-  *     the newest `keepVersions` manifests and deletes only files no
-  *     retained version references.
+  *     the newest `keepVersions` manifests (plus every version
+  *     younger than `minAgeMs` — the expire-snapshots pin window) and
+  *     deletes only files no retained version references.
   *
-  * Concurrency contract: any number of concurrent readers; ONE writer
-  * at a time (mutations read the current version and commit its
-  * successor — two racing writers would fork the version line, and
-  * the losing manifest rename fails loudly). Run [[vacuum]] only with
-  * no reader older than the retained window.
+  * CONCURRENCY (optimistic, Iceberg's commit loop): any number of
+  * concurrent readers, and RACING MUTATIONS REBASE — a writer whose
+  * manifest rename loses re-reads the newest manifest, re-validates
+  * that its change still commutes, and re-commits on top:
+  *
+  *   - [[append]] always rebases (file lists union; the staged files
+  *     carry commit-unique names, so no rename can collide) — two
+  *     concurrent appends BOTH land (IndexStoreSpec, and q133 runs
+  *     two appends from racing threads under the cross-engine gate);
+  *   - [[compact]] rebases while every file it rewrote is still live
+  *     (a file another writer removed first means its rewrite is
+  *     stale — conflict);
+  *   - [[delete]] rebases while its removed files are live AND no
+  *     commit added files to an affected cell (an appended file may
+  *     hold a tombstoned id the staged survivors never saw — the
+  *     delete-vs-insert write conflict, refused loudly);
+  *   - [[save]] always rebases: it is a full-snapshot replace, and
+  *     any interleaving is equivalent to the serialization that runs
+  *     save last;
+  *   - every rebase re-checks the MODEL pointer: a concurrent
+  *     [[save]] (retrain) invalidates in-flight codes built under the
+  *     old model, so the rebase throws instead of committing stale
+  *     codes into the new model's index.
+  *
+  * After `maxRetries` lost races the mutation throws with the index
+  * at the winners' version — no partial state. [[vacuum]] is itself a
+  * WRITER under this contract: it must not run concurrently with a
+  * mutation (an in-flight writer's staged-but-uncommitted files look
+  * unreferenced); `minAgeMs` additionally makes it skip staging
+  * residue and unreferenced files younger than the window, so an
+  * operator mistake degrades to "missed garbage", not corruption.
   *
   * Scale: ONE exchange on cell for the codes (file count stays
   * O(cells), the ShardWriter discipline); the model tables are
@@ -59,14 +90,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object IndexStore {
 
+  /** A lost manifest rename — the optimistic-concurrency signal the
+    * commit loop retries on. Subtype of IllegalStateException so
+    * callers treating any commit failure as fatal still do.
+    */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
   // ----------------------------------------------------------------
   // manifest plumbing
 
-  private case class Manifest(version: Long, schema: StructType,
-    files: Seq[String])
+  private[graft] case class FileEntry(path: String, len: Long)
+
+  private[graft] case class Manifest(version: Long, schema: StructType,
+      model: String, files: Seq[FileEntry]) {
+    def paths: Set[String] = files.map(_.path).toSet
+  }
 
   private def codesRoot(out: String) = s"$out/codes"
   private def manifestsDir(out: String) = s"${codesRoot(out)}/_manifests"
+  private def modelRoot(out: String) = s"$out/model"
 
   private def hfs(s: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -75,11 +118,16 @@ object IndexStore {
 
   private def manifestName(v: Long): String = f"v$v%09d.manifest"
 
-  private def listManifests(fs: FileSystem, dir: Path): Seq[(Long, Path)] =
+  /** (version, path, mtime) of every manifest on disk, version-sorted.
+    * One listStatus — the mtimes feed [[vacuum]]'s retention window.
+    */
+  private def listManifests(fs: FileSystem, dir: Path)
+      : Seq[(Long, Path, Long)] =
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("v\\d{9}\\.manifest"))
-      .map(p => (p.getName.drop(1).take(9).toLong, p))
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.matches("v\\d{9}\\.manifest"))
+      .map(st => (st.getPath.getName.drop(1).take(9).toLong, st.getPath,
+        st.getModificationTime))
       .sortBy(_._1)
 
   private def readManifest(fs: FileSystem, v: Long, p: Path): Manifest = {
@@ -90,14 +138,19 @@ object IndexStore {
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    Manifest(v, DataType.fromJson(lines.head).asInstanceOf[StructType],
-      lines.tail)
+    val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+    val model = lines(1).stripPrefix("model=")
+    val files = lines.drop(2).map { l =>
+      val cut = l.lastIndexOf('\t')
+      FileEntry(l.take(cut), l.drop(cut + 1).toLong)
+    }
+    Manifest(v, schema, model, files)
   }
 
-  private def currentManifest(s: SparkSession, out: String)
+  private[graft] def currentManifest(s: SparkSession, out: String)
       : Option[Manifest] = {
     val (fs, dir) = hfs(s, manifestsDir(out))
-    listManifests(fs, dir).lastOption.map { case (v, p) =>
+    listManifests(fs, dir).lastOption.map { case (v, p, _) =>
       readManifest(fs, v, p)
     }
   }
@@ -107,31 +160,86 @@ object IndexStore {
       s"IndexStore: no manifest under ${manifestsDir(out)} — not a " +
         "versioned index (create it with save())"))
 
+  private def manifestAt(s: SparkSession, out: String, version: Long)
+      : Manifest = {
+    val (fs, dir) = hfs(s, manifestsDir(out))
+    listManifests(fs, dir).find(_._1 == version) match {
+      case Some((v, p, _)) => readManifest(fs, v, p)
+      case None => throw new IllegalArgumentException(
+        s"IndexStore: version $version not on disk under $out " +
+          "(vacuumed or never committed); available: " +
+          listManifests(fs, dir).map(_._1).mkString(", "))
+    }
+  }
+
   /** Atomically publish version `version`: write to a dot-temp name,
     * then ONE rename. A racing writer that already committed this
-    * version makes the commit throw with the winner's version intact:
-    * the pre-rename existence check catches it on filesystems whose
-    * rename OVERWRITES an existing destination (POSIX — pinned by
-    * IndexStoreSpec's race case), and the rename result catches it on
-    * those whose rename refuses (HDFS). The residual TOCTOU window is
-    * covered by the documented single-writer contract — the check
-    * turns a contract violation into a loud failure, not silence.
+    * version makes the commit throw [[CommitConflictException]] with
+    * the winner's version intact: the pre-rename existence check
+    * catches it on filesystems whose rename OVERWRITES an existing
+    * destination (POSIX — pinned by IndexStoreSpec's race case), and
+    * the rename result catches it on those whose rename refuses
+    * (HDFS). The residual TOCTOU window means a conflict can in
+    * principle go unthrown here; the REBASE loop above turns that
+    * from silence into a retried commit, and filesystems with atomic
+    * no-overwrite rename close it entirely.
     */
   private[graft] def commitManifest(s: SparkSession, out: String,
-      version: Long, schema: StructType, files: Seq[String]): Unit = {
+      version: Long, schema: StructType, model: String,
+      files: Seq[FileEntry]): Unit = {
     val (fs, dir) = hfs(s, manifestsDir(out))
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID}")
-    val body = (schema.json +: files.sorted).mkString("\n")
+    val body = (schema.json +: s"model=$model" +:
+      files.sortBy(_.path).map(f => s"${f.path}\t${f.len}")).mkString("\n")
     val o = fs.create(tmp, true)
     try o.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
     val dst = new Path(dir, manifestName(version))
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"IndexStore: commit of version $version failed (concurrent " +
-          s"writer?) — index remains at the committed version")
+      throw new CommitConflictException(
+        s"IndexStore: commit of version $version lost to a concurrent " +
+          s"writer — index remains at the committed version")
+    }
+  }
+
+  /** The optimistic commit loop: try to publish on top of `base`; on
+    * a lost race re-read the newest manifest, `validate` that this
+    * mutation still commutes with what landed (throw if not), and
+    * retry on top. `removed`/`added` describe the mutation as a file
+    * delta; `fullReplace` ([[save]]) ignores the base file list
+    * entirely. Every rebase re-checks the model pointer — a
+    * concurrent retrain invalidates codes staged under the old model.
+    */
+  private[graft] def commitWithRetry(s: SparkSession, out: String, base: Manifest,
+      schema: StructType, model: String, removed: Set[String],
+      added: Seq[FileEntry], fullReplace: Boolean,
+      validate: Manifest => Unit, maxRetries: Int = 10): Unit = {
+    var cur = base
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val files =
+        if (fullReplace) added
+        else cur.files.filterNot(f => removed(f.path)) ++ added
+      try {
+        commitManifest(s, out, cur.version + 1, schema, model, files)
+        committed = true
+      } catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+          val newest = requireManifest(s, out)
+          if (newest.version <= cur.version) throw e // no progress: give up
+          if (!fullReplace && newest.model != cur.model)
+            throw new IllegalStateException(
+              "IndexStore: a concurrent save() recreated the index " +
+                s"(model ${cur.model} -> ${newest.model}); codes staged " +
+                "under the old model cannot be rebased")
+          validate(newest)
+          cur = newest
+      }
     }
   }
 
@@ -143,13 +251,15 @@ object IndexStore {
 
   /** Write `df` (columns idCol, codeCol, cellCol) to a staging dir,
     * then move the part files into the live cell directories under
-    * commit-unique names. Returns the moved files' manifest-relative
-    * paths. Crash-safe: nothing under a `cell=` dir is ever deleted
-    * or overwritten here, and the files are invisible to readers
-    * until the caller commits a manifest that lists them.
+    * commit-unique names. Returns the moved files' manifest entries
+    * (relative path + byte length — captured here so commits record
+    * lengths and [[stats]] never stats files). Crash-safe: nothing
+    * under a `cell=` dir is ever deleted or overwritten here, and the
+    * files are invisible to readers until the caller commits a
+    * manifest that lists them.
     */
-  private def stageIn(df: DataFrame, out: String, idCol: String,
-      cellCol: String, codeCol: String): Seq[String] = {
+  private[graft] def stageIn(df: DataFrame, out: String, idCol: String,
+      cellCol: String, codeCol: String): Seq[FileEntry] = {
     val s = df.sparkSession
     val commitId = java.util.UUID.randomUUID.toString.take(8)
     val staging = s"${codesRoot(out)}/_staging-$commitId"
@@ -160,7 +270,7 @@ object IndexStore {
       .write.mode("overwrite").partitionBy(cellCol)
       .parquet(staging)
     val (fs, stagingPath) = hfs(s, staging)
-    val moved = Seq.newBuilder[String]
+    val moved = Seq.newBuilder[FileEntry]
     fs.listStatus(stagingPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
       .foreach { cellDir =>
@@ -172,7 +282,7 @@ object IndexStore {
             val name = s"$commitId-${f.getPath.getName}"
             require(fs.rename(f.getPath, new Path(live, name)),
               s"IndexStore: staging move of ${f.getPath} failed")
-            moved += s"${cellDir.getPath.getName}/$name"
+            moved += FileEntry(s"${cellDir.getPath.getName}/$name", f.getLen)
           }
       }
     fs.delete(stagingPath, true)
@@ -185,37 +295,53 @@ object IndexStore {
     * a fully-emptied index stays readable.
     */
   private def readFiles(s: SparkSession, out: String, schema: StructType,
-      files: Seq[String]): DataFrame =
+      files: Seq[FileEntry]): DataFrame =
     if (files.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else s.read.option("basePath", codesRoot(out))
-      .parquet(files.map(f => s"${codesRoot(out)}/$f"): _*)
+      .parquet(files.map(f => s"${codesRoot(out)}/${f.path}"): _*)
 
   // ----------------------------------------------------------------
   // public lifecycle
 
+  /** (Re)create the index as a FULL-SNAPSHOT commit: a fresh model
+    * directory and a complete new file list at version n+1 (or v1 on
+    * a fresh path). The previous version's files and model are left
+    * in place for pinned readers and [[loadCodesAt]] until [[vacuum]]
+    * — save no longer clears the layout, so a crash at any point
+    * leaves the old index fully live, and the model swap is atomic
+    * WITH the code swap (both ride the one manifest rename; a reader
+    * resolving version n always pairs n's codes with n's model).
+    */
   def save(encoded: DataFrame, cents: Seq[Seq[Double]],
       codebooks: Seq[Seq[Seq[Double]]], out: String,
       idCol: String = "vec_id", cellCol: String = "cell",
       codeCol: String = "code"): Unit = {
     val s = encoded.sparkSession
     import s.implicits._
-    val (fs, root) = hfs(s, codesRoot(out))
-    if (fs.exists(root)) fs.delete(root, true) // save = (re)create
-    // read-order schema: data columns then the cell partition column
-    val schema = encoded.select(col(idCol), col(codeCol), col(cellCol)).schema
-    val files = stageIn(encoded, out, idCol, cellCol, codeCol)
-    commitManifest(s, out, 1L, schema, files)
+    val prev = currentManifest(s, out)
+    val commitId = java.util.UUID.randomUUID.toString.take(8)
+    val modelDir = s"m-$commitId"
+    // model first: the manifest that references it is not yet visible
     cents.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (v, dim) => (cid, dim, v) }
     }.toDF("cid", "dim", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/model/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${modelRoot(out)}/$modelDir/centroids")
     codebooks.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.flatMap { case (cw, cid) =>
         cw.zipWithIndex.map { case (v, dim) => (j, cid, dim, v) }
       }
     }.toDF("j", "cid", "dim", "v")
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/model/codebooks")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${modelRoot(out)}/$modelDir/codebooks")
+    // read-order schema: data columns then the cell partition column
+    val schema = encoded.select(col(idCol), col(codeCol), col(cellCol)).schema
+    val files = stageIn(encoded, out, idCol, cellCol, codeCol)
+    val base = prev.getOrElse(Manifest(0L, schema, modelDir, Seq.empty))
+    // full replace: any interleaving serializes with this save last
+    commitWithRetry(s, out, base, schema, modelDir, Set.empty, files,
+      fullReplace = true, validate = _ => ())
   }
 
   /** Append newly encoded vectors to an existing index WITHOUT
@@ -224,17 +350,22 @@ object IndexStore {
     * model tables are immutable). Correct because cell assignment and
     * PQ codes are per-vector functions of the SAVED model, so
     * append-then-search is bit-identical to a full rebuild (pinned by
-    * q121 against q103's oracle). This is the 100 TB maintenance
-    * story: ingest streams INTO the index between retrains, while
-    * q106's drift gate and q108's migration audit decide when the
-    * model itself has rotted enough to rebuild.
+    * q121 against q103's oracle). Appends COMMUTE — file lists union
+    * and the staged names are commit-unique — so a lost manifest race
+    * rebases and retries, and two racing appends BOTH land (q133 runs
+    * the race under the cross-engine gate). This is the 100 TB
+    * maintenance story: one ingest stream and one maintenance loop
+    * land commits INTO the index between retrains without
+    * coordinating, while q106's drift gate and q108's migration audit
+    * decide when the model itself has rotted enough to rebuild.
     */
   def append(encoded: DataFrame, out: String, idCol: String = "vec_id",
       cellCol: String = "cell", codeCol: String = "code"): Unit = {
     val s = encoded.sparkSession
     val man = requireManifest(s, out)
     val files = stageIn(encoded, out, idCol, cellCol, codeCol)
-    commitManifest(s, out, man.version + 1, man.schema, man.files ++ files)
+    commitWithRetry(s, out, man, man.schema, man.model, Set.empty, files,
+      fullReplace = false, validate = _ => ())
   }
 
   /** Remove tombstoned vectors from the index by rewriting ONLY the
@@ -254,6 +385,13 @@ object IndexStore {
     * concurrent readers until [[vacuum]]. A delete that empties every
     * cell is fine under versioning — the manifest carries the schema,
     * so an empty index stays readable (and [[append]] can refill it).
+    *
+    * A lost commit race rebases only while it stays conflict-free:
+    * every rewritten file must still be live, and no interleaved
+    * commit may have ADDED files to an affected cell (an appended
+    * file could hold a tombstoned id the staged survivors never saw —
+    * that is a genuine delete-vs-insert write conflict, thrown
+    * loudly rather than silently resurrecting the id).
     */
   def delete(s: SparkSession, out: String, tombstones: DataFrame,
       idCol: String = "vec_id"): Unit = {
@@ -263,11 +401,36 @@ object IndexStore {
     val affected = codes.join(ids, Seq(idCol))
       .select(col("cell")).distinct().collect().map(_.get(0).toString).toSet
     if (affected.isEmpty) return
-    val (affFiles, keptFiles) = man.files.partition(f => affected(cellOf(f)))
+    val (affFiles, keptFiles) = man.files.partition(f => affected(cellOf(f.path)))
     val survivors = readFiles(s, out, man.schema, affFiles)
       .join(ids, Seq(idCol), "left_anti")
     val newFiles = stageIn(survivors, out, idCol, "cell", "code")
-    commitManifest(s, out, man.version + 1, man.schema, keptFiles ++ newFiles)
+    val removed = affFiles.map(_.path).toSet
+    commitWithRetry(s, out, man, man.schema, man.model, removed, newFiles,
+      fullReplace = false, validate = validateDelete(man, affected, removed))
+  }
+
+  /** [[delete]]'s rebase validation, factored so the conflict matrix
+    * is spec-testable deterministically: the rewritten files must
+    * still be live, and no interleaved commit may have ADDED files to
+    * an affected cell (an appended file may contain a tombstoned id
+    * the staged survivors never scanned — the delete-vs-insert write
+    * conflict, refused loudly instead of silently resurrecting ids).
+    */
+  private[graft] def validateDelete(base: Manifest, affected: Set[String],
+      removed: Set[String])(newest: Manifest): Unit = {
+    if (!removed.subsetOf(newest.paths))
+      throw new IllegalStateException(
+        "IndexStore.delete: a concurrent commit removed files this " +
+          "delete rewrote — the staged survivors are stale; re-run " +
+          "the delete against the current version")
+    val grown = newest.paths -- base.paths
+    if (grown.exists(p => affected(cellOf(p))))
+      throw new IllegalStateException(
+        "IndexStore.delete: a concurrent commit appended into an " +
+          "affected cell — the new file may contain tombstoned ids " +
+          "this delete never scanned; re-run the delete against the " +
+          "current version")
   }
 
   /** Coalesce each cell's code files — the small-files counterpart of
@@ -284,47 +447,96 @@ object IndexStore {
     * search equality. Also prunes the streaming ingest's committed-
     * batch markers (see [[pruneIngestLog]]) so the maintenance loop
     * bounds BOTH small-file populations.
+    *
+    * A lost commit race rebases while every rewritten file is still
+    * live (rows can't be lost or doubled); a file concurrently
+    * removed means the rewrite is stale — conflict. Files a racing
+    * append added to a compacted cell simply stay listed: content
+    * union is preserved either way.
     */
   def compact(s: SparkSession, out: String, maxFilesPerCell: Int = 4)
       : Unit = {
     val man = requireManifest(s, out)
     pruneIngestLog(s, out)
-    val byCell = man.files.groupBy(cellOf)
+    val byCell = man.files.groupBy(f => cellOf(f.path))
     val oversized = byCell.filter(_._2.size > maxFilesPerCell).keySet
     if (oversized.isEmpty) return
-    val (bigFiles, keptFiles) = man.files.partition(f => oversized(cellOf(f)))
+    val (bigFiles, keptFiles) =
+      man.files.partition(f => oversized(cellOf(f.path)))
     val rewritten = stageIn(readFiles(s, out, man.schema, bigFiles), out,
       "vec_id", "cell", "code")
-    commitManifest(s, out, man.version + 1, man.schema,
-      keptFiles ++ rewritten)
+    val removed = bigFiles.map(_.path).toSet
+    commitWithRetry(s, out, man, man.schema, man.model, removed, rewritten,
+      fullReplace = false, validate = validateCompact(removed))
   }
 
-  /** Garbage-collect: retain the newest `keepVersions` manifests and
-    * delete every data file no retained version references, empty
-    * cell directories, crashed writers' staging residue, and the
-    * superseded manifests. Run only when no active reader holds a
-    * version older than the retained window (the vacuum half of the
-    * reader-atomicity contract — commits never delete, vacuum does).
+  /** [[compact]]'s rebase validation: every rewritten file must still
+    * be live (else rows could be lost or doubled); files a racing
+    * append added to a compacted cell simply stay listed — content
+    * union is preserved either way.
     */
-  def vacuum(s: SparkSession, out: String, keepVersions: Int = 1): Unit = {
+  private[graft] def validateCompact(removed: Set[String])
+      (newest: Manifest): Unit =
+    if (!removed.subsetOf(newest.paths))
+      throw new IllegalStateException(
+        "IndexStore.compact: a concurrent commit removed files this " +
+          "compaction rewrote — re-run against the current version")
+
+  /** Garbage-collect: retain the newest `keepVersions` manifests —
+    * plus every manifest younger than `minAgeMs`, the
+    * expire-snapshots pin window: a vacuum issued with a retention
+    * window covering a reader's pinned version can never collect it —
+    * and delete every data file and model directory no retained
+    * version references, empty cell directories, crashed writers'
+    * staging residue, and the superseded manifests.
+    *
+    * Vacuum is a WRITER under the single-writer-at-a-time contract:
+    * an in-flight mutation's staged files are unreferenced by ANY
+    * manifest until its commit, so a concurrent vacuum would collect
+    * them and the mutation would publish a manifest pointing at
+    * deleted files. Do not run vacuum concurrently with mutations.
+    * `minAgeMs` is the defense-in-depth if that rule is broken:
+    * staging directories and unreferenced files younger than the
+    * window are skipped, so a vacuum racing a mutation that started
+    * within the window degrades to "missed garbage", not corruption.
+    */
+  def vacuum(s: SparkSession, out: String, keepVersions: Int = 1,
+      minAgeMs: Long = 0L): Unit = {
     require(keepVersions >= 1, "IndexStore.vacuum: keepVersions must be >= 1")
     val (fs, root) = hfs(s, codesRoot(out))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    // minAgeMs == 0 means "no pin window": everything unreferenced is
+    // collectable NOW, including same-millisecond files
+    def aged(mtime: Long): Boolean = minAgeMs <= 0L || mtime < cutoff
     val mans = listManifests(fs, new Path(manifestsDir(out)))
     require(mans.nonEmpty, s"IndexStore.vacuum: no manifest under $out")
-    val (old, retained) = mans.splitAt(math.max(0, mans.size - keepVersions))
-    val live: Set[String] = retained.flatMap { case (v, p) =>
-      readManifest(fs, v, p).files
+    val nRetain =
+      math.max(keepVersions, mans.count(m => !aged(m._3)))
+    val (old, retained) = mans.splitAt(math.max(0, mans.size - nRetain))
+    val live: Set[String] = retained.flatMap { case (v, p, _) =>
+      readManifest(fs, v, p).files.map(_.path)
     }.toSet
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("_staging-")) fs.delete(p, true)
-      else if (p.getName.startsWith("cell=")) {
-        fs.listStatus(p).toSeq.map(_.getPath)
-          .filter(f => !live(s"${p.getName}/${f.getName}"))
-          .foreach(f => fs.delete(f, false))
+    val liveModels: Set[String] = retained.map { case (v, p, _) =>
+      readManifest(fs, v, p).model
+    }.toSet
+    fs.listStatus(root).toSeq.foreach { st =>
+      val p = st.getPath
+      if (p.getName.startsWith("_staging-")) {
+        if (aged(st.getModificationTime)) fs.delete(p, true)
+      } else if (p.getName.startsWith("cell=")) {
+        fs.listStatus(p).toSeq
+          .filter(f => !live(s"${p.getName}/${f.getPath.getName}") &&
+            aged(f.getModificationTime))
+          .foreach(f => fs.delete(f.getPath, false))
         if (fs.listStatus(p).isEmpty) fs.delete(p, false)
       }
     }
-    old.foreach { case (_, p) => fs.delete(p, false) }
+    val (mfs, mroot) = hfs(s, modelRoot(out))
+    if (mfs.exists(mroot)) mfs.listStatus(mroot).toSeq
+      .filter(st => st.getPath.getName.startsWith("m-") &&
+        !liveModels(st.getPath.getName) && aged(st.getModificationTime))
+      .foreach(st => mfs.delete(st.getPath, true))
+    old.foreach { case (_, p, _) => fs.delete(p, false) }
   }
 
   /** Prune the streaming ingest's committed-batch markers
@@ -359,35 +571,68 @@ object IndexStore {
     requireManifest(s, out).version
 
   /** The commit history still on disk: one row per retained manifest
-    * (version, n_files, n_cells) — METADATA only, newest last. After
-    * [[vacuum]] only the retained window remains.
+    * (version, n_files, n_cells, bytes) — METADATA only (file lengths
+    * ride in the manifests), newest last. After [[vacuum]] only the
+    * retained window remains.
     */
   def history(s: SparkSession, out: String): DataFrame = {
     import s.implicits._
     val (fs, dir) = hfs(s, manifestsDir(out))
-    listManifests(fs, dir).map { case (v, p) =>
+    listManifests(fs, dir).map { case (v, p, _) =>
       val m = readManifest(fs, v, p)
-      (v, m.files.size.toLong, m.files.map(cellOf).distinct.size.toLong)
-    }.toDF("version", "n_files", "n_cells").orderBy("version")
+      (v, m.files.size.toLong,
+        m.files.map(f => cellOf(f.path)).distinct.size.toLong,
+        m.files.map(_.len).sum)
+    }.toDF("version", "n_files", "n_cells", "bytes").orderBy("version")
   }
 
   /** Time-travel read: the code table AS OF a specific committed
     * version (must not have been [[vacuum]]ed away). The serve-side
     * use is a search fleet pinning one version across its queries
-    * while maintenance commits land; the audit-side use is diffing
-    * two versions (q67's snapshot-diff pattern applies directly).
+    * while maintenance commits land; the audit-side use is [[diff]].
     */
   def loadCodesAt(s: SparkSession, out: String, version: Long): DataFrame = {
-    val (fs, dir) = hfs(s, manifestsDir(out))
-    listManifests(fs, dir).find(_._1 == version) match {
-      case Some((v, p)) =>
-        val m = readManifest(fs, v, p)
-        readFiles(s, out, m.schema, m.files)
-      case None => throw new IllegalArgumentException(
-        s"IndexStore.loadCodesAt: version $version not on disk under " +
-          s"$out (vacuumed or never committed); available: " +
-          listManifests(fs, dir).map(_._1).mkString(", "))
-    }
+    val m = manifestAt(s, out, version)
+    readFiles(s, out, m.schema, m.files)
+  }
+
+  /** Audit diff between two retained versions — what the commits
+    * between v1 and v2 did to the index, per cell: files added and
+    * removed (pure manifest METADATA — file lists are immutable, so
+    * set difference IS the physical change) and code rows added and
+    * removed (two anti-joins between the versions' pruned reads,
+    * grouped by cell — the data-side ledger a takedown audit or an
+    * ingest reconciliation reads). Cells appear when anything
+    * changed; zero-filled otherwise. Certified cross-engine by q132:
+    * the append (q121) and delete (q122) indexes diffed v1→v2 against
+    * an oracle computing the same ledger from the corpus.
+    */
+  def diff(s: SparkSession, out: String, v1: Long, v2: Long,
+      idCol: String = "vec_id"): DataFrame = {
+    import s.implicits._
+    val m1 = manifestAt(s, out, v1)
+    val m2 = manifestAt(s, out, v2)
+    def fileCounts(paths: Set[String], name: String) =
+      paths.toSeq.map(p => cellOf(p).toInt)
+        .groupBy(identity).map { case (c, ps) => (c, ps.size.toLong) }
+        .toSeq.toDF("cell", name)
+    val fAdd = fileCounts(m2.paths -- m1.paths, "files_added")
+    val fRem = fileCounts(m1.paths -- m2.paths, "files_removed")
+    val c1 = readFiles(s, out, m1.schema, m1.files).select(col(idCol), col("cell"))
+    val c2 = readFiles(s, out, m2.schema, m2.files).select(col(idCol), col("cell"))
+    val cAdd = c2.join(c1.select(idCol), Seq(idCol), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("codes_added"))
+    val cRem = c1.join(c2.select(idCol), Seq(idCol), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("codes_removed"))
+    fAdd.join(fRem, Seq("cell"), "full_outer")
+      .join(cAdd, Seq("cell"), "full_outer")
+      .join(cRem, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("files_added"), lit(0L)).as("files_added"),
+        coalesce(col("files_removed"), lit(0L)).as("files_removed"),
+        coalesce(col("codes_added"), lit(0L)).as("codes_added"),
+        coalesce(col("codes_removed"), lit(0L)).as("codes_removed"))
+      .orderBy("cell")
   }
 
   /** Operational DESCRIBE of a persisted index: per-cell code count,
@@ -396,19 +641,18 @@ object IndexStore {
     * (file fan-out → compact; occupancy skew vs q106's drift gate →
     * retrain). The code counts come from one cell-keyed aggregate
     * over the (column-pruned) code scan; the file/byte columns come
-    * from the manifest — O(files) METADATA, never data.
+    * straight from the manifest, which records each file's length at
+    * commit time — NO filesystem call per file, so stats on a
+    * million-file index is one manifest read plus the data aggregate.
     */
   def stats(s: SparkSession, out: String): DataFrame = {
     import s.implicits._
     val man = requireManifest(s, out)
     val counts = readFiles(s, out, man.schema, man.files)
       .groupBy("cell").agg(count(lit(1)).as("n_codes"))
-    val (fs, _) = hfs(s, codesRoot(out))
-    val files = man.files.groupBy(cellOf).toSeq.map { case (c, fsq) =>
-      (c.toInt, fsq.size.toLong,
-        fsq.map(f => fs.getFileStatus(
-          new Path(s"${codesRoot(out)}/$f")).getLen).sum)
-    }.toDF("cell", "n_files", "bytes")
+    val files = man.files.groupBy(f => cellOf(f.path)).toSeq
+      .map { case (c, fsq) => (c.toInt, fsq.size.toLong, fsq.map(_.len).sum) }
+      .toDF("cell", "n_files", "bytes")
     counts.join(files, Seq("cell")).orderBy("cell")
   }
 
@@ -422,8 +666,13 @@ object IndexStore {
     readFiles(s, out, man.schema, man.files)
   }
 
+  /** The model the CURRENT version searches under (the manifest's
+    * model pointer — a retrain swaps codes and model in one atomic
+    * commit, so a reader never pairs new codes with an old model).
+    */
   def loadCentroids(s: SparkSession, out: String): Seq[Seq[Double]] =
-    s.read.parquet(s"$out/model/centroids")
+    s.read.parquet(
+        s"${modelRoot(out)}/${requireManifest(s, out).model}/centroids")
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
@@ -431,7 +680,8 @@ object IndexStore {
       }
 
   def loadCodebooks(s: SparkSession, out: String): Seq[Seq[Seq[Double]]] =
-    s.read.parquet(s"$out/model/codebooks")
+    s.read.parquet(
+        s"${modelRoot(out)}/${requireManifest(s, out).model}/codebooks")
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, sub) =>

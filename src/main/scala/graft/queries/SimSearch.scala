@@ -1211,8 +1211,8 @@ object SimSearch extends QueryModule {
   private val q121Index =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def q121(s: SparkSession, dir: String): DataFrame = {
-    val out = q121Index.computeIfAbsent(
+  private def q121Out(s: SparkSession, dir: String): String =
+    q121Index.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir", _ => {
         val (_, cents, codebooks) = ivfPqParts(s, dir)
         // assignment and codes are per-vector functions of the model,
@@ -1226,8 +1226,9 @@ object SimSearch extends QueryModule {
         graft.operators.IndexStore.append(half(even = false), path)
         path
       })
-    searchFromDisk(s, dir, out)
-  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    searchFromDisk(s, dir, q121Out(s, dir))
 
   // ---------------------------------------------------------------
   // q122 — index DELETION with cell-pruned repair (IndexStore
@@ -1276,6 +1277,85 @@ object SimSearch extends QueryModule {
   // probed search; the index build is q122's memo.
   private def q131(s: SparkSession, dir: String): DataFrame =
     searchFromDisk(s, dir, q122Out(s, dir), asOf = Some(1L))
+
+  // ---------------------------------------------------------------
+  // q132 — the INDEX AUDIT LEDGER (IndexStore.diff): what the commits
+  // between two retained versions did to the index, per cell — the
+  // question a takedown audit ("which cells lost which counts when
+  // the tombstone batch landed?") or an ingest reconciliation ("did
+  // the append reach every cell it should have?") actually asks. Both
+  // persisted maintenance paths are diffed v1→v2: q121's index (an
+  // append — codes_added = the odd-id half, nothing removed) and
+  // q122's (a delete — codes_removed = the mod-10 tombstones, nothing
+  // added), tagged and stacked. The oracle recomputes the same ledger
+  // from the corpus: cell assignment is the fixed-model argmin
+  // (q53's SQL), and the per-cell added/removed counts are the id
+  // predicates the two maintenance runs used. File-level columns are
+  // manifest METADATA (no SQL twin — IndexStoreSpec pins them); the
+  // gate row carries the data-side ledger. Marginal cost: two
+  // anti-joins over each already-built index — the builds are q121's
+  // and q122's memos.
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IndexStore.diff(s, q121Out(s, dir), 1L, 2L)
+      .withColumn("op", lit("append"))
+      .unionByName(
+        graft.operators.IndexStore.diff(s, q122Out(s, dir), 1L, 2L)
+          .withColumn("op", lit("delete")))
+      .select(col("op"), col("cell"), col("codes_added"),
+        col("codes_removed"))
+      .orderBy("op", "cell")
+
+  private val q132Sql =
+    s"""$duckIvfTrained
+       |SELECT 'append' AS op, cell, CAST(COUNT(*) AS BIGINT) AS codes_added,
+       |  CAST(0 AS BIGINT) AS codes_removed
+       |FROM assigned WHERE vec_id % 2 = 1 GROUP BY cell
+       |UNION ALL
+       |SELECT 'delete' AS op, cell, CAST(0 AS BIGINT) AS codes_added,
+       |  CAST(COUNT(*) AS BIGINT) AS codes_removed
+       |FROM assigned WHERE vec_id % 10 = 3 GROUP BY cell
+       |ORDER BY op, cell""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q133 — CONCURRENT APPENDS under the optimistic commit loop: the
+  // index seeds with a third of the corpus, then the remaining two
+  // thirds arrive as two appends from RACING threads (a barrier
+  // aligns their read-stage-commit cycles, so the loser's manifest
+  // rename conflicts and rebases). Whatever the interleaving, BOTH
+  // commits must land — appends commute (file lists union under
+  // commit-unique names) — and the search from disk must hash-match
+  // the same full-corpus oracle as the batch-built index (q103/q117):
+  // arrival path and commit order cannot leak into results. This is
+  // the 100 TB shape where one ingest stream and one maintenance loop
+  // write the same index without coordinating; the deterministic
+  // stale-base rebase and the conflict matrix (delete-vs-append
+  // refusal) are pinned in IndexStoreSpec.
+  private val q133Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val out = q133Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (_, cents, codebooks) = ivfPqParts(s, dir)
+        def third(k: Int) =
+          encodedIvfPq(s, dir).filter(col("vec_id") % 3 === k)
+        val path = tempIndexDir("graft-q133-index")
+        graft.operators.IndexStore.save(third(0), cents, codebooks, path)
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val race = Seq(1, 2).map { k =>
+          Future {
+            barrier.await()
+            graft.operators.IndexStore.append(third(k), path)
+          }
+        }
+        Await.result(Future.sequence(race),
+          scala.concurrent.duration.Duration(300, "s"))
+        path
+      })
+    searchFromDisk(s, dir, out)
+  }
 
   // ---------------------------------------------------------------
   // q129 — search an index built BY THE STREAMING INGEST PATH
@@ -1396,7 +1476,9 @@ object SimSearch extends QueryModule {
     "q123_exact_rerank" -> (q123 _),
     "q129_stream_index_search" -> (q129 _),
     "q130_drift_twosided" -> (q130 _),
-    "q131_index_timetravel" -> (q131 _))
+    "q131_index_timetravel" -> (q131 _),
+    "q132_index_diff" -> (q132 _),
+    "q133_concurrent_append" -> (q133 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1430,5 +1512,9 @@ object SimSearch extends QueryModule {
     // q131 reads q122's index AS OF version 1 — before the delete —
     // so the FULL-corpus oracle must come back, not q122's filtered
     // one: the same store certifies two versions against two oracles.
-    "q131_index_timetravel" -> q103Sql)
+    "q131_index_timetravel" -> q103Sql,
+    "q132_index_diff" -> q132Sql,
+    // q133's index content equals the full corpus however the racing
+    // appends interleave — the batch-built oracle certifies it.
+    "q133_concurrent_append" -> q103Sql)
 }

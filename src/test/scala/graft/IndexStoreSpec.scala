@@ -350,11 +350,12 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       // commit wins; the second MUST throw — even on POSIX, where a
       // bare rename would silently overwrite the winner's manifest
       val schema = IndexStore.loadCodes(spark, out).schema
-      IndexStore.commitManifest(spark, out, 2L, schema, Seq.empty)
+      val model = IndexStore.currentManifest(spark, out).get.model
+      IndexStore.commitManifest(spark, out, 2L, schema, model, Seq.empty)
       val rowsBefore = IndexStore.loadCodes(spark, out).count()
       assert(rowsBefore == 0L) // the winner's (empty) commit is live
       intercept[IllegalStateException] {
-        IndexStore.commitManifest(spark, out, 2L, schema, Seq.empty)
+        IndexStore.commitManifest(spark, out, 2L, schema, model, Seq.empty)
       }
       // the loser changed nothing visible
       assert(IndexStore.version(spark, out) == 2L)
@@ -369,6 +370,244 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       IndexStore.vacuum(spark, out)
       assert(IndexStore.loadCodes(spark, out).count() == n20)
     } finally c.unpersist()
+  }
+
+  /** Shared fixture: encode the corpus under the fixed model into a
+    * fresh temp index dir; returns (encoded, cents, codebooks, out).
+    */
+  private def freshIndex(prefix: String, save: Boolean = true) = {
+    val c = corpus
+    val cents = graft.operators.FixedModel.centroids(c,
+      Seq(0L, 10L, 20L, 30L))
+    val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
+    val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+      "embedding")
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    if (save) IndexStore.save(encoded, cents, codebooks, out)
+    (encoded, cents, codebooks, out)
+  }
+
+  /** Row multiset over the STORED columns (vec_id, code, cell) —
+    * in-session frames carry extra columns (embedding) the layout
+    * drops — with array values normalized to Seq (a collected
+    * ArrayType may surface as a raw Array, which compares by
+    * reference).
+    */
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "code", "cell").collect()
+      .map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case s: scala.collection.Seq[_] => s.toSeq
+        case x => x
+      })
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("a lost append race rebases onto the winner and BOTH appends " +
+      "land (deterministic stale-base commit + two racing threads)") {
+    val (encoded, cents, codebooks, out) =
+      freshIndex("graft-index-oc", save = false)
+    val third = (k: Int) => encoded.filter(col("vec_id") % 3 === k)
+    IndexStore.save(third(0), cents, codebooks, out)
+
+    // DETERMINISTIC conflict: writer B reads v1 and stages, then
+    // writer A commits v2 underneath; B's first commit of v2 loses
+    // and must rebase onto A's manifest so v3 = v1 ∪ A ∪ B
+    val baseV1 = IndexStore.currentManifest(spark, out).get
+    val stagedB = IndexStore.stageIn(third(2), out, "vec_id", "cell", "code")
+    IndexStore.append(third(1), out) // writer A wins v2
+    IndexStore.commitWithRetry(spark, out, baseV1, baseV1.schema,
+      baseV1.model, Set.empty, stagedB, fullReplace = false,
+      validate = _ => ())
+    assert(IndexStore.version(spark, out) == 3L)
+    assert(multiset(IndexStore.loadCodes(spark, out)) == multiset(encoded))
+
+    // END-TO-END: two appends from racing threads — whatever the
+    // interleaving, both must land (the loser rebases internally)
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-index-oc2").toString
+    IndexStore.save(third(0), cents, codebooks, out2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val race = Seq(1, 2).map { k =>
+      Future { barrier.await(); IndexStore.append(third(k), out2) }
+    }
+    Await.result(Future.sequence(race), scala.concurrent.duration.Duration
+      .apply(120, "s"))
+    assert(IndexStore.version(spark, out2) == 3L)
+    assert(multiset(IndexStore.loadCodes(spark, out2)) == multiset(encoded))
+  }
+
+  test("delete and compact rebases enforce the conflict matrix: " +
+      "stale rewrites and appends into affected cells are refused, " +
+      "commuting interleavings rebase") {
+    val (encoded, _, _, out) = freshIndex("graft-index-cm")
+    val man = IndexStore.currentManifest(spark, out).get
+    val cells = man.files.map(_.path.takeWhile(_ != '/').stripPrefix("cell="))
+      .distinct.sorted
+    assert(cells.size >= 2)
+    val (affCell, otherCell) = (cells.head, cells.last)
+    val affFiles = man.files.map(_.path).filter(_.startsWith(s"cell=$affCell/"))
+      .toSet
+
+    def entry(cell: String, name: String) =
+      IndexStore.FileEntry(s"cell=$cell/$name", 1L)
+
+    // commuting: winner appended into an UNaffected cell — rebase ok
+    val grewOther = man.copy(version = man.version + 1,
+      files = man.files :+ entry(otherCell, "x-part-0.parquet"))
+    IndexStore.validateDelete(man, Set(affCell), affFiles)(grewOther)
+    IndexStore.validateCompact(affFiles)(grewOther)
+
+    // conflict: winner appended INTO an affected cell — delete refuses
+    val grewAff = man.copy(version = man.version + 1,
+      files = man.files :+ entry(affCell, "y-part-0.parquet"))
+    intercept[IllegalStateException] {
+      IndexStore.validateDelete(man, Set(affCell), affFiles)(grewAff)
+    }
+    // ...but compact tolerates it (content union preserved)
+    IndexStore.validateCompact(affFiles)(grewAff)
+
+    // conflict: winner removed a file this mutation rewrote — both refuse
+    val shrunk = man.copy(version = man.version + 1,
+      files = man.files.filterNot(f => affFiles(f.path)))
+    intercept[IllegalStateException] {
+      IndexStore.validateDelete(man, Set(affCell), affFiles)(shrunk)
+    }
+    intercept[IllegalStateException] {
+      IndexStore.validateCompact(affFiles)(shrunk)
+    }
+
+    // a concurrent save() (model swap) aborts any in-flight rebase
+    val retrained = man.copy(version = man.version + 1, model = "m-new")
+    val staged = IndexStore.stageIn(encoded.limit(1), out,
+      "vec_id", "cell", "code")
+    IndexStore.commitManifest(spark, out, man.version + 1, man.schema,
+      "m-new", retrained.files)
+    intercept[IllegalStateException] {
+      IndexStore.commitWithRetry(spark, out, man, man.schema, man.model,
+        Set.empty, staged, fullReplace = false, validate = _ => ())
+    }
+  }
+
+  test("vacuum honors the pin window: a retention window covering a " +
+      "pinned version retains its manifest, files, and in-flight " +
+      "residue; minAgeMs=0 collects them") {
+    val (encoded, _, _, out) = freshIndex("graft-index-pinwin")
+    import spark.implicits._
+    val someIds = encoded.select("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    IndexStore.delete(spark, out, someIds.toDF("vec_id")) // v2
+    val v1Rows = multiset(IndexStore.loadCodesAt(spark, out, 1L))
+
+    // a crashed/in-flight writer's residue: a staging dir and an
+    // unreferenced file inside a live cell dir, both fresh
+    val cellDir = new java.io.File(s"$out/codes").listFiles
+      .filter(_.getName.startsWith("cell=")).head
+    val straggler = new java.io.File(cellDir, "zz-part-inflight.parquet")
+    straggler.createNewFile()
+    new java.io.File(s"$out/codes/_staging-inflight").mkdirs()
+
+    // retention window covers v1 (everything is younger than an hour)
+    IndexStore.vacuum(spark, out, keepVersions = 1, minAgeMs = 3600000L)
+    assert(multiset(IndexStore.loadCodesAt(spark, out, 1L)) == v1Rows,
+      "pinned version was collected despite the retention window")
+    assert(straggler.exists, "in-flight file collected inside the window")
+    assert(new java.io.File(s"$out/codes/_staging-inflight").exists)
+
+    // no pin window: v1 goes, residue goes, current version survives
+    val v2Rows = multiset(IndexStore.loadCodes(spark, out))
+    IndexStore.vacuum(spark, out, keepVersions = 1, minAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadCodesAt(spark, out, 1L)
+    }
+    assert(!straggler.exists)
+    assert(!new java.io.File(s"$out/codes/_staging-inflight").exists)
+    assert(multiset(IndexStore.loadCodes(spark, out)) == v2Rows)
+  }
+
+  test("save over an existing index is a staged full-snapshot commit: " +
+      "the previous version stays readable until vacuum and the model " +
+      "swaps atomically with the codes") {
+    val (encoded, cents, codebooks, out) = freshIndex("graft-index-resave")
+    val v1Rows = multiset(IndexStore.loadCodes(spark, out))
+    val reader = IndexStore.loadCodes(spark, out) // pinned at v1
+
+    // retrain: recreate with HALF the corpus and a shifted model
+    val cents2 = cents.map(_.map(_ + 1.0))
+    val half = encoded.filter(col("vec_id") % 2 === 0)
+    IndexStore.save(half, cents2, codebooks, out)
+    assert(IndexStore.version(spark, out) == 2L)
+
+    // new current state: half the codes, the NEW model
+    assert(multiset(IndexStore.loadCodes(spark, out)) == multiset(half))
+    assert(IndexStore.loadCentroids(spark, out) == cents2)
+    // the pinned reader and time travel still see v1 exactly
+    assert(multiset(reader) == v1Rows)
+    assert(multiset(IndexStore.loadCodesAt(spark, out, 1L)) == v1Rows)
+
+    // vacuum drops v1's files and its model directory
+    IndexStore.vacuum(spark, out)
+    intercept[IllegalArgumentException] {
+      IndexStore.loadCodesAt(spark, out, 1L)
+    }
+    val modelDirs = new java.io.File(s"$out/model").listFiles
+      .filter(_.getName.startsWith("m-")).map(_.getName).toSet
+    assert(modelDirs.size == 1)
+    assert(IndexStore.loadCentroids(spark, out) == cents2)
+  }
+
+  test("diff reports the per-cell file and code ledger between " +
+      "versions") {
+    val (encoded, _, _, out) = freshIndex("graft-index-diff")
+    val man1 = IndexStore.currentManifest(spark, out).get
+    import spark.implicits._
+    // v2: delete three ids; v3: append them back
+    val ids = encoded.select("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    IndexStore.delete(spark, out, ids.toDF("vec_id"))
+    IndexStore.append(
+      encoded.filter(col("vec_id").isin(ids.map(Long.box): _*)), out)
+
+    val idCells = encoded.filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select("cell").collect().map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    val d12 = IndexStore.diff(spark, out, 1L, 2L).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // every affected cell: codes_removed = its tombstones, none added
+    assert(d12.keySet == idCells.keySet)
+    d12.foreach { case (cell, (fa, fr, ca, cr)) =>
+      assert(cr == idCells(cell), s"cell=$cell codes_removed")
+      assert(ca == 0L, s"cell=$cell codes_added")
+      assert(fr >= 1L, s"cell=$cell files_removed")
+      // a fully-emptied cell stages no survivor file
+      assert(fa <= 1L, s"cell=$cell files_added")
+    }
+    // the round trip: v1 -> v3 is code-neutral but file-churned
+    val d13 = IndexStore.diff(spark, out, 1L, 3L).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getLong(4))).toMap
+    d13.foreach { case (cell, (ca, cr)) =>
+      assert(ca == 0L && cr == 0L, s"cell=$cell should be code-neutral")
+    }
+    // diff against a vacuumed/unknown version throws loudly
+    intercept[IllegalArgumentException] {
+      IndexStore.diff(spark, out, 1L, 99L)
+    }
+  }
+
+  test("stats and history come from manifest metadata: recorded " +
+      "lengths match the physical files") {
+    val (_, _, _, out) = freshIndex("graft-index-meta")
+    val man = IndexStore.currentManifest(spark, out).get
+    man.files.foreach { f =>
+      assert(new java.io.File(s"$out/codes/${f.path}").length == f.len,
+        s"manifest length drifted for ${f.path}")
+    }
+    val hist = IndexStore.history(spark, out).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(hist.head.getLong(3) == man.files.map(_.len).sum)
   }
 
   test("an empty save is readable and appendable (the streaming " +
