@@ -59,9 +59,10 @@ object BpeScaleBench {
         .groupBy("w").agg(count(lit(1)).as("n"))
       ).cache()
       val nWords = vocab.count()
-      // warmup: JIT + codegen for both round plan shapes
+      // warmup: JIT + codegen for all three round plan shapes
       graft.operators.Bpe.train(vocab, steps = 2)
       graft.operators.Bpe.trainBatched(vocab, steps = 2)
+      graft.operators.Bpe.trainIncremental(vocab, steps = 2)
       stepCounts.foreach { steps =>
         val t0 = System.nanoTime()
         val (merges, fin) = graft.operators.Bpe.train(vocab, steps)
@@ -71,11 +72,17 @@ object BpeScaleBench {
         val (bm, _) = graft.operators.Bpe.trainBatched(vocab, steps)
         val bsecs = (System.nanoTime() - t1) / 1e9
         require(bm == merges, "trainBatched diverged from train")
+        val t2 = System.nanoTime()
+        val (im, _) = graft.operators.Bpe.trainIncremental(vocab, steps)
+        val isecs = (System.nanoTime() - t2) / 1e9
+        require(im == merges, "trainIncremental diverged from train")
         println(f"[bpescale] dir=$dir words=$nWords steps=$steps " +
           f"got=${merges.size} seq=$secs%.1f s " +
           f"(perRound=${secs / math.max(1, merges.size)}%.3f) " +
           f"batched=$bsecs%.1f s " +
           f"(perMerge=${bsecs / math.max(1, bm.size)}%.3f) " +
+          f"incr=$isecs%.1f s " +
+          f"(perMerge=${isecs / math.max(1, im.size)}%.3f) " +
           f"finalRows=$rows")
       }
       vocab.unpersist()

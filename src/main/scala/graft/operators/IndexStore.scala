@@ -600,12 +600,19 @@ object IndexStore {
     * between v1 and v2 did to the index, per cell: files added and
     * removed (pure manifest METADATA — file lists are immutable, so
     * set difference IS the physical change) and code rows added and
-    * removed (two anti-joins between the versions' pruned reads,
-    * grouped by cell — the data-side ledger a takedown audit or an
-    * ingest reconciliation reads). Cells appear when anything
-    * changed; zero-filled otherwise. Certified cross-engine by q132:
-    * the append (q121) and delete (q122) indexes diffed v1→v2 against
-    * an oracle computing the same ledger from the corpus.
+    * removed (the data-side ledger a takedown audit or an ingest
+    * reconciliation reads). Cells appear when anything changed;
+    * zero-filled otherwise. Certified cross-engine by q132: the
+    * append (q121) and delete (q122) indexes diffed v1→v2 against an
+    * oracle computing the same ledger from the corpus.
+    *
+    * Scale: the read is pruned to the CHANGED files only — files are
+    * immutable and each version's ids are unique (the store's
+    * invariant: save/append land distinct vectors, delete removes,
+    * compact preserves), so an id is added iff it is in an
+    * added-but-no-removed file and vice versa. Two anti-joins over
+    * O(change) rows — diffing a week of maintenance on a 100 TB
+    * index reads the week's churn, never the index.
     */
   def diff(s: SparkSession, out: String, v1: Long, v2: Long,
       idCol: String = "vec_id"): DataFrame = {
@@ -616,13 +623,17 @@ object IndexStore {
       paths.toSeq.map(p => cellOf(p).toInt)
         .groupBy(identity).map { case (c, ps) => (c, ps.size.toLong) }
         .toSeq.toDF("cell", name)
-    val fAdd = fileCounts(m2.paths -- m1.paths, "files_added")
-    val fRem = fileCounts(m1.paths -- m2.paths, "files_removed")
-    val c1 = readFiles(s, out, m1.schema, m1.files).select(col(idCol), col("cell"))
-    val c2 = readFiles(s, out, m2.schema, m2.files).select(col(idCol), col("cell"))
-    val cAdd = c2.join(c1.select(idCol), Seq(idCol), "left_anti")
+    val addedPaths = m2.paths -- m1.paths
+    val removedPaths = m1.paths -- m2.paths
+    val fAdd = fileCounts(addedPaths, "files_added")
+    val fRem = fileCounts(removedPaths, "files_removed")
+    val cA = readFiles(s, out, m2.schema,
+      m2.files.filter(f => addedPaths(f.path))).select(col(idCol), col("cell"))
+    val cR = readFiles(s, out, m1.schema,
+      m1.files.filter(f => removedPaths(f.path))).select(col(idCol), col("cell"))
+    val cAdd = cA.join(cR.select(idCol), Seq(idCol), "left_anti")
       .groupBy("cell").agg(count(lit(1)).as("codes_added"))
-    val cRem = c1.join(c2.select(idCol), Seq(idCol), "left_anti")
+    val cRem = cR.join(cA.select(idCol), Seq(idCol), "left_anti")
       .groupBy("cell").agg(count(lit(1)).as("codes_removed"))
     fAdd.join(fRem, Seq("cell"), "full_outer")
       .join(cAdd, Seq("cell"), "full_outer")
@@ -671,17 +682,36 @@ object IndexStore {
     * commit, so a reader never pairs new codes with an old model).
     */
   def loadCentroids(s: SparkSession, out: String): Seq[Seq[Double]] =
-    s.read.parquet(
-        s"${modelRoot(out)}/${requireManifest(s, out).model}/centroids")
+    centroidsFrom(s, out, requireManifest(s, out).model)
+
+  def loadCodebooks(s: SparkSession, out: String): Seq[Seq[Seq[Double]]] =
+    codebooksFrom(s, out, requireManifest(s, out).model)
+
+  /** The model AS OF a retained version — the other half of
+    * [[loadCodesAt]]: a time-travel search across a retrain must pair
+    * version v's codes with version v's model (the manifest pins
+    * both), or the ADC arithmetic is nonsense.
+    */
+  def loadCentroidsAt(s: SparkSession, out: String, version: Long)
+      : Seq[Seq[Double]] =
+    centroidsFrom(s, out, manifestAt(s, out, version).model)
+
+  def loadCodebooksAt(s: SparkSession, out: String, version: Long)
+      : Seq[Seq[Seq[Double]]] =
+    codebooksFrom(s, out, manifestAt(s, out, version).model)
+
+  private def centroidsFrom(s: SparkSession, out: String, model: String)
+      : Seq[Seq[Double]] =
+    s.read.parquet(s"${modelRoot(out)}/$model/centroids")
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
       }
 
-  def loadCodebooks(s: SparkSession, out: String): Seq[Seq[Seq[Double]]] =
-    s.read.parquet(
-        s"${modelRoot(out)}/${requireManifest(s, out).model}/codebooks")
+  private def codebooksFrom(s: SparkSession, out: String, model: String)
+      : Seq[Seq[Seq[Double]]] =
+    s.read.parquet(s"${modelRoot(out)}/$model/codebooks")
       .collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, sub) =>

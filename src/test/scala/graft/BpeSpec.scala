@@ -122,7 +122,99 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
           val (batMerges, batFin) = Bpe.trainBatched(vocab, steps, k)
           assert(batMerges == seqMerges, s"$tag batchK=$k merge table")
           assert(key(batFin) == want, s"$tag batchK=$k symbolization")
+          // incremental pair-count maintenance: same contract, with a
+          // tight recount period so the checksum runs mid-battery
+          val (incMerges, incFin) = Bpe.trainIncremental(vocab, steps, k,
+            recountEvery = 3)
+          assert(incMerges == seqMerges, s"$tag incr batchK=$k merge table")
+          assert(key(incFin) == want, s"$tag incr batchK=$k symbolization")
         }
+    }
+  }
+
+  /** Sennrich apply-to-fixpoint reference: repeatedly merge the
+    * lowest-rank pair present in the word (all occurrences, greedy
+    * left-to-right) until no trained pair remains.
+    */
+  private def fixpointFold(w: String, merges: Seq[Bpe.Merge])
+      : List[String] = {
+    val rank = merges.map(m => (m.merge_left, m.merge_right) -> m.step).toMap
+    var syms = w.map(_.toString).toList
+    var done = false
+    while (!done) {
+      val present = syms.zip(syms.drop(1)).flatMap(p => rank.get(p))
+      if (present.isEmpty) done = true
+      else {
+        val best = present.min
+        val (a, b) = merges.find(_.step == best)
+          .map(m => (m.merge_left, m.merge_right)).get
+        syms = foldMerge(syms, a, b)
+      }
+    }
+    syms
+  }
+
+  test("fixpoint inference matches Sennrich semantics, diverges from " +
+      "the training-order fold exactly on imported-tokenizer merge " +
+      "lists, and agrees with it on self-trained batteries") {
+    implicit val s = spark
+    import s.implicits._
+
+    def segmentedMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("w", "pos", "sym").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toList)
+        .toMap
+
+    // IMPORTED merge list: (ab, c) ranked BEFORE (a, b) — impossible
+    // to train (the "ab" symbol postdates its own rule) but exactly
+    // what loading an external tokenizer's truncated/reordered table
+    // produces. The training-order fold stops at [ab, c]; fixpoint
+    // re-scans and reaches [abc].
+    val imported = Seq(Bpe.Merge(1, "ab", "c", 0L), Bpe.Merge(2, "a", "b", 0L))
+    val words = Seq("abc", "ababc", "cab", "abcabc", "aabbc", "c", "a")
+    val vocab = words.map(w => (w, 1L)).toDF("w", "n")
+    val fix = segmentedMap(Bpe.segmentFixpoint(vocab, imported))
+    val once = segmentedMap(Bpe.segment(vocab, imported))
+    words.foreach { w =>
+      assert(fix(w) == fixpointFold(w, imported), s"fixpoint($w)")
+    }
+    assert(once("abc") == List("ab", "c") && fix("abc") == List("abc"))
+    assert(once("abcabc") == List("ab", "c", "ab", "c") &&
+      fix("abcabc") == List("abc", "abc"))
+
+    // self-trained battery: priorities replay training evolution, so
+    // fixpoint and the training-order fold agree on EVERY word —
+    // trained or unseen runs/interleaves
+    val trainWords = (1 to 5).flatMap(len =>
+      (0 until (1 << len)).map(bits =>
+        (0 until len).map(i => if ((bits >> i & 1) == 0) "a" else "b")
+          .mkString)).distinct
+    val (merges, trained) =
+      Bpe.train(trainWords.map(w => (w, 1L)).toDF("w", "n"), steps = 4)
+    val evalWords = trainWords ++ Seq("aaaaaaaa", "abababab", "bbaabb")
+      .filterNot(trainWords.contains)
+    val evalVocab = evalWords.map(w => (w, 1L)).toDF("w", "n")
+    val fix2 = segmentedMap(Bpe.segmentFixpoint(evalVocab, merges))
+    evalWords.foreach { w =>
+      val want = merges.foldLeft(w.map(_.toString).toList) {
+        (syms, m) => foldMerge(syms, m.merge_left, m.merge_right)
+      }
+      assert(fix2(w) == want, s"self-trained fixpoint($w)")
+      assert(fix2(w) == fixpointFold(w, merges), s"reference fixpoint($w)")
+    }
+
+    // segmentServe(fixpointOov = true): known words keep the trained
+    // pieces; OOV words get fixpoint semantics under the imported list
+    val serveVocab = (trainWords.take(4).map(w => (w, 5L)) ++
+      Seq(("abc", 2L))).toDF("w", "n")
+    val served = Bpe.segmentServe(serveVocab, imported, trained,
+      fixpointOov = true)
+    val servedMap = segmentedMap(served)
+    assert(servedMap("abc") == List("abc")) // fixpoint, not [ab, c]
+    trainWords.take(4).foreach { w =>
+      val want = segmentedMap(trained.filter(col("w") === w))(w)
+      assert(servedMap(w) == want, s"served known($w)")
     }
   }
 

@@ -542,9 +542,14 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     // new current state: half the codes, the NEW model
     assert(multiset(IndexStore.loadCodes(spark, out)) == multiset(half))
     assert(IndexStore.loadCentroids(spark, out) == cents2)
-    // the pinned reader and time travel still see v1 exactly
+    // the pinned reader and time travel still see v1 exactly —
+    // codes AND model (a time-travel search across the retrain must
+    // pair v1's codes with v1's model)
     assert(multiset(reader) == v1Rows)
     assert(multiset(IndexStore.loadCodesAt(spark, out, 1L)) == v1Rows)
+    assert(IndexStore.loadCentroidsAt(spark, out, 1L) == cents)
+    assert(IndexStore.loadCentroidsAt(spark, out, 2L) == cents2)
+    assert(IndexStore.loadCodebooksAt(spark, out, 1L) == codebooks)
 
     // vacuum drops v1's files and its model directory
     IndexStore.vacuum(spark, out)
@@ -591,6 +596,16 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     d13.foreach { case (cell, (ca, cr)) =>
       assert(ca == 0L && cr == 0L, s"cell=$cell should be code-neutral")
     }
+    // scale pin: the audit reads ONLY the churned files — a diff of
+    // one maintenance window on a huge index scans the window, never
+    // the index
+    val man3 = IndexStore.currentManifest(spark, out).get
+    val churned = ((man1.paths -- man3.paths) ++ (man3.paths -- man1.paths))
+      .map(_.split('/').last)
+    val scanned = IndexStore.diff(spark, out, 1L, 3L).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f).getPath).getName).toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(churned),
+      s"diff scan escaped the churned files: ${scanned -- churned}")
     // diff against a vacuumed/unknown version throws loudly
     intercept[IllegalArgumentException] {
       IndexStore.diff(spark, out, 1L, 99L)
