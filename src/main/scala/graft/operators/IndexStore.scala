@@ -173,16 +173,22 @@ object IndexStore {
   }
 
   /** Atomically publish version `version`: write to a dot-temp name,
-    * then ONE rename. A racing writer that already committed this
-    * version makes the commit throw [[CommitConflictException]] with
-    * the winner's version intact: the pre-rename existence check
-    * catches it on filesystems whose rename OVERWRITES an existing
-    * destination (POSIX — pinned by IndexStoreSpec's race case), and
-    * the rename result catches it on those whose rename refuses
-    * (HDFS). The residual TOCTOU window means a conflict can in
-    * principle go unthrown here; the REBASE loop above turns that
-    * from silence into a retried commit, and filesystems with atomic
-    * no-overwrite rename close it entirely.
+    * then ONE atomic create-if-absent publish. A racing writer that
+    * already committed this version makes the commit throw
+    * [[CommitConflictException]] with the winner's version intact.
+    * The publish must be WIN-ONCE — exactly one of two racers may
+    * succeed, with no window where both do — so the mechanism is
+    * scheme-dependent:
+    *
+    *   - local filesystem: `link(2)` (`Files.createLink`) — the
+    *     kernel atomically fails with EEXIST if the destination
+    *     exists. A bare rename would OVERWRITE the winner's manifest
+    *     on POSIX, and an exists()-then-rename has a TOCTOU window
+    *     where both racers pass the check (IndexStoreSpec pins the
+    *     loser throwing);
+    *   - everything else (HDFS-like): rename, which refuses an
+    *     existing destination atomically; the exists() probe before
+    *     it only classifies the failure.
     */
   private[graft] def commitManifest(s: SparkSession, out: String,
       version: Long, schema: StructType, model: String,
@@ -196,13 +202,32 @@ object IndexStore {
     try o.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally o.close()
     val dst = new Path(dir, manifestName(version))
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new CommitConflictException(
-        s"IndexStore: commit of version $version lost to a concurrent " +
-          s"writer — index remains at the committed version")
-    }
+    val won = publishOnce(fs, tmp, dst)
+    fs.delete(tmp, false)
+    if (!won) throw new CommitConflictException(
+      s"IndexStore: commit of version $version lost to a concurrent " +
+        s"writer — index remains at the committed version")
   }
+
+  /** Publish `tmp` at `dst` win-once (see [[commitManifest]]);
+    * returns whether THIS caller won. `tmp` is left in place either
+    * way (the caller deletes it — after a hard link the data lives
+    * on under `dst`).
+    */
+  private def publishOnce(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // no hard links on this volume: fall back to probed rename
+          !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+    } else !fs.exists(dst) && fs.rename(tmp, dst)
 
   /** The optimistic commit loop: try to publish on top of `base`; on
     * a lost race re-read the newest manifest, `validate` that this

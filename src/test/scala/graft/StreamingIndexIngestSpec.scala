@@ -102,4 +102,75 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
       assert(IndexStore.loadCodes(spark, out).count() == all.length + 2)
     } finally c.unpersist()
   }
+
+  test("streaming ingest and a concurrent maintenance compact both " +
+      "land — the 100 TB interleaving the optimistic commit loop " +
+      "exists for (one ingest stream + one maintenance loop, no " +
+      "coordination)") {
+    implicit val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c = corpus.cache()
+    try {
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-stream-race").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-stream-race-ck").toString
+      IndexStore.save(
+        Pq.encode(Ivf.assign(c.filter(col("vec_id") < 10), cents,
+          "embedding"), codebooks, "embedding"),
+        cents, codebooks, out)
+      val all = c.select(col("vec_id"), col("embedding"))
+        .as[IngestVec].collect().sortBy(_.vec_id)
+      val rest = all.filter(_.vec_id >= 10)
+
+      val mem = MemoryStream[IngestVec]
+      val q = StreamingIndexIngest.start(mem.toDF(), cents, codebooks,
+        out, ck)
+      // the maintenance loop, racing the stream's append commits:
+      // compact rebases across concurrent appends (appends never
+      // remove files), appends rebase across compact commits — any
+      // interleaving must land BOTH sides or fail loudly
+      @volatile var maintErr: Option[Throwable] = None
+      val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val maint = new Thread(() => {
+        while (!stopFlag.get) {
+          try {
+            IndexStore.compact(spark, out, maxFilesPerCell = 2)
+            Thread.sleep(25)
+          } catch {
+            case t: Throwable => maintErr = Some(t); stopFlag.set(true)
+          }
+        }
+      }, "maintenance-loop")
+      maint.start()
+      try {
+        rest.grouped(5).foreach { wave =>
+          mem.addData(wave.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      stopFlag.set(true)
+      maint.join(60000)
+      assert(maintErr.isEmpty, s"maintenance loop failed: $maintErr")
+
+      // quiesced: one final compact + vacuum, then the index must
+      // hold EXACTLY the saved + streamed vectors and search like a
+      // batch rebuild — nothing lost to a lost race, nothing doubled
+      IndexStore.compact(spark, out, maxFilesPerCell = 2)
+      IndexStore.vacuum(spark, out)
+      assert(IndexStore.loadCodes(spark, out).count() == all.length)
+      val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
+        nProbe = 2)
+      def search(codes: org.apache.spark.sql.DataFrame) =
+        Pq.adcSearchCells(codes, codebooks, probed, topK = 3)
+          .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(search(IndexStore.loadCodes(spark, out)) ==
+        search(Pq.encode(Ivf.assign(c, cents, "embedding"), codebooks,
+          "embedding")))
+    } finally c.unpersist()
+  }
 }
