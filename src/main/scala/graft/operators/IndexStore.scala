@@ -595,6 +595,24 @@ object IndexStore {
   def version(s: SparkSession, out: String): Long =
     requireManifest(s, out).version
 
+  /** ROLL BACK: commit a retained version's exact file list (and its
+    * model pointer) as the new head — the bad-batch undo. Nothing is
+    * copied or rewritten: version n+1 simply references the same
+    * immutable files version `toVersion` did, so rollback is one
+    * manifest write regardless of index size, readers pinned to any
+    * version are untouched, and the rolled-past versions remain on
+    * disk for [[diff]]/audit until [[vacuum]]. Rebase semantics are
+    * [[save]]'s (full replace — any interleaving serializes with the
+    * restore last). Requires `toVersion` not vacuumed.
+    */
+  def restore(s: SparkSession, out: String, toVersion: Long): Unit = {
+    val target = manifestAt(s, out, toVersion)
+    val cur = requireManifest(s, out)
+    if (cur.version == toVersion) return
+    commitWithRetry(s, out, cur, target.schema, target.model, Set.empty,
+      target.files, fullReplace = true, validate = _ => ())
+  }
+
   /** The commit history still on disk: one row per retained manifest
     * (version, n_files, n_cells, bytes) — METADATA only (file lengths
     * ride in the manifests), newest last. After [[vacuum]] only the

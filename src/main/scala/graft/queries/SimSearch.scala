@@ -1455,6 +1455,37 @@ object SimSearch extends QueryModule {
        |  FROM rr) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q135 — ROLLBACK serve (IndexStore.restore): a takedown batch
+  // lands (the q122 delete), is found to be wrong, and the index
+  // rolls back — one manifest write referencing version 1's exact
+  // immutable files (nothing copied, regardless of index size) — so
+  // the HEAD search must hash-match the full-corpus oracle again.
+  // q131 certified READING the past (loadCodesAt); this certifies
+  // REWRITING the head to it: the undo path a production lake runs
+  // when a maintenance batch was wrong, with the rolled-past version
+  // still on disk for diff/audit until vacuum. Own index build (the
+  // shared encode memo feeds it) — q122/q131 pin THEIR index's head
+  // at the post-delete version, so the rollback must not touch it.
+  private val q135Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val out = q135Index.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val (_, cents, codebooks) = ivfPqParts(s, dir)
+        val path = tempIndexDir("graft-q135-index")
+        graft.operators.IndexStore.save(encodedIvfPq(s, dir), cents,
+          codebooks, path)
+        graft.operators.IndexStore.delete(s, path,
+          quantized(s, dir).filter(col("vec_id") % 10 === 3)
+            .select("vec_id")) // the bad batch
+        graft.operators.IndexStore.restore(s, path, 1L) // the undo
+        path
+      })
+    searchFromDisk(s, dir, out)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_knn_brute" -> (q25 _),
     "q26_ann_ivf" -> (q26 _),
@@ -1478,7 +1509,8 @@ object SimSearch extends QueryModule {
     "q130_drift_twosided" -> (q130 _),
     "q131_index_timetravel" -> (q131 _),
     "q132_index_diff" -> (q132 _),
-    "q133_concurrent_append" -> (q133 _))
+    "q133_concurrent_append" -> (q133 _),
+    "q135_index_restore" -> (q135 _))
 
   override val oracle: Map[String, String] = Map(
     "q25_knn_brute" -> q25Sql,
@@ -1516,5 +1548,8 @@ object SimSearch extends QueryModule {
     "q132_index_diff" -> q132Sql,
     // q133's index content equals the full corpus however the racing
     // appends interleave — the batch-built oracle certifies it.
-    "q133_concurrent_append" -> q103Sql)
+    "q133_concurrent_append" -> q103Sql,
+    // q135 deletes then ROLLS BACK, so the head serves the full
+    // corpus again — same oracle as the batch-built index.
+    "q135_index_restore" -> q103Sql)
 }

@@ -612,6 +612,41 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("restore rolls the head back to a retained version — a pure " +
+      "metadata commit that survives vacuum and restores the model " +
+      "across a retrain") {
+    val (encoded, cents, codebooks, out) = freshIndex("graft-index-restore")
+    import spark.implicits._
+    val v1Rows = multiset(IndexStore.loadCodes(spark, out))
+    val ids = encoded.select("vec_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    IndexStore.delete(spark, out, ids.toDF("vec_id")) // v2 (bad batch)
+    val diskBefore = diskFiles(out)
+
+    IndexStore.restore(spark, out, 1L) // v3 = v1's exact files
+    assert(IndexStore.version(spark, out) == 3L)
+    assert(multiset(IndexStore.loadCodes(spark, out)) == v1Rows)
+    // metadata-only: no data file was written or copied
+    assert(diskFiles(out) == diskBefore)
+    // restore to the current version is a no-op commit
+    IndexStore.restore(spark, out, 3L)
+    assert(IndexStore.version(spark, out) == 3L)
+    // the restored head keeps its files across vacuum
+    IndexStore.vacuum(spark, out)
+    assert(multiset(IndexStore.loadCodes(spark, out)) == v1Rows)
+
+    // across a retrain: restoring past a save() brings back the OLD
+    // model pointer with the old codes — a search on the restored
+    // head uses the model those codes were encoded under
+    val cents2 = cents.map(_.map(_ + 2.0))
+    IndexStore.save(encoded.filter(col("vec_id") % 2 === 0), cents2,
+      codebooks, out) // v4, new model
+    assert(IndexStore.loadCentroids(spark, out) == cents2)
+    IndexStore.restore(spark, out, 3L) // v5 = pre-retrain head
+    assert(multiset(IndexStore.loadCodes(spark, out)) == v1Rows)
+    assert(IndexStore.loadCentroids(spark, out) == cents)
+  }
+
   test("stats and history come from manifest metadata: recorded " +
       "lengths match the physical files") {
     val (_, _, _, out) = freshIndex("graft-index-meta")
