@@ -647,6 +647,60 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     assert(IndexStore.loadCentroids(spark, out) == cents)
   }
 
+  test("randomized maintenance sequences match an in-memory model " +
+      "(append / delete / compact / restore / vacuum, seeded)") {
+    val (encoded, _, _, out) = freshIndex("graft-index-fuzz")
+    import spark.implicits._
+    val allIds = encoded.select("vec_id").collect().map(_.getLong(0)).toSet
+    val byId = multiset(encoded) // full row multiset, keyed below
+    def rowsFor(ids: Set[Long]) =
+      byId.filter { case (row, _) => ids(row.head.asInstanceOf[Long]) }
+
+    val rnd = new scala.util.Random(20260814L)
+    var live: Set[Long] = allIds
+    // version -> expected live ids, for restore targets
+    val hist = scala.collection.mutable.Map(1L -> live)
+    var floor = 1L // oldest version surviving vacuum
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // re-append up to 4 currently-deleted ids
+          val back = rnd.shuffle((allIds -- live).toSeq).take(4)
+          if (back.nonEmpty) {
+            IndexStore.append(
+              encoded.filter(col("vec_id").isin(back.map(Long.box): _*)),
+              out)
+            live = live ++ back
+          }
+        case 1 => // delete up to 4 live ids
+          val gone = rnd.shuffle(live.toSeq).take(4)
+          if (gone.nonEmpty) {
+            IndexStore.delete(spark, out, gone.toDF("vec_id"))
+            live = live -- gone
+          }
+        case 2 =>
+          IndexStore.compact(spark, out, maxFilesPerCell = 2)
+        case 3 => // roll back to any retained version
+          val targets = hist.keys.filter(_ >= floor).toSeq.sorted
+          val v = targets(rnd.nextInt(targets.size))
+          IndexStore.restore(spark, out, v)
+          live = hist(v)
+        case 4 =>
+          IndexStore.vacuum(spark, out, keepVersions = 2)
+          floor = math.max(floor, IndexStore.version(spark, out) - 1)
+      }
+      val v = IndexStore.version(spark, out)
+      hist(v) = live
+      assert(multiset(IndexStore.loadCodes(spark, out)) == rowsFor(live),
+        s"step $step (version $v) diverged from the model")
+    }
+    // a vacuumed-away version is gone loudly
+    if (floor > 1L) {
+      intercept[IllegalArgumentException] {
+        IndexStore.restore(spark, out, floor - 1)
+      }
+    }
+  }
+
   test("stats and history come from manifest metadata: recorded " +
       "lengths match the physical files") {
     val (_, _, _, out) = freshIndex("graft-index-meta")
