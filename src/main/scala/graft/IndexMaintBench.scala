@@ -51,7 +51,7 @@ object IndexMaintBench {
     }
     timed("compact") { IndexStore.compact(spark, out) }
     timed("vacuum (GC superseded versions)") {
-      IndexStore.vacuum(spark, out)
+      IndexStore.vacuum(spark, out, minAgeMs = 0L)
     }
     println("[maint] history:")
     IndexStore.history(spark, out).show(false)

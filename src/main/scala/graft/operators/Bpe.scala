@@ -273,7 +273,11 @@ object Bpe {
     * soundness is all the prefix proof needs, and the bound is free.
     *
     * Every `recountEvery` rounds a full recount cross-checks the
-    * maintained table and throws on drift (the checksum).
+    * maintained table and throws on drift (the checksum) — and ONE
+    * final recount always runs after the last accepted batch, so
+    * EVERY train ends checksummed regardless of `steps` vs
+    * `recountEvery` (a 3-step train under the default 64 would
+    * otherwise never be cross-checked).
     *
     * Exactness: the candidate order, the acceptance walk
     * (symbol-disjointness + strict new-pair bound), and the
@@ -283,7 +287,20 @@ object Bpe {
     * never diverges.
     */
   def trainIncremental(vocab: DataFrame, steps: Int, batchK: Int = 32,
-      recountEvery: Int = 64): (Seq[Merge], DataFrame) = {
+      recountEvery: Int = 64): (Seq[Merge], DataFrame) =
+    trainIncrementalImpl(vocab, steps, batchK, recountEvery, (_, _) => ())
+
+  /** [[trainIncremental]] with a TEST SEAM: `tamper(round, counts)`
+    * runs after each round's delta fold with mutable access to the
+    * maintained pair-count table, so BpeSpec can inject drift and
+    * prove the checksum catches corruption at ANY steps value
+    * (including trains shorter than `recountEvery`, which only the
+    * final recount covers).
+    */
+  private[graft] def trainIncrementalImpl(vocab: DataFrame, steps: Int,
+      batchK: Int, recountEvery: Int,
+      tamper: (Int, scala.collection.mutable.Map[(String, String), Long]) => Unit)
+      : (Seq[Merge], DataFrame) = {
     val s = vocab.sparkSession
     import s.implicits._
     var rows = paired(explodeChars(vocab)).localCheckpoint()
@@ -365,8 +382,12 @@ object Bpe {
         done += 1
         merges += Merge(done, a, b, cnt)
       }
+      tamper(done, counts)
       sinceRecount += 1
-      if (sinceRecount >= recountEvery) {
+      val lastRound = done >= steps || counts.isEmpty
+      // periodic checksum, plus ALWAYS one after the final accepted
+      // batch: every train ends cross-checked, whatever steps is
+      if (sinceRecount >= recountEvery || (lastRound && sinceRecount > 0)) {
         val fresh = recount()
         require(fresh == counts.toMap,
           "trainIncremental: maintained pair counts drifted from the " +
@@ -451,6 +472,15 @@ object Bpe {
   def segmentFixpoint(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
     val s = vocab.sparkSession
     import s.implicits._
+    // an IMPORTED merge table (this entry point's stated use case)
+    // with duplicate step/rank values would make the wrank==mrank
+    // join below return several pairs per word and duplicate word
+    // rows — refuse loudly at entry instead
+    require(merges.map(_.step).distinct.size == merges.size,
+      "segmentFixpoint: duplicate step/rank values in the merge table " +
+        s"(${merges.groupBy(_.step).filter(_._2.size > 1).keys.take(3)
+          .mkString(", ")} ...) — priorities must be unique; dedupe or " +
+        "reassign ranks before segmenting")
     var rows = paired(explodeChars(vocab)).localCheckpoint()
     if (merges.isEmpty) return rows.select("w", "n", "pos", "sym")
     val ranks = broadcast(merges

@@ -50,7 +50,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * CONCURRENCY (optimistic, Iceberg's commit loop): any number of
   * concurrent readers, and RACING MUTATIONS REBASE — a writer whose
   * manifest rename loses re-reads the newest manifest, re-validates
-  * that its change still commutes, and re-commits on top:
+  * that its change still commutes, and re-commits on top. The
+  * win-once publish underneath is FILESYSTEM-DEPENDENT — local
+  * hard-link EEXIST, HDFS atomic no-overwrite rename, or a
+  * marker-file protocol needing only atomic create-no-overwrite on
+  * object stores; see [[publishOnce]] for the scheme matrix. A store
+  * providing none of the three cannot host CONCURRENT writers
+  * (single-writer operation remains safe):
   *
   *   - [[append]] always rebases (file lists union; the staged files
   *     carry commit-unique names, so no rename can collide) — two
@@ -138,11 +144,28 @@ object IndexStore {
       new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    // format guard: a manifest from an older layout (no model= line,
+    // no tab-separated lengths) or a foreign file must fail with a
+    // named error, not an IndexOutOfBounds/NumberFormat crash deep in
+    // the parse — the operator's fix (rebuild via save()) is stated
+    if (lines.size < 2 || !lines(1).startsWith("model=") ||
+        lines.drop(2).exists(l => l.lastIndexOf('\t') <= 0))
+      throw new IllegalStateException(
+        s"IndexStore: unsupported manifest format at $p — expected " +
+          "line 1 schema JSON, line 2 'model=<dir>', then one " +
+          "'<path>\\t<bytes>' line per file. A manifest written by a " +
+          "pre-versioned layout (or by another system) cannot be " +
+          "migrated in place; recreate the index with save()")
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
     val model = lines(1).stripPrefix("model=")
     val files = lines.drop(2).map { l =>
       val cut = l.lastIndexOf('\t')
-      FileEntry(l.take(cut), l.drop(cut + 1).toLong)
+      val len = l.drop(cut + 1).toLongOption.getOrElse(
+        throw new IllegalStateException(
+          s"IndexStore: unsupported manifest format at $p — file line " +
+            s"'$l' carries a non-numeric length; recreate the index " +
+            "with save()"))
+      FileEntry(l.take(cut), len)
     }
     Manifest(v, schema, model, files)
   }
@@ -178,17 +201,9 @@ object IndexStore {
     * [[CommitConflictException]] with the winner's version intact.
     * The publish must be WIN-ONCE — exactly one of two racers may
     * succeed, with no window where both do — so the mechanism is
-    * scheme-dependent:
-    *
-    *   - local filesystem: `link(2)` (`Files.createLink`) — the
-    *     kernel atomically fails with EEXIST if the destination
-    *     exists. A bare rename would OVERWRITE the winner's manifest
-    *     on POSIX, and an exists()-then-rename has a TOCTOU window
-    *     where both racers pass the check (IndexStoreSpec pins the
-    *     loser throwing);
-    *   - everything else (HDFS-like): rename, which refuses an
-    *     existing destination atomically; the exists() probe before
-    *     it only classifies the failure.
+    * scheme-dependent; see [[publishOnce]] for the scheme matrix
+    * (`file` hard-link EEXIST / HDFS atomic no-overwrite rename /
+    * object-store marker protocol via [[publishByMarker]]).
     */
   private[graft] def commitManifest(s: SparkSession, out: String,
       version: Long, schema: StructType, model: String,
@@ -209,13 +224,37 @@ object IndexStore {
         s"writer — index remains at the committed version")
   }
 
+  /** Filesystem schemes whose `rename` atomically REFUSES an existing
+    * destination (HDFS semantics — the NameNode rejects the rename in
+    * one namespace operation). Everything outside this set and `file`
+    * routes through [[publishByMarker]], which assumes only atomic
+    * create-no-overwrite.
+    */
+  private[graft] val atomicRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs")
+
   /** Publish `tmp` at `dst` win-once (see [[commitManifest]]);
     * returns whether THIS caller won. `tmp` is left in place either
     * way (the caller deletes it — after a hard link the data lives
-    * on under `dst`).
+    * on under `dst`). SCHEME MATRIX (the win-once mechanism is
+    * scheme-dependent; using a store outside this matrix with
+    * concurrent writers is NOT safe):
+    *
+    *   - `file`: `link(2)` — the kernel fails with EEXIST atomically;
+    *   - HDFS-like ([[atomicRenameSchemes]]): rename, which refuses
+    *     an existing destination atomically;
+    *   - everything else (object stores — s3a/gs/abfs/...): rename
+    *     may silently OVERWRITE, so the decision moves to
+    *     [[publishByMarker]]: one atomic create-no-overwrite of a
+    *     marker file decides the race, and only the winner renames
+    *     the staged body into place. Requires the store's
+    *     `create(path, overwrite = false)` to be atomic (conditional
+    *     put / If-None-Match); a store without even that cannot host
+    *     concurrent writers — serialize commits externally.
     */
-  private def publishOnce(fs: FileSystem, tmp: Path, dst: Path): Boolean =
-    if (fs.getUri.getScheme == "file") {
+  private[graft] def publishOnce(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val scheme = fs.getUri.getScheme
+    if (scheme == "file") {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
@@ -227,7 +266,98 @@ object IndexStore {
           // no hard links on this volume: fall back to probed rename
           !fs.exists(dst) && fs.rename(tmp, dst)
       }
-    } else !fs.exists(dst) && fs.rename(tmp, dst)
+    } else if (atomicRenameSchemes(scheme)) !fs.exists(dst) && fs.rename(tmp, dst)
+    else publishByMarker(fs, tmp, dst)
+  }
+
+  /** The staged-body name a marker-protocol contender uses: unique
+    * per attempt, dot-prefixed so [[listManifests]]'s regex never
+    * sees it as a manifest.
+    */
+  private[graft] def markerDataPath(dst: Path, uuid: String): Path =
+    new Path(dst.getParent, s".data-${dst.getName}-$uuid")
+
+  /** The decision file of the marker protocol: ONE per version. */
+  private[graft] def markerPath(dst: Path): Path =
+    new Path(dst.getParent, s".winner-${dst.getName}")
+
+  /** Win-once publish for stores whose rename OVERWRITES an existing
+    * destination (object-store semantics). Uses only atomic
+    * create-no-overwrite:
+    *
+    *   1. stage the full manifest body under a UNIQUE name
+    *      (`.data-<dst>-<uuid>` — unique names cannot conflict);
+    *   2. DECIDE: atomically create the per-version marker
+    *      (`.winner-<dst>`) containing this contender's uuid — the
+    *      store's create-if-absent is the one atomic primitive the
+    *      protocol needs; whoever creates it won;
+    *   3. the WINNER renames its staged body to `dst` — no race: only
+    *      the winner ever renames to `dst`, so overwriting rename is
+    *      harmless here;
+    *   4. a LOSER whose winner crashed between (2) and (3) COMPLETES
+    *      the decided commit (reads the winner's uuid from the marker
+    *      and renames the winner's staged body into place — renames
+    *      of the same unique source are idempotent: one completer's
+    *      rename succeeds, the rest fail on a gone source), then
+    *      reports its own attempt lost.
+    *
+    * Readers are never exposed to a partial body: `dst` appears only
+    * via rename of a fully-written staged file. Crash residue
+    * (`.data-*` of losers/crashed contenders, settled `.winner-*`
+    * markers) is collected by [[vacuum]] once the version is settled.
+    * The remaining window — a winner that crashed mid-(2) leaving a
+    * marker with no readable uuid AND no published `dst` — wedges
+    * that version number (every later contender loses to the dead
+    * marker); it is not collectable automatically because it is
+    * indistinguishable from an in-flight commit, and is the
+    * documented cost of having no compare-and-swap beyond
+    * create-if-absent. Operators clear it by deleting the marker
+    * after quiescing writers.
+    */
+  private[graft] def publishByMarker(fs: FileSystem, tmp: Path, dst: Path)
+      : Boolean = {
+    val uuid = java.util.UUID.randomUUID.toString
+    val data = markerDataPath(dst, uuid)
+    require(fs.rename(tmp, data),
+      s"IndexStore: staging move of $tmp to $data failed")
+    val marker = markerPath(dst)
+    val won =
+      try {
+        // the ONE decision point: create-if-absent of the marker
+        val o = fs.create(marker, false)
+        try o.write(uuid.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally o.close()
+        true
+      } catch {
+        case e: java.io.IOException =>
+          if (fs.exists(marker)) false // lost the race
+          else throw e // genuine IO failure, not a decision
+      }
+    if (won) {
+      require(fs.rename(data, dst),
+        s"IndexStore: winner publish rename of $data to $dst failed")
+      true
+    } else {
+      if (!fs.exists(dst)) {
+        // decided-but-unpublished: the winner crashed after the marker
+        // landed — complete its publish from its staged body
+        val in = fs.open(marker)
+        val winnerUuid =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            new String(buf.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8).trim
+          } finally in.close()
+        if (winnerUuid.nonEmpty) {
+          val wdata = markerDataPath(dst, winnerUuid)
+          if (fs.exists(wdata)) { fs.rename(wdata, dst); () }
+        }
+      }
+      fs.delete(data, false)
+      false
+    }
+  }
 
   /** The optimistic commit loop: try to publish on top of `base`; on
     * a lost race re-read the newest manifest, `validate` that this
@@ -524,9 +654,16 @@ object IndexStore {
     * staging directories and unreferenced files younger than the
     * window are skipped, so a vacuum racing a mutation that started
     * within the window degrades to "missed garbage", not corruption.
+    * The DEFAULT window is one hour (the Iceberg expire-snapshots
+    * posture): a vacuum issued with defaults can never collect the
+    * staged-but-uncommitted files of any mutation started within the
+    * last hour, so an operator mistake needs BOTH a broken writer
+    * rule and an explicit `minAgeMs = 0` to corrupt anything. Pass 0
+    * only when writers are provably quiesced and space must be
+    * reclaimed immediately (tests, decommission).
     */
   def vacuum(s: SparkSession, out: String, keepVersions: Int = 1,
-      minAgeMs: Long = 0L): Unit = {
+      minAgeMs: Long = 3600000L): Unit = {
     require(keepVersions >= 1, "IndexStore.vacuum: keepVersions must be >= 1")
     val (fs, root) = hfs(s, codesRoot(out))
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -562,6 +699,24 @@ object IndexStore {
         !liveModels(st.getPath.getName) && aged(st.getModificationTime))
       .foreach(st => mfs.delete(st.getPath, true))
     old.foreach { case (_, p, _) => fs.delete(p, false) }
+    // marker-protocol residue (see publishByMarker): settled versions'
+    // .winner-/.data- files and crashed contenders' .tmp- files. A
+    // dot-file for a version AT OR BELOW the committed head is settled
+    // (its race was decided and published); one ABOVE the head may be
+    // an in-flight commit — never touched.
+    val head = mans.last._1
+    val mdir = new Path(manifestsDir(out))
+    fs.listStatus(mdir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        val versioned = "^\\.(?:winner|data)-v(\\d{9})\\.manifest.*$".r
+        n match {
+          case _ if !aged(st.getModificationTime) => false
+          case versioned(v) => v.toLong <= head
+          case _ => n.startsWith(".tmp-")
+        }
+      }
+      .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Prune the streaming ingest's committed-batch markers
@@ -601,16 +756,45 @@ object IndexStore {
     * immutable files version `toVersion` did, so rollback is one
     * manifest write regardless of index size, readers pinned to any
     * version are untouched, and the rolled-past versions remain on
-    * disk for [[diff]]/audit until [[vacuum]]. Rebase semantics are
+    * disk for [[diff]]/audit until [[vacuum]]. Requires `toVersion`
+    * not vacuumed.
+    *
+    * CONCURRENCY: without `expectHead`, rebase semantics are
     * [[save]]'s (full replace — any interleaving serializes with the
-    * restore last). Requires `toVersion` not vacuumed.
+    * restore last). That blanket rule has one sharp edge: a restore
+    * racing a takedown [[delete]] silently UN-DOES the delete
+    * (tombstoned ids resurrect with no signal — a legal-compliance
+    * incident class, not a consistency bug). So either QUIESCE
+    * takedown pipelines around rollbacks, or pass
+    * `expectHead = Some(v)` with the head version the operator
+    * decided the rollback against: the restore then commits ONLY on
+    * top of exactly that head and throws if ANY commit (including a
+    * delete) landed in between — one manifest version compare, the
+    * CAS form of the undo.
     */
-  def restore(s: SparkSession, out: String, toVersion: Long): Unit = {
+  def restore(s: SparkSession, out: String, toVersion: Long,
+      expectHead: Option[Long] = None): Unit = {
     val target = manifestAt(s, out, toVersion)
     val cur = requireManifest(s, out)
+    expectHead.filter(_ != cur.version).foreach { h =>
+      throw new IllegalStateException(
+        s"IndexStore.restore: head moved (expected version $h, found " +
+          s"${cur.version}) — a commit landed after the rollback " +
+          "decision was made (possibly a takedown delete this restore " +
+          "would silently resurrect); re-examine the history and " +
+          "re-issue against the current head")
+    }
     if (cur.version == toVersion) return
     commitWithRetry(s, out, cur, target.schema, target.model, Set.empty,
-      target.files, fullReplace = true, validate = _ => ())
+      target.files, fullReplace = true,
+      validate = newest => expectHead.foreach { h =>
+        // CAS mode: ANY interleaved commit violates the expected head
+        throw new IllegalStateException(
+          s"IndexStore.restore: head moved (expected version $h, " +
+            s"found ${newest.version}) during the commit — a racing " +
+            "writer landed; re-examine the history and re-issue " +
+            "against the current head")
+      })
   }
 
   /** The commit history still on disk: one row per retained manifest

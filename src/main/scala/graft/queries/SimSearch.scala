@@ -1346,7 +1346,10 @@ object SimSearch extends QueryModule {
         import scala.concurrent.ExecutionContext.Implicits.global
         val race = Seq(1, 2).map { k =>
           Future {
-            barrier.await()
+            // blocking{}: the global pool must know the await parks a
+            // thread, or a 1-2 core pool may never run both racers
+            // concurrently and hang until the Await timeout
+            scala.concurrent.blocking(barrier.await())
             graft.operators.IndexStore.append(third(k), path)
           }
         }
@@ -1392,7 +1395,7 @@ object SimSearch extends QueryModule {
           stream, cents, codebooks, path, ck)
         try q.processAllAvailable() finally q.stop()
         IndexStore.compact(s, path, maxFilesPerCell = 2)
-        IndexStore.vacuum(s, path)
+        IndexStore.vacuum(s, path, minAgeMs = 0L)
         path
       })
     searchFromDisk(s, dir, out)

@@ -251,4 +251,40 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     }
     assert(got.size == trainWords.size + unseen.size)
   }
+
+  test("incremental trainer catches injected pair-count drift at ANY " +
+      "steps value: the final-round checksum fires even on trains " +
+      "shorter than recountEvery") {
+    implicit val s = spark
+    import s.implicits._
+    val vocab = Seq(("aaab", 3L), ("ab", 2L), ("ba", 1L), ("caca", 4L))
+      .toDF("w", "n")
+    Seq(1, 2, 3).foreach { steps =>
+      // recountEvery far above the round count: ONLY the final-round
+      // checksum can catch the corruption
+      val e = intercept[IllegalArgumentException] {
+        Bpe.trainIncrementalImpl(vocab, steps, batchK = 1,
+          recountEvery = 64,
+          tamper = (round, counts) =>
+            if (round == 1) counts(("zz", "zz")) = 99L)
+      }
+      assert(e.getMessage.contains("drifted"), s"steps=$steps")
+      // and an untampered run of the same shape passes
+      val (ms, _) = Bpe.trainIncrementalImpl(vocab, steps, batchK = 1,
+        recountEvery = 64, tamper = (_, _) => ())
+      assert(ms.size == steps)
+    }
+  }
+
+  test("segmentFixpoint refuses an imported merge table with " +
+      "duplicate priorities instead of duplicating word rows") {
+    implicit val s = spark
+    import s.implicits._
+    val vocab = Seq(("abc", 1L)).toDF("w", "n")
+    val dup = Seq(Bpe.Merge(1, "a", "b", 5L), Bpe.Merge(1, "b", "c", 4L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.segmentFixpoint(vocab, dup)
+    }
+    assert(e.getMessage.contains("duplicate step/rank"))
+  }
 }

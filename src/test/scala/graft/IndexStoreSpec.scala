@@ -154,7 +154,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
 
       // vacuum: disk reduces to exactly the live manifest — the
       // emptied cell's directory is gone, superseded files are gone
-      IndexStore.vacuum(spark, out)
+      IndexStore.vacuum(spark, out, minAgeMs = 0L)
       assert(diskFiles(out) == after)
 
       // delete EVERYTHING: fine under versioning — the manifest
@@ -308,7 +308,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       assert(liveFiles(out) == after)
 
       // vacuum reduces the physical layout to the live manifest
-      IndexStore.vacuum(spark, out)
+      IndexStore.vacuum(spark, out, minAgeMs = 0L)
       assert(diskFiles(out) == after)
 
       // stats: the DESCRIBE table agrees with the data and the layout
@@ -367,7 +367,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       assert(IndexStore.version(spark, out) == 3L)
       val n20 = encoded.filter(col("vec_id") >= 20).count()
       assert(IndexStore.loadCodes(spark, out).count() == n20)
-      IndexStore.vacuum(spark, out)
+      IndexStore.vacuum(spark, out, minAgeMs = 0L)
       assert(IndexStore.loadCodes(spark, out).count() == n20)
     } finally c.unpersist()
   }
@@ -430,7 +430,12 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val race = Seq(1, 2).map { k =>
-      Future { barrier.await(); IndexStore.append(third(k), out2) }
+      Future {
+        // blocking{}: tell the pool the await parks a thread, so a
+        // low-parallelism pool still runs both racers concurrently
+        scala.concurrent.blocking(barrier.await())
+        IndexStore.append(third(k), out2)
+      }
     }
     Await.result(Future.sequence(race), scala.concurrent.duration.Duration
       .apply(120, "s"))
@@ -552,7 +557,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     assert(IndexStore.loadCodebooksAt(spark, out, 1L) == codebooks)
 
     // vacuum drops v1's files and its model directory
-    IndexStore.vacuum(spark, out)
+    IndexStore.vacuum(spark, out, minAgeMs = 0L)
     intercept[IllegalArgumentException] {
       IndexStore.loadCodesAt(spark, out, 1L)
     }
@@ -632,7 +637,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     IndexStore.restore(spark, out, 3L)
     assert(IndexStore.version(spark, out) == 3L)
     // the restored head keeps its files across vacuum
-    IndexStore.vacuum(spark, out)
+    IndexStore.vacuum(spark, out, minAgeMs = 0L)
     assert(multiset(IndexStore.loadCodes(spark, out)) == v1Rows)
 
     // across a retrain: restoring past a save() brings back the OLD
@@ -685,7 +690,7 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
           IndexStore.restore(spark, out, v)
           live = hist(v)
         case 4 =>
-          IndexStore.vacuum(spark, out, keepVersions = 2)
+          IndexStore.vacuum(spark, out, keepVersions = 2, minAgeMs = 0L)
           floor = math.max(floor, IndexStore.version(spark, out) - 1)
       }
       val v = IndexStore.version(spark, out)
@@ -730,5 +735,154 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       IndexStore.append(encoded, out)
       assert(IndexStore.loadCodes(spark, out).count() == encoded.count())
     } finally c.unpersist()
+  }
+
+  test("restore with expectHead is a CAS: a head that moved since the " +
+      "rollback decision refuses instead of resurrecting a racing " +
+      "delete's tombstones") {
+    val (encoded, _, _, out) = freshIndex("graft-index-cas")
+    import spark.implicits._
+    val v1Rows = multiset(IndexStore.loadCodes(spark, out))
+    val ids = encoded.select("vec_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    IndexStore.delete(spark, out, ids.toDF("vec_id")) // v2: the takedown
+
+    // operator decided the rollback while reading head v1 — but the
+    // takedown landed in between: the CAS refuses
+    val e = intercept[IllegalStateException] {
+      IndexStore.restore(spark, out, 1L, expectHead = Some(1L))
+    }
+    assert(e.getMessage.contains("head moved"))
+    assert(IndexStore.version(spark, out) == 2L) // nothing committed
+
+    // decided against the CURRENT head: commits normally
+    IndexStore.restore(spark, out, 1L, expectHead = Some(2L))
+    assert(IndexStore.version(spark, out) == 3L)
+    assert(multiset(IndexStore.loadCodes(spark, out)) == v1Rows)
+    // the blanket (no-CAS) form still serializes over anything — q135
+    IndexStore.restore(spark, out, 2L)
+    assert(IndexStore.version(spark, out) == 4L)
+  }
+
+  test("publishByMarker serializes commits on a store whose rename " +
+      "OVERWRITES (object-store semantics): one winner, losers " +
+      "complete a crashed winner's publish") {
+    val fs = new OverwritingRenameFs
+    fs.initialize(java.net.URI.create("mockobj:///"),
+      new org.apache.hadoop.conf.Configuration())
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-marker").toString
+    def hp(name: String) = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    def put(name: String, body: String): org.apache.hadoop.fs.Path = {
+      val p = hp(name)
+      val o = fs.create(p, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+      p
+    }
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+
+    // the hazard this protocol exists for: on this FS a bare rename
+    // onto an existing destination SILENTLY REPLACES it
+    val dst0 = put("clobber-me", "first")
+    assert(fs.rename(put("tmp0", "second"), dst0) && read(dst0) == "second")
+
+    // two contenders, same destination: exactly one wins, and the
+    // published body is the winner's — the loser's rename never runs
+    val dst = hp("v000000002.manifest")
+    val wonA = IndexStore.publishOnce(fs, put(".tmp-A", "body-A"), dst)
+    val wonB = IndexStore.publishOnce(fs, put(".tmp-B", "body-B"), dst)
+    assert(wonA && !wonB, "exactly the first contender must win")
+    assert(read(dst) == "body-A")
+    // and the decision artifact is the marker, proving the routing
+    // took the marker path (not probed rename) for this scheme
+    assert(fs.exists(IndexStore.markerPath(dst)))
+
+    // crashed winner: marker + staged body exist, dst does not — a
+    // later contender loses AND completes the decided publish
+    val dst2 = hp("v000000003.manifest")
+    val wUuid = "dead-beef-uuid"
+    put(IndexStore.markerDataPath(dst2, wUuid).getName, "body-W")
+    put(IndexStore.markerPath(dst2).getName, wUuid)
+    val wonC = IndexStore.publishOnce(fs, put(".tmp-C", "body-C"), dst2)
+    assert(!wonC)
+    assert(read(dst2) == "body-W",
+      "the loser must complete the crashed winner's publish")
+  }
+
+  test("a foreign or pre-versioned manifest fails with a named " +
+      "unsupported-format error, not a parse crash") {
+    val (_, _, _, out) = freshIndex("graft-index-fmt")
+    val man = IndexStore.currentManifest(spark, out).get
+    def overwrite(body: String): Unit = {
+      val p = java.nio.file.Paths.get(
+        s"$out/codes/_manifests/v000000001.manifest")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    // pre-versioned single-line manifest (no model=, no files)
+    overwrite(man.schema.json)
+    val e1 = intercept[IllegalStateException] {
+      IndexStore.currentManifest(spark, out)
+    }
+    assert(e1.getMessage.contains("unsupported manifest format"))
+    // tab-less file lines (the pre-lengths layout)
+    overwrite(s"${man.schema.json}\nmodel=m-x\ncell=0/part-0.parquet")
+    val e2 = intercept[IllegalStateException] {
+      IndexStore.currentManifest(spark, out)
+    }
+    assert(e2.getMessage.contains("unsupported manifest format"))
+    // non-numeric length
+    overwrite(s"${man.schema.json}\nmodel=m-x\ncell=0/part-0.parquet\tbig")
+    val e3 = intercept[IllegalStateException] {
+      IndexStore.currentManifest(spark, out)
+    }
+    assert(e3.getMessage.contains("unsupported manifest format"))
+  }
+
+  test("vacuum collects settled marker-protocol residue but never a " +
+      "possibly-in-flight marker above the head") {
+    val (encoded, _, _, out) = freshIndex("graft-index-markergc")
+    import spark.implicits._
+    val ids = encoded.select("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    IndexStore.delete(spark, out, ids.toDF("vec_id")) // v2 = head
+    val mdir = new java.io.File(s"$out/codes/_manifests")
+    def touch(name: String): java.io.File = {
+      val f = new java.io.File(mdir, name)
+      java.nio.file.Files.write(f.toPath, "u".getBytes("UTF-8"))
+      f
+    }
+    // settled residue (version <= head) and in-flight residue (above)
+    val settledMarker = touch(".winner-v000000002.manifest")
+    val settledData = touch(".data-v000000002.manifest-uuid1")
+    val tmpResidue = touch(".tmp-crashed")
+    val inflightMarker = touch(".winner-v000000003.manifest")
+    val inflightData = touch(".data-v000000003.manifest-uuid2")
+    IndexStore.vacuum(spark, out, minAgeMs = 0L)
+    assert(!settledMarker.exists && !settledData.exists && !tmpResidue.exists,
+      "settled marker residue must be collected")
+    assert(inflightMarker.exists && inflightData.exists,
+      "a marker above the head may be an in-flight commit — keep it")
+  }
+}
+
+/** Object-store rename semantics over the local filesystem: rename
+  * REPLACES an existing destination instead of refusing it — the
+  * hazard [[graft.operators.IndexStore.publishByMarker]] exists for.
+  * Scheme "mockobj" keeps it out of every atomic-rename allowlist.
+  */
+private[graft] class OverwritingRenameFs
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockobj:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) delete(dst, true)
+    super.rename(src, dst)
   }
 }

@@ -161,7 +161,7 @@ class StreamingIndexIngestSpec extends AnyFunSuite with SharedSpark {
       // hold EXACTLY the saved + streamed vectors and search like a
       // batch rebuild — nothing lost to a lost race, nothing doubled
       IndexStore.compact(spark, out, maxFilesPerCell = 2)
-      IndexStore.vacuum(spark, out)
+      IndexStore.vacuum(spark, out, minAgeMs = 0L)
       assert(IndexStore.loadCodes(spark, out).count() == all.length)
       val probed = Ivf.probeCells(c.filter(col("vec_id") < 8), cents,
         nProbe = 2)
