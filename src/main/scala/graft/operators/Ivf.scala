@@ -110,6 +110,26 @@ object Ivf {
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"),
         col("probe").cast("int").as("cell"))
 
+  /** The OPERATING-CURVE form of [[probeCells]]: every (query, cell)
+    * pair with the cell's distance RANK for that query (1 = nearest;
+    * distance then cid tie-break — the same lexicographic struct sort
+    * as [[probeCells]], so `crank <= nProbe` reproduces its probe set
+    * exactly). One row per query per cell (k·|Q| rows — model-sized),
+    * so a sweep over nProbe values is a filter on ONE table instead
+    * of one probe run per setting — the shape a recall-vs-nProbe
+    * tuning audit (q136) wants.
+    */
+  def probeCellsRanked(queries: DataFrame, cents: Seq[Seq[Double]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    withCentroids(queries, cents)
+      .withColumn("__d", expr(distsExpr(vecCol)))
+      .withColumn("pr", explode(expr(
+        """zip_with(array_sort(zip_with(__d, sequence(0, size(__d) - 1),
+          |  (d, i) -> struct(d AS d, i AS i))), sequence(1, size(__d)),
+          |  (s, r) -> struct(s.i AS cell, r AS crank))""".stripMargin)))
+      .select(col(idCol).as("q_id"), col("pr.cell").cast("int").as("cell"),
+        col("pr.crank").cast("int").as("crank"))
+
   /** Top-k cosine search probing the `nProbe` nearest cells per query.
     * `corpus` must carry the `cell` column from [[assign]]; queries
     * are assigned their probe cells ([[probeCells]]) and broadcast.

@@ -191,7 +191,17 @@ object GeoQueries extends QueryModule {
   // order — both engines must pick the same winner. All ratios are
   // integer-valued-double divisions by the constant AOI area (80):
   // IEEE-identical across engines, so the hash compare is exact.
-  private def q72(s: SparkSession, dir: String): DataFrame = {
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    bestPerAoiWinners(s, dir)
+
+  /** q72's winner table (one row per AOI), exposed for the
+    * catalog→index composition q137 (SimSearch): the picked products'
+    * `uuid`/`tile` seed the document selection of the training-data
+    * half of that pipeline. Kept as the full q72 result so the two
+    * consumers cannot drift.
+    */
+  private[queries] def bestPerAoiWinners(s: SparkSession, dir: String)
+      : DataFrame = {
     val catalog = T.part(s, dir)
       .withColumn("x1", expr(fx1)).withColumn("y1", expr(fy1))
       .withColumn("x2", expr(fx2)).withColumn("y2", expr(fy2))
@@ -267,6 +277,16 @@ object GeoQueries extends QueryModule {
        |  name, origin_date, tile, cloudcoverage
        |FROM ranked WHERE rn = 1
        |ORDER BY aoi_id""".stripMargin
+
+  /** The q72 winners' distinct tile NUMBERS (p_partkey % 60) as a
+    * self-contained DuckDB subquery — the oracle-side twin of
+    * [[bestPerAoiWinners]] for the catalog→index composition (q137):
+    * splice into an `IN (...)` predicate. ONE copy built on q72's
+    * exact SQL, so the winner set cannot drift between the flagship
+    * gate row and the composition's.
+    */
+  private[queries] val winnerTilesSql: String =
+    s"SELECT DISTINCT CAST(uuid AS BIGINT) % 60 FROM ($q72Sql)"
 
   // ---------------------------------------------------------------
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")

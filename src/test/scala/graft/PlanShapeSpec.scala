@@ -247,6 +247,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assertIndexSearchPruned("q129_stream_index_search")
   }
 
+  test("q137 catalog-to-index composition: the served index stays " +
+      "cell-pruned like every other persisted index") {
+    assertIndexSearchPruned("q137_catalog_to_index")
+  }
+
   test("q131 time-travel search: the as-of read is still a " +
       "cell-pruned scan of the pinned version's files") {
     assertIndexSearchPruned("q131_index_timetravel")
@@ -403,6 +408,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q90  PQ LUT broadcast (query set = model-sized side)
     //   q96  brute-force ground truth of the recall audit (the 8-query
     //        eval batch broadcasts; the IVF side under audit is equi)
+    //   q136 the operating-curve scored table (q96's shape swept over
+    //        nProbe: the 8-query eval batch broadcasts onto the
+    //        corpus scan ONCE, cached, and reused by all four
+    //        settings AND the brute truth)
     //   q98  1-row bigram-total cross join
     //   q104 1-row corpus-total cross join
     //   q106 1-row corpus-total cross join (q104's pattern on cells)
@@ -416,7 +425,8 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //        1-row corpus-total cross (q106's pattern)
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
-      "q90_pq_adc_search", "q96_ann_recall", "q98_pmi_collocations",
+      "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
+      "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q108_cell_migration",
       "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided")
     // SinglePartition allowlist — every entry collapses a k-row or

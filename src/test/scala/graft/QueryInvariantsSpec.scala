@@ -158,4 +158,47 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(df.filter(col("drop_ratio") <= 0 || col("drop_ratio") >= 1)
       .count() == 0)
   }
+
+  test("q136 operating curve: recall and cells_read are monotone in " +
+      "nProbe, and probing every cell recovers brute-force truth " +
+      "exactly") {
+    val df = SparkEntry.queries("q136_ann_recall_curve")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    // monotone per query: more probes can only add candidates, so
+    // recall and cells_read never decrease along the sweep
+    df.groupBy(_._2).foreach { case (q, rs) =>
+      val byNp = rs.sortBy(_._1)
+      byNp.sliding(2).foreach {
+        case Array((_, _, c1, r1), (np2, _, c2, r2)) =>
+          assert(r2 >= r1, s"recall not monotone for q=$q at np=$np2")
+          assert(c2 >= c1, s"cells_read not monotone for q=$q at np=$np2")
+        case _ => ()
+      }
+      // nProbe = k (all 8 cells): the probed search IS the brute
+      // search, so recall@5 must be exactly 1.0 — the curve's anchor
+      assert(byNp.last._4 == 1.0, s"recall@allCells != 1 for q=$q")
+    }
+    assert(df.map(_._2).distinct.length == 8)
+  }
+
+  test("q137 catalog-to-index composition serves only dedup survivors " +
+      "of the picked tiles") {
+    val res = SparkEntry.queries("q137_catalog_to_index")(spark, dir)
+    val served = res.select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // recompute the survivor set independently (q72 winners' tiles ->
+    // min doc_id per exact-content fingerprint)
+    val tiles = SparkEntry.queries("q72_best_per_aoi")(spark, dir)
+      .select((col("uuid").cast("long") % 60).as("t"))
+      .collect().map(_.getLong(0)).toSet
+    val survivors = Tables.documents(spark, dir)
+      .filter((col("doc_id") % 60).isin(tiles.toSeq.map(Long.box): _*))
+      .select(col("doc_id"), expr("md5(concat_ws(' ', " +
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(served.nonEmpty && served.subsetOf(survivors),
+      s"served ids escaped the survivor set: ${served -- survivors}")
+  }
 }
