@@ -27,8 +27,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * proven BIT-EXACT against the source pixels across shapes, depths,
   * levels, and content; MqSpec pins the arithmetic coder
   * independently so encoder/decoder bugs cannot cancel silently.
-  * Codestreams outside the profile (9/7, multi-tile, non-reversible
-  * quantization) are rejected loudly, never mis-decoded; the
+  *
+  * Multi-component streams (round 12): LRCP packets interleave
+  * resolution-major, component-minor; [[Jp2.decodeAll]] decodes every
+  * component and applies the inverse REVERSIBLE color transform
+  * (RCT, T.800 G.2.2) when the COD header signals MCT — so an RGB
+  * JP2 on the reversible path round-trips bit-exactly. Codestreams
+  * outside the profile (multi-tile, subsampled components,
+  * non-reversible quantization styles, irreversible ICT) are
+  * rejected loudly, never mis-decoded; the
   * [[Jp2.UnimplementedEntropy]] plug remains for callers that want
   * the refusing behavior of rounds ≤ 7.
   */
@@ -44,7 +51,16 @@ object Jp2 {
       codeblockW: Int, codeblockH: Int,
       tileParts: Seq[TilePart],
       guardBits: Int = 0, sbExponents: Seq[Int] = Nil,
-      sbMantissas: Seq[Int] = Nil) {
+      sbMantissas: Seq[Int] = Nil,
+      mct: Boolean = false,
+      compInfo: Seq[(Int, Boolean)] = Nil) {
+    /** (bit depth, signed) of component `c` — every component's SIZ
+      * triple is parsed; `bitDepth`/`signed` remain component 0's.
+      */
+    def compDepth(c: Int): (Int, Boolean) =
+      if (compInfo.isEmpty) (bitDepth, signed)
+      else compInfo(math.min(c, compInfo.length - 1))
+
     /** Max bit-planes Mb = G + eps_b - 1 (E.1) for subband index `b`
       * in SPqcd order (LL, then HL/LH/HH per resolution, coarsest
       * first).
@@ -105,12 +121,14 @@ object Jp2 {
     */
   object T800Entropy extends EntropyDecoder {
     def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] = {
-      // components == 1, not >= 1: a multi-component stream (e.g. RGB)
-      // interleaves per-component packets that parsePackets would
-      // silently mis-parse as single-component — refuse loudly instead.
-      require(component == 0 && header.components == 1,
-        s"single-component profile; stream has ${header.components} " +
-          s"components, asked for component $component")
+      // multi-component (round 12): LRCP one-layer one-precinct
+      // interleaves packets resolution-major, component-minor —
+      // Tier2.parsePackets walks every packet and collects the
+      // requested component's (components share the 1:1 tile grid;
+      // parseHeader refuses subsampling).
+      require(component >= 0 && component < header.components,
+        s"stream has ${header.components} components, asked for " +
+          s"component $component")
       require(header.tileParts.nonEmpty &&
         header.tileParts.forall(_.tileIndex == 0),
         s"single-tile profile; tile indices " +
@@ -132,7 +150,7 @@ object Jp2 {
         out
       }
       val plane = new Array[Int](header.width * header.height)
-      for (c <- Tier2.parsePackets(data, 0, header)) {
+      for (c <- Tier2.parsePackets(data, 0, header, component)) {
         val mb = header.maxBitplanes(c.sb.qcdIdx)
         val msbPlane = mb - c.zeroBitplanes - 1
         val coeffs = Ebcot.decodeBlock(data, c.dataFrom, c.dataUntil,
@@ -159,52 +177,56 @@ object Jp2 {
     case _ => 1
   }
 
-  /** Decode one component to pixels: header parse → entropy stage
-    * (tier-2 + tier-1, [[T800Entropy]]) → reversible path: inverse
-    * 5/3 DWT on the raw coefficients; irreversible path: midpoint
+  /** One component: entropy stage → inverse transform, WITHOUT the
+    * DC level shift (the MCT pipeline un-shifts only after the
+    * inverse component transform). Reversible path: inverse 5/3 DWT
+    * on the raw coefficients; irreversible path: midpoint
     * dequantization (E.1.1.2, r = 0.5) per subband then inverse 9/7
-    * DWT with round-to-nearest — in both cases followed by the DC
-    * level shift for unsigned components (G.1.2).
+    * DWT with round-to-nearest.
     */
-  def decode(bytes: Array[Byte], component: Int = 0,
-      entropy: EntropyDecoder = T800Entropy): (Header, Array[Int]) = {
-    val h = parseHeader(bytes)
-    require(h.reversible || h.sbMantissas.nonEmpty,
-      "irreversible 9/7 codestream without scalar-expounded " +
-        "quantization (QCD style 2) — out of profile")
+  private def componentRaw(h: Header, bytes: Array[Byte], component: Int,
+      entropy: EntropyDecoder): Array[Int] = {
     val coeffs = entropy.decode(h, bytes, component)
     require(coeffs.length == h.width * h.height,
       s"entropy stage returned ${coeffs.length} coefficients for " +
         s"${h.width}x${h.height}")
-    val px =
-      if (h.reversible) Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
-      else {
-        val dq = new Array[Double](coeffs.length)
-        for {
-          res <- Tier2.subbands(h.width, h.height, h.levels)
-          sb <- res
-        } {
-          val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
-          var y = 0
-          while (y < sb.h) {
-            var x = 0
-            while (x < sb.w) {
-              val i = (sb.y0 + y) * h.width + (sb.x0 + x)
-              val q = coeffs(i)
-              dq(i) =
-                if (q == 0) 0.0
-                else math.signum(q.toDouble) * (math.abs(q) + 0.5) * step
-              x += 1
-            }
-            y += 1
+    if (h.reversible) Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
+    else {
+      val dq = new Array[Double](coeffs.length)
+      for {
+        res <- Tier2.subbands(h.width, h.height, h.levels)
+        sb <- res
+      } {
+        val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
+        var y = 0
+        while (y < sb.h) {
+          var x = 0
+          while (x < sb.w) {
+            val i = (sb.y0 + y) * h.width + (sb.x0 + x)
+            val q = coeffs(i)
+            dq(i) =
+              if (q == 0) 0.0
+              else math.signum(q.toDouble) * (math.abs(q) + 0.5) * step
+            x += 1
           }
+          y += 1
         }
-        Wavelet97.inverse2d(dq, h.width, h.height, h.levels)
-          .map(v => math.rint(v).toInt)
       }
-    if (!h.signed) {
-      val shift = 1 << (h.bitDepth - 1)
-      val cap = (1 << h.bitDepth) - 1
+      Wavelet97.inverse2d(dq, h.width, h.height, h.levels)
+        .map(v => math.rint(v).toInt)
+    }
+  }
+
+  /** The DC level shift for unsigned components (G.1.2), in place,
+    * using the COMPONENT's declared depth; the lossy path clamps to
+    * the sample range.
+    */
+  private def dcShift(h: Header, component: Int, px: Array[Int])
+      : Array[Int] = {
+    val (depth, signed) = h.compDepth(component)
+    if (!signed) {
+      val shift = 1 << (depth - 1)
+      val cap = (1 << depth) - 1
       var i = 0
       while (i < px.length) {
         px(i) += shift
@@ -214,7 +236,69 @@ object Jp2 {
         i += 1
       }
     }
-    (h, px)
+    px
+  }
+
+  private def requireProfile(h: Header): Unit =
+    require(h.reversible || h.sbMantissas.nonEmpty,
+      "irreversible 9/7 codestream without scalar-expounded " +
+        "quantization (QCD style 2) — out of profile")
+
+  /** Decode one component to pixels: header parse → entropy stage
+    * (tier-2 + tier-1, [[T800Entropy]]) → inverse transform
+    * ([[componentRaw]]) → DC level shift (G.1.2). A stream coded with
+    * the multiple-component transform refuses here — its components
+    * are only meaningful jointly; use [[decodeAll]].
+    */
+  def decode(bytes: Array[Byte], component: Int = 0,
+      entropy: EntropyDecoder = T800Entropy): (Header, Array[Int]) = {
+    val h = parseHeader(bytes)
+    requireProfile(h)
+    require(!h.mct,
+      "stream uses the multiple-component transform (COD SGcod MCT=1): " +
+        "a single decoded component is a color-transform plane, not " +
+        "pixels — use Jp2.decodeAll, which applies the inverse RCT")
+    (h, dcShift(h, component, componentRaw(h, bytes, component, entropy)))
+  }
+
+  /** Decode EVERY component (round 12 — multi-component profile):
+    * per-component entropy + inverse DWT, then, when the COD header
+    * signals the multiple-component transform on the reversible path,
+    * the inverse REVERSIBLE COLOR TRANSFORM (RCT, G.2.2: G = Y −
+    * floor((Cb + Cr) / 4); R = Cr + G; B = Cb + G) over the first
+    * three components, then the per-component DC level shift. The
+    * irreversible ICT (9/7 + floating YCbCr) stays out of profile and
+    * refuses loudly. Returns the planes in component order (R, G, B
+    * for an MCT stream).
+    */
+  def decodeAll(bytes: Array[Byte],
+      entropy: EntropyDecoder = T800Entropy): (Header, Seq[Array[Int]]) = {
+    val h = parseHeader(bytes)
+    requireProfile(h)
+    val raw = (0 until h.components)
+      .map(c => componentRaw(h, bytes, c, entropy))
+    val planes =
+      if (!h.mct) raw
+      else {
+        require(h.components >= 3,
+          s"MCT signalled with ${h.components} components (need >= 3)")
+        require(h.reversible,
+          "irreversible multiple-component transform (ICT) is out of " +
+            "this decoder's profile — only the reversible RCT is " +
+            "implemented; decode refuses rather than mis-decoding color")
+        val (yP, cbP, crP) = (raw(0), raw(1), raw(2))
+        val n = yP.length
+        val (r, g, b) = (new Array[Int](n), new Array[Int](n), new Array[Int](n))
+        var i = 0
+        while (i < n) {
+          g(i) = yP(i) - Math.floorDiv(cbP(i) + crP(i), 4)
+          r(i) = crP(i) + g(i)
+          b(i) = cbP(i) + g(i)
+          i += 1
+        }
+        Seq(r, g, b) ++ raw.drop(3)
+      }
+    (h, planes.zipWithIndex.map { case (p, c) => dcShift(h, c, p) })
   }
 
   // -- container / codestream parse --------------------------------
@@ -264,6 +348,8 @@ object Jp2 {
     var off = start + 2
     var siz: Option[(Int, Int, Int, Int, Int, Int, Int, Int, Boolean)] = None
     var cod: Option[(Int, Int, Int, Int, Int, Boolean)] = None
+    var comps: Seq[(Int, Boolean)] = Nil
+    var mct = false
     var guard = 0
     var exps: Seq[Int] = Nil
     var mants: Seq[Int] = Nil
@@ -301,14 +387,26 @@ object Jp2 {
           val xo = buf.getInt(p + 10); val yo = buf.getInt(p + 14)
           val tw = buf.getInt(p + 18); val th = buf.getInt(p + 22)
           val csiz = buf.getShort(p + 34) & 0xffff
-          val ssiz = buf.get(p + 36) & 0xff
+          // every component's (Ssiz, XRsiz, YRsiz) triple: subsampled
+          // components change the per-component tile geometry this
+          // decoder does not model — refuse, never mis-decode
+          comps = (0 until csiz).map { c =>
+            val ssiz = buf.get(p + 36 + 3 * c) & 0xff
+            val xr = buf.get(p + 37 + 3 * c) & 0xff
+            val yr = buf.get(p + 38 + 3 * c) & 0xff
+            require(xr == 1 && yr == 1,
+              s"component $c is subsampled (XRsiz=$xr, YRsiz=$yr) — " +
+                "out of this decoder's 1:1-grid profile")
+            ((ssiz & 0x7f) + 1, (ssiz & 0x80) != 0)
+          }
           siz = Some((x, y, xo, yo, tw, th, csiz,
-            (ssiz & 0x7f) + 1, (ssiz & 0x80) != 0))
+            comps.head._1, comps.head._2))
           off += 2 + (buf.getShort(off + 2) & 0xffff)
         case 0xff52 => // COD
           val p = off + 4
           val prog = buf.get(p + 1) & 0xff
           val layers = buf.getShort(p + 2) & 0xffff
+          mct = (buf.get(p + 4) & 0xff) == 1 // SGcod: multi-comp transform
           val levels = buf.get(p + 5) & 0xff
           val cbw = 1 << ((buf.get(p + 6) & 0x0f) + 2)
           val cbh = 1 << ((buf.get(p + 7) & 0x0f) + 2)
@@ -340,7 +438,7 @@ object Jp2 {
       throw new IllegalArgumentException("codestream has no COD segment"))
     Header(x - xo, y - yo, xo, yo, tw, th, nc, depth, signed,
       levels, rev, prog, layers, cbw, cbh, tileParts.result(),
-      guard, exps, mants)
+      guard, exps, mants, mct, comps)
   }
 }
 

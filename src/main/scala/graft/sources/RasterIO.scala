@@ -52,6 +52,29 @@ object RasterIO {
       .drop("decoded")
   }
 
+  /** S5, multi-component form (round 12): decode EVERY component of
+    * each file and explode to one row per component — the shape for
+    * Sentinel-2's TCI (true-color RGB) JP2s, where [[Jp2.decodeAll]]
+    * applies the inverse reversible color transform before the rows
+    * land. `component` is 0-based in codestream order (R, G, B for an
+    * MCT stream). Same scan discipline as [[decodeBandPixels]]: one
+    * file per task, no shuffle; the explode multiplies rows, never
+    * re-reads the payload (the file decodes once per task).
+    */
+  def decodeAllBandPixels(bands: DataFrame): DataFrame = {
+    val dec = udf { content: Array[Byte] =>
+      val (h, planes) = Jp2.decodeAll(content)
+      planes.zipWithIndex.map { case (px, c) => (c, h.width, h.height, px) }
+    }
+    bands
+      .withColumn("comp", explode(dec(col("content"))))
+      .withColumn("component", col("comp._1"))
+      .withColumn("width", col("comp._2"))
+      .withColumn("height", col("comp._3"))
+      .withColumn("pixels", col("comp._4"))
+      .drop("comp")
+  }
+
   /** S7 — partition-local raster sink: each task writes its chips as
     * `<uuid>.tif` into a task-local temp dir, then promotes them into
     * the feature store (S8's `shutil.copyfile`,

@@ -227,13 +227,23 @@ object Tier2 {
 
   /** Parse the single-layer LRCP packet sequence of one tile-part and
     * return each included code-block's contribution with its byte
-    * range in `data`.
+    * range in `data` — for ONE requested `component`. LRCP with one
+    * layer and one precinct interleaves packets resolution-major,
+    * component-minor (B.12.1.1: for each r, one packet per c), and
+    * every packet must be parsed to advance the stream position, so
+    * the walk covers all components and collects the requested one's
+    * contributions. Components share the tile grid 1:1 (no
+    * subsampling — [[Jp2.parseHeader]] refuses XRsiz/YRsiz ≠ 1), so
+    * the subband/code-block geometry is identical per component; each
+    * (resolution, component) packet has its own fresh tag trees.
     */
   def parsePackets(data: Array[Byte], from: Int,
-      header: Jp2.Header): Seq[BlockContribution] = {
+      header: Jp2.Header, component: Int = 0): Seq[BlockContribution] = {
     val out = Seq.newBuilder[BlockContribution]
     var pos = from
-    for (res <- subbands(header.width, header.height, header.levels)) {
+    for (res <- subbands(header.width, header.height, header.levels);
+        comp <- 0 until header.components) {
+      val collect = comp == component
       // SOP marker before the packet (B.10.3, 6 bytes). Sniffing is
       // unambiguous: inside a header the byte after 0xFF carries a
       // stuffed 0 MSB (≤ 0x7F), and an MQ codeword never has a byte
@@ -293,7 +303,7 @@ object Tier2 {
           s"JP2 tier-2: code-block segment [${pos}, ${pos.toLong + len}) " +
             s"exceeds codestream length ${data.length} (corrupt or " +
             "truncated packet header)")
-        out += BlockContribution(sb, cb, zbp, np, pos, pos + len)
+        if (collect) out += BlockContribution(sb, cb, zbp, np, pos, pos + len)
         pos += len
       }
     }

@@ -142,7 +142,49 @@ object Jp2Fixture {
     val (packets, maxBps) = tier1Encode(coeffPlane, w, h, levels, cbw, cbh)
     val exps = maxBps.map(b => math.max(1, b - guardBits + 1))
     assemble(w, h, levels, bitDepth, cbw, cbh, tileParts, sopEph,
-      reversible = true, guardBits, exps, None, packets)
+      reversible = true, guardBits, exps, None, Seq(packets), mct = false)
+  }
+
+  /** MULTI-COMPONENT reversible encode: each plane DC-shifts, then —
+    * with `mct = true` — the forward REVERSIBLE color transform
+    * (T.800 G.2.1: Y = floor((R + 2G + B) / 4); Cb = B − G;
+    * Cr = R − G) maps the first three planes to Y/Cb/Cr before the
+    * per-component 5/3 DWT. Packets interleave resolution-major,
+    * component-minor (LRCP, one layer, one precinct); all components
+    * share the main-header QCD (exponents = per-subband max over
+    * components, which upper-bounds every block's bit-planes).
+    */
+  def encodeMulti(planes: Seq[Array[Int]], w: Int, h: Int, levels: Int,
+      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16,
+      mct: Boolean = false, tileParts: Int = 1): Array[Byte] = {
+    require(planes.nonEmpty && planes.forall(_.length == w * h))
+    require(!mct || planes.size >= 3, "RCT needs >= 3 components")
+    val shifted = planes.map(_.map(_ - (1 << (bitDepth - 1))))
+    val xformed =
+      if (!mct) shifted
+      else {
+        val (rP, gP, bP) = (shifted(0), shifted(1), shifted(2))
+        val n = w * h
+        val y = new Array[Int](n); val cb = new Array[Int](n)
+        val cr = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          y(i) = Math.floorDiv(rP(i) + 2 * gP(i) + bP(i), 4)
+          cb(i) = bP(i) - gP(i)
+          cr(i) = rP(i) - gP(i)
+          i += 1
+        }
+        Seq(y, cb, cr) ++ shifted.drop(3)
+      }
+    val encoded = xformed.map(p =>
+      tier1Encode(Wavelet53.forward2d(p, w, h, levels), w, h, levels,
+        cbw, cbh))
+    // shared QCD: per-subband max bit-planes over ALL components
+    val maxBps = encoded.map(_._2).transpose.map(_.max)
+    val exps = maxBps.map(b => math.max(1, b - guardBits + 1)).toArray
+    assemble(w, h, levels, bitDepth, cbw, cbh, tileParts,
+      sopEph = false, reversible = true, guardBits, exps, None,
+      encoded.map(_._1), mct)
   }
 
   /** Encode with the IRREVERSIBLE 9/7 transform + scalar-expounded
@@ -176,7 +218,7 @@ object Jp2Fixture {
     require(guard <= 7, s"guard bits $guard exceed the 3-bit field")
     assemble(w, h, levels, bitDepth, cbw, cbh, tileParts = 1,
       sopEph = false, reversible = false, guard, exps,
-      Some(Array.fill(nSb)(0)), packets)
+      Some(Array.fill(nSb)(0)), Seq(packets), mct = false)
   }
 
   private type Encoded =
@@ -210,19 +252,29 @@ object Jp2Fixture {
     (packets, maxBps)
   }
 
-  /** Tier-2 packets + markers around already-encoded blocks. */
+  /** Tier-2 packets + markers around already-encoded blocks.
+    * `compPackets` holds one [[Encoded]] per component; packets emit
+    * resolution-major, component-minor (LRCP, one layer, one
+    * precinct — B.12.1.1).
+    */
   private def assemble(w: Int, h: Int, levels: Int, bitDepth: Int,
       cbw: Int, cbh: Int, tileParts: Int, sopEph: Boolean,
       reversible: Boolean, guard: Int, exps: Array[Int],
-      mants: Option[Array[Int]], packets: Encoded): Array[Byte] = {
+      mants: Option[Array[Int]], compPackets: Seq[Encoded],
+      mct: Boolean): Array[Byte] = {
     val nSb = exps.length
     val mb = exps.map(_ + guard - 1)
+    val nComp = compPackets.size
 
-    // tier-2: one packet per resolution (single layer, LRCP), kept
-    // separate so the stream can split across tile-parts on packet
-    // boundaries
+    // tier-2: one packet per (resolution, component) in LRCP order,
+    // kept separate so the stream can split across tile-parts on
+    // packet boundaries
     val packetBytes = Seq.newBuilder[Array[Byte]]
-    for ((res, ri) <- packets.zipWithIndex) {
+    val interleaved = for {
+      ri <- compPackets.head.indices
+      comp <- compPackets
+    } yield comp(ri)
+    for ((res, ri) <- interleaved.zipWithIndex) {
       val body = new ByteArrayOutputStream()
       if (sopEph) { // SOP: marker, Lsop=4, Nsop = packet sequence #
         body.write(Array[Byte](0xFF.toByte, 0x91.toByte, 0, 4,
@@ -288,19 +340,21 @@ object Jp2Fixture {
     val d = new DataOutputStream(bos)
     d.writeShort(0xFF4F) // SOC
     d.writeShort(0xFF51) // SIZ
-    d.writeShort(41)
+    d.writeShort(38 + 3 * nComp)
     d.writeShort(0) // Rsiz
     d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
     d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
-    d.writeShort(1) // Csiz
-    d.writeByte(bitDepth - 1) // unsigned
-    d.writeByte(1); d.writeByte(1)
+    d.writeShort(nComp) // Csiz
+    for (_ <- 0 until nComp) {
+      d.writeByte(bitDepth - 1) // unsigned
+      d.writeByte(1); d.writeByte(1)
+    }
     d.writeShort(0xFF52) // COD
     d.writeShort(12)
     d.writeByte(if (sopEph) 0x06 else 0) // Scod: default precincts; SOP+EPH bits
     d.writeByte(0) // LRCP
     d.writeShort(1) // layers
-    d.writeByte(0) // no MCT
+    d.writeByte(if (mct) 1 else 0) // SGcod: multiple component transform
     d.writeByte(levels)
     d.writeByte(Tier2.floorLog2(cbw) - 2)
     d.writeByte(Tier2.floorLog2(cbh) - 2)

@@ -359,4 +359,71 @@ class Jp2Spec extends AnyFunSuite {
     val bytes = codestream(32, 32, 8, 2, reversible = true, Array[Byte](0))
     intercept[IllegalArgumentException] { Jp2.decode(bytes, entropy = short) }
   }
+
+  test("multi-component decode: every plane round-trips bit-exactly " +
+      "through the interleaved LRCP packet stream (no MCT)") {
+    val rng = new Random(83)
+    for ((w, h, levels, nc) <- Seq((48, 40, 3, 3), (33, 27, 2, 2),
+        (16, 16, 1, 4), (64, 1, 2, 3))) {
+      val planes = Seq.fill(nc)(Array.fill(w * h)(rng.nextInt(256)))
+      val cs = graft.Jp2Fixture.encodeMulti(planes, w, h, levels)
+      val hdr = Jp2.parseHeader(cs)
+      assert(hdr.components == nc && !hdr.mct)
+      // jointly
+      val (_, all) = Jp2.decodeAll(cs)
+      assert(all.size == nc)
+      for (c <- 0 until nc)
+        assert(all(c).toSeq == planes(c).toSeq,
+          s"${w}x$h levels=$levels comp=$c of $nc (decodeAll)")
+      // and per-component through the single-plane entry point
+      for (c <- 0 until nc)
+        assert(Jp2.decode(cs, component = c)._2.toSeq == planes(c).toSeq,
+          s"${w}x$h comp=$c of $nc (decode)")
+    }
+  }
+
+  test("RGB with the reversible color transform round-trips " +
+      "bit-exactly; a 4th component passes through untouched") {
+    val rng = new Random(89)
+    for ((w, h, levels, nc) <- Seq((48, 40, 3, 3), (33, 27, 2, 4))) {
+      val planes = Seq.fill(nc)(Array.fill(w * h)(rng.nextInt(256)))
+      val cs = graft.Jp2Fixture.encodeMulti(planes, w, h, levels,
+        mct = true)
+      val hdr = Jp2.parseHeader(cs)
+      assert(hdr.mct, "COD must signal the MCT")
+      // the coded planes really are color-transformed: component 0
+      // alone (Y) must NOT equal the red plane for random content
+      val (_, all) = Jp2.decodeAll(cs)
+      for (c <- 0 until nc)
+        assert(all(c).toSeq == planes(c).toSeq,
+          s"${w}x$h levels=$levels comp=$c of $nc (RCT round-trip)")
+      // structured content too (flat + gradient + edges as R/G/B)
+      val flat = Array.fill(w * h)(200)
+      val grad = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+      val edge = Array.tabulate(w * h) { i =>
+        if ((i % w) / 8 % 2 == 0 ^ (i / w) / 8 % 2 == 0) 255 else 0
+      }
+      val cs2 = graft.Jp2Fixture.encodeMulti(
+        Seq(flat, grad, edge).map(_.toArray), w, h, levels, mct = true)
+      val (_, all2) = Jp2.decodeAll(cs2)
+      assert(all2(0).toSeq == flat.toSeq && all2(1).toSeq == grad.toSeq
+        && all2(2).toSeq == edge.toSeq)
+    }
+  }
+
+  test("single-component decode of an MCT stream refuses with a " +
+      "pointer to decodeAll (a YCbCr plane is not pixels)") {
+    val rng = new Random(91)
+    val (w, h) = (32, 24)
+    val planes = Seq.fill(3)(Array.fill(w * h)(rng.nextInt(256)))
+    val cs = graft.Jp2Fixture.encodeMulti(planes, w, h, levels = 2,
+      mct = true)
+    val e = intercept[IllegalArgumentException] { Jp2.decode(cs) }
+    assert(e.getMessage.contains("decodeAll"))
+    // decodeAll on a single-component stream is the identity case
+    val one = graft.Jp2Fixture.encode(planes.head, w, h, levels = 2)
+    val (h1, all1) = Jp2.decodeAll(one)
+    assert(h1.components == 1 && all1.size == 1)
+    assert(all1.head.toSeq == planes.head.toSeq)
+  }
 }

@@ -177,4 +177,26 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
     }
     assert(decoded.map(_.getString(1)).sorted.toSeq == Seq("B02", "B03", "B8A"))
   }
+
+  test("S5: a true-color (RGB, RCT) JP2 scan explodes to one " +
+      "bit-exact row per component, distributed") {
+    val rng = new scala.util.Random(9)
+    val dir = java.nio.file.Files.createTempDirectory("graft-jp2-tci")
+    val (w, h) = (40, 32)
+    val rgb = Seq.fill(3)(Array.fill(w * h)(rng.nextInt(256)))
+    java.nio.file.Files.write(
+      dir.resolve("T32UPU_20230615T100031_TCI_10m.jp2"),
+      Jp2Fixture.encodeMulti(rgb, w, h, levels = 2, mct = true))
+    val rows = graft.sources.RasterIO.decodeAllBandPixels(
+      graft.sources.RasterIO.readBandFiles(spark, dir.toString))
+      .select("component", "width", "height", "pixels")
+      .collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      assert(r.getInt(0) == c && r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getSeq[Int](3).toSeq == rgb(c).toSeq,
+        s"component $c corrupted through the distributed RGB decode")
+    }
+  }
 }
