@@ -816,6 +816,50 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       "the loser must complete the crashed winner's publish")
   }
 
+  test("END-TO-END on object-store semantics: the full lifecycle — " +
+      "save, RACING appends, delete, search — runs through a " +
+      "registered filesystem whose rename overwrites") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockobj.impl", classOf[OverwritingRenameFs].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-index-objstore").toString
+    val out = s"mockobj:$local"
+    val c = corpus.cache()
+    try {
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"),
+        codebooks, "embedding")
+      val third = (k: Int) => encoded.filter(col("vec_id") % 3 === k)
+      IndexStore.save(third(0), cents, codebooks, out)
+      assert(IndexStore.version(spark, out) == 1L)
+      // two RACING appends — the marker protocol must serialize the
+      // manifest publishes even though rename overwrites on this FS
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val race = Seq(1, 2).map { k =>
+        Future {
+          scala.concurrent.blocking(barrier.await())
+          IndexStore.append(third(k), out)
+        }
+      }
+      Await.result(Future.sequence(race),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(IndexStore.version(spark, out) == 3L)
+      assert(multiset(IndexStore.loadCodes(spark, out)) == multiset(encoded))
+      // model round-trips and maintenance keeps working
+      assert(IndexStore.loadCentroids(spark, out) == cents)
+      import spark.implicits._
+      val gone = encoded.select("vec_id").limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      IndexStore.delete(spark, out, gone.toDF("vec_id"))
+      assert(IndexStore.loadCodes(spark, out).count() ==
+        encoded.count() - gone.length)
+    } finally c.unpersist()
+  }
+
   test("a foreign or pre-versioned manifest fails with a named " +
       "unsupported-format error, not a parse crash") {
     val (_, _, _, out) = freshIndex("graft-index-fmt")
