@@ -225,24 +225,42 @@ object Tier2 {
   case class BlockContribution(sb: Subband, cb: CodeBlock,
       zeroBitplanes: Int, numPasses: Int, dataFrom: Int, dataUntil: Int)
 
-  /** Parse the single-layer LRCP packet sequence of one tile-part and
+  /** Parse the single-layer packet sequence of one tile-part and
     * return each included code-block's contribution with its byte
-    * range in `data` — for ONE requested `component`. LRCP with one
-    * layer and one precinct interleaves packets resolution-major,
-    * component-minor (B.12.1.1: for each r, one packet per c), and
-    * every packet must be parsed to advance the stream position, so
-    * the walk covers all components and collects the requested one's
-    * contributions. Components share the tile grid 1:1 (no
-    * subsampling — [[Jp2.parseHeader]] refuses XRsiz/YRsiz ≠ 1), so
-    * the subband/code-block geometry is identical per component; each
-    * (resolution, component) packet has its own fresh tag trees.
+    * range in `data` — for ONE requested `component`. With one layer
+    * and one precinct the five progression orders (B.12.1) collapse
+    * to two packet sequences:
+    *
+    *   - LRCP / RLCP / RPCL (progression 0/1/2): resolution-major,
+    *     component-minor — for each r, one packet per c;
+    *   - PCRL / CPRL (progression 3/4): component-major — for each
+    *     c, one packet per r.
+    *
+    * Every packet must be parsed to advance the stream position, so
+    * the walk covers all (r, c) pairs in the signalled order and
+    * collects the requested component's contributions. Components
+    * share the tile grid 1:1 (no subsampling — [[Jp2.parseHeader]]
+    * refuses XRsiz/YRsiz ≠ 1), so the subband/code-block geometry is
+    * identical per component; each (resolution, component) packet has
+    * its own fresh tag trees.
     */
   def parsePackets(data: Array[Byte], from: Int,
       header: Jp2.Header, component: Int = 0): Seq[BlockContribution] = {
     val out = Seq.newBuilder[BlockContribution]
     var pos = from
-    for (res <- subbands(header.width, header.height, header.levels);
-        comp <- 0 until header.components) {
+    require(header.progression >= 0 && header.progression <= 4,
+      s"JP2 tier-2: unknown progression order ${header.progression} " +
+        "(COD SGcod) — refusing rather than guessing the packet " +
+        "sequence")
+    val resSeq = subbands(header.width, header.height, header.levels)
+    val walk: Seq[(Seq[Subband], Int)] =
+      if (header.progression <= 2)
+        for (res <- resSeq; comp <- 0 until header.components)
+          yield (res, comp)
+      else
+        for (comp <- 0 until header.components; res <- resSeq)
+          yield (res, comp)
+    for ((res, comp) <- walk) {
       val collect = comp == component
       // SOP marker before the packet (B.10.3, 6 bytes). Sniffing is
       // unambiguous: inside a header the byte after 0xFF carries a

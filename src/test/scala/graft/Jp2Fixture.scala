@@ -156,9 +156,11 @@ object Jp2Fixture {
     */
   def encodeMulti(planes: Seq[Array[Int]], w: Int, h: Int, levels: Int,
       bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16,
-      mct: Boolean = false, tileParts: Int = 1): Array[Byte] = {
+      mct: Boolean = false, tileParts: Int = 1,
+      progression: Int = 0): Array[Byte] = {
     require(planes.nonEmpty && planes.forall(_.length == w * h))
     require(!mct || planes.size >= 3, "RCT needs >= 3 components")
+    require(progression >= 0 && progression <= 4)
     val shifted = planes.map(_.map(_ - (1 << (bitDepth - 1))))
     val xformed =
       if (!mct) shifted
@@ -184,7 +186,7 @@ object Jp2Fixture {
     val exps = maxBps.map(b => math.max(1, b - guardBits + 1)).toArray
     assemble(w, h, levels, bitDepth, cbw, cbh, tileParts,
       sopEph = false, reversible = true, guardBits, exps, None,
-      encoded.map(_._1), mct)
+      encoded.map(_._1), mct, progression)
   }
 
   /** Encode with the IRREVERSIBLE 9/7 transform + scalar-expounded
@@ -261,19 +263,23 @@ object Jp2Fixture {
       cbw: Int, cbh: Int, tileParts: Int, sopEph: Boolean,
       reversible: Boolean, guard: Int, exps: Array[Int],
       mants: Option[Array[Int]], compPackets: Seq[Encoded],
-      mct: Boolean): Array[Byte] = {
+      mct: Boolean, progression: Int = 0): Array[Byte] = {
     val nSb = exps.length
     val mb = exps.map(_ + guard - 1)
     val nComp = compPackets.size
 
-    // tier-2: one packet per (resolution, component) in LRCP order,
-    // kept separate so the stream can split across tile-parts on
-    // packet boundaries
+    // tier-2: one packet per (resolution, component) in the signalled
+    // progression's order (res-major for LRCP/RLCP/RPCL,
+    // component-major for PCRL/CPRL), kept separate so the stream can
+    // split across tile-parts on packet boundaries
     val packetBytes = Seq.newBuilder[Array[Byte]]
-    val interleaved = for {
-      ri <- compPackets.head.indices
-      comp <- compPackets
-    } yield comp(ri)
+    val interleaved =
+      if (progression <= 2)
+        for { ri <- compPackets.head.indices; comp <- compPackets }
+          yield comp(ri)
+      else
+        for { comp <- compPackets; ri <- compPackets.head.indices }
+          yield comp(ri)
     for ((res, ri) <- interleaved.zipWithIndex) {
       val body = new ByteArrayOutputStream()
       if (sopEph) { // SOP: marker, Lsop=4, Nsop = packet sequence #
@@ -352,7 +358,7 @@ object Jp2Fixture {
     d.writeShort(0xFF52) // COD
     d.writeShort(12)
     d.writeByte(if (sopEph) 0x06 else 0) // Scod: default precincts; SOP+EPH bits
-    d.writeByte(0) // LRCP
+    d.writeByte(progression) // SGcod progression order
     d.writeShort(1) // layers
     d.writeByte(if (mct) 1 else 0) // SGcod: multiple component transform
     d.writeByte(levels)

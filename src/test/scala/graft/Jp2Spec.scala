@@ -411,6 +411,34 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("all five progression orders round-trip: one layer and one " +
+      "precinct collapse them to res-major (LRCP/RLCP/RPCL) vs " +
+      "component-major (PCRL/CPRL) packet sequences; unknown orders " +
+      "refuse") {
+    val rng = new Random(97)
+    val (w, h) = (40, 32)
+    val planes = Seq.fill(3)(Array.fill(w * h)(rng.nextInt(256)))
+    for (prog <- 0 to 4; mct <- Seq(false, true)) {
+      val cs = graft.Jp2Fixture.encodeMulti(planes, w, h, levels = 2,
+        mct = mct, progression = prog)
+      assert(Jp2.parseHeader(cs).progression == prog)
+      val (_, all) = Jp2.decodeAll(cs)
+      for (c <- 0 until 3)
+        assert(all(c).toSeq == planes(c).toSeq,
+          s"prog=$prog mct=$mct comp=$c")
+    }
+    // an out-of-spec progression value must refuse, never guess the
+    // packet sequence
+    val cs = graft.Jp2Fixture.encodeMulti(planes, w, h, levels = 2)
+    val codAt = cs.indices.find(i =>
+      (cs(i) & 0xff) == 0xff && i + 1 < cs.length &&
+        (cs(i + 1) & 0xff) == 0x52).get
+    val bad = cs.clone()
+    bad(codAt + 5) = 7
+    val e = intercept[IllegalArgumentException] { Jp2.decodeAll(bad) }
+    assert(e.getMessage.contains("progression"))
+  }
+
   test("single-component decode of an MCT stream refuses with a " +
       "pointer to decodeAll (a YCbCr plane is not pixels)") {
     val rng = new Random(91)
