@@ -820,7 +820,140 @@ object TextAnalysis extends QueryModule {
       .orderBy("step")
   }
 
+  // ---------------------------------------------------------------
+  // q138 — PII DETECTION + REDACTION report: the scrub pass every
+  // training-data release runs before anything ships — regex
+  // detectors for emails / phones / IPv4s / card-number candidates,
+  // a LUHN checksum separating valid card numbers from random digit
+  // runs (pattern match ≠ PII; the mod-10 fold is the classic
+  // precision filter), and redaction accounting (how many characters
+  // the scrub removes, per source). The corpus text carries no PII,
+  // so spans are INJECTED deterministically from doc_id (the q72
+  // catalog-from-part idiom — the oracle recomputes the same
+  // synthesis): one in seven docs gets an email, phone, IP,
+  // Luhn-VALID card, or Luhn-INVALID card candidate; the rest are
+  // clean negatives. Detection, validation, and redaction then run
+  // against ground truth both engines re-derive.
+  //
+  // Scale: pure per-row regex + array lambdas (codegen'd, no UDF),
+  // one |sources|-row aggregate — the same map-side-only shape as
+  // q21-q24; at 100 TB this is a single scan with a tiny rollup.
+  // Exactness: every output is an exact integer (counts and length
+  // deltas); the Luhn fold is integer arithmetic; detectors avoid
+  // lookarounds so Java regex and RE2 agree.
+  private val piiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+  private val piiPhone = "\\\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\\\b"
+  private val piiIp =
+    "\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"
+  private val piiCc = "\\\\b[0-9]{13,16}\\\\b"
+  // DuckDB (RE2) twins: SQL single-quoted strings do no escape
+  // processing, so one backslash suffices
+  private val piiEmailD = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val piiPhoneD = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val piiIpD = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val piiCcD = "\\b[0-9]{13,16}\\b"
+
+  /** The deterministic PII injection (Spark fragment; `castS` is the
+    * engine's string-cast type name so the DuckDB twin is textual).
+    */
+  private def piiRawExpr(castS: String): String =
+    s"""concat(text, CASE
+       | WHEN doc_id % 7 = 0 THEN concat(' contact user',
+       |   CAST(doc_id AS $castS), '@example.com for data')
+       | WHEN doc_id % 7 = 1 THEN concat(' call 555-',
+       |   lpad(CAST(doc_id % 1000 AS $castS), 3, '0'), '-',
+       |   lpad(CAST(doc_id % 10000 AS $castS), 4, '0'), ' now')
+       | WHEN doc_id % 7 = 2 THEN concat(' host 192.168.',
+       |   CAST(doc_id % 256 AS $castS), '.',
+       |   CAST((doc_id * 7) % 256 AS $castS), ' logged')
+       | WHEN doc_id % 7 = 3 THEN ' card 4242424242424242 on file'
+       | WHEN doc_id % 7 = 4 THEN ' card 1234567890123456 rejected'
+       | ELSE '' END)""".stripMargin
+
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val luhn =
+      """aggregate(zip_with(
+        |    transform(reverse(split(m, '')), x -> CAST(x AS INT)),
+        |    sequence(0, length(m) - 1),
+        |    (d, i) -> CASE WHEN i % 2 = 0 THEN d
+        |      WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END),
+        |  0, (a, x) -> a + x) % 10 = 0""".stripMargin
+    T.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(piiRawExpr("STRING")).as("raw"))
+      .withColumn("n_email",
+        expr(s"CAST(size(regexp_extract_all(raw, '$piiEmail', 0)) AS BIGINT)"))
+      .withColumn("n_phone",
+        expr(s"CAST(size(regexp_extract_all(raw, '$piiPhone', 0)) AS BIGINT)"))
+      .withColumn("n_ip",
+        expr(s"CAST(size(regexp_extract_all(raw, '$piiIp', 0)) AS BIGINT)"))
+      .withColumn("cc_cands", expr(s"regexp_extract_all(raw, '$piiCc', 0)"))
+      .withColumn("n_cc_cand", expr("CAST(size(cc_cands) AS BIGINT)"))
+      .withColumn("n_cc_valid",
+        expr(s"CAST(size(filter(cc_cands, m -> $luhn)) AS BIGINT)"))
+      .withColumn("redacted", expr(
+        s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |  raw, '$piiEmail', '[EMAIL]'), '$piiIp', '[IP]'),
+           |  '$piiPhone', '[PHONE]'), '$piiCc', '[NUMBER]')""".stripMargin))
+      .withColumn("chars_removed",
+        expr("CAST(length(raw) - length(redacted) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN n_email + n_phone + n_ip + n_cc_valid > 0 " +
+          "THEN 1L ELSE 0L END")).as("docs_with_pii"),
+        sum("n_email").as("emails"),
+        sum("n_phone").as("phones"),
+        sum("n_ip").as("ips"),
+        sum("n_cc_cand").as("cc_candidates"),
+        sum("n_cc_valid").as("cc_valid"),
+        sum("chars_removed").as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  private val q138Sql = {
+    val luhnD =
+      """list_sum(list_transform(range(1, length(m) + 1), i ->
+        |  CASE WHEN (i - 1) % 2 = 0
+        |    THEN CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT)
+        |    WHEN 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT) > 9
+        |    THEN 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT) - 9
+        |    ELSE 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT)
+        |  END)) % 10 = 0""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT doc_id, source, ${piiRawExpr("VARCHAR")} AS raw
+       |  FROM documents),
+       |det AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(raw, '$piiEmailD')) AS BIGINT)
+       |      AS n_email,
+       |    CAST(len(regexp_extract_all(raw, '$piiPhoneD')) AS BIGINT)
+       |      AS n_phone,
+       |    CAST(len(regexp_extract_all(raw, '$piiIpD')) AS BIGINT) AS n_ip,
+       |    CAST(len(regexp_extract_all(raw, '$piiCcD')) AS BIGINT)
+       |      AS n_cc_cand,
+       |    CAST(len(list_filter(regexp_extract_all(raw, '$piiCcD'),
+       |      m -> $luhnD)) AS BIGINT) AS n_cc_valid,
+       |    CAST(length(raw) - length(
+       |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |        raw, '$piiEmailD', '[EMAIL]', 'g'), '$piiIpD', '[IP]', 'g'),
+       |        '$piiPhoneD', '[PHONE]', 'g'), '$piiCcD', '[NUMBER]', 'g'))
+       |      AS BIGINT) AS chars_removed
+       |  FROM raw)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_email + n_phone + n_ip + n_cc_valid > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(SUM(n_email) AS BIGINT) AS emails,
+       |  CAST(SUM(n_phone) AS BIGINT) AS phones,
+       |  CAST(SUM(n_ip) AS BIGINT) AS ips,
+       |  CAST(SUM(n_cc_cand) AS BIGINT) AS cc_candidates,
+       |  CAST(SUM(n_cc_valid) AS BIGINT) AS cc_valid,
+       |  CAST(SUM(chars_removed) AS BIGINT) AS chars_redacted
+       |FROM det GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_pii_report" -> (q138 _),
     "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
     "q125_bpe_merges" -> (q125 _),
@@ -838,6 +971,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q138_pii_report" -> q138Sql,
     "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,
     "q125_bpe_merges" -> q125Sql,
