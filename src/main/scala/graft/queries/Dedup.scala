@@ -532,6 +532,64 @@ object Dedup extends QueryModule {
        |ORDER BY b.lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // q139 — NEAR-DUP benchmark contamination (the check q58's scaladoc
+  // promised): q58 catches verbatim leaks by exact fingerprint, but a
+  // benchmark item that reached the crawl with light edits (casing,
+  // punctuation, a clipped sentence) slips the md5 — so this runs the
+  // SAME split (bench = doc_id % 97 == 0) through the MinHash/LSH
+  // machinery: bench × train signature bucket-join (the memoized q29
+  // signatures), candidates agreeing on ≥ 2 of 12 minhashes (q30's
+  // threshold), per-lang rollup next to the exact count. The
+  // production decontamination gate is BOTH numbers per release.
+  //
+  // Scale: the join probes the train side with ONLY bench signatures
+  // — |bench|-proportional like q88's incremental shape, never
+  // train × train; one rollup on lang.
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir)
+    val hits = sig.as("q").filter(col("q.doc_id") % 97 === 0)
+      .join(sig.as("t").filter(col("t.doc_id") % 97 =!= 0),
+        col("q.i") === col("t.i") && col("q.minhash") === col("t.minhash"))
+      .groupBy(col("q.doc_id").as("bench_id"), col("t.doc_id").as("train_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= 2)
+      .select("bench_id").distinct()
+    val bench = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") % 97 === 0).select("doc_id", "lang")
+    val near = bench.join(hits.withColumnRenamed("bench_id", "doc_id"),
+        Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_near_contaminated"))
+    bench.groupBy("lang").agg(count(lit(1)).as("n_bench"))
+      .join(near, Seq("lang"), "left")
+      .withColumn("n_near_contaminated",
+        coalesce(col("n_near_contaminated"), lit(0L)))
+      .orderBy("lang")
+  }
+
+  private val q139Sql =
+    s"""WITH $duckSignatures,
+       |hits AS (
+       |  SELECT DISTINCT q.doc_id AS bench_id FROM (
+       |    SELECT q.doc_id, t.doc_id AS tid, COUNT(*) AS n_match
+       |    FROM sig q
+       |    JOIN sig t ON t.i = q.i AND t.minhash = q.minhash
+       |      AND t.doc_id % 97 <> 0
+       |    WHERE q.doc_id % 97 = 0
+       |    GROUP BY 1, 2) q
+       |  WHERE n_match >= 2),
+       |bench AS (
+       |  SELECT doc_id, lang FROM documents WHERE doc_id % 97 = 0),
+       |near AS (
+       |  SELECT lang, COUNT(*) AS n_near_contaminated FROM bench
+       |  WHERE doc_id IN (SELECT bench_id FROM hits)
+       |  GROUP BY lang)
+       |SELECT b.lang, COUNT(*) AS n_bench,
+       |  COALESCE(MIN(near.n_near_contaminated), 0) AS n_near_contaminated
+       |FROM bench b LEFT JOIN near ON near.lang = b.lang
+       |GROUP BY b.lang
+       |ORDER BY b.lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q69 — the SKEW-SAFE certified near-dup shape: q28's inverted-index
   // Jaccard with a document-frequency cutoff on shingles. A stopword
   // 3-gram ("one of the") appearing in f docs contributes f² join rows
@@ -1262,6 +1320,7 @@ object Dedup extends QueryModule {
     "q32_simhash_neardup" -> (q32 _),
     "q57_dup_clusters" -> (q57 _),
     "q58_contamination" -> (q58 _),
+    "q139_near_contamination" -> (q139 _),
     "q60_cluster_reps" -> (q60 _),
     "q69_neardup_df_cutoff" -> (q69 _),
     "q70_cc_distributed" -> (q70 _),
@@ -1287,6 +1346,7 @@ object Dedup extends QueryModule {
     "q32_simhash_neardup" -> q32Sql,
     "q57_dup_clusters" -> q57Sql,
     "q58_contamination" -> q58Sql,
+    "q139_near_contamination" -> q139Sql,
     "q60_cluster_reps" -> q60Sql,
     "q69_neardup_df_cutoff" -> q69Sql,
     "q70_cc_distributed" -> q57Sql, // identical semantics, forced distributed path

@@ -41,8 +41,8 @@ object TextAnalysis extends QueryModule {
     */
   private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "tokenized") {
-      T.documents(s, dir).select(col("doc_id"), col("lang"), col("text"),
-        expr(toksS).as("toks"))
+      T.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        col("text"), expr(toksS).as("toks"))
     }
 
   // ---------------------------------------------------------------
@@ -952,8 +952,113 @@ object TextAnalysis extends QueryModule {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q140 — REPETITION quality filter (the Gopher-rules family): per
+  // document, the most-frequent-bigram mass and the duplicate-trigram
+  // mass, folded into a keep/drop decision (drop when the top bigram
+  // exceeds 8% of bigram positions, any trigram repeats, or the doc
+  // is under 10 tokens), rolled up per source with the dropped token
+  // mass — the repetition scrub every corpus release runs next to
+  // q23's quality score (which sees length/diversity but not
+  // REPEATED structure; a looping crawler artifact sails through
+  // TTR and dies here).
+  //
+  // Plan: per-doc n-gram stats are keyed aggregations (explode →
+  // groupBy(doc, gram) → groupBy(doc)) — the q64 corpus shape keyed
+  // per doc, never a per-row quadratic array scan (an array-lambda
+  // count is O(len²) per doc — wrong at 10k-token docs). Thresholds
+  // compare INTEGERS (25·top_bi > 2·n_bi ⟺ frac > 0.08; dup
+  // trigrams ⟺ n_tri > distinct_tri), so no float boundary exists
+  // anywhere in the decision. Scale: two keyed shuffles + one
+  // |sources|-row rollup.
+  private val trigramsS =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(0, size(toks) - 3),
+      |    i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val base = tokenized(s, dir).select(col("doc_id"), col("source"),
+      col("toks"), expr("CAST(size(toks) AS BIGINT)").as("n_tok"))
+    val bi = base.select(col("doc_id"), explode(expr(bigramsS)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bi"), sum("c").as("n_bi"))
+    val tri = base.select(col("doc_id"), explode(expr(trigramsS)).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(count(lit(1)).as("d_tri"), sum("c").as("n_tri"))
+    base.select("doc_id", "source", "n_tok")
+      .join(bi, Seq("doc_id"), "left")
+      .join(tri, Seq("doc_id"), "left")
+      .withColumn("hit_bi",
+        expr("coalesce(top_bi * 25 > n_bi * 2, false)"))
+      .withColumn("hit_tri", expr("coalesce(n_tri > d_tri, false)"))
+      .withColumn("dropd", expr("n_tok < 10 OR hit_bi OR hit_tri"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN dropd THEN 1L ELSE 0L END")).as("n_dropped"),
+        sum(expr("CASE WHEN n_tok < 10 THEN 1L ELSE 0L END"))
+          .as("short_docs"),
+        sum(expr("CASE WHEN hit_bi THEN 1L ELSE 0L END"))
+          .as("top_bigram_hits"),
+        sum(expr("CASE WHEN hit_tri THEN 1L ELSE 0L END"))
+          .as("dup_trigram_hits"),
+        sum(expr("CASE WHEN dropd THEN n_tok ELSE 0L END"))
+          .as("tokens_dropped"))
+      .orderBy("source")
+  }
+
+  private val q140Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, $toksD AS l FROM documents)),
+       |base AS (
+       |  SELECT doc_id, source, CAST(len($toksD) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |bic AS (
+       |  SELECT a.doc_id, a.t || ' ' || b.t AS g, COUNT(*) AS c
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  GROUP BY 1, 2),
+       |bid AS (
+       |  SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+       |  FROM bic GROUP BY 1),
+       |tric AS (
+       |  SELECT a.doc_id, a.t || ' ' || b.t || ' ' || c.t AS g,
+       |    COUNT(*) AS c
+       |  FROM tok a
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       |  GROUP BY 1, 2),
+       |trid AS (
+       |  SELECT doc_id, COUNT(*) AS d_tri, CAST(SUM(c) AS BIGINT) AS n_tri
+       |  FROM tric GROUP BY 1),
+       |j AS (
+       |  SELECT b.source, b.n_tok,
+       |    COALESCE(bid.top_bi * 25 > bid.n_bi * 2, FALSE) AS hit_bi,
+       |    COALESCE(trid.n_tri > trid.d_tri, FALSE) AS hit_tri
+       |  FROM base b
+       |  LEFT JOIN bid ON bid.doc_id = b.doc_id
+       |  LEFT JOIN trid ON trid.doc_id = b.doc_id),
+       |d AS (
+       |  SELECT source, n_tok, hit_bi, hit_tri,
+       |    (n_tok < 10 OR hit_bi OR hit_tri) AS dropd
+       |  FROM j)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(CASE WHEN n_tok < 10 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS short_docs,
+       |  CAST(SUM(CASE WHEN hit_bi THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS top_bigram_hits,
+       |  CAST(SUM(CASE WHEN hit_tri THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_trigram_hits,
+       |  CAST(SUM(CASE WHEN dropd THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS tokens_dropped
+       |FROM d GROUP BY source
+       |ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_pii_report" -> (q138 _),
+    "q140_repetition_filter" -> (q140 _),
     "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
     "q125_bpe_merges" -> (q125 _),
@@ -972,6 +1077,7 @@ object TextAnalysis extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q138_pii_report" -> q138Sql,
+    "q140_repetition_filter" -> q140Sql,
     "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,
     "q125_bpe_merges" -> q125Sql,
