@@ -176,15 +176,168 @@ object Analytics extends QueryModule {
        |FROM orders""".stripMargin
   }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
 
+  // ---------------------------------------------------------------
+  // q141 — DISTRIBUTED per-group OLS (the Gram-matrix pattern): fit
+  // n_tok ~ b0 + b1·n_chars + b2·n_uniq per language in ONE corpus
+  // scan. This is the scalable d≪n linear-model recipe: the only
+  // data-sized work is a groupBy(lang) aggregation of the d(d+3)/2
+  // sufficient statistics (Σx, Σxxᵀ, Σxy, Σy²) — map-side combined,
+  // exchange carries |langs| rows — and the solve is a CLOSED-FORM
+  // Cramer projection on that aggregate (no driver collect, no
+  // iteration, no gradient loop). At 100 TB the plan is identical:
+  // one scan, one tiny exchange, per-group algebra.
+  //
+  // Cross-engine exactness: the sufficient statistics are exact
+  // (integer features; per-row products fit BIGINT — even a 10 MB
+  // document is ~1e7 chars, squared 1e14 < 2^63 — and the sums
+  // route through DECIMAL(38,0), order-independent and wrap-proof
+  // at any corpus size). The solve is pure +,-,*,/ on doubles from
+  // those exact decimals — NO transcendentals — evaluated from
+  // TEXTUALLY IDENTICAL expression strings in both engines, so
+  // every IEEE operation matches bit-for-bit; round(·,6) only
+  // formats the output.
+  //
+  // The model has real semantics: b1 is the per-language marginal
+  // tokens-per-character (CJK text packs more tokens per char than
+  // an alphabetic language), the vocabulary term b2 absorbs the
+  // Heaps-law curvature, and R² says how well "size predicts
+  // tokens" — the drift signal a corpus monitor tracks per drop.
+  private[graft] def olsFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "ols_feats") {
+      TextAnalysis.tokenized(s, dir).select(
+        col("doc_id"), col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("y"),
+        col("n_chars").as("x1"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("x2"))
+    }
+
+  /** DuckDB twin of [[olsFeatures]] (same columns, same values). */
+  private val olsFeatsSql =
+    """SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS y,
+      |  n_chars AS x1,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS x2
+      |FROM documents""".stripMargin
+
+  /** The d(d+3)/2+1 sufficient statistics, exact then cast to DOUBLE.
+    * Shared verbatim by the Spark agg and the DuckDB oracle so the
+    * doubles entering the solve are identical in both engines.
+    */
+  private val gramSums: Seq[(String, String)] = Seq(
+    "n" -> "CAST(COUNT(*) AS DOUBLE)",
+    "s1" -> "CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE)",
+    "s2" -> "CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sy" -> "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)",
+    "s11" -> "CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE)",
+    "s12" -> "CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "s22" -> "CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "s1y" -> "CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE)",
+    "s2y" -> "CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE)",
+    "syy" -> "CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE)")
+
+  // Cramer's rule on the 3×3 normal equations — one shared string
+  // per determinant (the parenthesization IS the evaluation order,
+  // so both engines execute the same IEEE op sequence).
+  private val olsDet =
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+  private val olsB0 =
+    s"((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / $olsDet)"
+  private val olsB1 =
+    s"((n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / $olsDet)"
+  private val olsB2 =
+    s"((n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / $olsDet)"
+  private val olsR2 =
+    s"(1.0 - (syy - $olsB0 * sy - $olsB1 * s1y - $olsB2 * s2y) / (syy - sy * sy / n))"
+
+  /** Per-lang fitted model with UNROUNDED coefficients (memoized —
+    * q141 reports it, q143 scores the corpus against it).
+    */
+  private[graft] def olsModel(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "ols_model") {
+      olsFeatures(s, dir)
+        .groupBy("lang")
+        .agg(expr(gramSums.head._2).as(gramSums.head._1),
+          gramSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+        .withColumn("b0d", expr(olsB0))
+        .withColumn("b1d", expr(olsB1))
+        .withColumn("b2d", expr(olsB2))
+        .withColumn("r2d", expr(olsR2))
+    }
+
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    olsModel(s, dir)
+      .select(col("lang"), expr("CAST(n AS BIGINT)").as("n_docs"),
+        expr("round(b0d, 6)").as("b0"), expr("round(b1d, 6)").as("b1"),
+        expr("round(b2d, 6)").as("b2"), expr("round(r2d, 6)").as("r2"))
+      .orderBy("lang")
+
+  private val q141Sql =
+    s"""WITH feats AS ($olsFeatsSql),
+       |gram AS (
+       |  SELECT lang, ${gramSums.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM feats GROUP BY lang)
+       |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       |  round($olsB0, 6) AS b0, round($olsB1, 6) AS b1,
+       |  round($olsB2, 6) AS b2, round($olsR2, 6) AS r2
+       |FROM gram ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q143 — model-residual outliers: score every document against its
+  // language's q141 model and surface the 20 worst |actual−predicted|
+  // token counts — the "train a cheap model, flag what it can't
+  // explain" quality filter (a doc whose token count is far off the
+  // per-language size law is boilerplate, markup soup, or spam).
+  // Plan: the |langs|-row model broadcasts onto the cached feature
+  // scan; top-k is TakeOrderedAndProject, never a global sort. The
+  // scoring expression consumes the UNROUNDED model doubles, which
+  // are bit-identical cross-engine (q141's argument), so ordering by
+  // |resid| agrees bit-for-bit too; doc_id breaks exact ties.
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    olsFeatures(s, dir)
+      .join(broadcast(olsModel(s, dir).select("lang", "b0d", "b1d", "b2d")),
+        Seq("lang"))
+      .withColumn("pred",
+        expr("b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE)"))
+      .withColumn("residd", expr("CAST(y AS DOUBLE) - pred"))
+      .select(col("doc_id"), col("lang"), col("y").as("n_tok"),
+        expr("round(pred, 6)").as("pred"),
+        expr("round(residd, 6)").as("resid"),
+        abs(col("residd")).as("aresid"))
+      .orderBy(desc("aresid"), col("doc_id"))
+      .limit(20)
+      .select("doc_id", "lang", "n_tok", "pred", "resid")
+
+  private val q143Sql =
+    s"""WITH feats AS ($olsFeatsSql),
+       |gram AS (
+       |  SELECT lang, ${gramSums.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM feats GROUP BY lang),
+       |model AS (
+       |  SELECT lang, $olsB0 AS b0d, $olsB1 AS b1d, $olsB2 AS b2d FROM gram),
+       |scored AS (
+       |  SELECT doc_id, feats.lang AS lang, y,
+       |    b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE) AS pred,
+       |    CAST(y AS DOUBLE) - (b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE)) AS residd
+       |  FROM feats JOIN model USING (lang))
+       |SELECT doc_id, lang, y AS n_tok, round(pred, 6) AS pred,
+       |  round(residd, 6) AS resid
+       |FROM scored
+       |ORDER BY abs(residd) DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_histogram" -> (q82 _),
     "q83_zscore_outliers" -> (q83 _),
     "q84_gap_stats" -> (q84 _),
-    "q87_column_profile" -> (q87 _))
+    "q87_column_profile" -> (q87 _),
+    "q141_ols_grouped" -> (q141 _),
+    "q143_residual_outliers" -> (q143 _))
 
   override val oracle: Map[String, String] = Map(
     "q82_histogram" -> q82Sql,
     "q83_zscore_outliers" -> q83Sql,
     "q84_gap_stats" -> q84Sql,
-    "q87_column_profile" -> q87Sql)
+    "q87_column_profile" -> q87Sql,
+    "q141_ols_grouped" -> q141Sql,
+    "q143_residual_outliers" -> q143Sql)
 }

@@ -42,7 +42,7 @@ object TextAnalysis extends QueryModule {
   private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "tokenized") {
       T.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        col("text"), expr(toksS).as("toks"))
+        col("n_chars"), col("text"), expr(toksS).as("toks"))
     }
 
   // ---------------------------------------------------------------

@@ -449,7 +449,116 @@ object TrainingData extends QueryModule {
       .orderBy("split", "pos")
   }
 
+  // ---------------------------------------------------------------
+  // q142 — DATA-CONSTRAINED mixture allocation (capped waterfill):
+  // q110 plans a token budget by temperature weights but lets epochs
+  // grow unboundedly; real data-constrained runs cap repetition
+  // (≳4 epochs stops helping — Muennighoff et al. 2023, "Scaling
+  // Data-Constrained Language Models") and must REDISTRIBUTE the
+  // surplus of capped sources to the uncapped ones. That is exactly
+  // the classic capped-waterfill: find the level m* with
+  // Σ min(m*·w_i, cap_i) = B, allocate min(m*·w_i, cap_i).
+  //
+  // Closed form, no iteration: sort groups by r_i = cap_i/w_i (the
+  // level at which group i saturates). The saturated set at m* is a
+  // PREFIX of that order, and for each candidate "first unsaturated
+  // row" i, the level is m_i = (B − Σ_{j<i} cap_j)/Σ_{j≥i} w_j; the
+  // true m* is the m_i of the FIRST row with m_i < r_i (for any
+  // earlier row, m_i ≥ r_i — provable from cap_j = r_j·w_j and the
+  // sort order — so the flag flips exactly once). All of it is two
+  // window passes over a |langs|-row aggregate: the corpus-sized
+  // work is ONE token-count scan; the unpartitioned windows run on
+  // key-cardinality rows (q77's reviewed pattern), never on data.
+  //
+  // Exactness: token sums route through DECIMAL(38,0); w = sqrt and
+  // every +,−,·,/ on doubles are IEEE-correctly-rounded, evaluated
+  // from identical expression text in both engines, so m*, the
+  // capped flags, and the sort order match bit-for-bit; round(·,6)
+  // only formats epochs. Budget B = ⌊1.8·N⌋ with a 2-epoch cap —
+  // with this corpus's √-weights the small languages cap and the
+  // surplus flows to `en` (both branches exercised).
+  private val epochCap = 2L
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val ord = Window.orderBy("r", "lang")
+    val pre = ord.rowsBetween(Window.unboundedPreceding, -1)
+    TextAnalysis.tokenized(s, dir) // shared token memo — no re-tokenize
+      .groupBy("lang")
+      .agg(expr("CAST(SUM(CAST(size(toks) AS DECIMAL(38,0))) AS BIGINT)")
+        .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("w", expr("sqrt(CAST(n_tokens AS DOUBLE))"))
+      .withColumn("cap_tokens", expr(s"$epochCap * n_tokens"))
+      .withColumn("r", expr("CAST(cap_tokens AS DOUBLE) / w"))
+      .withColumn("tot_tokens", sum("n_tokens").over(wAll))
+      .withColumn("tot_w", sum("w").over(wAll))
+      .withColumn("budget",
+        expr("CAST(FLOOR(1.8 * CAST(tot_tokens AS DOUBLE)) AS BIGINT)"))
+      .withColumn("cap_pre", coalesce(sum("cap_tokens").over(pre), lit(0L)))
+      .withColumn("w_pre", coalesce(sum("w").over(pre), lit(0.0)))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("m_i",
+        expr("(CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE)) / (tot_w - w_pre)"))
+      .withColumn("sel_rn",
+        min(when(col("m_i") < col("r"), col("rn"))).over(wAll))
+      .withColumn("m_star",
+        max(when(col("rn") === col("sel_rn"), col("m_i"))).over(wAll))
+      .withColumn("target_tokens", expr(
+        """CASE WHEN m_star IS NULL THEN cap_tokens
+          |ELSE CAST(FLOOR(LEAST(CAST(cap_tokens AS DOUBLE), m_star * w)) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("epochs", expr(
+        "round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"))
+      .withColumn("capped", expr(
+        "CASE WHEN m_star IS NULL OR m_star * w >= CAST(cap_tokens AS DOUBLE) THEN 1 ELSE 0 END"))
+      .select("lang", "n_tokens", "cap_tokens", "target_tokens", "epochs",
+        "capped")
+      .orderBy("lang")
+  }
+
+  private val q142Sql =
+    s"""WITH c AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST($nTokD AS DECIMAL(38,0))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |d AS (
+       |  SELECT lang, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+       |    $epochCap * n_tokens AS cap_tokens,
+       |    CAST($epochCap * n_tokens AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)) AS r,
+       |    SUM(n_tokens) OVER () AS tot_tokens,
+       |    SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot_w
+       |  FROM c WHERE n_tokens > 0),
+       |e AS (
+       |  SELECT *,
+       |    CAST(FLOOR(1.8 * CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS budget,
+       |    COALESCE(SUM(cap_tokens) OVER pre, 0) AS cap_pre,
+       |    COALESCE(SUM(w) OVER pre, 0.0) AS w_pre,
+       |    ROW_NUMBER() OVER (ORDER BY r, lang) AS rn
+       |  FROM d
+       |  WINDOW pre AS (ORDER BY r, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |g AS (
+       |  SELECT *,
+       |    (CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE)) / (tot_w - w_pre) AS m_i
+       |  FROM e),
+       |h AS (SELECT *, MIN(CASE WHEN m_i < r THEN rn END) OVER () AS sel_rn FROM g),
+       |i AS (SELECT *, MAX(CASE WHEN rn = sel_rn THEN m_i END) OVER () AS m_star FROM h),
+       |fin AS (
+       |  SELECT lang, n_tokens, cap_tokens,
+       |    CASE WHEN m_star IS NULL THEN cap_tokens
+       |    ELSE CAST(FLOOR(LEAST(CAST(cap_tokens AS DOUBLE), m_star * w)) AS BIGINT)
+       |    END AS target_tokens,
+       |    CASE WHEN m_star IS NULL OR m_star * w >= CAST(cap_tokens AS DOUBLE)
+       |      THEN 1 ELSE 0 END AS capped
+       |  FROM i)
+       |SELECT lang, n_tokens, cap_tokens, target_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       |  capped
+       |FROM fin ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_epoch_waterfill" -> (q142 _),
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
     "q52_shard_pack_by_lang" -> (q52 _),
@@ -461,6 +570,7 @@ object TrainingData extends QueryModule {
     "q118_split_partitioned" -> (q118 _))
 
   override val oracle: Map[String, String] = Map(
+    "q142_epoch_waterfill" -> q142Sql,
     "q48_shard_pack" -> q48Sql,
     "q49_stratified_sample" -> q49Sql,
     "q52_shard_pack_by_lang" -> q52Sql,

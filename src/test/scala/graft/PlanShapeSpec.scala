@@ -448,12 +448,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q126 two 1-row corpus-total aggregates (the audit report)
     //   q130 1-row corpus-total aggregate + 1-row drop argmax
     //        (q106's pattern on the two-sided gate)
+    //   q142 |langs|-row waterfill windows over the token aggregate
+    //        (q77's pattern; the corpus-sized work is the one
+    //        upstream groupBy(lang) exchange)
     val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
       "q108_cell_migration", "q110_token_budget", "q112_pipeline_ledger",
-      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided")
+      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided",
+      "q142_epoch_waterfill")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

@@ -201,4 +201,63 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(served.nonEmpty && served.subsetOf(survivors),
       s"served ids escaped the survivor set: ${served -- survivors}")
   }
+
+  test("q141 grouped OLS: normal equations hold and R2 is sane") {
+    // the fitted coefficients must satisfy the normal equations
+    // XᵀXb = Xᵀy — recompute the residual-gradient Xᵀ(y − Xb) from
+    // the raw features per lang and demand it vanish (to double
+    // round-off scaled by the Gram magnitudes); R² in (0, 1] because
+    // the intercept-only model is nested in the fit
+    val model = SparkEntry.queries("q141_ols_grouped")(spark, dir).cache()
+    assert(model.count() == Tables.documents(spark, dir)
+      .select("lang").distinct().count())
+    assert(model.filter(col("r2") <= 0 || col("r2") > 1).count() == 0)
+    val grad = queries.Analytics.olsFeatures(spark, dir)
+      .join(queries.Analytics.olsModel(spark, dir)
+        .select("lang", "b0d", "b1d", "b2d"), Seq("lang"))
+      .withColumn("e", expr(
+        "CAST(y AS DOUBLE) - (b0d + b1d * x1 + b2d * x2)"))
+      .groupBy("lang")
+      .agg(sum("e").as("g0"), sum(expr("e * x1")).as("g1"),
+        sum(expr("e * x2")).as("g2"),
+        sum(expr("abs(e) * (1 + abs(x1) + abs(x2))")).as("scale"))
+    val bad = grad.filter(
+      abs(col("g0")) + abs(col("g1")) + abs(col("g2")) >
+        col("scale") * 1e-9 + lit(1e-6)).count()
+    assert(bad == 0, "normal equations violated")
+  }
+
+  test("q142 waterfill: budget exhausted, caps respected, surplus " +
+      "flows to the uncapped group") {
+    val df = SparkEntry.queries("q142_epoch_waterfill")(spark, dir).cache()
+    val langs = df.count()
+    assert(df.filter(col("target_tokens") > col("cap_tokens")).count() == 0)
+    assert(df.filter(col("epochs") > 2.000001).count() == 0)
+    // both branches exercised on this corpus: en uncapped, rest capped
+    assert(df.filter(col("lang") === "en" && col("capped") === 0).count() == 1)
+    assert(df.filter(col("capped") === 1).count() >= 1)
+    // Σ target == B up to the per-group floor loss
+    val Seq(tgt, tot) = df.agg(sum("target_tokens"), sum("n_tokens"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]): @unchecked
+    val budget = math.floor(1.8 * tot).toLong
+    assert(tgt <= budget && tgt >= budget - langs,
+      s"allocated $tgt of budget $budget")
+  }
+
+  test("q143 residual outliers: descending |resid|, consistent with " +
+      "the q141 model") {
+    val rows = SparkEntry.queries("q143_residual_outliers")(spark, dir)
+      .collect()
+    assert(rows.length == 20)
+    val ares = rows.map(r => math.abs(r.getAs[Double]("resid")))
+    assert(ares.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "not sorted by |resid| desc")
+    // resid must equal n_tok - pred (both are rounded from the same
+    // unrounded doubles, so they can differ by at most one 1e-6 step)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("n_tok") - r.getAs[Double]("pred") -
+        r.getAs[Double]("resid")
+      assert(math.abs(d) <= 2e-6, s"resid inconsistent: $r")
+    }
+  }
 }
