@@ -77,11 +77,13 @@ class ODataCatalogTable(properties: util.Map[String, String])
 class ODataScanBuilder(records: Option[String], path: Option[String],
     url: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = Int.MaxValue
   private var required: StructType = ODataCatalogSource.schema
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (_, pushable, residual) = ODataFilterCompiler.compileAll(filters.toSeq)
@@ -91,13 +93,44 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
   override def pushedFilters(): Array[Filter] = pushed
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // once COUNT is pushed the scan's schema IS the count row;
+    // Spark may still call pruneColumns afterwards — ignore it
+    if (!countPushed) required = requiredSchema
+
+  // Aggregate pushdown (server-side $count): a global COUNT(*) — the
+  // "how many products match" probe every catalog client runs before
+  // committing to a download sweep — never needs the rows. OData v4
+  // answers it natively (`$count=true&$top=0` → `@odata.count` in the
+  // envelope), so the scan ships ZERO products over the wire where
+  // the reference pages the full result set and len()s it client-side.
+  // Complete pushdown: Spark is told the single returned row is the
+  // final answer (no re-aggregation). Spark only attempts this when
+  // every filter was pushed (residuals disable it), so the count is
+  // always over exactly the server-filtered set.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      limit == Int.MaxValue
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else {
+      countPushed = true
+      required = StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+      true
+    }
+  }
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String = {
       val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
-      s"ODataCatalogScan($$filter=$clause, $$top=$limit)"
+      s"ODataCatalogScan($$filter=$clause, $$top=$limit" +
+        (if (countPushed) ", $count=true)" else ")")
     }
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
@@ -109,11 +142,16 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
       url match {
         case Some(base) =>
           val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
-          // no pushed limit → the server's 20-product page cap
-          // (`code/imagery_store.py:45`)
-          val top = if (limit == Int.MaxValue) 20 else limit
-          val q = ODataFilterCompiler.searchUri(base, clause, top)
-          Array(ODataInputPartition(null, pushed, limit, required, Some(q)))
+          val q =
+            if (countPushed) ODataFilterCompiler.countUri(base, clause)
+            else {
+              // no pushed limit → the server's 20-product page cap
+              // (`code/imagery_store.py:45`)
+              val top = if (limit == Int.MaxValue) 20 else limit
+              ODataFilterCompiler.searchUri(base, clause, top)
+            }
+          Array(ODataInputPartition(null, pushed, limit, required, Some(q),
+            countOnly = countPushed))
         case None =>
           val json = records.getOrElse {
             val p = path.getOrElse(throw new IllegalArgumentException(
@@ -122,7 +160,8 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
               java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
               java.nio.charset.StandardCharsets.UTF_8)
           }
-          Array(ODataInputPartition(json, pushed, limit, required))
+          Array(ODataInputPartition(json, pushed, limit, required,
+            countOnly = countPushed))
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -135,7 +174,8 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
 
 case class ODataInputPartition(json: String, pushed: Array[Filter],
     limit: Int, required: StructType,
-    queryUrl: Option[String] = None) extends InputPartition
+    queryUrl: Option[String] = None,
+    countOnly: Boolean = false) extends InputPartition
 
 /** Parses the recorded response — or, on the live path, GETs
   * `queryUrl` over [[HttpTransport]] first — and serves it "as the
@@ -148,28 +188,69 @@ class ODataPartitionReader(part: ODataInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val iter: Iterator[JsonNode] = {
-    val body = part.queryUrl match {
-      case Some(q) => new String(HttpTransport.get(q),
-        java.nio.charset.StandardCharsets.UTF_8)
-      case None => part.json
+  private val body: String = part.queryUrl match {
+    case Some(q) => new String(HttpTransport.get(q),
+      java.nio.charset.StandardCharsets.UTF_8)
+    case None => part.json
+  }
+
+  /** Pushed-COUNT(*) mode: the single count row. On the live path the
+    * server answered the `$count=true&$top=0` probe — read
+    * `@odata.count` from the envelope (or a bare integer, the
+    * `/Products/$count` form); no product rows exist to parse. On the
+    * recorded path, count the records the server would have counted:
+    * pushed filters apply, `$top` does NOT ($count is defined over
+    * the filtered set, before paging).
+    */
+  private val countIter: Iterator[Long] =
+    if (!part.countOnly) Iterator.empty
+    else part.queryUrl match {
+      case Some(_) =>
+        val t = body.trim
+        val root = mapper.readTree(t)
+        val n =
+          if (root.isNumber) root.asLong()
+          else if (root.has("@odata.count")) root.get("@odata.count").asLong()
+          else throw new IllegalStateException(
+            s"count probe answer has no @odata.count: ${t.take(200)}")
+        Iterator.single(n)
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val root = mapper.readTree(body)
+        val nodes =
+          if (root.isArray) root.elements()
+          else if (root.has("value")) root.get("value").elements()
+          else util.Collections.singletonList(root).iterator()
+        Iterator.single(nodes.asScala.count(n =>
+          part.pushed.forall(f => ODataPartitionReader.eval(f, n))).toLong)
     }
-    val root = mapper.readTree(body)
-    val nodes =
-      if (root.isArray) root.elements()
-      else if (root.has("value")) root.get("value").elements() // OData envelope
-      else util.Collections.singletonList(root).iterator()
-    import scala.jdk.CollectionConverters._
-    nodes.asScala
-      .filter(n => part.pushed.forall(f => ODataPartitionReader.eval(f, n)))
-      .take(part.limit)
+
+  private val iter: Iterator[JsonNode] = {
+    if (part.countOnly) Iterator.empty
+    else {
+      val root = mapper.readTree(body)
+      val nodes =
+        if (root.isArray) root.elements()
+        else if (root.has("value")) root.get("value").elements() // OData envelope
+        else util.Collections.singletonList(root).iterator()
+      import scala.jdk.CollectionConverters._
+      nodes.asScala
+        .filter(n => part.pushed.forall(f => ODataPartitionReader.eval(f, n)))
+        .take(part.limit)
+    }
   }
   private var cur: JsonNode = _
+  private var curCount: Option[Long] = None
 
   override def next(): Boolean =
-    if (iter.hasNext) { cur = iter.next(); true } else false
+    if (part.countOnly) {
+      if (countIter.hasNext) { curCount = Some(countIter.next()); true }
+      else false
+    } else if (iter.hasNext) { cur = iter.next(); true } else false
 
-  override def get(): InternalRow = {
+  override def get(): InternalRow = if (part.countOnly) {
+    new GenericInternalRow(Array[Any](curCount.get))
+  } else {
     val vals = part.required.fields.map { f =>
       f.name match {
         case "ContentDate" =>

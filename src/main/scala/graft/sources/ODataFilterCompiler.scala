@@ -104,4 +104,14 @@ object ODataFilterCompiler {
     val enc = java.net.URLEncoder.encode(filter, "UTF-8").replace("+", "%20")
     s"$baseUrl/Products?$$filter=$enc&$$expand=Attributes&$$top=$top"
   }
+
+  /** The pushed-COUNT(*) probe: `$count=true&$top=0` asks the server
+    * for the size of the filtered set WITHOUT shipping any product —
+    * OData v4 puts it in the envelope as `@odata.count` ($count is
+    * defined over the filtered set, before `$top` paging applies).
+    */
+  def countUri(baseUrl: String, filter: String): String = {
+    val enc = java.net.URLEncoder.encode(filter, "UTF-8").replace("+", "%20")
+    s"$baseUrl/Products?$$filter=$enc&$$count=true&$$top=0"
+  }
 }

@@ -72,10 +72,17 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
 
     // the OData search endpoint: records the query string it was
-    // asked (the on-the-wire pushdown evidence), serves the envelope
+    // asked (the on-the-wire pushdown evidence), serves the envelope —
+    // or, for a `$count=true&$top=0` probe, the count envelope with NO
+    // product rows (OData v4 §11.2.9: $count is over the filtered set)
     server.createContext("/odata/Products", (x: HttpExchange) => {
-      lastQuery.set(Option(x.getRequestURI.getRawQuery).getOrElse(""))
-      respond(x, 200, catalogJson(base).getBytes(StandardCharsets.UTF_8))
+      val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+      lastQuery.set(q)
+      val body =
+        if (q.contains("count=true"))
+          s"""{"@odata.count":${bandFiles.size},"value":[]}"""
+        else catalogJson(base)
+      respond(x, 200, body.getBytes(StandardCharsets.UTF_8))
     })
     server.createContext("/token", (x: HttpExchange) => {
       val form = new String(x.getRequestBody.readAllBytes(),
@@ -125,6 +132,24 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
         chain(err).exists(t => Option(t.getMessage).exists(_.contains("503"))),
         chain(err).map(_.toString).mkString("\n"))
     } finally server.stop(0)
+  }
+
+  test("COUNT(*) probe reaches the wire as $count=true&$top=0 and " +
+      "ships zero products") {
+    withServer { base =>
+      val n = spark.read.format("graft.sources.ODataCatalogSource")
+        .option("url", s"$base/odata").load()
+        .filter(col("Collection") === "SENTINEL-2")
+        .agg(count(lit(1))).collect().head.getLong(0)
+      assert(n == bandFiles.size.toLong)
+      val q = lastQuery.get()
+      // the decisive on-the-wire evidence: the count flag AND the
+      // zero-row page cap AND the compiled filter, in ONE request
+      assert(q.contains("count=true"), q)
+      assert(q.contains("top=0"), q)
+      assert(java.net.URLDecoder.decode(q, "UTF-8")
+        .contains("Collection/Name eq 'SENTINEL-2'"), q)
+    }
   }
 
   test("catalog scan -> authenticated download -> band scan, end-to-end") {

@@ -104,4 +104,43 @@ class ODataSourceSpec extends AnyFunSuite with SharedSpark {
       .select("Id").collect().map(_.getString(0)).toSeq
     assert(ids == Seq("a1"))
   }
+
+  test("COUNT(*) pushes to the source as a $count probe (no rows scanned)") {
+    // global count over pushed filters: the scan serves ONE count row
+    // instead of materializing products
+    val q = catalog.filter(col("Collection") === "SENTINEL-2")
+      .agg(count(lit(1)))
+    assert(q.collect().head.getLong(0) == 2L)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString("\n")
+    assert(scan.contains("$count=true"), scan)
+    // unfiltered count too
+    val all = catalog.agg(count(lit(1)))
+    assert(all.collect().head.getLong(0) == 3L)
+    assert(all.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString.contains("$count=true"))
+  }
+
+  test("COUNT(*) does NOT push when a residual filter or grouping exists") {
+    // StringStartsWith is not compilable to $filter → residual blocks
+    // aggregate pushdown; the count still answers correctly from rows
+    val resid = catalog.filter(col("Name").startsWith("S2"))
+      .agg(count(lit(1)))
+    assert(resid.collect().head.getLong(0) == 2L)
+    assert(!resid.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString.contains("$count=true"))
+    // grouped counts are not a $count probe either
+    val grouped = catalog.groupBy("Collection").agg(count(lit(1)).as("n"))
+    assert(grouped.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      Map("SENTINEL-2" -> 2L, "SENTINEL-1" -> 1L))
+    assert(!grouped.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString.contains("$count=true"))
+    // a limit below the count keeps the row scan (COUNT over $top'd
+    // rows is not the server's $count semantics)
+    val limited = catalog.limit(2).agg(count(lit(1)))
+    assert(limited.collect().head.getLong(0) == 2L)
+    assert(!limited.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString.contains("$count=true"))
+  }
 }
