@@ -223,7 +223,7 @@ object Analytics extends QueryModule {
     * Shared verbatim by the Spark agg and the DuckDB oracle so the
     * doubles entering the solve are identical in both engines.
     */
-  private val gramSums: Seq[(String, String)] = Seq(
+  private[graft] val gramSums: Seq[(String, String)] = Seq(
     "n" -> "CAST(COUNT(*) AS DOUBLE)",
     "s1" -> "CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE)",
     "s2" -> "CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE)",
@@ -237,17 +237,29 @@ object Analytics extends QueryModule {
 
   // Cramer's rule on the 3×3 normal equations — one shared string
   // per determinant (the parenthesization IS the evaluation order,
-  // so both engines execute the same IEEE op sequence).
-  private val olsDet =
+  // so both engines execute the same IEEE op sequence). A
+  // rank-deficient group (fewer observations than parameters, or
+  // collinear features — e.g. an early micro-batch prefix in the
+  // streaming refresh) has det EXACTLY 0.0: every det term is a
+  // product/sum of exact small integers well under 2^53, so the
+  // real-arithmetic cancellation survives in doubles, and the guard
+  // is deterministic in both engines. Degenerate → NULL coefficients
+  // (ANSI Spark would otherwise raise DIVIDE_BY_ZERO; DuckDB would
+  // return ±inf — NULL is the shared, honest answer). Same for a
+  // zero-variance group's R².
+  private[graft] val olsDet =
     "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
-  private val olsB0 =
-    s"((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / $olsDet)"
-  private val olsB1 =
-    s"((n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / $olsDet)"
-  private val olsB2 =
-    s"((n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / $olsDet)"
-  private val olsR2 =
-    s"(1.0 - (syy - $olsB0 * sy - $olsB1 * s1y - $olsB2 * s2y) / (syy - sy * sy / n))"
+  private def guarded(num: String): String =
+    s"(CASE WHEN $olsDet = 0.0 THEN NULL ELSE $num / $olsDet END)"
+  private[graft] val olsB0 = guarded(
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))")
+  private[graft] val olsB1 = guarded(
+    "(n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))")
+  private[graft] val olsB2 = guarded(
+    "(n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))")
+  private[graft] val olsR2 =
+    s"(CASE WHEN (syy - sy * sy / n) = 0.0 THEN NULL ELSE " +
+      s"1.0 - (syy - $olsB0 * sy - $olsB1 * s1y - $olsB2 * s2y) / (syy - sy * sy / n) END)"
 
   /** Per-lang fitted model with UNROUNDED coefficients (memoized —
     * q141 reports it, q143 scores the corpus against it).
