@@ -1311,7 +1311,140 @@ object Dedup extends QueryModule {
        |LEFT JOIN cov ON cov.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
+  // on token streams): split every document into variable-length
+  // chunks whose boundaries are decided by the CONTENT (a rolling
+  // hash over the trailing 4 tokens hitting a 1-in-16 residue), not
+  // by position — so an insertion near the top of a document shifts
+  // NO boundary beyond the next 4-token window, and the unchanged
+  // tail still chunks (and fingerprints) identically. That
+  // re-synchronization is exactly what q119's fixed-offset windows
+  // cannot give a storage-level dedup: CDC is how you dedup shared
+  // boilerplate/quotations across documents whose prefixes differ,
+  // at chunk granularity instead of k·windows per duplicated span.
+  // Reported per source: chunk counts, duplicated-chunk instance
+  // counts (fingerprint seen >1 time corpus-wide), and the token
+  // mass a chunk-store would share.
+  //
+  // Scale: one posexplode pass (corpus-sized ×1), a per-doc window
+  // (keyed by the high-cardinality doc_id), a (doc, chunk) keyed agg
+  // that reuses the doc_id partitioning, and a chunk-cardinality
+  // fingerprint count — never a self-join; a boilerplate chunk costs
+  // its count, not count². Exactness: the rolling hash is exact
+  // 64-bit integer arithmetic on the shared 32-bit md5 token hashes
+  // (max term 4.3e9·1031³ < 2^63), LAG defaults pin the window
+  // prefix, and chunk fingerprints are md5 over the pos-ordered
+  // token join — bit-identical cross-engine.
+  private val cdcB = 1031L // prime base; B^3 keeps products < 2^63
+  private val cdcB2 = cdcB * cdcB
+  private val cdcB3 = cdcB2 * cdcB
+
+  /** CDC chunk table over a (doc_id, pos, t [, ...carry]) token
+    * stream: adds the boundary decision and chunk index, then
+    * collapses to one row per (doc_id, carry..., chunk) with the
+    * token count and the pos-ordered md5 fingerprint. Factored so
+    * CdcSpec can drive the re-synchronization property on synthetic
+    * streams; q144 is this over the corpus.
+    */
+  private[graft] def cdcChunks(tok: DataFrame, carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val wPre = w.rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = tok
+      .withColumn("t32", expr(h32S("t")))
+      .withColumn("bdy",
+        (lag(col("t32"), 3, 0L).over(w) * lit(cdcB3) +
+          lag(col("t32"), 2, 0L).over(w) * lit(cdcB2) +
+          lag(col("t32"), 1, 0L).over(w) * lit(cdcB) +
+          col("t32")) % 16 === 0)
+      .withColumn("chunk",
+        coalesce(sum(when(col("bdy"), 1L).otherwise(0L)).over(wPre), lit(0L)))
+    chunked.groupBy((Seq("doc_id") ++ carry :+ "chunk").map(col): _*)
+      .agg(count(lit(1)).as("n_tok"),
+        expr("md5(array_join(transform(sort_array(collect_list(" +
+          "struct(pos, t))), x -> x.t), ' '))").as("fp"))
+  }
+
+  /** Production CDC chunker: the whole boundary walk — token hash,
+    * rolling polynomial, boundary test, per-chunk fingerprint — is
+    * ONE native expression ([[graft.functions.CdcChunks]]), a tight
+    * per-row loop inside the scan's codegen span. The only exploded
+    * rows are the CHUNKS (~1/16th of the tokens), so the first
+    * shuffle in the plan is already chunk-cardinality. Same output
+    * as the explode+window reference form [[cdcChunks]] — CdcSpec
+    * pins the two formulations row-identical, and the DuckDB twin is
+    * the window form, so the gate certifies the equivalence too.
+    * (The interpreted alternatives measured at sf0.1: HOF lambdas
+    * 0.73 s for the chunk build — they don't codegen — and a naive
+    * withColumn chain 195 s after CollapseProject inlines the hash
+    * transform into every element_at probe. The kernel: ~0.1 s.)
+    */
+  private[graft] def cdcChunksArr(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    graft.functions.CdcFunctions.register(docs.sparkSession)
+    docs
+      .filter(size(col("toks")) > 0)
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+
+        explode(expr("cdc_chunks(toks)")).as("c")): _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col) :+
+        col("c.chunk").as("chunk") :+ col("c.n_tok").as("n_tok") :+
+        col("c.fp").as("fp")): _*)
+  }
+
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunksArr(
+      TextAnalysis.tokenized(s, dir).select("doc_id", "source", "toks"),
+      Seq("source"))
+    val fpCnt = chunks.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    chunks.join(fpCnt, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum("n_tok").as("tokens_total"),
+        sum(when(col("n_fp") > 1, col("n_tok")).otherwise(0L))
+          .as("tokens_dup"))
+      .withColumn("dup_ratio", expr(
+        "round(CAST(tokens_dup AS DOUBLE) / CAST(tokens_total AS DOUBLE), 6)"))
+      .select("source", "n_chunks", "n_dup_chunks", "tokens_total",
+        "tokens_dup", "dup_ratio")
+      .orderBy("source")
+  }
+
+  private val q144Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, generate_subscripts(l, 1) - 1 AS pos,
+       |    unnest(l) AS t
+       |  FROM (SELECT doc_id, source, $toksD AS l FROM documents)),
+       |h AS (SELECT *, ${h32D("t")} AS t32 FROM tok),
+       |b AS (
+       |  SELECT *,
+       |    (LAG(t32, 3, 0) OVER w * $cdcB3 + LAG(t32, 2, 0) OVER w * $cdcB2
+       |     + LAG(t32, 1, 0) OVER w * $cdcB + t32) % 16 = 0 AS bdy
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (
+       |  SELECT *, COALESCE(SUM(CASE WHEN bdy THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, source, chunk, COUNT(*) AS n_tok,
+       |    md5(STRING_AGG(t, ' ' ORDER BY pos)) AS fp
+       |  FROM c GROUP BY doc_id, source, chunk),
+       |fc AS (SELECT fp, COUNT(*) AS n_fp FROM ch GROUP BY fp)
+       |SELECT source,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN n_fp > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS tokens_dup,
+       |  round(CAST(SUM(CASE WHEN n_fp > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(n_tok) AS DOUBLE), 6) AS dup_ratio
+       |FROM ch JOIN fc USING (fp)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_cdc_chunk_dedup" -> (q144 _),
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
     "q29_minhash_sigs" -> (q29 _),
@@ -1338,6 +1471,7 @@ object Dedup extends QueryModule {
     "q119_substring_dup" -> (q119 _))
 
   override val oracle: Map[String, String] = Map(
+    "q144_cdc_chunk_dedup" -> q144Sql,
     "q27_exact_dedup" -> q27Sql,
     "q28_ngram_jaccard" -> q28Sql,
     "q29_minhash_sigs" -> q29Sql,
