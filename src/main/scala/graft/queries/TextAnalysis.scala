@@ -1056,7 +1056,60 @@ object TextAnalysis extends QueryModule {
        |FROM d GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q145 — TWO-PASS exact heavy hitters via a Misra-Gries summary
+  // (functions/Sketches.MG): pass 1 folds the token stream into ONE
+  // mergeable k=64-counter summary (bytes of state per partition,
+  // merged on the driver side of the aggregation — never a
+  // vocabulary-sized shuffle), whose deterministic guarantee says
+  // every token with frequency > n/65 SURVIVES; pass 2 exact-counts
+  // ONLY the ≤64 survivors (broadcast semi-join) and applies the
+  // exact threshold. The output is therefore EXACT and independent
+  // of the summary's internal counter values (which are merge-order
+  // dependent, as MgSpec-in-SketchesSpec pins): MG can only prune
+  // tokens the guarantee proves are below threshold, and the final
+  // predicate re-checks everything on true counts — which is
+  // exactly why this two-pass form can face the oracle's exact
+  // full-vocabulary GROUP BY.
+  //
+  // Scale: the exact alternative shuffles every (token, count) pair
+  // — vocabulary-sized; the MG plan's only vocabulary-sized work is
+  // map-side folding into k counters, and its shuffle carries ONE
+  // summary per partition. The |candidates| ≤ 64 exact pass prunes
+  // at the scan via the broadcast hash semi-join.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.CachedPlans.of(s, dir, "token_stream") {
+      tokenized(s, dir).select(explode(col("toks")).as("t"))
+    }
+    val cand = graft.CachedPlans.of(s, dir, "mg_candidates") {
+      toks.as[String]
+        .select(new graft.functions.Sketches.MisraGriesAggregator(64).toColumn)
+        .toDF()
+        .select(explode(col("keys")).as("t"))
+    }
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("t"), "leftsemi")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 65 > col("n"))
+      .select(col("t").as("token"), col("cnt"),
+        expr("round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6)").as("share"))
+      .orderBy(desc("cnt"), col("token"))
+  }
+
+  private val q145Sql =
+    s"""WITH tok AS (SELECT unnest($toksD) AS t FROM documents),
+       |tot AS (SELECT COUNT(*) AS n FROM tok),
+       |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+       |SELECT t AS token, cnt,
+       |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+       |FROM c CROSS JOIN tot
+       |WHERE cnt * 65 > n
+       |ORDER BY cnt DESC, t""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_heavy_hitters" -> (q145 _),
     "q138_pii_report" -> (q138 _),
     "q140_repetition_filter" -> (q140 _),
     "q128_bpe_serve" -> (q128 _),
@@ -1076,6 +1129,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q145_heavy_hitters" -> q145Sql,
     "q138_pii_report" -> q138Sql,
     "q140_repetition_filter" -> q140Sql,
     "q128_bpe_serve" -> q128Sql,

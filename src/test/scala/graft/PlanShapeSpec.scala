@@ -423,7 +423,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q130 k-row reference-grid cross join (the full-support PSI
     //        needs every (source, cell) pair — model-sized) + the
     //        1-row corpus-total cross (q106's pattern)
+    //   q145 1-row token-total cross join onto the <=64-candidate
+    //        exact counts (q104's pattern)
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
+      "q145_heavy_hitters",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
@@ -457,7 +460,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
       "q108_cell_migration", "q110_token_budget", "q112_pipeline_ledger",
       "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided",
-      "q142_epoch_waterfill")
+      "q142_epoch_waterfill",
+      // q145: the Misra-Gries global fold (one summary row; per-
+      // partition partials merge into it) + the 1-row token total
+      "q145_heavy_hitters")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

@@ -139,4 +139,63 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
         s"q=$q est=$est rank=$estRank n=$n")
     }
   }
+
+  // ---------------------------------------------------------------
+  // Misra-Gries
+
+  private def mgCheck(mg: Sketches.MG, ex: Map[String, Long], n: Long): Unit = {
+    assert(mg.n == n)
+    assert(mg.keys.size <= mg.k)
+    val err = n / (mg.k + 1)
+    ex.foreach { case (t, c) =>
+      val est = mg.estimate(t)
+      assert(est <= c, s"$t overestimated: $est > $c")
+      assert(est >= c - err, s"$t underestimated past the bound: $est < $c - $err")
+      if (c > err) assert(est > 0, s"heavy hitter $t ($c > $err) missing")
+    }
+  }
+
+  private val zipf: Seq[String] = {
+    val r = new scala.util.Random(11)
+    // skewed: token id ~ floor(200 * u^3) — few heavy, long tail
+    Seq.fill(5000)(s"z${(200 * math.pow(r.nextDouble(), 3)).toInt}")
+  }
+  private val zipfExact: Map[String, Long] =
+    zipf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("MG: deterministic bounds hold and every heavy hitter survives") {
+    val mg = zipf.foldLeft(Sketches.emptyMg(32))((s, t) => s.add(t))
+    mgCheck(mg, zipfExact, zipf.size.toLong)
+  }
+
+  test("MG: the bound survives ANY merge tree (values may differ — " +
+      "guarantee-deterministic, not bit-deterministic)") {
+    val parts = zipf.grouped(700).toSeq
+      .map(_.foldLeft(Sketches.emptyMg(32))((s, t) => s.add(t)))
+    val leftFold = parts.reduceLeft(_ mergeWith _)
+    val rightFold = parts.reduceRight(_ mergeWith _)
+    mgCheck(leftFold, zipfExact, zipf.size.toLong)
+    mgCheck(rightFold, zipfExact, zipf.size.toLong)
+  }
+
+  test("MG two-pass heavy hitters over Spark: the summary's survivors " +
+      "are a superset of every true heavy hitter, at any partitioning") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS t")
+      .as[String].cache()
+    val ex = toks.groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ex.values.sum
+    Seq(1, 7, 32).foreach { parts =>
+      val mg = toks.repartition(parts)
+        .select(new Sketches.MisraGriesAggregator(64).toColumn).head()
+      mgCheck(mg, ex, n)
+      // pass 2 of the production shape: exact-count only the <=k
+      // survivors; every token above the threshold must be there
+      val heavy = ex.filter(_._2 > n / 65).keySet
+      assert(heavy.subsetOf(mg.keys.toSet),
+        s"heavy hitters escaped the summary at $parts partitions")
+    }
+  }
 }
