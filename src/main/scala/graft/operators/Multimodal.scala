@@ -126,4 +126,84 @@ object Multimodal {
       }
     }
   }
+
+  // ----------------------------------------------------------------
+  // REAL modality: audio. PCM s16le needs no external codec — the
+  // "decode" IS the byte math — so the waveform path (decode →
+  // resample → features) is fully real like the tiff path above;
+  // only compressed formats (mp3/opus/...) would sit behind a stub.
+
+  /** Encode signed 16-bit samples as little-endian PCM bytes. */
+  def encodePcm(samples: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      require(s >= -32768 && s <= 32767, s"sample $s out of s16 range")
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode little-endian PCM s16 bytes back to samples (trailing odd
+    * byte is a corrupt payload — fail loudly, a silent drop would
+    * shift every later frame).
+    */
+  def decodePcm(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length % 2 == 0,
+      s"PCM s16le payload has odd length ${bytes.length}")
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  /** Linear-interpolation resample to `outLen` samples (the audio
+    * twin of the tiff nearest-neighbor resize; endpoint-anchored so
+    * outLen == n is the identity).
+    */
+  def resamplePcm(samples: Array[Int], outLen: Int): Array[Int] = {
+    require(samples.nonEmpty && outLen > 0, "empty resample")
+    if (outLen == 1) return Array(samples(0))
+    val out = new Array[Int](outLen)
+    val scale = (samples.length - 1).toDouble / (outLen - 1)
+    var j = 0
+    while (j < outLen) {
+      val x = j * scale
+      val i0 = math.min(x.toInt, samples.length - 1)
+      val i1 = math.min(i0 + 1, samples.length - 1)
+      val frac = x - i0
+      out(j) = math.round(samples(i0) * (1.0 - frac) + samples(i1) * frac).toInt
+      j += 1
+    }
+    out
+  }
+
+  case class PcmFeatures(media_id: Long, n_samples: Long, sum_sq: Long,
+      zero_crossings: Long, peak: Long)
+
+  /** Waveform features: energy (Σs² — exact), zero-crossing count
+    * (strict sign flips), peak |amplitude|. The audio analog of
+    * [[decodeTiffFeatures]]'s summary contract.
+    */
+  def pcmFeatures(mediaId: Long, samples: Array[Int]): PcmFeatures = {
+    var sumSq = 0L
+    var zc = 0L
+    var peak = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toLong
+      sumSq += s * s
+      if (i > 0 && samples(i - 1).toLong * s < 0) zc += 1
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    PcmFeatures(mediaId, samples.length.toLong, sumSq, zc, peak)
+  }
 }

@@ -74,9 +74,64 @@ object MultimodalQueries extends QueryModule {
        |  accs[1] AS f0, accs[8] AS f7, accs[16] AS f15, accs[7] AS r3
        |FROM f ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q146 — REAL audio modality under the gate: per media item a
+  // deterministic s16 waveform (integer formula of (media_id, i)) is
+  // ENCODED to PCM s16le bytes and DECODED back through the real
+  // codec (operators.Multimodal.encodePcm/decodePcm — byte math, no
+  // stub), then summarized to waveform features (energy, strict
+  // zero-crossings, peak). The DuckDB twin computes the features
+  // straight from the formula — so a hash match certifies the whole
+  // binary round trip: any byte-order, sign-extension, or trailing-
+  // byte bug in the codec shifts a sample and breaks energy/ZCR.
+  //
+  // Scale shape: the per-partition mapPartitions loop is the same
+  // batch-codec shape as extractFeatures/resizeTiffs — samples never
+  // become rows on the Spark side (features fold inside the loop);
+  // the only exchange is the presentation sort. Exactness: all
+  // integer (Σs² ≤ n·2³⁰), one sqrt+round6 for RMS.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    val feats = T.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+          val decoded = Multimodal.decodePcm(Multimodal.encodePcm(samples))
+          Multimodal.pcmFeatures(id, decoded)
+        }
+      }.toDF()
+    feats.select(col("media_id"), col("n_samples"),
+      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)")
+        .as("rms"),
+      col("zero_crossings"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  private val q146Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |s AS (
+      |  SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+      |  FROM ids CROSS JOIN generate_series(0, 1023) AS t(i)),
+      |s2 AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id AS media_id,
+      |  COUNT(*) AS n_samples,
+      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+      |    AS rms,
+      |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      |FROM s2 GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q116_media_features" -> (q116 _))
+    Map("q116_media_features" -> (q116 _),
+      "q146_audio_features" -> (q146 _))
 
   override val oracle: Map[String, String] =
-    Map("q116_media_features" -> q116Sql)
+    Map("q116_media_features" -> q116Sql,
+      "q146_audio_features" -> q146Sql)
 }

@@ -122,4 +122,36 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
       Seq(Multimodal.TiffRow(2L, utmPayload)).toDS(), 2, 2).collect()
     assert(graft.sources.GeoTiff.decode(utmBack.head.payload)._2 == 32631)
   }
+
+  test("multimodal: REAL audio modality — PCM s16le round trip, " +
+      "resample, waveform features") {
+    // round trip across the full signed range incl. byte-boundary
+    // values (sign extension and little-endian order are the bugs)
+    val edge = Array(-32768, -32767, -256, -255, -1, 0, 1, 255, 256, 32767)
+    assert(Multimodal.decodePcm(Multimodal.encodePcm(edge)).toSeq == edge.toSeq)
+    val rng = new scala.util.Random(17)
+    val wave = Array.fill(1000)(rng.nextInt(65536) - 32768)
+    assert(Multimodal.decodePcm(Multimodal.encodePcm(wave)).toSeq == wave.toSeq)
+    // corrupt payload (odd byte) fails loudly, never shifts frames
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePcm(Array[Byte](1, 2, 3))
+    }
+    // out-of-range sample refused at encode
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePcm(Array(40000))
+    }
+    // resample: identity at same length; endpoints anchored; halving
+    // keeps a linear ramp linear
+    val ramp = Array.tabulate(101)(_ * 10)
+    assert(Multimodal.resamplePcm(ramp, 101).toSeq == ramp.toSeq)
+    val half = Multimodal.resamplePcm(ramp, 51)
+    assert(half.head == 0 && half.last == 1000)
+    assert(half.toSeq == Seq.tabulate(51)(_ * 20))
+    // features: energy/ZCR/peak on a known square-ish wave
+    val sq = Array.tabulate(8)(i => if (i % 2 == 0) 100 else -100)
+    val f = Multimodal.pcmFeatures(7L, sq)
+    assert(f == Multimodal.PcmFeatures(7L, 8L, 8L * 10000L, 7L, 100L))
+    // zero samples break no strict sign flip: +,0,- has none
+    assert(Multimodal.pcmFeatures(1L, Array(5, 0, -5)).zero_crossings == 0L)
+  }
 }
