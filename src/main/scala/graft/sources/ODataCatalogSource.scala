@@ -97,40 +97,83 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
     // Spark may still call pruneColumns afterwards — ignore it
     if (!countPushed) required = requiredSchema
 
-  // Aggregate pushdown (server-side $count): a global COUNT(*) — the
-  // "how many products match" probe every catalog client runs before
-  // committing to a download sweep — never needs the rows. OData v4
-  // answers it natively (`$count=true&$top=0` → `@odata.count` in the
-  // envelope), so the scan ships ZERO products over the wire where
-  // the reference pages the full result set and len()s it client-side.
-  // Complete pushdown: Spark is told the single returned row is the
-  // final answer (no re-aggregation). Spark only attempts this when
-  // every filter was pushed (residuals disable it), so the count is
-  // always over exactly the server-filtered set.
+  // Aggregate pushdown (server-side $count / $orderby probes): a
+  // global COUNT(*) / MIN(col) / MAX(col) — the "how many products
+  // match, what's the date range" probe every catalog client runs
+  // before committing to a download sweep — never needs the rows.
+  // OData v4 answers each natively: `$count=true&$top=0` →
+  // `@odata.count` in the envelope, and MIN/MAX over a sortable
+  // column is `$orderby=col asc|desc&$top=1&$select=col` — one
+  // single-row request per extremum. So the scan ships ZERO product
+  // pages over the wire where the reference pages the full result
+  // set and folds client-side. Complete pushdown: Spark is told the
+  // single returned row is the final answer (no re-aggregation), and
+  // only attempts it when every filter was pushed (residuals disable
+  // it), so every probe runs over exactly the server-filtered set.
+  // MIN/MAX limits: TOP-LEVEL string columns only (nested
+  // ContentDate/attribute paths stay row-scanned) — their ISO-date /
+  // ASCII values order identically under the server's collation,
+  // lexicographic DuckDB/Java compare, and UTF8String binary order.
+  private var aggOps: Seq[(String, String)] = Nil // (op, col); op ∈ count|min|max
+
+  private def compileAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[(String, String)], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    val topStringCols = ODataCatalogSource.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSet
+    def name(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        topStringCols(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      None
+    else {
+      val ops = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(("count", "", StructField("COUNT(*)",
+          LongType, nullable = false)))
+        case m: Min => name(m.column()).map(c =>
+          ("min", c, StructField(s"MIN($c)", StringType)))
+        case m: Max => name(m.column()).map(c =>
+          ("max", c, StructField(s"MAX($c)", StringType)))
+        case _ => None
+      }
+      if (ops.exists(_.isEmpty)) None
+      else Some((ops.flatten.map(o => (o._1, o._2)),
+        StructType(ops.flatten.map(_._3))))
+    }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
-      limit == Int.MaxValue
+    limit == Int.MaxValue && compileAgg(agg).isDefined
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    if (!supportCompletePushDown(agg)) false
-    else {
-      countPushed = true
-      required = StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
-      true
+      : Boolean =
+    if (limit != Int.MaxValue) false
+    else compileAgg(agg) match {
+      case Some((ops, schema)) =>
+        countPushed = true
+        aggOps = ops
+        required = schema
+        true
+      case None => false
     }
-  }
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String = {
       val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
       s"ODataCatalogScan($$filter=$clause, $$top=$limit" +
-        (if (countPushed) ", $count=true)" else ")")
+        (if (!countPushed) ")"
+         else aggOps.map {
+           case ("count", _) => "$count=true"
+           case (op, c) => s"$op($c) via $$orderby"
+         }.mkString(", pushed aggs: [", ", ", "])"))
     }
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = {
@@ -142,16 +185,23 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
       url match {
         case Some(base) =>
           val (clause, _, _) = ODataFilterCompiler.compileAll(pushed.toSeq)
-          val q =
-            if (countPushed) ODataFilterCompiler.countUri(base, clause)
-            else {
-              // no pushed limit → the server's 20-product page cap
-              // (`code/imagery_store.py:45`)
-              val top = if (limit == Int.MaxValue) 20 else limit
-              ODataFilterCompiler.searchUri(base, clause, top)
+          if (countPushed) {
+            // one single-row probe per aggregate, no product pages
+            val urls = aggOps.map {
+              case ("count", _) => ODataFilterCompiler.countUri(base, clause)
+              case ("min", c) => ODataFilterCompiler.minMaxUri(base, clause, c, asc = true)
+              case ("max", c) => ODataFilterCompiler.minMaxUri(base, clause, c, asc = false)
+              case (op, c) => throw new IllegalStateException(s"agg op $op($c)")
             }
-          Array(ODataInputPartition(null, pushed, limit, required, Some(q),
-            countOnly = countPushed))
+            Array(ODataInputPartition(null, pushed, limit, required,
+              queryUrl = Some(base), aggOps = aggOps, aggUrls = urls))
+          } else {
+            // no pushed limit → the server's 20-product page cap
+            // (`code/imagery_store.py:45`)
+            val top = if (limit == Int.MaxValue) 20 else limit
+            val q = ODataFilterCompiler.searchUri(base, clause, top)
+            Array(ODataInputPartition(null, pushed, limit, required, Some(q)))
+          }
         case None =>
           val json = records.getOrElse {
             val p = path.getOrElse(throw new IllegalArgumentException(
@@ -161,7 +211,7 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
               java.nio.charset.StandardCharsets.UTF_8)
           }
           Array(ODataInputPartition(json, pushed, limit, required,
-            countOnly = countPushed))
+            aggOps = if (countPushed) aggOps else Nil))
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -175,7 +225,10 @@ class ODataScanBuilder(records: Option[String], path: Option[String],
 case class ODataInputPartition(json: String, pushed: Array[Filter],
     limit: Int, required: StructType,
     queryUrl: Option[String] = None,
-    countOnly: Boolean = false) extends InputPartition
+    aggOps: Seq[(String, String)] = Nil,
+    aggUrls: Seq[String] = Nil) extends InputPartition {
+  def aggMode: Boolean = aggOps.nonEmpty
+}
 
 /** Parses the recorded response — or, on the live path, GETs
   * `queryUrl` over [[HttpTransport]] first — and serves it "as the
@@ -188,68 +241,88 @@ class ODataPartitionReader(part: ODataInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val body: String = part.queryUrl match {
-    case Some(q) => new String(HttpTransport.get(q),
-      java.nio.charset.StandardCharsets.UTF_8)
-    case None => part.json
+  private def fetch(q: String): String =
+    new String(HttpTransport.get(q), java.nio.charset.StandardCharsets.UTF_8)
+
+  private def envelopeNodes(body: String): Iterator[JsonNode] = {
+    val root = mapper.readTree(body)
+    val nodes =
+      if (root.isArray) root.elements()
+      else if (root.has("value")) root.get("value").elements() // OData envelope
+      else util.Collections.singletonList(root).iterator()
+    import scala.jdk.CollectionConverters._
+    nodes.asScala
   }
 
-  /** Pushed-COUNT(*) mode: the single count row. On the live path the
-    * server answered the `$count=true&$top=0` probe — read
-    * `@odata.count` from the envelope (or a bare integer, the
-    * `/Products/$count` form); no product rows exist to parse. On the
-    * recorded path, count the records the server would have counted:
-    * pushed filters apply, `$top` does NOT ($count is defined over
-    * the filtered set, before paging).
+  /** Pushed-aggregate mode: ONE row with a value per op. Live: each
+    * op is its own single-row probe — count reads `@odata.count`
+    * from the `$count=true&$top=0` envelope (or a bare integer, the
+    * `/Products/$count` form), min/max read the one projected value
+    * of the `$orderby ... $top=1` answer (null on an empty filtered
+    * set). Recorded: compute what the server would have — pushed
+    * filters apply, `$top` does NOT (both $count and $orderby are
+    * defined over the filtered set, before paging).
     */
-  private val countIter: Iterator[Long] =
-    if (!part.countOnly) Iterator.empty
+  private val aggRow: Iterator[Array[Any]] =
+    if (!part.aggMode) Iterator.empty
     else part.queryUrl match {
       case Some(_) =>
-        val t = body.trim
-        val root = mapper.readTree(t)
-        val n =
-          if (root.isNumber) root.asLong()
-          else if (root.has("@odata.count")) root.get("@odata.count").asLong()
-          else throw new IllegalStateException(
-            s"count probe answer has no @odata.count: ${t.take(200)}")
-        Iterator.single(n)
+        Iterator.single(part.aggOps.zip(part.aggUrls).map {
+          case (("count", _), u) =>
+            val t = fetch(u).trim
+            val root = mapper.readTree(t)
+            if (root.isNumber) root.asLong()
+            else if (root.has("@odata.count")) root.get("@odata.count").asLong()
+            else throw new IllegalStateException(
+              s"count probe answer has no @odata.count: ${t.take(200)}")
+          case ((_, col), u) =>
+            val first = envelopeNodes(fetch(u)).toSeq.headOption
+            first.map { n =>
+              val v = n.get(col)
+              if (v == null || v.isNull) null
+              else UTF8String.fromString(v.asText())
+            }.orNull
+        }.toArray[Any])
       case None =>
-        import scala.jdk.CollectionConverters._
-        val root = mapper.readTree(body)
-        val nodes =
-          if (root.isArray) root.elements()
-          else if (root.has("value")) root.get("value").elements()
-          else util.Collections.singletonList(root).iterator()
-        Iterator.single(nodes.asScala.count(n =>
-          part.pushed.forall(f => ODataPartitionReader.eval(f, n))).toLong)
+        val nodes = envelopeNodes(part.json)
+          .filter(n => part.pushed.forall(f => ODataPartitionReader.eval(f, n)))
+          .toSeq
+        Iterator.single(part.aggOps.map {
+          case ("count", _) => nodes.size.toLong
+          case (op, col) =>
+            val vals = nodes.flatMap { n =>
+              val v = n.get(col)
+              if (v == null || v.isNull) None else Some(v.asText())
+            }
+            if (vals.isEmpty) null
+            else UTF8String.fromString(
+              if (op == "min") vals.min else vals.max)
+        }.toArray[Any])
     }
 
   private val iter: Iterator[JsonNode] = {
-    if (part.countOnly) Iterator.empty
+    if (part.aggMode) Iterator.empty
     else {
-      val root = mapper.readTree(body)
-      val nodes =
-        if (root.isArray) root.elements()
-        else if (root.has("value")) root.get("value").elements() // OData envelope
-        else util.Collections.singletonList(root).iterator()
-      import scala.jdk.CollectionConverters._
-      nodes.asScala
+      val body = part.queryUrl match {
+        case Some(q) => fetch(q)
+        case None => part.json
+      }
+      envelopeNodes(body)
         .filter(n => part.pushed.forall(f => ODataPartitionReader.eval(f, n)))
         .take(part.limit)
     }
   }
   private var cur: JsonNode = _
-  private var curCount: Option[Long] = None
+  private var curAgg: Array[Any] = _
 
   override def next(): Boolean =
-    if (part.countOnly) {
-      if (countIter.hasNext) { curCount = Some(countIter.next()); true }
+    if (part.aggMode) {
+      if (aggRow.hasNext) { curAgg = aggRow.next(); true }
       else false
     } else if (iter.hasNext) { cur = iter.next(); true } else false
 
-  override def get(): InternalRow = if (part.countOnly) {
-    new GenericInternalRow(Array[Any](curCount.get))
+  override def get(): InternalRow = if (part.aggMode) {
+    new GenericInternalRow(curAgg)
   } else {
     val vals = part.required.fields.map { f =>
       f.name match {

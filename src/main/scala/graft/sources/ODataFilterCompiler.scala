@@ -114,4 +114,16 @@ object ODataFilterCompiler {
     val enc = java.net.URLEncoder.encode(filter, "UTF-8").replace("+", "%20")
     s"$baseUrl/Products?$$filter=$enc&$$count=true&$$top=0"
   }
+
+  /** The pushed-MIN/MAX probe: the extremum of a sortable column over
+    * the filtered set is its `$orderby=col asc|desc & $top=1`
+    * first row, projected to that one column — a single-row answer
+    * instead of paging the result set.
+    */
+  def minMaxUri(baseUrl: String, filter: String, col: String,
+      asc: Boolean): String = {
+    val enc = java.net.URLEncoder.encode(filter, "UTF-8").replace("+", "%20")
+    val dir = if (asc) "asc" else "desc"
+    s"$baseUrl/Products?$$filter=$enc&$$orderby=$col%20$dir&$$top=1&$$select=$col"
+  }
 }

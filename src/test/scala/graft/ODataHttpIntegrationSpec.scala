@@ -81,7 +81,22 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
       val body =
         if (q.contains("count=true"))
           s"""{"@odata.count":${bandFiles.size},"value":[]}"""
-        else catalogJson(base)
+        else if (q.contains("orderby=")) {
+          // the $orderby ... $top=1 & $select extremum probe: answer
+          // with the one projected value, like a real OData endpoint
+          val dec = java.net.URLDecoder.decode(q, "UTF-8")
+          val m = """\$orderby=(\w+) (asc|desc)""".r.findFirstMatchIn(dec)
+            .getOrElse(throw new IllegalStateException(s"bad orderby: $dec"))
+          val (col, asc) = (m.group(1), m.group(2) == "asc")
+          val vals = col match {
+            case "Name" => bandFiles
+            case "Id" => bandFiles.indices.map(i => s"p$i")
+            case "OriginDate" => Seq.fill(bandFiles.size)("2023-06-15T10:00:00Z")
+            case other => throw new IllegalStateException(s"col $other")
+          }
+          val v = if (asc) vals.min else vals.max
+          s"""{"value":[{"$col":"$v"}]}"""
+        } else catalogJson(base)
       respond(x, 200, body.getBytes(StandardCharsets.UTF_8))
     })
     server.createContext("/token", (x: HttpExchange) => {
@@ -149,6 +164,23 @@ class ODataHttpIntegrationSpec extends AnyFunSuite with SharedSpark {
       assert(q.contains("top=0"), q)
       assert(java.net.URLDecoder.decode(q, "UTF-8")
         .contains("Collection/Name eq 'SENTINEL-2'"), q)
+    }
+  }
+
+  test("MIN/MAX push as single-row $orderby probes; mixed with COUNT " +
+      "in one pushed aggregation") {
+    withServer { base =>
+      val cat = spark.read.format("graft.sources.ODataCatalogSource")
+        .option("url", s"$base/odata").load()
+      val row = cat.agg(count(lit(1)), min("Name"), max("Name")).collect().head
+      assert(row.getLong(0) == bandFiles.size.toLong)
+      assert(row.getString(1) == bandFiles.min)
+      assert(row.getString(2) == bandFiles.max)
+      // the last wire request was one of the single-row probes (each
+      // agg issued its own; the final one is max(Name) desc)
+      val q = java.net.URLDecoder.decode(lastQuery.get(), "UTF-8")
+      assert(q.contains("$orderby=Name desc") && q.contains("$top=1")
+        && q.contains("$select=Name"), q)
     }
   }
 

@@ -121,6 +121,26 @@ class ODataSourceSpec extends AnyFunSuite with SharedSpark {
       .map(_.toString()).mkString.contains("$count=true"))
   }
 
+  test("MIN/MAX over top-level strings push (recorded path); nested " +
+      "or non-string columns keep the row scan") {
+    val q = catalog.filter(col("Collection") === "SENTINEL-2")
+      .agg(min("OriginDate"), max("OriginDate"), count(lit(1)))
+    val r = q.collect().head
+    assert(r.getString(0) == "2023-06-15T10:00:00Z")
+    assert(r.getString(1) == "2023-07-15T10:00:00Z")
+    assert(r.getLong(2) == 2L)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString
+    assert(scan.contains("min(OriginDate) via $orderby"), scan)
+    assert(scan.contains("$count=true"), scan)
+    // a nested column (ContentDate.Start) is not a pushable extremum:
+    // the row scan still answers it
+    val nested = catalog.agg(max("ContentDate.Start"))
+    assert(nested.collect().head.getString(0) == "2023-07-15T10:00:00Z")
+    assert(!nested.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString.contains("$orderby"))
+  }
+
   test("COUNT(*) does NOT push when a residual filter or grouping exists") {
     // StringStartsWith is not compilable to $filter → residual blocks
     // aggregate pushdown; the count still answers correctly from rows
