@@ -275,11 +275,23 @@ object TextAnalysis extends QueryModule {
   // cutoffs (Dedup's maxShingleDf), and BM25's idf. Two aggregations
   // sharing one explode; exact integers. Top-30 by df with total
   // ordering.
+  /** (doc_id, term, f) term-frequency table — memoized+cached: the
+    * doc-term aggregate is the shared build under tf-idf (q61, which
+    * references it twice: document frequencies AND the scored join)
+    * and the vocabulary report (q56). One exchange on (doc_id, t) at
+    * build; every consumer reads the cache.
+    */
+  private[queries] def tfCounts(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "tf_counts") {
+      tokenized(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("f"))
+    }
+
   private def q56(s: SparkSession, dir: String): DataFrame =
-    tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
+    tfCounts(s, dir)
       .groupBy("t")
-      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .agg(count(lit(1)).as("df"), sum("f").as("cf"))
       .orderBy(desc("df"), desc("cf"), col("t"))
       .limit(30)
 
@@ -301,9 +313,7 @@ object TextAnalysis extends QueryModule {
   // Cross-engine: tf/df/N are exact integers; ln()'s last ulp is
   // absorbed by round(·, 6) (the BM25 rule).
   private def q61(s: SparkSession, dir: String): DataFrame = {
-    val tf = tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("f"))
+    val tf = tfCounts(s, dir)
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
