@@ -184,6 +184,75 @@ object Multimodal {
     out
   }
 
+  // ----------------------------------------------------------------
+  // REAL modality: video. Raw 8-bit grayscale frames (fixed
+  // frame_len bytes each) need no codec either — frame slicing and
+  // pixel math ARE the decode — so the video path (deframe → per-
+  // frame luma → inter-frame motion energy → scene cuts) is fully
+  // real like tiff and PCM; only compressed containers (h264/vp9)
+  // would sit behind a stub.
+
+  /** Flatten fixed-size 8-bit frames into one payload. */
+  def encodeFrames(frames: Array[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val flen = frames(0).length
+    val out = new Array[Byte](frames.length * flen)
+    var f = 0
+    while (f < frames.length) {
+      val fr = frames(f)
+      require(fr.length == flen, s"ragged frame $f: ${fr.length} vs $flen")
+      var p = 0
+      while (p < flen) {
+        val v = fr(p)
+        require(v >= 0 && v <= 255, s"pixel $v out of u8 range")
+        out(f * flen + p) = v.toByte
+        p += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Re-frame a raw video payload (trailing partial frame = corrupt
+    * payload — fail loudly, a silent drop would desync every later
+    * frame index).
+    */
+  def decodeFrames(bytes: Array[Byte], frameLen: Int): Array[Array[Int]] = {
+    require(frameLen > 0 && bytes.length % frameLen == 0,
+      s"payload ${bytes.length} B is not whole $frameLen-byte frames")
+    Array.tabulate(bytes.length / frameLen) { f =>
+      Array.tabulate(frameLen)(p => bytes(f * frameLen + p) & 0xff)
+    }
+  }
+
+  case class VideoFeatures(media_id: Long, n_frames: Long, sum_luma: Long,
+      motion_total: Long, n_cuts: Long)
+
+  /** Per-item video summary: total luma (exact Σ pixels), motion
+    * energy (Σ over frame pairs of Σ|Δpixel|), and scene cuts
+    * (frames whose motion vs the previous frame is nonzero).
+    */
+  def videoFeatures(mediaId: Long, frames: Array[Array[Int]]): VideoFeatures = {
+    var luma = 0L
+    var motion = 0L
+    var cuts = 0L
+    var f = 0
+    while (f < frames.length) {
+      val fr = frames(f)
+      var p = 0
+      var fm = 0L
+      while (p < fr.length) {
+        luma += fr(p)
+        if (f > 0) fm += math.abs(fr(p) - frames(f - 1)(p))
+        p += 1
+      }
+      if (f > 0 && fm > 0) cuts += 1
+      motion += fm
+      f += 1
+    }
+    VideoFeatures(mediaId, frames.length.toLong, luma, motion, cuts)
+  }
+
   case class PcmFeatures(media_id: Long, n_samples: Long, sum_sq: Long,
       zero_crossings: Long, peak: Long)
 

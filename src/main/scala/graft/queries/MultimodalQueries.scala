@@ -127,11 +127,69 @@ object MultimodalQueries extends QueryModule {
       |FROM s2 GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q147 — REAL video modality under the gate (q146's pattern on raw
+  // grayscale frames): each media item's 12-frame 256-pixel video
+  // comes from an integer formula whose frames only change every 4th
+  // index (pixel = ((id + f/4)·37 + p·11) mod 256 — a 3-scene clip),
+  // is flattened to bytes and RE-FRAMED through the real deframer,
+  // then summarized (exact luma, inter-frame motion energy, scene
+  // cuts). The twin computes the same features from the formula, so
+  // a hash match certifies frame indexing end-to-end — any off-by-a-
+  // byte in the slicing shifts a frame boundary and the motion/cut
+  // numbers explode. The structure check is built in: motion is 0
+  // inside a scene and the cut count is exactly the two scene
+  // boundaries (f = 4, 8), which the oracle independently derives.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nFrames, frameLen) = (12, 256)
+    val feats = T.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = Array.tabulate(nFrames)(f =>
+            Array.tabulate(frameLen)(p =>
+              (((id + f / 4) * 37 + p.toLong * 11) % 256).toInt))
+          val reframed = Multimodal.decodeFrames(
+            Multimodal.encodeFrames(frames), frameLen)
+          Multimodal.videoFeatures(id, reframed)
+        }
+      }.toDF()
+    feats.select("media_id", "n_frames", "sum_luma", "motion_total", "n_cuts")
+      .orderBy("media_id")
+  }
+
+  private val q147Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |s AS (
+      |  SELECT doc_id, f, p, ((doc_id + f // 4) * 37 + p * 11) % 256 AS v
+      |  FROM ids
+      |  CROSS JOIN generate_series(0, 11) AS tf(f)
+      |  CROSS JOIN generate_series(0, 255) AS tp(p)),
+      |s2 AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY doc_id, p ORDER BY f) AS pv
+      |  FROM s),
+      |fm AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(v) AS BIGINT) AS luma,
+      |    CAST(SUM(CASE WHEN pv IS NULL THEN 0 ELSE ABS(v - pv) END)
+      |      AS BIGINT) AS motion
+      |  FROM s2 GROUP BY doc_id, f)
+      |SELECT doc_id AS media_id,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(luma) AS BIGINT) AS sum_luma,
+      |  CAST(SUM(motion) AS BIGINT) AS motion_total,
+      |  CAST(SUM(CASE WHEN f > 0 AND motion > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_cuts
+      |FROM fm GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
-      "q146_audio_features" -> (q146 _))
+      "q146_audio_features" -> (q146 _),
+      "q147_video_motion" -> (q147 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
-      "q146_audio_features" -> q146Sql)
+      "q146_audio_features" -> q146Sql,
+      "q147_video_motion" -> q147Sql)
 }

@@ -154,4 +154,39 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
     // zero samples break no strict sign flip: +,0,- has none
     assert(Multimodal.pcmFeatures(1L, Array(5, 0, -5)).zero_crossings == 0L)
   }
+
+  test("multimodal: REAL video modality — frame round trip, motion " +
+      "energy, scene cuts, frame-shift sensitivity") {
+    val rng = new scala.util.Random(23)
+    val frames = Array.fill(6)(Array.fill(64)(rng.nextInt(256)))
+    val back = Multimodal.decodeFrames(Multimodal.encodeFrames(frames), 64)
+    assert(back.map(_.toSeq).toSeq == frames.map(_.toSeq).toSeq)
+    // corrupt payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeFrames(new Array[Byte](65), 64) // partial frame
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeFrames(Array(Array(1, 2), Array(1))) // ragged
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeFrames(Array(Array(300))) // out of u8 range
+    }
+    // a 3-scene clip: frames 0-1 = A, 2-3 = B, 4-5 = A again
+    val a = Array.fill(64)(10)
+    val b = Array.fill(64)(20)
+    val clip = Array(a, a, b, b, a, a)
+    val f = Multimodal.videoFeatures(3L, clip)
+    assert(f.n_frames == 6L && f.sum_luma == (4 * 64 * 10 + 2 * 64 * 20).toLong)
+    assert(f.n_cuts == 2L, s"expected the 2 scene boundaries, got ${f.n_cuts}")
+    assert(f.motion_total == 2L * 64 * 10) // |20-10| * 64 px * 2 cuts
+    // the gate's sensitivity claim: shifting the byte stream by ONE
+    // byte desyncs every frame boundary and changes the motion sum
+    // (on structured content it can even stay equal by symmetry, so
+    // the check uses the random frames)
+    val bytes = Multimodal.encodeFrames(frames)
+    val shifted = Multimodal.decodeFrames(bytes.drop(1) :+ bytes.head, 64)
+    assert(Multimodal.videoFeatures(3L, shifted).motion_total
+      != Multimodal.videoFeatures(3L, back).motion_total,
+      "frame shift went undetected by motion")
+  }
 }
