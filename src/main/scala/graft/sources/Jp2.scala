@@ -120,7 +120,18 @@ object Jp2 {
     * the test-only fixture encoder.
     */
   object T800Entropy extends EntropyDecoder {
-    def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] = {
+    def decode(header: Header, bytes: Array[Byte], component: Int): Array[Int] =
+      decodeFiltered(header, bytes, component, _ => true)
+
+    /** Entropy stage with a contribution filter: every packet header
+      * is still walked (packet lengths chain sequentially — there is
+      * no skipping tier-2), but the EBCOT tier-1 decode — where the
+      * time goes — runs ONLY for contributions `keep` accepts.
+      * [[Jp2.decodeReduced]] uses this to decode an overview without
+      * paying for the detail subbands' coding passes.
+      */
+    def decodeFiltered(header: Header, bytes: Array[Byte], component: Int,
+        keep: Tier2.BlockContribution => Boolean): Array[Int] = {
       // multi-component (round 12): LRCP one-layer one-precinct
       // interleaves packets resolution-major, component-minor —
       // Tier2.parsePackets walks every packet and collects the
@@ -150,7 +161,8 @@ object Jp2 {
         out
       }
       val plane = new Array[Int](header.width * header.height)
-      for (c <- Tier2.parsePackets(data, 0, header, component)) {
+      for (c <- Tier2.parsePackets(data, 0, header, component)
+           if keep(c)) {
         val mb = header.maxBitplanes(c.sb.qcdIdx)
         val msbPlane = mb - c.zeroBitplanes - 1
         val coeffs = Ebcot.decodeBlock(data, c.dataFrom, c.dataUntil,
@@ -259,6 +271,81 @@ object Jp2 {
         "a single decoded component is a color-transform plane, not " +
         "pixels — use Jp2.decodeAll, which applies the inverse RCT")
     (h, dcShift(h, component, componentRaw(h, bytes, component, entropy)))
+  }
+
+  /** REDUCED-RESOLUTION decode — the raster engine's "overview read"
+    * (what rasterio's `out_shape`/overview path gives the reference's
+    * per-AOI loader): decode the image at 1/2^discard scale by
+    * reconstructing only the low-resolution subbands.
+    *
+    * Why this is nearly free in JPEG 2000: resolution scalability is
+    * structural. The codestream's packets partition by resolution, so
+    * an overview needs the tier-1 (EBCOT) coding passes of the kept
+    * resolutions ONLY — the detail subbands' packets are walked for
+    * their lengths (tier-2 headers chain) but never entropy-decoded,
+    * and the inverse DWT runs on the small plane. For a discard of d
+    * on an L-level stream that is the exact LL_d reconstruction:
+    * bit-identical on the reversible 5/3 path to forward-transforming
+    * the source and keeping the top-left ceil-halved region d times
+    * (Jp2Spec pins exactly that), quantization-bounded on 9/7.
+    *
+    * Returns (header, reduced width, reduced height, pixels). MCT
+    * streams refuse like [[decode]] (a lone component is a color
+    * plane); `discard = 0` is the full decode.
+    */
+  def decodeReduced(bytes: Array[Byte], discard: Int, component: Int = 0)
+      : (Header, Int, Int, Array[Int]) = {
+    val h = parseHeader(bytes)
+    requireProfile(h)
+    require(!h.mct,
+      "stream uses the multiple-component transform (COD SGcod MCT=1): " +
+        "a single decoded component is a color-transform plane, not " +
+        "pixels")
+    require(discard >= 0 && discard <= h.levels,
+      s"discard $discard out of range for a ${h.levels}-level stream")
+    var (wr, hr) = (h.width, h.height)
+    (0 until discard).foreach { _ => wr = (wr + 1) / 2; hr = (hr + 1) / 2 }
+    // the Mallat layout puts every subband of the kept resolutions in
+    // the top-left wr×hr rectangle, at the SAME offsets the reduced
+    // image's own layout assigns them (both sides of that identity
+    // are the ceil-halving recursion) — so membership is a bounds
+    // test and extraction is a rectangle copy
+    val keep = (c: Tier2.BlockContribution) =>
+      c.sb.x0 + c.sb.w <= wr && c.sb.y0 + c.sb.h <= hr
+    val full = T800Entropy.decodeFiltered(h, bytes, component, keep)
+    val lvls = h.levels - discard
+    val reduced = new Array[Int](wr * hr)
+    var y = 0
+    while (y < hr) {
+      System.arraycopy(full, y * h.width, reduced, y * wr, wr)
+      y += 1
+    }
+    val px =
+      if (h.reversible) Wavelet53.inverse2d(reduced, wr, hr, lvls)
+      else {
+        val dq = new Array[Double](reduced.length)
+        for {
+          res <- Tier2.subbands(wr, hr, lvls)
+          sb <- res
+        } {
+          val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
+          var yy = 0
+          while (yy < sb.h) {
+            var xx = 0
+            while (xx < sb.w) {
+              val i = (sb.y0 + yy) * wr + (sb.x0 + xx)
+              val q = reduced(i)
+              dq(i) =
+                if (q == 0) 0.0
+                else math.signum(q.toDouble) * (math.abs(q) + 0.5) * step
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        Wavelet97.inverse2d(dq, wr, hr, lvls).map(v => math.rint(v).toInt)
+      }
+    (h, wr, hr, dcShift(h, component, px))
   }
 
   /** Decode EVERY component (round 12 — multi-component profile):

@@ -454,4 +454,34 @@ class Jp2Spec extends AnyFunSuite {
     assert(h1.components == 1 && all1.size == 1)
     assert(all1.head.toSeq == planes.head.toSeq)
   }
+
+  test("decodeReduced: the overview read reconstructs the EXACT LL_d " +
+      "of the source (5/3), at every discard level, odd dimensions") {
+    val rng = new Random(31)
+    val (w, h) = (97, 61) // odd at every halving — the ceil-recursion case
+    val img = Array.fill(w * h)(rng.nextInt(1 << 12))
+    val bytes = graft.Jp2Fixture.encode(img, w, h, levels = 3, bitDepth = 12)
+    // discard = 0 is the full decode
+    val (_, w0, h0, px0) = Jp2.decodeReduced(bytes, 0)
+    assert((w0, h0) == (w, h))
+    assert(px0.toSeq == Jp2.decode(bytes)._2.toSeq)
+    val shift = 1 << 11
+    for (d <- 1 to 3) {
+      val (_, wr, hr, px) = Jp2.decodeReduced(bytes, d)
+      var (ew, eh) = (w, h)
+      (0 until d).foreach { _ => ew = (ew + 1) / 2; eh = (eh + 1) / 2 }
+      assert((wr, hr) == (ew, eh), s"discard $d dims")
+      // independent truth: forward-transform the DC-shifted source d
+      // levels, keep the top-left LL_d rectangle, un-shift — the
+      // decoder must match BIT-EXACTLY (reversible path, full
+      // bitplanes), proving the kept packets carry the precise
+      // low-resolution subbands and the detail packets were never
+      // needed
+      val fwd = Wavelet53.forward2d(img.map(_ - shift), w, h, d)
+      val expected = Array.tabulate(wr * hr)(i =>
+        fwd((i / wr) * w + (i % wr)) + shift)
+      assert(px.toSeq == expected.toSeq, s"discard $d pixels diverged")
+    }
+    intercept[IllegalArgumentException](Jp2.decodeReduced(bytes, 4))
+  }
 }
