@@ -52,6 +52,28 @@ object RasterIO {
       .drop("decoded")
   }
 
+  /** S5, overview form: decode every band at 1/2^discard scale via
+    * [[Jp2.decodeReduced]] — the engine-surface twin of a raster
+    * store's overview/decimated read. Same scan discipline (one file
+    * per task, no shuffle) but each task pays only the kept
+    * resolutions' entropy decode: the thumbnail/QA-mosaic pass over
+    * a 100 TB archive reads the same files at a fraction of the
+    * tier-1 cost, and the downstream schema is identical to
+    * [[decodeBandPixels]] with reduced width/height.
+    */
+  def decodeBandPixelsReduced(bands: DataFrame, discard: Int): DataFrame = {
+    val dec = udf { content: Array[Byte] =>
+      val (_, wr, hr, px) = Jp2.decodeReduced(content, discard)
+      (wr, hr, px)
+    }
+    bands
+      .withColumn("decoded", dec(col("content")))
+      .withColumn("width", col("decoded._1"))
+      .withColumn("height", col("decoded._2"))
+      .withColumn("pixels", col("decoded._3"))
+      .drop("decoded")
+  }
+
   /** S5, multi-component form (round 12): decode EVERY component of
     * each file and explode to one row per component — the shape for
     * Sentinel-2's TCI (true-color RGB) JP2s, where [[Jp2.decodeAll]]

@@ -176,6 +176,25 @@ class RasterIOSpec extends AnyFunSuite with SharedSpark {
         s"${r.getString(0)} pixels corrupted")
     }
     assert(decoded.map(_.getString(1)).sorted.toSeq == Seq("B02", "B03", "B8A"))
+    // the OVERVIEW pass over the same files: each band at 1/2 scale,
+    // bit-exactly the LL_1 of its source (Jp2Spec pins the codec
+    // identity; this pins the distributed surface + schema)
+    val over = graft.sources.RasterIO.decodeBandPixelsReduced(
+      graft.sources.RasterIO.readBandFiles(spark, dir.toString), discard = 1)
+      .select("file", "width", "height", "pixels")
+      .collect()
+    assert(over.length == 3)
+    over.foreach { r =>
+      val (w, h, img) = images(r.getString(0))
+      val (wr, hr) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getInt(1) == wr && r.getInt(2) == hr)
+      val shift = 1 << 11
+      val fwd = graft.sources.Wavelet53.forward2d(img.map(_ - shift), w, h, 1)
+      val expected = Array.tabulate(wr * hr)(i =>
+        fwd((i / wr) * w + (i % wr)) + shift)
+      assert(r.getSeq[Int](3).toSeq == expected.toSeq,
+        s"${r.getString(0)} overview diverged from LL_1")
+    }
   }
 
   test("S5: a true-color (RGB, RCT) JP2 scan explodes to one " +
