@@ -78,6 +78,38 @@ class CdcSpec extends AnyFunSuite with SharedSpark {
     assert(prod.nonEmpty && prod == ref)
   }
 
+  test("property: kernel == window reference on randomized token " +
+      "streams (ragged lengths, repeats, empty-adjacent docs)") {
+    // randomized cross-check of the native kernel against the
+    // independent explode+window formulation — 30 corpora of mixed
+    // shapes: tiny docs, single-token docs, heavy repetition (forces
+    // adjacent identical windows), long docs
+    val r = new scala.util.Random(97)
+    (1 to 30).foreach { round =>
+      val docs = (1L to (1 + r.nextInt(6)).toLong).map { id =>
+        val n = r.nextInt(4) match {
+          case 0 => 1 + r.nextInt(3)
+          case 1 => 1 + r.nextInt(40)
+          case _ => 1 + r.nextInt(300)
+        }
+        val vocab = 1 + r.nextInt(8) // tiny vocab => repeats/collisions
+        id -> Seq.fill(n)("v" + r.nextInt(vocab))
+      }.toMap
+      import spark.implicits._
+      val docsDf = docs.toSeq.map { case (id, ts) => (id, ts) }
+        .toDF("doc_id", "toks")
+      val tok = docsDf.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "t")))
+      val ref = graft.queries.Dedup.cdcChunks(tok, Seq.empty)
+        .select("doc_id", "chunk", "n_tok", "fp")
+        .collect().map(_.toString).sorted.toSeq
+      val prod = graft.queries.Dedup.cdcChunksArr(docsDf, Seq.empty)
+        .select("doc_id", "chunk", "n_tok", "fp")
+        .collect().map(_.toString).sorted.toSeq
+      assert(prod == ref, s"round $round diverged on ${docs.size} docs")
+    }
+  }
+
   test("chunks are shift-invariant across documents: a shared tail " +
       "dedups even when prefixes differ completely") {
     val prefix1 = Seq.fill(37)("p" + rng.nextInt(100))

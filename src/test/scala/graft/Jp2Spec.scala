@@ -484,4 +484,46 @@ class Jp2Spec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException](Jp2.decodeReduced(bytes, 4))
   }
+
+  test("hostile inputs: random bytes and truncated real codestreams " +
+      "refuse in bounded time — never hang, never return pixels") {
+    val rng = new Random(83)
+    // pure noise at several sizes
+    (1 to 40).foreach { i =>
+      val junk = Array.fill(rng.nextInt(4000))((rng.nextInt(256) - 128).toByte)
+      val t0 = System.nanoTime()
+      intercept[Exception](Jp2.decode(junk))
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"noise $i too slow")
+    }
+    // a VALID stream truncated at every kind of boundary: the parser
+    // or the entropy stage must throw, and must never fabricate a
+    // full pixel plane from a partial stream
+    val img = Array.fill(48 * 32)(rng.nextInt(1 << 12))
+    val good = graft.Jp2Fixture.encode(img, 48, 32, levels = 2, bitDepth = 12)
+    val cuts = Seq(1, 2, 10, 20, 45, 80, good.length / 2,
+      good.length - 20, good.length - 3, good.length - 1)
+    cuts.foreach { cut =>
+      val t0 = System.nanoTime()
+      val r = scala.util.Try(Jp2.decode(good.take(cut)))
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"cut $cut too slow")
+      r match {
+        case scala.util.Failure(_) => // refused: correct
+        case scala.util.Success((_, px)) =>
+          // tolerated only if the cut removed nothing decode needs
+          // (trailing EOC padding); pixels must still be EXACT
+          assert(px.toSeq == img.toSeq,
+            s"cut $cut returned WRONG pixels instead of refusing")
+      }
+    }
+    // random single-byte corruption in the header region must refuse
+    // or produce a decode error — not crash the JVM or loop
+    (1 to 30).foreach { i =>
+      val bad = good.clone()
+      val at = rng.nextInt(80)
+      bad(at) = (bad(at) ^ (1 << rng.nextInt(8))).toByte
+      val t0 = System.nanoTime()
+      scala.util.Try(Jp2.decode(bad)) // either refuses or decodes junk
+      assert((System.nanoTime() - t0) / 1e9 < 5.0, s"corrupt $i too slow")
+    }
+  }
 }
