@@ -712,16 +712,17 @@ object TextAnalysis extends QueryModule {
   // certified against the semantic ground truth, not against itself.
   // Exactness: integer counts; pieces concatenate in pos order
   // (string_agg ORDER BY pos == array_sort on the unique-pos struct).
-  private def q128(s: SparkSession, dir: String): DataFrame = {
-    // the SEGMENTED serve table (w, n, pos, sym) is memoized+cached:
-    // tokenizing the held-out slice and folding the OOV words are the
-    // BUILD of a serve-side piece table — the production shape is
-    // "segment each arriving batch once, read pieces many times", so
-    // repeated invocations (bench passes, downstream consumers) pay
-    // the per-read aggregation only. Bpe.segment's per-merge
-    // localCheckpoint passes run at build time, exactly once per
-    // (session, sf dir).
-    val pieces = graft.CachedPlans.of(s, dir, "bpe_serve_pieces") {
+  /** The SEGMENTED serve table (w, n, pos, sym), memoized+cached:
+    * tokenizing the held-out slice and folding the OOV words are the
+    * BUILD of a serve-side piece table — the production shape is
+    * "segment each arriving batch once, read pieces many times", so
+    * repeated invocations (bench passes, q128's report, q148's
+    * fertility rollup) pay the per-read aggregation only.
+    * Bpe.segment's per-merge localCheckpoint passes run at build
+    * time, exactly once per (session, sf dir).
+    */
+  private def bpeServePieces(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "bpe_serve_pieces") {
       val (merges, fin) = bpeTrained(s, dir)
       val held = T.part(s, dir)
         .select(explode(expr(
@@ -732,7 +733,9 @@ object TextAnalysis extends QueryModule {
         .groupBy("w").agg(count(lit(1)).as("n"))
       graft.operators.Bpe.segmentServe(held, merges, fin)
     }
-    pieces
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    bpeServePieces(s, dir)
       .groupBy("w", "n")
       .agg(count(lit(1)).as("n_pieces"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, " +
@@ -773,7 +776,11 @@ object TextAnalysis extends QueryModule {
        |    CASE WHEN keep THEN sym || nsym ELSE sym END AS sym
        |  FROM hg$k WHERE NOT consumed)""".stripMargin
 
-  private val q128Sql =
+  /** Shared oracle CTE prefix: the trained-merge chain + the held-out
+    * vocab segmented to `hs3` (w, n, pos, sym) — q128 reports it
+    * per-word; q148 weights it by per-language corpus counts.
+    */
+  private val bpeServeCtes =
     s"""$bpeCtesSql,
        |hv AS (
        |  SELECT w, COUNT(*) AS n FROM (
@@ -789,11 +796,58 @@ object TextAnalysis extends QueryModule {
        |  FROM hv),
        |${bpeServeRoundSql(0)},
        |${bpeServeRoundSql(1)},
-       |${bpeServeRoundSql(2)}
+       |${bpeServeRoundSql(2)}""".stripMargin
+
+  private val q128Sql =
+    s"""$bpeServeCtes
        |SELECT w, n, CAST(COUNT(*) AS BIGINT) AS n_pieces,
        |  STRING_AGG(sym, ' ' ORDER BY pos) AS pieces
        |FROM hs3 GROUP BY w, n
        |ORDER BY w""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q148 — TOKENIZER FERTILITY per language: pieces-per-word of the
+  // trained BPE model, weighted by each language's actual word
+  // frequencies — the multilingual-tokenizer equity metric (a model
+  // whose merges were learned mostly on one language fragments the
+  // others into more pieces, inflating their effective sequence
+  // length and training cost; fertility is the number a tokenizer
+  // report quotes per language). Reuses the SEGMENTED serve-table
+  // memo (q128's build): warm cost is a vocabulary-sized count join
+  // + a |langs| rollup. The piece-count join carries no broadcast
+  // hint — the segmented vocabulary grows with the corpus (q79's
+  // rule; AQE broadcasts when measured-small).
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val np = bpeServePieces(s, dir)
+      .groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    tokenized(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .join(np, "w")
+      .groupBy("lang")
+      .agg(expr("CAST(SUM(cnt) AS BIGINT)").as("n_words"),
+        expr("CAST(SUM(cnt * n_pieces) AS BIGINT)").as("n_pieces"),
+        expr("round(CAST(SUM(cnt * n_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE), 6)").as("fertility"))
+      .orderBy("lang")
+  }
+
+  private val q148Sql =
+    s"""$bpeServeCtes,
+       |np AS (SELECT w, COUNT(*) AS n_pieces FROM hs3 GROUP BY w),
+       |cw AS (
+       |  SELECT lang, t AS w, COUNT(*) AS cnt FROM (
+       |    SELECT lang, unnest($toksD) AS t
+       |    FROM documents WHERE doc_id % 10 = 0)
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(SUM(cnt * n_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility
+       |FROM cw JOIN np USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
   // q134 — the INCREMENTAL BPE trainer under the oracle gate
@@ -1120,6 +1174,7 @@ object TextAnalysis extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_heavy_hitters" -> (q145 _),
+    "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
     "q140_repetition_filter" -> (q140 _),
     "q128_bpe_serve" -> (q128 _),
@@ -1140,6 +1195,7 @@ object TextAnalysis extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q145_heavy_hitters" -> q145Sql,
+    "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,
     "q140_repetition_filter" -> q140Sql,
     "q128_bpe_serve" -> q128Sql,
