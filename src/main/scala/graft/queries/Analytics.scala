@@ -205,7 +205,7 @@ object Analytics extends QueryModule {
   private[graft] def olsFeatures(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "ols_feats") {
       TextAnalysis.tokenized(s, dir).select(
-        col("doc_id"), col("lang"),
+        col("doc_id"), col("lang"), col("source"),
         expr("CAST(size(toks) AS BIGINT)").as("y"),
         col("n_chars").as("x1"),
         expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("x2"))
@@ -213,7 +213,7 @@ object Analytics extends QueryModule {
 
   /** DuckDB twin of [[olsFeatures]] (same columns, same values). */
   private val olsFeatsSql =
-    """SELECT doc_id, lang,
+    """SELECT doc_id, lang, source,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS y,
       |  n_chars AS x1,
       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS x2
@@ -337,13 +337,61 @@ object Analytics extends QueryModule {
        |ORDER BY abs(residd) DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q149 — per-SOURCE size-law drift: fit q141's model per crawl
+  // source and report each source's marginal tokens-per-character
+  // slope against the corpus-global fit. This is the source-QA
+  // monitor that catches a feed whose extraction changed (markup
+  // soup inflates chars per token; truncation deflates it) BEFORE
+  // the drop enters training — the model-based sibling of q104's
+  // distributional PSI. Same single-scan shape as q141: one
+  // groupBy(source) Gram aggregate (|sources| rows cross the wire),
+  // a 1-row global Gram (allowlisted q104-style cross join), and
+  // closed-form solves as projections; b1 and the global b1 are
+  // bit-identical cross-engine (q141's no-transcendentals argument),
+  // so the rounded delta matches exactly.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val feats = olsFeatures(s, dir)
+    def gram(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(expr(gramSums.head._2).as(gramSums.head._1),
+        gramSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+    val perSource = gram(feats.groupBy("source"))
+      .withColumn("b1d", expr(olsB1))
+      .withColumn("r2d", expr(olsR2))
+    val global = gram(feats.groupBy())
+      .select(expr(olsB1).as("b1g"))
+    perSource.crossJoin(broadcast(global))
+      .select(col("source"), expr("CAST(n AS BIGINT)").as("n_docs"),
+        expr("round(b1d, 6)").as("b1"),
+        expr("round(b1d - b1g, 6)").as("b1_delta"),
+        expr("round(r2d, 6)").as("r2"))
+      .orderBy("source")
+  }
+
+  private val q149Sql =
+    s"""WITH feats AS ($olsFeatsSql),
+       |gs AS (
+       |  SELECT source, ${gramSums.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM feats GROUP BY source),
+       |gg AS (
+       |  SELECT ${gramSums.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM feats),
+       |m1 AS (SELECT source, n, $olsB1 AS b1d, $olsR2 AS r2d FROM gs),
+       |m2 AS (SELECT $olsB1 AS b1g FROM gg)
+       |SELECT source, CAST(n AS BIGINT) AS n_docs,
+       |  round(b1d, 6) AS b1,
+       |  round(b1d - b1g, 6) AS b1_delta,
+       |  round(r2d, 6) AS r2
+       |FROM m1 CROSS JOIN m2 ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_histogram" -> (q82 _),
     "q83_zscore_outliers" -> (q83 _),
     "q84_gap_stats" -> (q84 _),
     "q87_column_profile" -> (q87 _),
     "q141_ols_grouped" -> (q141 _),
-    "q143_residual_outliers" -> (q143 _))
+    "q143_residual_outliers" -> (q143 _),
+    "q149_source_size_drift" -> (q149 _))
 
   override val oracle: Map[String, String] = Map(
     "q82_histogram" -> q82Sql,
@@ -351,5 +399,6 @@ object Analytics extends QueryModule {
     "q84_gap_stats" -> q84Sql,
     "q87_column_profile" -> q87Sql,
     "q141_ols_grouped" -> q141Sql,
-    "q143_residual_outliers" -> q143Sql)
+    "q143_residual_outliers" -> q143Sql,
+    "q149_source_size_drift" -> q149Sql)
 }

@@ -425,8 +425,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //        1-row corpus-total cross (q106's pattern)
     //   q145 1-row token-total cross join onto the <=64-candidate
     //        exact counts (q104's pattern)
+    //   q149 1-row global-Gram cross join onto the |sources|-row
+    //        per-source model (q104's pattern)
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
-      "q145_heavy_hitters",
+      "q145_heavy_hitters", "q149_source_size_drift",
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
@@ -463,7 +465,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q142_epoch_waterfill",
       // q145: the Misra-Gries global fold (one summary row; per-
       // partition partials merge into it) + the 1-row token total
-      "q145_heavy_hitters")
+      "q145_heavy_hitters",
+      // q149: the 1-row global Gram aggregate (q104's corpus-total
+      // pattern; the per-source Gram exchange is key-sized)
+      "q149_source_size_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

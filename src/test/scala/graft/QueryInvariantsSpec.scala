@@ -244,6 +244,27 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
       s"allocated $tgt of budget $budget")
   }
 
+  test("q149 per-source drift: one row per source, degenerate groups " +
+      "NULL out instead of fabricating a slope") {
+    val df = SparkEntry.queries("q149_source_size_drift")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir)
+      .select("source").distinct().count())
+    // sf0.001 has 2-3 docs per source — fewer observations than
+    // parameters means det == 0 exactly and the guard must emit NULL
+    // (this corpus exercises it; the sf0.01 gate has 25 docs/source
+    // and no NULLs)
+    df.collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      if (r.isNullAt(r.fieldIndex("b1"))) {
+        assert(n <= 3, s"NULL fit with $n docs: $r")
+        assert(r.isNullAt(r.fieldIndex("b1_delta")), r.toString)
+      } else {
+        val r2 = r.getAs[Double]("r2")
+        assert(r2 > 0 && r2 <= 1, s"r2 out of range: $r")
+      }
+    }
+  }
+
   test("q143 residual outliers: descending |resid|, consistent with " +
       "the q141 model") {
     val rows = SparkEntry.queries("q143_residual_outliers")(spark, dir)
