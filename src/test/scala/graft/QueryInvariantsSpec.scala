@@ -244,6 +244,28 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
       s"allocated $tgt of budget $budget")
   }
 
+  test("q128 serve segmentation is COMPLETE: pieces concatenate back " +
+      "to every word, and fertility's piece counts agree") {
+    // lossless-segmentation invariant: BPE may only merge, never drop
+    // or alter symbols — so stripping the piece separators must
+    // reproduce each word exactly, for every word in the serve table
+    val rows = SparkEntry.queries("q128_bpe_serve")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[String]("w")
+      val pieces = r.getAs[String]("pieces")
+      assert(pieces.replace(" ", "") == w,
+        s"segmentation not lossless for '$w': '$pieces'")
+      assert(r.getAs[Long]("n_pieces") == pieces.split(" ").length.toLong)
+    }
+    // q148's weighted fertility must be bounded by the per-word
+    // extremes of the same serve table
+    val fert = SparkEntry.queries("q148_bpe_fertility")(spark, dir)
+      .collect().map(_.getAs[Double]("fertility"))
+    val perWord = rows.map(_.getAs[Long]("n_pieces").toDouble)
+    assert(fert.forall(f => f >= perWord.min && f <= perWord.max))
+  }
+
   test("q149 per-source drift: one row per source, degenerate groups " +
       "NULL out instead of fabricating a slope") {
     val df = SparkEntry.queries("q149_source_size_drift")(spark, dir).cache()
