@@ -255,7 +255,103 @@ object CorpusMaintenance extends QueryModule {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q150 — RELEASE SCORECARD: the one-table summary a corpus release
+  // ships next to its manifest — size, composition, and the two
+  // redundancy numbers (exact-duplicate share at document grain,
+  // duplicated token share at CDC chunk grain) as (metric, value)
+  // rows. Every input is a memoized build the suite already owns
+  // (the tokenized table, the CDC chunk table), so the scorecard's
+  // warm cost is a handful of 1-row aggregates — at 100 TB each is
+  // one map-side-combined pass over cached columns, and the
+  // scorecard is the cheap artifact you regenerate per candidate
+  // release. Exactness: counts are exact integers cast to DOUBLE
+  // (lossless far beyond any corpus size that fits 2^53 documents);
+  // the two shares and the mean round at 6.
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokenized(s, dir)
+    val base = toks.agg(
+      expr("CAST(COUNT(*) AS DOUBLE)").as("docs"),
+      expr("CAST(SUM(CAST(size(toks) AS DECIMAL(38,0))) AS DOUBLE)")
+        .as("tokens"),
+      expr("CAST(COUNT(DISTINCT lang) AS DOUBLE)").as("langs"),
+      expr("CAST(COUNT(DISTINCT source) AS DOUBLE)").as("sources"),
+      expr("CAST(COUNT(DISTINCT md5(concat_ws(' ', toks))) AS DOUBLE)")
+        .as("uniq_fp"))
+    val cdc = Dedup.cdcChunksArr(
+      toks.select("doc_id", "source", "toks"), Seq("source"))
+    val fpCnt = cdc.groupBy("fp").agg(count(lit(1)).as("n_fp"))
+    val dup = cdc.join(fpCnt, "fp").agg(
+      expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS DOUBLE)").as("ct"),
+      expr("CAST(SUM(CASE WHEN n_fp > 1 THEN CAST(n_tok AS DECIMAL(38,0)) " +
+        "ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)").as("cd"))
+    base.crossJoin(dup)
+      .selectExpr(
+        "stack(7, " +
+          "'docs', docs, " +
+          "'tokens', tokens, " +
+          "'langs', langs, " +
+          "'sources', sources, " +
+          "'exact_dup_doc_share', round((docs - uniq_fp) / docs, 6), " +
+          "'cdc_dup_token_share', round(cd / ct, 6), " +
+          "'mean_tokens_per_doc', round(tokens / docs, 6)" +
+          ") AS (metric, value)")
+      .orderBy("metric")
+  }
+
+  private val q150Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       |  FROM documents),
+       |base AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS docs,
+       |    CAST(SUM(CAST(len(l) AS DECIMAL(38,0))) AS DOUBLE) AS tokens,
+       |    CAST(COUNT(DISTINCT lang) AS DOUBLE) AS langs,
+       |    CAST(COUNT(DISTINCT source) AS DOUBLE) AS sources,
+       |    CAST(COUNT(DISTINCT md5(array_to_string(l, ' '))) AS DOUBLE)
+       |      AS uniq_fp
+       |  FROM t),
+       |tok AS (
+       |  SELECT doc_id, source, generate_subscripts(l, 1) - 1 AS pos,
+       |    unnest(l) AS t FROM t),
+       |h AS (SELECT *, ('0x' || substring(md5(t), 1, 8))::BIGINT AS t32
+       |  FROM tok),
+       |b AS (
+       |  SELECT *,
+       |    (LAG(t32, 3, 0) OVER w * 1095912791 + LAG(t32, 2, 0) OVER w * 1062961
+       |     + LAG(t32, 1, 0) OVER w * 1031 + t32) % 16 = 0 AS bdy
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (
+       |  SELECT *, COALESCE(SUM(CASE WHEN bdy THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, chunk, COUNT(*) AS n_tok,
+       |    md5(STRING_AGG(t, ' ' ORDER BY pos)) AS fp
+       |  FROM c GROUP BY doc_id, chunk),
+       |fc AS (SELECT fp, COUNT(*) AS n_fp FROM ch GROUP BY fp),
+       |dup AS (
+       |  SELECT CAST(SUM(CAST(n_tok AS HUGEINT)) AS DOUBLE) AS ct,
+       |    CAST(SUM(CASE WHEN n_fp > 1 THEN CAST(n_tok AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) AS cd
+       |  FROM ch JOIN fc USING (fp))
+       |SELECT metric, value FROM (
+       |  SELECT 'docs' AS metric, docs AS value FROM base
+       |  UNION ALL SELECT 'tokens', tokens FROM base
+       |  UNION ALL SELECT 'langs', langs FROM base
+       |  UNION ALL SELECT 'sources', sources FROM base
+       |  UNION ALL SELECT 'exact_dup_doc_share',
+       |    round((docs - uniq_fp) / docs, 6) FROM base
+       |  UNION ALL SELECT 'cdc_dup_token_share', round(cd / ct, 6)
+       |    FROM dup
+       |  UNION ALL SELECT 'mean_tokens_per_doc', round(tokens / docs, 6)
+       |    FROM base)
+       |ORDER BY metric""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_release_scorecard" -> (q150 _),
     "q66_snapshot_upsert" -> (q66 _),
     "q67_snapshot_diff" -> (q67 _),
     "q68_balanced_sample" -> (q68 _),
@@ -263,6 +359,7 @@ object CorpusMaintenance extends QueryModule {
     "q120_release_manifest" -> (q120 _))
 
   override val oracle: Map[String, String] = Map(
+    "q150_release_scorecard" -> q150Sql,
     "q66_snapshot_upsert" -> q66Sql,
     "q67_snapshot_diff" -> q67Sql,
     "q68_balanced_sample" -> q68Sql,
