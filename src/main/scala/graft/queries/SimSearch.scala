@@ -1714,7 +1714,113 @@ object SimSearch extends QueryModule {
        |      WHERE doc_id % 60 IN (${GeoQueries.winnerTilesSql}))
        |    GROUP BY fp)""".stripMargin)
 
+  // ---------------------------------------------------------------
+  // q151 — MATRYOSHKA truncation curve: recall@5 of brute-force
+  // search over PREFIX-truncated embeddings (dims 8/16/32 vs the
+  // full 64) — the operating table for matryoshka-representation
+  // deployments (Kusupati et al. 2022), where a serve fleet stores
+  // the first d dimensions and needs to know what recall each
+  // truncation buys. ONE pair join computes every prefix dot (the
+  // prefix sums are just filtered dot products); four rank windows
+  // over the same scored table give the per-dim top-5s; recall
+  // counts the overlap with the full-dim truth. Exactness: prefix
+  // dots and norms are exact integer sums of the quantized vectors
+  // (q25's device), so cosines, ranks, and the hit counts are
+  // bit-identical cross-engine; recall = hits/40 is an exact
+  // integer÷integer double, round6 for form.
+  //
+  // Scale: the pair join is the brute oracle shape (8 queries
+  // broadcast over the corpus scan — q25's reviewed non-equi plan);
+  // at deploy scale the truncated search runs through the same IVF
+  // machinery with d-dim codes, and THIS table is how d gets chosen.
+  private val mrlDims = Seq(8, 16, 32, 64)
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-dim ranks memoized+cached: one pair join, four prefix-dot
+    // columns, four rank windows — built once per (session, dir)
+    val rk = graft.CachedPlans.of(s, dir, "mrl_rk") {
+      val corpus = quantized(s, dir)
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+      val queries = quantized(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv"))
+      var scored = corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
+      for (d <- mrlDims) {
+        scored = scored
+          .withColumn(s"cos$d", expr(
+            s"""CAST(vec_dot(slice(qv, 1, $d), slice(cv, 1, $d)) AS DOUBLE)
+               | / (sqrt(CAST(vec_norm_sq(slice(qv, 1, $d)) AS DOUBLE))
+               |    * sqrt(CAST(vec_norm_sq(slice(cv, 1, $d)) AS DOUBLE)))"""
+              .stripMargin))
+          .withColumn(s"r$d", row_number().over(
+            Window.partitionBy("q_id").orderBy(desc(s"cos$d"), col("c_id")))
+            .cast("long"))
+      }
+      scored.select(Seq(col("q_id"), col("c_id")) ++
+        mrlDims.map(d => col(s"r$d")): _*)
+    }
+    val truth = rk.filter(col("r64") <= 5).select("q_id", "c_id")
+    mrlDims.map { d =>
+      rk.filter(col(s"r$d") <= 5)
+        .join(truth, Seq("q_id", "c_id"), "leftsemi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"),
+          expr("CAST(8 AS BIGINT)").as("n_queries"),
+          expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+    }.reduce(_ unionByName _)
+      .orderBy("dim")
+  }
+
+  private val q151Sql = {
+    val dotCols = mrlDims.map(d =>
+      if (d == 64) "CAST(SUM(a.v * b.v) AS BIGINT) AS dot64"
+      else s"CAST(SUM(CASE WHEN a.i <= $d THEN a.v * b.v ELSE 0 END) AS BIGINT) AS dot$d")
+      .mkString(",\n       |    ")
+    val normCols = mrlDims.map(d =>
+      if (d == 64) "CAST(SUM(v * v) AS BIGINT) AS n64"
+      else s"CAST(SUM(CASE WHEN i <= $d THEN v * v ELSE 0 END) AS BIGINT) AS n$d")
+      .mkString(",\n       |    ")
+    val cosCols = mrlDims.map(d =>
+      s"CAST(dot$d AS DOUBLE) / (sqrt(CAST(qn.n$d AS DOUBLE)) * sqrt(CAST(cn.n$d AS DOUBLE))) AS cos$d")
+      .mkString(",\n       |    ")
+    val rankCols = mrlDims.map(d =>
+      s"ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos$d DESC, c_id) AS r$d")
+      .mkString(",\n       |    ")
+    val dimRows = mrlDims.map(d =>
+      s"""SELECT $d AS dim, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM rk JOIN truth USING (q_id, c_id) WHERE r$d <= 5""".stripMargin)
+      .mkString("\n       |  UNION ALL ")
+    s"""$duckPrelude,
+       |dots AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    $dotCols
+       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8
+       |  GROUP BY 1, 2),
+       |nrm AS (
+       |  SELECT vec_id,
+       |    $normCols
+       |  FROM ex GROUP BY vec_id),
+       |sc AS (
+       |  SELECT q_id, c_id,
+       |    $cosCols
+       |  FROM dots
+       |  JOIN nrm qn ON qn.vec_id = q_id
+       |  JOIN nrm cn ON cn.vec_id = c_id),
+       |rk AS (
+       |  SELECT q_id, c_id,
+       |    $rankCols
+       |  FROM sc),
+       |truth AS (SELECT q_id, c_id FROM rk WHERE r64 <= 5),
+       |hits AS (
+       |  $dimRows)
+       |SELECT dim, CAST(8 AS BIGINT) AS n_queries,
+       |  round(CAST(hits AS DOUBLE) / 40.0, 6) AS recall_at_5
+       |FROM hits ORDER BY dim""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_matryoshka_recall" -> (q151 _),
     "q136_ann_recall_curve" -> (q136 _),
     "q137_catalog_to_index" -> (q137 _),
     "q25_knn_brute" -> (q25 _),
@@ -1753,6 +1859,7 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> q94Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
+    "q151_matryoshka_recall" -> q151Sql,
     "q136_ann_recall_curve" -> q136Sql,
     // q137 composes q72's winners into the survivor-restricted IVF-PQ
     // search — the candidate filter carries the whole catalog+dedup

@@ -430,6 +430,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     val bnlOk = Set("q25_knn_brute", "q54_bm25", "q61_tfidf_top_terms",
       "q145_heavy_hitters", "q149_source_size_drift",
       "q150_release_scorecard", // 1-row base × 1-row dup-share cross
+      "q151_matryoshka_recall", // q25's reviewed brute pair-join shape
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
@@ -472,7 +473,9 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q149_source_size_drift",
       // q150: the scorecard's 1-row aggregates (q104's pattern; the
       // corpus-sized inputs are the shared memoized tables)
-      "q150_release_scorecard")
+      "q150_release_scorecard",
+      // q151: per-dim 1-row hit counts off the memoized rank table
+      "q151_matryoshka_recall")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
