@@ -1819,8 +1819,103 @@ object SimSearch extends QueryModule {
        |FROM hits ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q152 — 1-BIT BINARIZATION recall (q151's sibling on the other
+  // compression axis): sign-binarize every embedding and search by
+  // HAMMING distance — the 64×-compression serving mode (binary
+  // embeddings + rescoring) — then score its top-5 against the
+  // full-precision cosine truth, both plain and with the standard
+  // rescue: shortlist 4k by Hamming, re-rank the shortlist by true
+  // cosine. The pair table reuses q151's memoized rank table for
+  // the truth side and the quantized memo for signs; Hamming is an
+  // exact integer sum over sign disagreements, so ranks and hit
+  // counts are bit-identical cross-engine. The curve this row
+  // answers: how much of binary search's loss does shortlist
+  // rescoring buy back.
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hamExpr =
+      "aggregate(zip_with(qv, cv, (x, y) -> CASE WHEN (x > 0) != (y > 0) " +
+        "THEN 1 ELSE 0 END), 0, (a, b) -> a + b)"
+    val rk = graft.CachedPlans.of(s, dir, "bin_rk") {
+      val corpus = quantized(s, dir)
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+          col("n2").as("cn"))
+      val queries = quantized(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv"), col("n2").as("qn"))
+      corpus.join(broadcast(queries), col("c_id") =!= col("q_id"))
+        .withColumn("ham", expr(hamExpr))
+        .withColumn("dot", expr(dotS))
+        .withColumn("cosine", expr(cosS))
+        .withColumn("rham", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("ham"), col("c_id")))
+          .cast("long"))
+        .withColumn("rcos", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cosine"), col("c_id")))
+          .cast("long"))
+        .withColumn("rresc", row_number().over(
+          Window.partitionBy(col("q_id"), col("rham") <= 20)
+            .orderBy(desc("cosine"), col("c_id")))
+          .cast("long"))
+        .select("q_id", "c_id", "ham", "rham", "rcos", "rresc")
+    }
+    val truth = rk.filter(col("rcos") <= 5).select("q_id", "c_id")
+    val plain = rk.filter(col("rham") <= 5)
+      .join(truth, Seq("q_id", "c_id"), "leftsemi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("hamming_top5").as("mode"),
+        expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+    val rescored = rk.filter(col("rham") <= 20 && col("rresc") <= 5)
+      .join(truth, Seq("q_id", "c_id"), "leftsemi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("hamming20_rescored").as("mode"),
+        expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+    plain.unionByName(rescored).orderBy("mode")
+  }
+
+  private val q152Sql =
+    s"""$duckPrelude,
+       |pairs AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    CAST(SUM(CASE WHEN (a.v > 0) <> (b.v > 0) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ham,
+       |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT q_id, c_id, ham,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+       |      * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM pairs
+       |  JOIN n qn ON qn.vec_id = q_id
+       |  JOIN n cn ON cn.vec_id = c_id),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ham, c_id) AS rham,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id)
+       |      AS rcos
+       |  FROM sc),
+       |rk2 AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id, (rham <= 20)
+       |      ORDER BY cosine DESC, c_id) AS rresc
+       |  FROM rk),
+       |truth AS (SELECT q_id, c_id FROM rk2 WHERE rcos <= 5)
+       |SELECT mode, recall_at_5 FROM (
+       |  SELECT 'hamming_top5' AS mode,
+       |    round(CAST(COUNT(*) AS DOUBLE) / 40.0, 6) AS recall_at_5
+       |  FROM rk2 JOIN truth USING (q_id, c_id) WHERE rham <= 5
+       |  UNION ALL
+       |  SELECT 'hamming20_rescored',
+       |    round(CAST(COUNT(*) AS DOUBLE) / 40.0, 6)
+       |  FROM rk2 JOIN truth USING (q_id, c_id)
+       |  WHERE rham <= 20 AND rresc <= 5)
+       |ORDER BY mode""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_matryoshka_recall" -> (q151 _),
+    "q152_binary_hamming" -> (q152 _),
     "q136_ann_recall_curve" -> (q136 _),
     "q137_catalog_to_index" -> (q137 _),
     "q25_knn_brute" -> (q25 _),
@@ -1860,6 +1955,7 @@ object SimSearch extends QueryModule {
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
     "q151_matryoshka_recall" -> q151Sql,
+    "q152_binary_hamming" -> q152Sql,
     "q136_ann_recall_curve" -> q136Sql,
     // q137 composes q72's winners into the survivor-restricted IVF-PQ
     // search — the candidate filter carries the whole catalog+dedup

@@ -431,6 +431,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q145_heavy_hitters", "q149_source_size_drift",
       "q150_release_scorecard", // 1-row base × 1-row dup-share cross
       "q151_matryoshka_recall", // q25's reviewed brute pair-join shape
+      "q152_binary_hamming", // same brute pair-join + truth anchor
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
@@ -475,7 +476,9 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // corpus-sized inputs are the shared memoized tables)
       "q150_release_scorecard",
       // q151: per-dim 1-row hit counts off the memoized rank table
-      "q151_matryoshka_recall")
+      "q151_matryoshka_recall",
+      // q152: two 1-row hit counts off the memoized binary rank table
+      "q152_binary_hamming")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
