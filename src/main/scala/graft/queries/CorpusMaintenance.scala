@@ -350,7 +350,81 @@ object CorpusMaintenance extends QueryModule {
        |    FROM base)
        |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q153 — KOLMOGOROV–SMIRNOV drift per source: the max CDF gap
+  // between each source's document-length distribution and the
+  // corpus — the nonparametric sibling of q104's PSI (PSI needs
+  // bucketing and is insensitive to WHERE mass moved; KS is
+  // bucket-free and localizes the worst divergence, reported here as
+  // `at_len`). Exact evaluation on the full discrete support: the
+  // grid is |sources| × |distinct lengths| (key-cardinality — at
+  // 100 TB lengths are a bounded integer support, never data-sized),
+  // source CDFs come from per-source cumulative counts over that
+  // grid, and every F(x) is one correctly-rounded integer÷integer
+  // divide — so the gaps, the max, and its argmax (min length on
+  // ties) are bit-identical cross-engine.
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val lens = TextAnalysis.tokenized(s, dir)
+      .select(col("source"), expr("CAST(size(toks) AS BIGINT)").as("len"))
+    val srcLen = lens.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val support = lens.groupBy("len").agg(count(lit(1)).as("cc"))
+    val nSrc = lens.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val wLen = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCorp = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val corpCdf = support
+      .withColumn("cum_c", sum("cc").over(wCorp))
+      .withColumn("nn", sum("cc").over(Window.partitionBy()))
+    val grid = nSrc.crossJoin(broadcast(corpCdf.select("len", "cum_c", "nn")))
+      .join(srcLen, Seq("source", "len"), "left")
+      .withColumn("cum_s", coalesce(sum("c").over(wLen), lit(0L)))
+      .withColumn("gap", expr(
+        "abs(CAST(cum_s AS DOUBLE) / CAST(n_docs AS DOUBLE) " +
+          "- CAST(cum_c AS DOUBLE) / CAST(nn AS DOUBLE))"))
+    val wPick = Window.partitionBy("source")
+      .orderBy(desc("gap"), col("len"))
+    grid
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("n_docs"),
+        expr("round(gap, 6)").as("ks"), col("len").as("at_len"))
+      .orderBy("source")
+  }
+
+  private val q153Sql =
+    s"""WITH lens AS (
+       |  SELECT source, CAST(len($toksD) AS BIGINT) AS len FROM documents),
+       |sl AS (SELECT source, len, COUNT(*) AS c FROM lens GROUP BY 1, 2),
+       |sup AS (SELECT len, COUNT(*) AS cc FROM lens GROUP BY len),
+       |ns AS (SELECT source, COUNT(*) AS n_docs FROM lens GROUP BY source),
+       |cc AS (
+       |  SELECT len,
+       |    SUM(cc) OVER (ORDER BY len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+       |    SUM(cc) OVER () AS nn
+       |  FROM sup),
+       |grid AS (
+       |  SELECT ns.source, ns.n_docs, cc.len, cc.cum_c, cc.nn,
+       |    COALESCE(SUM(sl.c) OVER (PARTITION BY ns.source ORDER BY cc.len
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cum_s
+       |  FROM ns CROSS JOIN cc
+       |  LEFT JOIN sl ON sl.source = ns.source AND sl.len = cc.len),
+       |gaps AS (
+       |  SELECT *,
+       |    abs(CAST(cum_s AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      - CAST(cum_c AS DOUBLE) / CAST(nn AS DOUBLE)) AS gap
+       |  FROM grid),
+       |pick AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY gap DESC, len) AS rk
+       |  FROM gaps)
+       |SELECT source, n_docs, round(gap, 6) AS ks, len AS at_len
+       |FROM pick WHERE rk = 1
+       |ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ks_drift" -> (q153 _),
     "q150_release_scorecard" -> (q150 _),
     "q66_snapshot_upsert" -> (q66 _),
     "q67_snapshot_diff" -> (q67 _),
@@ -360,6 +434,7 @@ object CorpusMaintenance extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q150_release_scorecard" -> q150Sql,
+    "q153_ks_drift" -> q153Sql,
     "q66_snapshot_upsert" -> q66Sql,
     "q67_snapshot_diff" -> q67Sql,
     "q68_balanced_sample" -> q68Sql,

@@ -432,6 +432,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q150_release_scorecard", // 1-row base × 1-row dup-share cross
       "q151_matryoshka_recall", // q25's reviewed brute pair-join shape
       "q152_binary_hamming", // same brute pair-join + truth anchor
+      "q153_ks_drift", // |sources| x |support| grid cross (key-sized)
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
@@ -478,7 +479,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q151: per-dim 1-row hit counts off the memoized rank table
       "q151_matryoshka_recall",
       // q152: two 1-row hit counts off the memoized binary rank table
-      "q152_binary_hamming")
+      "q152_binary_hamming",
+      // q153: the corpus-CDF window over the |support|-row aggregate
+      // (q77's pattern) + its 1-row total
+      "q153_ks_drift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
