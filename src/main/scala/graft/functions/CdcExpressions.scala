@@ -142,11 +142,16 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
 }
 
 object CdcFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("cdc_chunks"),
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cdc_chunks",
       new ExpressionInfo(classOf[CdcChunks].getName, null, "cdc_chunks",
         "cdc_chunks(toks) - content-defined chunks with md5 fingerprints",
         "", "", "", "", "4.0.0", "", "scala_udf"),
-      (e: Seq[Expression]) => CdcChunks(e.head))
+      (e: Seq[Expression]) => CdcChunks(e.head)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
 }

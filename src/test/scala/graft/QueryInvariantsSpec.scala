@@ -266,6 +266,46 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(fert.forall(f => f >= perWord.min && f <= perWord.max))
   }
 
+  test("q151/q152 recall curves: bounded, truth anchors exact") {
+    val mrl = SparkEntry.queries("q151_matryoshka_recall")(spark, dir)
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("recall_at_5"))
+      .toMap
+    assert(mrl.keySet == Set(8, 16, 32, 64))
+    assert(mrl.values.forall(v => v >= 0 && v <= 1))
+    // the full-dim "truncation" is the truth against itself
+    assert(mrl(64) == 1.0)
+    val ham = SparkEntry.queries("q152_binary_hamming")(spark, dir)
+      .collect().map(r => r.getAs[String]("mode") -> r.getAs[Double]("recall_at_5"))
+      .toMap
+    assert(ham.keySet == Set("hamming_top5", "hamming20_rescored"))
+    assert(ham.values.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("q153 KS drift: statistic in [0,1], argmax length is in the " +
+      "corpus support, and the gap is reproducible from raw counts") {
+    val rows = SparkEntry.queries("q153_ks_drift")(spark, dir)
+      .collect()
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("source",
+        "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT) AS len")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val support = docs.map(_._2).toSet
+    val n = docs.length.toDouble
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0 && ks <= 1, r.toString)
+      val at = r.getAs[Long]("at_len")
+      assert(support.contains(at), s"argmax $at not in support")
+      // independent recomputation of the gap at the reported length
+      val src = r.getAs[String]("source")
+      val ns = docs.count(_._1 == src).toDouble
+      val fs = docs.count(d => d._1 == src && d._2 <= at) / ns
+      val fc = docs.count(_._2 <= at) / n
+      assert(math.abs(math.abs(fs - fc) - ks) < 1e-6,
+        s"$src: reported $ks vs recomputed ${math.abs(fs - fc)}")
+    }
+  }
+
   test("q149 per-source drift: one row per source, degenerate groups " +
       "NULL out instead of fabricating a slope") {
     val df = SparkEntry.queries("q149_source_size_drift")(spark, dir).cache()

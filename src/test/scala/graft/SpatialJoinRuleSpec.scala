@@ -168,6 +168,14 @@ class SpatialJoinRuleSpec extends AnyFunSuite with SharedSpark {
         .map(x => (x.getString(0), x.getString(1))).toSet
       finally ext.conf.set("spark.graft.spatial.autoGridJoin", "true")
       assert(got.toSet == brute, "pair set diverged")
+      // the extensions install also carries the whole function
+      // surface: geometry, vector kernels, and the CDC chunker are
+      // callable by SQL name with no explicit register()
+      val chunks = ext.sql(
+        "SELECT size(cdc_chunks(array('a','b','c','d','e'))) AS n").collect()
+      assert(chunks.head.getInt(0) >= 1)
+      assert(ext.sql("SELECT vec_dot(array(1L, 2L), array(3L, 4L))")
+        .collect().head.getLong(0) == 11L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
