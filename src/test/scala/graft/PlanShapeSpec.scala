@@ -433,6 +433,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q151_matryoshka_recall", // q25's reviewed brute pair-join shape
       "q152_binary_hamming", // same brute pair-join + truth anchor
       "q153_ks_drift", // |sources| x |support| grid cross (key-sized)
+      "q154_bitext_mining", // q25's brute shape: zh slice broadcasts
       "q82_histogram", "q85_triangles", "q81_auto_spatial_join",
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
