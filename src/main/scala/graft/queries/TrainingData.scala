@@ -557,7 +557,107 @@ object TrainingData extends QueryModule {
        |  capped
        |FROM fin ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q155 — DEDUP-INDUCED MIXTURE SHIFT: temperature weights (q77's
+  // √-token rule) computed BEFORE and AFTER chunk-grain dedup, with
+  // the per-language delta — the planning gotcha this row quantifies
+  // is that dedup is never language-neutral (a language whose crawl
+  // repeats more boilerplate loses more mass), so a mixture tuned on
+  // the raw corpus silently shifts after curation; the release plan
+  // must use post-dedup weights. Dedup runs at the CDC chunk grain
+  // (q144's device — this corpus has ZERO exact-duplicate documents
+  // but 7.3% duplicated chunk tokens, so document-grain dedup would
+  // make this row a no-op): each distinct chunk fingerprint counts
+  // ONCE, attributed to its first owner's language (min (doc_id,
+  // chunk) — deterministic). Both weight sets are |langs|-row
+  // aggregates; exactness is integer token sums + IEEE sqrt +
+  // round6 (q77's argument), and the shift subtracts two
+  // identically-computed doubles.
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tok"), col("toks"))
+    val chunks = Dedup.cdcChunksArr(tok.select("doc_id", "lang", "toks"),
+      Seq("lang"))
+    val wFp = Window.partitionBy("fp").orderBy("doc_id", "chunk")
+    val firstSeen = chunks
+      .withColumn("rk", row_number().over(wFp))
+      .filter(col("rk") === 1)
+    val w = Window.partitionBy()
+    def weights(df: DataFrame, tag: String) =
+      df.groupBy("lang")
+        .agg(expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)")
+          .as(s"${tag}_tokens"))
+        .withColumn(s"${tag}_w",
+          expr(s"sqrt(CAST(${tag}_tokens AS DOUBLE))"))
+        .withColumn(s"${tag}_weight",
+          col(s"${tag}_w") / sum(col(s"${tag}_w")).over(w))
+        .drop(s"${tag}_w")
+    weights(tok, "pre")
+      .join(weights(firstSeen, "post"), "lang")
+      .select(col("lang"), col("pre_tokens"), col("post_tokens"),
+        expr("round(pre_weight, 6)").as("pre_weight"),
+        expr("round(post_weight, 6)").as("post_weight"),
+        expr("round(post_weight - pre_weight, 6)").as("weight_shift"))
+      .orderBy("lang")
+  }
+
+  private val q155Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, lang, generate_subscripts(l, 1) - 1 AS pos,
+       |    unnest(l) AS tk FROM t),
+       |h AS (SELECT *, ('0x' || substring(md5(tk), 1, 8))::BIGINT AS t32
+       |  FROM tok),
+       |b AS (
+       |  SELECT *,
+       |    (LAG(t32, 3, 0) OVER w * 1095912791 + LAG(t32, 2, 0) OVER w * 1062961
+       |     + LAG(t32, 1, 0) OVER w * 1031 + t32) % 16 = 0 AS bdy
+       |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |c AS (
+       |  SELECT *, COALESCE(SUM(CASE WHEN bdy THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM b),
+       |ch AS (
+       |  SELECT doc_id, lang, chunk, COUNT(*) AS n_tok,
+       |    md5(STRING_AGG(tk, ' ' ORDER BY pos)) AS fp
+       |  FROM c GROUP BY doc_id, lang, chunk),
+       |fs AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+       |      ORDER BY doc_id, chunk) AS rk
+       |    FROM ch) WHERE rk = 1),
+       |pre AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(len(l) AS DECIMAL(38,0))) AS BIGINT) AS pre_tokens
+       |  FROM t GROUP BY lang),
+       |post AS (
+       |  SELECT lang,
+       |    CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT) AS post_tokens
+       |  FROM fs GROUP BY lang),
+       |pw AS (
+       |  SELECT lang, pre_tokens,
+       |    sqrt(CAST(pre_tokens AS DOUBLE))
+       |      / SUM(sqrt(CAST(pre_tokens AS DOUBLE))) OVER () AS pre_weight
+       |  FROM pre),
+       |qw AS (
+       |  SELECT lang, post_tokens,
+       |    sqrt(CAST(post_tokens AS DOUBLE))
+       |      / SUM(sqrt(CAST(post_tokens AS DOUBLE))) OVER () AS post_weight
+       |  FROM post)
+       |SELECT lang, pre_tokens, post_tokens,
+       |  round(pre_weight, 6) AS pre_weight,
+       |  round(post_weight, 6) AS post_weight,
+       |  round(post_weight - pre_weight, 6) AS weight_shift
+       |FROM pw JOIN qw USING (lang)
+       |ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_dedup_mixture_shift" -> (q155 _),
     "q142_epoch_waterfill" -> (q142 _),
     "q48_shard_pack" -> (q48 _),
     "q49_stratified_sample" -> (q49 _),
@@ -570,6 +670,7 @@ object TrainingData extends QueryModule {
     "q118_split_partitioned" -> (q118 _))
 
   override val oracle: Map[String, String] = Map(
+    "q155_dedup_mixture_shift" -> q155Sql,
     "q142_epoch_waterfill" -> q142Sql,
     "q48_shard_pack" -> q48Sql,
     "q49_stratified_sample" -> q49Sql,

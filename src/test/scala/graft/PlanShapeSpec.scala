@@ -483,7 +483,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q152_binary_hamming",
       // q153: the corpus-CDF window over the |support|-row aggregate
       // (q77's pattern) + its 1-row total
-      "q153_ks_drift")
+      "q153_ks_drift",
+      // q155: the two |langs|-row weight-normalizing windows (q77's
+      // pattern; corpus-sized work is the scan + chunk rollup)
+      "q155_dedup_mixture_shift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
