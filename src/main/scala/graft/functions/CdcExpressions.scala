@@ -74,7 +74,22 @@ object CdcKernel {
   /** toks: ARRAY<STRING> → ARRAY<STRUCT<chunk BIGINT, n_tok BIGINT,
     * fp STRING>> in chunk order.
     */
-  def chunks(toks: ArrayData): ArrayData = {
+  def chunks(toks: ArrayData): ArrayData = chunksClamped(toks, 1, Int.MaxValue)
+
+  /** FastCDC-style length normalization: boundaries inside the first
+    * `minLen − 1` tokens of a chunk are SUPPRESSED, and a chunk is
+    * force-cut at `maxLen` tokens — the production guards against the
+    * pathological tails of pure content-defined chunking (a run of
+    * boundary-hash tokens sprays 1-token chunks; boundary-free
+    * content never cuts at all). The documented tradeoff: every
+    * suppression/force-cut is a POSITION-dependent decision, so the
+    * re-synchronization property weakens locally — after an edit,
+    * chunking realigns at the first unsuppressed content boundary
+    * past a min-length window rather than within the 4-token hash
+    * window (CdcSpec pins that the tail still re-syncs). The default
+    * (minLen=1, maxLen=∞) is the pure form the q144 oracle certifies.
+    */
+  def chunksClamped(toks: ArrayData, minLen: Int, maxLen: Int): ArrayData = {
     val n = toks.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val tokBytes = new Array[Array[Byte]](n)
@@ -95,7 +110,9 @@ object CdcKernel {
         (if (i >= 2) t32(i - 2) * B2 else 0L) +
         (if (i >= 1) t32(i - 1) * B else 0L) + t32(i)
       val last = i == n - 1
-      if (h % 16 == 0 || last) {
+      val curLen = i - start + 1
+      val cut = (h % 16 == 0 && curLen >= minLen) || curLen >= maxLen
+      if (cut || last) {
         // chunk = tokens [start..i]; fingerprint the space-joined run
         var len = -1
         var j = start
@@ -141,13 +158,47 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
   override def prettyName: String = "cdc_chunks"
 }
 
+/** cdc_chunks(array<string>, minLen, maxLen) — the length-normalized
+  * form (see [[CdcKernel.chunksClamped]]).
+  */
+case class CdcChunksClamped(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRING>, INT, INT), got $other")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(a: Any, mn: Any, mx: Any): Any =
+    CdcKernel.chunksClamped(a.asInstanceOf[ArrayData],
+      mn.asInstanceOf[Int], mx.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, mn, mx) =>
+      s"graft.functions.CdcKernel.chunksClamped($a, $mn, $mx)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): CdcChunksClamped = copy(a, b, c)
+  override def prettyName: String = "cdc_chunks"
+}
+
 object CdcFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cdc_chunks",
       new ExpressionInfo(classOf[CdcChunks].getName, null, "cdc_chunks",
-        "cdc_chunks(toks) - content-defined chunks with md5 fingerprints",
+        "cdc_chunks(toks[, minLen, maxLen]) - content-defined chunks " +
+          "with md5 fingerprints (optionally length-normalized)",
         "", "", "", "", "4.0.0", "", "scala_udf"),
-      (e: Seq[Expression]) => CdcChunks(e.head)))
+      (e: Seq[Expression]) => e match {
+        case Seq(a) => CdcChunks(a)
+        case Seq(a, mn, mx) => CdcChunksClamped(a, mn, mx)
+        case other => throw new IllegalArgumentException(
+          s"cdc_chunks takes 1 or 3 arguments, got ${other.size}")
+      }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -110,6 +110,37 @@ class CdcSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("length clamps: no short chunks except doc tails, hard max, " +
+      "re-sync survives, unclamped call unchanged") {
+    graft.functions.CdcFunctions.register(spark)
+    import spark.implicits._
+    def clamped(docs: Map[Long, Seq[String]], mn: Int, mx: Int) =
+      docs.toSeq.map { case (id, ts) => (id, ts) }.toDF("doc_id", "toks")
+        .selectExpr("doc_id", s"explode(cdc_chunks(toks, $mn, $mx)) AS c")
+        .select(col("doc_id"), col("c.chunk"), col("c.n_tok"), col("c.fp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = clamped(Map(1L -> base), 8, 24)
+    // every chunk within [8, 24] except possibly the document tail
+    val byChunk = rows.sortBy(_._2)
+    byChunk.dropRight(1).foreach { case (_, c, n, _) =>
+      assert(n >= 8 && n <= 24, s"chunk $c length $n violates clamps")
+    }
+    assert(byChunk.last._3 <= 24)
+    assert(rows.map(_._3).sum == base.size.toLong) // still a partition
+    // re-sync: a front insertion still leaves most tail chunks intact
+    val edited = base.take(5) ++ Seq("ins", "erted") ++ base.drop(5)
+    val a = clamped(Map(1L -> base), 8, 24).map(_._4)
+    val b = clamped(Map(2L -> edited), 8, 24).map(_._4).toSet
+    val lost = a.filterNot(b)
+    assert(lost.size <= a.size / 2,
+      s"clamped chunking lost ${lost.size} of ${a.size} chunks")
+    // the 1-arg SQL form still equals the pure kernel
+    val pure1 = clamped(Map(1L -> base), 1, Int.MaxValue).map(_._4).sorted
+    val pure2 = chunks(Map(1L -> base))(1L).map(_._1).sorted
+    assert(pure1.toSeq == pure2)
+  }
+
   test("chunks are shift-invariant across documents: a shared tail " +
       "dedups even when prefixes differ completely") {
     val prefix1 = Seq.fill(37)("p" + rng.nextInt(100))
