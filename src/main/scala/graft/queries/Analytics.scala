@@ -384,7 +384,63 @@ object Analytics extends QueryModule {
        |  round(r2d, 6) AS r2
        |FROM m1 CROSS JOIN m2 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q156 — JOIN-KEY SKEW report: for each candidate join key of the
+  // fact table, the hottest key, its frequency, and the skew factor
+  // (hottest / mean = max_cnt·n_keys / total) — the pre-join audit
+  // that decides whether a shuffle join needs salting (q93's
+  // operator) or AQE skew handling BEFORE the 100 TB job stalls on
+  // one reducer. One fact scan (stack is a per-row generator — the
+  // three key streams never re-scan), one keyed aggregation, then
+  // key-cardinality windows per column. All counts exact; the one
+  // ratio is exact-int÷exact-int, round6.
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    // the (col_name, key) count table is the reusable profile — a
+    // skew audit runs per candidate join, so it memoizes; the rollup
+    // is ONE aggregation per column with the hottest key found by a
+    // struct arg-max (cnt desc, then MIN key via negated tiebreak —
+    // exact integers, no per-column sort). The oracle keeps the
+    // independent rank-window formulation, so the gate also
+    // certifies the argmax-vs-window equivalence.
+    val counts = graft.CachedPlans.of(s, dir, "skew_counts") {
+      T.lineitem(s, dir)
+        .selectExpr("stack(3, 'l_orderkey', l_orderkey, " +
+          "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) AS (col_name, key)")
+        .groupBy("col_name", "key").agg(count(lit(1)).as("cnt"))
+    }
+    counts.groupBy("col_name")
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+        max(struct(col("cnt"), (-col("key")).as("nk"), col("key"))).as("m"))
+      .select(col("col_name"), col("n_keys"),
+        col("m.key").as("top_key"), col("m.cnt").as("top_cnt"),
+        expr("round(CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
+          "/ CAST(total AS DOUBLE), 6)").as("skew_factor"))
+      .orderBy("col_name")
+  }
+
+  private val q156Sql =
+    """WITH k AS (
+      |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS key
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem),
+      |c AS (SELECT col_name, key, COUNT(*) AS cnt FROM k GROUP BY 1, 2),
+      |s AS (
+      |  SELECT *,
+      |    COUNT(*) OVER (PARTITION BY col_name) AS n_keys,
+      |    SUM(cnt) OVER (PARTITION BY col_name) AS total,
+      |    ROW_NUMBER() OVER (PARTITION BY col_name
+      |      ORDER BY cnt DESC, key) AS rk
+      |  FROM c)
+      |SELECT col_name, CAST(n_keys AS BIGINT) AS n_keys,
+      |  key AS top_key, cnt AS top_cnt,
+      |  round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(total AS DOUBLE), 6) AS skew_factor
+      |FROM s WHERE rk = 1
+      |ORDER BY col_name""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_join_skew_report" -> (q156 _),
     "q82_histogram" -> (q82 _),
     "q83_zscore_outliers" -> (q83 _),
     "q84_gap_stats" -> (q84 _),
@@ -394,6 +450,7 @@ object Analytics extends QueryModule {
     "q149_source_size_drift" -> (q149 _))
 
   override val oracle: Map[String, String] = Map(
+    "q156_join_skew_report" -> q156Sql,
     "q82_histogram" -> q82Sql,
     "q83_zscore_outliers" -> q83Sql,
     "q84_gap_stats" -> q84Sql,
