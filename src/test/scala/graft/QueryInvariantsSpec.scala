@@ -266,6 +266,23 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     assert(fert.forall(f => f >= perWord.min && f <= perWord.max))
   }
 
+  test("q156 skew report: factor >= 1 by construction, key counts " +
+      "match independent distincts") {
+    val rows = SparkEntry.queries("q156_join_skew_report")(spark, dir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // max >= mean always, so the factor cannot dip below 1
+      assert(r.getAs[Double]("skew_factor") >= 1.0, r.toString)
+    }
+    val nk = rows.map(r =>
+      r.getAs[String]("col_name") -> r.getAs[Long]("n_keys")).toMap
+    val li = Tables.lineitem(spark, dir)
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { c =>
+      assert(nk(c) == li.select(c).distinct().count(), c)
+    }
+  }
+
   test("q151/q152 recall curves: bounded, truth anchors exact") {
     val mrl = SparkEntry.queries("q151_matryoshka_recall")(spark, dir)
       .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("recall_at_5"))
