@@ -592,7 +592,69 @@ object PipelineOps extends QueryModule {
        |FROM sc JOIN documents dd ON dd.doc_id = sc.doc_id
        |ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q157 — PERCENTILE LENGTH FILTER: the standard curation trim —
+  // per language, the p2/p98 token-length fences and what they cut
+  // (truncated fragments below, concatenation/markup blobs above) as
+  // kept / dropped-short / dropped-long counts with the dropped
+  // token mass. Per-language fences, not global: a CJK-vs-alphabetic
+  // length distribution difference must not make one language's
+  // normal the other's outlier. Two passes: a |langs|-row percentile
+  // aggregate (Spark `percentile` ≡ DuckDB `quantile_cont` — the
+  // q51-certified device: order statistics + linear interpolation on
+  // exact integer lengths are identical doubles), joined back onto
+  // the cached token table; the fence comparisons are double-vs-int,
+  // identical cross-engine. Counts/sums exact; the one ratio round6.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val lens = TextAnalysis.tokenized(s, dir)
+      .select(col("lang"), expr("CAST(size(toks) AS BIGINT)").as("n_tok"))
+    val fences = lens.groupBy("lang").agg(
+      expr("percentile(n_tok, 0.02)").as("p_lo"),
+      expr("percentile(n_tok, 0.98)").as("p_hi"))
+    lens.join(broadcast(fences), "lang")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") < col("p_lo"), 1L).otherwise(0L))
+          .as("dropped_short"),
+        sum(when(col("n_tok") > col("p_hi"), 1L).otherwise(0L))
+          .as("dropped_long"),
+        sum(when(col("n_tok") < col("p_lo") || col("n_tok") > col("p_hi"),
+          col("n_tok")).otherwise(0L)).as("tokens_dropped"),
+        expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)")
+          .as("tokens_total"))
+      .select(col("lang"), col("n_docs"), col("dropped_short"),
+        col("dropped_long"), col("tokens_dropped"),
+        expr("round(CAST(tokens_dropped AS DOUBLE) " +
+          "/ CAST(tokens_total AS DOUBLE), 6)").as("drop_ratio"))
+      .orderBy("lang")
+  }
+
+  private val q157Sql =
+    s"""WITH lens AS (
+       |  SELECT lang, $nTok110D AS n_tok FROM documents),
+       |f AS (
+       |  SELECT lang,
+       |    quantile_cont(n_tok, 0.02) AS p_lo,
+       |    quantile_cont(n_tok, 0.98) AS p_hi
+       |  FROM lens GROUP BY lang)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_tok < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dropped_short,
+       |  CAST(SUM(CASE WHEN n_tok > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dropped_long,
+       |  CAST(SUM(CASE WHEN n_tok < p_lo OR n_tok > p_hi THEN n_tok
+       |    ELSE 0 END) AS BIGINT) AS tokens_dropped,
+       |  round(CAST(SUM(CASE WHEN n_tok < p_lo OR n_tok > p_hi THEN n_tok
+       |      ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS DOUBLE), 6)
+       |    AS drop_ratio
+       |FROM lens JOIN f USING (lang)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_length_filter" -> (q157 _),
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
     "q75_repetition" -> (q75 _),
@@ -607,6 +669,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q157_length_filter" -> q157Sql,
     "q73_funnel" -> q73Sql,
     "q74_session_coverage" -> q74Sql,
     "q75_repetition" -> q75Sql,
