@@ -266,6 +266,10 @@ object IndexStore {
           // no hard links on this volume: fall back to probed rename
           !fs.exists(dst) && fs.rename(tmp, dst)
       }
+      // NOT a TOCTOU: the rename is the decision point. The scheme
+      // matrix only admits filesystems whose rename REFUSES an
+      // existing destination; the exists-probe is an advisory fast
+      // path (skip staging churn when the version is visibly taken).
     } else if (atomicRenameSchemes(scheme)) !fs.exists(dst) && fs.rename(tmp, dst)
     else publishByMarker(fs, tmp, dst)
   }
@@ -357,6 +361,85 @@ object IndexStore {
       fs.delete(data, false)
       false
     }
+  }
+
+  /** What [[recoverWedge]] did per wedged version: `completed` were
+    * decided-but-unpublished commits finished from the winner's
+    * intact staged body; `cleared` were dead markers deleted
+    * (unwedging the version number); `skipped` were younger than
+    * `minAgeMs` and left alone (indistinguishable from in-flight).
+    */
+  case class WedgeRecovery(completed: Seq[Long], cleared: Seq[Long],
+      skipped: Seq[Long])
+
+  /** Recover marker-protocol wedges (see [[publishByMarker]]): a
+    * winner that crashed between DECIDE and publish leaves a
+    * `.winner-` marker with no published manifest, and every later
+    * contender for that version loses to the dead marker. For each
+    * such marker older than `minAgeMs` (the quiesce bound — a younger
+    * marker may be a live commit between its create and its publish
+    * rename, so it is reported `skipped`, never touched):
+    *
+    *   - marker uuid readable AND the winner's staged body intact →
+    *     COMPLETE the decided commit (rename body into place — the
+    *     same idempotent completion a racing loser performs), then
+    *     delete the marker;
+    *   - uuid unreadable/empty, or the staged body lost → the commit
+    *     can never complete; DELETE the marker so the next contender
+    *     for that version number can win it.
+    *
+    * Safe against a concurrent recoverer: completion renames a
+    * unique-named source (one rename wins, the rest fail on a gone
+    * source and observe the published dst); marker deletes are
+    * idempotent. Returns what happened per version.
+    */
+  def recoverWedge(s: SparkSession, out: String,
+      minAgeMs: Long = 3600000L): WedgeRecovery = {
+    val (fs, dir) = hfs(s, manifestsDir(out))
+    if (!fs.exists(dir)) return WedgeRecovery(Nil, Nil, Nil)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def aged(m: Long): Boolean = minAgeMs <= 0L || m < cutoff
+    val markerRe = "^\\.winner-(v(\\d{9})\\.manifest)$".r
+    val completed = Seq.newBuilder[Long]
+    val cleared = Seq.newBuilder[Long]
+    val skipped = Seq.newBuilder[Long]
+    fs.listStatus(dir).toSeq.foreach { st =>
+      st.getPath.getName match {
+        case markerRe(dstName, vDigits) =>
+          val version = vDigits.toLong
+          val dst = new Path(dir, dstName)
+          if (!fs.exists(dst)) {
+            if (!aged(st.getModificationTime)) skipped += version
+            else {
+              val uuid =
+                try {
+                  val in = fs.open(st.getPath)
+                  try {
+                    val buf = new java.io.ByteArrayOutputStream()
+                    org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096,
+                      false)
+                    new String(buf.toByteArray,
+                      java.nio.charset.StandardCharsets.UTF_8).trim
+                  } finally in.close()
+                } catch { case _: java.io.IOException => "" }
+              val body = if (uuid.isEmpty) None
+                else Some(markerDataPath(dst, uuid)).filter(fs.exists)
+              body match {
+                case Some(data) =>
+                  if (fs.rename(data, dst) || fs.exists(dst)) {
+                    fs.delete(st.getPath, false)
+                    completed += version
+                  } else skipped += version // rename lost, dst gone: retry later
+                case None =>
+                  fs.delete(st.getPath, false)
+                  cleared += version
+              }
+            }
+          } // marker of a published version: settled residue, vacuum's job
+        case _ =>
+      }
+    }
+    WedgeRecovery(completed.result(), cleared.result(), skipped.result())
   }
 
   /** The optimistic commit loop: try to publish on top of `base`; on

@@ -1958,12 +1958,17 @@ object SimSearch extends QueryModule {
         .withColumn("margin", col("cosine") - col("runner_up"))
         .select(col("en_id"), col("zh_id"), col("cosine"), col("margin"))
     }
+    // The top-20 cut orders on the UNROUNDED margin (the oracle's
+    // ORDER BY (cosine - runner_up)); rounding happens only in the
+    // final projection. Ordering on the rounded alias would tie two
+    // pairs whose unrounded margins differ but round to the same
+    // 1e-6 step, flipping the order near the LIMIT cut.
     mined
+      .orderBy(desc("margin"), col("en_id"))
+      .limit(20)
       .select(col("en_id"), col("zh_id"),
         expr("round(cosine, 6)").as("cosine"),
         expr("round(margin, 6)").as("margin"))
-      .orderBy(desc("margin"), col("en_id"))
-      .limit(20)
   }
 
   private val q154Sql =

@@ -290,13 +290,17 @@ class ODataPartitionReader(part: ODataInputPartition)
         Iterator.single(part.aggOps.map {
           case ("count", _) => nodes.size.toLong
           case (op, col) =>
+            // Compare as UTF8String (UTF-8 byte order), not java.lang
+            // .String (UTF-16 code units): the pushdown is declared
+            // complete, so Spark never re-aggregates, and the two
+            // orderings diverge on supplementary-plane characters.
             val vals = nodes.flatMap { n =>
               val v = n.get(col)
-              if (v == null || v.isNull) None else Some(v.asText())
+              if (v == null || v.isNull) None
+              else Some(UTF8String.fromString(v.asText()))
             }
             if (vals.isEmpty) null
-            else UTF8String.fromString(
-              if (op == "min") vals.min else vals.max)
+            else if (op == "min") vals.min else vals.max
         }.toArray[Any])
     }
 

@@ -816,6 +816,81 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
       "the loser must complete the crashed winner's publish")
   }
 
+  test("recoverWedge: a winner crashed mid-DECIDE (empty marker, no " +
+      "published dst) wedges the version; recovery clears the dead " +
+      "marker, completes intact decided commits, and never touches " +
+      "young or settled markers") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockobj.impl", classOf[OverwritingRenameFs].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-wedge").toString
+    val out = s"mockobj:$local"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(conf)
+    val mdir = new org.apache.hadoop.fs.Path(s"$out/codes/_manifests")
+    fs.mkdirs(mdir)
+    def hp(name: String) = new org.apache.hadoop.fs.Path(mdir, name)
+    def put(name: String, body: String): org.apache.hadoop.fs.Path = {
+      val p = hp(name)
+      val o = fs.create(p, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+      p
+    }
+    def read(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+
+    // v2: the WEDGE — winner died between marker create and uuid
+    // write; the marker exists but is empty, no dst, no staged body
+    val dst2 = hp("v000000002.manifest")
+    put(IndexStore.markerPath(dst2).getName, "")
+    // every later contender loses to the dead marker: wedged
+    assert(!IndexStore.publishOnce(fs, put(".tmp-A", "body-A"), dst2))
+    assert(!fs.exists(dst2), "the version stays unpublished: wedged")
+
+    // v3: decided-but-unpublished with the winner's body INTACT
+    val dst3 = hp("v000000003.manifest")
+    put(IndexStore.markerDataPath(dst3, "w-uuid").getName, "body-W")
+    put(IndexStore.markerPath(dst3).getName, "w-uuid")
+
+    // v4: SETTLED (published dst + leftover marker) — vacuum's job,
+    // recovery must not touch it
+    val dst4 = hp("v000000004.manifest")
+    put(dst4.getName, "body-4")
+    put(IndexStore.markerPath(dst4).getName, "x-uuid")
+
+    // a YOUNG wedge is indistinguishable from an in-flight commit:
+    // with a real pin window nothing is touched
+    val young = IndexStore.recoverWedge(spark, out, minAgeMs = 3600000L)
+    assert(young.completed.isEmpty && young.cleared.isEmpty)
+    assert(young.skipped.toSet == Set(2L, 3L))
+    assert(fs.exists(IndexStore.markerPath(dst2)) && !fs.exists(dst3))
+
+    // quiesced (minAgeMs = 0): the dead marker clears, the decided
+    // commit completes, the settled version is untouched
+    val r = IndexStore.recoverWedge(spark, out, minAgeMs = 0L)
+    assert(r.cleared == Seq(2L), s"cleared: ${r.cleared}")
+    assert(r.completed == Seq(3L), s"completed: ${r.completed}")
+    assert(r.skipped.isEmpty)
+    assert(!fs.exists(IndexStore.markerPath(dst2)),
+      "the dead marker must be gone")
+    assert(read(dst3) == "body-W",
+      "the decided commit must be completed from the winner's body")
+    assert(!fs.exists(IndexStore.markerPath(dst3)))
+    assert(read(dst4) == "body-4" &&
+      fs.exists(IndexStore.markerPath(dst4)),
+      "settled residue is vacuum's job, not recovery's")
+
+    // the cleared version number is winnable again
+    assert(IndexStore.publishOnce(fs, put(".tmp-B", "body-B"), dst2))
+    assert(read(dst2) == "body-B")
+  }
+
   test("END-TO-END on object-store semantics: the full lifecycle — " +
       "save, RACING appends, delete, search — runs through a " +
       "registered filesystem whose rename overwrites") {

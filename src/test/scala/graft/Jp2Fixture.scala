@@ -196,21 +196,29 @@ object Jp2Fixture {
     * growth the 9/7 synthesis produces.
     */
   def encode97(img: Array[Int], w: Int, h: Int, levels: Int,
-      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16): Array[Byte] = {
+      bitDepth: Int = 8, cbw: Int = 16, cbh: Int = 16,
+      varySteps: Boolean = false): Array[Byte] = {
     require(img.length == w * h)
     val shifted = img.map(v => (v - (1 << (bitDepth - 1))).toDouble)
     val coeffs = Wavelet97.forward2d(shifted, w, h, levels)
-    // quantize per subband with Δ_b = 2^(R_b − ε_b) = 1 (ε_b = R_b)
+    // quantize per subband with Δ_b = 2^(R_b − ε_b) = 1 (ε_b = R_b);
+    // with varySteps, Δ_b alternates 1/2 BY QCD INDEX (ε_b = R_b −
+    // (qcdIdx mod 2)) so any decoder that dequantizes a subband with
+    // the wrong QCD slot halves/doubles its coefficients — an index
+    // misalignment becomes a loud error instead of a silent no-op
     val resolutions = Tier2.subbands(w, h, levels)
     val nSb = resolutions.map(_.size).sum
     val gain = (b: Int) => if (b == 0) 0 else if (b == 3) 2 else 1
     val exps = new Array[Int](nSb)
     val q = new Array[Int](w * h)
     for (res <- resolutions; sb <- res) {
-      exps(sb.qcdIdx) = bitDepth + gain(sb.band) // Δ = 1
+      val shift = if (varySteps) sb.qcdIdx % 2 else 0
+      val delta = 1 << shift
+      exps(sb.qcdIdx) = bitDepth + gain(sb.band) - shift
       for (y <- 0 until sb.h; x <- 0 until sb.w) {
         val i = (sb.y0 + y) * w + (sb.x0 + x)
-        q(i) = (math.signum(coeffs(i)) * math.floor(math.abs(coeffs(i)))).toInt
+        q(i) = (math.signum(coeffs(i)) *
+          math.floor(math.abs(coeffs(i)) / delta)).toInt
       }
     }
     val (packets, maxBps) = tier1Encode(q, w, h, levels, cbw, cbh)

@@ -485,6 +485,46 @@ class Jp2Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jp2.decodeReduced(bytes, 4))
   }
 
+  test("decodeReduced: the 9/7 overview read stays within the " +
+      "quantization bound of the forward-transformed LL_d truth, " +
+      "with per-subband steps varying BY QCD INDEX") {
+    val rng = new Random(47)
+    val (w, h, levels, depth) = (61, 45, 3, 8) // odd at every halving
+    val img = Array.fill(w * h)(rng.nextInt(1 << depth))
+    // varySteps alternates Δ_b ∈ {1, 2} by qcdIdx, so dequantizing a
+    // kept subband through the WRONG QCD slot (the risk decodeReduced
+    // runs: it re-enumerates subbands in the REDUCED wr×hr layout and
+    // assumes those qcdIdx values coincide with the original stream's)
+    // would halve/double its coefficients and blow the bound
+    val bytes = graft.Jp2Fixture.encode97(img, w, h, levels,
+      bitDepth = depth, varySteps = true)
+    // discard = 0 must equal the full decode exactly
+    val (_, w0, h0, px0) = Jp2.decodeReduced(bytes, 0)
+    assert((w0, h0) == (w, h))
+    assert(px0.toSeq == Jp2.decode(bytes)._2.toSeq)
+    val shift = 1 << (depth - 1)
+    val shifted = img.map(v => (v - shift).toDouble)
+    for (d <- 1 to levels) {
+      val (_, wr, hr, px) = Jp2.decodeReduced(bytes, d)
+      var (ew, eh) = (w, h)
+      (0 until d).foreach { _ => ew = (ew + 1) / 2; eh = (eh + 1) / 2 }
+      assert((wr, hr) == (ew, eh), s"discard $d dims")
+      // independent truth: the UNQUANTIZED LL_d — forward 9/7 the
+      // DC-shifted source d levels, keep the top-left rectangle,
+      // un-shift. Midpoint dequantization bounds each coefficient's
+      // error by Δ_b/2 ≤ 1; the 9/7 synthesis gain over ≤ 3 levels
+      // keeps the pixel error within the same envelope the full-
+      // decode test pins (max ≤ 16, mean ≤ 3 at Δ ≤ 2)
+      val fwd = graft.sources.Wavelet97.forward2d(shifted, w, h, d)
+      val truth = Array.tabulate(wr * hr)(i =>
+        fwd((i / wr) * w + (i % wr)) + shift)
+      val errs = px.zip(truth).map { case (a, t) => math.abs(a - t) }
+      val mean = errs.sum / errs.length
+      assert(errs.max <= 16, s"discard $d: max error ${errs.max}")
+      assert(mean <= 3.0, s"discard $d: mean error $mean")
+    }
+  }
+
   test("hostile inputs: random bytes and truncated real codestreams " +
       "refuse in bounded time — never hang, never return pixels") {
     val rng = new Random(83)
