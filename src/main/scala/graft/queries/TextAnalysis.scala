@@ -1172,7 +1172,215 @@ object TextAnalysis extends QueryModule {
        |WHERE cnt * 65 > n
        |ORDER BY cnt DESC, t""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q158 — TRAINED quality-classifier filter (the fastText-style
+  // "does this look like reference text" model every production
+  // corpus pipeline runs): logistic-family regression trained by
+  // source-discriminative self-supervision — label 1 = the curated
+  // reference feeds (in production: wiki/books; here the fixed
+  // src0–src3 set), label 0 = the crawl — on two scale-free text
+  // features the model can act on at inference (it never sees the
+  // source): type-token ratio and stopword density, each quantized
+  // to an exact integer (round(1e6·ratio)).
+  //
+  // Training is QUANTIZED IRLS, the distributed d≪n recipe at any
+  // scale: T=3 fixed Newton steps, each ONE corpus scan computing
+  // the d(d+1)/2 + d weighted sufficient statistics Σw·xxᵀ, Σr·x,
+  // then a closed-form 3×3 Cramer solve on that 1-row aggregate
+  // (q141's template — no driver collect, no gradient loop; the
+  // 100 TB plan is T scans + T tiny exchanges).
+  //
+  // Cross-engine exactness (the q141 argument, extended to the
+  // iterative case):
+  //  - the LINK is the algebraic sigmoid σ̃(z) = ½ + ½·z/(1+|z|) —
+  //    same S-shape and the same score equation Σ(y−μ)x = 0 as
+  //    logistic, but IEEE +,*,/,|·| ONLY (exp() is not bit-stable
+  //    across engines; per the module's no-transcendentals rule it
+  //    is avoided, not approximated);
+  //  - per-row weights w = μ(1−μ) and residuals y−μ are doubles from
+  //    identical expression strings, then QUANTIZED to integers
+  //    (round(2²⁰·v)) so the weighted sums route through
+  //    DECIMAL(38,0): exact, order-independent, wrap-proof — a
+  //    1000-executor shuffle reduction produces the same bits as one
+  //    thread (float weighted sums would be reduction-order-
+  //    dependent, breaking both the oracle AND run-to-run
+  //    determinism at scale). The 2²⁰ scale cancels in the solve
+  //    (both sides of the normal equations carry it);
+  //  - the Newton updates are shared Cramer strings, det == 0.0
+  //    guarded (rank-deficient → step 0, same honest answer in both
+  //    engines).
+  //
+  // Scoring: one broadcast of the 1-row model onto the feature scan;
+  // keep iff score ≥ the label prior (posterior above base rate ⟺
+  // likelihood ratio > 1 — the threshold needs no held-out tuning
+  // set). Output: per-source kept/dropped — the filter's acceptance
+  // report — plus the fitted coefficients on the original ratio
+  // scale (constant columns; proves the trained model, not just the
+  // counts, is cross-engine identical).
+  private val qcRefSrcs = "('src0','src1','src2','src3')"
+  private val qcX1 =
+    "CAST(round(1000000.0 * CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)"
+  private val qcX2 =
+    "CAST(round(1000000.0 * CAST(h_en AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)"
+  private val qcZ = "(b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE))"
+  private val qcMu = "(0.5 + 0.5 * z / (1.0 + abs(z)))"
+  private val qcWq = "CAST(round(1048576.0 * (mu * (1.0 - mu))) AS BIGINT)"
+  private val qcRq = "CAST(round(1048576.0 * (CAST(y AS DOUBLE) - mu)) AS BIGINT)"
+  /** Weighted sufficient statistics: exact DECIMAL sums of integer
+    * products (wq ≤ 2¹⁸, x ≤ 10⁶ → wq·x·x ≤ 2.7e17, BIGINT-safe),
+    * cast to DOUBLE only at the solve boundary. Shared verbatim with
+    * the oracle.
+    */
+  private val qcGram: Seq[(String, String)] = Seq(
+    "sw" -> "CAST(SUM(CAST(wq AS DECIMAL(38,0))) AS DOUBLE)",
+    "sw1" -> "CAST(SUM(CAST(wq * x1 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sw2" -> "CAST(SUM(CAST(wq * x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sw11" -> "CAST(SUM(CAST(wq * x1 * x1 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sw12" -> "CAST(SUM(CAST(wq * x1 * x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "sw22" -> "CAST(SUM(CAST(wq * x2 * x2 AS DECIMAL(38,0))) AS DOUBLE)",
+    "r0" -> "CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DOUBLE)",
+    "r1" -> "CAST(SUM(CAST(rq * x1 AS DECIMAL(38,0))) AS DOUBLE)",
+    "r2" -> "CAST(SUM(CAST(rq * x2 AS DECIMAL(38,0))) AS DOUBLE)")
+  // Cramer on the weighted 3×3 normal equations (q141's device: one
+  // shared string per determinant — the parenthesization IS the IEEE
+  // op sequence)
+  private val qcDet =
+    "(sw * (sw11 * sw22 - sw12 * sw12) - sw1 * (sw1 * sw22 - sw12 * sw2) + sw2 * (sw1 * sw12 - sw11 * sw2))"
+  private val qcD0 =
+    "(r0 * (sw11 * sw22 - sw12 * sw12) - sw1 * (r1 * sw22 - sw12 * r2) + sw2 * (r1 * sw12 - sw11 * r2))"
+  private val qcD1 =
+    "(sw * (r1 * sw22 - r2 * sw12) - r0 * (sw1 * sw22 - sw12 * sw2) + sw2 * (sw1 * r2 - r1 * sw2))"
+  private val qcD2 =
+    "(sw * (sw11 * r2 - sw12 * r1) - sw1 * (sw1 * r2 - r1 * sw2) + r0 * (sw1 * sw12 - sw11 * sw2))"
+  private def qcUpd(b: String, d: String) =
+    s"($b + (CASE WHEN $qcDet = 0.0 THEN 0.0 ELSE $d / $qcDet END))"
+
+  /** Labeled integer feature table (doc_id, source, y, x1, x2). */
+  private[queries] def qcFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "qc_feats") {
+      tokenized(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+          expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_uniq"),
+          expr(hitS(enW)).as("h_en"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("source"),
+          expr(s"CAST(CASE WHEN source IN $qcRefSrcs THEN 1 ELSE 0 END AS BIGINT)")
+            .as("y"),
+          expr(qcX1).as("x1"), expr(qcX2).as("x2"))
+    }
+
+  /** One quantized-IRLS Newton step: scan → 1-row weighted Gram →
+    * Cramer update of the broadcast 1-row model.
+    */
+  private def qcStep(feats: DataFrame, model: DataFrame): DataFrame = {
+    val g = feats.crossJoin(broadcast(model))
+      .withColumn("z", expr(qcZ))
+      .withColumn("mu", expr(qcMu))
+      .withColumn("wq", expr(qcWq))
+      .withColumn("rq", expr(qcRq))
+      .groupBy()
+      .agg(expr(qcGram.head._2).as(qcGram.head._1),
+        qcGram.tail.map { case (a, e) => expr(e).as(a) }: _*)
+    g.crossJoin(broadcast(model))
+      .select(expr(qcUpd("b0d", qcD0)).as("b0d"),
+        expr(qcUpd("b1d", qcD1)).as("b1d"),
+        expr(qcUpd("b2d", qcD2)).as("b2d"))
+  }
+
+  /** The trained 1-row model after T=3 fixed steps from β = 0, plus
+    * the keep threshold (the label prior) — one memoized 1-row
+    * broadcast side: train once, score everywhere.
+    */
+  private[queries] def qcModel(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "qc_model") {
+      val feats = qcFeatures(s, dir)
+      val m0 = s.range(1).select(
+        lit(0.0).as("b0d"), lit(0.0).as("b1d"), lit(0.0).as("b2d"))
+      val m3 = (1 to 3).foldLeft(m0)((m, _) => qcStep(feats, m))
+      val prior = feats.groupBy().agg(
+        expr("CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+          .as("thr"))
+      m3.crossJoin(prior)
+    }
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val feats = qcFeatures(s, dir)
+    val model = qcModel(s, dir)
+    val rep = feats.crossJoin(broadcast(model))
+      .withColumn("z", expr(qcZ))
+      .withColumn("mu", expr(qcMu))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN mu >= thr THEN 1L ELSE 0L END")).as("n_kept"))
+    rep.crossJoin(broadcast(model))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        expr("round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)")
+          .as("keep_rate"),
+        expr("round(b0d, 6)").as("b0"),
+        // coefficients reported on the original [0,1] ratio scale
+        // (features were quantized by 1e6)
+        expr("round(b1d * 1000000.0, 6)").as("b_ttr"),
+        expr("round(b2d * 1000000.0, 6)").as("b_stop"))
+      .orderBy("source")
+  }
+
+  /** One IRLS iteration as DuckDB CTEs (gram `g<tag>` + model
+    * `m<tag>` on top of `feats` and the previous model CTE) — the
+    * same shared strings the Spark step binds.
+    */
+  private def qcItSql(prev: String, tag: String): String =
+    s"""g$tag AS (
+       |  SELECT ${qcGram.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM (
+       |    SELECT x1, x2, $qcWq AS wq, $qcRq AS rq
+       |    FROM (
+       |      SELECT y, x1, x2, $qcMu AS mu
+       |      FROM (
+       |        SELECT y, x1, x2, $qcZ AS z
+       |        FROM feats CROSS JOIN $prev)))),
+       |m$tag AS (
+       |  SELECT ${qcUpd("b0d", qcD0)} AS b0d,
+       |    ${qcUpd("b1d", qcD1)} AS b1d,
+       |    ${qcUpd("b2d", qcD2)} AS b2d
+       |  FROM g$tag CROSS JOIN $prev)""".stripMargin
+
+  private val q158Sql =
+    s"""WITH feats AS (
+       |  SELECT doc_id, source,
+       |    CAST(CASE WHEN source IN $qcRefSrcs THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    $qcX1 AS x1, $qcX2 AS x2
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len($toksD) AS BIGINT) AS n_tok,
+       |      CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       |      ${hitD(enW)} AS h_en
+       |    FROM documents)
+       |  WHERE n_tok > 0),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${qcItSql("m0", "1")},
+       |${qcItSql("m1", "2")},
+       |${qcItSql("m2", "3")},
+       |pr AS (
+       |  SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS thr
+       |  FROM feats),
+       |sc AS (
+       |  SELECT source, $qcMu AS mu FROM (
+       |    SELECT source, y, $qcZ AS z FROM feats CROSS JOIN m3)),
+       |rep AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |  FROM sc CROSS JOIN pr GROUP BY source)
+       |SELECT source, n_docs, n_kept,
+       |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+       |  round(b0d, 6) AS b0,
+       |  round(b1d * 1000000.0, 6) AS b_ttr,
+       |  round(b2d * 1000000.0, 6) AS b_stop
+       |FROM rep CROSS JOIN m3
+       |ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_quality_classifier" -> (q158 _),
     "q145_heavy_hitters" -> (q145 _),
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
@@ -1194,6 +1402,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q158_quality_classifier" -> q158Sql,
     "q145_heavy_hitters" -> q145Sql,
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,

@@ -438,7 +438,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q90_pq_adc_search", "q96_ann_recall", "q136_ann_recall_curve",
       "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q108_cell_migration",
-      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided")
+      "q124_dsir_weights", "q126_bpe_compression", "q130_drift_twosided",
+      // q158: the 1-row trained-model+threshold broadcast onto the
+      // feature scan (scoring), and the Newton steps' 1-row gram ×
+      // 1-row model crosses (q149's Gram pattern, iterated)
+      "q158_quality_classifier")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -486,7 +490,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q153_ks_drift",
       // q155: the two |langs|-row weight-normalizing windows (q77's
       // pattern; corpus-sized work is the scan + chunk rollup)
-      "q155_dedup_mixture_shift")
+      "q155_dedup_mixture_shift",
+      // q158: the 1-row weighted-Gram aggregates of the IRLS steps +
+      // the 1-row label-prior aggregate (q104's corpus-total pattern;
+      // map-side partials, one row crosses the wire per step)
+      "q158_quality_classifier")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
