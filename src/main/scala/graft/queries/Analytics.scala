@@ -439,7 +439,117 @@ object Analytics extends QueryModule {
       |FROM s WHERE rk = 1
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q159 — the AUDIT → FIX composition: take the key column q156's
+  // skew audit flags (max skew factor), salt it (q93's mitigation,
+  // salt = (l_linenumber−1) mod 8 — a row attribute that varies
+  // WITHIN a key's rows, which is the one property a salt source
+  // needs), and report the hot key's per-partition row counts
+  // before/after. The pre number needs no partitioner model: ANY
+  // key-based partitioner puts all top_cnt rows of the hot key in
+  // ONE partition — that floor is the audit's finding. Post-salt the
+  // key's rows land in ≤8 partitions and the tallest holds its
+  // largest salt bucket. post_group_max is the new tallest (key,
+  // salt) group ANYWHERE in the column — the cap on further relief
+  // (the next-hottest key, not the salted one, may now bound the
+  // straggler). This is the loop a 100 TB operator actually runs:
+  // audit → salt the flagged key → re-measure.
+  //
+  // Plan: both count tables are memoized key-cardinality profiles
+  // (the audit re-reads q156's; the salted one adds the salt
+  // column); the flagged row is a 3-row top-1, and everything after
+  // is 1-row broadcast joins. All counts exact; the two ratios are
+  // exact-int ÷ exact-int, round6. The oracle keeps q156's
+  // independent window formulation for the audit stage, so the gate
+  // re-certifies the argmax≡window equivalence through the
+  // composition.
+  private def saltedSkewCounts(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "skew_salted") {
+      T.lineitem(s, dir)
+        .selectExpr(
+          "stack(3, 'l_orderkey', l_orderkey, " +
+            "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) AS (col_name, key)",
+          "CAST((l_linenumber - 1) % 8 AS BIGINT) AS salt")
+        .groupBy("col_name", "key", "salt").agg(count(lit(1)).as("cnt"))
+    }
+
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val counts = graft.CachedPlans.of(s, dir, "skew_counts") {
+      T.lineitem(s, dir)
+        .selectExpr("stack(3, 'l_orderkey', l_orderkey, " +
+          "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) AS (col_name, key)")
+        .groupBy("col_name", "key").agg(count(lit(1)).as("cnt"))
+    }
+    val flagged = graft.CachedPlans.of(s, dir, "skew_flagged") {
+      counts.groupBy("col_name")
+        .agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+          max(struct(col("cnt"), (-col("key")).as("nk"), col("key"))).as("m"))
+        .select(col("col_name"), col("m.key").as("top_key"),
+          col("m.cnt").as("top_cnt"),
+          expr("round(CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
+            "/ CAST(total AS DOUBLE), 6)").as("skew_factor"))
+        .orderBy(desc("skew_factor"), col("col_name"))
+        .limit(1)
+    }
+    // ONE scan of the salted profile computes both post-salt maxima
+    // (the whole column's tallest group, and the flagged key's
+    // tallest bucket via a NULL-skipping conditional max)
+    val post = saltedSkewCounts(s, dir)
+      .join(broadcast(flagged.select(col("col_name").as("fc"),
+        col("top_key").as("fk"))), col("col_name") === col("fc"))
+      .agg(max("cnt").as("post_group_max"),
+        max(expr("CASE WHEN key = fk THEN cnt END")).as("post_part_max"))
+    flagged.crossJoin(broadcast(post))
+      .select(col("col_name"), col("top_key"), col("skew_factor"),
+        expr("CAST(8 AS BIGINT)").as("salt_factor"),
+        col("top_cnt").as("pre_part_max"),
+        col("post_part_max"),
+        col("post_group_max"),
+        expr("round(CAST(top_cnt AS DOUBLE) / CAST(post_part_max AS DOUBLE), 6)")
+          .as("relief"))
+  }
+
+  private val q159Sql =
+    """WITH k AS (
+      |  SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS key,
+      |    CAST((l_linenumber - 1) % 8 AS BIGINT) AS salt
+      |  FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS BIGINT),
+      |    CAST((l_linenumber - 1) % 8 AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT),
+      |    CAST((l_linenumber - 1) % 8 AS BIGINT) FROM lineitem),
+      |c AS (SELECT col_name, key, COUNT(*) AS cnt FROM k GROUP BY 1, 2),
+      |s AS (
+      |  SELECT *,
+      |    COUNT(*) OVER (PARTITION BY col_name) AS n_keys,
+      |    SUM(cnt) OVER (PARTITION BY col_name) AS total,
+      |    ROW_NUMBER() OVER (PARTITION BY col_name
+      |      ORDER BY cnt DESC, key) AS rk
+      |  FROM c),
+      |audit AS (
+      |  SELECT col_name, key AS top_key, cnt AS top_cnt,
+      |    round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |      / CAST(total AS DOUBLE), 6) AS skew_factor
+      |  FROM s WHERE rk = 1),
+      |flagged AS (
+      |  SELECT * FROM audit ORDER BY skew_factor DESC, col_name LIMIT 1),
+      |cs AS (SELECT col_name, key, salt, COUNT(*) AS cnt
+      |  FROM k GROUP BY 1, 2, 3),
+      |post AS (
+      |  SELECT MAX(cs.cnt) AS post_group_max,
+      |    MAX(CASE WHEN cs.key = f.top_key THEN cs.cnt END) AS post_part_max
+      |  FROM cs JOIN flagged f ON cs.col_name = f.col_name)
+      |SELECT f.col_name, f.top_key, f.skew_factor,
+      |  CAST(8 AS BIGINT) AS salt_factor,
+      |  f.top_cnt AS pre_part_max,
+      |  post.post_part_max,
+      |  post.post_group_max,
+      |  round(CAST(f.top_cnt AS DOUBLE) / CAST(post.post_part_max AS DOUBLE), 6)
+      |    AS relief
+      |FROM flagged f CROSS JOIN post""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_skew_salt_relief" -> (q159 _),
     "q156_join_skew_report" -> (q156 _),
     "q82_histogram" -> (q82 _),
     "q83_zscore_outliers" -> (q83 _),
@@ -450,6 +560,7 @@ object Analytics extends QueryModule {
     "q149_source_size_drift" -> (q149 _))
 
   override val oracle: Map[String, String] = Map(
+    "q159_skew_salt_relief" -> q159Sql,
     "q156_join_skew_report" -> q156Sql,
     "q82_histogram" -> q82Sql,
     "q83_zscore_outliers" -> q83Sql,

@@ -442,7 +442,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q158: the 1-row trained-model+threshold broadcast onto the
       // feature scan (scoring), and the Newton steps' 1-row gram ×
       // 1-row model crosses (q149's Gram pattern, iterated)
-      "q158_quality_classifier")
+      "q158_quality_classifier",
+      // q159: the flagged-row × 1-row post-salt maxima crosses (all
+      // sides 1-row; the key-profile scans are memoized equi-joins)
+      "q159_skew_salt_relief")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -494,7 +497,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q158: the 1-row weighted-Gram aggregates of the IRLS steps +
       // the 1-row label-prior aggregate (q104's corpus-total pattern;
       // map-side partials, one row crosses the wire per step)
-      "q158_quality_classifier")
+      "q158_quality_classifier",
+      // q159: the 3-row audit top-1 + the two 1-row post-salt maxima
+      // (q104's pattern over the memoized key-cardinality profiles)
+      "q159_skew_salt_relief")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

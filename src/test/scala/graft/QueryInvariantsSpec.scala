@@ -283,6 +283,34 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q159 audit->fix: salting the flagged key leaves no single " +
+      "hot partition — the hot key's tallest salt bucket is a real " +
+      "split, bounded below by the pigeonhole floor") {
+    val r = SparkEntry.queries("q159_skew_salt_relief")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val pre = row.getAs[Long]("pre_part_max")
+    val post = row.getAs[Long]("post_part_max")
+    val grp = row.getAs[Long]("post_group_max")
+    val sf = row.getAs[Long]("salt_factor")
+    // the fix must actually split the hot key: fewer rows in its
+    // tallest post-salt bucket than its pre-salt single partition
+    assert(post < pre, s"salting did not split the hot key: $row")
+    // pigeonhole: sf buckets cannot do better than ceil(pre / sf)
+    assert(post >= (pre + sf - 1) / sf, row.toString)
+    // the flagged key's buckets are among the column's groups
+    assert(grp >= post, row.toString)
+    assert(row.getAs[Double]("relief") > 1.0, row.toString)
+    // the audited column is the one q156 flags with the max factor
+    val audit = SparkEntry.queries("q156_join_skew_report")(spark, dir)
+      .collect()
+    val flagged = audit.minBy(a =>
+      (-a.getAs[Double]("skew_factor"), a.getAs[String]("col_name")))
+    assert(row.getAs[String]("col_name") ==
+      flagged.getAs[String]("col_name"))
+  }
+
   test("q151/q152 recall curves: bounded, truth anchors exact") {
     val mrl = SparkEntry.queries("q151_matryoshka_recall")(spark, dir)
       .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("recall_at_5"))
