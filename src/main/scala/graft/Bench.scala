@@ -60,6 +60,43 @@ object Bench {
       }
     }
     val results = names.map { n => n -> byQ(n).min }
+    // Per-query regression gate: BASELINE.md says "judge by per-query
+    // vectors" — do it in the harness. Compare each query's min
+    // against the COMMITTED BENCH_DETAIL.json (read before this run
+    // overwrites it): a non-trivial query whose min exceeds 2x its
+    // committed value is flagged in the summary as regressed, turning
+    // the steal-vs-regression adjudication into a machine check. New
+    // queries (no committed value) are skipped.
+    val committed: Map[String, Double] =
+      try {
+        val f = new java.io.File("BENCH_DETAIL.json")
+        if (!f.exists) Map.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f)
+          val qn = root.get("queries")
+          if (qn == null) Map.empty
+          else {
+            val it = qn.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] committed-detail read failed: $e")
+        Map.empty
+      }
+    val regressed = results.filter { case (n, v) =>
+      committed.get(n).exists(old => v > 0.15 && v > 2.0 * old)
+    }.map(_._1)
+    regressed.foreach { n =>
+      System.err.println(
+        f"[bench] REGRESSED $n: ${byQ(n).min}%.3f s vs committed ${committed(n)}%.3f s")
+    }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // The driver records only a fixed-size tail of the sbt output, so
@@ -91,12 +128,14 @@ object Bench {
       val rt = retimed.map(n =>
         s"${jstr(n)}:${byQ(n).map(v => f3(v)).mkString("[", ",", "]")}")
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"sf":${jstr(sfDir)}}"""
+      val rg = regressed.map(n =>
+        s"${jstr(n)}:${committed(n)}").mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"sf":${jstr(sfDir)}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
