@@ -51,8 +51,16 @@ object StreamingIndexIngest {
     val s = batch.sparkSession
     val log = new org.apache.hadoop.fs.Path(s"$out/_ingest_log/$token-$batchId")
     val fs = log.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(log)) false
-    else {
+    if (fs.exists(log)) {
+      // SKIP the append but still RUN the batch: when the upstream
+      // plan holds a stateful operator (the chunk-dedup pipeline),
+      // its state commits happen during batch evaluation, and Spark
+      // validates that every partition of a replayed micro-batch was
+      // processed — an early return would fail the replay with
+      // STATE_STORE_COMMIT_VALIDATION_FAILED instead of recovering.
+      batch.foreach(_ => ())
+      false
+    } else {
       graft.operators.IndexStore.append(
         graft.operators.Pq.encode(
           graft.operators.Ivf.assign(batch, cents, vecCol),
