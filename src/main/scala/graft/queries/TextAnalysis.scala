@@ -1304,12 +1304,36 @@ object TextAnalysis extends QueryModule {
       m3.crossJoin(prior)
     }
 
+  /** Test hook: retrain WITHOUT the memo over an explicit physical
+    * re-layout of the feature table (QueryInvariantsSpec varies
+    * `parts` and the shuffle layout and demands bit-identical
+    * coefficients — the operative form of the decimal-routed
+    * quantized-Gram order-independence claim: a 1000-executor
+    * reduction must produce the same bits as one thread).
+    */
+  private[graft] def qcModelFresh(s: SparkSession, dir: String,
+      parts: Int): DataFrame = {
+    val feats = qcFeatures(s, dir).repartition(parts, col("doc_id"))
+    val m0 = s.range(1).select(
+      lit(0.0).as("b0d"), lit(0.0).as("b1d"), lit(0.0).as("b2d"))
+    (1 to 3).foldLeft(m0)((m, _) => qcStep(feats, m))
+  }
+
+  /** The scored corpus (doc_id, source, y, mu, thr) under the trained
+    * model — memoized: q158's filter report, q160's evaluation, and
+    * q161's calibration all read it.
+    */
+  private[queries] def qcScored(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "qc_scored") {
+      qcFeatures(s, dir).crossJoin(broadcast(qcModel(s, dir)))
+        .withColumn("z", expr(qcZ))
+        .withColumn("mu", expr(qcMu))
+        .select("doc_id", "source", "y", "mu", "thr")
+    }
+
   private def q158(s: SparkSession, dir: String): DataFrame = {
-    val feats = qcFeatures(s, dir)
     val model = qcModel(s, dir)
-    val rep = feats.crossJoin(broadcast(model))
-      .withColumn("z", expr(qcZ))
-      .withColumn("mu", expr(qcMu))
+    val rep = qcScored(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(expr("CASE WHEN mu >= thr THEN 1L ELSE 0L END")).as("n_kept"))
@@ -1324,6 +1348,161 @@ object TextAnalysis extends QueryModule {
         expr("round(b2d * 1000000.0, 6)").as("b_stop"))
       .orderBy("source")
   }
+
+  // ---------------------------------------------------------------
+  // q160 — CLASSIFIER EVALUATION: the report a production filter
+  // ships next to its model — the confusion counts at the operating
+  // threshold (precision / recall / F1) plus the threshold-free
+  // ranking quality as the tie-corrected Mann-Whitney AUC.
+  //
+  // Exactness of the AUC, the interesting part: scores are bit-exact
+  // doubles (q158's argument), so tie GROUPS are identical across
+  // engines; ranks come from the grouped form — per distinct score:
+  // (n, n_pos), cumulative count before it, average rank =
+  // cum_before + (n+1)/2 — all integers and half-integers < 2^53,
+  // so every product and partial sum is EXACTLY representable and
+  // the rank-sum is reduction-order-independent (no float rounding
+  // exists anywhere in it). AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) is then
+  // one exact-over-exact division, round6 formats it.
+  //
+  // Scale: one keyed groupBy(score) (score-cardinality rows, capped
+  // by the quantized feature support), then the corpus-CDF window
+  // over that aggregate — q153's allowlisted |support|-row pattern —
+  // and 1-row reduces. The corpus is touched once.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = qcScored(s, dir)
+    val conf = sc.groupBy().agg(
+      sum(expr("CASE WHEN y = 1 THEN 1L ELSE 0L END")).as("n_pos"),
+      sum(expr("CASE WHEN y = 0 THEN 1L ELSE 0L END")).as("n_neg"),
+      sum(expr("CASE WHEN mu >= thr AND y = 1 THEN 1L ELSE 0L END")).as("tp"),
+      sum(expr("CASE WHEN mu >= thr AND y = 0 THEN 1L ELSE 0L END")).as("fp"),
+      sum(expr("CASE WHEN mu < thr AND y = 1 THEN 1L ELSE 0L END")).as("fn"),
+      sum(expr("CASE WHEN mu < thr AND y = 0 THEN 1L ELSE 0L END")).as("tn"))
+    val grouped = sc.groupBy("mu").agg(
+      count(lit(1)).as("n"),
+      sum(expr("CAST(y AS BIGINT)")).as("npos"))
+    val w = Window.orderBy("mu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rsum = grouped
+      .withColumn("cumn", sum("n").over(w) - col("n"))
+      .groupBy().agg(
+        sum(expr("CAST(npos AS DOUBLE) * (CAST(cumn AS DOUBLE) " +
+          "+ (CAST(n AS DOUBLE) + 1.0) / 2.0)")).as("r1"))
+    conf.crossJoin(broadcast(rsum))
+      .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        expr("round(CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+          "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)")
+          .as("precision"),
+        expr("round(CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+          "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)")
+          .as("recall"),
+        expr("round(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE " +
+          "2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6)")
+          .as("f1"),
+        expr("round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
+          "(r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0) " +
+          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)")
+          .as("auc"))
+  }
+
+  private def qcScoredSql(modelCte: String): String =
+    s"""SELECT doc_id, source, y, $qcMu AS mu, thr FROM (
+       |    SELECT doc_id, source, y, $qcZ AS z, thr
+       |    FROM feats CROSS JOIN $modelCte)""".stripMargin
+
+  private val q160Sql =
+    s"""WITH feats AS ($qcFeatsSql),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${qcItSql("m0", "1")},
+       |${qcItSql("m1", "2")},
+       |${qcItSql("m2", "3")},
+       |mt AS (
+       |  SELECT b0d, b1d, b2d,
+       |    (SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+       |       / CAST(COUNT(*) AS DOUBLE) FROM feats) AS thr
+       |  FROM m3),
+       |sc AS (${qcScoredSql("mt")}),
+       |conf AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |    CAST(SUM(CASE WHEN mu >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN mu >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN mu < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN mu < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc),
+       |g AS (
+       |  SELECT mu, COUNT(*) AS n, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS npos
+       |  FROM sc GROUP BY mu),
+       |wg AS (
+       |  SELECT *, CAST(SUM(n) OVER (ORDER BY mu
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n AS cumn
+       |  FROM g),
+       |rs AS (
+       |  SELECT SUM(CAST(npos AS DOUBLE) * (CAST(cumn AS DOUBLE)
+       |    + (CAST(n AS DOUBLE) + 1.0) / 2.0)) AS r1
+       |  FROM wg)
+       |SELECT n_pos, n_neg, tp, fp, fn, tn,
+       |  round(CASE WHEN tp + fp = 0 THEN NULL ELSE
+       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+       |  round(CASE WHEN tp + fn = 0 THEN NULL ELSE
+       |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+       |  round(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+       |    2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6) AS f1,
+       |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+       |    (r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+       |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6) AS auc
+       |FROM conf CROSS JOIN rs""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q161 — CALIBRATION (reliability) report: fixed-width score bins,
+  // each with its document count, observed positive rate, and mean
+  // predicted score — the "is 0.8 really 80%?" table behind choosing
+  // a keep threshold. The mean predicted score is DEFINED over the
+  // 2⁻²⁰-quantized scores so the per-bin sum routes through
+  // DECIMAL(38,0) (a raw float mean would be reduction-order-
+  // dependent); the observed rate is exact-int ÷ exact-int. One
+  // groupBy(bin) — 10 rows cross the wire.
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    qcScored(s, dir)
+      .withColumn("bin", expr("least(CAST(floor(mu * 10.0) AS BIGINT), 9)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(y AS BIGINT)")).as("n_pos"),
+        expr("CAST(SUM(CAST(round(1048576.0 * mu) AS DECIMAL(38,0))) AS DOUBLE)")
+          .as("qsum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("round(qsum / 1048576.0 / CAST(n_docs AS DOUBLE), 6)")
+          .as("mean_score"),
+        expr("round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)")
+          .as("pos_rate"))
+      .orderBy("bin")
+
+  private val q161Sql =
+    s"""WITH feats AS ($qcFeatsSql),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${qcItSql("m0", "1")},
+       |${qcItSql("m1", "2")},
+       |${qcItSql("m2", "3")},
+       |mt AS (
+       |  SELECT b0d, b1d, b2d,
+       |    (SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+       |       / CAST(COUNT(*) AS DOUBLE) FROM feats) AS thr
+       |  FROM m3),
+       |sc AS (${qcScoredSql("mt")}),
+       |b AS (
+       |  SELECT least(CAST(floor(mu * 10.0) AS BIGINT), 9) AS bin,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CAST(round(1048576.0 * mu) AS DECIMAL(38,0))) AS DOUBLE) AS qsum
+       |  FROM sc GROUP BY 1)
+       |SELECT bin, n_docs, n_pos,
+       |  round(qsum / 1048576.0 / CAST(n_docs AS DOUBLE), 6) AS mean_score,
+       |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pos_rate
+       |FROM b ORDER BY bin""".stripMargin
 
   /** One IRLS iteration as DuckDB CTEs (gram `g<tag>` + model
     * `m<tag>` on top of `feats` and the previous model CTE) — the
@@ -1345,9 +1524,12 @@ object TextAnalysis extends QueryModule {
        |    ${qcUpd("b2d", qcD2)} AS b2d
        |  FROM g$tag CROSS JOIN $prev)""".stripMargin
 
-  private val q158Sql =
-    s"""WITH feats AS (
-       |  SELECT doc_id, source,
+  /** DuckDB twin of [[qcFeatures]] (same columns, same values).
+    * A `def`: the q160/q161 SQL vals above it interpolate it during
+    * object initialization (a val here would still be null then).
+    */
+  private def qcFeatsSql: String =
+    s"""SELECT doc_id, source,
        |    CAST(CASE WHEN source IN $qcRefSrcs THEN 1 ELSE 0 END AS BIGINT) AS y,
        |    $qcX1 AS x1, $qcX2 AS x2
        |  FROM (
@@ -1356,7 +1538,10 @@ object TextAnalysis extends QueryModule {
        |      CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
        |      ${hitD(enW)} AS h_en
        |    FROM documents)
-       |  WHERE n_tok > 0),
+       |  WHERE n_tok > 0""".stripMargin
+
+  private val q158Sql =
+    s"""WITH feats AS ($qcFeatsSql),
        |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
        |${qcItSql("m0", "1")},
        |${qcItSql("m1", "2")},
@@ -1381,6 +1566,8 @@ object TextAnalysis extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_quality_classifier" -> (q158 _),
+    "q160_classifier_eval" -> (q160 _),
+    "q161_calibration" -> (q161 _),
     "q145_heavy_hitters" -> (q145 _),
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
@@ -1403,6 +1590,8 @@ object TextAnalysis extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q158_quality_classifier" -> q158Sql,
+    "q160_classifier_eval" -> q160Sql,
+    "q161_calibration" -> q161Sql,
     "q145_heavy_hitters" -> q145Sql,
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,

@@ -445,7 +445,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q158_quality_classifier",
       // q159: the flagged-row × 1-row post-salt maxima crosses (all
       // sides 1-row; the key-profile scans are memoized equi-joins)
-      "q159_skew_salt_relief")
+      "q159_skew_salt_relief",
+      // q160: 1-row confusion totals × 1-row rank-sum cross (q104's
+      // pattern; both sides reduce the memoized scored table)
+      "q160_classifier_eval",
+      // q161: the memoized scored table's build lineage (the 1-row
+      // trained-model broadcast onto the feature scan — q158's
+      // reviewed shape; after the first materialization the plan
+      // reads the InMemoryRelation)
+      "q161_calibration")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -500,7 +508,14 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q158_quality_classifier",
       // q159: the 3-row audit top-1 + the two 1-row post-salt maxima
       // (q104's pattern over the memoized key-cardinality profiles)
-      "q159_skew_salt_relief")
+      "q159_skew_salt_relief",
+      // q160: the corpus-CDF window over the |score-support|-row
+      // aggregate (q153's pattern) + the two 1-row reduces
+      "q160_classifier_eval",
+      // q161: the scored-table build lineage's 1-row IRLS grams
+      // (q158's reviewed shape); the report itself is a 10-row
+      // keyed aggregate
+      "q161_calibration")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(

@@ -283,6 +283,26 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("q158 quantized-IRLS training is reduction-layout-invariant: " +
+      "bit-identical coefficients across physical re-layouts") {
+    // the order-independence claim behind the 100 TB posture: the
+    // weighted sufficient statistics are DECIMAL sums of integers,
+    // so the partial-aggregation tree (per-partition partials, merge
+    // order) cannot change a bit of the trained model
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      val outs = Seq(1 -> "1", 7 -> "5", 32 -> "32").map {
+        case (parts, shuffle) =>
+          spark.conf.set(key, shuffle)
+          graft.queries.TextAnalysis.qcModelFresh(spark, dir, parts)
+            .collect().map(_.toString).toSeq
+      }
+      assert(outs.distinct.size == 1,
+        s"trained coefficients diverged across layouts: $outs")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("q159 audit->fix: salting the flagged key leaves no single " +
       "hot partition — the hot key's tallest salt bucket is a real " +
       "split, bounded below by the pigeonhole floor") {
