@@ -22,7 +22,7 @@ object TextAnalysis extends QueryModule {
   /** Word tokens of the lower-cased text (Spark-side SQL fragment).
     * Group index 0 = whole match (the pattern has no capture group).
     */
-  private[queries] val toksS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  private[graft] val toksS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
   /** Same tokens in DuckDB (no string-escape processing there). */
   private[queries] val toksD = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
@@ -77,12 +77,12 @@ object TextAnalysis extends QueryModule {
   // stopword-profile heuristic), reported as a (lang, pred) confusion
   // table. Per-row regex counts → tiny groupBy; shuffle-free map side
   // except the 20-group agg.
-  private def hitS(words: String) =
+  private[graft] def hitS(words: String) =
     s"CAST(size(regexp_extract_all(lower(text), '\\\\b(?:$words)\\\\b', 0)) AS BIGINT)"
   private def hitD(words: String) =
     s"CAST(len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS BIGINT)"
 
-  private val enW = "the|of|and|to|is|in"
+  private[graft] val enW = "the|of|and|to|is|in"
   private val deW = "der|die|das|und|ist|ein"
   private val frW = "le|la|les|et|est|un"
   private val esW = "el|los|las|y|es|una"
@@ -1218,12 +1218,12 @@ object TextAnalysis extends QueryModule {
   // scale (constant columns; proves the trained model, not just the
   // counts, is cross-engine identical).
   private val qcRefSrcs = "('src0','src1','src2','src3')"
-  private val qcX1 =
+  private[graft] val qcX1 =
     "CAST(round(1000000.0 * CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)"
-  private val qcX2 =
+  private[graft] val qcX2 =
     "CAST(round(1000000.0 * CAST(h_en AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS BIGINT)"
-  private val qcZ = "(b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE))"
-  private val qcMu = "(0.5 + 0.5 * z / (1.0 + abs(z)))"
+  private[graft] val qcZ = "(b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE))"
+  private[graft] val qcMu = "(0.5 + 0.5 * z / (1.0 + abs(z)))"
   private val qcWq = "CAST(round(1048576.0 * (mu * (1.0 - mu))) AS BIGINT)"
   private val qcRq = "CAST(round(1048576.0 * (CAST(y AS DOUBLE) - mu)) AS BIGINT)"
   /** Weighted sufficient statistics: exact DECIMAL sums of integer
@@ -1292,7 +1292,7 @@ object TextAnalysis extends QueryModule {
     * the keep threshold (the label prior) — one memoized 1-row
     * broadcast side: train once, score everywhere.
     */
-  private[queries] def qcModel(s: SparkSession, dir: String): DataFrame =
+  private[graft] def qcModel(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "qc_model") {
       val feats = qcFeatures(s, dir)
       val m0 = s.range(1).select(
@@ -1323,7 +1323,7 @@ object TextAnalysis extends QueryModule {
     * model — memoized: q158's filter report, q160's evaluation, and
     * q161's calibration all read it.
     */
-  private[queries] def qcScored(s: SparkSession, dir: String): DataFrame =
+  private[graft] def qcScored(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "qc_scored") {
       qcFeatures(s, dir).crossJoin(broadcast(qcModel(s, dir)))
         .withColumn("z", expr(qcZ))
