@@ -32,9 +32,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   * resolution-major, component-minor; [[Jp2.decodeAll]] decodes every
   * component and applies the inverse REVERSIBLE color transform
   * (RCT, T.800 G.2.2) when the COD header signals MCT — so an RGB
-  * JP2 on the reversible path round-trips bit-exactly. Codestreams
-  * outside the profile (multi-tile, subsampled components,
-  * non-reversible quantization styles, irreversible ICT) are
+  * JP2 on the reversible path round-trips bit-exactly.
+  *
+  * Multi-tile streams (round 13): the image grid's tiles decode
+  * independently — each tile's packet stream is entropy-decoded
+  * against the tile's geometry, inverse-transformed locally, and
+  * placed at its canvas origin; `decodeReduced` applies the same
+  * loop per tile. The supported tiling is the ALIGNED profile
+  * (zero grid offsets, tile dims divisible by 2^levels — every real
+  * 256/512/1024 tiling); unaligned tilings, subsampled components,
+  * non-reversible quantization styles, and the irreversible ICT are
   * rejected loudly, never mis-decoded; the
   * [[Jp2.UnimplementedEntropy]] plug remains for callers that want
   * the refusing behavior of rounds ≤ 7.
@@ -140,9 +147,13 @@ object Jp2 {
       require(component >= 0 && component < header.components,
         s"stream has ${header.components} components, asked for " +
           s"component $component")
+      // ONE tile at a time: the header's geometry and tile-parts must
+      // describe a single tile (multi-tile streams are driven by
+      // Jp2.componentRaw/decodeReduced's tile loop, which passes a
+      // tile-adjusted header per tile)
       require(header.tileParts.nonEmpty &&
         header.tileParts.forall(_.tileIndex == 0),
-        s"single-tile profile; tile indices " +
+        s"one tile at a time; tile indices " +
           header.tileParts.map(_.tileIndex).distinct.mkString(","))
       require(header.sbExponents.nonEmpty,
         "QCD carries no exponents (non-reversible quantization style?)")
@@ -189,24 +200,21 @@ object Jp2 {
     case _ => 1
   }
 
-  /** One component: entropy stage → inverse transform, WITHOUT the
-    * DC level shift (the MCT pipeline un-shifts only after the
-    * inverse component transform). Reversible path: inverse 5/3 DWT
-    * on the raw coefficients; irreversible path: midpoint
-    * dequantization (E.1.1.2, r = 0.5) per subband then inverse 9/7
-    * DWT with round-to-nearest.
+  /** Coefficient plane → samples for a `w`×`hgt` region decomposed
+    * `lvls` times, WITHOUT the DC level shift. Reversible path:
+    * inverse 5/3 DWT on the raw coefficients; irreversible path:
+    * midpoint dequantization (E.1.1.2, r = 0.5) per subband then
+    * inverse 9/7 DWT with round-to-nearest. The subband enumeration
+    * (and with it each subband's QCD slot) is the region's own
+    * Mallat layout — callers pass tile or reduced-image geometry.
     */
-  private def componentRaw(h: Header, bytes: Array[Byte], component: Int,
-      entropy: EntropyDecoder): Array[Int] = {
-    val coeffs = entropy.decode(h, bytes, component)
-    require(coeffs.length == h.width * h.height,
-      s"entropy stage returned ${coeffs.length} coefficients for " +
-        s"${h.width}x${h.height}")
-    if (h.reversible) Wavelet53.inverse2d(coeffs, h.width, h.height, h.levels)
+  private def dequantInverse(h: Header, w: Int, hgt: Int, lvls: Int,
+      coeffs: Array[Int]): Array[Int] =
+    if (h.reversible) Wavelet53.inverse2d(coeffs, w, hgt, lvls)
     else {
       val dq = new Array[Double](coeffs.length)
       for {
-        res <- Tier2.subbands(h.width, h.height, h.levels)
+        res <- Tier2.subbands(w, hgt, lvls)
         sb <- res
       } {
         val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
@@ -214,7 +222,7 @@ object Jp2 {
         while (y < sb.h) {
           var x = 0
           while (x < sb.w) {
-            val i = (sb.y0 + y) * h.width + (sb.x0 + x)
+            val i = (sb.y0 + y) * w + (sb.x0 + x)
             val q = coeffs(i)
             dq(i) =
               if (q == 0) 0.0
@@ -224,8 +232,87 @@ object Jp2 {
           y += 1
         }
       }
-      Wavelet97.inverse2d(dq, h.width, h.height, h.levels)
-        .map(v => math.rint(v).toInt)
+      Wavelet97.inverse2d(dq, w, hgt, lvls).map(v => math.rint(v).toInt)
+    }
+
+  /** Tile grid in raster order: (tileIndex, x0, y0, w, h), clipped at
+    * the image edge. A single-tile stream yields the one full-image
+    * tile.
+    */
+  private def tileGrid(h: Header): Seq[(Int, Int, Int, Int, Int)] = {
+    require(h.tileWidth > 0 && h.tileHeight > 0,
+      s"SIZ declares a ${h.tileWidth}x${h.tileHeight} tile grid")
+    val ntx = (h.width + h.tileWidth - 1) / h.tileWidth
+    val nty = (h.height + h.tileHeight - 1) / h.tileHeight
+    for {
+      ty <- 0 until nty
+      tx <- 0 until ntx
+    } yield (ty * ntx + tx, tx * h.tileWidth, ty * h.tileHeight,
+      math.min(h.tileWidth, h.width - tx * h.tileWidth),
+      math.min(h.tileHeight, h.height - ty * h.tileHeight))
+  }
+
+  /** The multi-tile profile bound (round 13): zero tile-grid offsets
+    * and tile dimensions divisible by 2^levels. Under it, every
+    * tile's canvas x0/y0 stays an integer multiple of 2^r at every
+    * decomposition level r, so T.800's canvas-coordinate subband
+    * split of the tile [x0, x1) coincides with the LOCAL
+    * ceil-halving recursion of its width — which is what makes
+    * per-tile local-coordinate decode (and the fixture's per-tile
+    * local encode) exact. Real tilings (256/512/1024 grids, ≤ 10
+    * levels) satisfy it; anything else refuses loudly rather than
+    * mis-decoding near tile seams.
+    */
+  private def requireTileAlignment(h: Header): Unit = {
+    require(h.xOff == 0 && h.yOff == 0,
+      s"multi-tile stream with nonzero grid offsets " +
+        s"(${h.xOff},${h.yOff}) — out of this decoder's profile")
+    val step = 1 << h.levels
+    require(h.tileWidth % step == 0 && h.tileHeight % step == 0,
+      s"multi-tile stream whose ${h.tileWidth}x${h.tileHeight} tiles " +
+        s"do not align to 2^levels = $step: the per-tile subband " +
+        "split would differ from the canvas-coordinate one — out of " +
+        "this decoder's profile")
+  }
+
+  /** One component: entropy stage → inverse transform, WITHOUT the
+    * DC level shift (the MCT pipeline un-shifts only after the
+    * inverse component transform). Multi-tile streams (round 13)
+    * decode tile by tile — each tile's packet stream is entropy-
+    * decoded against the TILE's geometry and inverse-transformed
+    * locally (exact under [[requireTileAlignment]]), then placed at
+    * its canvas origin.
+    */
+  private def componentRaw(h: Header, bytes: Array[Byte], component: Int,
+      entropy: EntropyDecoder): Array[Int] = {
+    val grid = tileGrid(h)
+    if (grid.size == 1) {
+      val coeffs = entropy.decode(h, bytes, component)
+      require(coeffs.length == h.width * h.height,
+        s"entropy stage returned ${coeffs.length} coefficients for " +
+          s"${h.width}x${h.height}")
+      dequantInverse(h, h.width, h.height, h.levels, coeffs)
+    } else {
+      require(entropy eq T800Entropy,
+        "multi-tile decode requires the built-in entropy stage (a " +
+          "custom EntropyDecoder sees whole-image geometry only)")
+      requireTileAlignment(h)
+      val img = new Array[Int](h.width * h.height)
+      for ((ti, x0, y0, tw, th) <- grid) {
+        val parts = h.tileParts.filter(_.tileIndex == ti)
+        require(parts.nonEmpty,
+          s"no tile-part for tile $ti of ${grid.size}")
+        val hTile = h.copy(width = tw, height = th,
+          tileParts = parts.map(_.copy(tileIndex = 0)))
+        val coeffs = T800Entropy.decode(hTile, bytes, component)
+        val px = dequantInverse(h, tw, th, h.levels, coeffs)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(px, y * tw, img, (y0 + y) * h.width + x0, tw)
+          y += 1
+        }
+      }
+      img
     }
   }
 
@@ -303,50 +390,58 @@ object Jp2 {
         "pixels")
     require(discard >= 0 && discard <= h.levels,
       s"discard $discard out of range for a ${h.levels}-level stream")
-    var (wr, hr) = (h.width, h.height)
-    (0 until discard).foreach { _ => wr = (wr + 1) / 2; hr = (hr + 1) / 2 }
-    // the Mallat layout puts every subband of the kept resolutions in
-    // the top-left wr×hr rectangle, at the SAME offsets the reduced
-    // image's own layout assigns them (both sides of that identity
-    // are the ceil-halving recursion) — so membership is a bounds
-    // test and extraction is a rectangle copy
-    val keep = (c: Tier2.BlockContribution) =>
-      c.sb.x0 + c.sb.w <= wr && c.sb.y0 + c.sb.h <= hr
-    val full = T800Entropy.decodeFiltered(h, bytes, component, keep)
-    val lvls = h.levels - discard
-    val reduced = new Array[Int](wr * hr)
-    var y = 0
-    while (y < hr) {
-      System.arraycopy(full, y * h.width, reduced, y * wr, wr)
-      y += 1
+    def halved(v0: Int): Int = {
+      var v = v0
+      (0 until discard).foreach(_ => v = (v + 1) / 2)
+      v
     }
-    val px =
-      if (h.reversible) Wavelet53.inverse2d(reduced, wr, hr, lvls)
-      else {
-        val dq = new Array[Double](reduced.length)
-        for {
-          res <- Tier2.subbands(wr, hr, lvls)
-          sb <- res
-        } {
-          val step = h.quantStep(sb.qcdIdx, log2Gain(sb.band))
-          var yy = 0
-          while (yy < sb.h) {
-            var xx = 0
-            while (xx < sb.w) {
-              val i = (sb.y0 + yy) * wr + (sb.x0 + xx)
-              val q = reduced(i)
-              dq(i) =
-                if (q == 0) 0.0
-                else math.signum(q.toDouble) * (math.abs(q) + 0.5) * step
-              xx += 1
-            }
-            yy += 1
-          }
-        }
-        Wavelet97.inverse2d(dq, wr, hr, lvls).map(v => math.rint(v).toInt)
+    val (wr, hr) = (halved(h.width), halved(h.height))
+    val lvls = h.levels - discard
+    val grid = tileGrid(h)
+    if (grid.size > 1) requireTileAlignment(h)
+    val reduced = new Array[Int](wr * hr)
+    for ((ti, x0, y0, tw, th) <- grid) {
+      // per tile: the Mallat layout puts every subband of the kept
+      // resolutions in the tile's top-left twr×thr rectangle, at the
+      // SAME offsets the reduced tile's own layout assigns them
+      // (both sides of that identity are the ceil-halving recursion)
+      // — membership is a bounds test and extraction a rectangle
+      // copy. Tile alignment makes the reduced origins exact:
+      // x0/2^d stays integral, and interior reduced widths tile the
+      // reduced image (ceil distributes over the aligned grid).
+      val (twr, thr) = (halved(tw), halved(th))
+      val hTile =
+        if (grid.size == 1) h
+        else h.copy(width = tw, height = th,
+          tileParts = h.tileParts.filter(_.tileIndex == ti)
+            .map(_.copy(tileIndex = 0)))
+      require(grid.size == 1 || hTile.tileParts.nonEmpty,
+        s"no tile-part for tile $ti of ${grid.size}")
+      val keep = (c: Tier2.BlockContribution) =>
+        c.sb.x0 + c.sb.w <= twr && c.sb.y0 + c.sb.h <= thr
+      val full = T800Entropy.decodeFiltered(hTile, bytes, component, keep)
+      val rect = new Array[Int](twr * thr)
+      var y = 0
+      while (y < thr) {
+        System.arraycopy(full, y * tw, rect, y * twr, twr)
+        y += 1
       }
-    (h, wr, hr, dcShift(h, component, px))
+      val px = dequantInverse(h, twr, thr, lvls, rect)
+      val (rx0, ry0) = (halved0(x0, discard), halved0(y0, discard))
+      y = 0
+      while (y < thr) {
+        System.arraycopy(px, y * twr, reduced, (ry0 + y) * wr + rx0, twr)
+        y += 1
+      }
+    }
+    (h, wr, hr, dcShift(h, component, reduced))
   }
+
+  /** Exact halving of an ALIGNED tile origin (x0 is a multiple of
+    * 2^d under [[requireTileAlignment]]; a single-tile grid's origin
+    * is 0).
+    */
+  private def halved0(x0: Int, d: Int): Int = x0 >> d
 
   /** Decode EVERY component (round 12 — multi-component profile):
     * per-component entropy + inverse DWT, then, when the COD header

@@ -267,19 +267,95 @@ object Jp2Fixture {
     * resolution-major, component-minor (LRCP, one layer, one
     * precinct — B.12.1.1).
     */
-  private def assemble(w: Int, h: Int, levels: Int, bitDepth: Int,
-      cbw: Int, cbh: Int, tileParts: Int, sopEph: Boolean,
-      reversible: Boolean, guard: Int, exps: Array[Int],
-      mants: Option[Array[Int]], compPackets: Seq[Encoded],
-      mct: Boolean, progression: Int = 0): Array[Byte] = {
+  /** Encode a MULTI-TILE reversible codestream (round 13): the image
+    * is cut on a `tileW`×`tileH` grid (clipped at the edges) and each
+    * tile is DC-shifted, 5/3-transformed, and tier-1 coded
+    * INDEPENDENTLY against its own geometry — T.800's per-tile
+    * pipeline under the aligned profile the decoder supports (grid
+    * offsets 0; the caller picks tile dims divisible by 2^levels).
+    * One tile-part per tile, raster order, Isot = tile index; the
+    * main-header QCD carries per-subband max bit-planes over ALL
+    * tiles (an upper bound for every tile's blocks, A.6.4's one-QCD
+    * form).
+    */
+  def encodeTiledGrid(img: Array[Int], w: Int, h: Int, tileW: Int,
+      tileH: Int, levels: Int, bitDepth: Int = 8, cbw: Int = 16,
+      cbh: Int = 16): Array[Byte] = {
+    require(img.length == w * h)
+    require(tileW > 0 && tileH > 0)
+    val ntx = (w + tileW - 1) / tileW
+    val nty = (h + tileH - 1) / tileH
+    val shift = 1 << (bitDepth - 1)
+    val tiles = for {
+      ty <- 0 until nty
+      tx <- 0 until ntx
+    } yield {
+      val (x0, y0) = (tx * tileW, ty * tileH)
+      val (tw, th) = (math.min(tileW, w - x0), math.min(tileH, h - y0))
+      val px = Array.tabulate(tw * th)(i =>
+        img((y0 + i / tw) * w + (x0 + i % tw)) - shift)
+      tier1Encode(Wavelet53.forward2d(px, tw, th, levels), tw, th,
+        levels, cbw, cbh)
+    }
+    // shared main-header QCD: per-subband max over every tile (tiles
+    // share the decomposition depth, so qcdIdx enumerations align)
+    val maxBps = tiles.map(_._2).transpose.map(_.max)
+    val exps = maxBps.map(b => math.max(1, b - guardBits + 1)).toArray
+    val mb = exps.map(_ + guardBits - 1)
     val nSb = exps.length
-    val mb = exps.map(_ + guard - 1)
-    val nComp = compPackets.size
 
-    // tier-2: one packet per (resolution, component) in the signalled
-    // progression's order (res-major for LRCP/RLCP/RPCL,
-    // component-major for PCRL/CPRL), kept separate so the stream can
-    // split across tile-parts on packet boundaries
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeShort(0xFF4F) // SOC
+    d.writeShort(0xFF51) // SIZ
+    d.writeShort(38 + 3)
+    d.writeShort(0) // Rsiz
+    d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
+    d.writeInt(tileW); d.writeInt(tileH); d.writeInt(0); d.writeInt(0)
+    d.writeShort(1) // Csiz
+    d.writeByte(bitDepth - 1) // unsigned
+    d.writeByte(1); d.writeByte(1)
+    d.writeShort(0xFF52) // COD
+    d.writeShort(12)
+    d.writeByte(0) // Scod: default precincts, no SOP/EPH
+    d.writeByte(0) // LRCP
+    d.writeShort(1) // layers
+    d.writeByte(0) // no MCT
+    d.writeByte(levels)
+    d.writeByte(Tier2.floorLog2(cbw) - 2)
+    d.writeByte(Tier2.floorLog2(cbh) - 2)
+    d.writeByte(0) // default code-block style
+    d.writeByte(1) // reversible 5/3
+    d.writeShort(0xFF5C) // QCD style 0
+    d.writeShort(3 + nSb)
+    d.writeByte(guardBits << 5)
+    exps.foreach(e => d.writeByte(e << 3))
+    for ((tile, ti) <- tiles.zipWithIndex) {
+      val body = new ByteArrayOutputStream()
+      buildTilePackets(Seq(tile._1), cbw, cbh, mb, sopEph = false,
+        progression = 0).foreach(body.write)
+      val data = body.toByteArray
+      d.writeShort(0xFF90) // SOT
+      d.writeShort(10)
+      d.writeShort(ti) // Isot = tile index
+      d.writeInt(12 + 2 + data.length) // Psot
+      d.writeByte(0); d.writeByte(1) // TPsot, TNsot
+      d.writeShort(0xFF93) // SOD
+      d.write(data)
+    }
+    d.writeShort(0xFFD9) // EOC
+    d.flush()
+    bos.toByteArray
+  }
+
+  /** Tier-2 packet bytes for ONE tile: one packet per (resolution,
+    * component) in the signalled progression's order (res-major for
+    * LRCP/RLCP/RPCL, component-major for PCRL/CPRL), kept separate so
+    * the stream can split across tile-parts on packet boundaries.
+    */
+  private def buildTilePackets(compPackets: Seq[Encoded], cbw: Int,
+      cbh: Int, mb: Array[Int], sopEph: Boolean, progression: Int)
+      : Seq[Array[Byte]] = {
     val packetBytes = Seq.newBuilder[Array[Byte]]
     val interleaved =
       if (progression <= 2)
@@ -332,9 +408,21 @@ object Jp2Fixture {
       bodies.result().foreach(body.write)
       packetBytes += body.toByteArray
     }
+    packetBytes.result()
+  }
+
+  private def assemble(w: Int, h: Int, levels: Int, bitDepth: Int,
+      cbw: Int, cbh: Int, tileParts: Int, sopEph: Boolean,
+      reversible: Boolean, guard: Int, exps: Array[Int],
+      mants: Option[Array[Int]], compPackets: Seq[Encoded],
+      mct: Boolean, progression: Int = 0): Array[Byte] = {
+    val nSb = exps.length
+    val mb = exps.map(_ + guard - 1)
+    val nComp = compPackets.size
     // distribute whole packets round-robin-contiguously over the
     // requested tile-part count (first parts get the extra packets)
-    val allPackets = packetBytes.result()
+    val allPackets =
+      buildTilePackets(compPackets, cbw, cbh, mb, sopEph, progression)
     val nParts = math.min(math.max(tileParts, 1), allPackets.size)
     val perPart: Seq[Array[Byte]] = {
       val groups = Array.fill(nParts)(new ByteArrayOutputStream())

@@ -485,6 +485,64 @@ class Jp2Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jp2.decodeReduced(bytes, 4))
   }
 
+  test("multi-tile decode: an aligned tile grid round-trips " +
+      "BIT-EXACTLY, edge tiles clipped, and the overview read " +
+      "assembles the per-tile LL_d planes exactly") {
+    val rng = new Random(67)
+    val (w, h, levels) = (97, 61, 3) // odd image dims -> clipped edge tiles
+    val (tileW, tileH) = (32, 16)    // divisible by 2^3: the aligned profile
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, tileW, tileH,
+      levels)
+    val hdr = Jp2.parseHeader(bytes)
+    assert(hdr.tileWidth == tileW && hdr.tileHeight == tileH)
+    assert(hdr.tileParts.map(_.tileIndex).distinct.size == 16,
+      "4x4 grid -> 16 tiles") // ceil(97/32) x ceil(61/16) = 4 x 4
+    // full decode: every tile decodes against its own geometry and
+    // lands at its canvas origin — bit-exact vs the source
+    val (_, px) = Jp2.decode(bytes)
+    assert(px.toSeq == img.toSeq, "multi-tile round-trip diverged")
+    // the overview read: per-tile truth — forward-transform each
+    // DC-shifted tile d levels, keep its top-left ceil-halved
+    // rectangle, place at the halved origin (exact because the grid
+    // is aligned: origins stay integral under halving)
+    val shift = 128
+    for (d <- 1 to levels) {
+      val (_, wr, hr, red) = Jp2.decodeReduced(bytes, d)
+      def halved(v0: Int): Int = {
+        var v = v0; (0 until d).foreach(_ => v = (v + 1) / 2); v
+      }
+      assert((wr, hr) == (halved(w), halved(h)), s"discard $d dims")
+      val expected = new Array[Int](wr * hr)
+      for (ty <- 0 until (h + tileH - 1) / tileH;
+           tx <- 0 until (w + tileW - 1) / tileW) {
+        val (x0, y0) = (tx * tileW, ty * tileH)
+        val (tw, th) = (math.min(tileW, w - x0), math.min(tileH, h - y0))
+        val tpx = Array.tabulate(tw * th)(i =>
+          img((y0 + i / tw) * w + (x0 + i % tw)) - shift)
+        val fwd = Wavelet53.forward2d(tpx, tw, th, d)
+        val (twr, thr) = (halved(tw), halved(th))
+        for (y <- 0 until thr; x <- 0 until twr)
+          expected(((y0 >> d) + y) * wr + ((x0 >> d) + x)) =
+            fwd(y * tw + x) + shift
+      }
+      assert(red.toSeq == expected.toSeq, s"discard $d pixels diverged")
+    }
+  }
+
+  test("multi-tile decode: an UNALIGNED tile grid refuses loudly " +
+      "instead of mis-decoding near tile seams") {
+    val rng = new Random(71)
+    val (w, h, levels) = (60, 40, 3)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    // 20 % 2^3 != 0: per-tile local subband split would diverge from
+    // the canvas-coordinate one
+    val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, 20, 16, levels)
+    val e = intercept[IllegalArgumentException] { Jp2.decode(bytes) }
+    assert(e.getMessage.contains("align"), e.getMessage)
+    intercept[IllegalArgumentException] { Jp2.decodeReduced(bytes, 1) }
+  }
+
   test("decodeReduced: the 9/7 overview read stays within the " +
       "quantization bound of the forward-transformed LL_d truth, " +
       "with per-subband steps varying BY QCD INDEX") {
