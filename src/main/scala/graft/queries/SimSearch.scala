@@ -544,6 +544,96 @@ object SimSearch extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q162 — PQ codebook TRAINING under the oracle gate: the train
+  // side of the q90/q103 serve path (which so far consumed the
+  // fixed-model slices). Product quantization trains one k-means
+  // codebook PER SUBSPACE on the subvectors — exactly q94's
+  // lattice-Lloyd device (2 iterations, first-k init, first-min
+  // tie-break, per-dim mean ROUNDED to the integer lattice, empty
+  // cells keep their centroid) run m=4 times over the 16-dim slices
+  // of the 64-dim quantized corpus. Lattice rounding again makes the
+  // whole trajectory engine- and order-independent, so the hash
+  // match certifies every subspace's full training path; the oracle
+  // unrolls all m chains in SQL and unions them.
+  //
+  // Scale: per iteration per subspace, one broadcast-k assignment
+  // scan + one (k × subDim)-row mean aggregate — m·iters scans of a
+  // cached slice, model-sized exchanges only, the q94 argument
+  // unchanged. The trained model is memoized per (app, dir); the
+  // gated row set is the codebook itself (m·k·subDim rows).
+  private val pqTrainMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Int, Int, Long)]]()
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (m, subDim) = (4, 16) // 64-dim corpus — q90's PQ geometry
+    val rows = pqTrainMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => {
+        val corpus = quantized(s, dir)
+          .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("qv"))
+          .cache()
+        try {
+          (0 until m).flatMap { j =>
+            val sliced = corpus.select(col("vec_id"),
+              expr(s"slice(qv, ${j * subDim + 1}, $subDim)").as("embedding"))
+            val model = graft.operators.Ivf.trainLattice(s, sliced, k = 4,
+              iters = 2)
+            model.zipWithIndex.flatMap { case (c, cid) =>
+              c.zipWithIndex.map { case (v, d) => (j, cid, d, v.toLong) }
+            }
+          }
+        } finally { corpus.unpersist(); () }
+      })
+    rows.toDF("sub", "cid", "dim", "v").orderBy("sub", "cid", "dim")
+  }
+
+  private val q162Sql = {
+    val (m, subDim) = (4, 16)
+    def subChain(j: Int): String = {
+      val base = j * subDim
+      def step(n: Int, prev: String) =
+        s"""d${j}_$n AS (
+           |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+           |  FROM ex$j e JOIN $prev c ON c.i = e.i
+           |  GROUP BY 1, 2),
+           |a${j}_$n AS (
+           |  SELECT vec_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM d${j}_$n) WHERE rn = 1),
+           |m${j}_$n AS (
+           |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
+           |  FROM a${j}_$n a JOIN ex$j e ON e.vec_id = a.vec_id
+           |  GROUP BY 1, 2),
+           |c${j}_$n AS (
+           |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
+           |  FROM $prev p LEFT JOIN m${j}_$n m ON m.cid = p.cid AND m.i = p.i)"""
+          .stripMargin
+      s"""ex$j AS (
+         |  SELECT vec_id, i - $base AS i, v FROM ex
+         |  WHERE i > $base AND i <= ${base + subDim}),
+         |c${j}_0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex$j
+         |  WHERE vec_id < 4),
+         |${step(1, s"c${j}_0")},
+         |${step(2, s"c${j}_1")}""".stripMargin
+    }
+    val selects = (0 until m).map(j =>
+      s"""SELECT CAST($j AS INTEGER) AS sub, cid,
+         |  CAST(i - 1 AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
+         |FROM c${j}_2""".stripMargin)
+    s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
+       |    CAST(unnest(qv) AS DOUBLE) AS v
+       |  FROM q),
+       |${(0 until m).map(subChain).mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY sub, cid, dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q95 — INCREMENTAL semantic dedup: q91's decision applied to an
   // arriving batch (vec_id % 10 = 7 stands in for "today's crawl")
   // against the already-indexed corpus — the production shape for a
@@ -2019,6 +2109,7 @@ object SimSearch extends QueryModule {
     "q90_pq_adc_search" -> (q90 _),
     "q91_semantic_dedup" -> (q91 _),
     "q94_kmeans_train" -> (q94 _),
+    "q162_pq_train" -> (q162 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
     "q97_cluster_cohesion" -> (q97 _),
@@ -2045,6 +2136,7 @@ object SimSearch extends QueryModule {
     "q90_pq_adc_search" -> q90Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q94_kmeans_train" -> q94Sql,
+    "q162_pq_train" -> q162Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
     "q154_bitext_mining" -> q154Sql,

@@ -1504,6 +1504,108 @@ object TextAnalysis extends QueryModule {
        |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pos_rate
        |FROM b ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q163 — FILTER-INDUCED MIXTURE SHIFT: what the trained quality
+  // filter does to the per-language token mixture — q155's question
+  // (there asked of dedup) asked of q158's gate. A filter trained on
+  // reference-vs-crawl discrimination is exactly the kind of
+  // operator that silently reweights languages (stopword-density
+  // features are language-correlated), so the release report a
+  // pipeline ships carries this table: per language, docs and token
+  // mass before/after the gate, the mixture shares both sides, and
+  // the share delta. One scan of the language-extended feature table
+  // under the broadcast model; token masses route through
+  // DECIMAL(38,0); shares are exact-int ÷ exact-int via the q77
+  // |langs|-row window; round6 formats.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = qcModel(s, dir)
+    val sc = graft.CachedPlans.of(s, dir, "qc_scored_lang") {
+      tokenized(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+          expr("CAST(size(array_distinct(toks)) AS BIGINT)").as("n_uniq"),
+          expr(hitS(enW)).as("h_en"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          expr(qcX1).as("x1"), expr(qcX2).as("x2"))
+        .crossJoin(broadcast(model))
+        .withColumn("z", expr(qcZ))
+        .withColumn("mu", expr(qcMu))
+        .select("doc_id", "lang", "n_tok", "mu", "thr")
+    }
+    val perLang = sc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("CASE WHEN mu >= thr THEN 1L ELSE 0L END")).as("n_kept"),
+      expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)")
+        .as("tok_total"),
+      expr("CAST(SUM(CAST(CASE WHEN mu >= thr THEN n_tok ELSE 0 END " +
+        "AS DECIMAL(38,0))) AS BIGINT)").as("tok_kept"))
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perLang
+      .withColumn("gt", sum("tok_total").over(w))
+      .withColumn("gk", sum("tok_kept").over(w))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        col("tok_total"), col("tok_kept"),
+        expr("round(CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)")
+          .as("share_before"),
+        expr("round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE), 6)")
+          .as("share_after"),
+        expr("round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE) " +
+          "- CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)")
+          .as("share_delta"))
+      .orderBy("lang")
+  }
+
+  private val q163Sql =
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang, n_tok, source,
+       |    CAST(CASE WHEN source IN $qcRefSrcs THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    $qcX1 AS x1, $qcX2 AS x2
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      CAST(len($toksD) AS BIGINT) AS n_tok,
+       |      CAST(len(list_distinct($toksD)) AS BIGINT) AS n_uniq,
+       |      ${hitD(enW)} AS h_en
+       |    FROM documents)
+       |  WHERE n_tok > 0),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${qcItSql("m0", "1")},
+       |${qcItSql("m1", "2")},
+       |${qcItSql("m2", "3")},
+       |mt AS (
+       |  SELECT b0d, b1d, b2d,
+       |    (SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+       |       / CAST(COUNT(*) AS DOUBLE) FROM feats) AS thr
+       |  FROM m3),
+       |sc AS (
+       |  SELECT lang, n_tok, $qcMu AS mu, thr FROM (
+       |    SELECT lang, n_tok, y, $qcZ AS z, thr
+       |    FROM feats CROSS JOIN mt)),
+       |pl AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT) AS tok_total,
+       |    CAST(SUM(CAST(CASE WHEN mu >= thr THEN n_tok ELSE 0 END
+       |      AS DECIMAL(38,0))) AS BIGINT) AS tok_kept
+       |  FROM sc GROUP BY lang),
+       |g AS (
+       |  SELECT *,
+       |    CAST(SUM(tok_total) OVER () AS BIGINT) AS gt,
+       |    CAST(SUM(tok_kept) OVER () AS BIGINT) AS gk
+       |  FROM pl)
+       |SELECT lang, n_docs, n_kept, tok_total, tok_kept,
+       |  round(CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)
+       |    AS share_before,
+       |  round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE), 6)
+       |    AS share_after,
+       |  round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE)
+       |    - CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)
+       |    AS share_delta
+       |FROM g ORDER BY lang""".stripMargin
+
   /** One IRLS iteration as DuckDB CTEs (gram `g<tag>` + model
     * `m<tag>` on top of `feats` and the previous model CTE) — the
     * same shared strings the Spark step binds.
@@ -1568,6 +1670,7 @@ object TextAnalysis extends QueryModule {
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
+    "q163_filter_mixture_shift" -> (q163 _),
     "q145_heavy_hitters" -> (q145 _),
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
@@ -1592,6 +1695,7 @@ object TextAnalysis extends QueryModule {
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
+    "q163_filter_mixture_shift" -> q163Sql,
     "q145_heavy_hitters" -> q145Sql,
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,

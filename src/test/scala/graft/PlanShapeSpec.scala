@@ -453,7 +453,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // trained-model broadcast onto the feature scan — q158's
       // reviewed shape; after the first materialization the plan
       // reads the InMemoryRelation)
-      "q161_calibration")
+      "q161_calibration",
+      // q163: the same 1-row trained-model broadcast onto the
+      // language-extended feature scan (q158's reviewed shape)
+      "q163_filter_mixture_shift")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -515,7 +518,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q161: the scored-table build lineage's 1-row IRLS grams
       // (q158's reviewed shape); the report itself is a 10-row
       // keyed aggregate
-      "q161_calibration")
+      "q161_calibration",
+      // q163: the |langs|-row share-normalizing window (q77's
+      // pattern) + the build lineage's 1-row IRLS grams
+      "q163_filter_mixture_shift")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
