@@ -501,9 +501,7 @@ object SimSearch extends QueryModule {
   // a hash match certifies the WHOLE training trajectory, not one
   // step. Output = the trained model, one row per (cid, dim).
   private def q94(s: SparkSession, dir: String): DataFrame = {
-    val corpus = quantized(s, dir)
-      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
-    val model = graft.operators.Ivf.trainLattice(s, corpus, k = 4, iters = 2)
+    val model = trainedCentroids(s, dir) // memoized lattice-Lloyd train
     import s.implicits._
     model.zipWithIndex.flatMap { case (c, cid) =>
       c.zipWithIndex.map { case (v, dim) => (cid, dim, v.toLong) }
@@ -562,63 +560,94 @@ object SimSearch extends QueryModule {
   // unchanged. The trained model is memoized per (app, dir); the
   // gated row set is the codebook itself (m·k·subDim rows).
   private val pqTrainMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Int, Int, Int, Long)]]()
+    String, Seq[Seq[Seq[Double]]]]()
+  private val trainedCentMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Seq[Double]]]()
 
-  private def q162(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (m, subDim) = (4, 16) // 64-dim corpus — q90's PQ geometry
-    val rows = pqTrainMemo.computeIfAbsent(
+  /** The TRAINED per-subspace lattice codebooks (m=4 × k=4 × 16),
+    * memoized per (app, dir) — q162 gates them, q164 searches under
+    * them.
+    */
+  private def trainedCodebooks(s: SparkSession, dir: String)
+      : Seq[Seq[Seq[Double]]] =
+    pqTrainMemo.computeIfAbsent(
       s"${s.sparkContext.applicationId}:$dir",
       _ => {
+        val (m, subDim) = (4, 16)
         val corpus = quantized(s, dir)
           .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("qv"))
           .cache()
         try {
-          (0 until m).flatMap { j =>
+          (0 until m).map { j =>
             val sliced = corpus.select(col("vec_id"),
               expr(s"slice(qv, ${j * subDim + 1}, $subDim)").as("embedding"))
-            val model = graft.operators.Ivf.trainLattice(s, sliced, k = 4,
-              iters = 2)
-            model.zipWithIndex.flatMap { case (c, cid) =>
-              c.zipWithIndex.map { case (v, d) => (j, cid, d, v.toLong) }
-            }
+            graft.operators.Ivf.trainLattice(s, sliced, k = 4, iters = 2)
           }
         } finally { corpus.unpersist(); () }
       })
+
+  /** The TRAINED full-space coarse quantizer (q94's lattice model),
+    * memoized per (app, dir) — q94 gates it, q164 probes under it.
+    */
+  private def trainedCentroids(s: SparkSession, dir: String)
+      : Seq[Seq[Double]] =
+    trainedCentMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir",
+      _ => graft.operators.Ivf.trainLattice(s,
+        quantized(s, dir).select(col("vec_id"),
+          expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding")),
+        k = 4, iters = 2))
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = trainedCodebooks(s, dir).zipWithIndex.flatMap {
+      case (book, j) =>
+        book.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (v, d) => (j, cid, d, v.toLong) }
+        }
+    }
     rows.toDF("sub", "cid", "dim", "v").orderBy("sub", "cid", "dim")
+  }
+
+  /** The per-subspace lattice-Lloyd CTE chain (q94's two unrolled
+    * iterations over the j-th 16-dim slice of an `ex` CTE with
+    * columns (vec_id, i, v)); the trained codebook lands in
+    * `c<j>_2` (cid, i local 1-based, v). Shared by q162's gate and
+    * q164's trained-search composition.
+    */
+  private def pqSubChainSql(j: Int, subDim: Int): String = {
+    val base = j * subDim
+    def step(n: Int, prev: String) =
+      s"""d${j}_$n AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+         |  FROM ex$j e JOIN $prev c ON c.i = e.i
+         |  GROUP BY 1, 2),
+         |a${j}_$n AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d${j}_$n) WHERE rn = 1),
+         |m${j}_$n AS (
+         |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
+         |  FROM a${j}_$n a JOIN ex$j e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |c${j}_$n AS (
+         |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN m${j}_$n m ON m.cid = p.cid AND m.i = p.i)"""
+        .stripMargin
+    s"""ex$j AS (
+       |  SELECT vec_id, i - $base AS i, v FROM ex
+       |  WHERE i > $base AND i <= ${base + subDim}),
+       |c${j}_0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex$j
+       |  WHERE vec_id < 4),
+       |${step(1, s"c${j}_0")},
+       |${step(2, s"c${j}_1")}""".stripMargin
   }
 
   private val q162Sql = {
     val (m, subDim) = (4, 16)
-    def subChain(j: Int): String = {
-      val base = j * subDim
-      def step(n: Int, prev: String) =
-        s"""d${j}_$n AS (
-           |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
-           |  FROM ex$j e JOIN $prev c ON c.i = e.i
-           |  GROUP BY 1, 2),
-           |a${j}_$n AS (
-           |  SELECT vec_id, cid AS cell FROM (
-           |    SELECT vec_id, cid,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-           |    FROM d${j}_$n) WHERE rn = 1),
-           |m${j}_$n AS (
-           |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
-           |  FROM a${j}_$n a JOIN ex$j e ON e.vec_id = a.vec_id
-           |  GROUP BY 1, 2),
-           |c${j}_$n AS (
-           |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
-           |  FROM $prev p LEFT JOIN m${j}_$n m ON m.cid = p.cid AND m.i = p.i)"""
-          .stripMargin
-      s"""ex$j AS (
-         |  SELECT vec_id, i - $base AS i, v FROM ex
-         |  WHERE i > $base AND i <= ${base + subDim}),
-         |c${j}_0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex$j
-         |  WHERE vec_id < 4),
-         |${step(1, s"c${j}_0")},
-         |${step(2, s"c${j}_1")}""".stripMargin
-    }
+    def subChain(j: Int): String = pqSubChainSql(j, subDim)
     val selects = (0 until m).map(j =>
       s"""SELECT CAST($j AS INTEGER) AS sub, cid,
          |  CAST(i - 1 AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
@@ -631,6 +660,123 @@ object SimSearch extends QueryModule {
        |${(0 until m).map(subChain).mkString(",\n")}
        |${selects.mkString("\nUNION ALL\n")}
        |ORDER BY sub, cid, dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q164 — FULLY-TRAINED IVF-PQ search: the train→serve composition.
+  // q103 searches under the FIXED literal model (the "ship the
+  // weights with the query" idiom); q94 and q162 train the coarse
+  // quantizer and the codebooks under the gate but nothing consumed
+  // them. q164 closes the loop: assign + PQ-encode the corpus under
+  // the TRAINED models, probe the trained cells, ADC-rank — so the
+  // hash match certifies train, encode, probe, and rank as ONE
+  // trajectory (a divergence anywhere in either training loop or in
+  // the serve arithmetic moves some ADC rank). All distances are
+  // sums of integer-valued doubles (the lattice argument), so the
+  // whole composition is order-independent and engine-exact.
+  //
+  // Scale: q103's serve shape unchanged (cell-pruned ADC against
+  // broadcast LUTs); the trained models are memoized driver state
+  // (q94/q162's scans land in warmup). The oracle is the composed
+  // CTE program: full-space lattice chain + the four subspace chains
+  // + assignment/probes/codes/ADC — ~everything this family claims,
+  // certified in one row set.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+    val cents = trainedCentroids(s, dir)
+    val codebooks = trainedCodebooks(s, dir)
+    val encoded = graft.CachedPlans.of(s, dir, "ivfpq_trained_encoded") {
+      graft.operators.Pq.encode(
+        graft.operators.Ivf.assign(corpus, cents, "embedding"),
+        codebooks, "embedding")
+    }
+    val probed = graft.operators.Ivf.probeCells(
+      corpus.filter(col("vec_id") < 8), cents, nProbe = 2)
+    graft.operators.Pq.adcSearchCells(encoded, codebooks, probed, topK = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q164Sql = {
+    val (m, subDim) = (4, 16)
+    // full-space trained-centroid chain (q94's two unrolled
+    // iterations, landing in fc2)
+    def fstep(n: Int, prev: String) =
+      s"""fd$n AS (
+         |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+         |  FROM ex e JOIN $prev c ON c.i = e.i
+         |  GROUP BY 1, 2),
+         |fa$n AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM fd$n) WHERE rn = 1),
+         |fm$n AS (
+         |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
+         |  FROM fa$n a JOIN ex e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |fc$n AS (
+         |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
+         |  FROM $prev p LEFT JOIN fm$n m ON m.cid = p.cid AND m.i = p.i)"""
+        .stripMargin
+    val cbUnion = (0 until m).map(j =>
+      s"SELECT CAST($j AS INTEGER) AS j, cid, i, v FROM c${j}_2")
+      .mkString("\nUNION ALL\n")
+    val subvUnion = (0 until m).map(j =>
+      s"SELECT vec_id, CAST($j AS INTEGER) AS j, i, v FROM ex$j")
+      .mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
+       |    CAST(unnest(qv) AS DOUBLE) AS v
+       |  FROM q),
+       |fc0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, i, v FROM ex
+       |  WHERE vec_id < 4),
+       |${fstep(1, "fc0")},
+       |${fstep(2, "fc1")},
+       |dist AS (
+       |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM ex e JOIN fc2 c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist WHERE vec_id < 8) WHERE rn <= 2),
+       |${(0 until m).map(j => pqSubChainSql(j, subDim)).mkString(",\n")},
+       |cb AS (
+       |$cbUnion),
+       |subv AS (
+       |$subvUnion),
+       |pdist AS (
+       |  SELECT s.vec_id, s.j, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS d
+       |  FROM subv s JOIN cb c ON c.j = s.j AND c.i = s.i
+       |  GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+       |    FROM pdist) WHERE rn = 1),
+       |adc AS (
+       |  SELECT p.q_id, a.vec_id AS c_id, SUM(pd.d) AS adc
+       |  FROM probes p
+       |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |  JOIN code co ON co.vec_id = a.vec_id
+       |  JOIN pdist pd ON pd.vec_id = p.q_id AND pd.j = co.j
+       |    AND pd.cid = co.cid
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, c_id, adc FROM (
+       |  SELECT q_id, c_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY adc, c_id) AS INTEGER) AS rank
+       |  FROM adc) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -2110,6 +2256,7 @@ object SimSearch extends QueryModule {
     "q91_semantic_dedup" -> (q91 _),
     "q94_kmeans_train" -> (q94 _),
     "q162_pq_train" -> (q162 _),
+    "q164_trained_ivfpq" -> (q164 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
     "q97_cluster_cohesion" -> (q97 _),
@@ -2137,6 +2284,7 @@ object SimSearch extends QueryModule {
     "q91_semantic_dedup" -> q91Sql,
     "q94_kmeans_train" -> q94Sql,
     "q162_pq_train" -> q162Sql,
+    "q164_trained_ivfpq" -> q164Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
     "q154_bitext_mining" -> q154Sql,

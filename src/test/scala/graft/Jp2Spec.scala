@@ -530,6 +530,25 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-tile decode: a stream missing one tile's tile-part " +
+      "refuses with the tile named, never returns a hole") {
+    val rng = new Random(73)
+    val (w, h, levels) = (64, 32, 2)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, 32, 16, levels)
+    // excise tile 2's SOT..data span (parse gives exact offsets); the
+    // remaining stream is well-formed but incomplete
+    val hdr = Jp2.parseHeader(bytes)
+    assert(hdr.tileParts.size == 4)
+    val victim = hdr.tileParts.find(_.tileIndex == 2).get
+    // SOT starts 12 bytes + SOD(2) before the data
+    val sotStart = victim.dataOffset - 14
+    val cut = bytes.take(sotStart) ++
+      bytes.drop(victim.dataOffset + victim.dataLength)
+    val e = intercept[IllegalArgumentException] { Jp2.decode(cut) }
+    assert(e.getMessage.contains("tile 2"), e.getMessage)
+  }
+
   test("multi-tile decode: an UNALIGNED tile grid refuses loudly " +
       "instead of mis-decoding near tile seams") {
     val rng = new Random(71)
