@@ -697,8 +697,12 @@ object SimSearch extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
-  private val q164Sql = {
-    val (m, subDim) = (4, 16)
+  /** Shared oracle chain: quantized explode + the full-space trained-
+    * centroid lattice chain (fc2) + the whole-corpus assignment under
+    * it. q164 appends probes/codes/ADC; q165 appends the occupancy
+    * rollup.
+    */
+  private val trainedAssignChainSql = {
     // full-space trained-centroid chain (q94's two unrolled
     // iterations, landing in fc2)
     def fstep(n: Int, prev: String) =
@@ -719,12 +723,6 @@ object SimSearch extends QueryModule {
          |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
          |  FROM $prev p LEFT JOIN fm$n m ON m.cid = p.cid AND m.i = p.i)"""
         .stripMargin
-    val cbUnion = (0 until m).map(j =>
-      s"SELECT CAST($j AS INTEGER) AS j, cid, i, v FROM c${j}_2")
-      .mkString("\nUNION ALL\n")
-    val subvUnion = (0 until m).map(j =>
-      s"SELECT vec_id, CAST($j AS INTEGER) AS j, i, v FROM ex$j")
-      .mkString("\nUNION ALL\n")
     s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
        |ex AS (
        |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
@@ -743,7 +741,18 @@ object SimSearch extends QueryModule {
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM dist) WHERE rn = 1),
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+  }
+
+  private val q164Sql = {
+    val (m, subDim) = (4, 16)
+    val cbUnion = (0 until m).map(j =>
+      s"SELECT CAST($j AS INTEGER) AS j, cid, i, v FROM c${j}_2")
+      .mkString("\nUNION ALL\n")
+    val subvUnion = (0 until m).map(j =>
+      s"SELECT vec_id, CAST($j AS INTEGER) AS j, i, v FROM ex$j")
+      .mkString("\nUNION ALL\n")
+    s"""$trainedAssignChainSql,
        |probes AS (
        |  SELECT vec_id AS q_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -778,6 +787,58 @@ object SimSearch extends QueryModule {
        |  FROM adc) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q165 — IVF CELL-BALANCE audit under the TRAINED model: q156's
+  // join-skew question asked of the ANN index. Cell occupancy is
+  // what degrades an IVF index operationally — a hot cell makes
+  // every probe that touches it scan-heavy (the q53/q103 serve cost
+  // is the probed cells' occupancy, not the corpus), and occupancy
+  // skew is THE signal that triggers re-training the coarse
+  // quantizer or splitting cells. Per cell: vector count, occupancy
+  // share, and the occupancy ratio n·k/total (1.0 = perfectly
+  // balanced — q156's skew factor on cells); plus the probe-cost
+  // bound the imbalance implies (the hottest cell's count is the
+  // worst single-probe candidate scan). One aggregate over the
+  // memoized trained-encode table; k rows cross the wire.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val encoded = graft.CachedPlans.of(s, dir, "ivfpq_trained_encoded") {
+      val corpus = quantized(s, dir)
+        .select(col("vec_id"),
+          expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+      graft.operators.Pq.encode(
+        graft.operators.Ivf.assign(corpus, trainedCentroids(s, dir),
+          "embedding"),
+        trainedCodebooks(s, dir), "embedding")
+    }
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    encoded.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum("n_vecs").over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .select(col("cell"), col("n_vecs"),
+        expr("round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6)")
+          .as("share"),
+        expr("round(CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) " +
+          "/ CAST(total AS DOUBLE), 6)").as("occ_ratio"),
+        expr("CAST(n_vecs * n_cells > total * 2 AS BOOLEAN)").as("hot"))
+      .orderBy("cell")
+  }
+
+  private val q165Sql =
+    s"""$trainedAssignChainSql
+       |SELECT cell, n_vecs,
+       |  round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |  round(CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
+       |    / CAST(total AS DOUBLE), 6) AS occ_ratio,
+       |  CAST(n_vecs * n_cells > total * 2 AS BOOLEAN) AS hot
+       |FROM (
+       |  SELECT cell, COUNT(*) AS n_vecs,
+       |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+       |  FROM assigned GROUP BY cell)
+       |ORDER BY cell""".stripMargin
 
   // ---------------------------------------------------------------
   // q95 — INCREMENTAL semantic dedup: q91's decision applied to an
@@ -2257,6 +2318,7 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> (q94 _),
     "q162_pq_train" -> (q162 _),
     "q164_trained_ivfpq" -> (q164 _),
+    "q165_ivf_balance" -> (q165 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
     "q97_cluster_cohesion" -> (q97 _),
@@ -2285,6 +2347,7 @@ object SimSearch extends QueryModule {
     "q94_kmeans_train" -> q94Sql,
     "q162_pq_train" -> q162Sql,
     "q164_trained_ivfpq" -> q164Sql,
+    "q165_ivf_balance" -> q165Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
     "q154_bitext_mining" -> q154Sql,

@@ -521,7 +521,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q161_calibration",
       // q163: the |langs|-row share-normalizing window (q77's
       // pattern) + the build lineage's 1-row IRLS grams
-      "q163_filter_mixture_shift")
+      "q163_filter_mixture_shift",
+      // q165: the k-row occupancy window over the cell rollup (q77's
+      // pattern; the corpus-sized work is the memoized encode scan)
+      "q165_ivf_balance")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
