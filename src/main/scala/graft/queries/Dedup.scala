@@ -1443,7 +1443,138 @@ object Dedup extends QueryModule {
        |FROM ch JOIN fc USING (fp)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q166 — CROSS-SPLIT near-dup LEAKAGE audit: test-set leakage is
+  // the eval-integrity bug a curation pipeline must catch — a
+  // near-duplicate pair straddling train/test means the model is
+  // evaluated on (a paraphrase of) its own training data. q58/q139
+  // audit contamination against an EXTERNAL benchmark; this audits
+  // the pipeline's OWN split (q92's deterministic md5 split) against
+  // its OWN near-dup candidate graph (the memoized q30 LSH edges —
+  // candidate generation is the bucketed equi-join, never all-pairs).
+  // Per unordered split pair: crossing candidate pairs, distinct
+  // documents involved on each side, and the strongest signature
+  // agreement among them. Scale: one |edges|-row join against the
+  // broadcast-joinable split table + a ≤3-row rollup.
+  private val shufSeed166 = 42 // q92's split device, verbatim
+  private val splitCaseS =
+    "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END"
+
+  private def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "split_assign") {
+      T.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            s"':$shufSeed166')), 1, 4), 16, 10) AS BIGINT) % 100").as("b"))
+        .select(col("doc_id"), expr(splitCaseS).as("split"))
+    }
+
+  private val duckSplits =
+    s"""splits AS (
+       |  SELECT doc_id, $splitCaseS AS split FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':$shufSeed166'), 1, 4))::BIGINT % 100 AS b
+       |    FROM documents))""".stripMargin
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val sp = splitAssign(s, dir)
+    candidateEdges(s, dir)
+      .join(sp.select(col("doc_id").as("src"), col("split").as("sa")), "src")
+      .join(sp.select(col("doc_id").as("dst"), col("split").as("sb")), "dst")
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        col("src"), col("dst"), col("sa"), col("n_match"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(expr("CASE WHEN sa = split_a THEN src ELSE dst END"))
+          .as("n_docs_a"),
+        countDistinct(expr("CASE WHEN sa = split_a THEN dst ELSE src END"))
+          .as("n_docs_b"),
+        max("n_match").as("max_match"))
+      .orderBy("split_a", "split_b")
+  }
+
+  private val q166Sql =
+    s"""WITH $duckSignatures,
+       |ed AS (
+       |  SELECT doc_a, doc_b, n_match FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |    FROM sig a
+       |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |      AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE n_match >= 2),
+       |$duckSplits,
+       |x AS (
+       |  SELECT least(sa.split, sb.split) AS split_a,
+       |    greatest(sa.split, sb.split) AS split_b,
+       |    e.doc_a AS src, e.doc_b AS dst, sa.split AS sa, e.n_match
+       |  FROM ed e
+       |  JOIN splits sa ON sa.doc_id = e.doc_a
+       |  JOIN splits sb ON sb.doc_id = e.doc_b
+       |  WHERE sa.split <> sb.split)
+       |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+       |  CAST(COUNT(DISTINCT CASE WHEN sa = split_a THEN src ELSE dst END)
+       |    AS BIGINT) AS n_docs_a,
+       |  CAST(COUNT(DISTINCT CASE WHEN sa = split_a THEN dst ELSE src END)
+       |    AS BIGINT) AS n_docs_b,
+       |  MAX(n_match) AS max_match
+       |FROM x GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q167 — CLUSTER-CONSISTENT split REPAIR: the fix for what q166
+  // finds (the audit→fix pairing, like q156→q159). The repair rule
+  // every leakage-safe pipeline uses: near-dup CLUSTERS must live in
+  // ONE split, so each document adopts the split of its cluster's
+  // minimum-doc_id member (deterministic; singletons keep their
+  // hash split). Output is the migration matrix old_split →
+  // new_split with document counts — the diagonal is the unmoved
+  // mass, off-diagonal rows are the docs a repair run would rewrite.
+  // QueryInvariantsSpec pins the point of the exercise: AFTER the
+  // repair, zero candidate pairs cross splits. Scale: the memoized
+  // label table joined to the split table (both key-sized vs the
+  // corpus), a |clusters|-row arg-min, and a ≤9-row rollup.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val sp = splitAssign(s, dir)
+    val labels = ccLabels(s, dir)
+    val compSplit = labels.join(sp, "doc_id")
+      .groupBy("component")
+      .agg(min(struct(col("doc_id"), col("split"))).as("m"))
+      .select(col("component"), col("m.split").as("comp_split"))
+    sp.join(labels, Seq("doc_id"), "left")
+      .join(compSplit, Seq("component"), "left")
+      .select(col("split").as("old_split"),
+        expr("coalesce(comp_split, split)").as("new_split"))
+      .groupBy("old_split", "new_split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("old_split", "new_split")
+  }
+
+  private val q167Sql =
+    s"""WITH RECURSIVE $duckSignatures,
+       |$duckCcLabels,
+       |$duckSplits,
+       |cs AS (
+       |  SELECT component, split AS comp_split FROM (
+       |    SELECT l.component, s.split,
+       |      ROW_NUMBER() OVER (PARTITION BY l.component
+       |        ORDER BY l.doc_id) AS rn
+       |    FROM lab l JOIN splits s ON s.doc_id = l.doc_id)
+       |  WHERE rn = 1)
+       |SELECT s.split AS old_split,
+       |  COALESCE(cs.comp_split, s.split) AS new_split,
+       |  COUNT(*) AS n_docs
+       |FROM splits s
+       |LEFT JOIN lab l ON l.doc_id = s.doc_id
+       |LEFT JOIN cs ON cs.component = l.component
+       |GROUP BY 1, 2
+       |ORDER BY old_split, new_split""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_split_leakage" -> (q166 _),
+    "q167_split_repair" -> (q167 _),
     "q144_cdc_chunk_dedup" -> (q144 _),
     "q27_exact_dedup" -> (q27 _),
     "q28_ngram_jaccard" -> (q28 _),
@@ -1471,6 +1602,8 @@ object Dedup extends QueryModule {
     "q119_substring_dup" -> (q119 _))
 
   override val oracle: Map[String, String] = Map(
+    "q166_split_leakage" -> q166Sql,
+    "q167_split_repair" -> q167Sql,
     "q144_cdc_chunk_dedup" -> q144Sql,
     "q27_exact_dedup" -> q27Sql,
     "q28_ngram_jaccard" -> q28Sql,

@@ -331,6 +331,45 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
       flagged.getAs[String]("col_name"))
   }
 
+  test("q166/q167 split leakage -> repair: the repaired assignment " +
+      "leaves ZERO near-dup candidate pairs crossing splits, and the " +
+      "migration matrix conserves documents") {
+    // rebuild the repair from PUBLIC gated outputs only (splits from
+    // q92, clusters from q57, candidate pairs from q30) and check the
+    // invariant q167 exists to establish
+    val splits = SparkEntry.queries("q92_seeded_split")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val comp = SparkEntry.queries("q57_dup_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    val edges = SparkEntry.queries("q30_lsh_candidates")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // pre-repair: q166's totals match the independent recount
+    val crossing = edges.count { case (a, b) => splits(a) != splits(b) }
+    val q166Total = SparkEntry.queries("q166_split_leakage")(spark, dir)
+      .collect().map(_.getAs[Long]("n_pairs")).sum
+    assert(q166Total == crossing.toLong, s"$q166Total vs $crossing")
+    // the repair rule: every member adopts the split of its cluster's
+    // minimum-doc_id member
+    val compSplit = comp.groupBy(_._2).map { case (c, ms) =>
+      c -> splits(ms.keys.min)
+    }
+    def repaired(d: Long): String =
+      comp.get(d).map(compSplit).getOrElse(splits(d))
+    assert(edges.forall { case (a, b) => repaired(a) == repaired(b) },
+      "a candidate pair still crosses splits after the repair")
+    // q167's matrix: rows conserve documents and reproduce the rule
+    val matrix = SparkEntry.queries("q167_split_repair")(spark, dir)
+      .collect().map(r => (r.getAs[String]("old_split"),
+        r.getAs[String]("new_split")) -> r.getAs[Long]("n_docs")).toMap
+    assert(matrix.values.sum == splits.size.toLong)
+    val expected = splits.toSeq
+      .groupBy { case (d, s) => (s, repaired(d)) }
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(matrix == expected, s"matrix diverged: $matrix vs $expected")
+  }
+
   test("q151/q152 recall curves: bounded, truth anchors exact") {
     val mrl = SparkEntry.queries("q151_matryoshka_recall")(spark, dir)
       .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Double]("recall_at_5"))
