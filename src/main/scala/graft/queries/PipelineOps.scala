@@ -653,7 +653,88 @@ object PipelineOps extends QueryModule {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q168 — PADDING-EFFICIENCY report for length-bucketed batching:
+  // the training-throughput audit behind "bucket by sequence length"
+  // — a batch pads every sequence to its bucket's cap, so wasted
+  // accelerator work = padded − real tokens. Docs land in the
+  // smallest power-of-two cap ≥ their length (32…512; longer docs
+  // form an overflow bucket whose cap is its own observed max —
+  // data-dependent but exact); per bucket: docs, real tokens, padded
+  // tokens, waste, waste ratio. The 'total' row prices the
+  // UNBUCKETED alternative (pad everything to the global max) — the
+  // delta between its waste and the buckets' summed waste is what
+  // bucketing buys. All integers exact (counts × caps, DECIMAL-
+  // routed sums); the ratio is exact-int ÷ exact-int round6. One
+  // token-length scan + a ≤7-row rollup.
+  private val bucketCapS =
+    "CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64 " +
+      "WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256 " +
+      "WHEN n_tok <= 512 THEN 512 ELSE -1 END"
+
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    // lengths off the shared cached token table (the regex is the
+    // per-row cost; size() over the cached array is nearly free)
+    val lens = TextAnalysis.tokenized(s, dir)
+      .select(expr("CAST(size(toks) AS BIGINT)").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cap0", expr(bucketCapS))
+    val buckets = lens.groupBy("cap0").agg(
+      count(lit(1)).as("n_docs"),
+      expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)").as("tokens"),
+      max("n_tok").as("mx"))
+      .select(
+        expr("CASE WHEN cap0 = -1 THEN 'overflow' " +
+          "ELSE CAST(cap0 AS STRING) END").as("bucket"),
+        expr("CAST(CASE WHEN cap0 = -1 THEN mx ELSE cap0 END AS BIGINT)")
+          .as("cap"),
+        col("n_docs"), col("tokens"))
+    val total = lens.groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)").as("tokens"),
+      max("n_tok").as("mx"))
+      .select(lit("total").as("bucket"),
+        expr("CAST(mx AS BIGINT)").as("cap"), col("n_docs"), col("tokens"))
+    buckets.unionAll(total)
+      .withColumn("padded", expr("n_docs * cap"))
+      .withColumn("waste", expr("n_docs * cap - tokens"))
+      .select(col("bucket"), col("cap"), col("n_docs"), col("tokens"),
+        col("padded"), col("waste"),
+        expr("round(CAST(n_docs * cap - tokens AS DOUBLE) " +
+          "/ CAST(n_docs * cap AS DOUBLE), 6)").as("waste_ratio"))
+      .orderBy("cap", "bucket")
+  }
+
+  private val q168Sql =
+    s"""WITH lens AS (
+       |  SELECT n_tok, $bucketCapS AS cap0 FROM (
+       |    SELECT $nTok110D AS n_tok FROM documents) WHERE n_tok > 0),
+       |b AS (
+       |  SELECT
+       |    CASE WHEN cap0 = -1 THEN 'overflow'
+       |      ELSE CAST(cap0 AS VARCHAR) END AS bucket,
+       |    CAST(CASE WHEN cap0 = -1 THEN mx ELSE cap0 END AS BIGINT) AS cap,
+       |    n_docs, tokens
+       |  FROM (
+       |    SELECT cap0, COUNT(*) AS n_docs,
+       |      CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT) AS tokens,
+       |      MAX(n_tok) AS mx
+       |    FROM lens GROUP BY cap0)
+       |  UNION ALL
+       |  SELECT 'total', CAST(mx AS BIGINT), n_docs, tokens FROM (
+       |    SELECT COUNT(*) AS n_docs,
+       |      CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT) AS tokens,
+       |      MAX(n_tok) AS mx
+       |    FROM lens))
+       |SELECT bucket, cap, n_docs, tokens,
+       |  n_docs * cap AS padded,
+       |  n_docs * cap - tokens AS waste,
+       |  round(CAST(n_docs * cap - tokens AS DOUBLE)
+       |    / CAST(n_docs * cap AS DOUBLE), 6) AS waste_ratio
+       |FROM b ORDER BY cap, bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
     "q73_funnel" -> (q73 _),
     "q74_session_coverage" -> (q74 _),
@@ -669,6 +750,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
     "q73_funnel" -> q73Sql,
     "q74_session_coverage" -> q74Sql,

@@ -524,7 +524,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q163_filter_mixture_shift",
       // q165: the k-row occupancy window over the cell rollup (q77's
       // pattern; the corpus-sized work is the memoized encode scan)
-      "q165_ivf_balance")
+      "q165_ivf_balance",
+      // q168: the 1-row unbucketed-total aggregate (q104's corpus-
+      // total pattern; the bucket rollup is a keyed ≤6-row exchange)
+      "q168_padding_efficiency")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
