@@ -1606,6 +1606,191 @@ object TextAnalysis extends QueryModule {
        |    AS share_delta
        |FROM g ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q169 — FEATURE-ABLATION evaluation: which feature carries the
+  // filter? Retrain the q158 classifier with each feature removed
+  // (intercept + one feature — the same quantized IRLS with a 2×2
+  // Cramer solve, showing the template generalizes across
+  // dimensionality) and report each model's exact tie-corrected AUC
+  // (q160's device) next to the full model's, with the AUC delta the
+  // ablation costs. This is the explainability table an ML-ops
+  // review asks for before trusting a filter: a feature whose
+  // removal doesn't move AUC is dead weight; one that moves it is
+  // the filter. Exactness: each ablated trajectory is the same
+  // decimal-routed quantized IRLS; each AUC is the same exact
+  // half-integer rank sum; deltas are differences of identically-
+  // computed doubles. Scale: 3 training runs (T scans each, 1-row
+  // exchanges) + 3 score-group scans, all memoized.
+  private val qcZ2 = "(b0d + b1d * CAST(x AS DOUBLE))"
+  private val qcGram2: Seq[(String, String)] = Seq(
+    "sw" -> "CAST(SUM(CAST(wq AS DECIMAL(38,0))) AS DOUBLE)",
+    "swx" -> "CAST(SUM(CAST(wq * x AS DECIMAL(38,0))) AS DOUBLE)",
+    "swxx" -> "CAST(SUM(CAST(wq * x * x AS DECIMAL(38,0))) AS DOUBLE)",
+    "r0" -> "CAST(SUM(CAST(rq AS DECIMAL(38,0))) AS DOUBLE)",
+    "rx" -> "CAST(SUM(CAST(rq * x AS DECIMAL(38,0))) AS DOUBLE)")
+  private val qcDet2 = "(sw * swxx - swx * swx)"
+  private val qcD02 = "(r0 * swxx - swx * rx)"
+  private val qcD12 = "(sw * rx - r0 * swx)"
+  private def qcUpd2(b: String, d: String) =
+    s"($b + (CASE WHEN $qcDet2 = 0.0 THEN 0.0 ELSE $d / $qcDet2 END))"
+
+  private def qcStep2(feats: DataFrame, model: DataFrame): DataFrame = {
+    val g = feats.crossJoin(broadcast(model))
+      .withColumn("z", expr(qcZ2))
+      .withColumn("mu", expr(qcMu))
+      .withColumn("wq", expr(qcWq))
+      .withColumn("rq", expr(qcRq))
+      .groupBy()
+      .agg(expr(qcGram2.head._2).as(qcGram2.head._1),
+        qcGram2.tail.map { case (a, e) => expr(e).as(a) }: _*)
+    g.crossJoin(broadcast(model))
+      .select(expr(qcUpd2("b0d", qcD02)).as("b0d"),
+        expr(qcUpd2("b1d", qcD12)).as("b1d"))
+  }
+
+  private def qcModel2(s: SparkSession, dir: String, feat: String)
+      : DataFrame =
+    graft.CachedPlans.of(s, dir, s"qc_model2_$feat") {
+      val feats = qcFeatures(s, dir).select(col("y"), col(feat).as("x"))
+      val m0 = s.range(1).select(lit(0.0).as("b0d"), lit(0.0).as("b1d"))
+      (1 to 3).foldLeft(m0)((m, _) => qcStep2(feats, m))
+    }
+
+  private val qcAucRawExpr =
+    "(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
+      "(r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0) " +
+      "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END)"
+
+  /** Unrounded tie-corrected AUC (1 row, column auc_raw) of a scored
+    * frame with columns (y, mu) — q160's grouped-rank device.
+    */
+  private def aucRaw(sc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = sc.groupBy().agg(
+      sum(expr("CASE WHEN y = 1 THEN 1L ELSE 0L END")).as("n_pos"),
+      sum(expr("CASE WHEN y = 0 THEN 1L ELSE 0L END")).as("n_neg"))
+    val w = Window.orderBy("mu")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rsum = sc.groupBy("mu").agg(count(lit(1)).as("n"),
+        sum(expr("CAST(y AS BIGINT)")).as("npos"))
+      .withColumn("cumn", sum("n").over(w) - col("n"))
+      .groupBy().agg(
+        sum(expr("CAST(npos AS DOUBLE) * (CAST(cumn AS DOUBLE) " +
+          "+ (CAST(n AS DOUBLE) + 1.0) / 2.0)")).as("r1"))
+    conf.crossJoin(broadcast(rsum))
+      .select(expr(qcAucRawExpr).as("auc_raw"))
+  }
+
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val feats = qcFeatures(s, dir)
+    def scored2(feat: String): DataFrame =
+      feats.select(col("y"), col(feat).as("x"))
+        .crossJoin(broadcast(qcModel2(s, dir, feat)))
+        .withColumn("z", expr(qcZ2))
+        .withColumn("mu", expr(qcMu))
+        .select("y", "mu")
+    // the whole 3-row ablation table is memoized: the rank-group
+    // scans and trainings run once per session, the gated result is
+    // a cached 3-row read
+    val tbl = graft.CachedPlans.of(s, dir, "qc_ablation") {
+      val fullRaw = aucRaw(qcScored(s, dir).select("y", "mu"))
+      val rows = Seq(
+        ("full", fullRaw),
+        // x1 = type-token ratio, x2 = stopword density: 'no_stop'
+        // keeps x1 only, 'no_ttr' keeps x2 only
+        ("no_stop", aucRaw(scored2("x1"))),
+        ("no_ttr", aucRaw(scored2("x2"))))
+        .map { case (name, df) =>
+          df.select(lit(name).as("model"), col("auc_raw"))
+        }
+        .reduce(_ unionAll _)
+      rows.crossJoin(broadcast(fullRaw.select(col("auc_raw").as("full_raw"))))
+    }
+    tbl.select(col("model"), expr("round(auc_raw, 6)").as("auc"),
+        expr("round(auc_raw - full_raw, 6)").as("auc_delta"))
+      .orderBy("model")
+  }
+
+  /** The 2-param IRLS iteration as DuckDB CTEs over `fx` (columns y,
+    * x); model lands in `m2$tag`.
+    */
+  private def qcIt2Sql(fx: String, prev: String, tag: String): String =
+    s"""g2$tag AS (
+       |  SELECT ${qcGram2.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM (
+       |    SELECT x, $qcWq AS wq, $qcRq AS rq
+       |    FROM (
+       |      SELECT y, x, $qcMu AS mu
+       |      FROM (
+       |        SELECT y, x, $qcZ2 AS z
+       |        FROM $fx CROSS JOIN $prev)))),
+       |m2$tag AS (
+       |  SELECT ${qcUpd2("b0d", qcD02)} AS b0d,
+       |    ${qcUpd2("b1d", qcD12)} AS b1d
+       |  FROM g2$tag CROSS JOIN $prev)""".stripMargin
+
+  /** The exact-AUC CTE chain over a scored CTE (columns y, mu);
+    * result lands in `auc$tag` (column auc_raw).
+    */
+  private def qcAucSql(scored: String, tag: String): String =
+    s"""g$tag AS (
+       |  SELECT mu, COUNT(*) AS n, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS npos
+       |  FROM $scored GROUP BY mu),
+       |wg$tag AS (
+       |  SELECT *, CAST(SUM(n) OVER (ORDER BY mu
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - n AS cumn
+       |  FROM g$tag),
+       |rs$tag AS (
+       |  SELECT SUM(CAST(npos AS DOUBLE) * (CAST(cumn AS DOUBLE)
+       |    + (CAST(n AS DOUBLE) + 1.0) / 2.0)) AS r1
+       |  FROM wg$tag),
+       |cf$tag AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |  FROM $scored),
+       |auc$tag AS (
+       |  SELECT $qcAucRawExpr AS auc_raw FROM cf$tag CROSS JOIN rs$tag)"""
+      .stripMargin
+
+  private val q169Sql =
+    s"""WITH feats AS ($qcFeatsSql),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${qcItSql("m0", "1")},
+       |${qcItSql("m1", "2")},
+       |${qcItSql("m2", "3")},
+       |scF AS (
+       |  SELECT y, $qcMu AS mu FROM (
+       |    SELECT y, $qcZ AS z FROM feats CROSS JOIN m3)),
+       |${qcAucSql("scF", "F")},
+       |fxp AS (SELECT y, x1 AS x FROM feats),
+       |m2p0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d),
+       |${qcIt2Sql("fxp", "m2p0", "p1")},
+       |${qcIt2Sql("fxp", "m2p1", "p2")},
+       |${qcIt2Sql("fxp", "m2p2", "p3")},
+       |scP AS (
+       |  SELECT y, $qcMu AS mu FROM (
+       |    SELECT y, $qcZ2 AS z FROM fxp CROSS JOIN m2p3)),
+       |${qcAucSql("scP", "P")},
+       |fxq AS (SELECT y, x2 AS x FROM feats),
+       |m2q0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d),
+       |${qcIt2Sql("fxq", "m2q0", "q1")},
+       |${qcIt2Sql("fxq", "m2q1", "q2")},
+       |${qcIt2Sql("fxq", "m2q2", "q3")},
+       |scQ AS (
+       |  SELECT y, $qcMu AS mu FROM (
+       |    SELECT y, $qcZ2 AS z FROM fxq CROSS JOIN m2q3)),
+       |${qcAucSql("scQ", "Q")}
+       |SELECT model, round(auc_raw, 6) AS auc,
+       |  round(auc_raw - full_raw, 6) AS auc_delta
+       |FROM (
+       |  SELECT 'full' AS model, auc_raw FROM aucF
+       |  UNION ALL SELECT 'no_stop', auc_raw FROM aucP
+       |  UNION ALL SELECT 'no_ttr', auc_raw FROM aucQ)
+       |CROSS JOIN (SELECT auc_raw AS full_raw FROM aucF)
+       |ORDER BY model""".stripMargin
+
   /** One IRLS iteration as DuckDB CTEs (gram `g<tag>` + model
     * `m<tag>` on top of `feats` and the previous model CTE) — the
     * same shared strings the Spark step binds.
@@ -1671,6 +1856,7 @@ object TextAnalysis extends QueryModule {
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
     "q163_filter_mixture_shift" -> (q163 _),
+    "q169_feature_ablation" -> (q169 _),
     "q145_heavy_hitters" -> (q145 _),
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
@@ -1696,6 +1882,7 @@ object TextAnalysis extends QueryModule {
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
     "q163_filter_mixture_shift" -> q163Sql,
+    "q169_feature_ablation" -> q169Sql,
     "q145_heavy_hitters" -> q145Sql,
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,

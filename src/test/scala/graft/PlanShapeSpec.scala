@@ -456,7 +456,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q161_calibration",
       // q163: the same 1-row trained-model broadcast onto the
       // language-extended feature scan (q158's reviewed shape)
-      "q163_filter_mixture_shift")
+      "q163_filter_mixture_shift",
+      // q169: three 1-row AUC frames unioned and crossed with the
+      // 1-row full-model anchor (q104's pattern; all sides 1-row)
+      "q169_feature_ablation")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -527,7 +530,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q165_ivf_balance",
       // q168: the 1-row unbucketed-total aggregate (q104's corpus-
       // total pattern; the bucket rollup is a keyed ≤6-row exchange)
-      "q168_padding_efficiency")
+      "q168_padding_efficiency",
+      // q169: the per-model 1-row confusion/rank-sum reduces + the
+      // |score-support|-row CDF windows (q160's reviewed shapes ×3)
+      "q169_feature_ablation")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
