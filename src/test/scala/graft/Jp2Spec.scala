@@ -530,6 +530,28 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-tile decode: seeded property sweep — random aligned " +
+      "grids, dims, depths, and content all round-trip bit-exactly") {
+    val rng = new Random(79)
+    for (trial <- 1 to 6) {
+      val levels = 1 + rng.nextInt(3)
+      val step = 1 << levels
+      val (w, h) = (17 + rng.nextInt(110), 13 + rng.nextInt(90))
+      val tileW = step * (1 + rng.nextInt(4))
+      val tileH = step * (1 + rng.nextInt(4))
+      val depth = Seq(8, 12)(rng.nextInt(2))
+      val img = Array.fill(w * h)(rng.nextInt(1 << depth))
+      val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, tileW, tileH,
+        levels, bitDepth = depth)
+      val (hdr, px) = Jp2.decode(bytes)
+      val nTiles = ((w + tileW - 1) / tileW) * ((h + tileH - 1) / tileH)
+      assert(hdr.tileParts.map(_.tileIndex).distinct.size == nTiles)
+      assert(px.toSeq == img.toSeq,
+        s"trial $trial: ${w}x$h tiles ${tileW}x$tileH levels=$levels " +
+          s"depth=$depth diverged")
+    }
+  }
+
   test("multi-tile decode: a stream missing one tile's tile-part " +
       "refuses with the tile named, never returns a hole") {
     val rng = new Random(73)
