@@ -1,0 +1,145 @@
+package graft
+
+import graft.sources.Warc
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WARC reader against spec-conformant synthetic archives (the
+  * Jp2Fixture discipline: build the bytes from the public format,
+  * prove parse ∘ build is exact): record framing across types,
+  * CRLF-containing payloads, the HTTP response split, per-record
+  * gzip members (Common Crawl's layout), the crawl→documents
+  * projection, and loud refusal on truncation/mis-framing.
+  */
+class WarcSpec extends AnyFunSuite with SharedSpark {
+
+  private def crlf(lines: Seq[String]): String = lines.mkString("", "\r\n", "\r\n")
+
+  /** One spec-conformant record (version line, headers incl. the
+    * mandatory Content-Length, blank line, payload, separator).
+    */
+  private def record(warcType: String, id: String, uri: String,
+      date: String, payload: Array[Byte],
+      contentType: String = "application/http; msgtype=response")
+      : Array[Byte] = {
+    val head = crlf(Seq(
+      "WARC/1.0",
+      s"WARC-Type: $warcType",
+      s"WARC-Record-ID: <urn:uuid:$id>",
+      s"WARC-Date: $date") ++
+      (if (uri.nonEmpty) Seq(s"WARC-Target-URI: $uri") else Nil) ++ Seq(
+      s"Content-Type: $contentType",
+      s"Content-Length: ${payload.length}",
+      ""))
+    head.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def httpResponse(body: String): Array[Byte] =
+    (crlf(Seq("HTTP/1.1 200 OK", "Content-Type: text/html",
+      s"Content-Length: ${body.getBytes("UTF-8").length}", "")) + body)
+      .getBytes("UTF-8")
+
+  private val html1 =
+    "<html><head><style>p{}</style><script>var x=1;</script></head>" +
+      "<body><p>Hello crawl\r\nworld</p></body></html>"
+  private val html2 = "<html><body>second page text</body></html>"
+
+  private def archive: Array[Byte] =
+    record("warcinfo", "aaaa", "", "2024-01-01T00:00:00Z",
+      "software: graft-test\r\n".getBytes("UTF-8"),
+      contentType = "application/warc-fields") ++
+      record("request", "bbbb", "http://example.com/a",
+        "2024-01-01T00:00:01Z",
+        "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")) ++
+      record("response", "cccc", "http://example.com/a",
+        "2024-01-01T00:00:01Z", httpResponse(html1)) ++
+      record("response", "dddd", "http://example.com/b",
+        "2024-01-01T00:00:02Z", httpResponse(html2))
+
+  private def gzipPerRecord(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  test("record framing: all types parsed, headers case-insensitive, " +
+      "CRLF-bearing payloads framed by Content-Length alone") {
+    val recs = Warc.parseRecords(archive)
+    assert(recs.map(_.warcType) ==
+      Seq("warcinfo", "request", "response", "response"))
+    assert(recs(2).targetUri == "http://example.com/a")
+    assert(recs(2).header("warc-target-uri").contains("http://example.com/a"))
+    // the payload carries \r\n\r\n INSIDE it (HTTP head/body split):
+    // only Content-Length may frame the record
+    assert(new String(recs(2).payload, "UTF-8").contains("Hello crawl\r\nworld"))
+    val http = Warc.httpSplit(recs(2).payload).get
+    assert(http._1 == "HTTP/1.1 200 OK")
+    assert(http._2("content-type") == "text/html")
+    assert(new String(http._3, "UTF-8") == html1)
+    // non-HTTP payloads split to None
+    assert(Warc.httpSplit(recs(0).payload).isEmpty)
+  }
+
+  test("per-record gzip members (Common Crawl layout) inflate to the " +
+      "same record sequence as the plain archive") {
+    val plain = Warc.parseRecords(archive)
+    val gz = gzipPerRecord(Seq(
+      record("warcinfo", "aaaa", "", "2024-01-01T00:00:00Z",
+        "software: graft-test\r\n".getBytes("UTF-8"),
+        contentType = "application/warc-fields"),
+      record("request", "bbbb", "http://example.com/a",
+        "2024-01-01T00:00:01Z",
+        "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes("UTF-8")),
+      record("response", "cccc", "http://example.com/a",
+        "2024-01-01T00:00:01Z", httpResponse(html1)),
+      record("response", "dddd", "http://example.com/b",
+        "2024-01-01T00:00:02Z", httpResponse(html2))))
+    val inflated = Warc.parseRecords(Warc.maybeGunzip(gz))
+    assert(inflated.map(_.recordId) == plain.map(_.recordId))
+    assert(inflated(2).payload.toSeq == plain(2).payload.toSeq)
+  }
+
+  test("Spark scan + documents projection: response records become " +
+      "(doc_id, url, ts, text) rows with tags stripped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("a.warc"), archive)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gzipPerRecord(Seq(
+      record("response", "eeee", "http://example.com/c",
+        "2024-01-01T00:00:03Z", httpResponse(html2)))))
+    val df = Warc.read(spark, s"$dir/*")
+    assert(df.count() == 5)
+    assert(df.filter(org.apache.spark.sql.functions.col("warc_type") ===
+      "response").count() == 3)
+    val docs = Warc.documents(spark, s"$dir/*")
+      .orderBy("url").collect()
+    assert(docs.length == 3)
+    assert(docs.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://example.com/a", "http://example.com/b",
+        "http://example.com/c"))
+    val textA = docs(0).getAs[String]("text")
+    assert(textA.contains("Hello crawl"))
+    assert(!textA.contains("<") && !textA.contains("var x"),
+      s"tags/scripts leaked: '$textA'")
+    // doc_ids are distinct stable hashes; timestamps parsed
+    assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 3)
+    assert(docs(0).getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.parse("2024-01-01T00:00:01Z"))
+  }
+
+  test("malformed archives refuse loudly: truncation, missing " +
+      "Content-Length, junk framing") {
+    val full = archive
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(full.take(full.length - 40)) // cut mid-payload
+    }
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
+    }
+    val noLen = crlf(Seq("WARC/1.0", "WARC-Type: response", "")) + "x"
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(noLen.getBytes("UTF-8"))
+    }
+  }
+}
