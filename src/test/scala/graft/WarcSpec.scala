@@ -128,6 +128,80 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       java.time.Instant.parse("2024-01-01T00:00:01Z"))
   }
 
+  test("END-TO-END: a crawl archive runs the full curation funnel — " +
+      "WARC -> documents -> language-ID -> quality gate -> exact + " +
+      "near dedup") {
+    import graft.operators.CorpusPipeline
+    import org.apache.spark.sql.functions._
+    val en1 = ("the data of the crawl and the tokens to keep is in " +
+      "this page and the quality of the text is in the words " +
+      "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma").trim
+    val en2 = en1.replace("alpha", "alpha2") // near-dup of en1
+    val en3 = "the report of the day and the numbers to read is in " +
+      "this page one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val de = "der hund und die katze ist ein tier und das haus ist " +
+      "ein ort der ruhe und die sonne ist ein stern am himmel klar"
+    val tiny = "the end"
+    val pages = Seq(
+      ("p1", "http://a.example/1", en1),
+      ("p2", "http://a.example/2", en1), // exact dup of p1
+      ("p3", "http://a.example/3", en2), // near dup of p1
+      ("p4", "http://b.example/1", en3),
+      ("p5", "http://b.example/2", de), // wrong language
+      ("p6", "http://b.example/3", tiny)) // below min tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-e2e")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
+      gzipPerRecord(pages.map { case (id, url, body) =>
+        record("response", id, url, "2024-02-01T00:00:00Z",
+          httpResponse(s"<html><body>$body</body></html>"))
+      }))
+
+    // q22's function-word language heuristic supplies the lang column
+    // a raw crawl does not carry
+    def hits(words: String) =
+      s"CAST(size(regexp_extract_all(lower(text), '\\\\b(?:$words)\\\\b', 0)) AS BIGINT)"
+    val docs = Warc.documents(spark, s"$dir/*")
+      .withColumn("h_en", expr(hits("the|of|and|to|is|in")))
+      .withColumn("h_de", expr(hits("der|die|das|und|ist|ein")))
+      .withColumn("lang", expr(
+        "CASE WHEN h_en >= h_de THEN 'en' ELSE 'de' END"))
+      .withColumn("source", expr("parse_url(url, 'HOST')"))
+      .select("doc_id", "url", "source", "lang", "text")
+
+    val cfg = CorpusPipeline.Config()
+    val gated = CorpusPipeline.qualityGate(
+      CorpusPipeline.withFeatures(docs), cfg)
+    val deduped = CorpusPipeline.exactDedup(gated)
+    val near = CorpusPipeline.nearDedup(deduped, cfg)
+
+    def urls(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("url").collect().map(_.getString(0)).toSet
+    // gate: the German page and the tiny page are out, all four
+    // English pages survive
+    assert(urls(gated) == Set("http://a.example/1", "http://a.example/2",
+      "http://a.example/3", "http://b.example/1"))
+    // exact dedup: p2 (verbatim re-crawl of p1) collapses onto the
+    // lower doc_id of the pair; p3/p4 survive
+    val dedupedUrls = urls(deduped)
+    assert(dedupedUrls.size == 3 &&
+      dedupedUrls.intersect(Set("http://a.example/1", "http://a.example/2"))
+        .size == 1 &&
+      dedupedUrls.contains("http://a.example/3") &&
+      dedupedUrls.contains("http://b.example/1"))
+    // near dedup: p3 differs from p1 by one token — the pair's
+    // signatures agree on >= 9 of 12 minhashes and one of them drops
+    val nearUrls = urls(near)
+    assert(nearUrls.size == 2, s"near-dedup kept $nearUrls")
+    assert(nearUrls.contains("http://b.example/1"))
+    assert(nearUrls.intersect(Set("http://a.example/1",
+      "http://a.example/2", "http://a.example/3")).size == 1)
+    // and the host-derived source column survived the funnel
+    assert(near.select("source").collect().map(_.getString(0)).toSet
+      .subsetOf(Set("a.example", "b.example")))
+  }
+
   test("malformed archives refuse loudly: truncation, missing " +
       "Content-Length, junk framing") {
     val full = archive
