@@ -394,6 +394,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q164 trained ivf-pq: the composed trained-model search keeps " +
+      "q103's cell-pruned shape — LUT broadcast onto a cell hash " +
+      "join, never the brute cross-join") {
+    val p = formatted("q164_trained_ivfpq")
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ALL queries: no cartesian product; nested-loop joins and " +
       "single-partition exchanges only where reviewed") {
     // Blanket audit across the whole suite: a future edit that turns
