@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  /** One parsed record: headers (original case preserved in
-    * `headerList`, lookups case-insensitive) + raw payload bytes.
+  /** One parsed record: `headerList` preserves original name case and
+    * repeated headers in file order (ISO 28500 permits repeats, e.g.
+    * multiple WARC-Concurrent-To); `headers` is the lowercased
+    * last-wins lookup map derived from it.
     */
   case class Record(version: String, headers: Map[String, String],
-      payload: Array[Byte]) {
+      headerList: Seq[(String, String)], payload: Array[Byte]) {
     def header(name: String): Option[String] =
       headers.get(name.toLowerCase(java.util.Locale.ROOT))
     def warcType: String = header("WARC-Type").getOrElse("")
@@ -72,7 +74,7 @@ object Warc {
           s"WARC: expected a version line at byte $pos, got " +
             s"'${version.take(40)}'")
         var p = p1
-        val hdrs = Map.newBuilder[String, String]
+        val hdrList = Seq.newBuilder[(String, String)]
         var blank = false
         while (!blank) {
           require(p < bytes.length, "WARC: headers ran off the file")
@@ -82,11 +84,13 @@ object Warc {
           else {
             val cut = l.indexOf(':')
             require(cut > 0, s"WARC: malformed header line '${l.take(60)}'")
-            hdrs += l.take(cut).trim.toLowerCase(java.util.Locale.ROOT) ->
-              l.drop(cut + 1).trim
+            hdrList += l.take(cut).trim -> l.drop(cut + 1).trim
           }
         }
-        val headers = hdrs.result()
+        val headerList = hdrList.result()
+        val headers = headerList.map { case (k, v) =>
+          k.toLowerCase(java.util.Locale.ROOT) -> v
+        }.toMap
         val len = headers.get("content-length")
           .flatMap(_.toLongOption)
           .getOrElse(throw new IllegalArgumentException(
@@ -95,7 +99,7 @@ object Warc {
           s"WARC: truncated record (payload $len bytes, " +
             s"${bytes.length - p} left)")
         val payload = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
-        out += Record(version, headers, payload)
+        out += Record(version, headers, headerList, payload)
         pos = p + len.toInt
       }
     }
@@ -103,19 +107,52 @@ object Warc {
   }
 
   /** Inflate a (possibly multi-member) gzip buffer; passthrough for
-    * plain bytes.
+    * plain bytes. Hard 2 GB cap: a JVM byte array tops out at
+    * Int.MaxValue, so a task-local inflate cannot hold more — refuse
+    * with a message naming the limit (and the CDX-sliced read plan in
+    * the header comment) instead of dying in ArrayIndexOutOfBounds /
+    * OOM deep inside ByteArrayOutputStream.
     */
   private[graft] def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
         (bytes(1) & 0xff) == 0x8b) {
+      val cap = Int.MaxValue - (64 << 20) // headroom for BAOS doubling
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 65536)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, 1L << 26).toInt)
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        require(out.size().toLong + n <= cap,
+          s"WARC: inflated archive exceeds the ${cap / (1 << 20)} MiB " +
+            "per-task byte-array limit; split the read by CDX " +
+            "(offset, length) slices instead of whole-file inflate " +
+            "(see the Warc scaladoc)")
+        out.write(buf, 0, n); n = in.read(buf)
+      }
       out.toByteArray
     } else bytes
+
+  /** Inflate a raw-deflate (HTTP Content-Encoding: deflate) body;
+    * accepts both zlib-wrapped and raw streams (servers ship both).
+    */
+  private[graft] def inflateDeflate(bytes: Array[Byte]): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return out.toByteArray
+      }
+      out.toByteArray
+    }
+    try run(nowrap = false)
+    catch { case _: java.util.zip.DataFormatException => run(nowrap = true) }
+  }
 
   /** Split an HTTP message payload into (status line, headers, body
     * bytes) on the first blank line; None when the payload is not an
@@ -132,8 +169,12 @@ object Warc {
           payload(i + 2) == '\r' && payload(i + 3) == '\n') bodyAt = i + 4
       i += 1
     }
+    // no blank line (header-only / truncated message): the whole
+    // payload is head — do NOT chop 4 bytes for a separator that was
+    // never there — and the body is empty.
+    val headEnd = if (bodyAt < 0) payload.length else bodyAt - 4
     if (bodyAt < 0) bodyAt = payload.length
-    val head = ascii(payload, 0, math.max(0, bodyAt - 4))
+    val head = ascii(payload, 0, headEnd)
     val lines = head.split("\r\n").toSeq
     val hdrs = lines.drop(1).flatMap { l =>
       val cut = l.indexOf(':')
@@ -143,6 +184,35 @@ object Warc {
     }.toMap
     Some((lines.head,
       hdrs, java.util.Arrays.copyOfRange(payload, bodyAt, payload.length)))
+  }
+
+  /** Decode an HTTP response body to text honoring the message's own
+    * Content-Encoding (identity/gzip/deflate — anything else, e.g.
+    * `br`, returns null rather than mojibake) and the Content-Type
+    * charset parameter (any JVM-supported charset; unknown/illegal
+    * charset labels also return null). Absent charset defaults to
+    * UTF-8 with replacement decoding — the Common Crawl convention.
+    */
+  private[graft] def bodyText(httpHeaders: Map[String, String],
+      body: Array[Byte]): String = {
+    val decoded = httpHeaders.get("content-encoding")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("identity") match {
+      case "" | "identity" => body
+      case "gzip" | "x-gzip" => maybeGunzip(body)
+      case "deflate" => inflateDeflate(body)
+      case _ => null // br/zstd/compress: refuse, don't mojibake
+    }
+    if (decoded == null) return null
+    val charsetRe = "(?i)charset\\s*=\\s*\"?([A-Za-z0-9_.:-]+)\"?".r
+    val cs = httpHeaders.get("content-type")
+      .flatMap(ct => charsetRe.findFirstMatchIn(ct).map(_.group(1)))
+    cs match {
+      case None => new String(decoded, java.nio.charset.StandardCharsets.UTF_8)
+      case Some(label) =>
+        try new String(decoded, java.nio.charset.Charset.forName(label))
+        catch { case _: Exception => null } // unknown label: surface as null
+    }
   }
 
   /** S10 — WARC scan: one row per record across every matching file
@@ -163,8 +233,7 @@ object Warc {
             r.header("Content-Type").getOrElse(""),
             r.payload.length.toLong,
             http.map(_._1).getOrElse(""),
-            http.map(h => new String(h._3,
-              java.nio.charset.StandardCharsets.UTF_8)).getOrElse(""))
+            http.map(h => bodyText(h._2, h._3)).getOrElse(""))
         }
       }
       .toDF("path", "warc_version", "warc_type", "record_id",

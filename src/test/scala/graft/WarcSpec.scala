@@ -202,6 +202,81 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       .subsetOf(Set("a.example", "b.example")))
   }
 
+  test("httpSplit without a blank line keeps the whole head (no " +
+      "4-byte chop) and yields an empty body") {
+    val bare = "HTTP/1.1 304 Not Modified".getBytes("UTF-8")
+    val (status, hdrs, body) = Warc.httpSplit(bare).get
+    assert(status == "HTTP/1.1 304 Not Modified")
+    assert(hdrs.isEmpty && body.isEmpty)
+    val headerOnly = "HTTP/1.1 204 No Content\r\nServer: t\r\nX-A: b"
+      .getBytes("UTF-8")
+    val (s2, h2, b2) = Warc.httpSplit(headerOnly).get
+    assert(s2 == "HTTP/1.1 204 No Content")
+    assert(h2 == Map("server" -> "t", "x-a" -> "b"), s"head chopped: $h2")
+    assert(b2.isEmpty)
+  }
+
+  test("headerList preserves original case and repeated headers; " +
+      "lookup map is lowercased last-wins") {
+    val payload = "x".getBytes("UTF-8")
+    val rec = crlf(Seq(
+      "WARC/1.0",
+      "WARC-Type: metadata",
+      "WARC-Concurrent-To: <urn:uuid:one>",
+      "WARC-Concurrent-To: <urn:uuid:two>",
+      s"Content-Length: ${payload.length}",
+      "")).getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val r = Warc.parseRecords(rec).head
+    assert(r.headerList.map(_._1).count(_ == "WARC-Concurrent-To") == 2)
+    assert(r.headerList.exists(_._1 == "WARC-Type")) // original case kept
+    assert(r.headerList.map(_._2).filter(_.startsWith("<urn")) ==
+      Seq("<urn:uuid:one>", "<urn:uuid:two>"))
+    assert(r.header("warc-concurrent-to").contains("<urn:uuid:two>"))
+  }
+
+  test("HTTP Content-Encoding and charset are honored: gzip bodies " +
+      "inflate, latin-1 decodes, br/unknown-charset surface as null") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.finish()
+      bo.toByteArray
+    }
+    def resp(headers: Seq[String], body: Array[Byte]): Array[Byte] =
+      (crlf(Seq("HTTP/1.1 200 OK") ++ headers ++
+        Seq(s"Content-Length: ${body.length}", ""))).getBytes("ISO-8859-1") ++ body
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length * 2 + 64)
+      val n = d.deflate(out); out.take(n)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-enc")
+    java.nio.file.Files.write(dir.resolve("enc.warc"),
+      record("response", "g1", "http://e.com/gz", "2024-01-01T00:00:00Z",
+        resp(Seq("Content-Type: text/html", "Content-Encoding: gzip"),
+          gz("<p>unzipped text</p>".getBytes("UTF-8")))) ++
+      record("response", "d1", "http://e.com/df", "2024-01-01T00:00:01Z",
+        resp(Seq("Content-Type: text/html", "Content-Encoding: deflate"),
+          deflate("<p>deflated text</p>".getBytes("UTF-8")))) ++
+      record("response", "l1", "http://e.com/l1", "2024-01-01T00:00:02Z",
+        resp(Seq("Content-Type: text/html; charset=ISO-8859-1"),
+          "café".getBytes("ISO-8859-1"))) ++
+      record("response", "b1", "http://e.com/br", "2024-01-01T00:00:03Z",
+        resp(Seq("Content-Type: text/html", "Content-Encoding: br"),
+          Array[Byte](1, 2, 3))) ++
+      record("response", "u1", "http://e.com/uc", "2024-01-01T00:00:04Z",
+        resp(Seq("Content-Type: text/html; charset=no-such-cs-9"),
+          "abc".getBytes("UTF-8"))))
+    val rows = Warc.read(spark, s"$dir/*")
+      .select("target_uri", "http_body").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("http://e.com/gz").get.contains("unzipped text"))
+    assert(rows("http://e.com/df").get.contains("deflated text"))
+    assert(rows("http://e.com/l1").get == "café")
+    assert(rows("http://e.com/br").isEmpty, "br body must surface as null")
+    assert(rows("http://e.com/uc").isEmpty, "unknown charset must be null")
+  }
+
   test("malformed archives refuse loudly: truncation, missing " +
       "Content-Length, junk framing") {
     val full = archive
