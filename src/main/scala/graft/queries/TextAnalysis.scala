@@ -1851,7 +1851,58 @@ object TextAnalysis extends QueryModule {
        |FROM rep CROSS JOIN m3
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q171 — HTML text extraction certified end-to-end (round-14 ask
+  // #2): each document's sanitized text is ENCODED into a full HTML
+  // page — head noise (a style rule with a quoted '>', a script whose
+  // body is tag-like, a comment, a quoted-attribute body tag), an
+  // inline-tag split through every 'e', entities &#97;/&#x6F;/&nbsp;
+  // — and run back through the html_text kernel
+  // (functions/HtmlExpressions.scala, a doGenCode Expression). The
+  // DuckDB twin computes the same stats from the sanitized text
+  // DIRECTLY, so a hash match certifies extraction is the exact
+  // inverse of the encoding: raw-text element skip, quote-aware tag
+  // parse, inline-tag word joining, entity decode, and whitespace
+  // normalization, char-for-char (md5 device per QueryModule rules).
+  // Scale shape: one codegen'd projection over the scan, zero
+  // exchanges before the presentation sort.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HtmlFunctions.register(s)
+    val san = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+    val enc = s"replace(replace(replace(replace($san, 'e', '<b>e</b>'), " +
+      "'a', '&#97;'), 'o', '&#x6F;'), ' ', '&nbsp;')"
+    T.documents(s, dir)
+      .selectExpr("doc_id",
+        s"""html_text(concat('<html><head><title></title>',
+           |'<style>p > q { color: "a>b"; }</style>',
+           |'<script>if (x < 1) document.write("<i>no</i>");</script>',
+           |'</head><body data-k="v>w"><!-- c > d --><p>', $enc,
+           |'</p><br/></body></html>')) AS t""".stripMargin)
+      .selectExpr("doc_id",
+        "CAST(length(t) AS BIGINT) AS n_chars",
+        "CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) " +
+          "END AS n_tokens",
+        "md5(t) AS fp")
+      .orderBy("doc_id")
+  }
+
+  private val q171Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(t) AS BIGINT) AS n_chars,
+      |  CASE WHEN t = '' THEN CAST(0 AS BIGINT) ELSE
+      |    CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT)
+      |    END AS n_tokens,
+      |  md5(t) AS fp
+      |FROM m ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_html_extract" -> (q171 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -1878,6 +1929,7 @@ object TextAnalysis extends QueryModule {
     "q109_boilerplate_prefixes" -> (q109 _))
 
   override val oracle: Map[String, String] = Map(
+    "q171_html_extract" -> q171Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,

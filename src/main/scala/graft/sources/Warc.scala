@@ -243,18 +243,21 @@ object Warc {
 
   /** The crawl→documents projection: response records become
     * (doc_id, url, ts, text) rows — doc_id a stable 64-bit hash of
-    * the record id, text a NAIVE tag-strip of the body (documented:
-    * production extraction plugs in here; the framing, not the
-    * extraction, is this reader's contract).
+    * the record id, text the html_text extraction of the body
+    * (functions/HtmlExpressions.scala: raw-text element removal,
+    * quote-aware tag strip, entity decode, whitespace normalization —
+    * a codegen Expression fused into this projection). Bodies read()
+    * surfaced as null (refused Content-Encoding / unknown charset)
+    * stay null here.
     */
-  def documents(spark: SparkSession, pathGlob: String): DataFrame =
+  def documents(spark: SparkSession, pathGlob: String): DataFrame = {
+    graft.functions.HtmlFunctions.register(spark)
     read(spark, pathGlob)
       .filter(col("warc_type") === "response")
       .select(
         expr("xxhash64(record_id)").as("doc_id"),
         col("target_uri").as("url"),
         expr("to_timestamp(warc_date)").as("ts"),
-        expr("trim(regexp_replace(regexp_replace(http_body, " +
-          "'(?is)<(script|style)[^>]*>.*?</\\\\1>', ' '), " +
-          "'(?s)<[^>]*>', ' '))").as("text"))
+        expr("html_text(http_body)").as("text"))
+  }
 }
