@@ -733,7 +733,199 @@ object PipelineOps extends QueryModule {
        |    / CAST(n_docs * cap AS DOUBLE), 6) AS waste_ratio
        |FROM b ORDER BY cap, bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q170 — the WARC crawl-curation funnel, oracle-gated end-to-end
+  // (round-14 ask #1). Each document is ENCODED into a real WARC
+  // response record — the q171 HTML encoding as the page body, HTTP
+  // head with charset, every third body additionally gzip
+  // Content-Encoding'd, one gzip member per record (Common Crawl
+  // layout), a warcinfo record leading each partition archive — and
+  // the partition archive is parsed back through the REAL reader
+  // (sources/Warc.scala: maybeGunzip → parseRecords → httpSplit →
+  // bodyText → html_text). The funnel then runs over the extracted
+  // text: documents → language-ID (q22's predCase) → quality gate
+  // (q23's scoreExpr, shared string → bit-stable) → global exact
+  // dedup (min doc_id per md5 fingerprint) → per-source stage counts.
+  // The DuckDB twin computes the same funnel from the documents table
+  // DIRECTLY, so a hash match certifies the whole ingest round trip:
+  // WARC framing, per-record gzip, HTTP split, Content-Encoding
+  // inflate, charset decode, HTML extraction, and the curation
+  // stages, count-for-count.
+  //
+  // Scale shape: encode+parse is per-partition mapPartitions (records
+  // never leave their task — the CDX-slice kernel shape from the Warc
+  // scaladoc); one window on (fp, is_gated) and one groupBy(source) —
+  // two exchanges before the presentation sort. The warcinfo record
+  // per partition makes the archive framing realistic without
+  // entering the funnel (response filter drops it), so the row counts
+  // stay independent of partitioning.
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.HtmlFunctions.register(s)
+    val sanE = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+    val encE = s"replace(replace(replace(replace($sanE, 'e', '<b>e</b>'), " +
+      "'a', '&#97;'), 'o', '&#x6F;'), ' ', '&nbsp;')"
+    val pages = T.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        s"""concat('<html><head><title></title>',
+           |'<style>p > q { color: "a>b"; }</style>',
+           |'<script>if (x < 1) document.write("<i>no</i>");</script>',
+           |'</head><body data-k="v>w"><!-- c > d --><p>', $encE,
+           |'</p><br/></body></html>') AS page""".stripMargin)
+      .as[(Long, String, String)]
+    val parsed = pages.mapPartitions { it =>
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      val utf = java.nio.charset.StandardCharsets.UTF_8
+      val rows = it.toVector
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        def member(rec: Array[Byte]): Unit = {
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(rec); gz.finish()
+        }
+        def gzip(b: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o)
+          g.write(b); g.finish(); o.toByteArray
+        }
+        def record(headers: String, payload: Array[Byte]): Array[Byte] =
+          (headers + s"Content-Length: ${payload.length}\r\n\r\n")
+            .getBytes(iso) ++ payload ++ "\r\n\r\n".getBytes(iso)
+        member(record(
+          "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+            "WARC-Record-ID: <urn:uuid:info>\r\n" +
+            "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+            "Content-Type: application/warc-fields\r\n",
+          "software: graft-funnel\r\n".getBytes(utf)))
+        rows.foreach { case (docId, source, page) =>
+          val raw = page.getBytes(utf)
+          val gzBody = docId % 3 == 0
+          val bodyBytes = if (gzBody) gzip(raw) else raw
+          val httpHead = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=UTF-8\r\n" +
+            (if (gzBody) "Content-Encoding: gzip\r\n" else "") +
+            s"Content-Length: ${bodyBytes.length}\r\n\r\n"
+          def response(idSuffix: String): Unit = member(record(
+            s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:uuid:$docId$idSuffix>\r\n" +
+              "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: http://crawl.example/$source/$docId$idSuffix\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n",
+            httpHead.getBytes(iso) ++ bodyBytes))
+          response("")
+          // every 7th doc is re-crawled verbatim under a new record id
+          // — the exact-dedup stage must collapse the pair (first
+          // crawl wins); without injected dups the synthetic corpus
+          // never exercises it
+          if (docId % 7 == 0) response("-r")
+        }
+        graft.sources.Warc.parseRecords(
+          graft.sources.Warc.maybeGunzip(bos.toByteArray)).iterator
+          .filter(_.warcType == "response")
+          .map { r =>
+            val (_, hdrs, bodyB) = graft.sources.Warc.httpSplit(r.payload).get
+            (r.recordId, r.targetUri,
+              graft.sources.Warc.bodyText(hdrs, bodyB))
+          }
+      }
+    }.toDF("record_id", "url", "body")
+    val hitT = (w: String) =>
+      s"CAST(size(regexp_extract_all(t, '\\\\b(?:$w)\\\\b', 0)) AS BIGINT)"
+    import graft.queries.{TextAnalysis => TA}
+    val feats = parsed
+      .withColumn("doc_id",
+        expr("CAST(regexp_extract(record_id, '(-?[0-9]+)', 1) AS BIGINT)"))
+      .withColumn("source",
+        expr("regexp_extract(url, 'crawl\\\\.example/([^/]+)/', 1)"))
+      .withColumn("t", expr("html_text(body)"))
+      .withColumn("is_doc", expr("t IS NOT NULL AND t <> ''"))
+      .withColumn("n_tok", expr("CASE WHEN t = '' THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT) END"))
+      .withColumn("n_uniq",
+        expr("CAST(size(array_distinct(split(t, ' '))) AS BIGINT)"))
+      .withColumn("h_en", expr(hitT(TA.enW)))
+      .withColumn("h_de", expr(hitT(TA.deW)))
+      .withColumn("h_fr", expr(hitT(TA.frW)))
+      .withColumn("h_es", expr(hitT(TA.esW)))
+      .withColumn("pred", expr(TA.predCase))
+      .withColumn("score",
+        expr(s"CASE WHEN n_tok > 0 THEN ${TA.scoreExpr} ELSE 0.0 END"))
+      .withColumn("is_en", expr("is_doc AND pred = 'en'"))
+      .withColumn("is_gated",
+        expr("is_en AND n_tok >= 10 AND score >= 0.55"))
+      .withColumn("is_re",
+        expr("CASE WHEN record_id LIKE '%-r>' THEN 1 ELSE 0 END"))
+      .withColumn("fp", expr("md5(t)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("fp", "is_gated").orderBy("doc_id", "is_re")))
+      .withColumn("is_kept", expr("is_gated AND rk = 1"))
+    feats.groupBy("source").agg(
+      count(lit(1)).as("n_resp"),
+      expr("CAST(SUM(CASE WHEN is_doc THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_docs"),
+      expr("CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_en"),
+      expr("CAST(SUM(CASE WHEN is_gated THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_gated"),
+      expr("CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_kept"),
+      expr("CAST(SUM(CASE WHEN is_kept THEN n_tok ELSE 0 END) AS BIGINT)")
+        .as("tok_kept"))
+      .orderBy("source")
+  }
+
+  private def q170Sql = {
+    val hitT = (w: String) =>
+      s"CAST(len(regexp_extract_all(t, '\\b(?:$w)\\b')) AS BIGINT)"
+    import graft.queries.{TextAnalysis => TA}
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, source, t, 0 AS is_re FROM d0
+       |  UNION ALL
+       |  SELECT doc_id, source, t, 1 AS is_re FROM d0 WHERE doc_id % 7 = 0),
+       |f AS (
+       |  SELECT doc_id, source, t, is_re,
+       |    (t IS NOT NULL AND t <> '') AS is_doc,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(length(t) - length(replace(t, ' ', '')) + 1 AS BIGINT)
+       |      END AS n_tok,
+       |    CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT) AS n_uniq,
+       |    ${hitT(TA.enW)} AS h_en, ${hitT(TA.deW)} AS h_de,
+       |    ${hitT(TA.frW)} AS h_fr, ${hitT(TA.esW)} AS h_es
+       |  FROM d),
+       |g AS (
+       |  SELECT *, ${TA.predCase} AS pred,
+       |    CASE WHEN n_tok > 0 THEN ${TA.scoreExpr} ELSE 0.0 END AS score
+       |  FROM f),
+       |h AS (
+       |  SELECT *, (is_doc AND pred = 'en') AS is_en FROM g),
+       |k AS (
+       |  SELECT *,
+       |    (is_en AND n_tok >= 10 AND score >= 0.55) AS is_gated
+       |  FROM h),
+       |w AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY md5(t), is_gated ORDER BY doc_id, is_re) AS rk
+       |  FROM k)
+       |SELECT source,
+       |  COUNT(*) AS n_resp,
+       |  CAST(SUM(CASE WHEN is_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(SUM(CASE WHEN is_gated THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+       |  CAST(SUM(CASE WHEN is_gated AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN is_gated AND rk = 1 THEN n_tok ELSE 0 END)
+       |    AS BIGINT) AS tok_kept
+       |FROM w GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
     "q73_funnel" -> (q73 _),
@@ -750,6 +942,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
     "q73_funnel" -> q73Sql,

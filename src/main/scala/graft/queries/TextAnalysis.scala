@@ -83,11 +83,11 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(regexp_extract_all(lower(text), '\\b(?:$words)\\b')) AS BIGINT)"
 
   private[graft] val enW = "the|of|and|to|is|in"
-  private val deW = "der|die|das|und|ist|ein"
-  private val frW = "le|la|les|et|est|un"
-  private val esW = "el|los|las|y|es|una"
+  private[queries] val deW = "der|die|das|und|ist|ein"
+  private[queries] val frW = "le|la|les|et|est|un"
+  private[queries] val esW = "el|los|las|y|es|una"
 
-  private val predCase =
+  private[queries] val predCase =
     """CASE
       | WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
       | WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
@@ -122,7 +122,7 @@ object TextAnalysis extends QueryModule {
   // a single [0,1] score and a low/mid/high bucket. All doubles
   // derive from exact integer counts via identical expression text →
   // bit-stable across engines.
-  private val scoreExpr =
+  private[queries] val scoreExpr =
     "0.4 * least(1.0, CAST(n_tok AS DOUBLE) / 80.0) " +
       "+ 0.3 * (CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE)) " +
       "+ 0.3 * least(1.0, 5.0 * CAST(h_en AS DOUBLE) / CAST(n_tok AS DOUBLE))"
