@@ -58,6 +58,20 @@ object VecKernel {
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
     s
   }
+  /** Element-wise difference a − b (the IVF-PQ RESIDUAL kernel:
+    * vector minus its assigned coarse centroid). Native for the same
+    * reason as the distances — `zip_with` would interpret per element
+    * AND the collapsed projection re-evaluates it per downstream
+    * probe; one kernel call materializes the residual once.
+    */
+  def subD(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements(); checkDims(n, b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Asymmetric-distance computation for product quantization:
     * Σ_j lut(j)(code(j)) — the per-row cost of a PQ scan is m array
     * lookups + m adds, NOT a d-dimensional distance. Out-of-range
@@ -196,6 +210,28 @@ case class VecPqAdc(left: Expression, right: Expression)
   override def prettyName: String = "vec_pq_adc"
 }
 
+/** vec_sub(array<double>, array<double>) -> array<double> —
+  * element-wise difference (the residual kernel).
+  */
+case class VecSubD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE>, got $other")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernel.subD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecKernel.subD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSubD =
+    copy(l, r)
+  override def prettyName: String = "vec_sub"
+}
+
 /** Registry for the vec_* family — mirror of [[GeoFunctions]]. */
 object VecFunctions {
 
@@ -214,7 +250,10 @@ object VecFunctions {
       (e: Seq[Expression]) => VecL2SqD(e(0), e(1))),
     ("vec_pq_adc", info("vec_pq_adc",
       "vec_pq_adc(code, lut) - PQ asymmetric distance"),
-      (e: Seq[Expression]) => VecPqAdc(e(0), e(1))))
+      (e: Seq[Expression]) => VecPqAdc(e(0), e(1))),
+    ("vec_sub", info("vec_sub",
+      "vec_sub(a, b) - element-wise difference (residual kernel)"),
+      (e: Seq[Expression]) => VecSubD(e(0), e(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, inf, builder) =>

@@ -404,6 +404,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q172 residual ivf-pq: the residual-encoded trained search " +
+      "keeps q103/q164's cell-pruned shape — LUT broadcast onto a " +
+      "cell hash join, never the brute cross-join") {
+    val p = formatted("q172_residual_ivfpq")
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(countNodes(p, "CartesianProduct") == 0)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("ALL queries: no cartesian product; nested-loop joins and " +
       "single-partition exchanges only where reviewed") {
     // Blanket audit across the whole suite: a future edit that turns
@@ -469,7 +479,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q163_filter_mixture_shift",
       // q169: three 1-row AUC frames unioned and crossed with the
       // 1-row full-model anchor (q104's pattern; all sides 1-row)
-      "q169_feature_ablation")
+      "q169_feature_ablation",
+      // q173: the brute exact ground truth (q96's reviewed shape —
+      // the 8-query eval batch broadcasts onto the corpus scan); the
+      // two PQ paths under comparison stay cell equi-joins (pinned
+      // by the q164/q172 tests)
+      "q173_pq_recall_compare")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
