@@ -1,0 +1,86 @@
+package graft.operators
+
+/** Unigram-LM tokenizer training kernels (the SentencePiece
+  * counterpart to [[Bpe]] — Kudo 2018's unigram language model,
+  * here in its hard-EM / Viterbi form so every step is exact
+  * integer arithmetic and cross-engine reproducible).
+  *
+  * The transcendental-free scoring device (the q158 algebraic-sigmoid
+  * discipline applied to log-likelihood): a piece's log-probability
+  * surrogate is the QUANTIZED PIECEWISE-LINEAR LOG2
+  *
+  *   ql32(c) = 32·(b−1) + ⌊32·(c − 2^(b−1)) / 2^(b−1)⌋,
+  *   b = bit-length of c,
+  *
+  * i.e. floor-log2 in units of 1/32 with linear interpolation of the
+  * mantissa. Properties that make it a sound log substitute:
+  * monotone in c, and EXACTLY shift-equivariant — ql32(2c) =
+  * ql32(c) + 32 for every c (the interpolated fraction is preserved
+  * by the doubling, by the floor-division identity
+  * ⌊2x·32/2^b⌋ = ⌊x·32/2^(b−1)⌋). A segmentation's score is
+  * Σ (ql32(count_i) − ql32(total)) — all integers, so the Viterbi
+  * argmax is engine- and order-independent, where a float log would
+  * hand the tie-breaks to libm rounding.
+  *
+  * Tie-break contract (pinned by the q174 oracle): among max-score
+  * segmentations, the lexicographically SMALLEST comma-joined piece
+  * path wins. Lexicographic order composes under the DP because two
+  * distinct prefixes to the same position always differ at a
+  * concrete character (equal coverage with different comma
+  * placements can never make one a string-prefix of the other), so
+  * per-node (max score, lex-min path) state suffices.
+  */
+object Unigram {
+
+  /** Quantized piecewise-linear log2 (×32). Requires c ≥ 1. */
+  def ql32(c: Long): Long = {
+    require(c >= 1, s"ql32 requires a positive count, got $c")
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(c)
+    val half = 1L << (b - 1)
+    32L * (b - 1) + ((c - half) * 32L) / half
+  }
+
+  /** Viterbi segmentation of `w` under integer piece scores:
+    * maximize Σ score(piece); ties resolve to the lexicographically
+    * smallest comma-joined path. Returns None when no concatenation
+    * of scored pieces covers `w` (callers that guarantee single-char
+    * coverage may `.get` loudly).
+    */
+  def segment(w: String, score: scala.collection.Map[String, Long],
+      maxPieceLen: Int): Option[Seq[String]] = {
+    val n = w.length
+    val dpScore = Array.fill(n + 1)(Long.MinValue)
+    val dpPath = new Array[String](n + 1)
+    dpScore(0) = 0L
+    dpPath(0) = ""
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        val j = i - l
+        if (dpScore(j) != Long.MinValue) {
+          score.get(w.substring(j, i)) match {
+            case Some(sc) =>
+              val cand = dpScore(j) + sc
+              if (cand >= dpScore(i)) {
+                val piece = w.substring(j, i)
+                val candPath =
+                  if (j == 0) piece else dpPath(j) + "," + piece
+                if (cand > dpScore(i) || candPath < dpPath(i)) {
+                  dpScore(i) = cand
+                  dpPath(i) = candPath
+                }
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (dpScore(n) == Long.MinValue) None
+    else Some(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(dpPath(n).split(',')))
+  }
+}

@@ -1852,6 +1852,258 @@ object TextAnalysis extends QueryModule {
        |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q174 — UNIGRAM-LM tokenizer TRAINING under the oracle gate
+  // (round-14 ask #5; operators/Unigram.scala — the SentencePiece
+  // counterpart to the q125 BPE family, Kudo 2018 in its hard-EM /
+  // Viterbi form). Trajectory: (1) seed vocabulary = every substring
+  // of length ≤ 4 of the (length ≤ 12) corpus words — all single
+  // chars for coverage + the top-32 multi-char pieces by (count,
+  // piece); (2) E-step: Viterbi-segment every word under the
+  // quantized-log scores ql32(cnt) − ql32(total) (the
+  // transcendental-free device — see Unigram.ql32's scaladoc; ties
+  // resolve to the lex-smallest comma-joined path, which composes
+  // under the DP); (3) M-step: recount piece usage, PRUNE unused
+  // pieces (the hard-EM analog of SentencePiece's
+  // prune-by-likelihood), rescore; (4) second E-step under the final
+  // model. Output = the trained model with its usage trajectory.
+  // The DuckDB twin enumerates ALL valid segmentations per word with
+  // a recursive CTE and picks the same (score DESC, path) winner, so
+  // the hash match certifies seeding, both Viterbi passes, the
+  // pruning, and the scores — integer-exact end to end.
+  //
+  // Scale: the corpus-sized steps are one token explode + substring
+  // explode over the DISTINCT-WORD table (vocabulary-sized, the BPE
+  // discipline) and two mapPartitions Viterbi passes under a
+  // broadcast model; only model-sized tables (≤ ~70 pieces) ever
+  // reach the driver (each collect is bounded by the vocab cap).
+  private val uniMaxWordLen = 12
+  private val uniMaxPieceLen = 4
+  private val uniTopMulti = 32
+
+  /** Corpus word table for the unigram trainer (w, n), length-capped
+    * — cached/memoized like [[tokenized]].
+    */
+  private def uniWords(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "uni_words") {
+      tokenized(s, dir).select(explode(col("toks")).as("w"))
+        .filter(length(col("w")) <= uniMaxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+    }
+
+  /** Trained unigram model, memoized per (session, dir):
+    * (seed counts, round-1 usage, round-2 usage, final scores).
+    */
+  private val uniMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Long], Map[String, Long], Map[String, Long],
+      Map[String, Long])]()
+
+  private def unigramTrained(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Map[String, Long],
+        Map[String, Long]) =
+    uniMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      _ => {
+        import graft.operators.Unigram
+        val words = uniWords(s, dir)
+        val cand = words.select(col("w"), col("n"), explode(expr(
+          s"""flatten(transform(sequence(1, length(w)), i ->
+             |  transform(sequence(1, least($uniMaxPieceLen,
+             |    length(w) - i + 1)), l -> substring(w, i, l))))"""
+            .stripMargin)).as("piece"))
+          .groupBy("piece").agg(expr("CAST(SUM(n) AS BIGINT)").as("cnt"))
+        // top-32 multi-char + ALL single chars — both model-sized
+        // collects (bounded by the vocab cap + alphabet, never the
+        // corpus)
+        val multi = cand.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(uniTopMulti)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val sing = cand.filter(length(col("piece")) === 1)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val v0 = (multi ++ sing).toMap
+        def scores(counts: Map[String, Long]): Map[String, Long] = {
+          val t = Unigram.ql32(counts.values.sum)
+          counts.map { case (p, c) => p -> (Unigram.ql32(c) - t) }
+        }
+        def estep(score: Map[String, Long]): Map[String, Long] = {
+          val bc = s.sparkContext.broadcast(score)
+          import s.implicits._
+          words.select(col("w"), col("n")).as[(String, Long)]
+            .mapPartitions { it =>
+              val sc = bc.value
+              it.flatMap { case (w, n) =>
+                Unigram.segment(w, sc, uniMaxPieceLen).get.map((_, n))
+              }
+            }.toDF("piece", "n")
+            .groupBy("piece").agg(expr("CAST(SUM(n) AS BIGINT)").as("u"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // model-sized collect: ≤ |vocab| rows
+        }
+        val u1 = estep(scores(v0))
+        val sc1 = scores(u1) // prune: only round-1-used pieces scored
+        val u2 = estep(sc1)
+        (v0, u1, u2, sc1)
+      })
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v0, u1, u2, sc1) = unigramTrained(s, dir)
+    u1.keys.toSeq.sorted
+      .map(p => (p, v0(p), u1(p), u2.getOrElse(p, 0L), sc1(p)))
+      .toDF("piece", "seed_cnt", "used1", "used2", "score_q")
+      .orderBy("piece")
+  }
+
+  /** The quantized-log device in DuckDB (format('{:b}') supplies the
+    * bit length; all-integer — must equal Unigram.ql32 by
+    * construction).
+    */
+  private def qlDk(c: String): String = {
+    val b = s"length(format('{:b}', $c))"
+    val half = s"(CAST(1 AS BIGINT) << ($b - 1))"
+    s"(32 * ($b - 1) + ((($c) - $half) * 32) // $half)"
+  }
+
+  /** One Viterbi pass as DuckDB CTEs: enumerate every valid
+    * segmentation of the `wordsCte` (w, n) rows under the scored
+    * vocab `scCte` (piece, len, sc) with a recursive CTE, then keep
+    * the (score DESC, path) winner per word — the exact tie-break
+    * Unigram.segment implements. Emits `seg$k` / `best$k` /
+    * `u$k` (piece usage counts).
+    */
+  private def uniPassSql(k: Int, wordsCte: String, scCte: String): String =
+    s"""seg$k AS (
+       |  SELECT w, n, 0 AS pos, CAST(0 AS BIGINT) AS sc, '' AS path
+       |  FROM $wordsCte
+       |  UNION ALL
+       |  SELECT s.w, s.n, s.pos + v.len, s.sc + v.sc,
+       |    CASE WHEN s.pos = 0 THEN v.piece
+       |         ELSE s.path || ',' || v.piece END
+       |  FROM seg$k s JOIN $scCte v
+       |    ON v.piece = substr(s.w, s.pos + 1, CAST(v.len AS INTEGER))
+       |  WHERE s.pos < length(s.w)),
+       |best$k AS (
+       |  SELECT w, n, path FROM (
+       |    SELECT w, n, path,
+       |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, path) AS rn
+       |    FROM seg$k WHERE pos = length(w)) WHERE rn = 1),
+       |u$k AS (
+       |  SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+       |    SELECT n, unnest(string_split(path, ',')) AS piece
+       |    FROM best$k)
+       |  GROUP BY 1)""".stripMargin
+
+  /** Shared oracle prefix: seed vocab + two Viterbi-EM passes —
+    * q174 reports the model, q175 reuses `best2` (the final model's
+    * segmentation of every corpus word) for fertility.
+    */
+  private val uniCtesSql =
+    s"""WITH RECURSIVE wd AS (
+       |  SELECT t AS w, COUNT(*) AS n
+       |  FROM (SELECT unnest($toksD) AS t FROM documents) GROUP BY 1),
+       |w12 AS (SELECT * FROM wd WHERE length(w) <= $uniMaxWordLen),
+       |cand AS (
+       |  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM w12
+       |  CROSS JOIN generate_series(1, $uniMaxWordLen) AS ti(i)
+       |  CROSS JOIN generate_series(1, $uniMaxPieceLen) AS tl(l)
+       |  WHERE i + l - 1 <= length(w)
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cand WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $uniTopMulti)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM cand WHERE length(piece) = 1),
+       |t0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v0),
+       |sc0 AS (
+       |  SELECT piece, length(piece) AS len,
+       |    ${qlDk("cnt")} - ${qlDk("t")} AS sc
+       |  FROM v0 CROSS JOIN t0),
+       |${uniPassSql(1, "w12", "sc0")},
+       |t1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM u1),
+       |sc1 AS (
+       |  SELECT piece, length(piece) AS len,
+       |    ${qlDk("cnt")} - ${qlDk("t")} AS sc
+       |  FROM u1 CROSS JOIN t1),
+       |${uniPassSql(2, "w12", "sc1")}""".stripMargin
+
+  private val q174Sql =
+    s"""$uniCtesSql
+       |SELECT u1.piece, v.cnt AS seed_cnt, u1.cnt AS used1,
+       |  COALESCE(u2.cnt, CAST(0 AS BIGINT)) AS used2, s.sc AS score_q
+       |FROM u1
+       |JOIN v0 v ON v.piece = u1.piece
+       |JOIN sc1 s ON s.piece = u1.piece
+       |LEFT JOIN u2 ON u2.piece = u1.piece
+       |ORDER BY u1.piece""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q175 — tokenizer FERTILITY comparison, unigram-LM vs BPE on the
+  // SAME held-out slice (doc_id % 10 = 0, q148's eval protocol,
+  // restricted to the trainer's length ≤ 12 word domain): pieces per
+  // word under q174's final unigram model next to pieces per word
+  // under q125's trained BPE merges — the accept/reject evidence for
+  // choosing between the two tokenizer families. Unigram pieces per
+  // word come from the oracle's own best2 (the final model's
+  // segmentation); BPE pieces from the q128 serve chain. Integer
+  // counts + the one shared round(·,6) ratio per method.
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, sc1) = unigramTrained(s, dir)
+    val bc = s.sparkContext.broadcast(sc1)
+    import s.implicits._
+    val held = tokenized(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("lang"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) <= uniMaxWordLen)
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val uniNp = held.select("w").distinct().as[String]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.map(w => (w,
+          graft.operators.Unigram.segment(w, sc, uniMaxPieceLen)
+            .get.length.toLong))
+      }.toDF("w", "uni_pieces")
+    val bpeNp = bpeServePieces(s, dir)
+      .groupBy("w").agg(count(lit(1)).as("bpe_pieces"))
+    held.join(uniNp, "w").join(bpeNp, "w")
+      .groupBy("lang")
+      .agg(expr("CAST(SUM(cnt) AS BIGINT)").as("n_words"),
+        expr("CAST(SUM(cnt * bpe_pieces) AS BIGINT)").as("bpe_pieces"),
+        expr("CAST(SUM(cnt * uni_pieces) AS BIGINT)").as("uni_pieces"),
+        expr("round(CAST(SUM(cnt * bpe_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE), 6)").as("bpe_fertility"),
+        expr("round(CAST(SUM(cnt * uni_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE), 6)").as("uni_fertility"))
+      .orderBy("lang")
+  }
+
+  private val q175Sql =
+    s"""$uniCtesSql,
+       |unp AS (
+       |  SELECT w, CAST(length(path) - length(replace(path, ',', '')) + 1
+       |    AS BIGINT) AS uni_pieces
+       |  FROM best2),
+       |${bpeServeCtes.stripPrefix("WITH ")},
+       |bnp AS (SELECT w, COUNT(*) AS bpe_pieces FROM hs3 GROUP BY w),
+       |hw AS (
+       |  SELECT lang, t AS w, COUNT(*) AS cnt FROM (
+       |    SELECT lang, unnest($toksD) AS t
+       |    FROM documents WHERE doc_id % 10 = 0)
+       |  WHERE length(t) <= $uniMaxWordLen
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * bpe_pieces) AS BIGINT) AS bpe_pieces,
+       |  CAST(SUM(cnt * uni_pieces) AS BIGINT) AS uni_pieces,
+       |  round(CAST(SUM(cnt * bpe_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS bpe_fertility,
+       |  round(CAST(SUM(cnt * uni_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS uni_fertility
+       |FROM hw JOIN unp USING (w) JOIN bnp USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q171 — HTML text extraction certified end-to-end (round-14 ask
   // #2): each document's sanitized text is ENCODED into a full HTML
   // page — head noise (a style rule with a quoted '>', a script whose
@@ -1903,6 +2155,8 @@ object TextAnalysis extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_html_extract" -> (q171 _),
+    "q174_unigram_train" -> (q174 _),
+    "q175_tokenizer_fertility" -> (q175 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -1930,6 +2184,8 @@ object TextAnalysis extends QueryModule {
 
   override val oracle: Map[String, String] = Map(
     "q171_html_extract" -> q171Sql,
+    "q174_unigram_train" -> q174Sql,
+    "q175_tokenizer_fertility" -> q175Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
