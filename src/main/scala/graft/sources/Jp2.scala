@@ -38,9 +38,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * independently — each tile's packet stream is entropy-decoded
   * against the tile's geometry, inverse-transformed locally, and
   * placed at its canvas origin; `decodeReduced` applies the same
-  * loop per tile. The supported tiling is the ALIGNED profile
-  * (zero grid offsets, tile dims divisible by 2^levels — every real
-  * 256/512/1024 tiling); unaligned tilings, subsampled components,
+  * loop per tile. The supported tiling is the ALIGNED profile —
+  * round 14 widened it from zero grid offsets to ARBITRARY
+  * 2^levels-aligned origins (XOsiz/YOsiz/XTOsiz/YTOsiz multiples of
+  * 2^levels, tile dims divisible by 2^levels — every real
+  * 256/512/1024 tiling including aligned crop origins), with
+  * SOP/EPH marker segments accepted; unaligned origins, subsampled
+  * components,
   * non-reversible quantization styles, and the irreversible ICT are
   * rejected loudly, never mis-decoded; the
   * [[Jp2.UnimplementedEntropy]] plug remains for callers that want
@@ -60,7 +64,8 @@ object Jp2 {
       guardBits: Int = 0, sbExponents: Seq[Int] = Nil,
       sbMantissas: Seq[Int] = Nil,
       mct: Boolean = false,
-      compInfo: Seq[(Int, Boolean)] = Nil) {
+      compInfo: Seq[(Int, Boolean)] = Nil,
+      xTOff: Int = 0, yTOff: Int = 0) {
     /** (bit depth, signed) of component `c` — every component's SIZ
       * triple is parsed; `bitDepth`/`signed` remain component 0's.
       */
@@ -239,35 +244,56 @@ object Jp2 {
     * the image edge. A single-tile stream yields the one full-image
     * tile.
     */
+  /** The T.800 B.3 tile grid: tiles of XTsiz×YTsiz anchored at the
+    * grid origin (XTOsiz, YTOsiz), CLIPPED to the image area
+    * [XOsiz, Xsiz)×[YOsiz, Ysiz). Yields (tile index, x0, y0, tw, th)
+    * with x0/y0 RELATIVE to the image origin (the decoded plane's
+    * coordinates), raster order. The first row/column of tiles is
+    * narrower when the image origin sits inside them (A.5.1 permits
+    * XTOsiz ≤ XOsiz); edge tiles clip at Xsiz/Ysiz.
+    */
   private def tileGrid(h: Header): Seq[(Int, Int, Int, Int, Int)] = {
     require(h.tileWidth > 0 && h.tileHeight > 0,
       s"SIZ declares a ${h.tileWidth}x${h.tileHeight} tile grid")
-    val ntx = (h.width + h.tileWidth - 1) / h.tileWidth
-    val nty = (h.height + h.tileHeight - 1) / h.tileHeight
+    val xEnd = h.xOff + h.width
+    val yEnd = h.yOff + h.height
+    val ntx = (xEnd - h.xTOff + h.tileWidth - 1) / h.tileWidth
+    val nty = (yEnd - h.yTOff + h.tileHeight - 1) / h.tileHeight
     for {
       ty <- 0 until nty
       tx <- 0 until ntx
-    } yield (ty * ntx + tx, tx * h.tileWidth, ty * h.tileHeight,
-      math.min(h.tileWidth, h.width - tx * h.tileWidth),
-      math.min(h.tileHeight, h.height - ty * h.tileHeight))
+    } yield {
+      val cx0 = math.max(h.xOff, h.xTOff + tx * h.tileWidth)
+      val cy0 = math.max(h.yOff, h.yTOff + ty * h.tileHeight)
+      val cx1 = math.min(xEnd, h.xTOff + (tx + 1) * h.tileWidth)
+      val cy1 = math.min(yEnd, h.yTOff + (ty + 1) * h.tileHeight)
+      (ty * ntx + tx, cx0 - h.xOff, cy0 - h.yOff, cx1 - cx0, cy1 - cy0)
+    }
   }
 
-  /** The multi-tile profile bound (round 13): zero tile-grid offsets
-    * and tile dimensions divisible by 2^levels. Under it, every
-    * tile's canvas x0/y0 stays an integer multiple of 2^r at every
-    * decomposition level r, so T.800's canvas-coordinate subband
-    * split of the tile [x0, x1) coincides with the LOCAL
-    * ceil-halving recursion of its width — which is what makes
-    * per-tile local-coordinate decode (and the fixture's per-tile
-    * local encode) exact. Real tilings (256/512/1024 grids, ≤ 10
-    * levels) satisfy it; anything else refuses loudly rather than
-    * mis-decoding near tile seams.
+  /** The multi-tile profile bound (round 13; WIDENED round 14 from
+    * zero offsets to 2^levels-aligned offsets): image origin, tile
+    * grid origin, and tile dimensions all divisible by 2^levels.
+    * Under it, every tile's canvas x0/y0 stays an integer multiple
+    * of 2^r at every decomposition level r, so T.800's
+    * canvas-coordinate subband split of the tile [x0, x1) coincides
+    * with the LOCAL ceil-halving recursion of its width — which is
+    * what makes per-tile local-coordinate decode (and the fixture's
+    * per-tile local encode) exact, and keeps the reduced-resolution
+    * tile origins integral (x0 >> d). Real tilings (256/512/1024
+    * grids, aligned crop origins, ≤ 10 levels) satisfy it; an
+    * UNALIGNED origin changes the lifting parity at some level —
+    * refuse loudly rather than mis-decoding near tile seams.
     */
   private def requireTileAlignment(h: Header): Unit = {
-    require(h.xOff == 0 && h.yOff == 0,
-      s"multi-tile stream with nonzero grid offsets " +
-        s"(${h.xOff},${h.yOff}) — out of this decoder's profile")
     val step = 1 << h.levels
+    require(h.xOff % step == 0 && h.yOff % step == 0 &&
+      h.xTOff % step == 0 && h.yTOff % step == 0,
+      s"tiled stream with grid origins not aligned to 2^levels = " +
+        s"$step (XOsiz=${h.xOff}, YOsiz=${h.yOff}, " +
+        s"XTOsiz=${h.xTOff}, YTOsiz=${h.yTOff}) — the per-tile " +
+        "lifting parity would differ from the canvas one — out of " +
+        "this decoder's profile")
     require(h.tileWidth % step == 0 && h.tileHeight % step == 0,
       s"multi-tile stream whose ${h.tileWidth}x${h.tileHeight} tiles " +
         s"do not align to 2^levels = $step: the per-tile subband " +
@@ -286,6 +312,10 @@ object Jp2 {
   private def componentRaw(h: Header, bytes: Array[Byte], component: Int,
       entropy: EntropyDecoder): Array[Int] = {
     val grid = tileGrid(h)
+    // any nonzero origin shifts the canvas coordinates every local
+    // decode ignores — exact only under the aligned profile
+    if (h.xOff != 0 || h.yOff != 0 || h.xTOff != 0 || h.yTOff != 0)
+      requireTileAlignment(h)
     if (grid.size == 1) {
       val coeffs = entropy.decode(h, bytes, component)
       require(coeffs.length == h.width * h.height,
@@ -398,7 +428,8 @@ object Jp2 {
     val (wr, hr) = (halved(h.width), halved(h.height))
     val lvls = h.levels - discard
     val grid = tileGrid(h)
-    if (grid.size > 1) requireTileAlignment(h)
+    if (grid.size > 1 || h.xOff != 0 || h.yOff != 0 ||
+      h.xTOff != 0 || h.yTOff != 0) requireTileAlignment(h)
     val reduced = new Array[Int](wr * hr)
     for ((ti, x0, y0, tw, th) <- grid) {
       // per tile: the Mallat layout puts every subband of the kept
@@ -529,6 +560,7 @@ object Jp2 {
       "codestream does not start with SOC")
     var off = start + 2
     var siz: Option[(Int, Int, Int, Int, Int, Int, Int, Int, Boolean)] = None
+    var tileOff = (0, 0)
     var cod: Option[(Int, Int, Int, Int, Int, Boolean)] = None
     var comps: Seq[(Int, Boolean)] = Nil
     var mct = false
@@ -568,6 +600,16 @@ object Jp2 {
           val x = buf.getInt(p + 2); val y = buf.getInt(p + 6)
           val xo = buf.getInt(p + 10); val yo = buf.getInt(p + 14)
           val tw = buf.getInt(p + 18); val th = buf.getInt(p + 22)
+          val xto = buf.getInt(p + 26); val yto = buf.getInt(p + 30)
+          // A.5.1 conformance: the tile grid origin sits at or before
+          // the image origin, and the first tile overlaps the image
+          require(xto >= 0 && yto >= 0 && xto <= xo && yto <= yo,
+            s"SIZ tile-grid origin ($xto,$yto) violates " +
+              s"0 <= XTOsiz <= XOsiz (image origin ($xo,$yo))")
+          require(tw + xto > xo && th + yto > yo,
+            s"SIZ first tile [$xto+$tw, $yto+$th) misses the image " +
+              s"origin ($xo,$yo)")
+          tileOff = (xto, yto)
           val csiz = buf.getShort(p + 34) & 0xffff
           // every component's (Ssiz, XRsiz, YRsiz) triple: subsampled
           // components change the per-component tile geometry this
@@ -586,6 +628,15 @@ object Jp2 {
           off += 2 + (buf.getShort(off + 2) & 0xffff)
         case 0xff52 => // COD
           val p = off + 4
+          // Scod (A.6.1): bit 0 = custom precinct sizes (out of
+          // profile — the packet walk assumes the default 2^15
+          // precinct); bits 1/2 = SOP/EPH markers, which the packet
+          // parser sniffs and skips unambiguously (Tier2), so both
+          // are accepted here.
+          val scod = buf.get(p) & 0xff
+          require((scod & 1) == 0,
+            "COD signals custom precinct sizes (Scod bit 0) — out of " +
+              "this decoder's default-precinct profile")
           val prog = buf.get(p + 1) & 0xff
           val layers = buf.getShort(p + 2) & 0xffff
           mct = (buf.get(p + 4) & 0xff) == 1 // SGcod: multi-comp transform
@@ -620,7 +671,7 @@ object Jp2 {
       throw new IllegalArgumentException("codestream has no COD segment"))
     Header(x - xo, y - yo, xo, yo, tw, th, nc, depth, signed,
       levels, rev, prog, layers, cbw, cbh, tileParts.result(),
-      guard, exps, mants, mct, comps)
+      guard, exps, mants, mct, comps, tileOff._1, tileOff._2)
   }
 }
 

@@ -6,10 +6,14 @@ package graft.sources
   * [[Mq]] + [[Ebcot]] this completes [[Jp2.T800Entropy]] — the
   * entropy stage Jp2.decode previously refused loudly.
   *
-  * Scope (asserted, not assumed): single tile at the origin, one
-  * layer, one precinct per resolution (the default 2^15 precinct),
-  * no SOP/EPH, LRCP — the shape the test fixture generates and the
-  * reversible single-tile profile needs.
+  * Scope (asserted, not assumed): one TILE'S packet stream (the
+  * multi-tile driver in [[Jp2]] feeds tiles one at a time), one
+  * layer, one precinct per resolution (the default 2^15 precinct —
+  * COD Scod bit 0 refuses custom precincts at parse). SOP/EPH
+  * marker segments are accepted: both are sniffed unambiguously
+  * (inside a packet header the byte after 0xFF carries a stuffed 0
+  * MSB ≤ 0x7F, and an MQ codeword never has a byte > 0x8F after
+  * 0xFF, so FF91/FF92 can only be the markers) and skipped.
   */
 object Tier2 {
 

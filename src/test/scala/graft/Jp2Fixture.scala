@@ -280,18 +280,31 @@ object Jp2Fixture {
     */
   def encodeTiledGrid(img: Array[Int], w: Int, h: Int, tileW: Int,
       tileH: Int, levels: Int, bitDepth: Int = 8, cbw: Int = 16,
-      cbh: Int = 16): Array[Byte] = {
+      cbh: Int = 16, xOff: Int = 0, yOff: Int = 0,
+      xTOff: Int = 0, yTOff: Int = 0, sopEph: Boolean = false)
+      : Array[Byte] = {
     require(img.length == w * h)
     require(tileW > 0 && tileH > 0)
-    val ntx = (w + tileW - 1) / tileW
-    val nty = (h + tileH - 1) / tileH
+    // A.5.1: grid origin at or before the image origin, first tile
+    // overlapping it; the canvas is [xOff, xOff+w) x [yOff, yOff+h)
+    require(xTOff >= 0 && yTOff >= 0 && xTOff <= xOff && yTOff <= yOff &&
+      xTOff + tileW > xOff && yTOff + tileH > yOff,
+      s"fixture grid origin ($xTOff,$yTOff) vs image origin " +
+        s"($xOff,$yOff) violates A.5.1")
+    val (xEnd, yEnd) = (xOff + w, yOff + h)
+    val ntx = (xEnd - xTOff + tileW - 1) / tileW
+    val nty = (yEnd - yTOff + tileH - 1) / tileH
     val shift = 1 << (bitDepth - 1)
     val tiles = for {
       ty <- 0 until nty
       tx <- 0 until ntx
     } yield {
-      val (x0, y0) = (tx * tileW, ty * tileH)
-      val (tw, th) = (math.min(tileW, w - x0), math.min(tileH, h - y0))
+      // canvas tile clipped to the image area, image-relative origin
+      val cx0 = math.max(xOff, xTOff + tx * tileW)
+      val cy0 = math.max(yOff, yTOff + ty * tileH)
+      val (x0, y0) = (cx0 - xOff, cy0 - yOff)
+      val tw = math.min(xEnd, xTOff + (tx + 1) * tileW) - cx0
+      val th = math.min(yEnd, yTOff + (ty + 1) * tileH) - cy0
       val px = Array.tabulate(tw * th)(i =>
         img((y0 + i / tw) * w + (x0 + i % tw)) - shift)
       tier1Encode(Wavelet53.forward2d(px, tw, th, levels), tw, th,
@@ -310,14 +323,15 @@ object Jp2Fixture {
     d.writeShort(0xFF51) // SIZ
     d.writeShort(38 + 3)
     d.writeShort(0) // Rsiz
-    d.writeInt(w); d.writeInt(h); d.writeInt(0); d.writeInt(0)
-    d.writeInt(tileW); d.writeInt(tileH); d.writeInt(0); d.writeInt(0)
+    d.writeInt(xEnd); d.writeInt(yEnd); d.writeInt(xOff); d.writeInt(yOff)
+    d.writeInt(tileW); d.writeInt(tileH); d.writeInt(xTOff); d.writeInt(yTOff)
     d.writeShort(1) // Csiz
     d.writeByte(bitDepth - 1) // unsigned
     d.writeByte(1); d.writeByte(1)
     d.writeShort(0xFF52) // COD
     d.writeShort(12)
-    d.writeByte(0) // Scod: default precincts, no SOP/EPH
+    // Scod: default precincts; bits 1/2 signal SOP/EPH when emitted
+    d.writeByte(if (sopEph) 0x06 else 0)
     d.writeByte(0) // LRCP
     d.writeShort(1) // layers
     d.writeByte(0) // no MCT
@@ -332,7 +346,7 @@ object Jp2Fixture {
     exps.foreach(e => d.writeByte(e << 3))
     for ((tile, ti) <- tiles.zipWithIndex) {
       val body = new ByteArrayOutputStream()
-      buildTilePackets(Seq(tile._1), cbw, cbh, mb, sopEph = false,
+      buildTilePackets(Seq(tile._1), cbw, cbh, mb, sopEph = sopEph,
         progression = 0).foreach(body.write)
       val data = body.toByteArray
       d.writeShort(0xFF90) // SOT

@@ -552,6 +552,74 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-tile decode: seeded property sweep over NON-ORIGIN " +
+      "grids (XTOsiz/YTOsiz and XOsiz/YOsiz != 0, 2^levels-aligned) " +
+      "with SOP/EPH markers — round-trips bit-exactly, first tile " +
+      "row/column clipped to the image area") {
+    val rng = new Random(141)
+    for (trial <- 1 to 8) {
+      val levels = 1 + rng.nextInt(3)
+      val step = 1 << levels
+      val (w, h) = (17 + rng.nextInt(90), 13 + rng.nextInt(70))
+      val tileW = step * (1 + rng.nextInt(4))
+      val tileH = step * (1 + rng.nextInt(4))
+      // aligned origins: the image sits at a 2^levels multiple on the
+      // canvas, the tile grid at or before it within the first tile
+      val xTOff = step * rng.nextInt(3)
+      val yTOff = step * rng.nextInt(3)
+      val maxDx = (tileW + xTOff - 1 - xTOff) / step // xOff < xTOff+tileW
+      val xOff = xTOff + step * rng.nextInt(math.max(1, maxDx))
+      val maxDy = (tileH + yTOff - 1 - yTOff) / step
+      val yOff = yTOff + step * rng.nextInt(math.max(1, maxDy))
+      val sopEph = trial % 2 == 0
+      val img = Array.fill(w * h)(rng.nextInt(256))
+      val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, tileW,
+        tileH, levels, xOff = xOff, yOff = yOff, xTOff = xTOff,
+        yTOff = yTOff, sopEph = sopEph)
+      val hdr = Jp2.parseHeader(bytes)
+      assert((hdr.xOff, hdr.yOff, hdr.xTOff, hdr.yTOff) ==
+        ((xOff, yOff, xTOff, yTOff)), s"trial $trial header offsets")
+      assert((hdr.width, hdr.height) == ((w, h)),
+        "width/height are the image EXTENT (Xsiz - XOsiz)")
+      val (_, px) = Jp2.decode(bytes)
+      assert(px.toSeq == img.toSeq,
+        s"trial $trial: ${w}x$h at ($xOff,$yOff), tiles " +
+          s"${tileW}x$tileH at ($xTOff,$yTOff), levels=$levels, " +
+          s"sopEph=$sopEph diverged")
+      // the overview read stays exact under offset grids (origins
+      // remain integral at every halving)
+      val (_, wr, hr, _) = Jp2.decodeReduced(bytes, 1)
+      assert((wr, hr) == (((w + 1) / 2, (h + 1) / 2)))
+    }
+  }
+
+  test("multi-tile decode: an UNALIGNED grid ORIGIN refuses loudly " +
+      "(tile dims aligned, origin not)") {
+    val rng = new Random(143)
+    val (w, h, levels) = (60, 40, 2)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    // 2 % 2^2 != 0: the per-tile lifting parity would diverge
+    val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, 16, 16,
+      levels, xOff = 2, yOff = 0, xTOff = 2, yTOff = 0)
+    val e = intercept[IllegalArgumentException] { Jp2.decode(bytes) }
+    assert(e.getMessage.contains("align"), e.getMessage)
+    intercept[IllegalArgumentException] { Jp2.decodeReduced(bytes, 1) }
+  }
+
+  test("parseHeader: a tile-grid origin PAST the image origin " +
+      "(XTOsiz > XOsiz, non-conformant per A.5.1) refuses at parse") {
+    val rng = new Random(145)
+    val (w, h, levels) = (32, 32, 1)
+    val img = Array.fill(w * h)(rng.nextInt(256))
+    val bytes = graft.Jp2Fixture.encodeTiledGrid(img, w, h, 16, 16, levels)
+    // corrupt XTOsiz to 4 > XOsiz = 0: SOC(2) + SIZ marker(2) +
+    // Lsiz(2) -> payload at 6, XTOsiz int32 at 6+26 = 32..35
+    val bad = bytes.clone()
+    bad(35) = 4
+    val e = intercept[IllegalArgumentException] { Jp2.parseHeader(bad) }
+    assert(e.getMessage.contains("XTOsiz"), e.getMessage)
+  }
+
   test("multi-tile decode: a stream missing one tile's tile-part " +
       "refuses with the tile named, never returns a hole") {
     val rng = new Random(73)
