@@ -51,8 +51,16 @@ object Warc {
     new String(b, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Parse every record of an (uncompressed) WARC byte array. */
-  def parseRecords(bytes: Array[Byte]): Seq[Record] = {
-    val out = Seq.newBuilder[Record]
+  def parseRecords(bytes: Array[Byte]): Seq[Record] =
+    parseRecordsWithSpans(bytes).map(_._1)
+
+  /** [[parseRecords]] plus each record's byte span [from, until) in
+    * the input (version line through payload end) — the offsets a
+    * CDX index of a PLAIN .warc stores.
+    */
+  private[graft] def parseRecordsWithSpans(bytes: Array[Byte])
+      : Seq[(Record, Int, Int)] = {
+    val out = Seq.newBuilder[(Record, Int, Int)]
     var pos = 0
     def lineEnd(from: Int): Int = {
       var i = from
@@ -69,6 +77,7 @@ object Warc {
       while (pos < bytes.length &&
           (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos < bytes.length) {
+        val recStart = pos
         val (version, p1) = line(pos)
         require(version.startsWith("WARC/"),
           s"WARC: expected a version line at byte $pos, got " +
@@ -99,7 +108,8 @@ object Warc {
           s"WARC: truncated record (payload $len bytes, " +
             s"${bytes.length - p} left)")
         val payload = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
-        out += Record(version, headers, headerList, payload)
+        out += ((Record(version, headers, headerList, payload),
+          recStart, p + len.toInt))
         pos = p + len.toInt
       }
     }
@@ -152,6 +162,136 @@ object Warc {
     }
     try run(nowrap = false)
     catch { case _: java.util.zip.DataFormatException => run(nowrap = true) }
+  }
+
+  /** Byte spans [offset, offset+length) of every gzip MEMBER in a
+    * concatenated-member buffer (RFC 1952: per member a 10-byte
+    * fixed header + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields,
+    * deflate body, CRC32 + ISIZE trailer). The member walk is what a
+    * CDX indexer runs once per archive so that every later read can
+    * inflate ONLY its own member.
+    */
+  private[graft] def gzipMemberSpans(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      require(pos + 10 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0x1f && (bytes(pos + 1) & 0xff) == 0x8b,
+        s"WARC cdx: not a gzip member header at byte $pos")
+      require((bytes(pos + 2) & 0xff) == 8,
+        s"WARC cdx: unsupported gzip compression method " +
+          s"${bytes(pos + 2) & 0xff} at byte $pos")
+      val flg = bytes(pos + 3) & 0xff
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (bytes(pos) != 0) pos += 1
+        pos += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (bytes(pos) != 0) pos += 1
+        pos += 1
+      }
+      if ((flg & 2) != 0) pos += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val buf = new Array[Byte](65536)
+      while (!inf.finished()) {
+        require(inf.inflate(buf) > 0 || inf.finished(),
+          s"WARC cdx: truncated deflate stream in member at byte $start")
+      }
+      pos += inf.getBytesRead.toInt + 8 // deflate body + CRC32 + ISIZE
+      inf.end()
+      require(pos <= bytes.length,
+        s"WARC cdx: member at byte $start runs past the file end")
+      out += ((start.toLong, (pos - start).toLong))
+    }
+    out.result()
+  }
+
+  /** CDX-style record index of WARC archives: one row per record —
+    * (path, offset, length, record_id, warc_type, target_uri) where
+    * [offset, offset+length) is the byte range a reader must fetch
+    * to decode that record alone. For `.warc.gz` in the Common Crawl
+    * one-member-per-record layout the range is the record's GZIP
+    * MEMBER; for plain `.warc` it is the record's own span. This is
+    * the 100 TB read plan from the scaladoc made concrete: build the
+    * index once (one sequential pass per archive), then every query
+    * fans out by (offset, length) and inflates only what it reads —
+    * see [[readSliced]].
+    */
+  def cdx(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) =>
+        val isGz = raw.length >= 2 && (raw(0) & 0xff) == 0x1f &&
+          (raw(1) & 0xff) == 0x8b
+        if (isGz)
+          gzipMemberSpans(raw).flatMap { case (off, len) =>
+            val member = java.util.Arrays.copyOfRange(
+              raw, off.toInt, (off + len).toInt)
+            // Common Crawl writes one record per member; tolerate
+            // more — every record in the member maps to its range
+            parseRecords(maybeGunzip(member)).map(r =>
+              (path, off, len, r.recordId, r.warcType, r.targetUri))
+          }
+        else
+          parseRecordsWithSpans(raw).map { case (r, from, until) =>
+            (path, from.toLong, (until - from).toLong,
+              r.recordId, r.warcType, r.targetUri)
+          }
+      }
+      .toDF("path", "offset", "length", "record_id", "warc_type",
+        "target_uri")
+  }
+
+  /** Byte-range record scan: read ONLY the (offset, length) slices a
+    * CDX selection names — the cluster-scale counterpart of [[read]]
+    * (same output schema). Rows are grouped by path inside each
+    * partition so one file handle serves consecutive slices; each
+    * task fetches and inflates just its own members, so reading 100
+    * records out of a 100 TB archive set costs 100 range reads, not
+    * a whole-file inflate. `file:` URIs and bare paths are
+    * supported (the test/local transport; an object-store ranged GET
+    * drops in at the marked seek+read).
+    */
+  def readSliced(spark: SparkSession, cdxRows: DataFrame): DataFrame = {
+    import spark.implicits._
+    cdxRows.select(col("path"), col("offset"), col("length"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (path, slices) =>
+          val local = new java.io.File(new java.net.URI(
+            if (path.startsWith("file:")) path
+            else "file://" + path).getPath)
+          val raf = new java.io.RandomAccessFile(local, "r")
+          try {
+            slices.sortBy(_._2).flatMap { case (_, off, len) =>
+              // the ranged read — an object store's GET Range goes here
+              val buf = new Array[Byte](len.toInt)
+              raf.seek(off)
+              raf.readFully(buf)
+              parseRecords(maybeGunzip(buf)).map { r =>
+                val http = httpSplit(r.payload)
+                (path, r.version, r.warcType, r.recordId, r.targetUri,
+                  r.date, r.header("Content-Type").getOrElse(""),
+                  r.payload.length.toLong,
+                  http.map(_._1).getOrElse(""),
+                  http.map(h => bodyText(h._2, h._3)).getOrElse(""))
+              }
+            }.iterator
+          } finally raf.close()
+        }
+      }
+      .toDF("path", "warc_version", "warc_type", "record_id",
+        "target_uri", "warc_date", "content_type", "payload_len",
+        "http_status", "http_body")
   }
 
   /** Split an HTTP message payload into (status line, headers, body

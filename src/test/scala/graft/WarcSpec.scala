@@ -277,6 +277,70 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     assert(rows("http://e.com/uc").isEmpty, "unknown charset must be null")
   }
 
+  test("CDX index: gzip member spans partition the archive exactly, " +
+      "one row per record with its member's byte range") {
+    val members = Seq(
+      record("warcinfo", "aaaa", "", "2024-01-01T00:00:00Z",
+        "software: graft-test\r\n".getBytes("UTF-8"),
+        contentType = "application/warc-fields"),
+      record("response", "cccc", "http://example.com/a",
+        "2024-01-01T00:00:01Z", httpResponse(html1)),
+      record("response", "dddd", "http://example.com/b",
+        "2024-01-01T00:00:02Z", httpResponse(html2)))
+    val gz = gzipPerRecord(members)
+    val spans = Warc.gzipMemberSpans(gz)
+    assert(spans.length == 3)
+    assert(spans.head._1 == 0L)
+    // contiguous and exhaustive: each member starts where the
+    // previous ended, and the last ends at the file end
+    spans.sliding(2).foreach { case Seq((o1, l1), (o2, _)) =>
+      assert(o1 + l1 == o2)
+    }
+    assert(spans.last._1 + spans.last._2 == gz.length)
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-cdx")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), gz)
+    // plain .warc: spans are the record spans
+    java.nio.file.Files.write(dir.resolve("b.warc"), archive)
+    val idx = Warc.cdx(spark, s"$dir/*").orderBy("path", "offset").collect()
+    val (gzRows, plainRows) = idx.partition(_.getString(0).endsWith(".gz"))
+    assert(gzRows.map(_.getString(3)).toSeq ==
+      members.indices.map(i => Seq("<urn:uuid:aaaa>", "<urn:uuid:cccc>",
+        "<urn:uuid:dddd>")(i)))
+    assert(plainRows.length == 4) // the shared 4-record archive
+    // plain spans are increasing and within the file
+    val plainSpans = plainRows.map(r => (r.getLong(1), r.getLong(2)))
+    assert(plainSpans.head._1 == 0L)
+    assert(plainSpans.map(s => s._1 + s._2).max <= archive.length)
+  }
+
+  test("CDX-sliced read: reading every slice reproduces the full " +
+      "scan; reading ONE slice fetches exactly that record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-slice")
+    java.nio.file.Files.write(dir.resolve("a.warc.gz"), gzipPerRecord(Seq(
+      record("response", "r1", "http://example.com/1",
+        "2024-01-01T00:00:01Z", httpResponse(html1)),
+      record("response", "r2", "http://example.com/2",
+        "2024-01-01T00:00:02Z", httpResponse(html2)),
+      record("request", "r3", "http://example.com/2",
+        "2024-01-01T00:00:02Z",
+        "GET /2 HTTP/1.1\r\n\r\n".getBytes("UTF-8")))))
+    java.nio.file.Files.write(dir.resolve("b.warc"), archive)
+    val idx = Warc.cdx(spark, s"$dir/*")
+    val full = Warc.read(spark, s"$dir/*")
+      .orderBy("record_id").collect().toSeq
+    val sliced = Warc.readSliced(spark, idx)
+      .orderBy("record_id").collect().toSeq
+    assert(sliced.map(_.toSeq) == full.map(_.toSeq),
+      "sliced scan diverged from the full scan")
+    // a single-record selection decodes just that record
+    val one = Warc.readSliced(spark,
+      idx.filter(org.apache.spark.sql.functions.col("record_id") ===
+        "<urn:uuid:r2>")).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[String]("target_uri") == "http://example.com/2")
+    assert(one.head.getAs[String]("http_body").contains("second page"))
+  }
+
   test("malformed archives refuse loudly: truncation, missing " +
       "Content-Length, junk framing") {
     val full = archive
