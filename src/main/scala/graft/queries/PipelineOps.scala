@@ -936,7 +936,47 @@ object PipelineOps extends QueryModule {
        |FROM w GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q176 — URL canonicalization under the oracle gate (the
+  // key-making step of crawl-frontier dedup; url_normalize is the
+  // functions/UrlExpressions.scala codegen kernel). The q171 device:
+  // each document's clean URL parts are MESSED UP two independent
+  // ways — variant 1: uppercase scheme+host, explicit default port,
+  // dot-segments, unsorted query, fragment; variant 2:
+  // percent-encoded unreserved path bytes + an empty query param —
+  // and normalized back. The DuckDB twin constructs the clean form
+  // directly and asserts variants_agree = TRUE, so the hash match
+  // certifies every rule fired AND both spellings collapsed to one
+  // dedup key (a divergence in any rule flips variants_agree or
+  // shifts c1). Zero exchanges before the presentation sort.
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UrlFunctions.register(s)
+    T.documents(s, dir)
+      .selectExpr("doc_id",
+        "concat('HTTP://', upper(source), '.EXAMPLE.COM:80/c/../c/./d', " +
+          "CAST(doc_id AS STRING), '?b=', CAST(doc_id % 5 AS STRING), " +
+          "'&a=', CAST(doc_id % 7 AS STRING), '#sec') AS u1",
+        "concat('http://', source, '.example.com/%63/d', " +
+          "CAST(doc_id AS STRING), '?a=', CAST(doc_id % 7 AS STRING), " +
+          "'&&b=', CAST(doc_id % 5 AS STRING)) AS u2")
+      .selectExpr("doc_id", "url_normalize(u1) AS c1",
+        "url_normalize(u2) AS c2")
+      .selectExpr("doc_id", "c1",
+        "CAST(c1 = c2 AS BOOLEAN) AS variants_agree")
+      .orderBy("doc_id")
+  }
+
+  private val q176Sql =
+    """SELECT doc_id,
+      |  'http://' || source || '.example.com/c/d'
+      |    || CAST(doc_id AS VARCHAR)
+      |    || '?a=' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '&b=' || CAST(doc_id % 5 AS VARCHAR) AS c1,
+      |  TRUE AS variants_agree
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_url_canonicalize" -> (q176 _),
     "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
@@ -954,6 +994,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q176_url_canonicalize" -> q176Sql,
     "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
