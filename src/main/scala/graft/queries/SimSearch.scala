@@ -633,12 +633,12 @@ object SimSearch extends QueryModule {
          |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
          |  FROM ${pfx}a${j}_$n a JOIN ${pfx}ex$j e ON e.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |${pfx}c${j}_$n AS (
+         |${pfx}c${j}_$n AS MATERIALIZED (
          |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
          |  FROM $prev p LEFT JOIN ${pfx}m${j}_$n m
          |    ON m.cid = p.cid AND m.i = p.i)"""
         .stripMargin
-    s"""${pfx}ex$j AS (
+    s"""${pfx}ex$j AS MATERIALIZED (
        |  SELECT vec_id, i - $base AS i, v FROM $src
        |  WHERE i > $base AND i <= ${base + subDim}),
        |${pfx}c${j}_0 AS (
@@ -722,12 +722,12 @@ object SimSearch extends QueryModule {
          |  SELECT a.cell AS cid, e.i, floor(avg(e.v) + 0.5) AS v
          |  FROM fa$n a JOIN ex e ON e.vec_id = a.vec_id
          |  GROUP BY 1, 2),
-         |fc$n AS (
+         |fc$n AS MATERIALIZED (
          |  SELECT p.cid, p.i, COALESCE(m.v, p.v) AS v
          |  FROM $prev p LEFT JOIN fm$n m ON m.cid = p.cid AND m.i = p.i)"""
         .stripMargin
     s"""WITH q AS (SELECT vec_id, $quantD AS qv FROM embeddings),
-       |ex AS (
+       |ex AS MATERIALIZED (
        |  SELECT vec_id, generate_subscripts(qv, 1) AS i,
        |    CAST(unnest(qv) AS DOUBLE) AS v
        |  FROM q),
@@ -736,11 +736,11 @@ object SimSearch extends QueryModule {
        |  WHERE vec_id < 4),
        |${fstep(1, "fc0")},
        |${fstep(2, "fc1")},
-       |dist AS (
+       |dist AS MATERIALIZED (
        |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
        |  FROM ex e JOIN fc2 c ON c.i = e.i
        |  GROUP BY 1, 2),
-       |assigned AS (
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -934,34 +934,34 @@ object SimSearch extends QueryModule {
          |  i - ${j * subDim} AS i, v
          |FROM qres WHERE i > ${j * subDim} AND i <= ${(j + 1) * subDim}"""
         .stripMargin).mkString("\nUNION ALL\n")
-    s"""res AS (
+    s"""res AS MATERIALIZED (
        |  SELECT e.vec_id, e.i, e.v - c.v AS v
        |  FROM ex e
        |  JOIN assigned a ON a.vec_id = e.vec_id
        |  JOIN fc2 c ON c.cid = a.cell AND c.i = e.i),
        |${(0 until m).map(j => pqSubChainSql(j, subDim, "res", "r"))
           .mkString(",\n")},
-       |rcb AS (
+       |rcb AS MATERIALIZED (
        |$rcbUnion),
-       |rsubv AS (
+       |rsubv AS MATERIALIZED (
        |$rsubvUnion),
-       |rpdist AS (
+       |rpdist AS MATERIALIZED (
        |  SELECT s.vec_id, s.j, c.cid, SUM((s.v - c.v) * (s.v - c.v)) AS d
        |  FROM rsubv s JOIN rcb c ON c.j = s.j AND c.i = s.i
        |  GROUP BY 1, 2, 3),
-       |rcode AS (
+       |rcode AS MATERIALIZED (
        |  SELECT vec_id, j, cid FROM (
        |    SELECT vec_id, j, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
        |    FROM rpdist) WHERE rn = 1),
-       |qres AS (
+       |qres AS MATERIALIZED (
        |  SELECT p.q_id, p.cell, e.i, e.v - c.v AS v
        |  FROM probes p
        |  JOIN ex e ON e.vec_id = p.q_id
        |  JOIN fc2 c ON c.cid = p.cell AND c.i = e.i),
-       |qsub AS (
+       |qsub AS MATERIALIZED (
        |$qsubUnion),
-       |qdist AS (
+       |qdist AS MATERIALIZED (
        |  SELECT q.q_id, q.cell, q.j, c.cid,
        |    SUM((q.v - c.v) * (q.v - c.v)) AS d
        |  FROM qsub q JOIN rcb c ON c.j = q.j AND c.i = q.i
@@ -977,7 +977,7 @@ object SimSearch extends QueryModule {
   }
 
   private val probesSql =
-    """probes AS (
+    """probes AS MATERIALIZED (
       |  SELECT vec_id AS q_id, cid AS cell FROM (
       |    SELECT vec_id, cid,
       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -1109,6 +1109,123 @@ object SimSearch extends QueryModule {
        |      AS BIGINT) AS hits
        |  FROM res3 r LEFT JOIN ext e ON e.q_id = r.q_id AND e.c_id = r.c_id)
        |ORDER BY method""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q178 — residual-PQ OPERATING CURVE: recall@3 vs nProbe ∈ 1..4
+  // for the q172 residual index against the exact quantized-L2
+  // ground truth — q136's tuning-audit shape applied to the new
+  // operator (what does each extra probed cell buy at serve time?).
+  // One ranked probe table (probeCellsRanked — crank ≤ nP reproduces
+  // probeCells' probe set exactly), one residual-LUT per (query,
+  // cell), and per setting a filter on crank — the sweep costs one
+  // scored pass, not one search per setting. Integer hit counts; the
+  // only double is round(hits/n, 6).
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentroids(s, dir)
+    val books = residualCodebooks(s, dir)
+    val encoded = graft.CachedPlans.of(s, dir, "ivfpq_residual_encoded") {
+      graft.operators.Pq.encode(residualCorpus(s, dir), books, "residual")
+    }
+    val queries = quantized(s, dir)
+      .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
+      .filter(col("vec_id") < 8)
+    val rankedProbes = graft.CachedPlans.of(s, dir, "res_probes_ranked") {
+      graft.operators.Ivf.probeCellsRanked(queries, cents)
+        .join(broadcast(queries
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv0"))),
+          "q_id")
+        .withColumn("__cents", typedlit(cents))
+        .withColumn("qv",
+          expr("vec_sub(qv0, element_at(__cents, cell + 1))"))
+        .select("q_id", "cell", "crank", "qv")
+    }
+    val exact = graft.CachedPlans.of(s, dir, "pq_exact_top3") {
+      // same build as q173's; the memo key dedups the work
+      val corpus = quantized(s, dir)
+      val q8 = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+      corpus.select(col("vec_id").as("c_id"), col("qv").as("cv"))
+        .crossJoin(broadcast(q8))
+        .filter(col("c_id") =!= col("q_id"))
+        .withColumn("d", expr("vec_l2_sq(CAST(qqv AS ARRAY<DOUBLE>), " +
+          "CAST(cv AS ARRAY<DOUBLE>))"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))))
+        .filter(col("rn") <= 3)
+        .select("q_id", "c_id")
+    }
+    val perSetting = (1 to 4).map { nP =>
+      graft.operators.Pq.adcSearchCells(encoded, books,
+        rankedProbes.filter(col("crank") <= nP)
+          .select("q_id", "qv", "cell"), topK = 3)
+        .select("q_id", "c_id")
+        .withColumn("n_probe", lit(nP))
+    }.reduce(_ union _)
+    perSetting.join(exact.withColumn("hit", lit(1)),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("n_probe")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT)").as("hits"))
+      .withColumn("recall",
+        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+      .select("n_probe", "n_pairs", "hits", "recall")
+      .orderBy("n_probe")
+  }
+
+  private val q178Sql = {
+    val (m, subDim) = (4, 16)
+    val settings = 1 to 4
+    val perSetting = settings.map(nP =>
+      s"""adc$nP AS (
+         |  SELECT p.q_id, a.vec_id AS c_id, SUM(qd.d) AS adc
+         |  FROM probes_ranked p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |  JOIN rcode co ON co.vec_id = a.vec_id
+         |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.cell = p.cell
+         |    AND qd.j = co.j AND qd.cid = co.cid
+         |  WHERE p.crank <= $nP
+         |  GROUP BY 1, 2),
+         |r$nP AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id)
+         |        AS rn
+         |    FROM adc$nP) WHERE rn <= 3)""".stripMargin).mkString(",\n")
+    val hitRows = settings.map(nP =>
+      s"""SELECT CAST($nP AS INTEGER) AS n_probe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits
+         |FROM r$nP r LEFT JOIN ext e
+         |  ON e.q_id = r.q_id AND e.c_id = r.c_id""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$trainedAssignChainSql,
+       |probes_ranked AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid)
+       |      AS crank
+       |  FROM dist WHERE vec_id < 8),
+       |probes AS MATERIALIZED (SELECT q_id, cell FROM probes_ranked),
+       |${residualChainSql(m, subDim)},
+       |$perSetting,
+       |exd AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
+       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 8
+       |  GROUP BY 1, 2),
+       |ext AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+       |    FROM exd) WHERE rn <= 3)
+       |SELECT n_probe, n_pairs, hits,
+       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall
+       |FROM (
+       |$hitRows)
+       |ORDER BY n_probe""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -2591,6 +2708,7 @@ object SimSearch extends QueryModule {
     "q164_trained_ivfpq" -> (q164 _),
     "q172_residual_ivfpq" -> (q172 _),
     "q173_pq_recall_compare" -> (q173 _),
+    "q178_residual_probe_curve" -> (q178 _),
     "q165_ivf_balance" -> (q165 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
@@ -2622,6 +2740,7 @@ object SimSearch extends QueryModule {
     "q164_trained_ivfpq" -> q164Sql,
     "q172_residual_ivfpq" -> q172Sql,
     "q173_pq_recall_compare" -> q173Sql,
+    "q178_residual_probe_curve" -> q178Sql,
     "q165_ivf_balance" -> q165Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,

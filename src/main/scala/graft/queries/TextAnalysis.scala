@@ -2104,6 +2104,53 @@ object TextAnalysis extends QueryModule {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // q177 — SERVE-time unigram segmentation (q128's BPE-serve
+  // counterpart): segment the held-out slice's words under q174's
+  // FINAL trained model and report each word's pieces. The oracle
+  // knows nothing of the Spark-side DP: best2 IS the final model's
+  // segmentation of every corpus word (recursive enumeration +
+  // (score DESC, path) winner), so the lookup certifies the serve
+  // path against the semantic ground truth. Scale: one broadcast
+  // model + per-row DP over the held DISTINCT-word table; the
+  // production shape is q128's — known words answered by the
+  // word→pieces table, the DP only paying for OOV.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, sc1) = unigramTrained(s, dir)
+    val bc = s.sparkContext.broadcast(sc1)
+    import s.implicits._
+    val held = tokenized(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) <= uniMaxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    held.select(col("w"), col("n")).as[(String, Long)]
+      .mapPartitions { it =>
+        val sc = bc.value
+        it.map { case (w, n) =>
+          val pieces = graft.operators.Unigram
+            .segment(w, sc, uniMaxPieceLen).get
+          (w, n, pieces.length.toLong, pieces.mkString(" "))
+        }
+      }.toDF("w", "n", "n_pieces", "pieces")
+      .orderBy("w")
+  }
+
+  private val q177Sql =
+    s"""$uniCtesSql,
+       |hw AS (
+       |  SELECT t AS w, COUNT(*) AS n FROM (
+       |    SELECT unnest($toksD) AS t
+       |    FROM documents WHERE doc_id % 10 = 0)
+       |  WHERE length(t) <= $uniMaxWordLen
+       |  GROUP BY 1)
+       |SELECT hw.w, hw.n,
+       |  CAST(length(b.path) - length(replace(b.path, ',', '')) + 1
+       |    AS BIGINT) AS n_pieces,
+       |  replace(b.path, ',', ' ') AS pieces
+       |FROM hw JOIN best2 b ON b.w = hw.w
+       |ORDER BY hw.w""".stripMargin
+
+  // ---------------------------------------------------------------
   // q171 — HTML text extraction certified end-to-end (round-14 ask
   // #2): each document's sanitized text is ENCODED into a full HTML
   // page — head noise (a style rule with a quoted '>', a script whose
@@ -2157,6 +2204,7 @@ object TextAnalysis extends QueryModule {
     "q171_html_extract" -> (q171 _),
     "q174_unigram_train" -> (q174 _),
     "q175_tokenizer_fertility" -> (q175 _),
+    "q177_unigram_serve" -> (q177 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -2186,6 +2234,7 @@ object TextAnalysis extends QueryModule {
     "q171_html_extract" -> q171Sql,
     "q174_unigram_train" -> q174Sql,
     "q175_tokenizer_fertility" -> q175Sql,
+    "q177_unigram_serve" -> q177Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
