@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Perceptual image fingerprinting for MULTIMODAL dedup — the
+  * difference hash (dHash): reduce a grayscale image to a 9×8 grid
+  * of block sums and emit one bit per horizontally-adjacent
+  * comparison (sum(r,c) > sum(r,c+1)), 8 rows × 8 comparisons =
+  * 64 bits. Near-identical images (re-encodes, uniform
+  * brightness/contrast shifts, small noise) keep their bit pattern
+  * because only the ORDERING of neighboring block sums matters —
+  * dHash is exactly invariant under any monotone per-pixel
+  * transform applied uniformly (the q180 oracle exploits the
+  * brightness-shift case analytically).
+  *
+  * All-integer: block sums of byte pixels, strict `>` comparisons —
+  * no resampling arithmetic, so the hash is engine- and
+  * platform-exact. The 64 bits return as ARRAY<BIGINT>[2]
+  * (rows 0-3 in [0], rows 4-7 in [1], bit (r%4)*8+c weighted
+  * 2^((r%4)*8+c)) — two non-negative longs, avoiding the signed
+  * 2^63 overflow a single 64-bit key would hit in ANSI engines.
+  *
+  * Geometry contract (refused loudly otherwise): width divisible by
+  * 9 and height divisible by 8, so block sums are exact integer
+  * rectangles (no fractional resampling — the caller picks the
+  * decode/thumbnail size; 18×8, 36×16, 144×64 all conform).
+  */
+object ImgKernel {
+
+  def dhash(bytes: Array[Byte], w: Int, h: Int): ArrayData = {
+    require(w > 0 && h > 0 && bytes.length == w * h,
+      s"img_dhash: ${bytes.length} bytes is not a ${w}x$h grayscale plane")
+    require(w % 9 == 0 && h % 8 == 0,
+      s"img_dhash: ${w}x$h does not block-align to the 9x8 grid " +
+        "(width % 9 == 0 and height % 8 == 0 required — fractional " +
+        "resampling would break integer exactness)")
+    val bw = w / 9
+    val bh = h / 8
+    val sums = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val br = y / bh
+      var x = 0
+      while (x < w) {
+        sums(br)(x / bw) += bytes(y * w + x) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Long](2)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c) > sums(r)(c + 1))
+          out(r / 4) |= 1L << ((r % 4) * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** img_dhash(bytes BINARY, w INT, h INT) -> ARRAY<BIGINT>[2]. */
+case class ImgDhash(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT, INT), got $other")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    ImgKernel.dhash(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h) =>
+      s"graft.functions.ImgKernel.dhash($b, $w, $h)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): ImgDhash = copy(a, b, c)
+  override def prettyName: String = "img_dhash"
+}
+
+object ImgFunctions {
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("img_dhash",
+      new ExpressionInfo(classOf[ImgDhash].getName, null, "img_dhash",
+        "img_dhash(bytes, w, h) - 64-bit perceptual difference hash " +
+          "of a grayscale plane as ARRAY<BIGINT>[2]; w % 9 == 0, " +
+          "h % 8 == 0", "", "", "", "", "4.0.0", "", "scala_udf"),
+      (e: Seq[Expression]) => e match {
+        case Seq(b, w, h) => ImgDhash(b, w, h)
+        case other => throw new IllegalArgumentException(
+          s"img_dhash takes 3 arguments, got ${other.size}")
+      }))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}

