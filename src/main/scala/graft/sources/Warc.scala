@@ -361,24 +361,77 @@ object Warc {
     * `flatMap` over the binaryFile scan — embarrassingly parallel,
     * records never leave their task until the projection.
     */
+  /** The per-file record projection shared by the batch scan, the
+    * CDX-sliced scan, and the STREAMING scan.
+    */
+  private def recordRows(path: String, raw: Array[Byte])
+      : Seq[(String, String, String, String, String, String, String,
+        Long, String, String)] =
+    parseRecords(maybeGunzip(raw)).map { r =>
+      val http = httpSplit(r.payload)
+      (path, r.version, r.warcType, r.recordId, r.targetUri, r.date,
+        r.header("Content-Type").getOrElse(""),
+        r.payload.length.toLong,
+        http.map(_._1).getOrElse(""),
+        http.map(h => bodyText(h._2, h._3)).getOrElse(""))
+    }
+
+  private val readCols = Seq("path", "warc_version", "warc_type",
+    "record_id", "target_uri", "warc_date", "content_type",
+    "payload_len", "http_status", "http_body")
+
   def read(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, raw) =>
-        parseRecords(maybeGunzip(raw)).map { r =>
-          val http = httpSplit(r.payload)
-          (path, r.version, r.warcType, r.recordId, r.targetUri, r.date,
-            r.header("Content-Type").getOrElse(""),
-            r.payload.length.toLong,
-            http.map(_._1).getOrElse(""),
-            http.map(h => bodyText(h._2, h._3)).getOrElse(""))
-        }
-      }
-      .toDF("path", "warc_version", "warc_type", "record_id",
-        "target_uri", "warc_date", "content_type", "payload_len",
-        "http_status", "http_body")
+      .flatMap { case (path, raw) => recordRows(path, raw) }
+      .toDF(readCols: _*)
+  }
+
+  /** STREAMING record scan: new `.warc(.gz)` files landing under
+    * `pathGlob` become record rows incrementally — the continuous
+    * crawl-ingest front door (a crawler drops finished archives into
+    * the landing prefix; Structured Streaming's file source tracks
+    * processed files in the checkpoint log, so every archive is
+    * parsed exactly once across restarts). Same schema as [[read]];
+    * the per-file parse is the same stateless flatMap, so the whole
+    * funnel (html_text → language-ID → quality gate → chunk dedup)
+    * composes downstream unchanged.
+    */
+  def readStreamed(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // the binaryFile schema, spelled out (streaming sources demand
+      // an explicit schema; public types only)
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, raw) => recordRows(path, raw) }
+      .toDF(readCols: _*)
+  }
+
+  /** The [[documents]] projection over [[readStreamed]] — streaming
+    * crawl→documents rows.
+    */
+  def documentsStream(spark: SparkSession, pathGlob: String): DataFrame = {
+    graft.functions.HtmlFunctions.register(spark)
+    readStreamed(spark, pathGlob)
+      .filter(col("warc_type") === "response")
+      .select(
+        expr("xxhash64(record_id)").as("doc_id"),
+        col("target_uri").as("url"),
+        expr("to_timestamp(warc_date)").as("ts"),
+        expr("html_text(http_body)").as("text"))
   }
 
   /** The crawl→documents projection: response records become
