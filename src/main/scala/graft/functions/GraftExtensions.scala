@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     (GeoFunctions.all ++ VecFunctions.all ++ CdcFunctions.all ++
-      HtmlFunctions.all ++ UrlFunctions.all ++ ImgFunctions.all)
+      HtmlFunctions.all ++ UrlFunctions.all ++ ImgFunctions.all ++
+      AudioFunctions.all)
       .foreach { case (name, inf, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name), inf, builder))

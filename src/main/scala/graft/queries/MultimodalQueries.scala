@@ -393,17 +393,84 @@ object MultimodalQueries extends QueryModule {
       |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
       |ORDER BY id_a, var_a, id_b, var_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q182 — acoustic fingerprint dedup: the audio leg of the
+  // modality-dedup family (text md5/MinHash, image img_dhash). Each
+  // document's deterministic s16 waveform (quadratic scrambler —
+  // distinct energy contours per id) is ENCODED through the real PCM
+  // codec (Multimodal.encodePcm) and fingerprinted by the
+  // pcm_energy_fp codegen kernel (functions/AudioExpressions.scala):
+  // 64 frames × 16 samples, per-frame integer energy, one bit per
+  // adjacent-frame comparison. Every 9th item also ships a ×2 GAIN
+  // re-encode — the energy contour is provably invariant (every
+  // energy scales by 4; orderings unchanged; ±8192 base rules out
+  // s16 clipping), so the variant lands in its original's group: the
+  // report reads 444 singletons + exactly the 56 gain pairs at
+  // sf0.01. The DuckDB twin recomputes energies and bit packing from
+  // the sample formula, so the hash match certifies the s16le codec
+  // round trip, the framing, and the packing. All integers.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.AudioFunctions.register(s)
+    val n = 1024
+    val pcm = T.documents(s, dir).select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        def smp(i: Int): Int =
+          ((((id + 3) * (i.toLong * i + 5 * i + 11)) % 16384) - 8192).toInt
+        val base = Array.tabulate(n)(smp)
+        val rows = Seq.newBuilder[(Long, Int, Array[Byte])]
+        rows += ((id, 0, Multimodal.encodePcm(base)))
+        if (id % 9 == 0)
+          rows += ((id, 1, Multimodal.encodePcm(base.map(_ * 2))))
+        rows.result()
+      }.toDF("doc_id", "variant", "pcm")
+    pcm.selectExpr("doc_id", "variant", "pcm_energy_fp(pcm, 16) AS fp")
+      .withColumn("grp_size", expr("COUNT(*) OVER (PARTITION BY fp)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q182Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 1 AS gain FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 2 FROM ids WHERE doc_id % 9 = 0),
+      |sm AS (
+      |  SELECT doc_id, variant, i,
+      |    (((doc_id + 3) * (i * i + 5 * i + 11)) % 16384 - 8192) * gain
+      |      AS s
+      |  FROM vr CROSS JOIN generate_series(0, 1023) AS t(i)),
+      |e AS (
+      |  SELECT doc_id, variant, i // 16 AS f,
+      |    CAST(SUM(s * s) AS BIGINT) AS e
+      |  FROM sm GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.f
+      |  FROM e l JOIN e r ON r.doc_id = l.doc_id
+      |    AND r.variant = l.variant AND r.f = l.f + 1
+      |  WHERE l.e > r.e),
+      |fp AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << f), 0) AS BIGINT) AS fp
+      |  FROM vr LEFT JOIN bits USING (doc_id, variant)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, variant, fp,
+      |  COUNT(*) OVER (PARTITION BY fp) AS grp_size
+      |FROM fp ORDER BY doc_id, variant""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
       "q147_video_motion" -> (q147 _),
       "q180_image_phash_dedup" -> (q180 _),
-      "q181_image_near_dup" -> (q181 _))
+      "q181_image_near_dup" -> (q181 _),
+      "q182_audio_fingerprint" -> (q182 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
       "q146_audio_features" -> q146Sql,
       "q147_video_motion" -> q147Sql,
       "q180_image_phash_dedup" -> q180Sql,
-      "q181_image_near_dup" -> q181Sql)
+      "q181_image_near_dup" -> q181Sql,
+      "q182_audio_fingerprint" -> q182Sql)
 }
