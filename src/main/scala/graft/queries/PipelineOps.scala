@@ -1064,7 +1064,72 @@ object PipelineOps extends QueryModule {
        |FROM b
        |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q183 — robots.txt politeness gate under the oracle (the
+  // RFC 9309 kernel sources/Robots.scala made hash-checkable): the
+  // crawl frontier (each document's canonical URL path /c/d<doc_id>)
+  // is filtered through a robots file whose patterns have an
+  // ARITHMETIC shadow — `Disallow: /c/d*3$` (length 8) blocks ids
+  // whose decimal ends in 3, `Allow: /c/d*13$` (length 9, longest —
+  // wins precedence) re-admits ids ending in 13, and
+  // `Disallow: /c/d9` (length 5) blocks 9-prefixed ids by PREFIX
+  // semantics — so the DuckDB twin derives the same decisions as a
+  // CASE chain in longest-match order (%100=13 → allow; %10=3 →
+  // block; LIKE '9%' → block; else allow) and the hash match
+  // certifies parsing, group selection, wildcard/anchor matching,
+  // and precedence on every frontier row. The kernel runs
+  // per-partition under the parsed (driver-compiled, model-sized)
+  // rule set — the production broadcast shape.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val robotsTxt =
+      """User-agent: graftbot
+        |Disallow: /c/d*3$
+        |Allow: /c/d*13$
+        |Disallow: /c/d9
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    val groups = graft.sources.Robots.parse(robotsTxt)
+    val decided = T.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        "concat('/c/d', CAST(doc_id AS STRING)) AS path")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src, path) =>
+          (id, src, path,
+            graft.sources.Robots.isAllowed(groups, "graftbot/1.0", path))
+        }
+      }.toDF("doc_id", "source", "path", "allowed")
+    decided.groupBy("source").agg(
+      count(lit(1)).as("n_urls"),
+      expr("CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_allowed"),
+      expr("CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)")
+        .as("n_blocked"))
+      .orderBy("source")
+  }
+
+  private val q183Sql =
+    """WITH d AS (
+      |  SELECT source,
+      |    CASE
+      |      WHEN doc_id % 100 = 13 THEN TRUE
+      |      WHEN doc_id % 10 = 3 THEN FALSE
+      |      WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
+      |      ELSE TRUE END AS allowed
+      |  FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_urls,
+      |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_allowed,
+      |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_blocked
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_robots_gate" -> (q183 _),
     "q179_lm_quality_buckets" -> (q179 _),
     "q176_url_canonicalize" -> (q176 _),
     "q170_warc_funnel" -> (q170 _),
@@ -1084,6 +1149,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q183_robots_gate" -> q183Sql,
     "q179_lm_quality_buckets" -> q179Sql,
     "q176_url_canonicalize" -> q176Sql,
     "q170_warc_funnel" -> q170Sql,
