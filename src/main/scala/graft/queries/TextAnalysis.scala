@@ -2104,6 +2104,102 @@ object TextAnalysis extends QueryModule {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // q184 — INCREMENTAL unigram trainer (q134's maintained-counts
+  // device for the unigram family): the corpus splits into
+  // "yesterday" (doc_id % 10 != 7) and an arriving batch
+  // (doc_id % 10 = 7). Word counts and the substring-candidate
+  // counts are MAINTAINED — yesterday's state plus the batch's
+  // signed delta, never a full recount — and a drift checksum
+  // compares the maintained candidate table against a fresh recount
+  // INSIDE the gate run (loud require, the q134 recountEvery
+  // discipline). Seeding proceeds from the maintained counts; the
+  // EM passes are unchanged. Hash-matching q174's FULL-RETRAIN
+  // oracle then certifies cross-engine that maintained ≡ recounted
+  // end-to-end — a drifted count would pick different seed pieces
+  // or scores and move the model.
+  //
+  // Scale: the maintained state is vocabulary-substring-sized
+  // (distinct words × ≤ maxPieceLen substrings — the BPE
+  // driver-maintenance bound); per batch the delta costs the
+  // BATCH's words, never the corpus.
+  private val uniIncrMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long, Long, Long)]]()
+
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Unigram
+    val rows = uniIncrMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      _ => {
+        def wordCounts(df: DataFrame): Map[String, Long] =
+          df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val all = tokenized(s, dir)
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .filter(length(col("w")) <= uniMaxWordLen)
+        // yesterday's state + the batch's signed delta = maintained
+        val old = wordCounts(all.filter(col("doc_id") % 10 =!= 7)
+          .groupBy("w").agg(count(lit(1)).as("n")))
+        val delta = wordCounts(all.filter(col("doc_id") % 10 === 7)
+          .groupBy("w").agg(count(lit(1)).as("n")))
+        val words = (old.keySet ++ delta.keySet).map(w =>
+          w -> (old.getOrElse(w, 0L) + delta.getOrElse(w, 0L))).toMap
+        // maintained substring-candidate counts (driver fold over the
+        // vocabulary — the BPE maintenance bound)
+        def candOf(wc: Map[String, Long]): Map[String, Long] = {
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          wc.foreach { case (w, n) =>
+            var i = 0
+            while (i < w.length) {
+              var l = 1
+              while (l <= math.min(uniMaxPieceLen, w.length - i)) {
+                val p = w.substring(i, i + l)
+                m(p) = m.getOrElse(p, 0L) + n
+                l += 1
+              }
+              i += 1
+            }
+          }
+          m.toMap
+        }
+        val maintained = candOf(words)
+        // drift checksum: maintained vs a fresh recount from the
+        // corpus-derived word table — fires INSIDE the gate run
+        val recount = candOf(wordCounts(
+          uniWords(s, dir).select(col("w"), col("n"))))
+        require(maintained == recount,
+          s"incremental unigram: maintained candidate counts drifted " +
+            s"from recount (${maintained.size} vs ${recount.size} keys)")
+        val multi = maintained.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(uniTopMulti)
+        val sing = maintained.filter(_._1.length == 1).toSeq
+        val v0 = (multi ++ sing).toMap
+        def scores(counts: Map[String, Long]): Map[String, Long] = {
+          val t = Unigram.ql32(counts.values.sum)
+          counts.map { case (p, c) => p -> (Unigram.ql32(c) - t) }
+        }
+        def estep(score: Map[String, Long]): Map[String, Long] = {
+          val bc = s.sparkContext.broadcast(score)
+          uniWords(s, dir).select(col("w"), col("n")).as[(String, Long)]
+            .mapPartitions { it =>
+              val sc = bc.value
+              it.flatMap { case (w, n) =>
+                Unigram.segment(w, sc, uniMaxPieceLen).get.map((_, n))
+              }
+            }.toDF("piece", "n")
+            .groupBy("piece").agg(expr("CAST(SUM(n) AS BIGINT)").as("u"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        val u1 = estep(scores(v0))
+        val sc1 = scores(u1)
+        val u2 = estep(sc1)
+        u1.keys.toSeq.sorted
+          .map(p => (p, v0(p), u1(p), u2.getOrElse(p, 0L), sc1(p)))
+      })
+    rows.toDF("piece", "seed_cnt", "used1", "used2", "score_q")
+      .orderBy("piece")
+  }
+
+  // ---------------------------------------------------------------
   // q177 — SERVE-time unigram segmentation (q128's BPE-serve
   // counterpart): segment the held-out slice's words under q174's
   // FINAL trained model and report each word's pieces. The oracle
@@ -2205,6 +2301,7 @@ object TextAnalysis extends QueryModule {
     "q174_unigram_train" -> (q174 _),
     "q175_tokenizer_fertility" -> (q175 _),
     "q177_unigram_serve" -> (q177 _),
+    "q184_unigram_incremental" -> (q184 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -2235,6 +2332,10 @@ object TextAnalysis extends QueryModule {
     "q174_unigram_train" -> q174Sql,
     "q175_tokenizer_fertility" -> q175Sql,
     "q177_unigram_serve" -> q177Sql,
+    // q184 maintains candidate counts incrementally yet must land on
+    // the SAME model — the full-retrain oracle certifies it (q134's
+    // protocol)
+    "q184_unigram_incremental" -> q174Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
