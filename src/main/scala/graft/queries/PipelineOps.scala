@@ -759,7 +759,12 @@ object PipelineOps extends QueryModule {
   // per partition makes the archive framing realistic without
   // entering the funnel (response filter drops it), so the row counts
   // stay independent of partitioning.
-  private def q170(s: SparkSession, dir: String): DataFrame = {
+  /** The funnel's row-wise feature table (t, is_doc, n_tok, n_uniq,
+    * h_en, pred, score, is_en, is_gated, is_re, fp per parsed
+    * response) — the memoized build shared by q170's rollup and
+    * q185's trained-classifier gate.
+    */
+  private def warcFunnelFeats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.HtmlFunctions.register(s)
     val sanE = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
@@ -868,7 +873,11 @@ object PipelineOps extends QueryModule {
         expr("CASE WHEN record_id LIKE '%-r>' THEN 1 ELSE 0 END"))
       .withColumn("fp", expr("md5(t)"))
     }
-    val ranked = feats
+    feats
+  }
+
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val ranked = warcFunnelFeats(s, dir)
       .withColumn("rk", row_number().over(
         Window.partitionBy("fp", "is_gated").orderBy("doc_id", "is_re")))
       .withColumn("is_kept", expr("is_gated AND rk = 1"))
@@ -1128,7 +1137,91 @@ object PipelineOps extends QueryModule {
       |    AS n_blocked
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q185 — the crawl funnel THROUGH THE TRAINED q158 GATE (the
+  // round-13 verdict's exact wording for ask #1: "per-source
+  // kept/dropped through the q158 gate" — q170 gates on the q23
+  // heuristic score; this row composes the TRAINED quantized-IRLS
+  // classifier onto the funnel's extracted text). Train on the
+  // reference corpus (TextAnalysis.qcModel — the memoized 1-row
+  // model + prior threshold), score the CRAWL: the funnel feature
+  // table already carries n_tok/n_uniq/h_en over the extracted t,
+  // so x1/x2 are the SAME shared qcX1/qcX2 strings and the score is
+  // the same qcZ/qcMu algebraic-sigmoid chain — bit-stable by the
+  // q158 argument. Report per source over the parsed responses with
+  // n_tok > 0: total, trained-kept, keep rate.
+  //
+  // Scale: one broadcast of the 1-row model onto the memoized
+  // funnel table + a per-source rollup — the production "train
+  // once, gate every crawl wave" shape.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{TextAnalysis => TA}
+    val model = TA.qcModel(s, dir)
+    warcFunnelFeats(s, dir)
+      .filter(col("is_doc") && col("n_tok") > 0)
+      .select(col("doc_id"), col("source"),
+        expr(TA.qcX1).as("x1"), expr(TA.qcX2).as("x2"))
+      .crossJoin(broadcast(model))
+      .withColumn("z", expr(TA.qcZ))
+      .withColumn("mu", expr(TA.qcMu))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_kept"))
+      .withColumn("keep_rate",
+        expr("round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"))
+      .orderBy("source")
+  }
+
+  private def q185Sql = {
+    import graft.queries.{TextAnalysis => TA}
+    s"""WITH feats AS (${TA.qcFeatsSql}),
+       |m0 AS (SELECT 0.0 AS b0d, 0.0 AS b1d, 0.0 AS b2d),
+       |${TA.qcItSql("m0", "1")},
+       |${TA.qcItSql("m1", "2")},
+       |${TA.qcItSql("m2", "3")},
+       |pr AS (
+       |  SELECT CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS thr
+       |  FROM feats),
+       |fd0 AS (
+       |  SELECT doc_id, source,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents),
+       |fd AS (
+       |  SELECT doc_id, source, t FROM fd0
+       |  UNION ALL
+       |  SELECT doc_id, source, t FROM fd0 WHERE doc_id % 7 = 0),
+       |ff AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(length(t) - length(replace(t, ' ', '')) + 1
+       |        AS BIGINT) END AS n_tok,
+       |    CAST(len(list_distinct(string_split(t, ' '))) AS BIGINT)
+       |      AS n_uniq,
+       |    CAST(len(regexp_extract_all(t,
+       |      '\\b(?:${TA.enW})\\b')) AS BIGINT) AS h_en
+       |  FROM fd
+       |  WHERE t IS NOT NULL AND t <> ''),
+       |fx AS (
+       |  SELECT doc_id, source, ${TA.qcX1} AS x1, ${TA.qcX2} AS x2
+       |  FROM ff WHERE n_tok > 0),
+       |sc AS (
+       |  SELECT source, ${TA.qcMu} AS mu FROM (
+       |    SELECT source, ${TA.qcZ} AS z FROM fx CROSS JOIN m3))
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  round(CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+       |FROM sc CROSS JOIN pr
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_funnel_trained_gate" -> (q185 _),
     "q183_robots_gate" -> (q183 _),
     "q179_lm_quality_buckets" -> (q179 _),
     "q176_url_canonicalize" -> (q176 _),
@@ -1149,6 +1242,7 @@ object PipelineOps extends QueryModule {
     "q124_dsir_weights" -> (q124 _))
 
   override val oracle: Map[String, String] = Map(
+    "q185_funnel_trained_gate" -> q185Sql,
     "q183_robots_gate" -> q183Sql,
     "q179_lm_quality_buckets" -> q179Sql,
     "q176_url_canonicalize" -> q176Sql,

@@ -1795,7 +1795,7 @@ object TextAnalysis extends QueryModule {
     * `m<tag>` on top of `feats` and the previous model CTE) — the
     * same shared strings the Spark step binds.
     */
-  private def qcItSql(prev: String, tag: String): String =
+  private[queries] def qcItSql(prev: String, tag: String): String =
     s"""g$tag AS (
        |  SELECT ${qcGram.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
        |  FROM (
@@ -1815,7 +1815,7 @@ object TextAnalysis extends QueryModule {
     * A `def`: the q160/q161 SQL vals above it interpolate it during
     * object initialization (a val here would still be null then).
     */
-  private def qcFeatsSql: String =
+  private[queries] def qcFeatsSql: String =
     s"""SELECT doc_id, source,
        |    CAST(CASE WHEN source IN $qcRefSrcs THEN 1 ELSE 0 END AS BIGINT) AS y,
        |    $qcX1 AS x1, $qcX2 AS x2
