@@ -252,29 +252,29 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-enc")
     java.nio.file.Files.write(dir.resolve("enc.warc"),
-      record("response", "g1", "http://e.com/gz", "2024-01-01T00:00:00Z",
+      record("response", "g1", "http://e.example/gz", "2024-01-01T00:00:00Z",
         resp(Seq("Content-Type: text/html", "Content-Encoding: gzip"),
           gz("<p>unzipped text</p>".getBytes("UTF-8")))) ++
-      record("response", "d1", "http://e.com/df", "2024-01-01T00:00:01Z",
+      record("response", "d1", "http://e.example/df", "2024-01-01T00:00:01Z",
         resp(Seq("Content-Type: text/html", "Content-Encoding: deflate"),
           deflate("<p>deflated text</p>".getBytes("UTF-8")))) ++
-      record("response", "l1", "http://e.com/l1", "2024-01-01T00:00:02Z",
+      record("response", "l1", "http://e.example/l1", "2024-01-01T00:00:02Z",
         resp(Seq("Content-Type: text/html; charset=ISO-8859-1"),
           "café".getBytes("ISO-8859-1"))) ++
-      record("response", "b1", "http://e.com/br", "2024-01-01T00:00:03Z",
+      record("response", "b1", "http://e.example/br", "2024-01-01T00:00:03Z",
         resp(Seq("Content-Type: text/html", "Content-Encoding: br"),
           Array[Byte](1, 2, 3))) ++
-      record("response", "u1", "http://e.com/uc", "2024-01-01T00:00:04Z",
+      record("response", "u1", "http://e.example/uc", "2024-01-01T00:00:04Z",
         resp(Seq("Content-Type: text/html; charset=no-such-cs-9"),
           "abc".getBytes("UTF-8"))))
     val rows = Warc.read(spark, s"$dir/*")
       .select("target_uri", "http_body").collect()
       .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(rows("http://e.com/gz").get.contains("unzipped text"))
-    assert(rows("http://e.com/df").get.contains("deflated text"))
-    assert(rows("http://e.com/l1").get == "café")
-    assert(rows("http://e.com/br").isEmpty, "br body must surface as null")
-    assert(rows("http://e.com/uc").isEmpty, "unknown charset must be null")
+    assert(rows("http://e.example/gz").get.contains("unzipped text"))
+    assert(rows("http://e.example/df").get.contains("deflated text"))
+    assert(rows("http://e.example/l1").get == "café")
+    assert(rows("http://e.example/br").isEmpty, "br body must surface as null")
+    assert(rows("http://e.example/uc").isEmpty, "unknown charset must be null")
   }
 
   test("CDX index: gzip member spans partition the archive exactly, " +
