@@ -487,7 +487,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q173_pq_recall_compare",
       // q178: the same brute ground-truth lineage as q173 (shared
       // memo); every scored path in the sweep is a cell equi-join
-      "q178_residual_probe_curve")
+      "q178_residual_probe_curve",
+      // q185: the 1-row trained-model + threshold broadcast onto the
+      // memoized funnel feature scan plus the model build lineage's
+      // 1-row gram × 1-row model crosses (q158's reviewed shapes
+      // verbatim — the same memoized model)
+      "q185_funnel_trained_gate")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -561,7 +566,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q168_padding_efficiency",
       // q169: the per-model 1-row confusion/rank-sum reduces + the
       // |score-support|-row CDF windows (q160's reviewed shapes ×3)
-      "q169_feature_ablation")
+      "q169_feature_ablation",
+      // q185: the model build lineage's 1-row IRLS grams + the 1-row
+      // prior aggregate (q158's reviewed shapes; the funnel side is
+      // the memoized table + a per-source keyed rollup)
+      "q185_funnel_trained_gate")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
