@@ -992,18 +992,44 @@ object PipelineOps extends QueryModule {
   // by score — the CCNet curation recipe (Wenzek et al.: keep the
   // low-perplexity head, drop or down-weight the tail) composed from
   // the engine's own pieces (q79's scoring + the q77 family's
-  // per-language windows). OOV bigrams take the LITERAL floor
-  // log-prob −13.815511 (≈ ln 1e-6) — a shared constant, not a
-  // transcendental, so both engines add identical doubles; seen
-  // bigrams use q79's ln(n/n1) under round(·,6). Terciles are
-  // NTILE(3) over (score DESC, doc_id) per language — deterministic
-  // under the rounded-score tie-break. Per-bucket sums route through
-  // DECIMAL(20,6) (exact for round-6 values) before the final DOUBLE.
+  // per-language windows). Scoring is TRANSCENDENTAL-FREE (the ql32
+  // quantized-log discipline of operators/Unigram.scala, closing the
+  // round-14 ADVICE finding on libm ln 1-ulp divergence at a round-6
+  // boundary): a seen bigram scores ql32(n) − ql32(n1) — quantized
+  // piecewise-linear log2 in 1/32 units, pure integer arithmetic
+  // spelled as one shared bin()/power() SQL string both engines
+  // evaluate bit-identically — and OOV bigrams take the LITERAL
+  // integer floor −638 (= 32·log2(1e-6) rounded, the same prob
+  // floor in ql32 units). avg() then sums identical integer-valued
+  // doubles (exact well below 2^53), so round(·,6) is deterministic,
+  // not 1-ulp-lucky. Terciles are NTILE(3) over (score DESC, doc_id)
+  // per language — deterministic under the integer score tie-break.
+  // Per-bucket sums route through DECIMAL(20,6) (exact for round-6
+  // values) before the final DOUBLE.
   //
   // Scale: one corpus bigram stream joined LEFT against the
   // reference model (vocabulary²-sized, built from the reference
   // slice only); one groupBy(doc) + one per-language window over the
   // doc-level table + one k-row rollup.
+  /** ql32 (operators/Unigram.scala) as a shared SQL string both
+    * engines evaluate identically: 32·(bitlen−1) + ⌊32·(x−2^(bitlen−1))
+    * / 2^(bitlen−1)⌋. bin() gives the bit length in both engines;
+    * power(2, k) is exact in double for k ≤ 52; the FLOOR division is
+    * IEEE-correctly-rounded on exact operands, so the floor of the
+    * quotient is engine-independent; CAST of an integer-valued double
+    * to BIGINT agrees under both truncation (Spark) and rounding
+    * (DuckDB) semantics.
+    */
+  private def ql32S(x: String): String =
+    s"(32 * (length(bin($x)) - 1) + CAST(FLOOR((($x) - " +
+      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) * 32.0 / " +
+      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) AS BIGINT))"
+
+  /** The shared per-bigram score string (see the q179 comment). */
+  private val q179LpS =
+    s"CASE WHEN n IS NOT NULL THEN CAST(${ql32S("n")} - ${ql32S("n1")} " +
+      "AS DOUBLE) ELSE CAST(-638 AS DOUBLE) END"
+
   private def q179(s: SparkSession, dir: String): DataFrame = {
     // doc-level scored table memoized (production: score once,
     // bucket/report many — bench passes pay the window + rollup)
@@ -1019,10 +1045,7 @@ object PipelineOps extends QueryModule {
       bg
         .join(c2, Seq("w1", "w2"), "left")
         .join(c1, Seq("w1"), "left")
-        .withColumn("lp", expr(
-          "CASE WHEN n IS NOT NULL THEN " +
-            "ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE)) " +
-            "ELSE -13.815511 END"))
+        .withColumn("lp", expr(q179LpS))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg("lp"), 6).as("score"))
@@ -1053,9 +1076,7 @@ object PipelineOps extends QueryModule {
        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY 1),
        |scored AS (
        |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
-       |    round(AVG(CASE WHEN n IS NOT NULL THEN
-       |      ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))
-       |      ELSE -13.815511 END), 6) AS score
+       |    round(AVG($q179LpS), 6) AS score
        |  FROM bg
        |  LEFT JOIN c2 USING (w1, w2)
        |  LEFT JOIN c1 USING (w1)

@@ -94,17 +94,28 @@ object Robots {
     go(0, 0)
   }
 
-  /** The group governing `agentToken`: longest user-agent value that
-    * case-insensitively prefixes the token; `*` as fallback.
+  /** The COMBINED group governing `agentToken`: the winning match is
+    * the longest user-agent value that case-insensitively prefixes
+    * the token, and — per RFC 9309 §2.2.1 ("rules from all groups
+    * matching the same user-agent MUST be combined") — every group
+    * carrying a winning-length match contributes its rules, in file
+    * order. Same merge for multiple `*` fallback groups. Crawl-delay:
+    * first declared among the merged groups.
     */
   private[graft] def groupFor(groups: Seq[Group], agentToken: String)
       : Option[Group] = {
     val tok = agentToken.toLowerCase(java.util.Locale.ROOT)
-    val specific = groups.flatMap(g =>
-      g.agents.filter(a => a != "*" && tok.startsWith(a))
-        .map(a => (a.length, g)))
-    if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
-    else groups.find(_.agents.contains("*"))
+    def merge(gs: Seq[Group]): Option[Group] =
+      if (gs.isEmpty) None
+      else Some(Group(gs.flatMap(_.agents), gs.flatMap(_.rules),
+        gs.flatMap(_.crawlDelay).headOption))
+    val matchLens = groups.map(g =>
+      g.agents.collect { case a if a != "*" && tok.startsWith(a) => a.length }
+        .foldLeft(0)(math.max))
+    val best = matchLens.foldLeft(0)(math.max)
+    if (best > 0)
+      merge(groups.zip(matchLens).collect { case (g, l) if l == best => g })
+    else merge(groups.filter(_.agents.contains("*")))
   }
 
   /** RFC 9309 decision for (crawler token, request path). */

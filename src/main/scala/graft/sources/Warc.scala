@@ -146,6 +146,11 @@ object Warc {
 
   /** Inflate a raw-deflate (HTTP Content-Encoding: deflate) body;
     * accepts both zlib-wrapped and raw streams (servers ship both).
+    * A truncated stream (inflater still wants input at end-of-buffer)
+    * returns null — the same refuse-don't-corrupt convention
+    * [[bodyText]] applies to unsupported encodings — so a corrupt
+    * body never flows into dedup/quality stages as silently chopped
+    * text.
     */
   private[graft] def inflateDeflate(bytes: Array[Byte]): Array[Byte] = {
     def run(nowrap: Boolean): Array[Byte] = {
@@ -153,12 +158,14 @@ object Warc {
       inf.setInput(bytes)
       val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
       val buf = new Array[Byte](65536)
-      while (!inf.finished() && !inf.needsInput()) {
+      var stalled = false
+      while (!inf.finished() && !inf.needsInput() && !stalled) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && !inf.finished()) return out.toByteArray
+        else if (n == 0 && !inf.finished()) stalled = true // needsDictionary
       }
-      out.toByteArray
+      if (!inf.finished()) null // truncated / dictionary-requiring stream
+      else out.toByteArray
     }
     try run(nowrap = false)
     catch { case _: java.util.zip.DataFormatException => run(nowrap = true) }
@@ -184,19 +191,28 @@ object Warc {
           s"${bytes(pos + 2) & 0xff} at byte $pos")
       val flg = bytes(pos + 3) & 0xff
       pos += 10
+      def truncated() = throw new IllegalArgumentException(
+        s"WARC cdx: truncated gzip member header at byte $start")
       if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        if (pos + 2 > bytes.length) truncated()
         val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
         pos += 2 + xlen
+        if (pos > bytes.length) truncated()
       }
       if ((flg & 8) != 0) { // FNAME: zero-terminated
-        while (bytes(pos) != 0) pos += 1
+        while (pos < bytes.length && bytes(pos) != 0) pos += 1
+        if (pos >= bytes.length) truncated()
         pos += 1
       }
       if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
-        while (bytes(pos) != 0) pos += 1
+        while (pos < bytes.length && bytes(pos) != 0) pos += 1
+        if (pos >= bytes.length) truncated()
         pos += 1
       }
-      if ((flg & 2) != 0) pos += 2 // FHCRC
+      if ((flg & 2) != 0) { // FHCRC
+        pos += 2
+        if (pos > bytes.length) truncated()
+      }
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(bytes, pos, bytes.length - pos)
       val buf = new Array[Byte](65536)
@@ -267,9 +283,19 @@ object Warc {
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         it.toSeq.groupBy(_._1).iterator.flatMap { case (path, slices) =>
-          val local = new java.io.File(new java.net.URI(
-            if (path.startsWith("file:")) path
-            else "file://" + path).getPath)
+          // Only URI-parse strings that are already file: URIs — a
+          // bare path with spaces/URI-illegal chars would throw in
+          // URI(), and a bare relative path would parse its first
+          // segment as the authority and resolve the wrong file.
+          val local =
+            if (path.startsWith("file:"))
+              try new java.io.File(new java.net.URI(path))
+              catch { // unencoded spaces etc.: strip the scheme raw
+                case _: Exception =>
+                  new java.io.File(path.stripPrefix("file:")
+                    .replaceFirst("^//(?=/)", ""))
+              }
+            else new java.io.File(path)
           val raf = new java.io.RandomAccessFile(local, "r")
           try {
             slices.sortBy(_._2).flatMap { case (_, off, len) =>

@@ -106,6 +106,38 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.isAllowed(p, "mybot", "/a/b"))
   }
 
+  test("RFC 9309 2.2.1: rules from ALL groups matching the same " +
+      "user-agent are combined, including multiple * groups") {
+    // two separate groups for the same agent: the second group's
+    // Disallow must still bind
+    val p = Robots.parse(
+      """User-agent: mybot
+        |Disallow: /a
+        |
+        |User-agent: other
+        |Disallow: /zzz
+        |
+        |User-agent: mybot
+        |Disallow: /b
+        |Crawl-delay: 7
+        |""".stripMargin)
+    assert(!Robots.isAllowed(p, "mybot", "/a/x"))
+    assert(!Robots.isAllowed(p, "mybot", "/b/x"), // pre-fix this leaked
+      "second mybot group's rules were dropped")
+    assert(Robots.isAllowed(p, "mybot", "/c"))
+    assert(Robots.crawlDelay(p, "mybot").contains(7.0))
+    // multiple * groups merge the same way
+    val star = Robots.parse(
+      "User-agent: *\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n")
+    assert(!Robots.isAllowed(star, "anybot", "/a"))
+    assert(!Robots.isAllowed(star, "anybot", "/b"))
+    // merged precedence still honors longest-match-allow across groups
+    val cross = Robots.parse(
+      "User-agent: mybot\nDisallow: /p\n\nUser-agent: mybot\nAllow: /p/q\n")
+    assert(!Robots.isAllowed(cross, "mybot", "/p/r"))
+    assert(Robots.isAllowed(cross, "mybot", "/p/q"))
+  }
+
   test("adversarial patterns: runs of * stay polynomial and correct") {
     val p = Robots.parse(
       "User-agent: *\nDisallow: /a*b*c*d$\n")

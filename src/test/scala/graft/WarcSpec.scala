@@ -355,4 +355,58 @@ class WarcSpec extends AnyFunSuite with SharedSpark {
       Warc.parseRecords(noLen.getBytes("UTF-8"))
     }
   }
+
+  test("truncated deflate body returns null (refuse-don't-corrupt), " +
+      "matching the unknown-encoding convention") {
+    val text = "the quick brown fox jumps over the lazy dog " * 40
+    val raw = text.getBytes("UTF-8")
+    // zlib-wrapped stream
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2)
+    val n = d.deflate(buf)
+    val whole = buf.take(n)
+    assert(new String(Warc.inflateDeflate(whole), "UTF-8") == text)
+    // a truncated stream must NOT yield silently partial text
+    assert(Warc.inflateDeflate(whole.take(whole.length / 2)) == null)
+    // and bodyText surfaces that as null, not chopped text
+    assert(Warc.bodyText(
+      Map("content-encoding" -> "deflate"),
+      whole.take(whole.length / 2)) == null)
+  }
+
+  test("truncated gzip member header refuses with the descriptive " +
+      "cdx error, not ArrayIndexOutOfBounds") {
+    // FNAME flag set but the name's zero terminator never arrives
+    val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 8,
+      0, 0, 0, 0, 0, 0) ++ "nozero".getBytes("UTF-8")
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.gzipMemberSpans(hdr)
+    }
+    assert(e1.getMessage.contains("truncated gzip member header"))
+    // FEXTRA length field running past the buffer end
+    val hdr2 = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 4,
+      0, 0, 0, 0, 0, 0, 0x40, 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.gzipMemberSpans(hdr2)
+    }
+    assert(e2.getMessage.contains("truncated gzip member header"))
+  }
+
+  test("readSliced resolves paths with spaces and bare paths " +
+      "(no URISyntaxException, no authority mis-parse)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft warc sp")
+    java.nio.file.Files.write(dir.resolve("a.warc"), archive)
+    val idx = Warc.cdx(spark, dir.toString + "/*")
+    // the binaryFile path column may carry file: URIs; also force a
+    // bare-path row through the same resolver
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val bare = idx.withColumn("path",
+      regexp_replace(col("path"), "^file:(//)?", ""))
+    val viaUri = Warc.readSliced(spark, idx).orderBy("record_id")
+      .collect().map(_.toSeq.drop(1)).toSeq
+    val viaBare = Warc.readSliced(spark, bare).orderBy("record_id")
+      .collect().map(_.toSeq.drop(1)).toSeq
+    assert(viaUri.nonEmpty && viaUri == viaBare)
+  }
 }
