@@ -352,6 +352,31 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "CartesianProduct") == 0)
   }
 
+  test("q188 graph ann: hop expansion and candidate scoring join the " +
+      "edge/corpus tables by key (the pre-checkpoint shapes); the " +
+      "graph build is a bucketed equi-join, never all-pairs") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the graph BUILD: candidate pairs come from the (cell ∪ next
+    // cell) bucket equi-join — hash join on the bucket key, no
+    // cross-product, and the per-src top-M collapses pre-shuffle
+    val b = shape(graft.queries.SimSearch.graphEdgesShape(spark, dir))
+    assert(countNodes(b, "CartesianProduct") == 0, b)
+    assert(countNodes(b, "BroadcastNestedLoopJoin") == 0, b)
+    assert(countNodes(b, "BroadcastHashJoin")
+      + countNodes(b, "SortMergeJoin") + countNodes(b, "ShuffledHashJoin") >= 1, b)
+    assert(b.contains("WindowGroupLimit"), b)
+    // a SEARCH hop: the beam expands along the edge table by node-id
+    // equi-join and scores candidates via a corpus key join — the
+    // graph is touched BY KEY, never scanned per query
+    val h = shape(graft.queries.SimSearch.graphCandShape(spark, dir, 3))
+    assert(countNodes(h, "CartesianProduct") == 0, h)
+    assert(countNodes(h, "BroadcastNestedLoopJoin") == 0, h)
+    assert(countNodes(h, "BroadcastHashJoin")
+      + countNodes(h, "SortMergeJoin") + countNodes(h, "ShuffledHashJoin") >= 3, h)
+  }
+
   test("q97 cluster cohesion: model-sized centroids broadcast onto " +
       "the member scan; no all-pairs shape") {
     val p = formatted("q97_cluster_cohesion")
@@ -492,7 +517,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // memoized funnel feature scan plus the model build lineage's
       // 1-row gram × 1-row model crosses (q158's reviewed shapes
       // verbatim — the same memoized model)
-      "q185_funnel_trained_gate")
+      "q185_funnel_trained_gate",
+      // q188: the k-row (=4) entry-point set broadcast onto the
+      // 8-query batch at beam hop 0 (model-sized cross — q96's
+      // reviewed shape); every hop expansion and every candidate
+      // scoring join is an equi-join on the node id (pinned below)
+      "q188_graph_ann",
+      // q189: q188's entry broadcast + q173's brute exact ground
+      // truth (both reviewed shapes); the three search paths under
+      // comparison stay equi-joins
+      "q189_graph_recall_budget")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -570,7 +604,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q185: the model build lineage's 1-row IRLS grams + the 1-row
       // prior aggregate (q158's reviewed shapes; the funnel side is
       // the memoized table + a per-source keyed rollup)
-      "q185_funnel_trained_gate")
+      "q185_funnel_trained_gate",
+      // q189: the two 1-row visit-ledger counts (q104's corpus-total
+      // pattern — the PQ candidate count and the graph visited-set
+      // count both reduce memoized model-sized frames to one row)
+      "q189_graph_recall_budget")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
