@@ -946,6 +946,124 @@ object PipelineOps extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q190 — CDX SLICED READ under the oracle gate (round-14 verdict
+  // ask #4): the exact 100 TB read path the Warc scaladoc promises —
+  // index once, then fan out by (offset, length) and inflate ONLY
+  // the selected members — certified end-to-end by hash match, not
+  // just by the sliced==full spec (WarcSpec). Build: the q170 page
+  // device lands a REAL 4-file `.warc.gz` archive set on disk (one
+  // file per doc_id%4 group, rows sorted, Common Crawl's
+  // one-gzip-member-per-record layout, a warcinfo member leading
+  // each file). Gate: `Warc.cdx` indexes the files; a CDX SELECTION
+  // (every 2nd document's response — mixing gzip-encoded and plain
+  // HTTP bodies, since q170's device gzips doc_id%3==0) drives
+  // `Warc.readSliced`, whose ranged reads must reproduce each
+  // selected record exactly: member gunzip → WARC parse → HTTP split
+  // → Content-Encoding inflate → charset decode → html_text. The
+  // DuckDB twin computes the same md5(text) directly from
+  // `documents` — a missing, extra, or corrupted slice flips the
+  // hash. Scale: the landed archive set is the fixture analog of a
+  // petabyte crawl bucket; cdx is one sequential pass per file,
+  // the sliced read touches exactly |selection| byte ranges grouped
+  // by path within each task.
+  private def cdxSlicedDocs(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "cdx_sliced_docs") {
+      import s.implicits._
+      graft.functions.HtmlFunctions.register(s)
+      val sanE = "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+      val encE = s"replace(replace(replace(replace($sanE, 'e', '<b>e</b>'), " +
+        "'a', '&#97;'), 'o', '&#x6F;'), ' ', '&nbsp;')"
+      val pages = T.documents(s, dir)
+        .selectExpr("doc_id", "source",
+          s"""concat('<html><head><title></title>',
+             |'<style>p > q { color: "a>b"; }</style>',
+             |'<script>if (x < 1) document.write("<i>no</i>");</script>',
+             |'</head><body data-k="v>w"><!-- c > d --><p>', $encE,
+             |'</p><br/></body></html>') AS page""".stripMargin)
+        .as[(Long, String, String)]
+      val outDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-cdx-" +
+          s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_-]", "") +
+          "-" + math.abs(dir.hashCode).toString)
+      outDir.mkdirs()
+      // land one archive file per doc_id%4 group from the executors
+      // (the per-partition write a real crawl landing does); groups
+      // are corpus/4-sized — bounded fixture construction, and the
+      // collect is 4 path strings (model-sized)
+      pages.groupByKey(_._1 % 4).flatMapGroups { (k, it) =>
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val utf = java.nio.charset.StandardCharsets.UTF_8
+        val bos = new java.io.ByteArrayOutputStream()
+        def member(rec: Array[Byte]): Unit = {
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(rec); gz.finish()
+        }
+        def gzip(b: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o)
+          g.write(b); g.finish(); o.toByteArray
+        }
+        def record(headers: String, payload: Array[Byte]): Array[Byte] =
+          (headers + s"Content-Length: ${payload.length}\r\n\r\n")
+            .getBytes(iso) ++ payload ++ "\r\n\r\n".getBytes(iso)
+        member(record(
+          "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+            s"WARC-Record-ID: <urn:uuid:info-$k>\r\n" +
+            "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+            "Content-Type: application/warc-fields\r\n",
+          "software: graft-cdx\r\n".getBytes(utf)))
+        it.toVector.sortBy(_._1).foreach { case (docId, source, page) =>
+          val raw = page.getBytes(utf)
+          val gzBody = docId % 3 == 0 // q170's device: mixed encodings
+          val bodyBytes = if (gzBody) gzip(raw) else raw
+          val httpHead = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=UTF-8\r\n" +
+            (if (gzBody) "Content-Encoding: gzip\r\n" else "") +
+            s"Content-Length: ${bodyBytes.length}\r\n\r\n"
+          member(record(
+            s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:uuid:cdx-$docId>\r\n" +
+              "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+              s"WARC-Target-URI: http://crawl.example/$source/$docId\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n",
+            httpHead.getBytes(iso) ++ bodyBytes))
+        }
+        val f = new java.io.File(outDir, s"archive-$k.warc.gz")
+        val fos = new java.io.FileOutputStream(f)
+        try fos.write(bos.toByteArray) finally fos.close()
+        Iterator.single(f.getAbsolutePath)
+      }.collect()
+      val idx = graft.sources.Warc.cdx(s,
+        new java.io.File(outDir, "archive-*.warc.gz").getAbsolutePath)
+      val sel = idx.filter(col("warc_type") === "response")
+        .withColumn("doc_id", expr(
+          "CAST(regexp_extract(target_uri, '/(-?[0-9]+)$', 1) AS BIGINT)"))
+        .filter(col("doc_id") % 2 === 0)
+      graft.sources.Warc.readSliced(s, sel)
+    }
+
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HtmlFunctions.register(s)
+    cdxSlicedDocs(s, dir)
+      .withColumn("doc_id", expr(
+        "CAST(regexp_extract(target_uri, '/(-?[0-9]+)$', 1) AS BIGINT)"))
+      .withColumn("source",
+        expr("regexp_extract(target_uri, 'crawl\\\\.example/([^/]+)/', 1)"))
+      .selectExpr("doc_id", "source",
+        "md5(html_text(http_body)) AS t_md5",
+        "CAST(http_status = 'HTTP/1.1 200 OK' AS BOOLEAN) AS ok")
+      .orderBy("doc_id")
+  }
+
+  private val q190Sql =
+    """SELECT doc_id, source,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS t_md5,
+      |  TRUE AS ok
+      |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q176 — URL canonicalization under the oracle gate (the
   // key-making step of crawl-frontier dedup; url_normalize is the
   // functions/UrlExpressions.scala codegen kernel). The q171 device:
@@ -1246,6 +1364,7 @@ object PipelineOps extends QueryModule {
     "q183_robots_gate" -> (q183 _),
     "q179_lm_quality_buckets" -> (q179 _),
     "q176_url_canonicalize" -> (q176 _),
+    "q190_cdx_sliced" -> (q190 _),
     "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
@@ -1267,6 +1386,7 @@ object PipelineOps extends QueryModule {
     "q183_robots_gate" -> q183Sql,
     "q179_lm_quality_buckets" -> q179Sql,
     "q176_url_canonicalize" -> q176Sql,
+    "q190_cdx_sliced" -> q190Sql,
     "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
