@@ -1312,6 +1312,130 @@ object Dedup extends QueryModule {
        |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q191 — MAXIMAL-SUBSTRING dedup (the Lee et al. exact-substring
+  // discipline; round-14 verdict ask #5): q119 counts fixed k=8
+  // windows — this reports the VARIABLE-LENGTH structure an
+  // exact-substring dedup pass actually cuts. Two views, both exact:
+  //   - MAXIMAL duplicated SPANS: interval-merge (gaps-and-islands)
+  //     of the 8-window coverage into maximal contiguous
+  //     cross-document-duplicated regions — per doc the span count,
+  //     covered token mass (provably equal to q119's dup_tokens:
+  //     every substring ≥ 8 of a duplicated span is itself
+  //     duplicated, so the fixed-window union covers exactly the
+  //     variable-length spans), and the longest merged span.
+  //   - LONGEST EXACT MATCH, L-bounded: the suffix-key discipline
+  //     with keys bounded at L = 24 tokens — window lengths
+  //     {8,12,16,20,24}, a length-w window duplicated iff its hash
+  //     occurs in ≥ 2 distinct docs (prefix-monotone, so max dup w
+  //     IS the longest verbatim cross-doc match, truncated at L).
+  //
+  // Scale (q119's shape, ×5 lengths): window build is per-row; the
+  // dup test is ONE aggregation on (w, hash) — never a self-join, a
+  // hot boilerplate span costs its count, not count²; the rejoin is
+  // a linear equi-join; islands are one per-doc window over the
+  // DUPLICATED positions only. All shuffles key-sized.
+  private val maxSubLens = Seq(12, 16, 20, 24) // + subK=8 via subWindows
+  private def winOfLen(w: Int) =
+    s"""CASE WHEN size(toks) >= $w THEN
+       |  transform(sequence(1, size(toks) - ${w - 1}),
+       |    i -> array_join(slice(toks, i, $w), ' '))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  /** (doc_id, start, w, window-hash) for w ∈ {8,12,16,20,24} —
+    * memoized; the w=8 slice reuses q119's [[subWindows]] memo.
+    */
+  private def maxSubWindows(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "subwin_max") {
+      val extra = maxSubLens.map { w =>
+        TextAnalysis.tokenized(s, dir)
+          .select(col("doc_id"),
+            posexplode(expr(winOfLen(w))).as(Seq("p", "ww")))
+          .select(col("doc_id"), (col("p") + 1).as("start"),
+            lit(w).as("w"), expr(h32S("ww")).as("hw"))
+      }
+      (subWindows(s, dir).withColumn("w", lit(subK))
+        .select("doc_id", "start", "w", "hw") +: extra).reduce(_ union _)
+    }
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = maxSubWindows(s, dir)
+    val dup = wins.groupBy("w", "hw")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("w", "hw")
+    val dupWins = wins.join(dup, Seq("w", "hw"))
+    val lm = dupWins.groupBy("doc_id")
+      .agg(max("w").cast("long").as("longest_match"))
+    val covered = dupWins.filter(col("w") === subK)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${subK - 1})")).as("pos"))
+      .distinct()
+    val isl = covered
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+    val spans = isl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("len").as("span_tokens"),
+        max("len").as("max_span"))
+    subWindows(s, dir).select("doc_id").distinct()
+      .join(spans, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("span_tokens"), lit(0L)).as("span_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        coalesce(col("longest_match"), lit(0L)).as("longest_match"))
+      .orderBy("doc_id")
+  }
+
+  private val q191Sql = {
+    val lens = subK +: maxSubLens
+    val whUnion = lens.map(w =>
+      s"""SELECT doc_id, start, CAST($w AS INTEGER) AS w,
+         |  ${h32D(s"array_to_string(l[start:start+${w - 1}], ' ')")} AS hw
+         |FROM (
+         |  SELECT doc_id,
+         |    unnest(range(1, CAST(len(l) AS BIGINT) - ${w - 2})) AS start, l
+         |  FROM d WHERE len(l) >= $w)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, $toksD AS l FROM documents),
+       |wh AS MATERIALIZED (
+       |$whUnion),
+       |dup AS (
+       |  SELECT w, hw FROM wh GROUP BY w, hw
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, start, w FROM wh JOIN dup USING (w, hw)),
+       |lm AS (
+       |  SELECT doc_id, CAST(MAX(w) AS BIGINT) AS longest_match
+       |  FROM dw GROUP BY doc_id),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(start, start + ${subK - 1})) AS pos
+       |    FROM dw WHERE w = $subK)),
+       |isl AS (
+       |  SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM cov),
+       |seg AS (SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(len) AS BIGINT) AS span_tokens,
+       |    CAST(MAX(len) AS BIGINT) AS max_span
+       |  FROM seg GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(sp.span_tokens, 0) AS BIGINT) AS span_tokens,
+       |  CAST(COALESCE(sp.max_span, 0) AS BIGINT) AS max_span,
+       |  CAST(COALESCE(lm.longest_match, 0) AS BIGINT) AS longest_match
+       |FROM (SELECT DISTINCT doc_id FROM d WHERE len(l) >= $subK) t
+       |LEFT JOIN sp ON sp.doc_id = t.doc_id
+       |LEFT JOIN lm ON lm.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -1599,7 +1723,8 @@ object Dedup extends QueryModule {
     "q112_pipeline_ledger" -> (q112 _),
     "q113_dedup_savings" -> (q113 _),
     "q114_source_funnel" -> (q114 _),
-    "q119_substring_dup" -> (q119 _))
+    "q119_substring_dup" -> (q119 _),
+    "q191_maximal_substring" -> (q191 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -1628,5 +1753,6 @@ object Dedup extends QueryModule {
     "q112_pipeline_ledger" -> q112Sql,
     "q113_dedup_savings" -> q113Sql,
     "q114_source_funnel" -> q114Sql,
-    "q119_substring_dup" -> q119Sql)
+    "q119_substring_dup" -> q119Sql,
+    "q191_maximal_substring" -> q191Sql)
 }

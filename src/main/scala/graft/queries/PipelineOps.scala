@@ -1277,6 +1277,106 @@ object PipelineOps extends QueryModule {
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q192 — CRAWL-FRONTIER SCHEDULE (round-14 verdict ask #6): the
+  // operator a real crawler runs every cycle, composed from the
+  // engine's own certified pieces — q176's url_normalize dedup key,
+  // q183's RFC 9309 robots verdict, and per-host Crawl-delay — into
+  // one per-host fetch-window row. Frontier: each document arrives
+  // as TWO independently-messed-up URL spellings (q176's exact
+  // variants); url_normalize collapses them and the groupBy(url)
+  // dedup keeps one fetch per canonical key (the oracle pins
+  // n_candidates = 2·n_frontier — a single rule divergence doubles
+  // the frontier and flips the hash). Politeness: each host's
+  // robots.txt carries q183's arithmetic-shadow rules PLUS a
+  // host-dependent Crawl-delay (5 + len(source) % 3 — the oracle's
+  // shadow), parsed once per host per task (model-sized cache) by
+  // the Robots kernel. Schedule: allowed fetches per host are
+  // spaced by the crawl delay, so the cycle makespan is
+  // (n_allowed − 1) · delay seconds.
+  //
+  // Scale: ONE corpus-sized keyed exchange (the canonical-URL dedup
+  // — the shuffle a production frontier does), a per-row kernel
+  // under a per-task rule cache, and a host-keyed rollup.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.UrlFunctions.register(s)
+    val cand = T.documents(s, dir)
+      .selectExpr("doc_id",
+        "concat('HTTP://', upper(source), '.EXAMPLE.COM:80/c/../c/./d', " +
+          "CAST(doc_id AS STRING), '?b=', CAST(doc_id % 5 AS STRING), " +
+          "'&a=', CAST(doc_id % 7 AS STRING), '#sec') AS u1",
+        "concat('http://', source, '.example.com/%63/d', " +
+          "CAST(doc_id AS STRING), '?a=', CAST(doc_id % 7 AS STRING), " +
+          "'&&b=', CAST(doc_id % 5 AS STRING)) AS u2")
+      .selectExpr("doc_id",
+        "stack(2, url_normalize(u1), url_normalize(u2)) AS url")
+    // memoized per (session, dir): the frontier is landed + decided
+    // once per crawl cycle and the schedule is queried many times
+    val decided = graft.CachedPlans.of(s, dir, "frontier_decided") {
+      cand
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_cand"), min("doc_id").as("doc_id"))
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          val cache = scala.collection.mutable.HashMap
+            .empty[String, (Seq[graft.sources.Robots.Group], Long)]
+          it.map { case (url, nCand, _) =>
+            val afterScheme = url.stripPrefix("http://")
+            val host = afterScheme.takeWhile(_ != '/')
+            val path = afterScheme.dropWhile(_ != '/')
+              .takeWhile(c => c != '?' && c != '#')
+            val src = host.stripSuffix(".example.com")
+            val (groups, delay) = cache.getOrElseUpdate(src, {
+              val txt = "User-agent: graftbot\nCrawl-delay: " +
+                (5 + src.length % 3) + "\n" +
+                "Disallow: /c/d*3$\nAllow: /c/d*13$\nDisallow: /c/d9\n\n" +
+                "User-agent: *\nDisallow: /\n"
+              val gs = graft.sources.Robots.parse(txt)
+              (gs, graft.sources.Robots.crawlDelay(gs, "graftbot/1.0")
+                .map(_.toLong).getOrElse(0L))
+            })
+            (host, nCand,
+              graft.sources.Robots.isAllowed(groups, "graftbot/1.0", path),
+              delay)
+          }
+        }.toDF("host", "n_cand", "allowed", "delay")
+    }
+    decided.groupBy("host").agg(
+      sum("n_cand").as("n_candidates"),
+      count(lit(1)).as("n_frontier"),
+      expr("CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_allowed"),
+      max("delay").as("crawl_delay"))
+      .withColumn("makespan_s",
+        expr("CAST(CASE WHEN n_allowed > 0 THEN (n_allowed - 1) " +
+          "* crawl_delay ELSE 0 END AS BIGINT)"))
+      .select("host", "n_candidates", "n_frontier", "n_allowed",
+        "crawl_delay", "makespan_s")
+      .orderBy("host")
+  }
+
+  private val q192Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source || '.example.com' AS host,
+      |    5 + length(source) % 3 AS delay,
+      |    CASE
+      |      WHEN doc_id % 100 = 13 THEN TRUE
+      |      WHEN doc_id % 10 = 3 THEN FALSE
+      |      WHEN CAST(doc_id AS VARCHAR) LIKE '9%' THEN FALSE
+      |      ELSE TRUE END AS allowed
+      |  FROM documents)
+      |SELECT host,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frontier,
+      |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_allowed,
+      |  CAST(MIN(delay) AS BIGINT) AS crawl_delay,
+      |  CAST(CASE WHEN SUM(CASE WHEN allowed THEN 1 ELSE 0 END) > 0
+      |    THEN (SUM(CASE WHEN allowed THEN 1 ELSE 0 END) - 1) * MIN(delay)
+      |    ELSE 0 END AS BIGINT) AS makespan_s
+      |FROM d GROUP BY host ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------
   // q185 — the crawl funnel THROUGH THE TRAINED q158 GATE (the
   // round-13 verdict's exact wording for ask #1: "per-source
   // kept/dropped through the q158 gate" — q170 gates on the q23
@@ -1365,6 +1465,7 @@ object PipelineOps extends QueryModule {
     "q179_lm_quality_buckets" -> (q179 _),
     "q176_url_canonicalize" -> (q176 _),
     "q190_cdx_sliced" -> (q190 _),
+    "q192_frontier_schedule" -> (q192 _),
     "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
@@ -1387,6 +1488,7 @@ object PipelineOps extends QueryModule {
     "q179_lm_quality_buckets" -> q179Sql,
     "q176_url_canonicalize" -> q176Sql,
     "q190_cdx_sliced" -> q190Sql,
+    "q192_frontier_schedule" -> q192Sql,
     "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
