@@ -40,6 +40,77 @@ object Unigram {
     32L * (b - 1) + ((c - half) * 32L) / half
   }
 
+  /** SOFT-EM expected piece counts for one word — the
+    * forward-backward pass over the segmentation lattice (Kudo
+    * 2018's true E-step, where [[segment]] is the hard/Viterbi
+    * approximation), made engine-exact by two quantizations:
+    *
+    *   - piece probabilities enter as small INTEGER weights `qw`
+    *     (the caller's 8-bit quantized-probability device), so a
+    *     segmentation's weight Π qw over ≤ `w.length` factors is an
+    *     exact big integer (≤ 255^12 < 2^96 — BigInt here, HUGEINT
+    *     in the oracle twin);
+    *   - the expected count of piece p, Σ_seg mult_p(seg)·wt(seg) /
+    *     Σ_seg wt(seg), is emitted in 2^-20 FIXED POINT via one
+    *     floor division — identical in any engine, and the ql32
+    *     rescoring downstream is shift-equivariant so the 2^20
+    *     scale cancels out of score differences.
+    *
+    * forward f(i) = Σ segmentations of w[0,i); backward b(i) =
+    * Σ segmentations of w[i,n); an occurrence of p at (i, l)
+    * contributes f(i)·qw(p)·b(i+l) — exactly the enumeration sum the
+    * oracle computes with a recursive CTE. Returns one (piece,
+    * fixed-point expected count) row per vocab piece occurring in
+    * `w`; empty when no covering segmentation exists.
+    */
+  def expectedCounts(w: String, qw: scala.collection.Map[String, Long],
+      maxPieceLen: Int): Seq[(String, Long)] = {
+    val n = w.length
+    val f = Array.fill(n + 1)(BigInt(0)); f(0) = BigInt(1)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        if (f(i - l).signum > 0) qw.get(w.substring(i - l, i))
+          .foreach(x => f(i) += f(i - l) * x)
+        l += 1
+      }
+      i += 1
+    }
+    if (f(n).signum == 0) return Seq.empty
+    val b = Array.fill(n + 1)(BigInt(0)); b(n) = BigInt(1)
+    i = n - 1
+    while (i >= 0) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        if (b(i + l).signum > 0) qw.get(w.substring(i, i + l))
+          .foreach(x => b(i) += b(i + l) * x)
+        l += 1
+      }
+      i -= 1
+    }
+    val den = f(n)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, BigInt]
+    i = 0
+    while (i < n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, n - i)
+      while (l <= lMax) {
+        val p = w.substring(i, i + l)
+        qw.get(p).foreach { x =>
+          val m = f(i) * x * b(i + l)
+          if (m.signum > 0) acc(p) = acc.getOrElse(p, BigInt(0)) + m
+        }
+        l += 1
+      }
+      i += 1
+    }
+    acc.iterator
+      .map { case (p, num) => p -> ((num << 20) / den).toLong }.toSeq
+  }
+
   /** Viterbi segmentation of `w` under integer piece scores:
     * maximize Σ score(piece); ties resolve to the lexicographically
     * smallest comma-joined path. Returns None when no concatenation

@@ -2247,6 +2247,138 @@ object TextAnalysis extends QueryModule {
        |ORDER BY hw.w""".stripMargin
 
   // ---------------------------------------------------------------
+  // q193 — SOFT-EM unigram training (round-14 verdict ask #7 —
+  // SentencePiece trainer parity): q174's hard-EM Viterbi E-step
+  // replaced by the TRUE expected-count E-step — forward-backward
+  // over every word's full segmentation lattice
+  // (operators/Unigram.expectedCounts), so pieces the Viterbi path
+  // never picks still receive fractional mass (the reason soft EM
+  // converges where hard EM prunes). Engine-exact by two
+  // quantizations: piece probabilities enter as 8-bit integer
+  // weights max(1, cnt·256 / total) (segmentation weights are then
+  // exact big integers — BigInt here, HUGEINT in the twin, bounded
+  // by (Σqw)^12 < 2^100), and expected counts leave as one floor
+  // division in 2^-20 fixed point; the ql32 rescoring is
+  // shift-equivariant so the fixed-point scale cancels out of score
+  // differences. Two soft rounds mirror q174's two hard rounds; the
+  // output row carries BOTH trainers' usage per piece — the
+  // convergence comparison the ask names (soft mass vs hard counts,
+  // rounds 1 and 2, on the same corpus and seed).
+  //
+  // Scale: identical to q174 — corpus-sized work is the two
+  // mapPartitions E-passes over the distinct-word table under a
+  // broadcast ≤70-piece weight map; every collect is vocab-bounded.
+  private val uniSoftMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Long], Map[String, Long], Long)]()
+
+  /** Soft-EM trajectory, memoized per (session, dir): (round-1
+    * expected usage, round-2 expected usage, round-1 mass total) —
+    * both in 2^-20 fixed point.
+    */
+  private def unigramSoftTrained(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Long) =
+    uniSoftMemo.computeIfAbsent(
+      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      _ => {
+        val (v0, _, _, _) = unigramTrained(s, dir)
+        def weights(counts: Map[String, Long]): Map[String, Long] = {
+          val t = counts.values.sum
+          counts.map { case (p, c) => p -> math.max(1L, c * 256 / t) }
+        }
+        def softEstep(qw: Map[String, Long]): Map[String, Long] = {
+          val bc = s.sparkContext.broadcast(qw)
+          import s.implicits._
+          uniWords(s, dir).select(col("w"), col("n")).as[(String, Long)]
+            .mapPartitions { it =>
+              val wts = bc.value
+              it.flatMap { case (w, n) =>
+                graft.operators.Unigram
+                  .expectedCounts(w, wts, uniMaxPieceLen)
+                  .map { case (p, e) => (p, e * n) }
+              }
+            }.toDF("piece", "e")
+            .groupBy("piece").agg(expr("CAST(SUM(e) AS BIGINT)").as("u"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // model-sized collect: ≤ |vocab| rows
+        }
+        val eu1 = softEstep(weights(v0))
+        val eu2 = softEstep(weights(eu1))
+        (eu1, eu2, eu1.values.sum)
+      })
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Unigram
+    val (v0, u1, u2, _) = unigramTrained(s, dir)
+    val (eu1, eu2, t1) = unigramSoftTrained(s, dir)
+    v0.keys.toSeq.sorted.map { p =>
+      val e1 = eu1.getOrElse(p, 0L)
+      (p, v0(p), e1, eu2.getOrElse(p, 0L),
+        Unigram.ql32(math.max(e1, 1L)) - Unigram.ql32(t1),
+        u1.getOrElse(p, 0L), u2.getOrElse(p, 0L))
+    }.toDF("piece", "seed_cnt", "eu1", "eu2", "score_q",
+      "hard_used1", "hard_used2")
+      .orderBy("piece")
+  }
+
+  /** One soft E-pass as DuckDB CTEs: the recursive enumeration
+    * carries the exact HUGEINT segmentation weight Π qw; expected
+    * counts are the per-(word, piece) weight shares in 2^-20 fixed
+    * point — identically the forward-backward sums, since
+    * Σ_seg mult·wt = Σ_occurrences f·qw·b.
+    */
+  private def uniSoftPassSql(k: Int, qwCte: String): String =
+    s"""sseg$k AS (
+       |  SELECT w, n, 0 AS pos, CAST(1 AS HUGEINT) AS wt, '' AS path
+       |  FROM w12
+       |  UNION ALL
+       |  SELECT s.w, s.n, s.pos + v.len, s.wt * v.qw,
+       |    CASE WHEN s.pos = 0 THEN v.piece
+       |         ELSE s.path || ',' || v.piece END
+       |  FROM sseg$k s JOIN $qwCte v
+       |    ON v.piece = substr(s.w, s.pos + 1, CAST(v.len AS INTEGER))
+       |  WHERE s.pos < length(s.w)),
+       |sden$k AS (
+       |  SELECT w, n, SUM(wt) AS den FROM sseg$k
+       |  WHERE pos = length(w) GROUP BY 1, 2),
+       |snum$k AS (
+       |  SELECT w, piece, SUM(wt) AS num FROM (
+       |    SELECT w, wt, unnest(string_split(path, ',')) AS piece
+       |    FROM sseg$k WHERE pos = length(w))
+       |  GROUP BY 1, 2),
+       |eu$k AS (
+       |  SELECT piece, CAST(SUM(
+       |    CAST((num * CAST(1048576 AS HUGEINT)) // den AS BIGINT) * n)
+       |    AS BIGINT) AS u
+       |  FROM snum$k JOIN sden$k USING (w)
+       |  GROUP BY 1)""".stripMargin
+
+  private val q193Sql =
+    s"""$uniCtesSql,
+       |qw0 AS (
+       |  SELECT piece, length(piece) AS len,
+       |    GREATEST(1, (cnt * 256) // t) AS qw
+       |  FROM v0 CROSS JOIN t0),
+       |${uniSoftPassSql(1, "qw0")},
+       |t1s AS (SELECT CAST(SUM(u) AS BIGINT) AS t FROM eu1),
+       |qw1 AS (
+       |  SELECT e.piece, length(e.piece) AS len,
+       |    GREATEST(1, (e.u * 256) // t) AS qw
+       |  FROM eu1 e CROSS JOIN t1s),
+       |${uniSoftPassSql(2, "qw1")}
+       |SELECT v.piece, v.cnt AS seed_cnt, e1.u AS eu1, e2.u AS eu2,
+       |  ${qlDk("GREATEST(e1.u, 1)")} - ${qlDk("t1s.t")} AS score_q,
+       |  CAST(COALESCE(h1.cnt, 0) AS BIGINT) AS hard_used1,
+       |  CAST(COALESCE(h2.cnt, 0) AS BIGINT) AS hard_used2
+       |FROM v0 v
+       |JOIN eu1 e1 USING (piece)
+       |JOIN eu2 e2 USING (piece)
+       |CROSS JOIN t1s
+       |LEFT JOIN u1 h1 ON h1.piece = v.piece
+       |LEFT JOIN u2 h2 ON h2.piece = v.piece
+       |ORDER BY v.piece""".stripMargin
+
+  // ---------------------------------------------------------------
   // q171 — HTML text extraction certified end-to-end (round-14 ask
   // #2): each document's sanitized text is ENCODED into a full HTML
   // page — head noise (a style rule with a quoted '>', a script whose
@@ -2302,6 +2434,7 @@ object TextAnalysis extends QueryModule {
     "q175_tokenizer_fertility" -> (q175 _),
     "q177_unigram_serve" -> (q177 _),
     "q184_unigram_incremental" -> (q184 _),
+    "q193_unigram_soft_em" -> (q193 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -2336,6 +2469,7 @@ object TextAnalysis extends QueryModule {
     // the SAME model — the full-retrain oracle certifies it (q134's
     // protocol)
     "q184_unigram_incremental" -> q174Sql,
+    "q193_unigram_soft_em" -> q193Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,

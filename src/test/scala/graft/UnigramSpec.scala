@@ -108,4 +108,46 @@ class UnigramSpec extends AnyFunSuite {
       assert(got == brute(w, sc, 4), s"trial $trial w=$w sc=$sc")
     }
   }
+
+  test("expectedCounts agrees with brute-force weighted enumeration " +
+      "on random words (fixed-point exact)") {
+    val rnd = new scala.util.Random(193)
+    val alphabet = "abc"
+    // brute soft E-step: enumerate every covering segmentation with
+    // its exact BigInt weight, sum per-piece multiplicity·weight,
+    // floor-divide in 2^-20 fixed point — the q193 oracle's device
+    def brute(w: String, qw: Map[String, Long], maxLen: Int)
+        : Map[String, Long] = {
+      def go(pos: Int): Seq[(BigInt, Seq[String])] =
+        if (pos == w.length) Seq((BigInt(1), Nil))
+        else (1 to math.min(maxLen, w.length - pos)).flatMap { l =>
+          val piece = w.substring(pos, pos + l)
+          qw.get(piece).toSeq.flatMap { x =>
+            go(pos + l).map { case (wt, ps) => (wt * x, piece +: ps) }
+          }
+        }
+      val all = go(0)
+      if (all.isEmpty) Map.empty
+      else {
+        val den = all.map(_._1).sum
+        all.flatMap { case (wt, ps) => ps.map(_ -> wt) }
+          .groupBy(_._1).view
+          .mapValues(v => ((v.map(_._2).sum << 20) / den).toLong)
+          .toMap
+      }
+    }
+    for (trial <- 0 until 300) {
+      val w = Seq.fill(1 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val subs = (for {
+        i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)
+      } yield w.substring(i, i + l)).distinct
+      // random 8-bit weights; singles sometimes absent so some words
+      // are uncoverable (must return empty, matching brute)
+      val qw = subs.filter(_ => rnd.nextInt(4) > 0)
+        .map(p => p -> (1L + rnd.nextInt(255))).toMap
+      val got = Unigram.expectedCounts(w, qw, 4).toMap
+      assert(got == brute(w, qw, 4), s"trial $trial w=$w qw=$qw")
+    }
+  }
 }
