@@ -668,6 +668,180 @@ object MultimodalQueries extends QueryModule {
       |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
       |ORDER BY id_a, var_a, id_b, var_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q195 — PNG image dedup END-TO-END: q186's gate on the LOSSLESS
+  // crawl-image modality (sources/Png.scala — ISO 15948, all five
+  // scanline filters, chunk CRCs, ImageIO-cross-certified in
+  // PngSpec). Losslessness buys a STRONGER corpus than JPEG's: the
+  // pixels are q180's ARBITRARY per-pixel cubic scrambler (no
+  // constant-block restriction), each image is encoded to real PNG
+  // bytes — the encoder cycles the filter type per scanline, so
+  // every document exercises None/Sub/Up/Average/Paeth — and decoded
+  // back through signature/chunk/CRC/inflate/defilter before
+  // img_dhash. The oracle derives pixels straight from the formula:
+  // y_sum certifies the decoded plane byte-for-byte independently of
+  // the hash; every 9th id ships a +7-brightness re-encode that must
+  // land in its original's hash group (dHash invariance, q180's
+  // analysis).
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (18, 8)
+    val planes = graft.CachedPlans.of(s, dir, "png_decoded_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def v(i: Int): Int =
+            (((id + 1) * (i.toLong * i * i + 3 * i + 7)) % 1000003 % 200)
+              .toInt
+          def row(delta: Int, variant: Int)
+              : (Long, Int, Array[Byte], Long) = {
+            val px = Array.tabulate(w * h)(i => (v(i) + delta).toByte)
+            val decoded = graft.sources.Png.decode(
+              graft.sources.Png.encodeGray(px, w, h)).gray
+            var sum = 0L
+            var k = 0
+            while (k < decoded.length) { sum += decoded(k) & 0xff; k += 1 }
+            (id, variant, decoded, sum)
+          }
+          if (id % 9 == 0) Seq(row(0, 0), row(7, 1)) else Seq(row(0, 0))
+        }.toDF("doc_id", "variant", "plane", "y_sum")
+    }
+    planes
+      .selectExpr("doc_id", "variant", "y_sum",
+        s"img_dhash(plane, $w, $h) AS dh")
+      .selectExpr("doc_id", "variant", "y_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q195Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 0 AS delta FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 7 FROM ids WHERE doc_id % 9 = 0),
+      |p AS MATERIALIZED (
+      |  SELECT doc_id, variant, y, x,
+      |    ((doc_id + 1) * ((y * 18 + x) * (y * 18 + x) * (y * 18 + x)
+      |      + 3 * (y * 18 + x) + 7)) % 1000003 % 200 + delta AS v
+      |  FROM vr
+      |  CROSS JOIN generate_series(0, 7) AS ty(y)
+      |  CROSS JOIN generate_series(0, 17) AS tx(x)),
+      |sums AS (
+      |  SELECT doc_id, variant, CAST(SUM(v) AS BIGINT) AS y_sum
+      |  FROM p GROUP BY 1, 2),
+      |b AS (
+      |  SELECT doc_id, variant, y AS r, x // 2 AS c,
+      |    CAST(SUM(v) AS BIGINT) AS sm
+      |  FROM p GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.r, l.c
+      |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |hh AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2)
+      |SELECT hh.doc_id, hh.variant, sums.y_sum, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM hh JOIN sums ON sums.doc_id = hh.doc_id
+      |  AND sums.variant = hh.variant
+      |ORDER BY hh.doc_id, hh.variant""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q196 — CROSS-CODEC image dedup: the SAME image served as .jpg
+  // and as .png (the commonest crawl duplication across mirrors)
+  // must land in ONE fingerprint group. Each document's 72×64
+  // constant-block mosaic (q186's corpus — the class baseline JPEG
+  // reconstructs bit-exactly; PNG is lossless on everything) is
+  // encoded through BOTH real codecs and decoded back; the two
+  // decoded planes must be byte-identical (y_sum pins each), so
+  // their img_dhash values coincide and the per-doc group has both
+  // codec rows. The oracle derives one hash per doc from the block
+  // formula and fans it out to the two codec rows — a divergence in
+  // EITHER decoder (or the encoders upstream) splits the group and
+  // flips the hash.
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (72, 64)
+    val planes = graft.CachedPlans.of(s, dir, "cross_codec_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def v(b: Int): Int =
+            (((id + 1) * (b.toLong * b * b + 3 * b + 7)) % 1000003 % 200)
+              .toInt
+          val px = Array.tabulate(w * h) { i =>
+            v(((i / w) / 8) * 9 + (i % w) / 8).toByte
+          }
+          def sum(a: Array[Byte]): Long = {
+            var s0 = 0L
+            var k = 0
+            while (k < a.length) { s0 += a(k) & 0xff; k += 1 }
+            s0
+          }
+          val viaJpeg = graft.sources.Jpeg.decode(
+            graft.sources.Jpeg.encodeGray(px, w, h)).gray
+          val viaPng = graft.sources.Png.decode(
+            graft.sources.Png.encodeGray(px, w, h)).gray
+          Seq((id, "jpeg", viaJpeg, sum(viaJpeg)),
+            (id, "png", viaPng, sum(viaPng)))
+        }.toDF("doc_id", "codec", "plane", "y_sum")
+    }
+    planes
+      .selectExpr("doc_id", "codec", "y_sum",
+        s"img_dhash(plane, $w, $h) AS dh")
+      .selectExpr("doc_id", "codec", "y_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "codec")
+  }
+
+  private val q196Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |bl AS MATERIALIZED (
+      |  SELECT doc_id, b,
+      |    ((doc_id + 1) * (b * b * b + 3 * b + 7)) % 1000003 % 200 AS v
+      |  FROM ids CROSS JOIN generate_series(0, 71) AS t(b)),
+      |sums AS (
+      |  SELECT doc_id, CAST(SUM(64 * v) AS BIGINT) AS y_sum
+      |  FROM bl GROUP BY 1),
+      |bits AS (
+      |  SELECT l.doc_id, l.b // 9 AS r, l.b % 9 AS c
+      |  FROM bl l JOIN bl rt ON rt.doc_id = l.doc_id AND rt.b = l.b + 1
+      |  WHERE l.b % 9 < 8 AND l.v > rt.v),
+      |hh AS (
+      |  SELECT ids.doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+      |  GROUP BY 1),
+      |cd AS (
+      |  SELECT doc_id, codec FROM ids
+      |  CROSS JOIN (SELECT 'jpeg' AS codec UNION ALL SELECT 'png') t)
+      |SELECT cd.doc_id, cd.codec, sums.y_sum, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM cd
+      |JOIN hh ON hh.doc_id = cd.doc_id
+      |JOIN sums ON sums.doc_id = cd.doc_id
+      |ORDER BY cd.doc_id, cd.codec""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -676,7 +850,9 @@ object MultimodalQueries extends QueryModule {
       "q181_image_near_dup" -> (q181 _),
       "q182_audio_fingerprint" -> (q182 _),
       "q186_jpeg_image_dedup" -> (q186 _),
-      "q187_jpeg_near_dup" -> (q187 _))
+      "q187_jpeg_near_dup" -> (q187 _),
+      "q195_png_image_dedup" -> (q195 _),
+      "q196_cross_codec_dedup" -> (q196 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -686,5 +862,7 @@ object MultimodalQueries extends QueryModule {
       "q181_image_near_dup" -> q181Sql,
       "q182_audio_fingerprint" -> q182Sql,
       "q186_jpeg_image_dedup" -> q186Sql,
-      "q187_jpeg_near_dup" -> q187Sql)
+      "q187_jpeg_near_dup" -> q187Sql,
+      "q195_png_image_dedup" -> q195Sql,
+      "q196_cross_codec_dedup" -> q196Sql)
 }

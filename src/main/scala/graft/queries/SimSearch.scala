@@ -1589,6 +1589,76 @@ object SimSearch extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q194 — graph-ANN HOP OPERATING CURVE (q178's tuning-audit shape
+  // applied to the graph family): recall@3 and cumulative visited
+  // candidates after each beam hop h ∈ 0..3 against the exact
+  // quantized-L2 top-3 — what does each extra hop buy at serve time,
+  // and at what visit cost? The per-hop beams and candidate ledgers
+  // are the SAME memoized frames q188/q189 build (the sweep costs
+  // one pass, not one search per setting — q178's discipline).
+  // Integer hit/visit counts; the only double is round(hits/n, 6).
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val exact = exactTop3(s, dir)
+    val w = Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))
+    val perHop = graft.CachedPlans.of(s, dir, "graph_hop_curve") {
+      (0 to 3).map { h =>
+        graphBeam(s, dir, h)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).select("q_id", "c_id")
+          .withColumn("n_hops", lit(h))
+      }.reduce(_ union _)
+    }
+    val visits = graft.CachedPlans.of(s, dir, "graph_hop_visits") {
+      (0 to 3).map { h =>
+        (0 to h).map(i => graphCand(s, dir, i).select("q_id", "c_id"))
+          .reduce(_ union _).distinct()
+          .agg(count(lit(1)).as("visited"))
+          .withColumn("n_hops", lit(h))
+      }.reduce(_ union _)
+    }
+    perHop.join(exact.withColumn("hit", lit(1)), Seq("q_id", "c_id"),
+        "left")
+      .groupBy("n_hops")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT)").as("hits"))
+      .withColumn("recall",
+        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+      .join(visits, "n_hops")
+      .select("n_hops", "n_pairs", "hits", "recall", "visited")
+      .orderBy("n_hops")
+  }
+
+  private val q194Sql = {
+    def hopRow(h: Int) =
+      s"""SELECT CAST($h AS INTEGER) AS n_hops,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gvis$h) AS visited
+         |FROM (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+         |    FROM gbeam$h) WHERE rn <= 3) r
+         |LEFT JOIN ext e ON e.q_id = r.q_id AND e.c_id = r.c_id"""
+        .stripMargin
+    s"""$trainedAssignChainSql,
+       |$graphChainSql,
+       |ext AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+       |    FROM qd) WHERE rn <= 3)
+       |SELECT n_hops, n_pairs, hits,
+       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall,
+       |  visited
+       |FROM (
+       |${(0 to 3).map(hopRow).mkString("\nUNION ALL\n")})
+       |ORDER BY n_hops""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q95 — INCREMENTAL semantic dedup: q91's decision applied to an
   // arriving batch (vec_id % 10 = 7 stands in for "today's crawl")
   // against the already-indexed corpus — the production shape for a
@@ -3071,6 +3141,7 @@ object SimSearch extends QueryModule {
     "q178_residual_probe_curve" -> (q178 _),
     "q188_graph_ann" -> (q188 _),
     "q189_graph_recall_budget" -> (q189 _),
+    "q194_graph_hop_curve" -> (q194 _),
     "q165_ivf_balance" -> (q165 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
@@ -3105,6 +3176,7 @@ object SimSearch extends QueryModule {
     "q178_residual_probe_curve" -> q178Sql,
     "q188_graph_ann" -> q188Sql,
     "q189_graph_recall_budget" -> q189Sql,
+    "q194_graph_hop_curve" -> q194Sql,
     "q165_ivf_balance" -> q165Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,

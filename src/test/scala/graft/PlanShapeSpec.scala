@@ -526,7 +526,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q189: q188's entry broadcast + q173's brute exact ground
       // truth (both reviewed shapes); the three search paths under
       // comparison stay equi-joins
-      "q189_graph_recall_budget")
+      "q189_graph_recall_budget",
+      // q194: the same brute exact ground-truth lineage (shared
+      // memo); the per-hop beams are checkpointed leaves
+      "q194_graph_hop_curve")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -608,7 +611,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q189: the two 1-row visit-ledger counts (q104's corpus-total
       // pattern — the PQ candidate count and the graph visited-set
       // count both reduce memoized model-sized frames to one row)
-      "q189_graph_recall_budget")
+      "q189_graph_recall_budget",
+      // q194: four 1-row per-hop visit counts over the memoized
+      // query-batch-sized candidate ledgers (q189's pattern ×4)
+      "q194_graph_hop_curve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
