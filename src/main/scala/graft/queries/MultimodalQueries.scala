@@ -842,6 +842,144 @@ object MultimodalQueries extends QueryModule {
       |JOIN sums ON sums.doc_id = cd.doc_id
       |ORDER BY cd.doc_id, cd.codec""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q197 — WARC IMAGE-PAYLOAD funnel: the full crawl-modality chain
+  // in one gated row — a real WARC archive whose response records
+  // carry BINARY image bodies (Content-Type: image/jpeg or
+  // image/png), parsed (ISO 28500 framing + gzip members + HTTP
+  // split), dispatched BY CONTENT TYPE to the matching real codec
+  // (sources/Jpeg.scala / sources/Png.scala), and perceptually
+  // deduplicated. Every 9th document is re-crawled from a "mirror"
+  // that serves the SAME image in the OTHER codec — the commonest
+  // real crawl duplication — and the cross-codec group collapse
+  // (q196's guarantee) must survive the whole ingest path. The q170
+  // in-task archive device: encode→parse round trip inside ONE
+  // mapPartitions, records never leave their task; the oracle
+  // derives each image's hash from the block formula, so any
+  // corruption anywhere in framing → split → decode flips y_sum or
+  // splits a hash group.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (72, 64)
+    val rows = graft.CachedPlans.of(s, dir, "warc_image_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+          val ids = it.toVector
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            def member(rec: Array[Byte]): Unit = {
+              val gz = new java.util.zip.GZIPOutputStream(bos)
+              gz.write(rec); gz.finish()
+            }
+            def record(headers: String, payload: Array[Byte]): Array[Byte] =
+              (headers + s"Content-Length: ${payload.length}\r\n\r\n")
+                .getBytes(iso) ++ payload ++ "\r\n\r\n".getBytes(iso)
+            def response(id: Long, codec: String, suffix: String): Unit = {
+              def v(b: Int): Int =
+                (((id + 1) * (b.toLong * b * b + 3 * b + 7))
+                  % 1000003 % 200).toInt
+              val px = Array.tabulate(w * h) { i =>
+                v(((i / w) / 8) * 9 + (i % w) / 8).toByte
+              }
+              val body =
+                if (codec == "image/jpeg")
+                  graft.sources.Jpeg.encodeGray(px, w, h)
+                else graft.sources.Png.encodeGray(px, w, h)
+              member(record(
+                s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                  s"WARC-Record-ID: <urn:uuid:img-$id$suffix>\r\n" +
+                  "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
+                  s"WARC-Target-URI: http://img.example/$id$suffix\r\n" +
+                  "Content-Type: application/http; msgtype=response\r\n",
+                ("HTTP/1.1 200 OK\r\n" + s"Content-Type: $codec\r\n" +
+                  s"Content-Length: ${body.length}\r\n\r\n").getBytes(iso)
+                  ++ body))
+            }
+            ids.foreach { id =>
+              val codec =
+                if (id % 2 == 0) "image/jpeg" else "image/png"
+              response(id, codec, "")
+              if (id % 9 == 0) response(id,
+                if (codec == "image/jpeg") "image/png" else "image/jpeg",
+                "-m")
+            }
+            graft.sources.Warc.parseRecords(
+              graft.sources.Warc.maybeGunzip(bos.toByteArray)).iterator
+              .filter(_.warcType == "response")
+              .map { r =>
+                val (_, hdrs, body) =
+                  graft.sources.Warc.httpSplit(r.payload).get
+                val ct = hdrs("content-type")
+                val plane = ct match {
+                  case "image/jpeg" => graft.sources.Jpeg.decode(body).gray
+                  case "image/png" => graft.sources.Png.decode(body).gray
+                  case other => throw new IllegalArgumentException(
+                    s"unexpected payload type $other")
+                }
+                val tail = r.targetUri.stripPrefix("http://img.example/")
+                val variant = if (tail.endsWith("-m")) 1 else 0
+                val id = tail.stripSuffix("-m").toLong
+                var sum = 0L
+                var k = 0
+                while (k < plane.length) { sum += plane(k) & 0xff; k += 1 }
+                (id, variant, ct, plane, sum)
+              }
+          }
+        }.toDF("doc_id", "variant", "content_type", "plane", "y_sum")
+    }
+    rows
+      .selectExpr("doc_id", "variant", "content_type", "y_sum",
+        s"img_dhash(plane, $w, $h) AS dh")
+      .selectExpr("doc_id", "variant", "content_type", "y_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q197Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/jpeg'
+      |      ELSE 'image/png' END AS content_type
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+      |  FROM ids WHERE doc_id % 9 = 0),
+      |bl AS MATERIALIZED (
+      |  SELECT doc_id, b,
+      |    ((doc_id + 1) * (b * b * b + 3 * b + 7)) % 1000003 % 200 AS v
+      |  FROM ids CROSS JOIN generate_series(0, 71) AS t(b)),
+      |sums AS (
+      |  SELECT doc_id, CAST(SUM(64 * v) AS BIGINT) AS y_sum
+      |  FROM bl GROUP BY 1),
+      |bits AS (
+      |  SELECT l.doc_id, l.b // 9 AS r, l.b % 9 AS c
+      |  FROM bl l JOIN bl rt ON rt.doc_id = l.doc_id AND rt.b = l.b + 1
+      |  WHERE l.b % 9 < 8 AND l.v > rt.v),
+      |hh AS (
+      |  SELECT ids.doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+      |  GROUP BY 1)
+      |SELECT vr.doc_id, vr.variant, vr.content_type, sums.y_sum,
+      |  dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM vr
+      |JOIN hh ON hh.doc_id = vr.doc_id
+      |JOIN sums ON sums.doc_id = vr.doc_id
+      |ORDER BY vr.doc_id, vr.variant""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -852,7 +990,8 @@ object MultimodalQueries extends QueryModule {
       "q186_jpeg_image_dedup" -> (q186 _),
       "q187_jpeg_near_dup" -> (q187 _),
       "q195_png_image_dedup" -> (q195 _),
-      "q196_cross_codec_dedup" -> (q196 _))
+      "q196_cross_codec_dedup" -> (q196 _),
+      "q197_warc_image_dedup" -> (q197 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -864,5 +1003,6 @@ object MultimodalQueries extends QueryModule {
       "q186_jpeg_image_dedup" -> q186Sql,
       "q187_jpeg_near_dup" -> q187Sql,
       "q195_png_image_dedup" -> q195Sql,
-      "q196_cross_codec_dedup" -> q196Sql)
+      "q196_cross_codec_dedup" -> q196Sql,
+      "q197_warc_image_dedup" -> q197Sql)
 }
