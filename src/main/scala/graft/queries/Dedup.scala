@@ -1436,6 +1436,72 @@ object Dedup extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q199 — the EXACT-SUBSTRING CUT (the policy step after q191's
+  // measurement — Lee et al.'s dedup actually REMOVES duplicated
+  // spans): first occurrence wins by document order — a window
+  // instance is cut iff its hash first occurred in a LOWER doc_id;
+  // the first document keeps its copy, and within-document
+  // repetition (hash confined to one doc) is untouched (q75's
+  // domain). Per document: token count, cut token mass (exact
+  // interval union over cut-marked windows), kept mass, cut ratio —
+  // the ledger a corpus release would apply.
+  //
+  // Scale: min-doc-per-hash is ONE aggregation on the window hash
+  // (never a self-join); the rejoin is a linear equi-join; coverage
+  // explodes only the CUT windows. q119's shapes end to end.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val wins = subWindows(s, dir)
+    val firstDoc = wins.groupBy("hw").agg(min("doc_id").as("first_doc"))
+    val cut = wins.join(firstDoc, "hw")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${subK - 1})")).as("pos"))
+      .groupBy("doc_id").agg(countDistinct("pos").as("cut_tokens"))
+    TextAnalysis.tokenized(s, dir)
+      .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tok"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        (col("n_tok") - coalesce(col("cut_tokens"), lit(0L)))
+          .as("kept_tokens"),
+        expr("CASE WHEN n_tok > 0 THEN round(CAST(" +
+          "coalesce(cut_tokens, 0) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) " +
+          "ELSE CAST(0.0 AS DOUBLE) END").as("cut_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q199Sql =
+    s"""WITH d AS (SELECT doc_id, $toksD AS l FROM documents),
+       |wh AS MATERIALIZED (
+       |  SELECT doc_id, start,
+       |    ${h32D(s"array_to_string(l[start:start+${subK - 1}], ' ')")} AS hw
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(range(1, CAST(len(l) AS BIGINT) - ${subK - 2}))
+       |        AS start, l
+       |    FROM d WHERE len(l) >= $subK)),
+       |fd AS (SELECT hw, MIN(doc_id) AS first_doc FROM wh GROUP BY 1),
+       |cutw AS (
+       |  SELECT doc_id, start FROM wh JOIN fd USING (hw)
+       |  WHERE doc_id > first_doc),
+       |cov AS (
+       |  SELECT doc_id, COUNT(DISTINCT pos) AS cut_tokens FROM (
+       |    SELECT doc_id,
+       |      unnest(generate_series(start, start + ${subK - 1})) AS pos
+       |    FROM cutw)
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+       |  CAST(COALESCE(cov.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+       |  CAST(len(l) - COALESCE(cov.cut_tokens, 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  CASE WHEN len(l) > 0 THEN
+       |    round(CAST(COALESCE(cov.cut_tokens, 0) AS DOUBLE)
+       |      / CAST(len(l) AS DOUBLE), 6)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS cut_ratio
+       |FROM d LEFT JOIN cov ON cov.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -1724,7 +1790,8 @@ object Dedup extends QueryModule {
     "q113_dedup_savings" -> (q113 _),
     "q114_source_funnel" -> (q114 _),
     "q119_substring_dup" -> (q119 _),
-    "q191_maximal_substring" -> (q191 _))
+    "q191_maximal_substring" -> (q191 _),
+    "q199_substring_cut" -> (q199 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -1754,5 +1821,6 @@ object Dedup extends QueryModule {
     "q113_dedup_savings" -> q113Sql,
     "q114_source_funnel" -> q114Sql,
     "q119_substring_dup" -> q119Sql,
-    "q191_maximal_substring" -> q191Sql)
+    "q191_maximal_substring" -> q191Sql,
+    "q199_substring_cut" -> q199Sql)
 }

@@ -2379,6 +2379,92 @@ object TextAnalysis extends QueryModule {
        |ORDER BY v.piece""".stripMargin
 
   // ---------------------------------------------------------------
+  // q200 — DOCUMENT SCORING under the TRAINED unigram LM (the
+  // trained-tokenizer composition: q174's final model applied as a
+  // document-level quality signal — the "score every crawl document
+  // under the LM you trained" step between tokenizer training and
+  // corpus filtering, q179's role with the unigram family's own
+  // likelihood). Every distinct in-domain word (length ≤ 12, the
+  // trainer's domain) is Viterbi-segmented ONCE under the final
+  // scores (distributed, broadcast ≤70-piece model — never
+  // per-instance), and documents aggregate their word instances'
+  // path scores: piece counts, total quantized log-likelihood
+  // (integer ql32 units — exact), and the per-piece average (the
+  // only double; same-integer division + round(·,6) both engines).
+  // The DuckDB twin scores best2 — the recursive-CTE Viterbi under
+  // sc1 that q174/q177 already certify — so the hash match extends
+  // the certified segmentation to the per-document rollup.
+  //
+  // Scale: one distinct-word segmentation pass + one corpus token
+  // explode joined on the word key (vocabulary-sized build side,
+  // AQE broadcast) + one per-doc rollup.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, _, sc1) = unigramTrained(s, dir)
+    val bc = s.sparkContext.broadcast(sc1)
+    val wseg = graft.CachedPlans.of(s, dir, "uni_word_scores") {
+      uniWords(s, dir).select("w").as[String].mapPartitions { it =>
+        val sc = bc.value
+        it.map { w =>
+          val pieces = graft.operators.Unigram
+            .segment(w, sc, uniMaxPieceLen).get
+          (w, pieces.length.toLong, pieces.map(sc).sum)
+        }
+      }.toDF("w", "w_pieces", "w_score")
+    }
+    val docWords = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) <= uniMaxWordLen)
+    val ag = docWords.join(wseg, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr("CAST(SUM(w_pieces) AS BIGINT)").as("n_pieces"),
+        expr("CAST(SUM(w_score) AS BIGINT)").as("score_q"))
+    T.documents(s, dir).select("doc_id")
+      .join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"),
+        expr("CASE WHEN n_pieces > 0 THEN round(CAST(score_q AS DOUBLE) " +
+          "/ CAST(n_pieces AS DOUBLE), 6) ELSE CAST(0.0 AS DOUBLE) END")
+          .as("avg_piece_score"))
+      .orderBy("doc_id")
+  }
+
+  private val q200Sql =
+    s"""$uniCtesSql,
+       |wsc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS w_pieces,
+       |    CAST(SUM(s.sc) AS BIGINT) AS w_score
+       |  FROM (
+       |    SELECT w, unnest(string_split(path, ',')) AS piece
+       |    FROM best2) t
+       |  JOIN sc1 s USING (piece)
+       |  GROUP BY w),
+       |dw AS (
+       |  SELECT doc_id, t AS w FROM (
+       |    SELECT doc_id, unnest($toksD) AS t FROM documents)
+       |  WHERE length(t) <= $uniMaxWordLen),
+       |ag AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(w_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(w_score) AS BIGINT) AS score_q
+       |  FROM dw JOIN wsc USING (w)
+       |  GROUP BY doc_id)
+       |SELECT ids.doc_id,
+       |  CAST(COALESCE(ag.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(ag.score_q, 0) AS BIGINT) AS score_q,
+       |  CASE WHEN COALESCE(ag.n_pieces, 0) > 0 THEN
+       |    round(CAST(ag.score_q AS DOUBLE)
+       |      / CAST(ag.n_pieces AS DOUBLE), 6)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS avg_piece_score
+       |FROM (SELECT doc_id FROM documents) ids
+       |LEFT JOIN ag ON ag.doc_id = ids.doc_id
+       |ORDER BY ids.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q171 — HTML text extraction certified end-to-end (round-14 ask
   // #2): each document's sanitized text is ENCODED into a full HTML
   // page — head noise (a style rule with a quoted '>', a script whose
@@ -2435,6 +2521,7 @@ object TextAnalysis extends QueryModule {
     "q177_unigram_serve" -> (q177 _),
     "q184_unigram_incremental" -> (q184 _),
     "q193_unigram_soft_em" -> (q193 _),
+    "q200_unigram_doc_score" -> (q200 _),
     "q158_quality_classifier" -> (q158 _),
     "q160_classifier_eval" -> (q160 _),
     "q161_calibration" -> (q161 _),
@@ -2470,6 +2557,7 @@ object TextAnalysis extends QueryModule {
     // protocol)
     "q184_unigram_incremental" -> q174Sql,
     "q193_unigram_soft_em" -> q193Sql,
+    "q200_unigram_doc_score" -> q200Sql,
     "q158_quality_classifier" -> q158Sql,
     "q160_classifier_eval" -> q160Sql,
     "q161_calibration" -> q161Sql,
