@@ -66,6 +66,21 @@ object ImgKernel {
     }
     new GenericArrayData(out)
   }
+
+  def luma(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"img_luma: ${rgb.length} bytes is not a ${w}x$h RGB raster")
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) {
+      val r = rgb(i * 3) & 0xff
+      val g = rgb(i * 3 + 1) & 0xff
+      val b = rgb(i * 3 + 2) & 0xff
+      out(i) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+      i += 1
+    }
+    out
+  }
 }
 
 /** img_dhash(bytes BINARY, w INT, h INT) -> ARRAY<BIGINT>[2]. */
@@ -91,8 +106,48 @@ case class ImgDhash(first: Expression, second: Expression,
   override def prettyName: String = "img_dhash"
 }
 
+/** img_luma(rgb BINARY, w INT, h INT) -> BINARY — integer BT.601
+  * luma of an interleaved 8-bit RGB raster: y = (77·R + 150·G +
+  * 29·B) >> 8 (the 8-bit fixed-point weights summing to 256, so the
+  * result is exact integer arithmetic — engine- and platform-stable,
+  * where the float 0.299/0.587/0.114 form would hand last-bit
+  * rounding to the libm in play). The grayscale-conversion step
+  * every perceptual-hash pipeline runs between "decoded color
+  * raster" and img_dhash.
+  */
+case class ImgLuma(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT, INT), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    ImgKernel.luma(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h) =>
+      s"graft.functions.ImgKernel.luma($b, $w, $h)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): ImgLuma = copy(a, b, c)
+  override def prettyName: String = "img_luma"
+}
+
 object ImgFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("img_luma",
+      new ExpressionInfo(classOf[ImgLuma].getName, null, "img_luma",
+        "img_luma(rgb, w, h) - integer BT.601 luma plane " +
+          "((77R + 150G + 29B) >> 8) of an interleaved 8-bit RGB " +
+          "raster", "", "", "", "", "4.0.0", "", "scala_udf"),
+      (e: Seq[Expression]) => e match {
+        case Seq(b, w, h) => ImgLuma(b, w, h)
+        case other => throw new IllegalArgumentException(
+          s"img_luma takes 3 arguments, got ${other.size}")
+      }),
     ("img_dhash",
       new ExpressionInfo(classOf[ImgDhash].getName, null, "img_dhash",
         "img_dhash(bytes, w, h) - 64-bit perceptual difference hash " +

@@ -980,6 +980,97 @@ object MultimodalQueries extends QueryModule {
       |JOIN sums ON sums.doc_id = vr.doc_id
       |ORDER BY vr.doc_id, vr.variant""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q201 — COLOR image dedup: the RGB leg of the modality chain —
+  // truecolor PNG (3 B/px, color type 2) decoded through the real
+  // codec, converted to grayscale by the img_luma codegen kernel
+  // (integer BT.601: (77R + 150G + 29B) >> 8 — exact, the weights
+  // sum to 256), and fingerprinted with img_dhash, the two kernels
+  // COMPOSED in one codegen projection. The +7-per-channel
+  // brightness variant shifts luma by exactly 7 (256·7 >> 8), so it
+  // provably lands in its original's hash group. rgb_sum (the
+  // decoded raster's byte sum) pins the RGB decode path
+  // byte-for-byte independently of the luma/hash chain; the oracle
+  // derives every channel from the cubic formula.
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (18, 8)
+    val planes = graft.CachedPlans.of(s, dir, "rgb_luma_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def cv(j: Int): Int =
+            (((id + 1) * (j.toLong * j * j + 3 * j + 7)) % 1000003 % 240)
+              .toInt
+          def row(delta: Int, variant: Int)
+              : (Long, Int, Array[Byte], Long) = {
+            val rgb = Array.tabulate(w * h * 3)(j => (cv(j) + delta).toByte)
+            val decoded = graft.sources.Png.decode(
+              graft.sources.Png.encodeRgb(rgb, w, h)).rgb
+            var sum = 0L
+            var k = 0
+            while (k < decoded.length) { sum += decoded(k) & 0xff; k += 1 }
+            (id, variant, decoded, sum)
+          }
+          if (id % 9 == 0) Seq(row(0, 0), row(7, 1)) else Seq(row(0, 0))
+        }.toDF("doc_id", "variant", "rgb", "rgb_sum")
+    }
+    planes
+      .selectExpr("doc_id", "variant", "rgb_sum",
+        s"img_dhash(img_luma(rgb, $w, $h), $w, $h) AS dh")
+      .selectExpr("doc_id", "variant", "rgb_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q201Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 0 AS delta FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 7 FROM ids WHERE doc_id % 9 = 0),
+      |ch AS MATERIALIZED (
+      |  SELECT doc_id, variant, j,
+      |    ((doc_id + 1) * (j * j * j + 3 * j + 7)) % 1000003 % 240
+      |      + delta AS cv
+      |  FROM vr CROSS JOIN generate_series(0, 431) AS t(j)),
+      |rs AS (
+      |  SELECT doc_id, variant, CAST(SUM(cv) AS BIGINT) AS rgb_sum
+      |  FROM ch GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_id, variant, j // 3 AS i,
+      |    SUM(CASE j % 3 WHEN 0 THEN 77 * cv WHEN 1 THEN 150 * cv
+      |      ELSE 29 * cv END) // 256 AS v
+      |  FROM ch GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT doc_id, variant, i // 18 AS r, (i % 18) // 2 AS c,
+      |    CAST(SUM(v) AS BIGINT) AS sm
+      |  FROM p GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.r, l.c
+      |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |hh AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2)
+      |SELECT hh.doc_id, hh.variant, rs.rgb_sum, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM hh JOIN rs ON rs.doc_id = hh.doc_id
+      |  AND rs.variant = hh.variant
+      |ORDER BY hh.doc_id, hh.variant""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -991,7 +1082,8 @@ object MultimodalQueries extends QueryModule {
       "q187_jpeg_near_dup" -> (q187 _),
       "q195_png_image_dedup" -> (q195 _),
       "q196_cross_codec_dedup" -> (q196 _),
-      "q197_warc_image_dedup" -> (q197 _))
+      "q197_warc_image_dedup" -> (q197 _),
+      "q201_rgb_luma_dedup" -> (q201 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -1004,5 +1096,6 @@ object MultimodalQueries extends QueryModule {
       "q187_jpeg_near_dup" -> q187Sql,
       "q195_png_image_dedup" -> q195Sql,
       "q196_cross_codec_dedup" -> q196Sql,
-      "q197_warc_image_dedup" -> q197Sql)
+      "q197_warc_image_dedup" -> q197Sql,
+      "q201_rgb_luma_dedup" -> q201Sql)
 }
