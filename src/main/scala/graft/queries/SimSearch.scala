@@ -1272,10 +1272,13 @@ object SimSearch extends QueryModule {
 
   /** Un-pinned build shape of the kNN graph — what runs inside the
     * [[graphEdges]] checkpoint; exposed so PlanShapeSpec can pin the
-    * bucketed equi-join (candidates never all-pairs).
+    * bucketed equi-join (candidates never all-pairs). `visible`
+    * restricts which (src, dst) candidate pairs may become edges —
+    * `lit(true)` for the batch build, the insertion-visibility
+    * predicate for the incremental build (q202).
     */
-  private[graft] def graphEdgesShape(s: SparkSession, dir: String)
-      : DataFrame = {
+  private[graft] def graphEdgesShape(s: SparkSession, dir: String,
+      visible: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val k = trainedCentroids(s, dir).size
     val assigned = assignedCorpus(s, dir)
     val src = assigned.select(col("vec_id").as("src"),
@@ -1287,10 +1290,11 @@ object SimSearch extends QueryModule {
     val w = Window.partitionBy("src").orderBy(col("d"), col("dst"))
     src.join(dst, "bucket")
       .filter(col("src") =!= col("dst"))
+      .filter(visible)
       .withColumn("d", expr("vec_l2_sq(sv, dv)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 4)
-      .select("src", "dst")
+      .select("src", "dst", "d")
   }
 
   /** The kNN graph: M=4 out-edges per vector, candidates bucketed by
@@ -1302,7 +1306,7 @@ object SimSearch extends QueryModule {
     */
   private def graphEdges(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "graph_ann_edges") {
-      graphEdgesShape(s, dir).localCheckpoint()
+      graphEdgesShape(s, dir).select("src", "dst").localCheckpoint()
     }
 
   private def queries8(s: SparkSession, dir: String): DataFrame =
@@ -1389,7 +1393,31 @@ object SimSearch extends QueryModule {
     * unrolled beam search — the same deterministic rules, so build
     * AND search trajectories hash-match.
     */
-  private val graphChainSql = {
+  /** Batch graph-build CTEs (gsrc → gpd → gedges). */
+  private val graphBuildSql =
+    s"""gsrc AS (
+       |  SELECT vec_id, cell FROM assigned
+       |  UNION ALL
+       |  SELECT vec_id, CAST((cell + 1) % 4 AS INTEGER) FROM assigned),
+       |gpd AS MATERIALIZED (
+       |  SELECT s.vec_id AS src, t.vec_id AS dst,
+       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
+       |  FROM gsrc s
+       |  JOIN assigned t ON t.cell = s.cell AND t.vec_id <> s.vec_id
+       |  JOIN ex a ON a.vec_id = s.vec_id
+       |  JOIN ex b ON b.vec_id = t.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |gedges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+       |    FROM gpd) WHERE rn <= 4)""".stripMargin
+
+  /** Entry points + H=3 unrolled beam search over whatever `gedges`
+    * the preceding CTEs defined (batch build in q188/q189/q194, the
+    * incremental build in q202).
+    */
+  private val graphSearchSql = {
     def hop(n: Int) =
       s"""gcand$n AS (
          |  SELECT DISTINCT q_id, c_id FROM (
@@ -1410,24 +1438,7 @@ object SimSearch extends QueryModule {
          |  UNION
          |  SELECT q_id, c_id FROM gcand$n)"""
         .stripMargin
-    s"""gsrc AS (
-       |  SELECT vec_id, cell FROM assigned
-       |  UNION ALL
-       |  SELECT vec_id, CAST((cell + 1) % 4 AS INTEGER) FROM assigned),
-       |gpd AS MATERIALIZED (
-       |  SELECT s.vec_id AS src, t.vec_id AS dst,
-       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
-       |  FROM gsrc s
-       |  JOIN assigned t ON t.cell = s.cell AND t.vec_id <> s.vec_id
-       |  JOIN ex a ON a.vec_id = s.vec_id
-       |  JOIN ex b ON b.vec_id = t.vec_id AND b.i = a.i
-       |  GROUP BY 1, 2),
-       |gedges AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-       |    FROM gpd) WHERE rn <= 4),
-       |gentries AS (SELECT MIN(vec_id) AS c_id FROM assigned GROUP BY cell),
+    s"""gentries AS (SELECT MIN(vec_id) AS c_id FROM assigned GROUP BY cell),
        |qd AS MATERIALIZED (
        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
        |    SUM((a.v - b.v) * (a.v - b.v)) AS d
@@ -1455,6 +1466,9 @@ object SimSearch extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
        |    FROM gbeam3) WHERE rn <= 3)""".stripMargin
   }
+
+  /** Full batch chain: build + search (q188/q189/q194). */
+  private val graphChainSql = s"$graphBuildSql,\n$graphSearchSql"
 
   private val q188Sql =
     s"""$trainedAssignChainSql,
@@ -1615,39 +1629,155 @@ object SimSearch extends QueryModule {
         out
       })
 
+  /** The H=3/B=8 beam loop over an ARBITRARY edge table + entry set
+    * — q188's search rules, shared by the persisted-artifact serve
+    * (q198) and the incremental graph (q202). Returns the final
+    * beam; each hop is localCheckpoint-pinned (q188's rule). The
+    * caller memoizes the result.
+    */
+  private def beamSearch(s: SparkSession, dir: String,
+      edges: DataFrame, entries: DataFrame): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))
+    val corpusV = assignedCorpus(s, dir)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    def score(keys: DataFrame): DataFrame =
+      keys.filter(col("c_id") =!= col("q_id"))
+        .join(corpusV, "c_id")
+        .join(broadcast(queries8(s, dir)), "q_id")
+        .withColumn("d", expr("vec_l2_sq(qqv, cv)"))
+        .select("q_id", "c_id", "d")
+    def topB(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 8).select("q_id", "c_id", "d")
+      .localCheckpoint() // |Q|·B rows; pins the hop chain
+    var beam = topB(score(queries8(s, dir).select("q_id")
+      .crossJoin(broadcast(entries))))
+    (1 to 3).foreach { _ =>
+      val prev = beam.select("q_id", "c_id")
+      beam = topB(score(prev.union(
+        prev.join(edges, col("c_id") === col("src"))
+          .select(col("q_id"), col("dst").as("c_id")))
+        .distinct()))
+    }
+    beam
+  }
+
   private def q198(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))
     val top3 = graft.CachedPlans.of(s, dir, "graph_disk_top3") {
       val out = graphIndexDir(s, dir)
-      val edges = s.read.parquet(s"$out/edges")
-      val entries = s.read.parquet(s"$out/entries")
-      val corpusV = assignedCorpus(s, dir)
-        .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-      def score(keys: DataFrame): DataFrame =
-        keys.filter(col("c_id") =!= col("q_id"))
-          .join(corpusV, "c_id")
-          .join(broadcast(queries8(s, dir)), "q_id")
-          .withColumn("d", expr("vec_l2_sq(qqv, cv)"))
-          .select("q_id", "c_id", "d")
-      def topB(scored: DataFrame): DataFrame = scored
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 8).select("q_id", "c_id", "d")
-        .localCheckpoint() // |Q|·B rows; pins the hop chain (q188's rule)
-      var beam = topB(score(queries8(s, dir).select("q_id")
-        .crossJoin(broadcast(entries))))
-      (1 to 3).foreach { _ =>
-        val prev = beam.select("q_id", "c_id")
-        beam = topB(score(prev.union(
-          prev.join(edges, col("c_id") === col("src"))
-            .select(col("q_id"), col("dst").as("c_id")))
-          .distinct()))
-      }
-      beam
+      beamSearch(s, dir, s.read.parquet(s"$out/edges"),
+        s.read.parquet(s"$out/entries"))
     }
     top3.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "c_id", "d")
       .orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------------
+  // q202 — INCREMENTAL graph maintenance (q121's discipline on the
+  // graph family, with the semantics every online graph index
+  // actually has — HNSW's insert algorithm made deterministic): the
+  // initial corpus (vec_id % 10 ≠ 7) builds its graph; the arriving
+  // batch (vec_id % 10 = 7) INSERTS:
+  //   - each new node computes its M=4 out-edges against the FULL
+  //     corpus in its buckets;
+  //   - each selected neighbor gains a BACKLINK to the new node and
+  //     re-prunes its list to the best M by (d, dst) among its
+  //     frozen old edges ∪ received backlinks — WITHOUT re-ranking
+  //     its whole neighborhood (the property that makes graph
+  //     inserts cheap; a batch rebuild would re-rank everything).
+  // The backlink step is not optional politeness: without it new
+  // nodes have NO in-edges from the old graph and are unreachable —
+  // the first build of this query proved it (0 new arrivals in any
+  // beam). With backlinks the beam retrieves fresh inserts through
+  // old topology; is_new marks them in the gated top-3.
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))
+    val top3 = graft.CachedPlans.of(s, dir, "graph_incr_top3") {
+      val edges = graft.CachedPlans.of(s, dir, "graph_incr_edges") {
+        // frozen pre-insert lists: old → old only
+        val oldBase = graphEdgesShape(s, dir,
+          expr("src % 10 <> 7 AND dst % 10 <> 7"))
+        // insert phase: new → full corpus
+        val newE = graphEdgesShape(s, dir, expr("src % 10 = 7"))
+        // backlinks: u → v for every old u a new v selected (same
+        // pair distance), then u re-prunes to M=4
+        val backC = newE.filter(col("dst") % 10 =!= 7)
+          .select(col("dst").as("src"), col("src").as("dst"), col("d"))
+        val w2 = Window.partitionBy("src").orderBy(col("d"), col("dst"))
+        val oldE = oldBase.unionByName(backC)
+          .withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= 4)
+        oldE.select("src", "dst")
+          .union(newE.select("src", "dst"))
+          .localCheckpoint()
+      }
+      val entries = assignedCorpus(s, dir).groupBy("cell")
+        .agg(min("vec_id").as("c_id")).select("c_id")
+      beamSearch(s, dir, edges, entries)
+    }
+    top3.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("d"),
+        expr("CAST(c_id % 10 = 7 AS BOOLEAN)").as("is_new"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q202Sql = {
+    // graphSearchSql over the INCREMENTAL edge set: same bucketed
+    // pair distances (gpd, unrestricted), then the two insert-phase
+    // edge definitions + backlink re-pruning
+    val incrBuild =
+      s"""golde0 AS (
+         |  SELECT src, dst, d FROM (
+         |    SELECT src, dst, d,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |    FROM gpd WHERE src % 10 <> 7 AND dst % 10 <> 7)
+         |  WHERE rn <= 4),
+         |gnewe AS MATERIALIZED (
+         |  SELECT src, dst, d FROM (
+         |    SELECT src, dst, d,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |    FROM gpd WHERE src % 10 = 7)
+         |  WHERE rn <= 4),
+         |gback AS (
+         |  SELECT dst AS src, src AS dst, d FROM gnewe
+         |  WHERE dst % 10 <> 7),
+         |golde AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+         |    FROM (SELECT * FROM golde0 UNION ALL SELECT * FROM gback))
+         |  WHERE rn <= 4),
+         |gedges AS MATERIALIZED (
+         |  SELECT src, dst FROM golde
+         |  UNION ALL
+         |  SELECT src, dst FROM gnewe)""".stripMargin
+    s"""$trainedAssignChainSql,
+       |gsrc AS (
+       |  SELECT vec_id, cell FROM assigned
+       |  UNION ALL
+       |  SELECT vec_id, CAST((cell + 1) % 4 AS INTEGER) FROM assigned),
+       |gpd AS MATERIALIZED (
+       |  SELECT s.vec_id AS src, t.vec_id AS dst,
+       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
+       |  FROM gsrc s
+       |  JOIN assigned t ON t.cell = s.cell AND t.vec_id <> s.vec_id
+       |  JOIN ex a ON a.vec_id = s.vec_id
+       |  JOIN ex b ON b.vec_id = t.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |$incrBuild,
+       |$graphSearchSql
+       |SELECT q_id, rank, c_id, d,
+       |  CAST(c_id % 10 = 7 AS BOOLEAN) AS is_new
+       |FROM (
+       |  SELECT q_id, c_id, d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY d, c_id) AS INTEGER) AS rank
+       |  FROM gbeam3) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -3205,6 +3335,7 @@ object SimSearch extends QueryModule {
     "q189_graph_recall_budget" -> (q189 _),
     "q194_graph_hop_curve" -> (q194 _),
     "q198_graph_persisted" -> (q198 _),
+    "q202_graph_incremental" -> (q202 _),
     "q165_ivf_balance" -> (q165 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
@@ -3244,6 +3375,7 @@ object SimSearch extends QueryModule {
     // must be invisible to results, so q188's oracle certifies it
     // (the q117/q121 discipline).
     "q198_graph_persisted" -> q188Sql,
+    "q202_graph_incremental" -> q202Sql,
     "q165_ivf_balance" -> q165Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,
