@@ -1393,8 +1393,10 @@ object SimSearch extends QueryModule {
     * unrolled beam search — the same deterministic rules, so build
     * AND search trajectories hash-match.
     */
-  /** Batch graph-build CTEs (gsrc → gpd → gedges). */
-  private val graphBuildSql =
+  /** Bucketed candidate pair distances (gsrc → gpd) — shared by the
+    * batch and incremental edge builds.
+    */
+  private val graphPairsSql =
     s"""gsrc AS (
        |  SELECT vec_id, cell FROM assigned
        |  UNION ALL
@@ -1406,69 +1408,113 @@ object SimSearch extends QueryModule {
        |  JOIN assigned t ON t.cell = s.cell AND t.vec_id <> s.vec_id
        |  JOIN ex a ON a.vec_id = s.vec_id
        |  JOIN ex b ON b.vec_id = t.vec_id AND b.i = a.i
-       |  GROUP BY 1, 2),
-       |gedges AS MATERIALIZED (
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Batch top-M edge selection over gpd. */
+  private val batchEdgesSql =
+    """gedges AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+      |    FROM gpd) WHERE rn <= 4)""".stripMargin
+
+  /** Batch graph-build CTEs (gsrc → gpd → gedges). */
+  private val graphBuildSql = s"$graphPairsSql,\n$batchEdgesSql"
+
+  /** Incremental (insert-with-backlinks) edge build over gpd,
+    * emitting the edge table under `name` (q202/q203).
+    */
+  private def incrEdgesSql(name: String): String =
+    s"""golde0 AS (
+       |  SELECT src, dst, d FROM (
+       |    SELECT src, dst, d,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+       |    FROM gpd WHERE src % 10 <> 7 AND dst % 10 <> 7)
+       |  WHERE rn <= 4),
+       |gnewe AS MATERIALIZED (
+       |  SELECT src, dst, d FROM (
+       |    SELECT src, dst, d,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
+       |    FROM gpd WHERE src % 10 = 7)
+       |  WHERE rn <= 4),
+       |gback AS (
+       |  SELECT dst AS src, src AS dst, d FROM gnewe
+       |  WHERE dst % 10 <> 7),
+       |golde AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst,
        |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-       |    FROM gpd) WHERE rn <= 4)""".stripMargin
+       |    FROM (SELECT * FROM golde0 UNION ALL SELECT * FROM gback))
+       |  WHERE rn <= 4),
+       |$name AS MATERIALIZED (
+       |  SELECT src, dst FROM golde
+       |  UNION ALL
+       |  SELECT src, dst FROM gnewe)""".stripMargin
 
-  /** Entry points + H=3 unrolled beam search over whatever `gedges`
-    * the preceding CTEs defined (batch build in q188/q189/q194, the
-    * incremental build in q202).
+  /** All-pairs query distances for the 8-query batch (the scoring
+    * table every beam variant joins).
     */
-  private val graphSearchSql = {
+  private val graphQdSql =
+    """qd AS MATERIALIZED (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+      |    SUM((a.v - b.v) * (a.v - b.v)) AS d
+      |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 8
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Entry points + H=3 unrolled beam search over the edge table
+    * `${p}edges`, all CTE names prefixed by `p` so two searches
+    * (batch + incremental) can coexist in one statement (q203).
+    */
+  private def graphSearchSql(p: String = "g"): String = {
     def hop(n: Int) =
-      s"""gcand$n AS (
+      s"""${p}cand$n AS (
          |  SELECT DISTINCT q_id, c_id FROM (
-         |    SELECT q_id, c_id FROM gbeam${n - 1}
+         |    SELECT q_id, c_id FROM ${p}beam${n - 1}
          |    UNION ALL
          |    SELECT b.q_id, e.dst AS c_id
-         |    FROM gbeam${n - 1} b JOIN gedges e ON e.src = b.c_id) u
+         |    FROM ${p}beam${n - 1} b JOIN ${p}edges e ON e.src = b.c_id) u
          |  WHERE c_id <> q_id),
-         |gbeam$n AS MATERIALIZED (
+         |${p}beam$n AS MATERIALIZED (
          |  SELECT q_id, c_id, d FROM (
          |    SELECT c.q_id, c.c_id, qd.d,
          |      ROW_NUMBER() OVER (PARTITION BY c.q_id
          |        ORDER BY qd.d, c.c_id) AS rn
-         |    FROM gcand$n c JOIN qd ON qd.q_id = c.q_id AND qd.c_id = c.c_id)
+         |    FROM ${p}cand$n c JOIN qd ON qd.q_id = c.q_id AND qd.c_id = c.c_id)
          |  WHERE rn <= 8),
-         |gvis$n AS (
-         |  SELECT q_id, c_id FROM gvis${n - 1}
+         |${p}vis$n AS (
+         |  SELECT q_id, c_id FROM ${p}vis${n - 1}
          |  UNION
-         |  SELECT q_id, c_id FROM gcand$n)"""
+         |  SELECT q_id, c_id FROM ${p}cand$n)"""
         .stripMargin
-    s"""gentries AS (SELECT MIN(vec_id) AS c_id FROM assigned GROUP BY cell),
-       |qd AS MATERIALIZED (
-       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
-       |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> a.vec_id
-       |  WHERE a.vec_id < 8
-       |  GROUP BY 1, 2),
-       |gcand0 AS (
+    s"""${p}entries AS (SELECT MIN(vec_id) AS c_id FROM assigned GROUP BY cell),
+       |${p}cand0 AS (
        |  SELECT DISTINCT qq.vec_id AS q_id, e.c_id
-       |  FROM (SELECT vec_id FROM q WHERE vec_id < 8) qq, gentries e
+       |  FROM (SELECT vec_id FROM q WHERE vec_id < 8) qq, ${p}entries e
        |  WHERE e.c_id <> qq.vec_id),
-       |gbeam0 AS (
+       |${p}beam0 AS (
        |  SELECT q_id, c_id, d FROM (
        |    SELECT c.q_id, c.c_id, qd.d,
        |      ROW_NUMBER() OVER (PARTITION BY c.q_id
        |        ORDER BY qd.d, c.c_id) AS rn
-       |    FROM gcand0 c JOIN qd ON qd.q_id = c.q_id AND qd.c_id = c.c_id)
+       |    FROM ${p}cand0 c JOIN qd ON qd.q_id = c.q_id AND qd.c_id = c.c_id)
        |  WHERE rn <= 8),
-       |gvis0 AS (SELECT q_id, c_id FROM gcand0),
+       |${p}vis0 AS (SELECT q_id, c_id FROM ${p}cand0),
        |${hop(1)},
        |${hop(2)},
        |${hop(3)},
-       |graph3 AS (
+       |${p}top3 AS (
        |  SELECT q_id, c_id FROM (
        |    SELECT q_id, c_id,
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
-       |    FROM gbeam3) WHERE rn <= 3)""".stripMargin
+       |    FROM ${p}beam3) WHERE rn <= 3)""".stripMargin
   }
 
-  /** Full batch chain: build + search (q188/q189/q194). */
-  private val graphChainSql = s"$graphBuildSql,\n$graphSearchSql"
+  /** Full batch chain: build + scoring table + search (q188/q189/
+    * q194).
+    */
+  private val graphChainSql =
+    s"$graphBuildSql,\n$graphQdSql,\n${graphSearchSql()}"
 
   private val q188Sql =
     s"""$trainedAssignChainSql,
@@ -1594,7 +1640,7 @@ object SimSearch extends QueryModule {
        |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall,
        |  visited
        |FROM (
-       |${hitRow("graph", "graph3", "gvis")}
+       |${hitRow("graph", "gtop3", "gvis")}
        |UNION ALL
        |${hitRow("raw", "raw3", "pqvis")}
        |UNION ALL
@@ -1725,51 +1771,12 @@ object SimSearch extends QueryModule {
       .orderBy("q_id", "rank")
   }
 
-  private val q202Sql = {
-    // graphSearchSql over the INCREMENTAL edge set: same bucketed
-    // pair distances (gpd, unrestricted), then the two insert-phase
-    // edge definitions + backlink re-pruning
-    val incrBuild =
-      s"""golde0 AS (
-         |  SELECT src, dst, d FROM (
-         |    SELECT src, dst, d,
-         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-         |    FROM gpd WHERE src % 10 <> 7 AND dst % 10 <> 7)
-         |  WHERE rn <= 4),
-         |gnewe AS MATERIALIZED (
-         |  SELECT src, dst, d FROM (
-         |    SELECT src, dst, d,
-         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-         |    FROM gpd WHERE src % 10 = 7)
-         |  WHERE rn <= 4),
-         |gback AS (
-         |  SELECT dst AS src, src AS dst, d FROM gnewe
-         |  WHERE dst % 10 <> 7),
-         |golde AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d, dst) AS rn
-         |    FROM (SELECT * FROM golde0 UNION ALL SELECT * FROM gback))
-         |  WHERE rn <= 4),
-         |gedges AS MATERIALIZED (
-         |  SELECT src, dst FROM golde
-         |  UNION ALL
-         |  SELECT src, dst FROM gnewe)""".stripMargin
+  private val q202Sql =
     s"""$trainedAssignChainSql,
-       |gsrc AS (
-       |  SELECT vec_id, cell FROM assigned
-       |  UNION ALL
-       |  SELECT vec_id, CAST((cell + 1) % 4 AS INTEGER) FROM assigned),
-       |gpd AS MATERIALIZED (
-       |  SELECT s.vec_id AS src, t.vec_id AS dst,
-       |    SUM((a.v - b.v) * (a.v - b.v)) AS d
-       |  FROM gsrc s
-       |  JOIN assigned t ON t.cell = s.cell AND t.vec_id <> s.vec_id
-       |  JOIN ex a ON a.vec_id = s.vec_id
-       |  JOIN ex b ON b.vec_id = t.vec_id AND b.i = a.i
-       |  GROUP BY 1, 2),
-       |$incrBuild,
-       |$graphSearchSql
+       |$graphPairsSql,
+       |${incrEdgesSql("gedges")},
+       |$graphQdSql,
+       |${graphSearchSql()}
        |SELECT q_id, rank, c_id, d,
        |  CAST(c_id % 10 = 7 AS BOOLEAN) AS is_new
        |FROM (
@@ -1778,6 +1785,76 @@ object SimSearch extends QueryModule {
        |      ORDER BY d, c_id) AS INTEGER) AS rank
        |  FROM gbeam3) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q203 — INCREMENTAL vs REBUILD recall (the q173/q189 recipe on
+  // index maintenance): what does the cheap insert cost against a
+  // full batch rebuild at the same serve budget? Both graphs'
+  // searches run in ONE oracle statement (the prefixed search
+  // chains), scored against the shared exact top-3 — recall@3 plus
+  // how many fresh-batch vectors each method retrieves and how many
+  // of those are TRUE neighbors. The operational answer a serving
+  // team needs before scheduling rebuilds.
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val exact = exactTop3(s, dir)
+    val three = graft.CachedPlans.of(s, dir, "graph_incr_compare") {
+      graphBeam(s, dir, 3)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d"), col("c_id"))))
+        .filter(col("rn") <= 3).select("q_id", "c_id")
+        .withColumn("method", lit("rebuild"))
+        .union(q202(s, dir).select("q_id", "c_id")
+          .withColumn("method", lit("incremental")))
+    }
+    three.join(exact.withColumn("hit", lit(1)), Seq("q_id", "c_id"),
+        "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
+          "AS BIGINT)").as("hits"),
+        expr("CAST(SUM(CASE WHEN c_id % 10 = 7 THEN 1 ELSE 0 END) " +
+          "AS BIGINT)").as("new_retrieved"),
+        expr("CAST(SUM(CASE WHEN hit IS NOT NULL AND c_id % 10 = 7 " +
+          "THEN 1 ELSE 0 END) AS BIGINT)").as("new_hits"))
+      .withColumn("recall",
+        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+      .select("method", "n_pairs", "hits", "recall", "new_retrieved",
+        "new_hits")
+      .orderBy("method")
+  }
+
+  private val q203Sql = {
+    def row(method: String, top3: String) =
+      s"""SELECT '$method' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN r.c_id % 10 = 7 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS new_retrieved,
+         |  CAST(SUM(CASE WHEN e.c_id IS NOT NULL AND r.c_id % 10 = 7
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS new_hits
+         |FROM $top3 r LEFT JOIN ext e ON e.q_id = r.q_id
+         |  AND e.c_id = r.c_id""".stripMargin
+    s"""$trainedAssignChainSql,
+       |$graphPairsSql,
+       |$batchEdgesSql,
+       |${incrEdgesSql("iedges")},
+       |$graphQdSql,
+       |${graphSearchSql("g")},
+       |${graphSearchSql("i")},
+       |ext AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
+       |    FROM qd) WHERE rn <= 3)
+       |SELECT method, n_pairs, hits,
+       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+       |    AS recall,
+       |  new_retrieved, new_hits
+       |FROM (
+       |${row("incremental", "itop3")}
+       |UNION ALL
+       |${row("rebuild", "gtop3")})
+       |ORDER BY method""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -3336,6 +3413,7 @@ object SimSearch extends QueryModule {
     "q194_graph_hop_curve" -> (q194 _),
     "q198_graph_persisted" -> (q198 _),
     "q202_graph_incremental" -> (q202 _),
+    "q203_graph_maint_recall" -> (q203 _),
     "q165_ivf_balance" -> (q165 _),
     "q95_incr_semantic_dedup" -> (q95 _),
     "q96_ann_recall" -> (q96 _),
@@ -3376,6 +3454,7 @@ object SimSearch extends QueryModule {
     // (the q117/q121 discipline).
     "q198_graph_persisted" -> q188Sql,
     "q202_graph_incremental" -> q202Sql,
+    "q203_graph_maint_recall" -> q203Sql,
     "q165_ivf_balance" -> q165Sql,
     "q95_incr_semantic_dedup" -> q95Sql,
     "q96_ann_recall" -> q96Sql,

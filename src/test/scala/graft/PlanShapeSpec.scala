@@ -529,7 +529,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q189_graph_recall_budget",
       // q194: the same brute exact ground-truth lineage (shared
       // memo); the per-hop beams are checkpointed leaves
-      "q194_graph_hop_curve")
+      "q194_graph_hop_curve",
+      // q203: the same brute exact ground truth + q202's build
+      // lineage (the 4-row entry broadcast — q188's reviewed shape);
+      // both search paths under comparison are checkpointed leaves
+      "q203_graph_maint_recall")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
