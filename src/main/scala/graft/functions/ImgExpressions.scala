@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -65,6 +65,34 @@ object ImgKernel {
       r += 1
     }
     new GenericArrayData(out)
+  }
+
+  def boxdown(px: Array[Byte], w: Int, h: Int, f: Int): Array[Byte] = {
+    require(f > 0 && w > 0 && h > 0 && px.length == w * h,
+      s"img_boxdown: ${px.length} bytes is not a ${w}x$h plane")
+    require(w % f == 0 && h % f == 0,
+      s"img_boxdown: ${w}x$h does not tile by factor $f — fractional " +
+        "boxes would break integer exactness")
+    val (ow, oh) = (w / f, h / f)
+    val sums = new Array[Long](ow * oh)
+    var y = 0
+    while (y < h) {
+      val oy = y / f
+      var x = 0
+      while (x < w) {
+        sums(oy * ow + x / f) += px(y * w + x) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val area = f.toLong * f
+    val out = new Array[Byte](ow * oh)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (sums(i) / area).toByte // floor mean — exact
+      i += 1
+    }
+    out
   }
 
   def luma(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -136,8 +164,47 @@ case class ImgLuma(first: Expression, second: Expression,
   override def prettyName: String = "img_luma"
 }
 
+/** img_boxdown(px BINARY, w INT, h INT, f INT) -> BINARY — integer
+  * box-filter downsample by factor f: each output sample is the
+  * FLOOR MEAN of its f×f source tile (exact integer division — no
+  * float resampling, so thumbnails are engine- and platform-stable,
+  * and a uniform +k brightness shift on the source moves every
+  * output sample by exactly k). The thumbnail step a perceptual-hash
+  * pipeline runs between full-resolution decode and fingerprinting.
+  */
+case class ImgBoxdown(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT, INT, INT), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(b: Any, w: Any, h: Any, f: Any): Any =
+    ImgKernel.boxdown(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], f.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, w, h, f) =>
+      s"graft.functions.ImgKernel.boxdown($b, $w, $h, $f)")
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): ImgBoxdown = copy(a, b, c, d)
+  override def prettyName: String = "img_boxdown"
+}
+
 object ImgFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("img_boxdown",
+      new ExpressionInfo(classOf[ImgBoxdown].getName, null, "img_boxdown",
+        "img_boxdown(px, w, h, f) - integer box-filter downsample by " +
+          "factor f (floor mean per f x f tile); w % f == 0, " +
+          "h % f == 0", "", "", "", "", "4.0.0", "", "scala_udf"),
+      (e: Seq[Expression]) => e match {
+        case Seq(b, w, h, f) => ImgBoxdown(b, w, h, f)
+        case other => throw new IllegalArgumentException(
+          s"img_boxdown takes 4 arguments, got ${other.size}")
+      }),
     ("img_luma",
       new ExpressionInfo(classOf[ImgLuma].getName, null, "img_luma",
         "img_luma(rgb, w, h) - integer BT.601 luma plane " +

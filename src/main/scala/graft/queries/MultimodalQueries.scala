@@ -1071,6 +1071,160 @@ object MultimodalQueries extends QueryModule {
       |  AND rs.variant = hh.variant
       |ORDER BY hh.doc_id, hh.variant""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q204 — THUMBNAIL pipeline under the gate: full-resolution decode
+  // → integer box-downsample → perceptual hash, the exact shape a
+  // production image-dedup pipeline runs (hash the thumbnail, not
+  // the original). Each document's 144×64 arbitrary-pixel image
+  // round-trips through real PNG, then img_boxdown (f=2 floor-mean
+  // tiles — exact integers, so a uniform +7 brightness shift on the
+  // SOURCE moves every thumbnail sample by exactly 7 and the dHash
+  // group provably holds) and img_dhash run COMPOSED in one codegen
+  // projection over the 72×32 thumbnail. px_sum pins the
+  // full-resolution decode; the oracle re-derives thumbnail means
+  // and hash bits from the pixel formula.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h, f) = (144, 64, 2)
+    val planes = graft.CachedPlans.of(s, dir, "boxdown_planes") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def v(i: Int): Int =
+            (((id + 1) * (i.toLong * i * i + 3 * i + 7)) % 1000003 % 240)
+              .toInt
+          def row(delta: Int, variant: Int)
+              : (Long, Int, Array[Byte], Long) = {
+            val px = Array.tabulate(w * h)(i => (v(i) + delta).toByte)
+            val decoded = graft.sources.Png.decode(
+              graft.sources.Png.encodeGray(px, w, h)).gray
+            var sum = 0L
+            var k = 0
+            while (k < decoded.length) { sum += decoded(k) & 0xff; k += 1 }
+            (id, variant, decoded, sum)
+          }
+          if (id % 9 == 0) Seq(row(0, 0), row(7, 1)) else Seq(row(0, 0))
+        }.toDF("doc_id", "variant", "plane", "px_sum")
+    }
+    planes
+      .selectExpr("doc_id", "variant", "px_sum",
+        s"img_dhash(img_boxdown(plane, $w, $h, $f), ${w / f}, ${h / f})" +
+          " AS dh")
+      .selectExpr("doc_id", "variant", "px_sum",
+        "dh[0] AS dh0", "dh[1] AS dh1")
+      .withColumn("grp_size",
+        expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  private val q204Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |vr AS (
+      |  SELECT doc_id, 0 AS variant, 0 AS delta FROM ids
+      |  UNION ALL
+      |  SELECT doc_id, 1, 7 FROM ids WHERE doc_id % 9 = 0),
+      |p AS MATERIALIZED (
+      |  SELECT doc_id, variant, i,
+      |    ((doc_id + 1) * (i * i * i + 3 * i + 7)) % 1000003 % 240
+      |      + delta AS v
+      |  FROM vr CROSS JOIN generate_series(0, 9215) AS t(i)),
+      |ps AS (
+      |  SELECT doc_id, variant, CAST(SUM(v) AS BIGINT) AS px_sum
+      |  FROM p GROUP BY 1, 2),
+      |d2 AS MATERIALIZED (
+      |  SELECT doc_id, variant, (i // 144) // 2 AS y2,
+      |    (i % 144) // 2 AS x2, SUM(v) // 4 AS v2
+      |  FROM p GROUP BY 1, 2, 3, 4),
+      |b AS (
+      |  SELECT doc_id, variant, y2 // 4 AS r, x2 // 8 AS c,
+      |    CAST(SUM(v2) AS BIGINT) AS sm
+      |  FROM d2 GROUP BY 1, 2, 3, 4),
+      |bits AS (
+      |  SELECT l.doc_id, l.variant, l.r, l.c
+      |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+      |    AND rt.variant = l.variant AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |hh AS (
+      |  SELECT vr.doc_id, vr.variant,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS dh1
+      |  FROM vr
+      |  LEFT JOIN bits ON bits.doc_id = vr.doc_id
+      |    AND bits.variant = vr.variant
+      |  GROUP BY 1, 2)
+      |SELECT hh.doc_id, hh.variant, ps.px_sum, dh0, dh1,
+      |  COUNT(*) OVER (PARTITION BY dh0, dh1) AS grp_size
+      |FROM hh JOIN ps ON ps.doc_id = hh.doc_id
+      |  AND ps.variant = hh.variant
+      |ORDER BY hh.doc_id, hh.variant""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q205 — FRAME SAMPLING under the gate (the brief's frame-sample
+  // op made first-class): q147's 12-frame 3-scene clips are
+  // re-framed through the real deframer, every 2nd frame is kept
+  // (the stride-k sampling a video-training pipeline runs to cut
+  // decode+storage cost), and the motion/cut features recompute over
+  // the SAMPLED sequence. The structure check is analytic: frames
+  // change every 4th index, so the sampled clip (indices 0,2,4,...)
+  // still crosses both scene boundaries — n_cuts stays exactly 2 and
+  // the per-boundary motion is the same inter-scene delta, while
+  // n_frames and sum_luma halve in the way the formula predicts. The
+  // DuckDB twin derives everything from the formula over the sampled
+  // indices only.
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nFrames, frameLen, stride) = (12, 256, 2)
+    // memoized: encode→deframe→sample once per (session, dir) —
+    // production decodes/samples the clip store once
+    val feats = graft.CachedPlans.of(s, dir, "frame_sample_feats") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val frames = Array.tabulate(nFrames)(f =>
+              Array.tabulate(frameLen)(p =>
+                (((id + f / 4) * 37 + p.toLong * 11) % 256).toInt))
+            val sampled = Multimodal.decodeFrames(
+              Multimodal.encodeFrames(frames), frameLen)
+              .zipWithIndex
+              .collect { case (fr, i) if i % stride == 0 => fr }
+            Multimodal.videoFeatures(id, sampled)
+          }
+        }.toDF()
+    }
+    feats.select("media_id", "n_frames", "sum_luma", "motion_total",
+      "n_cuts").orderBy("media_id")
+  }
+
+  private val q205Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |s AS (
+      |  SELECT doc_id, f, p,
+      |    ((doc_id + f // 4) * 37 + p * 11) % 256 AS v
+      |  FROM ids
+      |  CROSS JOIN generate_series(0, 11) AS tf(f)
+      |  CROSS JOIN generate_series(0, 255) AS tp(p)
+      |  WHERE f % 2 = 0),
+      |s2 AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY doc_id, p ORDER BY f) AS pv
+      |  FROM s),
+      |fm AS (
+      |  SELECT doc_id, f, CAST(SUM(ABS(v - pv)) AS BIGINT) AS m
+      |  FROM s2 WHERE pv IS NOT NULL GROUP BY 1, 2)
+      |SELECT ids.doc_id AS media_id,
+      |  CAST(6 AS BIGINT) AS n_frames,
+      |  (SELECT CAST(SUM(v) AS BIGINT) FROM s WHERE s.doc_id = ids.doc_id)
+      |    AS sum_luma,
+      |  CAST(COALESCE((SELECT SUM(m) FROM fm WHERE fm.doc_id = ids.doc_id),
+      |    0) AS BIGINT) AS motion_total,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM fm
+      |    WHERE fm.doc_id = ids.doc_id AND fm.m > 0), 0) AS BIGINT)
+      |    AS n_cuts
+      |FROM ids ORDER BY media_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -1083,7 +1237,9 @@ object MultimodalQueries extends QueryModule {
       "q195_png_image_dedup" -> (q195 _),
       "q196_cross_codec_dedup" -> (q196 _),
       "q197_warc_image_dedup" -> (q197 _),
-      "q201_rgb_luma_dedup" -> (q201 _))
+      "q201_rgb_luma_dedup" -> (q201 _),
+      "q204_thumbnail_dedup" -> (q204 _),
+      "q205_frame_sample" -> (q205 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -1097,5 +1253,7 @@ object MultimodalQueries extends QueryModule {
       "q195_png_image_dedup" -> q195Sql,
       "q196_cross_codec_dedup" -> q196Sql,
       "q197_warc_image_dedup" -> q197Sql,
-      "q201_rgb_luma_dedup" -> q201Sql)
+      "q201_rgb_luma_dedup" -> q201Sql,
+      "q204_thumbnail_dedup" -> q204Sql,
+      "q205_frame_sample" -> q205Sql)
 }
