@@ -1225,6 +1225,62 @@ object MultimodalQueries extends QueryModule {
       |    AS n_cuts
       |FROM ids ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q206 — AUDIO DECIMATION under the gate (q205's sampling
+  // discipline on the waveform leg): each clip's s16 samples
+  // round-trip the real PCM codec, then decimate 2:1 by pairwise
+  // TRUNCATING mean ((s0+s1)/2 — Scala Int division and DuckDB //
+  // both truncate toward zero, so the device is engine-exact on
+  // NEGATIVE samples too, where a floor/shift would diverge), and
+  // the waveform features recompute over the decimated signal — the
+  // sample-rate reduction an audio-training pipeline runs before
+  // fingerprinting. The twin derives everything from the sample
+  // formula over decimated indices.
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    val feats = graft.CachedPlans.of(s, dir, "pcm_decimate_feats") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+            val decoded =
+              Multimodal.decodePcm(Multimodal.encodePcm(samples))
+            val dec = Array.tabulate(n / 2)(j =>
+              (decoded(2 * j) + decoded(2 * j + 1)) / 2)
+            Multimodal.pcmFeatures(id, dec)
+          }
+        }.toDF()
+    }
+    feats.select(col("media_id"), col("n_samples"),
+      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
+        "DOUBLE)), 6)").as("rms"),
+      col("zero_crossings"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  private val q206Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |s AS (
+      |  SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+      |  FROM ids CROSS JOIN generate_series(0, 1023) AS t(i)),
+      |d AS (
+      |  SELECT doc_id, i // 2 AS j, SUM(v) // 2 AS v
+      |  FROM s GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      |  FROM d)
+      |SELECT doc_id AS media_id,
+      |  COUNT(*) AS n_samples,
+      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+      |    6) AS rms,
+      |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      |FROM d2 GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -1239,7 +1295,8 @@ object MultimodalQueries extends QueryModule {
       "q197_warc_image_dedup" -> (q197 _),
       "q201_rgb_luma_dedup" -> (q201 _),
       "q204_thumbnail_dedup" -> (q204 _),
-      "q205_frame_sample" -> (q205 _))
+      "q205_frame_sample" -> (q205 _),
+      "q206_audio_decimate" -> (q206 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -1255,5 +1312,6 @@ object MultimodalQueries extends QueryModule {
       "q197_warc_image_dedup" -> q197Sql,
       "q201_rgb_luma_dedup" -> q201Sql,
       "q204_thumbnail_dedup" -> q204Sql,
-      "q205_frame_sample" -> q205Sql)
+      "q205_frame_sample" -> q205Sql,
+      "q206_audio_decimate" -> q206Sql)
 }
