@@ -1502,6 +1502,102 @@ object Dedup extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q207 — substring MATCH-PARTNER ATTRIBUTION (the "who am I
+  // copying from" report behind q199's cut ledger): every cut window
+  // is attributable to exactly ONE partner — the first-occurrence
+  // document of its hash (q199's first-wins policy makes the partner
+  // well-defined per hash). Per (victim, partner) pair: attributed
+  // window count and exact attributed token mass (interval union of
+  // that partner's windows only — pair masses may overlap across
+  // partners, which is the point: it measures each partner's
+  // individual footprint). Per victim: the number of distinct
+  // partners and the TOP partner by attributed mass (tie → lower
+  // partner id) — the report that decides whether a source is
+  // parasitic on another before dropping it from a mixture.
+  //
+  // Scale: q199's shapes plus one (doc, partner) keyed aggregation —
+  // still never a self-join (the partner arrives via the per-hash
+  // min-doc aggregate); the per-victim argmax is a window over
+  // pair-sized rows.
+  /** Cut-marked windows (doc_id, partner, start) — the attribution
+    * index behind q207: each cut window tagged with its
+    * first-occurrence partner. Build memoized (hash-agg + rejoin run
+    * once); (doc_id, start) is unique by construction (one window per
+    * position, one partner per hash).
+    */
+  private def cutWindows(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "subcut8") {
+      val wins = subWindows(s, dir)
+      val firstDoc = wins.groupBy("hw").agg(min("doc_id").as("partner"))
+      wins.join(firstDoc, "hw")
+        .filter(col("doc_id") > col("partner"))
+        .select("doc_id", "partner", "start")
+    }
+
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Interval union WITHOUT the 8× position explode: all windows are
+    // length subK and (doc, start) is unique, so per (doc, partner)
+    // the union of [start, start+7] over sorted starts is
+    // Σ min(subK, start_i − start_{i−1}) with the first window
+    // counting subK — one lag window + one aggregation on the SAME
+    // keys (no extra exchange). Then n_partners and the top-partner
+    // argmax share one per-doc window pass.
+    val lagged = cutWindows(s, dir)
+      .withColumn("pv", lag("start", 1).over(
+        Window.partitionBy("doc_id", "partner").orderBy("start")))
+    val pairs = lagged.groupBy("doc_id", "partner")
+      .agg(count(lit(1)).as("attr_win"),
+        sum(when(col("pv").isNull, lit(subK))
+          .otherwise(least(lit(subK), col("start") - col("pv"))))
+          .cast("long").as("attr_tokens"))
+    val perDoc = Window.partitionBy("doc_id")
+    pairs
+      .withColumn("n_partners", count(lit(1)).over(perDoc))
+      .withColumn("rn", row_number().over(perDoc
+        .orderBy(col("attr_tokens").desc, col("partner").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_partners"),
+        col("partner").as("top_partner"),
+        col("attr_win"), col("attr_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q207Sql =
+    s"""WITH d AS (SELECT doc_id, $toksD AS l FROM documents),
+       |wh AS MATERIALIZED (
+       |  SELECT doc_id, start,
+       |    ${h32D(s"array_to_string(l[start:start+${subK - 1}], ' ')")} AS hw
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(range(1, CAST(len(l) AS BIGINT) - ${subK - 2}))
+       |        AS start, l
+       |    FROM d WHERE len(l) >= $subK)),
+       |fd AS (SELECT hw, MIN(doc_id) AS partner FROM wh GROUP BY 1),
+       |cutw AS MATERIALIZED (
+       |  SELECT doc_id, partner, start FROM wh JOIN fd USING (hw)
+       |  WHERE doc_id > partner),
+       |pairs AS (
+       |  SELECT doc_id, partner, COUNT(*) AS attr_win,
+       |    CAST(SUM(CASE WHEN pv IS NULL THEN $subK
+       |      ELSE LEAST($subK, start - pv) END) AS BIGINT) AS attr_tokens
+       |  FROM (
+       |    SELECT doc_id, partner, start,
+       |      LAG(start) OVER (PARTITION BY doc_id, partner
+       |        ORDER BY start) AS pv
+       |    FROM cutw)
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, n_partners, partner AS top_partner,
+       |  attr_win, attr_tokens
+       |FROM (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY doc_id) AS n_partners,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY attr_tokens DESC, partner ASC) AS rn
+       |  FROM pairs)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -1791,7 +1887,8 @@ object Dedup extends QueryModule {
     "q114_source_funnel" -> (q114 _),
     "q119_substring_dup" -> (q119 _),
     "q191_maximal_substring" -> (q191 _),
-    "q199_substring_cut" -> (q199 _))
+    "q199_substring_cut" -> (q199 _),
+    "q207_substring_attribution" -> (q207 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -1822,5 +1919,6 @@ object Dedup extends QueryModule {
     "q114_source_funnel" -> q114Sql,
     "q119_substring_dup" -> q119Sql,
     "q191_maximal_substring" -> q191Sql,
-    "q199_substring_cut" -> q199Sql)
+    "q199_substring_cut" -> q199Sql,
+    "q207_substring_attribution" -> q207Sql)
 }
