@@ -184,6 +184,32 @@ object Multimodal {
     out
   }
 
+  /** EXACT rational linear-interpolation resample: position j maps
+    * to the rational j·(n−1)/(outLen−1) and the lerp uses one
+    * truncating integer division —
+    * s0 + (s1 − s0)·frac / den, where Scala's Long `/` and DuckDB's
+    * `//` both truncate toward zero — so the result is engine-exact
+    * on negative samples too (where a floating lerp + round would be
+    * at the mercy of tie-breaking). Endpoint-anchored: j = 0 and
+    * j = outLen−1 return the first/last sample exactly, and
+    * outLen == n is the identity (frac is always 0).
+    */
+  def resamplePcmExact(samples: Array[Int], outLen: Int): Array[Int] = {
+    require(samples.nonEmpty && outLen > 1,
+      s"resamplePcmExact needs >=1 samples and outLen >= 2, got " +
+        s"${samples.length}/$outLen")
+    val n = samples.length
+    val den = (outLen - 1).toLong
+    Array.tabulate(outLen) { j =>
+      val num = j.toLong * (n - 1)
+      val i0 = (num / den).toInt
+      val frac = num % den
+      val s0 = samples(i0)
+      val s1 = samples(math.min(i0 + 1, n - 1))
+      (s0 + (s1 - s0).toLong * frac / den).toInt
+    }
+  }
+
   // ----------------------------------------------------------------
   // REAL modality: video. Raw 8-bit grayscale frames (fixed
   // frame_len bytes each) need no codec either — frame slicing and

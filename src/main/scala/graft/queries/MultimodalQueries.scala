@@ -1281,6 +1281,69 @@ object MultimodalQueries extends QueryModule {
       |FROM d2 GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q208 — FRACTIONAL AUDIO RESAMPLE (the general sample-rate
+  // conversion q206's 2:1 decimation special-cases — the 44.1k→16k
+  // shape every audio-training pipeline runs): each clip round-trips
+  // the real PCM codec, then resamples 1024 → 640 (8:5) by EXACT
+  // rational lerp — position j maps to j·1023/639 and the
+  // interpolation s0 + (s1−s0)·frac/639 uses one truncating integer
+  // division, identical in Scala Long `/` and DuckDB `//` on
+  // negative samples (Multimodal.resamplePcmExact). The twin derives
+  // every output sample from the closed-form source formula — no
+  // float lerp, no rounding ties, engine-exact.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    val outLen = 640
+    val feats = graft.CachedPlans.of(s, dir, "pcm_resample_feats") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt)
+            val decoded =
+              Multimodal.decodePcm(Multimodal.encodePcm(samples))
+            Multimodal.pcmFeatures(id,
+              Multimodal.resamplePcmExact(decoded, outLen))
+          }
+        }.toDF()
+    }
+    feats.select(col("media_id"), col("n_samples"),
+      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
+        "DOUBLE)), 6)").as("rms"),
+      col("zero_crossings"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  private val q208Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |r AS (
+      |  SELECT doc_id, j,
+      |    (j * 1023) // 639 AS i0, (j * 1023) % 639 AS frac
+      |  FROM ids CROSS JOIN generate_series(0, 639) AS t(j)),
+      |v AS (
+      |  SELECT doc_id, j,
+      |    v0 + ((v1 - v0) * frac) // 639 AS v
+      |  FROM (
+      |    SELECT doc_id, j, frac,
+      |      ((doc_id * 31 + i0 * 7919) % 65536) - 32768 AS v0,
+      |      ((doc_id * 31 + LEAST(i0 + 1, 1023) * 7919) % 65536) - 32768
+      |        AS v1
+      |    FROM r)),
+      |v2 AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      |  FROM v)
+      |SELECT doc_id AS media_id,
+      |  COUNT(*) AS n_samples,
+      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
+      |    6) AS rms,
+      |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings,
+      |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      |FROM v2 GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q116_media_features" -> (q116 _),
       "q146_audio_features" -> (q146 _),
@@ -1296,7 +1359,8 @@ object MultimodalQueries extends QueryModule {
       "q201_rgb_luma_dedup" -> (q201 _),
       "q204_thumbnail_dedup" -> (q204 _),
       "q205_frame_sample" -> (q205 _),
-      "q206_audio_decimate" -> (q206 _))
+      "q206_audio_decimate" -> (q206 _),
+      "q208_audio_resample" -> (q208 _))
 
   override val oracle: Map[String, String] =
     Map("q116_media_features" -> q116Sql,
@@ -1313,5 +1377,6 @@ object MultimodalQueries extends QueryModule {
       "q201_rgb_luma_dedup" -> q201Sql,
       "q204_thumbnail_dedup" -> q204Sql,
       "q205_frame_sample" -> q205Sql,
-      "q206_audio_decimate" -> q206Sql)
+      "q206_audio_decimate" -> q206Sql,
+      "q208_audio_resample" -> q208Sql)
 }

@@ -147,6 +147,20 @@ class TxMultimodalSpec extends AnyFunSuite with SharedSpark {
     val half = Multimodal.resamplePcm(ramp, 51)
     assert(half.head == 0 && half.last == 1000)
     assert(half.toSeq == Seq.tabulate(51)(_ * 20))
+    // EXACT resample: identity at same length (frac always 0);
+    // endpoints anchored; linear ramp stays exactly linear; agrees
+    // with the float path on a clean 2:1 ramp; truncation toward
+    // zero on negatives matches Scala/DuckDB integer division
+    assert(Multimodal.resamplePcmExact(ramp, 101).toSeq == ramp.toSeq)
+    val halfE = Multimodal.resamplePcmExact(ramp, 51)
+    assert(halfE.head == 0 && halfE.last == 1000)
+    assert(halfE.toSeq == Seq.tabulate(51)(_ * 20))
+    // -7/2 truncates to -3 (not floor's -4): j=1 of [-7, 0] at 3 pts
+    assert(Multimodal.resamplePcmExact(Array(-7, 0), 3).toSeq ==
+      Seq(-7, -4, 0)) // -7 + 7*1/2 = -7 + 3 (7/2 truncates) = -4
+    intercept[IllegalArgumentException] {
+      Multimodal.resamplePcmExact(Array(1, 2), 1)
+    }
     // features: energy/ZCR/peak on a known square-ish wave
     val sq = Array.tabulate(8)(i => if (i % 2 == 0) 100 else -100)
     val f = Multimodal.pcmFeatures(7L, sq)
