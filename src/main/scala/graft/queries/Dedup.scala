@@ -1598,6 +1598,153 @@ object Dedup extends QueryModule {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q209 — CROSS-MODAL page dedup: a page duplicates another if its
+  // TEXT near-dups (the LSH candidate graph — q30/q57's edges) OR
+  // its IMAGE is the same asset (identical perceptual dhash — the
+  // "same CDN picture under different articles" case q180
+  // fingerprints). Every 5th doc draws its image from a 40-asset
+  // shared pool (img_key = doc_id % 200 — multiples of 5 only), the
+  // rest render unique images (q180's cubic scrambler keyed by
+  // img_key); image edges are per-hash-group STARS (min-doc hub —
+  // equivalent to the clique under connected components, linear in
+  // group size, never quadratic), text edges come from the memoized
+  // signature index, and ONE connected-components pass over the
+  // union labels the multimodal clusters. Per component: size, edge
+  // counts by modality, and the modality class ('both' components
+  // are the ones neither single-modality pass would have assembled —
+  // the reason a multimodal curation pass runs the union). The
+  // oracle recomputes pixels → block sums → bits → hash groups AND
+  // the minhash edges, then closes the union transitively — nothing
+  // is assumed shared between the engines.
+  //
+  // Scale: both edge generators are key-bucketed equi-joins (LSH
+  // bands / 128-bit hash), components is the size-adaptive operator
+  // (distributed min-label loop above the driver threshold), and the
+  // report is two component-keyed aggregations.
+  private def crossmodalEdges(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "crossmodal_edges") {
+      import s.implicits._
+      graft.functions.ImgFunctions.register(s)
+      val imgHash = T.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val key = if (id % 5 == 0) id % 200 else id
+          def px(i: Int): Int =
+            (((key + 1) * (i.toLong * i * i + 3 * i + 7))
+              % 1000003 % 200).toInt
+          (id, Array.tabulate(18 * 8)(i => px(i).toByte))
+        }.toDF("doc_id", "img")
+        .selectExpr("doc_id", "img_dhash(img, 18, 8) AS dh")
+        .selectExpr("doc_id", "dh[0] AS dh0", "dh[1] AS dh1")
+      val hub = imgHash.groupBy("dh0", "dh1").agg(min("doc_id").as("m"))
+      val imgEdges = imgHash.join(hub, Seq("dh0", "dh1"))
+        .filter(col("doc_id") > col("m"))
+        .select(col("m").as("src"), col("doc_id").as("dst"),
+          lit("image").as("modality"))
+      candidateEdges(s, dir)
+        .select(col("src"), col("dst"), lit("text").as("modality"))
+        .unionByName(imgEdges)
+    }
+
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val edges = crossmodalEdges(s, dir)
+    val labels = graft.CachedPlans.of(s, dir, "crossmodal_labels") {
+      graft.operators.Components
+        .connectedComponents(edges.select("src", "dst"))
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+    }
+    val sz = labels.groupBy("component").agg(count(lit(1)).as("sz"))
+    val em = edges
+      .join(labels.withColumnRenamed("doc_id", "src"), "src")
+      .groupBy("component")
+      .agg(sum(when(col("modality") === "text", 1L).otherwise(0L))
+        .as("n_text_edges"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L))
+          .as("n_img_edges"))
+    sz.join(em, "component")
+      .select(col("component"), col("sz"),
+        col("n_text_edges").cast("long").as("n_text_edges"),
+        col("n_img_edges").cast("long").as("n_img_edges"),
+        expr("CASE WHEN n_text_edges > 0 AND n_img_edges > 0 THEN 'both' " +
+          "WHEN n_text_edges > 0 THEN 'text' ELSE 'image' END")
+          .as("modality"))
+      .orderBy("component")
+  }
+
+  private val q209Sql =
+    s"""WITH RECURSIVE $duckSignatures,
+       |tedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_match
+       |    FROM sig a
+       |    JOIN sig b ON b.i = a.i AND b.minhash = a.minhash
+       |      AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE n_match >= 2),
+       |ik AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN doc_id % 200 ELSE doc_id END AS k
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, y, x,
+       |    ((k + 1) * ((y * 18 + x) * (y * 18 + x) * (y * 18 + x)
+       |      + 3 * (y * 18 + x) + 7)) % 1000003 % 200 AS v
+       |  FROM ik
+       |  CROSS JOIN generate_series(0, 7) AS ty(y)
+       |  CROSS JOIN generate_series(0, 17) AS tx(x)),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, y AS r, x // 2 AS c, CAST(SUM(v) AS BIGINT) AS sm
+       |  FROM p GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT l.doc_id, l.r, l.c
+       |  FROM b l JOIN b rt ON rt.doc_id = l.doc_id
+       |    AND rt.r = l.r AND rt.c = l.c + 1
+       |  WHERE l.sm > rt.sm),
+       |hh AS MATERIALIZED (
+       |  SELECT ik.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+       |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+       |      AS BIGINT) AS dh0,
+       |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+       |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+       |      AS BIGINT) AS dh1
+       |  FROM ik LEFT JOIN bits ON bits.doc_id = ik.doc_id
+       |  GROUP BY 1),
+       |hub AS (SELECT dh0, dh1, MIN(doc_id) AS m FROM hh GROUP BY 1, 2),
+       |iedges AS (
+       |  SELECT hub.m AS src, hh.doc_id AS dst
+       |  FROM hh JOIN hub ON hub.dh0 = hh.dh0 AND hub.dh1 = hh.dh1
+       |  WHERE hh.doc_id > hub.m),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, 'text' AS modality FROM tedges
+       |  UNION ALL
+       |  SELECT src, dst, 'image' FROM iedges),
+       |sym AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION SELECT dst, src FROM edges),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+       |lab AS MATERIALIZED (
+       |  SELECT a AS doc_id, MIN(b) AS component
+       |  FROM reach GROUP BY a),
+       |szs AS (SELECT component, COUNT(*) AS sz FROM lab GROUP BY 1),
+       |em AS (
+       |  SELECT l.component,
+       |    CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_text_edges,
+       |    CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_img_edges
+       |  FROM edges e JOIN lab l ON l.doc_id = e.src
+       |  GROUP BY 1)
+       |SELECT szs.component, szs.sz, em.n_text_edges, em.n_img_edges,
+       |  CASE WHEN em.n_text_edges > 0 AND em.n_img_edges > 0 THEN 'both'
+       |    WHEN em.n_text_edges > 0 THEN 'text' ELSE 'image' END
+       |    AS modality
+       |FROM szs JOIN em ON em.component = szs.component
+       |ORDER BY szs.component""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -1888,7 +2035,8 @@ object Dedup extends QueryModule {
     "q119_substring_dup" -> (q119 _),
     "q191_maximal_substring" -> (q191 _),
     "q199_substring_cut" -> (q199 _),
-    "q207_substring_attribution" -> (q207 _))
+    "q207_substring_attribution" -> (q207 _),
+    "q209_crossmodal_dedup" -> (q209 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -1920,5 +2068,6 @@ object Dedup extends QueryModule {
     "q119_substring_dup" -> q119Sql,
     "q191_maximal_substring" -> q191Sql,
     "q199_substring_cut" -> q199Sql,
-    "q207_substring_attribution" -> q207Sql)
+    "q207_substring_attribution" -> q207Sql,
+    "q209_crossmodal_dedup" -> q209Sql)
 }
