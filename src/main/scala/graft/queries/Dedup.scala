@@ -1745,6 +1745,133 @@ object Dedup extends QueryModule {
        |ORDER BY szs.component""".stripMargin
 
   // ---------------------------------------------------------------
+  // q210 — LSH OPERATING CURVE: the b×r parameter sweep a 100 TB
+  // dedup run does before committing to a banding. The SAME 12-hash
+  // signature matrix (q29's memo) is banded six ways (12×1 … 1×12);
+  // for each config the banded bucket-join yields the candidate set
+  // (pairs sharing at least one FULL band — all r minhashes equal),
+  // scored against ground truth = exact shingle Jaccard ≥ 1/2
+  // (integer-exact: J ≥ 1/2 ⇔ 3·inter ≥ |A|+|B| — no float
+  // threshold). Per config: candidate volume, detected/true counts,
+  // recall, precision, and the analytic S-curve value
+  // 1-(1-(1/2)^r)^b at the threshold — computed ONCE in the driver
+  // (all six are exact binary fractions) and injected as the same
+  // literal into both engines, so no cross-engine pow. The sweep is
+  // how b×r is chosen at scale: candidate volume is the shuffle+
+  // verify cost, recall the dup mass you keep. Every config is the
+  // same (band, band-signature) equi-join — candidate VOLUME changes
+  // with the config, the plan shape never does.
+  private val lshConfigs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
+  /** Ground truth for q210: pairs with exact shingle Jaccard ≥ 1/2,
+    * via the inverted-index join (only pairs sharing ≥1 shingle can
+    * qualify — J ≥ 1/2 > 0). */
+  private def truePairs(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "lsh_true_pairs") {
+      val sh = shingled(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      sh.as("a").join(sh.as("b"),
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .filter(expr("3 * inter >= sz_a + sz_b"))
+        .select("doc_a", "doc_b")
+    }
+
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    // The whole sweep is memoized: a b×r tuning pass is a one-time
+    // artifact (you run it once per corpus, then commit to a
+    // banding), so the 6-config build joins live in the index-build
+    // phase like q178/q189's curves; serve reads the 6-row table.
+    val curve = graft.CachedPlans.of(s, dir, "lsh_curve") {
+      val sig = signatures(s, dir)
+      val tp = truePairs(s, dir).withColumn("t", lit(1))
+      val nTrue = truePairs(s, dir).agg(count(lit(1)).as("n_true"))
+        .withColumn("k", lit(1))
+      val rows = lshConfigs.map { case (b, r) =>
+        val bands = sig
+          .groupBy(col("doc_id"), expr(s"i div $r").as("band"))
+          .agg(expr("array_join(transform(sort_array(collect_list(" +
+            "struct(i, minhash))), x -> CAST(x.minhash AS STRING)), ',')")
+            .as("bsig"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val pModel = 1.0d - math.pow(1.0d - math.pow(0.5d, r), b)
+        cand.join(tp, Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(coalesce(col("t"), lit(0))), lit(0))
+              .cast("long").as("n_detected"))
+          .select(lit(b).as("b"), lit(r).as("r"), col("n_candidates"),
+            col("n_detected"), lit(pModel).as("p_model"))
+      }
+      rows.reduce(_ unionByName _)
+        .withColumn("k", lit(1))
+        .join(nTrue, "k")
+    }
+    curve
+      .select(col("b"), col("r"), col("n_candidates"), col("n_detected"),
+        col("n_true"),
+        expr("CASE WHEN n_true > 0 THEN CAST(n_detected AS DOUBLE)" +
+          " / CAST(n_true AS DOUBLE) END").as("recall"),
+        expr("CASE WHEN n_candidates > 0 THEN CAST(n_detected AS DOUBLE)" +
+          " / CAST(n_candidates AS DOUBLE) END").as("cand_precision"),
+        col("p_model"))
+      .orderBy("r")
+  }
+
+  private val q210Sql = {
+    val perConfig = lshConfigs.map { case (b, r) =>
+      val pModel = 1.0d - math.pow(1.0d - math.pow(0.5d, r), b)
+      s"""band_$r AS (
+         |  SELECT doc_id, i // $r AS band,
+         |    STRING_AGG(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bsig
+         |  FROM sig GROUP BY 1, 2),
+         |cand_$r AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band_$r a JOIN band_$r b
+         |  ON b.band = a.band AND b.bsig = a.bsig AND a.doc_id < b.doc_id),
+         |row_$r AS (
+         |  SELECT $b AS b, $r AS r, COUNT(*) AS n_candidates,
+         |    CAST(COALESCE(SUM(CASE WHEN tp.doc_a IS NOT NULL THEN 1
+         |      ELSE 0 END), 0) AS BIGINT) AS n_detected,
+         |    CAST($pModel AS DOUBLE) AS p_model
+         |  FROM cand_$r LEFT JOIN tp
+         |  ON tp.doc_a = cand_$r.doc_a AND tp.doc_b = cand_$r.doc_b)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = lshConfigs
+      .map { case (_, r) => s"SELECT * FROM row_$r" }
+      .mkString(" UNION ALL ")
+    s"""WITH $duckSignatures,
+       |shh AS MATERIALIZED (
+       |  SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+       |tp AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |    FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = p.doc_a
+       |  JOIN sizes sb ON sb.doc_id = p.doc_b
+       |  WHERE 3 * inter >= sa.sz + sb.sz),
+       |ntrue AS (SELECT COUNT(*) AS n_true FROM tp),
+       |$perConfig
+       |SELECT u.b, u.r, u.n_candidates, u.n_detected, ntrue.n_true,
+       |  CASE WHEN ntrue.n_true > 0 THEN CAST(u.n_detected AS DOUBLE)
+       |    / CAST(ntrue.n_true AS DOUBLE) END AS recall,
+       |  CASE WHEN u.n_candidates > 0 THEN CAST(u.n_detected AS DOUBLE)
+       |    / CAST(u.n_candidates AS DOUBLE) END AS cand_precision,
+       |  u.p_model
+       |FROM ($unions) u CROSS JOIN ntrue
+       |ORDER BY u.r""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -2036,7 +2163,8 @@ object Dedup extends QueryModule {
     "q191_maximal_substring" -> (q191 _),
     "q199_substring_cut" -> (q199 _),
     "q207_substring_attribution" -> (q207 _),
-    "q209_crossmodal_dedup" -> (q209 _))
+    "q209_crossmodal_dedup" -> (q209 _),
+    "q210_lsh_operating_curve" -> (q210 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -2069,5 +2197,6 @@ object Dedup extends QueryModule {
     "q191_maximal_substring" -> q191Sql,
     "q199_substring_cut" -> q199Sql,
     "q207_substring_attribution" -> q207Sql,
-    "q209_crossmodal_dedup" -> q209Sql)
+    "q209_crossmodal_dedup" -> q209Sql,
+    "q210_lsh_operating_curve" -> q210Sql)
 }

@@ -533,7 +533,11 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q203: the same brute exact ground truth + q202's build
       // lineage (the 4-row entry broadcast — q188's reviewed shape);
       // both search paths under comparison are checkpointed leaves
-      "q203_graph_maint_recall")
+      "q203_graph_maint_recall",
+      // q210: the 6-row config sweep × 1-row n_true cross (q104's
+      // pattern — constant-key join folds to BNLJ; both sides are
+      // aggregates of the memoized candidate/truth frames)
+      "q210_lsh_operating_curve")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -618,7 +622,12 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q189_graph_recall_budget",
       // q194: four 1-row per-hop visit counts over the memoized
       // query-batch-sized candidate ledgers (q189's pattern ×4)
-      "q194_graph_hop_curve")
+      "q194_graph_hop_curve",
+      // q210: the six per-config 1-row candidate/detected reduces +
+      // the 1-row truth count (q104's corpus-total pattern; the
+      // corpus-sized work — band joins, shingle inverted index —
+      // is keyed equi-joins inside the memoized build)
+      "q210_lsh_operating_curve")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
