@@ -489,6 +489,115 @@ object SimSearch extends QueryModule {
        |ORDER BY drop_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q211 — SEMANTIC CONTAMINATION audit: the embedding-level
+  // complement of q58 (exact fingerprint) and q139 (near-dup) —
+  // which held-out/benchmark vectors (vec_id % 11 == 0, the q58
+  // device on the embedding table) have a TRAIN-split neighbor at
+  // cosine ≥ τ, i.e. the eval example leaks into training up to
+  // paraphrase. One row per EVAL vector (clean ones included — the
+  // audit must show its denominator): hit count, top train partner
+  // (max cosine, tie → smaller id), max cosine, verdict.
+  //
+  // Scale: q91's SemDeDup discipline verbatim — both splits assigned
+  // to coarse cells, the eval×train comparison is a within-cell
+  // equi-join (O(n·|eval|/k), never all-pairs), and at corpus scale
+  // k grows with n (Ivf.train) to bound per-cell fan-out. Exactness:
+  // integer-component dots/norms are exact in float64, so the τ cut,
+  // the argmax, and the tie-break are engine-stable (q91's rationale).
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    // Scored eval×train pairs are memoized: a decontamination audit
+    // runs once per release over a frozen eval set, so the cell
+    // assignment + within-cell join live in the build phase.
+    val hits = graft.CachedPlans.of(s, dir, "sem_contam_hits") {
+      val corpus = quantized(s, dir)
+        .select(col("vec_id"),
+          expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"), col("n2"))
+      val assigned = graft.operators.Ivf.assign(corpus,
+        fixedCentroids(s, dir), "embedding")
+      val ev = assigned.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("eval_id"), col("cell"),
+          col("embedding").as("ve"), col("n2").as("ne"))
+      val tr = assigned.filter(col("vec_id") % 11 =!= 0)
+        .select(col("vec_id").as("train_id"), col("cell").as("cell_t"),
+          col("embedding").as("vt"), col("n2").as("nt"))
+      ev.join(tr, col("cell") === col("cell_t"))
+        .withColumn("cosine", expr(
+          "vec_dot_d(ve, vt) / (sqrt(CAST(ne AS DOUBLE)) * sqrt(CAST(nt AS DOUBLE)))"))
+        .filter(col("cosine") >= semTau)
+        .select("eval_id", "train_id", "cosine")
+    }
+    val ev = quantized(s, dir).filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("eval_id"))
+    val w = Window.partitionBy("eval_id").orderBy(desc("cosine"), col("train_id"))
+    val top = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("train_id").as("top_train"),
+        col("cosine").as("max_cos"))
+    val counts = hits.groupBy("eval_id").agg(count(lit(1)).as("n_hits"))
+    ev.join(counts, Seq("eval_id"), "left")
+      .join(top, Seq("eval_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("verdict", expr(
+        "CASE WHEN n_hits > 0 THEN 'contaminated' ELSE 'clean' END"))
+      .select("eval_id", "n_hits", "top_train", "max_cos", "verdict")
+      .orderBy("eval_id")
+  }
+
+  private val q211Sql =
+    s"""$duckPrelude,
+       |cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, vec_id
+       |  FROM q WHERE vec_id IN (${centIds.mkString(", ")})),
+       |cex AS (
+       |  SELECT c.cid, e.i, e.v FROM cent c JOIN ex e ON e.vec_id = c.vec_id),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |    SUM(CAST((e.v - c.v) AS DOUBLE) * CAST((e.v - c.v) AS DOUBLE)) AS d
+       |  FROM ex e JOIN cex c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |dots AS (
+       |  SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+       |    CAST(SUM(ea.v * eb.v) AS BIGINT) AS dot
+       |  FROM assigned a
+       |  JOIN assigned b ON b.cell = a.cell
+       |    AND a.vec_id % 11 = 0 AND b.vec_id % 11 <> 0
+       |  JOIN ex ea ON ea.vec_id = a.vec_id
+       |  JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT eval_id, train_id,
+       |    CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |  FROM dots
+       |  JOIN n na ON na.vec_id = eval_id
+       |  JOIN n nb ON nb.vec_id = train_id
+       |  WHERE CAST(dot AS DOUBLE) /
+       |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |      >= $semTau),
+       |top AS (
+       |  SELECT eval_id, train_id AS top_train, cosine AS max_cos FROM (
+       |    SELECT eval_id, train_id, cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY eval_id
+       |        ORDER BY cosine DESC, train_id) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |cnt AS (SELECT eval_id, COUNT(*) AS n_hits FROM sc GROUP BY 1)
+       |SELECT e.vec_id AS eval_id,
+       |  CAST(COALESCE(cnt.n_hits, 0) AS BIGINT) AS n_hits,
+       |  top.top_train, top.max_cos,
+       |  CASE WHEN COALESCE(cnt.n_hits, 0) > 0 THEN 'contaminated'
+       |    ELSE 'clean' END AS verdict
+       |FROM (SELECT vec_id FROM q WHERE vec_id % 11 = 0) e
+       |LEFT JOIN cnt ON cnt.eval_id = e.vec_id
+       |LEFT JOIN top ON top.eval_id = e.vec_id
+       |ORDER BY eval_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q94 — the k-means TRAIN loop under the oracle gate
   // (Ivf.trainLattice): 2 full Lloyd iterations — deterministic
   // first-k init, distributed nearest-centroid assignment (first-min
@@ -3402,6 +3511,7 @@ object SimSearch extends QueryModule {
     "q63_srp_sketch" -> (q63 _),
     "q90_pq_adc_search" -> (q90 _),
     "q91_semantic_dedup" -> (q91 _),
+    "q211_semantic_contamination" -> (q211 _),
     "q94_kmeans_train" -> (q94 _),
     "q162_pq_train" -> (q162 _),
     "q164_trained_ivfpq" -> (q164 _),
@@ -3440,6 +3550,7 @@ object SimSearch extends QueryModule {
     "q63_srp_sketch" -> q63Sql,
     "q90_pq_adc_search" -> q90Sql,
     "q91_semantic_dedup" -> q91Sql,
+    "q211_semantic_contamination" -> q211Sql,
     "q94_kmeans_train" -> q94Sql,
     "q162_pq_train" -> q162Sql,
     "q164_trained_ivfpq" -> q164Sql,

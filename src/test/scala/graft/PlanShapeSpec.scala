@@ -627,7 +627,14 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // the 1-row truth count (q104's corpus-total pattern; the
       // corpus-sized work — band joins, shingle inverted index —
       // is keyed equi-joins inside the memoized build)
-      "q210_lsh_operating_curve")
+      "q210_lsh_operating_curve",
+      // q211: Spark's OWN InjectRuntimeFilter rewrite — the optimizer
+      // builds a bloom filter of eval ids (bloom_filter_agg: a
+      // 1-buffer-row reduce, inherently SinglePartition) to prune the
+      // scored-pairs scan before the join. An optimizer-injected
+      // pushdown we want, not a data funnel; the audit joins
+      // themselves are eval_id hash joins.
+      "q211_semantic_contamination")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
       val p = formatted(n)
       val bad = Seq(
