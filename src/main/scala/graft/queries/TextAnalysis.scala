@@ -1017,6 +1017,92 @@ object TextAnalysis extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q212 — PII REDACTION transform (the scrub q138 only ACCOUNTS
+  // for): the per-doc redacted TEXT itself, hash-gated. Policy is
+  // precision-aware where q138's ledger used a blanket digit-run
+  // replace: emails/phones/IPs always redact, card candidates
+  // redact ONLY when the Luhn checksum validates — invalid digit
+  // runs stay in place (they're not PII; destroying them is recall
+  // damage to the corpus). The conditional replace is a fold over
+  // the Luhn-valid match list (Spark `aggregate` HOF / DuckDB
+  // list_reduce over a list_prepend'ed base — same left fold), so
+  // multiple cards per doc redact too, not just the injected one.
+  // Residual audit is honest: remaining email/phone/IP/valid-card
+  // matches in the REDACTED text (must be 0 — gated by the hash),
+  // while kept digit runs are reported as kept_digit_runs. Per-row
+  // map-only transform; one scan at any scale.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val luhn =
+      """aggregate(zip_with(
+        |    transform(reverse(split(m, '')), x -> CAST(x AS INT)),
+        |    sequence(0, length(m) - 1),
+        |    (d, i) -> CASE WHEN i % 2 = 0 THEN d
+        |      WHEN 2 * d > 9 THEN 2 * d - 9 ELSE 2 * d END),
+        |  0, (a, x) -> a + x) % 10 = 0""".stripMargin
+    T.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(piiRawExpr("STRING")).as("raw"))
+      .withColumn("valid_cards",
+        expr(s"filter(regexp_extract_all(raw, '$piiCc', 0), m -> $luhn)"))
+      .withColumn("base", expr(
+        s"""regexp_replace(regexp_replace(regexp_replace(
+           |  raw, '$piiEmail', '[EMAIL]'), '$piiIp', '[IP]'),
+           |  '$piiPhone', '[PHONE]')""".stripMargin))
+      .withColumn("redacted", expr(
+        "aggregate(valid_cards, base, (acc, m) -> replace(acc, m, '[CARD]'))"))
+      .withColumn("n_residual", expr(
+        s"""CAST(size(regexp_extract_all(redacted, '$piiEmail', 0))
+           | + size(regexp_extract_all(redacted, '$piiPhone', 0))
+           | + size(regexp_extract_all(redacted, '$piiIp', 0))
+           | + size(filter(regexp_extract_all(redacted, '$piiCc', 0),
+           |     m -> $luhn)) AS BIGINT)""".stripMargin))
+      .withColumn("kept_digit_runs", expr(
+        s"CAST(size(regexp_extract_all(redacted, '$piiCc', 0)) AS BIGINT)"))
+      .select(col("doc_id"), col("source"),
+        expr("md5(redacted)").as("red_fp"),
+        expr("CAST(length(raw) - length(redacted) AS BIGINT)")
+          .as("chars_removed"),
+        col("n_residual"), col("kept_digit_runs"))
+      .orderBy("doc_id")
+  }
+
+  private val q212Sql = {
+    val luhnD =
+      """list_sum(list_transform(range(1, length(m) + 1), i ->
+        |  CASE WHEN (i - 1) % 2 = 0
+        |    THEN CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT)
+        |    WHEN 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT) > 9
+        |    THEN 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT) - 9
+        |    ELSE 2 * CAST(substr(reverse(m), CAST(i AS INTEGER), 1) AS INT)
+        |  END)) % 10 = 0""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT doc_id, source, ${piiRawExpr("VARCHAR")} AS raw
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, source, raw,
+       |    list_reduce(
+       |      list_prepend(
+       |        regexp_replace(regexp_replace(regexp_replace(
+       |          raw, '$piiEmailD', '[EMAIL]', 'g'), '$piiIpD', '[IP]', 'g'),
+       |          '$piiPhoneD', '[PHONE]', 'g'),
+       |        list_filter(regexp_extract_all(raw, '$piiCcD'),
+       |          m -> $luhnD)),
+       |      (acc, m) -> replace(acc, m, '[CARD]')) AS redacted
+       |  FROM raw)
+       |SELECT doc_id, source, md5(redacted) AS red_fp,
+       |  CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed,
+       |  CAST(len(regexp_extract_all(redacted, '$piiEmailD'))
+       |    + len(regexp_extract_all(redacted, '$piiPhoneD'))
+       |    + len(regexp_extract_all(redacted, '$piiIpD'))
+       |    + len(list_filter(regexp_extract_all(redacted, '$piiCcD'),
+       |        m -> $luhnD)) AS BIGINT) AS n_residual,
+       |  CAST(len(regexp_extract_all(redacted, '$piiCcD')) AS BIGINT)
+       |    AS kept_digit_runs
+       |FROM red
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q140 — REPETITION quality filter (the Gopher-rules family): per
   // document, the most-frequent-bigram mass and the duplicate-trigram
   // mass, folded into a keep/drop decision (drop when the top bigram
@@ -2530,6 +2616,7 @@ object TextAnalysis extends QueryModule {
     "q145_heavy_hitters" -> (q145 _),
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
+    "q212_pii_redact" -> (q212 _),
     "q140_repetition_filter" -> (q140 _),
     "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
@@ -2566,6 +2653,7 @@ object TextAnalysis extends QueryModule {
     "q145_heavy_hitters" -> q145Sql,
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,
+    "q212_pii_redact" -> q212Sql,
     "q140_repetition_filter" -> q140Sql,
     "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,
