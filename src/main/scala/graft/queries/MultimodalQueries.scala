@@ -286,7 +286,13 @@ object MultimodalQueries extends QueryModule {
   // report is exactly the 56 injected noisy pairs out of 247 band
   // candidates. Scale: candidate generation is the banded equi-join
   // over the hash table — never all-pairs (the LSH discipline).
-  private def q181(s: SparkSession, dir: String): DataFrame = {
+  /** The banded dhash INDEX over the q180/q181 image corpus (base
+    * renders + every-9th noisy variant) — built once per (session,
+    * dir); the serve-side image index shared by q181 (pair near-dup)
+    * and q213 (top-k retrieval). The LSH signature-index discipline:
+    * 64-bit hash split into four 16-bit bands, one row per band key.
+    */
+  private def dhashBandIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.ImgFunctions.register(s)
     val (w, h) = (18, 8)
@@ -300,9 +306,7 @@ object MultimodalQueries extends QueryModule {
             (px(i) + (if ((i * 7 + id) % 13 == 0) 1 else 0)).toByte)))
         else Seq(base)
       }.toDF("doc_id", "variant", "img")
-    // the banded hash table is the INDEX — built once per (session,
-    // dir), self-joined per pass (the LSH signature-index discipline)
-    val banded = graft.CachedPlans.of(s, dir, "img_dhash_bands") {
+    graft.CachedPlans.of(s, dir, "img_dhash_bands") {
       imgs
         .selectExpr("doc_id", "variant", s"img_dhash(img, $w, $h) AS dh")
         .selectExpr("doc_id", "variant", "dh[0] AS dh0", "dh[1] AS dh1")
@@ -315,6 +319,10 @@ object MultimodalQueries extends QueryModule {
         .select(col("doc_id"), col("variant"), col("dh0"), col("dh1"),
           col("bk.band").as("band"), col("bk.key").as("key"))
     }
+  }
+
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val banded = dhashBandIndex(s, dir)
     val a = banded.select(col("doc_id").as("id_a"),
       col("variant").as("var_a"), col("dh0").as("a0"),
       col("dh1").as("a1"), col("band"), col("key"))
@@ -332,8 +340,10 @@ object MultimodalQueries extends QueryModule {
       .orderBy("id_a", "var_a", "id_b", "var_b")
   }
 
-  private val q181Sql =
-    """WITH ids AS (SELECT doc_id FROM documents),
+  /** Shared DuckDB prefix: the q180/q181 image corpus recomputed
+    * pixels → block sums → bits → 64-bit dhash → 16-bit bands. */
+  private val duckImgBands =
+    """ids AS (SELECT doc_id FROM documents),
       |vr AS (
       |  SELECT doc_id, 0 AS variant FROM ids
       |  UNION ALL
@@ -377,7 +387,10 @@ object MultimodalQueries extends QueryModule {
       |  UNION ALL
       |  SELECT doc_id, variant, dh0, dh1, 2, dh1 % 65536 FROM hh
       |  UNION ALL
-      |  SELECT doc_id, variant, dh0, dh1, 3, dh1 // 65536 FROM hh),
+      |  SELECT doc_id, variant, dh0, dh1, 3, dh1 // 65536 FROM hh)""".stripMargin
+
+  private val q181Sql =
+    s"""WITH $duckImgBands,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, a.variant AS var_a,
       |    b2.doc_id AS id_b, b2.variant AS var_b,
@@ -392,6 +405,111 @@ object MultimodalQueries extends QueryModule {
       |FROM cand
       |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= 6
       |ORDER BY id_a, var_a, id_b, var_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q213 — IMAGE RETRIEVAL serve: top-k Hamming search over the
+  // banded dhash index — the query-side op q181's pair near-dup
+  // implies (reverse image search / "have we crawled this picture").
+  // Query set = noisy re-renders of every 50th doc (a sparse +1
+  // perturbation DIFFERENT from q181's variant noise, so queries are
+  // NOT index rows); candidates come from the 16-bit-band equi-join
+  // (the IVF-probe discipline on Hamming space — never a full index
+  // scan), exact bit_count(xor) re-ranks, top-3 per query by
+  // (hamming, doc_id, variant). The oracle recomputes query pixels →
+  // hash → bands → candidates → rank, so a match certifies the whole
+  // serve path. Scale: the index is the memoized band table (at
+  // 100 TB: a persisted table bucketed by (band, key)); per query
+  // the probe touches only its 4 band buckets.
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.ImgFunctions.register(s)
+    val (w, h) = (18, 8)
+    val idx = dhashBandIndex(s, dir)
+    val qBanded = graft.CachedPlans.of(s, dir, "img_query_bands") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .filter((id: Long) => id % 50 == 0)
+        .map { id =>
+          def px(i: Int): Int =
+            (((id + 1) * (i.toLong * i * i + 3 * i + 7)) % 1000003 % 200).toInt
+          (id, Array.tabulate(w * h)(i =>
+            (px(i) + (if ((i * 9 + id) % 29 == 0) 1 else 0)).toByte))
+        }.toDF("q_id", "img")
+        .selectExpr("q_id", s"img_dhash(img, $w, $h) AS dh")
+        .selectExpr("q_id", "dh[0] AS q0", "dh[1] AS q1")
+        .select(col("q_id"), col("q0"), col("q1"),
+          explode(expr("array(" +
+            "struct(0 AS band, q0 % 65536 AS key), " +
+            "struct(1 AS band, q0 DIV 65536 AS key), " +
+            "struct(2 AS band, q1 % 65536 AS key), " +
+            "struct(3 AS band, q1 DIV 65536 AS key))")).as("bk"))
+        .select(col("q_id"), col("q0"), col("q1"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("doc_id"), col("variant"))
+    qBanded.join(idx, Seq("band", "key"))
+      .select("q_id", "doc_id", "variant", "q0", "q1", "dh0", "dh1")
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(q0 ^ dh0) + bit_count(q1 ^ dh1) AS BIGINT)"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("variant"),
+        col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val q213Sql =
+    s"""WITH $duckImgBands,
+      |qs AS (SELECT doc_id AS q_id FROM documents WHERE doc_id % 50 = 0),
+      |qp AS (
+      |  SELECT q_id, y, x,
+      |    ((q_id + 1) * ((y * 18 + x) * (y * 18 + x) * (y * 18 + x)
+      |      + 3 * (y * 18 + x) + 7)) % 1000003 % 200
+      |    + CASE WHEN ((y * 18 + x) * 9 + q_id) % 29 = 0
+      |      THEN 1 ELSE 0 END AS v
+      |  FROM qs
+      |  CROSS JOIN generate_series(0, 7) AS ty(y)
+      |  CROSS JOIN generate_series(0, 17) AS tx(x)),
+      |qb AS (
+      |  SELECT q_id, y AS r, x // 2 AS c, CAST(SUM(v) AS BIGINT) AS sm
+      |  FROM qp GROUP BY 1, 2, 3),
+      |qbits AS (
+      |  SELECT l.q_id, l.r, l.c
+      |  FROM qb l JOIN qb rt ON rt.q_id = l.q_id
+      |    AND rt.r = l.r AND rt.c = l.c + 1
+      |  WHERE l.sm > rt.sm),
+      |qhh AS (
+      |  SELECT qs.q_id,
+      |    CAST(COALESCE(SUM(CASE WHEN r < 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS q0,
+      |    CAST(COALESCE(SUM(CASE WHEN r >= 4 THEN
+      |      (CAST(1 AS BIGINT) << ((r % 4) * 8 + c)) ELSE 0 END), 0)
+      |      AS BIGINT) AS q1
+      |  FROM qs LEFT JOIN qbits ON qbits.q_id = qs.q_id
+      |  GROUP BY 1),
+      |qbands AS (
+      |  SELECT q_id, q0, q1, 0 AS band, q0 % 65536 AS key FROM qhh
+      |  UNION ALL SELECT q_id, q0, q1, 1, q0 // 65536 FROM qhh
+      |  UNION ALL SELECT q_id, q0, q1, 2, q1 % 65536 FROM qhh
+      |  UNION ALL SELECT q_id, q0, q1, 3, q1 // 65536 FROM qhh),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, i.doc_id, i.variant,
+      |    q.q0, q.q1, i.dh0, i.dh1
+      |  FROM qbands q JOIN bands i ON i.band = q.band AND i.key = q.key),
+      |scored AS (
+      |  SELECT q_id, doc_id, variant,
+      |    CAST(bit_count(xor(q0, dh0)) + bit_count(xor(q1, dh1)) AS BIGINT)
+      |      AS hamming
+      |  FROM cand)
+      |SELECT q_id, rank, doc_id, variant, hamming FROM (
+      |  SELECT q_id, doc_id, variant, hamming,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY hamming, doc_id, variant) AS INTEGER) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
   // q182 — acoustic fingerprint dedup: the audio leg of the
@@ -1350,6 +1468,7 @@ object MultimodalQueries extends QueryModule {
       "q147_video_motion" -> (q147 _),
       "q180_image_phash_dedup" -> (q180 _),
       "q181_image_near_dup" -> (q181 _),
+      "q213_image_search" -> (q213 _),
       "q182_audio_fingerprint" -> (q182 _),
       "q186_jpeg_image_dedup" -> (q186 _),
       "q187_jpeg_near_dup" -> (q187 _),
@@ -1368,6 +1487,7 @@ object MultimodalQueries extends QueryModule {
       "q147_video_motion" -> q147Sql,
       "q180_image_phash_dedup" -> q180Sql,
       "q181_image_near_dup" -> q181Sql,
+      "q213_image_search" -> q213Sql,
       "q182_audio_fingerprint" -> q182Sql,
       "q186_jpeg_image_dedup" -> q186Sql,
       "q187_jpeg_near_dup" -> q187Sql,
