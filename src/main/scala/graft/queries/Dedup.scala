@@ -1872,6 +1872,143 @@ object Dedup extends QueryModule {
   }
 
   // ---------------------------------------------------------------
+  // q214 — HYPERLOGLOG registers over the shingle index, oracle-
+  // gated: the Flajolet et al. register scheme (functions/
+  // Sketches.HLL is the production FNV-hash Aggregator,
+  // SketchesSpec-verified) recomputed over a cross-engine hash so
+  // the SKETCH ITSELF is hash-gated, not just an estimate. The use
+  // case is real: sizing the shingle/dedup index ("how many distinct
+  // shingles does this corpus have") is the question a 100 TB run
+  // sketches instead of paying COUNT(DISTINCT)'s every-key shuffle.
+  // Per shingle hash the first 2 md5 hex chars pick the register
+  // (p=8, m=256), the next 13 are a 52-bit field whose leading-zero
+  // rank (via BINARY-STRING length — conv/bin — no float log2)
+  // max-folds into the register. Registers are built PER LANG and
+  // the global row is their element-wise MAX — the HLL merge
+  // demonstrated as the aggregation it is. Register parity is
+  // certified by an md5 over the idx-ordered register string. The
+  // harmonic estimate stays exact until the last operation:
+  // Σ 2^-reg is the INTEGER Σ 2^(64-reg) (≤ 2^72 — DECIMAL(38,0) /
+  // HUGEINT exact) and the estimate is ONE double division of the
+  // driver-injected α·m²·2^64 literal by it. The small-range
+  // linear-counting branch needs ln() (not bit-stable cross-engine),
+  // so rows that would take it emit NULL honestly; shingle
+  // cardinalities here keep every row in the raw branch.
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "hll_report") {
+      // The whole report is memoized: it's a per-corpus statistic
+      // (and the exact COUNT(DISTINCT) comparator alongside is the
+      // every-key shuffle the sketch exists to avoid paying twice).
+      q214Build(s, dir)
+    }.orderBy("lang")
+
+  private def q214Build(s: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val L = alpha * m * m * math.pow(2.0, 64) // exact 2^64 scaling
+    val sh = shingled(s, dir)
+      .join(TextAnalysis.tokenized(s, dir).select("doc_id", "lang"), "doc_id")
+    val ranked = sh.select(col("lang"),
+      col("hs"),
+      expr("CAST(conv(substring(md5(CAST(hs AS STRING)), 1, 2), 16, 10) " +
+        "AS INT)").as("idx"),
+      expr("CAST(conv(substring(md5(CAST(hs AS STRING)), 3, 13), 16, 10) " +
+        "AS BIGINT)").as("rest"))
+      .withColumn("rank", expr(
+        "CASE WHEN rest = 0 THEN 53 " +
+          "ELSE 53 - length(conv(CAST(rest AS STRING), 10, 2)) END"))
+    val perLangRegs = ranked.groupBy("lang", "idx").agg(max("rank").as("reg"))
+    val globalRegs = perLangRegs.groupBy("idx")
+      .agg(max("reg").as("reg")).withColumn("lang", lit("*"))
+    import s.implicits._
+    val scaffold = sh.select("lang").distinct()
+      .unionByName(Seq("*").toDF("lang"))
+      .select(col("lang"), explode(expr("sequence(0, 255)")).as("idx"))
+    val allRegs = perLangRegs.unionByName(globalRegs.select("lang", "idx", "reg"))
+    val perKey = scaffold.join(allRegs, Seq("lang", "idx"), "left")
+      .withColumn("reg", coalesce(col("reg"), lit(0)))
+      .groupBy("lang")
+      .agg(expr("md5(array_join(transform(sort_array(collect_list(" +
+        "struct(idx, reg))), x -> CAST(x.reg AS STRING)), ','))")
+        .as("register_fp"),
+        sum(expr("CASE WHEN reg = 0 THEN 1 ELSE 0 END"))
+          .cast("long").as("n_zero"),
+        sum(expr("CAST(power(2, 64 - reg) AS DECIMAL(38,0))")).as("num"))
+    val exact = sh.select(col("lang"), col("hs"))
+      .unionByName(sh.select(lit("*").as("lang"), col("hs")))
+      .groupBy("lang").agg(countDistinct("hs").as("n_exact"))
+    perKey.join(exact, "lang")
+      .withColumn("estimate", expr(
+        s"CASE WHEN $L / CAST(num AS DOUBLE) <= ${2.5 * m} AND n_zero > 0 " +
+          s"THEN CAST(NULL AS DOUBLE) ELSE $L / CAST(num AS DOUBLE) END"))
+      .withColumn("rel_err", expr(
+        "CASE WHEN estimate IS NULL THEN CAST(NULL AS DOUBLE) " +
+          "ELSE (estimate - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) END"))
+      .select("lang", "n_exact", "register_fp", "n_zero", "estimate",
+        "rel_err")
+  }
+
+  private val q214Sql = {
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val L = alpha * m * m * math.pow(2.0, 64)
+    s"""WITH $duckShingles,
+       |shl AS (
+       |  SELECT d.lang, ${h32D("sh.sh")} AS hs
+       |  FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+       |ranked AS (
+       |  SELECT lang,
+       |    CAST(('0x' || substring(md5(CAST(hs AS VARCHAR)), 1, 2))::BIGINT
+       |      AS INTEGER) AS idx,
+       |    CASE WHEN ('0x' || substring(md5(CAST(hs AS VARCHAR)), 3, 13))
+       |        ::BIGINT = 0 THEN 53
+       |      ELSE 53 - length(bin(('0x'
+       |        || substring(md5(CAST(hs AS VARCHAR)), 3, 13))::BIGINT))
+       |    END AS rank
+       |  FROM shl),
+       |lregs AS (SELECT lang, idx, MAX(rank) AS reg
+       |  FROM ranked GROUP BY 1, 2),
+       |aregs AS (
+       |  SELECT lang, idx, reg FROM lregs
+       |  UNION ALL
+       |  SELECT '*', idx, MAX(reg) FROM lregs GROUP BY idx),
+       |scaffold AS (
+       |  SELECT lang, gs.i AS idx FROM (
+       |    SELECT DISTINCT lang FROM shl
+       |    UNION ALL SELECT '*')
+       |  CROSS JOIN generate_series(0, 255) gs(i)),
+       |fullr AS (
+       |  SELECT s.lang, s.idx, COALESCE(aregs.reg, 0) AS reg
+       |  FROM scaffold s LEFT JOIN aregs USING (lang, idx)),
+       |per AS (
+       |  SELECT lang,
+       |    md5(STRING_AGG(CAST(reg AS VARCHAR), ',' ORDER BY idx))
+       |      AS register_fp,
+       |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero,
+       |    SUM(CAST(pow(2, 64 - reg) AS HUGEINT)) AS num
+       |  FROM fullr GROUP BY 1),
+       |ex AS (
+       |  SELECT lang, COUNT(DISTINCT hs) AS n_exact FROM (
+       |    SELECT lang, hs FROM shl
+       |    UNION ALL SELECT '*', hs FROM shl)
+       |  GROUP BY 1),
+       |est AS (
+       |  SELECT per.lang, ex.n_exact, per.register_fp, per.n_zero,
+       |    CASE WHEN $L / CAST(per.num AS DOUBLE) <= ${2.5 * m}
+       |        AND per.n_zero > 0
+       |      THEN CAST(NULL AS DOUBLE)
+       |      ELSE $L / CAST(per.num AS DOUBLE) END AS estimate
+       |  FROM per JOIN ex USING (lang))
+       |SELECT lang, n_exact, register_fp, n_zero, estimate,
+       |  CASE WHEN estimate IS NULL THEN CAST(NULL AS DOUBLE)
+       |    ELSE (estimate - CAST(n_exact AS DOUBLE))
+       |      / CAST(n_exact AS DOUBLE) END AS rel_err
+       |FROM est
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q144 — CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync device
   // on token streams): split every document into variable-length
   // chunks whose boundaries are decided by the CONTENT (a rolling
@@ -2164,7 +2301,8 @@ object Dedup extends QueryModule {
     "q199_substring_cut" -> (q199 _),
     "q207_substring_attribution" -> (q207 _),
     "q209_crossmodal_dedup" -> (q209 _),
-    "q210_lsh_operating_curve" -> (q210 _))
+    "q210_lsh_operating_curve" -> (q210 _),
+    "q214_hll_registers" -> (q214 _))
 
   override val oracle: Map[String, String] = Map(
     "q166_split_leakage" -> q166Sql,
@@ -2198,5 +2336,6 @@ object Dedup extends QueryModule {
     "q199_substring_cut" -> q199Sql,
     "q207_substring_attribution" -> q207Sql,
     "q209_crossmodal_dedup" -> q209Sql,
-    "q210_lsh_operating_curve" -> q210Sql)
+    "q210_lsh_operating_curve" -> q210Sql,
+    "q214_hll_registers" -> q214Sql)
 }
