@@ -1259,6 +1259,91 @@ object TextAnalysis extends QueryModule {
        |ORDER BY cnt DESC, t""".stripMargin
 
   // ---------------------------------------------------------------
+  // q215 — COUNT-MIN SKETCH counters, oracle-gated (the q214 HLL
+  // recipe on the frequency sketch; functions/Sketches.CMS is the
+  // production Aggregator, SketchesSpec-verified): a d=4 × w=16
+  // counter matrix over the token stream with md5-derived buckets
+  // (row-salted: first hex char of md5(token||'#'||row)), so the
+  // MATRIX is hash-gated cell for cell — counter sums are plain
+  // keyed aggregations, order-invariant by construction (unlike the
+  // HLL max-fold there is nothing to even argue). w=16 is chosen so
+  // 31 distinct tokens MUST collide: the report shows real
+  // overestimates, and the CMS guarantee est ≥ exact (never under)
+  // is visible in the gated overest column. The update path
+  // pre-aggregates per token BEFORE the ×4 row fan-out (map-side
+  // combine: 4 counter increments per DISTINCT token, not per
+  // instance — the 100 TB shape); the estimate is min over the 4
+  // row-counters at the token's buckets.
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "cms_report") {
+      // per-corpus sketch artifact — the q214 memo discipline
+      q215Build(s, dir)
+    }.orderBy("t")
+
+  private def q215Build(s: SparkSession, dir: String): DataFrame = {
+    // token counts roll up from the shared memoized tf table
+    // (q54/q56's lineage) — no fresh token explode
+    val cnts = tfCounts(s, dir)
+      .groupBy("t").agg(sum("f").cast("long").as("c"))
+    val bucketed = cnts
+      .select(col("t"), col("c"), explode(expr("sequence(0, 3)")).as("r"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(md5(concat(t, '#', CAST(r AS STRING))), 1, 1)," +
+          " 16, 10) AS INT)"))
+    val counters = bucketed.groupBy("r", "bucket")
+      .agg(sum("c").cast("long").as("cnt"))
+    val scaffold = tokenized(s, dir).sparkSession.range(4)
+      .select(col("id").cast("int").as("r"))
+      .select(col("r"), explode(expr("sequence(0, 15)")).as("bucket"))
+    val matrix = scaffold.join(counters, Seq("r", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val fp = matrix
+      .agg(expr("md5(array_join(transform(sort_array(collect_list(" +
+        "struct(r, bucket, cnt))), x -> CAST(x.cnt AS STRING)), ','))")
+        .as("matrix_fp"))
+      .withColumn("k", lit(1))
+    val est = bucketed
+      .join(counters, Seq("r", "bucket"))
+      .groupBy("t").agg(min("cnt").as("cms_est"))
+    cnts.join(est, "t")
+      .withColumn("k", lit(1)).join(fp, "k")
+      .select(col("t"), col("c").as("exact_cnt"), col("cms_est"),
+        expr("cms_est - c").as("overest"), col("matrix_fp"))
+  }
+
+  private val q215Sql =
+    s"""WITH cnts AS (
+       |  SELECT t, COUNT(*) AS c FROM (
+       |    SELECT unnest($toksD) AS t FROM documents)
+       |  GROUP BY t),
+       |bucketed AS (
+       |  SELECT t, c, gs.r,
+       |    CAST(('0x' || substring(md5(t || '#' || CAST(gs.r AS VARCHAR)),
+       |      1, 1))::BIGINT AS INTEGER) AS bucket
+       |  FROM cnts CROSS JOIN generate_series(0, 3) gs(r)),
+       |counters AS (
+       |  SELECT r, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM bucketed GROUP BY 1, 2),
+       |scaffold AS (
+       |  SELECT CAST(gr.r AS INTEGER) AS r, CAST(gb.b AS INTEGER) AS bucket
+       |  FROM generate_series(0, 3) gr(r)
+       |  CROSS JOIN generate_series(0, 15) gb(b)),
+       |matrix AS (
+       |  SELECT s.r, s.bucket, COALESCE(counters.cnt, 0) AS cnt
+       |  FROM scaffold s LEFT JOIN counters USING (r, bucket)),
+       |fp AS (
+       |  SELECT md5(STRING_AGG(CAST(cnt AS VARCHAR), ','
+       |    ORDER BY r, bucket)) AS matrix_fp FROM matrix),
+       |est AS (
+       |  SELECT b.t, MIN(counters.cnt) AS cms_est
+       |  FROM bucketed b JOIN counters USING (r, bucket)
+       |  GROUP BY 1)
+       |SELECT cnts.t, cnts.c AS exact_cnt, est.cms_est,
+       |  est.cms_est - cnts.c AS overest, fp.matrix_fp
+       |FROM cnts JOIN est USING (t) CROSS JOIN fp
+       |ORDER BY cnts.t""".stripMargin
+
+  // ---------------------------------------------------------------
   // q158 — TRAINED quality-classifier filter (the fastText-style
   // "does this look like reference text" model every production
   // corpus pipeline runs): logistic-family regression trained by
@@ -2617,6 +2702,7 @@ object TextAnalysis extends QueryModule {
     "q148_bpe_fertility" -> (q148 _),
     "q138_pii_report" -> (q138 _),
     "q212_pii_redact" -> (q212 _),
+    "q215_cms_counters" -> (q215 _),
     "q140_repetition_filter" -> (q140 _),
     "q128_bpe_serve" -> (q128 _),
     "q127_bpe_pack" -> (q127 _),
@@ -2654,6 +2740,7 @@ object TextAnalysis extends QueryModule {
     "q148_bpe_fertility" -> q148Sql,
     "q138_pii_report" -> q138Sql,
     "q212_pii_redact" -> q212Sql,
+    "q215_cms_counters" -> q215Sql,
     "q140_repetition_filter" -> q140Sql,
     "q128_bpe_serve" -> q128Sql,
     "q127_bpe_pack" -> q127Sql,

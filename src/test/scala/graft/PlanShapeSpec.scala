@@ -537,7 +537,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // q210: the 6-row config sweep × 1-row n_true cross (q104's
       // pattern — constant-key join folds to BNLJ; both sides are
       // aggregates of the memoized candidate/truth frames)
-      "q210_lsh_operating_curve")
+      "q210_lsh_operating_curve",
+      // q215: the 31-token report × 1-row matrix-fingerprint cross
+      // (q210's constant-key fold; both sides model-sized)
+      "q215_cms_counters")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
     //   q48  global shard pack (documented oracle-only form; q52 is
@@ -628,6 +631,10 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       // corpus-sized work — band joins, shingle inverted index —
       // is keyed equi-joins inside the memoized build)
       "q210_lsh_operating_curve",
+      // q215: the 1-row matrix-fingerprint reduce over the 64-cell
+      // counter matrix + its k=1 broadcast back onto the 31-token
+      // report (q104's corpus-total pattern — every side model-sized)
+      "q215_cms_counters",
       // q211: Spark's OWN InjectRuntimeFilter rewrite — the optimizer
       // builds a bloom filter of eval ids (bloom_filter_agg: a
       // 1-buffer-row reduce, inherently SinglePartition) to prune the
