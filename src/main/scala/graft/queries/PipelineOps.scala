@@ -1459,6 +1459,93 @@ object PipelineOps extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q216 — SITEMAP-SEEDED FRONTIER (operators/Sitemap.scala): the
+  // crawl-seed complement of q183 (robots: what may NOT be fetched)
+  // and q192 (schedule) — the sitemap says what the site WANTS
+  // fetched, with freshness and importance hints. One sitemap.xml
+  // per host is GENERATED deterministically from `documents` (every
+  // 4th entry omits <lastmod>, every 5th omits <priority> —
+  // exercising the protocol's optional-field semantics), parsed
+  // back through the per-record split + xpath kernel, admission-
+  // filtered (lastmod ≥ 2026-02-15 AND priority ≥ 0.3, absent
+  // priority defaulting to 0.5 per protocol), and anti-joined
+  // against the already-crawled store on the url_normalize key
+  // (the store spells its URLs with an uppercased host — the gate
+  // breaks if normalization stops collapsing case). The oracle
+  // REGENERATES the expected ledger from doc_id arithmetic alone —
+  // nothing shared with the XML path — so the hash certifies
+  // generate → parse → default → filter → dedup end to end (the
+  // q183/q190 recipe). At scale: the protocol caps one file at
+  // 50k URLs / 50 MB (why <sitemapindex> exists — Sitemap.indexLocs
+  // is the first fan-out level); per-host files here stay within
+  // the cap by construction, and everything after the parse is
+  // keyed equi-joins + one host rollup.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UrlFunctions.register(s)
+    val xml = graft.CachedPlans.of(s, dir, "sitemap_xml") {
+      T.documents(s, dir).selectExpr("source", "doc_id",
+        """concat('<url><loc>https://', source, '.example.com/p/',
+          |  CAST(doc_id AS STRING), '</loc>',
+          |  CASE WHEN doc_id % 4 = 0 THEN '' ELSE concat('<lastmod>',
+          |    CAST(DATE'2026-01-01' + CAST(doc_id % 90 AS INT) AS STRING),
+          |    '</lastmod>') END,
+          |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE concat('<priority>0.',
+          |    CAST(doc_id % 10 AS STRING), '</priority>') END,
+          |  '</url>') AS entry""".stripMargin)
+        .groupBy("source")
+        .agg(concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset " +
+            "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          expr("array_join(transform(sort_array(collect_list(" +
+            "struct(doc_id, entry))), x -> x.entry), '')"),
+          lit("</urlset>")).as("xml"))
+    }
+    val parsed = graft.CachedPlans.of(s, dir, "sitemap_parsed") {
+      graft.operators.Sitemap.entries(xml, "xml").drop("xml")
+    }
+    val fresh = graft.operators.Sitemap
+      .freshImportant(parsed, "2026-02-15", 0.3)
+    val store = T.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .selectExpr("url_normalize(concat('https://', upper(source), " +
+        "'.EXAMPLE.COM/p/', CAST(doc_id AS STRING))) AS k")
+    val admitted = fresh
+      .withColumn("k", expr("url_normalize(loc)"))
+      .join(store, Seq("k"), "left_anti")
+    val listed = parsed.groupBy("source").agg(count(lit(1)).as("n_listed"))
+    val freshC = fresh.groupBy("source").agg(count(lit(1)).as("n_fresh"))
+    val admC = admitted.groupBy("source").agg(count(lit(1)).as("n_new"))
+    listed
+      .join(freshC, Seq("source"), "left")
+      .join(admC, Seq("source"), "left")
+      .select(col("source"),
+        col("n_listed"),
+        coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("source")
+  }
+
+  // The oracle regenerates the ledger from doc_id arithmetic alone:
+  // lastmod = 2026-01-01 + (doc_id % 90) days ≥ 2026-02-15 ⇔
+  // doc_id % 90 ≥ 45; priority passes when absent (%5 = 0 → 0.5
+  // default) or digit ≥ 3; the crawled store holds doc_id % 3 = 0.
+  private val q216Sql =
+    """WITH d AS (SELECT doc_id, source FROM documents),
+      |fresh AS (
+      |  SELECT source, doc_id FROM d
+      |  WHERE doc_id % 4 <> 0 AND doc_id % 90 >= 45
+      |    AND (doc_id % 5 = 0 OR doc_id % 10 >= 3))
+      |SELECT l.source, l.n_listed,
+      |  CAST(COALESCE(f.n_fresh, 0) AS BIGINT) AS n_fresh,
+      |  CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+      |FROM (SELECT source, COUNT(*) AS n_listed FROM d GROUP BY 1) l
+      |LEFT JOIN (SELECT source, COUNT(*) AS n_fresh FROM fresh
+      |  GROUP BY 1) f USING (source)
+      |LEFT JOIN (SELECT source, COUNT(*) AS n_new FROM fresh
+      |  WHERE doc_id % 3 <> 0 GROUP BY 1) n USING (source)
+      |ORDER BY source""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q185_funnel_trained_gate" -> (q185 _),
     "q183_robots_gate" -> (q183 _),
@@ -1466,6 +1553,7 @@ object PipelineOps extends QueryModule {
     "q176_url_canonicalize" -> (q176 _),
     "q190_cdx_sliced" -> (q190 _),
     "q192_frontier_schedule" -> (q192 _),
+    "q216_sitemap_frontier" -> (q216 _),
     "q170_warc_funnel" -> (q170 _),
     "q168_padding_efficiency" -> (q168 _),
     "q157_length_filter" -> (q157 _),
@@ -1489,6 +1577,7 @@ object PipelineOps extends QueryModule {
     "q176_url_canonicalize" -> q176Sql,
     "q190_cdx_sliced" -> q190Sql,
     "q192_frontier_schedule" -> q192Sql,
+    "q216_sitemap_frontier" -> q216Sql,
     "q170_warc_funnel" -> q170Sql,
     "q168_padding_efficiency" -> q168Sql,
     "q157_length_filter" -> q157Sql,
