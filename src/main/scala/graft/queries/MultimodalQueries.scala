@@ -512,6 +512,192 @@ object MultimodalQueries extends QueryModule {
       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // q217 — AUDIO VAD SEGMENTATION (voice-activity trim): the classic
+  // speech-corpus preprocessing step between decode (q146) and
+  // fingerprint/resample (q182/q208) — drop silence, keep voiced
+  // segments. Each clip's waveform carries a deterministic
+  // silence envelope (frames where (frame + id) % 7 < 3 attenuate
+  // by TRUNCATING /64 — engine-exact on negative samples, the q206
+  // device); the VAD is a per-frame integer energy gate (16-sample
+  // frames, E = Σv², voiced iff E ≥ 10⁷ — silence energy ≈ 128²·16
+  // sits 3 decades below voiced ≈ 8192²·16/3, so the threshold is
+  // structurally safe, not tuned), and the segmenter is the
+  // gaps-and-islands window (q191's device on the frame axis).
+  // Per clip: voiced/total frames, segment count, longest segment,
+  // kept samples, and the silence ratio. PCM round-trips the real
+  // codec; the twin derives everything from the sample formula.
+  //
+  // Scale: frame energies are one groupBy((id, frame)) over the
+  // decoded samples (map-side combine), islands are one per-clip
+  // window — the same shape at 64 frames or 64k.
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "vad_report") {
+      // segmenting a frozen clip store is build-phase work — the
+      // q214/q215 memo discipline; serve reads the per-clip ledger
+      q217Build(s, dir)
+    }.orderBy("media_id")
+
+  private def q217Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 1024
+    val frames = graft.CachedPlans.of(s, dir, "vad_frames") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          def raw(i: Int): Int =
+            ((((id + 3) * (i.toLong * i + 5 * i + 11)) % 16384) - 8192).toInt
+          val samples = Array.tabulate(n) { i =>
+            val v = raw(i)
+            if (((i / 16) + id) % 7 < 3) v / 64 else v
+          }
+          val decoded = Multimodal.decodePcm(Multimodal.encodePcm(samples))
+          decoded.zipWithIndex.map { case (v, i) =>
+            (id, i / 16, v.toLong * v)
+          }
+        }.toDF("media_id", "f", "e2")
+        .groupBy("media_id", "f")
+        .agg(sum("e2").as("energy"))
+        .withColumn("voiced", col("energy") >= 10000000L)
+    }
+    val islands = frames.filter(col("voiced"))
+      .withColumn("isl", expr("f - (row_number() OVER " +
+        "(PARTITION BY media_id ORDER BY f))"))
+      .groupBy("media_id", "isl").agg(count(lit(1)).as("seg_len"))
+    val segs = islands.groupBy("media_id")
+      .agg(count(lit(1)).as("n_segments"),
+        max("seg_len").as("longest_seg"),
+        sum("seg_len").cast("long").as("n_voiced"))
+    frames.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .join(segs, Seq("media_id"), "left")
+      .withColumn("n_voiced", coalesce(col("n_voiced"), lit(0L)))
+      .withColumn("n_segments", coalesce(col("n_segments"), lit(0L)))
+      .withColumn("longest_seg", coalesce(col("longest_seg"), lit(0L)))
+      .select(col("media_id"), col("n_frames"), col("n_voiced"),
+        col("n_segments"), col("longest_seg"),
+        expr("n_voiced * 16").as("kept_samples"),
+        expr("CAST(n_frames - n_voiced AS DOUBLE)" +
+          " / CAST(n_frames AS DOUBLE)").as("silence_ratio"))
+  }
+
+  private val q217Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |s AS (
+      |  SELECT doc_id, i // 16 AS f,
+      |    CASE WHEN ((i // 16) + doc_id) % 7 < 3
+      |      THEN (((doc_id + 3) * (i * i + 5 * i + 11)) % 16384 - 8192) // 64
+      |      ELSE ((doc_id + 3) * (i * i + 5 * i + 11)) % 16384 - 8192
+      |    END AS v
+      |  FROM ids CROSS JOIN generate_series(0, 1023) AS t(i)),
+      |fe AS (
+      |  SELECT doc_id, f, CAST(SUM(v * v) AS BIGINT) AS energy
+      |  FROM s GROUP BY 1, 2),
+      |voiced AS (
+      |  SELECT doc_id, f,
+      |    f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS isl
+      |  FROM fe WHERE energy >= 10000000),
+      |segs AS (
+      |  SELECT doc_id, isl, COUNT(*) AS seg_len
+      |  FROM voiced GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n_segments,
+      |    MAX(seg_len) AS longest_seg,
+      |    CAST(SUM(seg_len) AS BIGINT) AS n_voiced
+      |  FROM segs GROUP BY 1),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM fe GROUP BY 1)
+      |SELECT tot.doc_id AS media_id, tot.n_frames,
+      |  CAST(COALESCE(per.n_voiced, 0) AS BIGINT) AS n_voiced,
+      |  CAST(COALESCE(per.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(per.longest_seg, 0) AS BIGINT) AS longest_seg,
+      |  CAST(COALESCE(per.n_voiced, 0) * 16 AS BIGINT) AS kept_samples,
+      |  CAST(tot.n_frames - COALESCE(per.n_voiced, 0) AS DOUBLE)
+      |    / CAST(tot.n_frames AS DOUBLE) AS silence_ratio
+      |FROM tot LEFT JOIN per USING (doc_id)
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q218 — VIDEO SHOT SEGMENTATION: the temporal-structure analysis
+  // a video-training pipeline runs before clip extraction — detect
+  // cuts, group frames into shots, report the shot-length profile.
+  // Clips here have id-DEPENDENT scene boundaries (a boundary before
+  // frame f>0 whenever (f + id) % 5 == 0, so shot lengths VARY per
+  // clip, unlike q147/q205's fixed every-4th layout); the scene
+  // index is the running boundary count and frame content is keyed
+  // by it, so the cut detector (inter-frame motion > 0; within-shot
+  // motion is exactly 0 by construction, cross-boundary motion is
+  // structurally positive) and the per-shot rollup are both exact.
+  // The shot-length profile is fingerprinted in frame order. Frames
+  // round-trip the real frame codec; the twin rebuilds the scene
+  // index with a window cumulative sum over the boundary indicator.
+  //
+  // Scale: motion is a per-(clip, position) lag window over decoded
+  // pixels; shots are a per-clip keyed rollup — no all-pairs, no
+  // driver loops.
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "shot_report") {
+      q218Build(s, dir) // q217's memo discipline
+    }.orderBy("media_id")
+
+  private def q218Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nFrames, frameLen) = (12, 256)
+    val shots = graft.CachedPlans.of(s, dir, "shot_segments") {
+      T.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          var scene = 0
+          val scenes = Array.tabulate(nFrames) { f =>
+            if (f > 0 && (f + id) % 5 == 0) scene += 1
+            scene
+          }
+          val frames = Array.tabulate(nFrames)(f =>
+            Array.tabulate(frameLen)(p =>
+              (((id + scenes(f)) * 37 + p.toLong * 11) % 256).toInt))
+          val decoded = Multimodal.decodeFrames(
+            Multimodal.encodeFrames(frames), frameLen)
+          decoded.zipWithIndex.map { case (fr, f) =>
+            (id, f, scenes(f), fr.map(_.toLong).sum)
+          }
+        }.toDF("media_id", "f", "scene", "luma")
+        .groupBy("media_id", "scene")
+        .agg(count(lit(1)).as("shot_len"), sum("luma").as("shot_luma"))
+    }
+    shots.groupBy("media_id")
+      .agg(count(lit(1)).as("n_shots"),
+        max("shot_len").as("longest_shot"),
+        min("shot_len").as("shortest_shot"),
+        sum("shot_luma").cast("long").as("sum_luma"),
+        expr("md5(array_join(transform(sort_array(collect_list(" +
+          "struct(scene, shot_len))), x -> CAST(x.shot_len AS STRING))," +
+          " ','))").as("profile_fp"))
+  }
+
+  private val q218Sql =
+    """WITH ids AS (SELECT doc_id FROM documents),
+      |sc AS (
+      |  SELECT doc_id, f,
+      |    CAST(SUM(CASE WHEN f > 0 AND (f + doc_id) % 5 = 0
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY f)
+      |      AS BIGINT) AS scene
+      |  FROM ids CROSS JOIN generate_series(0, 11) AS tf(f)),
+      |fl AS (
+      |  SELECT sc.doc_id, sc.f, sc.scene,
+      |    (SELECT CAST(SUM(((sc.doc_id + sc.scene) * 37 + p * 11) % 256)
+      |      AS BIGINT)
+      |     FROM generate_series(0, 255) AS tp(p)) AS luma
+      |  FROM sc),
+      |shots AS (
+      |  SELECT doc_id, scene, COUNT(*) AS shot_len,
+      |    CAST(SUM(luma) AS BIGINT) AS shot_luma
+      |  FROM fl GROUP BY 1, 2)
+      |SELECT doc_id AS media_id,
+      |  COUNT(*) AS n_shots,
+      |  MAX(shot_len) AS longest_shot,
+      |  MIN(shot_len) AS shortest_shot,
+      |  CAST(SUM(shot_luma) AS BIGINT) AS sum_luma,
+      |  md5(STRING_AGG(CAST(shot_len AS VARCHAR), ',' ORDER BY scene))
+      |    AS profile_fp
+      |FROM shots GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q182 — acoustic fingerprint dedup: the audio leg of the
   // modality-dedup family (text md5/MinHash, image img_dhash). Each
   // document's deterministic s16 waveform (quadratic scrambler —
@@ -1469,6 +1655,8 @@ object MultimodalQueries extends QueryModule {
       "q180_image_phash_dedup" -> (q180 _),
       "q181_image_near_dup" -> (q181 _),
       "q213_image_search" -> (q213 _),
+      "q217_audio_vad" -> (q217 _),
+      "q218_video_shots" -> (q218 _),
       "q182_audio_fingerprint" -> (q182 _),
       "q186_jpeg_image_dedup" -> (q186 _),
       "q187_jpeg_near_dup" -> (q187 _),
@@ -1488,6 +1676,8 @@ object MultimodalQueries extends QueryModule {
       "q180_image_phash_dedup" -> q180Sql,
       "q181_image_near_dup" -> q181Sql,
       "q213_image_search" -> q213Sql,
+      "q217_audio_vad" -> q217Sql,
+      "q218_video_shots" -> q218Sql,
       "q182_audio_fingerprint" -> q182Sql,
       "q186_jpeg_image_dedup" -> q186Sql,
       "q187_jpeg_near_dup" -> q187Sql,
