@@ -25,7 +25,8 @@ object SparkEntry {
     CorpusMaintenance,
     PipelineOps,
     Analytics,
-    MultimodalQueries)
+    MultimodalQueries,
+    ChatData)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's select→score→pick pipeline (SURVEY §3 E3):
