@@ -656,10 +656,77 @@ object TrainingData extends QueryModule {
        |FROM pw JOIN qw USING (lang)
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q221 — EPOCH RESHUFFLE audit: every training run reshuffles its
+  // data per epoch, and at 100 TB that shuffle must be a pure
+  // function of (epoch, doc) — no RNG state to checkpoint, identical
+  // on every re-run, shuffle-FREE to compute (each row knows its
+  // shard: q49's md5-gate discipline with the epoch salted into the
+  // key). Three epochs × 8 shards; per epoch the ledger shows
+  // (a) BALANCE — max/min shard load of a hash assignment,
+  // (b) DETERMINISM — an md5 fingerprint over the shard-count
+  // vector (the oracle recomputes it from scratch), and
+  // (c) DECORRELATION — how many docs stay in the same shard as the
+  // previous epoch (≈ n/8 for independent assignments; a broken
+  // salt that ignores the epoch would show n and ruin epoch
+  // diversity silently). One scan per epoch + 8-row rollups.
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "epoch_shuffle") {
+      val base = T.documents(s, dir).select("doc_id")
+      val assigned = Seq(0, 1, 2).map { e =>
+        base.select(col("doc_id"), lit(e).as("epoch"),
+          expr(s"CAST(conv(substring(md5(concat('$e', ':', " +
+            "CAST(doc_id AS STRING))), 1, 8), 16, 10) % 8 AS INT)")
+            .as("shard"))
+      }.reduce(_ unionByName _)
+      val perEpoch = assigned.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("epoch")
+        .agg(max("n").as("max_shard"), min("n").as("min_shard"),
+          expr("md5(array_join(transform(sort_array(collect_list(" +
+            "struct(shard, n))), x -> CAST(x.n AS STRING)), ','))")
+            .as("load_fp"))
+      val same = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && col("a.epoch") === col("b.epoch") + 1
+            && col("a.shard") === col("b.shard"))
+        .groupBy(col("a.epoch").as("epoch"))
+        .agg(count(lit(1)).as("n_same_as_prev"))
+      perEpoch.join(same, Seq("epoch"), "left")
+        .select(col("epoch"), col("max_shard"), col("min_shard"),
+          col("load_fp"), col("n_same_as_prev"))
+    }.orderBy("epoch")
+
+  private val q221Sql =
+    """WITH a AS (
+      |  SELECT doc_id, e.e AS epoch,
+      |    CAST(('0x' || substring(md5(CAST(e.e AS VARCHAR) || ':'
+      |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INTEGER)
+      |      AS shard
+      |  FROM documents CROSS JOIN (VALUES (0), (1), (2)) e(e)),
+      |loads AS (
+      |  SELECT epoch, shard, COUNT(*) AS n FROM a GROUP BY 1, 2),
+      |per AS (
+      |  SELECT epoch, MAX(n) AS max_shard, MIN(n) AS min_shard,
+      |    md5(STRING_AGG(CAST(n AS VARCHAR), ',' ORDER BY shard))
+      |      AS load_fp
+      |  FROM loads GROUP BY 1),
+      |same AS (
+      |  SELECT x.epoch AS epoch, COUNT(*) AS n_same_as_prev
+      |  FROM a x JOIN a p ON p.doc_id = x.doc_id
+      |    AND p.epoch = x.epoch - 1 AND p.shard = x.shard
+      |  GROUP BY 1)
+      |SELECT per.epoch, per.max_shard, per.min_shard, per.load_fp,
+      |  same.n_same_as_prev
+      |FROM per LEFT JOIN same USING (epoch)
+      |ORDER BY epoch""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_dedup_mixture_shift" -> (q155 _),
     "q142_epoch_waterfill" -> (q142 _),
     "q48_shard_pack" -> (q48 _),
+    "q221_epoch_shuffle" -> (q221 _),
     "q49_stratified_sample" -> (q49 _),
     "q52_shard_pack_by_lang" -> (q52 _),
     "q55_chunk_windows" -> (q55 _),
@@ -673,6 +740,7 @@ object TrainingData extends QueryModule {
     "q155_dedup_mixture_shift" -> q155Sql,
     "q142_epoch_waterfill" -> q142Sql,
     "q48_shard_pack" -> q48Sql,
+    "q221_epoch_shuffle" -> q221Sql,
     "q49_stratified_sample" -> q49Sql,
     "q52_shard_pack_by_lang" -> q52Sql,
     "q55_chunk_windows" -> q55Sql,
