@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed connected components by iterative min-label
   * propagation — the operator that turns near-duplicate CANDIDATE
@@ -17,14 +20,23 @@ import org.apache.spark.sql.functions._
   * one equi-join (labels onto the symmetrized edge list) plus one
   * min-aggregation — the standard large-graph CC loop; iterations
   * are bounded by the component diameter (near-dup clusters are
-  * shallow; maxIter guards pathological chains). Each iteration of
-  * that loop ends in an EAGER
-  * `localCheckpoint`: iteration k's plan references iteration k-1
-  * twice (union + join), so without truncation the logical plan
-  * doubles per round — 2^k nodes — and analysis OOMs around depth
-  * ~13 even on a 13-vertex graph. Checkpointing pins the round's
-  * result as a plain RDD scan, keeping both plan size and lineage
-  * O(1) per iteration.
+  * shallow; maxIter guards pathological chains).
+  *
+  * The loop itself is RDD-based with ONE explicit HashPartitioner
+  * shared by the edge table and every round's label table — the
+  * GraphX discipline, and the deliberate exception to the
+  * DataFrame-first rule. Two reasons, both structural:
+  * (1) a DataFrame loop re-enters Catalyst (analyze/optimize/
+  * physical-plan/codegen) EVERY round — a fixed per-round cost that
+  * AQE cannot remove and that dominated wall-clock on candidate
+  * graphs (the data per round is a label table, tiny next to the
+  * corpus that produced it); (2) partitioner reuse makes the
+  * per-round edge⋈labels join and the union+min fold NARROW
+  * (co-partitioned, zero shuffle of the edge table after the single
+  * setup partitionBy) — a guarantee the DataFrame API cannot
+  * express, and exactly what bounds network cost when the edge list
+  * IS large. Each round materializes its label RDD and truncates
+  * lineage (`localCheckpoint`), keeping the DAG O(1) per iteration.
   */
 object Components {
 
@@ -38,23 +50,6 @@ object Components {
   private def pin(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint()
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
-
-  /** [[pin]] plus the convergence metric (sum of the `comp` column,
-    * ordinal 1) computed as a raw job over the just-checkpointed
-    * blocks. The loop needs this sum every round; computing it with
-    * `agg(sum(...))` would pay a full Catalyst analyze/optimize/
-    * codegen cycle per iteration — measurable fixed cost that AQE
-    * can't remove — where a fold over the cached RDD partitions is
-    * planning-free.
-    */
-  private def pinWithCompSum(df: DataFrame): (DataFrame, Long) = {
-    // LAZY checkpoint + one fold: the aggregate job both materializes
-    // the checkpoint blocks and computes the sum — one job per round,
-    // not a materialize job followed by a sum job
-    val cp = df.localCheckpoint(eager = false)
-    val sum = cp.rdd.aggregate(0L)((a, r) => a + r.getLong(1), _ + _)
-    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), sum)
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -100,12 +95,25 @@ object Components {
     *        optimum on LSH candidate graphs — see the loop-body
     *        comment for why more jumps (or jumping through current
     *        labels) does not pay.
+    * @param handoffEdges mid-loop contraction cutover: from round 2
+    *        on, the loop periodically CONTRACTS the graph to label
+    *        space — edges (comp(src), comp(dst)), self-loops dropped,
+    *        deduped — and when the contracted residual fits in this
+    *        budget it is finished EXACTLY with the driver union-find
+    *        and composed back over the distributed labels (one
+    *        broadcast relabel). A couple of propagation rounds
+    *        collapse the dense near-dup clusters, so the residual
+    *        (long chains, stragglers) is orders of magnitude smaller
+    *        than the input — paying diameter-many distributed rounds
+    *        to flood it is pure fixed cost. Same driver-memory budget
+    *        class as `maxLocalEdges`; set 0 to force the loop to run
+    *        to fixpoint distributedly.
     * @return (id, comp): every vertex that appears in `edges`, with
     *         comp = the smallest vertex id in its component.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
       strict: Boolean = false, maxLocalEdges: Long = 1L << 22,
-      jumpsPerRound: Int = 2): DataFrame = {
+      jumpsPerRound: Int = 2, handoffEdges: Long = 1L << 22): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -123,70 +131,123 @@ object Components {
       import spark.implicits._
       return labels.toDF("id", "comp")
     }
-    // Size the loop's shuffle partitions to the GRAPH, not the session
-    // default: each round runs 4-5 exchanges of the edge/label tables,
-    // and a candidate graph is usually orders of magnitude smaller
-    // than the corpus that produced it — at the session's corpus-sized
-    // setting every round pays partitions×exchanges near-empty tasks
-    // (the dominant cost of the loop at test scale), while a truly
-    // huge graph gets MORE partitions than the default, keeping
-    // per-task edge counts bounded (~64k edges per partition). The
-    // sizing lives in a CHILD session (newSession: own SQLConf, shared
-    // context/cache) so a concurrent query planning in the caller's
-    // session never observes the loop's setting; the result is
-    // re-bound to the caller's session before returning.
-    val loopSession = spark.newSession()
-    val target = math.min(math.max(4L, nEdges / 65536 + 1), 1L << 14)
-    loopSession.conf.set("spark.sql.shuffle.partitions", target.toString)
-    val symLoop = loopSession.createDataFrame(sym.rdd, sym.schema)
+    // Partition the loop to the GRAPH, not the session default: a
+    // candidate graph is usually orders of magnitude smaller than the
+    // corpus that produced it (only pairs surviving the banding
+    // filter), while a truly huge graph gets MORE partitions than the
+    // default, keeping per-task edge counts bounded (~64k edges per
+    // partition). ONE HashPartitioner instance is shared by the edge
+    // table and every round's label table, so the per-round
+    // edge⋈labels join and the union+min fold are NARROW — the edge
+    // table is shuffled exactly once (setup), never again.
+    val nParts = math.min(math.max(4L, nEdges / 65536 + 1), 1L << 14).toInt
+    val part = new HashPartitioner(nParts)
+    // (src, dst) with both orientations present (sym is symmetrized),
+    // keyed by src: joining labels on the key delivers comp(src) to
+    // every neighbor dst — the symmetric twin row does the reverse.
+    val edgesBySrc: RDD[(Long, Long)] = sym.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+      .persist()
+    def materializeWithSum(rdd: RDD[(Long, Long)]): (RDD[(Long, Long)], Long) = {
+      // localCheckpoint: the aggregate job below materializes the
+      // blocks AND truncates lineage, keeping the DAG O(1) per round
+      // (13 rounds of join/union lineage otherwise grow the stage
+      // graph the scheduler must walk on every job).
+      val pinned = rdd.localCheckpoint()
+      val sum = pinned.aggregate(0L)((a, kv) => a + kv._2, _ + _)
+      (pinned, sum)
+    }
     // seed = one propagation round for free: comp(v) = min(v, min
-    // neighbor) straight out of the first aggregation
-    var (labels, prevSum) = pinWithCompSum(symLoop.groupBy("src")
-      .agg(least(min(col("dst")), col("src")).as("comp"))
-      .select(col("src").as("id"), col("comp")))
+    // neighbor) straight out of the first (narrow, co-partitioned)
+    // reduce
+    var (labels, prevSum) = materializeWithSum(
+      edgesBySrc.reduceByKey(part, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (v, m) => (v, math.min(v, m)) },
+          preservesPartitioning = true))
     // min-propagation monotonically decreases the label sum; fixpoint
     // reached when the sum stops moving
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neigh = symLoop.join(labels, symLoop("dst") === labels("id"))
-        .select(symLoop("src").as("id"), col("comp"))
-      val propagated = labels.select("id", "comp").union(neigh)
-        .groupBy("id").agg(min("comp").as("comp"))
+      // comp(src) delivered to each neighbor: NARROW join (edges and
+      // labels share `part`), then one tiny shuffle to re-key the
+      // contributions by receiving vertex
+      val neigh = edgesBySrc.join(labels)
+        .map { case (_, (dst, comp)) => (dst, comp) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // labels and neigh share `part` → partitioner-aware union →
+      // narrow reduce
+      val propagated = labels.union(neigh).reduceByKey(part, math.min(_: Long, _: Long))
       // pointer jumping (path compression): follow comp k more hops
-      // through the PREVIOUS round's pinned labels — comp(id) :=
-      // min(comp(id), prev_comp^k(comp(id))). Plain neighbor-min
-      // needs diameter-many rounds (a 60-chain at sf0.1 cost 40+ s);
-      // the jumps keep label chains compressed while the whole round
-      // stays ONE plan with ONE pin (planning + fixed job cost per
-      // round is half the operator's wall-clock). Jumping through
-      // `labels` (a pinned LogicalRDD with its own attributes)
-      // rather than the freshly-built `propagated` keeps plan depth
-      // linear in k and avoids self-joining a union plan. Measured
-      // on the sf0.1 candidate graph: k=2 compresses every stale
-      // pointer chain the round exposes (k>2 leaves round counts
+      // through the PREVIOUS round's materialized labels — comp(id) :=
+      // min(comp(id), prev_comp^k(comp(id))). Plain neighbor-min needs
+      // diameter-many rounds (a 60-chain at sf0.1 cost 40+ s); the
+      // jumps keep label chains compressed. Jumping through `labels`
+      // (already materialized) rather than the freshly-built
+      // `propagated` avoids recomputing the neighbor-min per jump.
+      // Measured on the sf0.1 candidate graph: k=2 compresses every
+      // stale pointer chain the round exposes (k>2 leaves round counts
       // unchanged — the residual rounds are frontier flooding, which
-      // jumping cannot shortcut), and jumping through the CURRENT
-      // round's labels instead (classic doubling) recomputes the
-      // neighbor-min subplan per jump for barely one round saved —
-      // 2x slower end-to-end. k=2 static is the measured optimum.
-      var cur = propagated.select(col("id"), col("comp"))
-      for (k <- 1 to jumpsPerRound) {
-        val p = labels.select(col("id").as(s"p${k}_id"),
-          col("comp").as(s"p${k}_comp"))
-        cur = cur.join(p, cur("comp") === p(s"p${k}_id"), "left")
-          .select(cur("id"),
-            least(cur("comp"), coalesce(col(s"p${k}_comp"), cur("comp")))
-              .as("comp"))
+      // jumping cannot shortcut). Each jump is re-keyed by the current
+      // comp (shuffle), joined narrow against `labels`, and re-keyed
+      // back by vertex — all on the label table, never the edges.
+      var cur = propagated
+      for (_ <- 1 to jumpsPerRound) {
+        cur = cur.map { case (id, comp) => (comp, id) }
+          .partitionBy(part)
+          .leftOuterJoin(labels)
+          .map { case (comp, (id, hop)) =>
+            (id, math.min(comp, hop.getOrElse(comp)))
+          }
+          .reduceByKey(part, math.min(_: Long, _: Long))
       }
-      val (updated, newSum) = pinWithCompSum(cur)
+      val prevLabels = labels
+      val (updated, newSum) = materializeWithSum(cur)
       labels = updated
+      prevLabels.unpersist(blocking = false)
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
       log.warn(s"connectedComponents round $iter labelSum=$newSum" +
         (if (converged) " (fixpoint)" else ""))
+      // Contraction probe (every round — the probe costs about half
+      // a propagation round, so probing early is cheap even when the
+      // residual is still too big): project
+      // the edge set into label space and, if the deduped residual is
+      // driver-sized, finish it exactly with the union-find kernel.
+      // comp ids ARE vertex ids (component minima so far) and the
+      // union-find roots at min, so composing uf∘comp yields the true
+      // global minimum per component — exact, not approximate.
+      if (!converged && handoffEdges > 0) {
+        val contracted = edgesBySrc.join(labels)
+          .map { case (_, (dst, cs)) => (dst, cs) }
+          .partitionBy(part)
+          .join(labels) // narrow: both sides partitioned by `part`
+          .map { case (_, (cs, cd)) =>
+            if (cs < cd) (cs, cd) else (cd, cs)
+          }
+          .filter { case (a, b) => a != b }
+          .distinct(nParts)
+          .persist()
+        val m = contracted.count()
+        if (m <= handoffEdges) {
+          val uf = unionFind(contracted.collect())
+          contracted.unpersist(blocking = false)
+          val bc = spark.sparkContext.broadcast(uf)
+          val prev = labels
+          labels = labels
+            .mapValues(c => bc.value.getOrElse(c, c))
+            .localCheckpoint()
+          labels.count() // materialize before the parent is dropped
+          prev.unpersist(blocking = false)
+          converged = true
+          log.warn(s"connectedComponents round $iter handoff: " +
+            s"$m contracted edges finished locally")
+        } else contracted.unpersist(blocking = false)
+      }
     }
+    edgesBySrc.unpersist(blocking = false)
     if (!converged) {
       val msg = s"connectedComponents did not converge in $maxIter " +
         "iterations — labels may split components (duplicate clusters " +
@@ -194,9 +255,10 @@ object Components {
       if (strict) throw new IllegalStateException(msg)
       log.warn(msg)
     }
-    // labels is a pinned LogicalRDD — re-bind it to the CALLER's
-    // session so downstream plans (joins against caller DataFrames)
-    // plan under the caller's conf, not the loop's
-    spark.createDataFrame(labels.rdd, labels.schema)
+    // hand the final label RDD back to SQL-land for downstream plans
+    spark.createDataFrame(
+      labels.map { case (id, comp) => Row(id, comp) },
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("comp", LongType, nullable = false))))
   }
 }

@@ -60,17 +60,32 @@ class ComponentsSpec extends AnyFunSuite with SharedSpark {
     import spark.implicits._
     // a 40-vertex chain cannot converge in 1 round even with two
     // pointer jumps; silent exit would split the cluster downstream.
-    // maxLocalEdges = 0 forces the distributed loop.
+    // maxLocalEdges = 0 forces the distributed loop; handoffEdges = 0
+    // disables the contraction cutover so the loop must flood.
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
     val e = intercept[IllegalStateException] {
       Components.connectedComponents(chain, maxIter = 1, strict = true,
-        maxLocalEdges = 0).collect()
+        maxLocalEdges = 0, handoffEdges = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // non-strict completes and a higher cap converges to one component
-    val ok = Components.connectedComponents(chain, maxLocalEdges = 0)
+    val ok = Components.connectedComponents(chain, maxLocalEdges = 0,
+        handoffEdges = 0)
       .collect().map(_.getLong(1)).toSet
     assert(ok == Set(1L))
+  }
+
+  test("contraction handoff finishes a long chain exactly in one round") {
+    import spark.implicits._
+    // the worst case for min-label flooding (diameter = n) is exactly
+    // what the contraction cutover shortcuts: one distributed round,
+    // then the driver-sized residual is solved with union-find. The
+    // labels must still be the EXACT per-component minima.
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(chain, maxIter = 3,
+        strict = true, maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 1L))
   }
 
   test("driver fast path and distributed loop agree on a random graph") {
