@@ -73,8 +73,20 @@ object Sitemap {
     * recrawl cycle's default treatment, not the fast path.
     */
   def freshImportant(entries: DataFrame, cutoff: String,
-      minPriority: Double): DataFrame =
+      minPriority: Double): DataFrame = {
+    // parse the cutoff on the DRIVER, up front: a malformed value
+    // must fail here with a clear message, not as a Catalyst parse
+    // error deep in the plan — and interpolating an unvalidated
+    // string into SQL text is an injection vector besides
+    val cutoffDate = java.sql.Date.valueOf(
+      try java.time.LocalDate.parse(cutoff)
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"sitemap cutoff '$cutoff' is not an ISO-8601 date", e)
+      })
     entries
-      .filter(expr(s"to_date(substring(lastmod, 1, 10)) >= DATE'$cutoff'"))
+      .filter(expr("to_date(substring(lastmod, 1, 10))") >= lit(cutoffDate))
       .filter(col("priority") >= minPriority)
+  }
 }

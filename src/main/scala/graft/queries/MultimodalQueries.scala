@@ -1153,7 +1153,10 @@ object MultimodalQueries extends QueryModule {
   // image/png), parsed (ISO 28500 framing + gzip members + HTTP
   // split), dispatched BY CONTENT TYPE to the matching real codec
   // (sources/Jpeg.scala / sources/Png.scala), and perceptually
-  // deduplicated. Every 9th document is re-crawled from a "mirror"
+  // deduplicated. The JPEG population MIXES PROFILES (every 4th doc
+  // is progressive SOF2, the majority profile in real crawls) behind
+  // the same Content-Type — the decoder's SOF dispatch is part of
+  // what this row gates. Every 9th document is re-crawled from a "mirror"
   // that serves the SAME image in the OTHER codec — the commonest
   // real crawl duplication — and the cross-codec group collapse
   // (q196's guarantee) must survive the whole ingest path. The q170
@@ -1189,9 +1192,18 @@ object MultimodalQueries extends QueryModule {
                 v(((i / w) / 8) * 9 + (i % w) / 8).toByte
               }
               val body =
-                if (codec == "image/jpeg")
-                  graft.sources.Jpeg.encodeGray(px, w, h)
-                else graft.sources.Png.encodeGray(px, w, h)
+                if (codec == "image/jpeg") {
+                  // real crawls mix JPEG profiles invisibly behind
+                  // one Content-Type: every 4th doc serves its JPEG
+                  // as PROGRESSIVE (SOF2) — profile dispatch is the
+                  // decoder's job, exactly as in the wild; the
+                  // constant-block mosaic decodes BIT-EXACTLY under
+                  // both profiles, so the oracle's block formula is
+                  // profile-blind
+                  if (id % 4 == 0)
+                    graft.sources.Jpeg.encodeGrayProgressive(px, w, h)
+                  else graft.sources.Jpeg.encodeGray(px, w, h)
+                } else graft.sources.Png.encodeGray(px, w, h)
               member(record(
                 s"WARC/1.0\r\nWARC-Type: response\r\n" +
                   s"WARC-Record-ID: <urn:uuid:img-$id$suffix>\r\n" +

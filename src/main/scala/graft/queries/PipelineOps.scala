@@ -211,7 +211,7 @@ object PipelineOps extends QueryModule {
 
   // ---------------------------------------------------------------
   // q79 — bigram language-model document scoring: per document the
-  // mean log conditional probability avg ln p(w2|w1) under the
+  // mean log conditional probability of p(w2|w1) under the
   // corpus-global bigram model (q64's counts) — the LM-quality
   // signal behind perplexity-style corpus filters. The count-table
   // joins carry NO broadcast hint: c2 is the corpus-global bigram
@@ -219,8 +219,14 @@ object PipelineOps extends QueryModule {
   // 100 TB design point a forced broadcast would OOM the driver. A
   // shuffle join on (w1, w2) is the scale-safe plan; AQE still
   // broadcasts at runtime whenever the measured size is small (as it
-  // is at test SF). ln's last-ulp wobble and the float sum are
-  // absorbed by round(·, 6) (q54's rule).
+  // is at test SF). Scoring is TRANSCENDENTAL-FREE (the q179 ql32
+  // device): each bigram scores ql32(n) − ql32(n1) — quantized
+  // piecewise-linear log2 in 1/32 units, pure integer arithmetic
+  // both engines evaluate bit-identically — so avg() sums identical
+  // integer-valued doubles (exact below 2^53) and the single IEEE
+  // division by the count is correctly rounded in both engines;
+  // round(·,6) is deterministic, not 1-ulp-lucky (the libm ln()
+  // hazard the driver flagged on q179 is gone from this row too).
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val bg = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
@@ -233,8 +239,9 @@ object PipelineOps extends QueryModule {
       .join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(expr("ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))")), 6)
-          .as("avg_lp"))
+        round(avg(expr(
+          s"CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)")), 6)
+          .as("avg_lp_q32"))
       .orderBy("doc_id")
   }
 
@@ -248,7 +255,8 @@ object PipelineOps extends QueryModule {
        |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  round(AVG(ln(CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS avg_lp
+       |  round(AVG(CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)), 6)
+       |    AS avg_lp_q32
        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
@@ -272,13 +280,16 @@ object PipelineOps extends QueryModule {
   // feeds four. No broadcast hints on the w1/w2 marginals — they are
   // vocabulary-sized and grow with the corpus (q79's rule; AQE still
   // broadcasts when measured-small). The 1-row total is a literal
-  // cross join. Exactness: the marginal products scale as N² in the
-  // total bigram count, so past ~3·10⁹ bigrams a BIGINT product
-  // would silently wrap under non-ANSI mode — both n·N and n1·m2 are
-  // therefore routed through DECIMAL(38,0) (HUGEINT on the oracle
-  // side), exact to 10³⁸, before the one correctly-rounded DOUBLE
-  // quotient; ln's ulp wobble is absorbed by round(·, 6); ties in
-  // the rounded pmi break on (w1, w2).
+  // cross join. Exactness: the score is TRANSCENDENTAL-FREE (the
+  // q179 ql32 device) and computed in LOG SPACE from the start —
+  // pmi_q32 = ql32(n) + ql32(N) − ql32(n1) − ql32(m2), a pure BIGINT
+  // expression both engines evaluate bit-identically. Working in log
+  // space also removes the old overflow hazard entirely: the
+  // marginal PRODUCTS n·N and n1·m2 scale as N² and needed
+  // DECIMAL(38,0)/HUGEINT routing past ~3·10⁹ bigrams, while each
+  // individual operand of the ql32 sum stays BIGINT-safe at any
+  // corpus size. Integer scores make the DESC ordering exact; ties
+  // break on (w1, w2).
   private def q98(s: SparkSession, dir: String): DataFrame = {
     val c2 = TextAnalysis.bigramCounts(s, dir)
     val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
@@ -288,12 +299,10 @@ object PipelineOps extends QueryModule {
       .join(c1, "w1")
       .join(r1, "w2")
       .crossJoin(broadcast(tot))
-      .withColumn("pmi",
-        round(expr(
-          """ln(CAST(CAST(n AS DECIMAL(38,0)) * nn AS DOUBLE) /
-            |   CAST(CAST(n1 AS DECIMAL(38,0)) * m2 AS DOUBLE))""".stripMargin), 6))
-      .select("w1", "w2", "n", "pmi")
-      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .withColumn("pmi_q32", expr(
+        s"${ql32S("n")} + ${ql32S("nn")} - ${ql32S("n1")} - ${ql32S("m2")}"))
+      .select("w1", "w2", "n", "pmi_q32")
+      .orderBy(desc("pmi_q32"), col("w1"), col("w2"))
       .limit(20)
   }
 
@@ -309,11 +318,11 @@ object PipelineOps extends QueryModule {
        |r1 AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS m2 FROM c2 GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c2)
        |SELECT w1, w2, n,
-       |  round(ln(CAST(CAST(n AS HUGEINT) * nn AS DOUBLE)
-       |         / CAST(CAST(n1 AS HUGEINT) * m2 AS DOUBLE)), 6) AS pmi
+       |  ${ql32S("n")} + ${ql32S("nn")} - ${ql32S("n1")} - ${ql32S("m2")}
+       |    AS pmi_q32
        |FROM c2 JOIN c1 USING (w1) JOIN r1 USING (w2) CROSS JOIN tot
        |WHERE n >= 5
-       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+       |ORDER BY pmi_q32 DESC, w1, w2 LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
   // q99 — intra-document repeated-WINDOW dedup accounting: slide a
@@ -966,6 +975,18 @@ object PipelineOps extends QueryModule {
   // petabyte crawl bucket; cdx is one sequential pass per file,
   // the sliced read touches exactly |selection| byte ranges grouped
   // by path within each task.
+  //
+  // LOCAL-MODE FIXTURE ASSUMPTION (deliberate, q190-only): the
+  // archive files are written to java.io.tmpdir from executor tasks
+  // and then read back via a driver-side glob — valid ONLY because
+  // local mode shares one filesystem between driver and executors.
+  // On a real cluster the landing directory must be shared storage
+  // (the real crawl-landing layout this models: archives land on the
+  // object store, CDX + sliced reads address them by URI). The
+  // PRODUCTION path under test (Warc.cdx → readSliced ranged reads)
+  // is location-agnostic; only this fixture's landing step is
+  // local-mode. q170 is the in-task twin whose records never leave
+  // their task.
   private def cdxSlicedDocs(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "cdx_sliced_docs") {
       import s.implicits._

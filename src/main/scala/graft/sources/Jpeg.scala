@@ -9,14 +9,22 @@ package graft.sources
   * (q186/q187). Implemented from the public spec, like the repo's
   * other binary codecs (Jp2/GeoTiff/Warc):
   *
-  *   - marker segment parse (SOI/APPn/COM/DQT/DHT/SOF0/SOS/EOI,
-  *     T.81 §B.2) with explicit LOUD REFUSAL of everything outside
-  *     the baseline sequential profile: progressive (SOF2) and all
-  *     other SOFn, arithmetic coding (SOF9+/DAC), 12-bit precision,
-  *     restart intervals (DRI/RSTn — the q-row corpus never writes
-  *     them, so a stream carrying them is from an unsupported
-  *     profile and must not silently mis-decode), sampling factors
-  *     outside {1,2};
+  *   - marker segment parse (SOI/APPn/COM/DQT/DHT/SOF0/SOF2/DRI/
+  *     SOS/EOI, T.81 §B.2), every read bounds-checked (truncated or
+  *     garbage streams raise the documented IllegalArgumentException
+  *     refusal, never a raw JVM error) and B.1.1.2 fill bytes
+  *     accepted, with explicit LOUD REFUSAL of everything outside
+  *     the two Huffman 8-bit profiles: extended sequential (SOF1),
+  *     arithmetic coding (SOF9+/DAC), lossless, 12-bit precision,
+  *     sampling factors outside {1,2};
+  *   - PROGRESSIVE decode (SOF2, T.81 Annex G — the majority
+  *     profile in real web crawls): spectral selection + successive
+  *     approximation, interleaved and single-component DC scans,
+  *     single-component AC scans with EOB-run accounting, DC/AC
+  *     refinement correction bits, quantized coefficients
+  *     accumulated across scans and reconstructed at EOI;
+  *   - restart intervals (DRI/RSTn) in both profiles: byte-aligned
+  *     cycling markers, predictor/EOB-run resets (E.2.4);
   *   - canonical Huffman table construction and the MINCODE/MAXCODE
   *     decode procedure (T.81 §C.2, F.2.2.3), DC prediction +
   *     EXTEND sign recovery (F.2.2.1), AC run-length/EOB/ZRL
@@ -209,9 +217,16 @@ object Jpeg {
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
   }
 
-  /** Decode a baseline JFIF/JPEG byte stream. Refuses (loudly)
-    * everything outside baseline sequential Huffman 8-bit with
-    * sampling factors in {1,2} and no restart intervals.
+  /** Decode a JFIF/JPEG byte stream: baseline sequential (SOF0) and
+    * progressive (SOF2, spectral selection + successive
+    * approximation, T.81 Annex G), both with or without restart
+    * intervals (DRI/RSTn). Refuses (loudly) everything else:
+    * extended/arithmetic/lossless SOFn, 12-bit precision, sampling
+    * factors outside {1,2}. Every marker/segment read is
+    * bounds-checked so a truncated or garbage stream raises the
+    * codec's documented IllegalArgumentException refusal, never a
+    * raw ArrayIndexOutOfBoundsException; spec-legal 0xFF fill bytes
+    * before a marker code (B.1.1.2) are skipped.
     */
   def decode(bytes: Array[Byte]): Decoded = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
@@ -224,28 +239,52 @@ object Jpeg {
     var height = 0
     // per component: (id, h, v, quantId)
     var comps: Array[(Int, Int, Int, Int)] = null
+    var progressive = false
+    var restartInt = 0
+    // progressive: per-component quantized coefficients in zig-zag
+    // order over the MCU-padded block grid, accumulated across scans
+    var coefStore: Array[Array[Int]] = null
     var out: Decoded = null
+    def need(n: Int): Unit =
+      if (pos + n > bytes.length) fail(s"truncated stream at byte $pos")
+    // a segment's declared end, validated against the buffer
+    def segEnd(): Int = {
+      val end = pos + u16(bytes, pos)
+      if (end > bytes.length) fail(s"truncated segment at byte $pos")
+      end
+    }
     while (out == null) {
+      need(2)
       if ((bytes(pos) & 0xff) != 0xff)
         fail(s"expected a marker at byte $pos, got 0x${
           (bytes(pos) & 0xff).toHexString}")
+      // B.1.1.2: any number of 0xff fill bytes may precede the marker
+      while ({ need(2); (bytes(pos + 1) & 0xff) == 0xff }) pos += 1
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
         case 0xd8 => // stray SOI
           fail("unexpected SOI inside the stream")
-        case 0xd9 => fail("EOI before SOS — no image data")
+        case 0xd9 =>
+          if (coefStore != null)
+            out = reconstructProgressive(width, height, comps,
+              coefStore, quant)
+          else fail("EOI before SOS — no image data")
         case 0x01 => () // TEM, parameterless
-        case m if m >= 0xe0 && m <= 0xef => pos += u16(bytes, pos) // APPn
-        case 0xfe => pos += u16(bytes, pos) // COM
+        case m if m >= 0xd0 && m <= 0xd7 =>
+          fail(f"stray RST${m - 0xd0}%d between segments")
+        case m if m >= 0xe0 && m <= 0xef => pos = segEnd() // APPn
+        case 0xfe => pos = segEnd() // COM
         case 0xdb => // DQT
-          val end = pos + u16(bytes, pos)
+          val end = segEnd()
           var p = pos + 2
           while (p < end) {
             val pq = (bytes(p) & 0xff) >> 4
             val tq = bytes(p) & 0x0f
             if (pq > 1) fail(s"DQT precision $pq unsupported")
             p += 1
+            if (p + (if (pq == 0) 64 else 128) > end)
+              fail("truncated DQT segment")
             val t = new Array[Int](64)
             for (k <- 0 until 64) {
               t(k) = if (pq == 0) bytes(p + k) & 0xff
@@ -256,15 +295,17 @@ object Jpeg {
           }
           pos = end
         case 0xc4 => // DHT
-          val end = pos + u16(bytes, pos)
+          val end = segEnd()
           var p = pos + 2
           while (p < end) {
             val tc = (bytes(p) & 0xff) >> 4
             val th = bytes(p) & 0x0f
             p += 1
+            if (p + 16 > end) fail("truncated DHT segment")
             val bits = Array.tabulate(16)(i => bytes(p + i) & 0xff)
             p += 16
             val n = bits.sum
+            if (p + n > end) fail("truncated DHT segment")
             val vals = Array.tabulate(n)(i => bytes(p + i) & 0xff)
             p += n
             val h = new Huff(bits, vals)
@@ -273,17 +314,20 @@ object Jpeg {
             else fail(s"DHT class $tc unsupported")
           }
           pos = end
-        case 0xc0 => // SOF0 baseline
-          val end = pos + u16(bytes, pos)
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = marker == 0xc2
+          val end = segEnd()
+          if (pos + 8 > end) fail("truncated SOF segment")
           val prec = bytes(pos + 2) & 0xff
           if (prec != 8) fail(s"$prec-bit precision unsupported " +
-            "(baseline is 8-bit)")
+            "(baseline/progressive 8-bit only)")
           height = u16(bytes, pos + 3)
           width = u16(bytes, pos + 5)
           if (width == 0 || height == 0) fail("zero image dimension")
           val nc = bytes(pos + 7) & 0xff
           if (nc != 1 && nc != 3)
             fail(s"$nc components unsupported (1 or 3)")
+          if (pos + 8 + 3 * nc > end) fail("truncated SOF segment")
           comps = Array.tabulate(nc) { i =>
             val b = pos + 8 + 3 * i
             val id = bytes(b) & 0xff
@@ -294,26 +338,32 @@ object Jpeg {
                 "(h,v must be 1 or 2)")
             (id, hs, vs, bytes(b + 2) & 0xff)
           }
+          if (progressive) {
+            val hMax = comps.map(_._2).max
+            val vMax = comps.map(_._3).max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            coefStore = comps.map { c =>
+              new Array[Int](mcusX * c._2 * mcusY * c._3 * 64)
+            }
+          }
           pos = end
         case 0xcc => fail("arithmetic conditioning (DAC) unsupported")
         case m if (m >= 0xc1 && m <= 0xcf) && m != 0xc4 && m != 0xc8 =>
-          fail(f"SOF${m - 0xc0}%d is not baseline sequential Huffman " +
-            "(progressive/extended/arithmetic/lossless unsupported)")
+          fail(f"SOF${m - 0xc0}%d is not baseline or progressive " +
+            "Huffman (extended/arithmetic/lossless unsupported)")
         case 0xdd => // DRI
-          val len = u16(bytes, pos)
-          val ri = u16(bytes, pos + 2)
-          if (ri != 0) fail(s"restart interval $ri unsupported — " +
-            "re-encode without DRI/RSTn for this profile")
-          pos += len
-        case 0xda => // SOS — decode the (single, non-interleaved-
-          // refusing) scan
-          if (comps == null) fail("SOS before SOF0")
-          val len = u16(bytes, pos)
+          val end = segEnd()
+          if (pos + 4 > end) fail("truncated DRI segment")
+          restartInt = u16(bytes, pos + 2)
+          pos = end
+        case 0xda => // SOS
+          if (comps == null) fail("SOS before SOF")
+          val end = segEnd()
+          if (pos + 3 > end) fail("truncated SOS header")
           val ns = bytes(pos + 2) & 0xff
-          if (ns != comps.length)
-            fail("partial (multi-scan) images unsupported — baseline " +
-              "interleaved single scan only")
-          // scan component -> (dcTab, acTab), in SOF order
+          if (end - pos != 6 + 2 * ns) fail("malformed SOS header")
+          // scan component -> (component index, dcTab, acTab)
           val scanTabs = Array.tabulate(ns) { i =>
             val b = pos + 3 + 2 * i
             val cid = bytes(b) & 0xff
@@ -321,17 +371,36 @@ object Jpeg {
             if (ci < 0) fail(s"SOS names unknown component $cid")
             (ci, (bytes(b + 1) & 0xff) >> 4, bytes(b + 1) & 0x0f)
           }
-          pos += len
-          out = decodeScan(bytes, pos, width, height, comps,
-            scanTabs, quant, dcTabs, acTabs)
+          val ss = bytes(pos + 3 + 2 * ns) & 0xff
+          val se = bytes(pos + 4 + 2 * ns) & 0xff
+          val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
+          pos = end
+          if (!progressive) {
+            if (ss != 0 || se != 63 || ah != 0 || al != 0)
+              fail("baseline scan must cover band 0..63 with no " +
+                "successive approximation")
+            if (ns != comps.length)
+              fail("baseline must be one interleaved scan of all " +
+                "components")
+            out = decodeScan(bytes, pos, width, height, comps,
+              scanTabs, quant, dcTabs, acTabs, restartInt)
+          } else {
+            pos = progressiveScan(bytes, pos, width, height, comps,
+              coefStore, scanTabs, ss, se, ah, al, dcTabs, acTabs,
+              restartInt)
+          }
         case m => fail(f"unsupported marker 0xff$m%02x")
       }
     }
     out
   }
 
-  /** Entropy-coded-segment bit reader with B.1.1.5 byte unstuffing;
-    * refuses RSTn (unsupported profile) and running off the end.
+  /** Entropy-coded-segment bit reader with B.1.1.5 byte unstuffing.
+    * An unexpected marker mid-stream (including an RSTn that is NOT
+    * at a declared restart boundary) is refused; declared boundaries
+    * are consumed with [[expectRestart]].
     */
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var cur = 0
@@ -346,7 +415,7 @@ object Jpeg {
           val b2 = bytes(pos) & 0xff
           if (b2 == 0x00) pos += 1 // stuffed
           else if (b2 >= 0xd0 && b2 <= 0xd7)
-            fail("RSTn restart marker in entropy stream unsupported")
+            fail("RSTn off the declared restart boundary")
           else fail(f"marker 0xff$b2%02x inside entropy stream " +
             "(truncated scan?)")
         }
@@ -354,6 +423,18 @@ object Jpeg {
       }
       nbits -= 1
       (cur >> nbits) & 1
+    }
+    /** Consume the RSTm marker at a declared restart boundary:
+      * discard the pad bits to the byte edge (B.2.1), require the
+      * cycling marker index, and reset the bit state.
+      */
+    def expectRestart(m: Int): Unit = {
+      nbits = 0
+      if (pos + 2 > bytes.length) fail("truncated stream at restart")
+      val b2 = bytes(pos + 1) & 0xff
+      if ((bytes(pos) & 0xff) != 0xff || b2 != 0xd0 + m)
+        fail(f"expected RST$m%d at byte $pos, got 0x${b2}%02x")
+      pos += 2
     }
     def receive(n: Int): Int = {
       var v = 0
@@ -380,7 +461,8 @@ object Jpeg {
   private def decodeScan(bytes: Array[Byte], at: Int, width: Int,
       height: Int, comps: Array[(Int, Int, Int, Int)],
       scanTabs: Array[(Int, Int, Int)], quant: Array[Array[Int]],
-      dcTabs: Array[Huff], acTabs: Array[Huff]): Decoded = {
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      restartInt: Int): Decoded = {
     val hMax = comps.map(_._2).max
     val vMax = comps.map(_._3).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -395,10 +477,19 @@ object Jpeg {
     val coef = new Array[Int](64)
     val tmp = Array.ofDim[Double](8, 8)
     val px = Array.ofDim[Double](8, 8)
+    var mcusDone = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // DRI: each restart interval ends with a byte-aligned RSTn
+        // (cycling index) and resets the DC predictors (E.2.4)
+        if (restartInt > 0 && mcusDone > 0 && mcusDone % restartInt == 0) {
+          br.expectRestart(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
         var s = 0
         while (s < scanTabs.length) {
           val (ci, dcId, acId) = scanTabs(s)
@@ -456,11 +547,18 @@ object Jpeg {
           }
           s += 1
         }
+        mcusDone += 1
         mx += 1
       }
       my += 1
     }
-    // crop each plane to its natural dims
+    cropPlanes(width, height, comps, planes, planeW, hMax, vMax)
+  }
+
+  /** Crop MCU-padded planes to each component's natural dims. */
+  private def cropPlanes(width: Int, height: Int,
+      comps: Array[(Int, Int, Int, Int)], planes: Array[Array[Byte]],
+      planeW: Array[Int], hMax: Int, vMax: Int): Decoded = {
     val cropped = comps.indices.map { i =>
       val (id, hs, vs, _) = comps(i)
       val cw = (width * hs + hMax - 1) / hMax
@@ -474,6 +572,279 @@ object Jpeg {
       Plane(id, hs, vs, cw, ch, d)
     }
     Decoded(width, height, cropped)
+  }
+
+  // ----------------------------------------------------------------
+  // progressive (SOF2) scan decode — T.81 Annex G
+
+  /** Decode one progressive scan into the per-component quantized
+    * coefficient store (zig-zag order, MCU-padded block grid) and
+    * return the stream position of the next marker. Implements all
+    * four scan kinds of G.1.2: DC first / DC refinement (interleaved
+    * or single-component) and AC first / AC refinement
+    * (single-component only, as the spec requires), with EOB-run
+    * accounting and restart intervals.
+    */
+  private def progressiveScan(bytes: Array[Byte], at: Int, width: Int,
+      height: Int, comps: Array[(Int, Int, Int, Int)],
+      store: Array[Array[Int]], scanTabs: Array[(Int, Int, Int)],
+      ss: Int, se: Int, ah: Int, al: Int, dcTabs: Array[Huff],
+      acTabs: Array[Huff], restartInt: Int): Int = {
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val br = new BitReader(bytes, at)
+    val pred = new Array[Int](comps.length)
+    var eobrun = 0
+    var rstIdx = 0
+    var unitsDone = 0
+    def restartBoundary(): Unit =
+      if (restartInt > 0 && unitsDone > 0 && unitsDone % restartInt == 0) {
+        br.expectRestart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+    val isDc = ss == 0
+    if (isDc) {
+      if (se != 0) fail("progressive DC scan must have Se = 0")
+    } else {
+      if (scanTabs.length != 1)
+        fail("progressive AC scan must be single-component")
+      if (ss > se || se > 63) fail(s"bad spectral band $ss..$se")
+    }
+    if (ah != 0 && ah != al + 1)
+      fail(s"successive approximation Ah=$ah Al=$al must step by one bit")
+
+    // ---- per-block band decoders (blk = zig-zag coefficient array,
+    // off = block offset in the store) ----
+    def dcFirst(ci: Int, dcId: Int, blk: Array[Int], off: Int): Unit = {
+      val t = br.decodeHuff(dcTabs(dcId))
+      if (t > 11) fail(s"DC category $t out of range")
+      pred(ci) += extend(br.receive(t), t)
+      blk(off) = pred(ci) << al
+    }
+    def dcRefine(blk: Array[Int], off: Int): Unit = {
+      // G.1.2.2: append the next lower magnitude bit; the first pass
+      // stored an arithmetic-shifted value, so two's-complement OR is
+      // exact for negative coefficients too
+      if (br.receive(1) == 1) blk(off) |= 1 << al
+    }
+    def acFirst(acId: Int, blk: Array[Int], off: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = br.decodeHuff(acTabs(acId))
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of (1<<r)+bits end-of-band blocks
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.receive(r)
+            return
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) fail("AC run past the spectral band")
+          blk(off + k) = extend(br.receive(s), s) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(acId: Int, blk: Array[Int], off: Int): Unit = {
+      // G.1.2.3 correction-bit procedure: newly-significant
+      // coefficients carry ±1<<al; every already-nonzero coefficient
+      // crossed on the way emits one correction bit.
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var brk = false
+        while (k <= se && !brk) {
+          val rs = br.decodeHuff(acTabs(acId))
+          var r = rs >> 4
+          val s = rs & 15
+          var newval = 0
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              brk = true // rest of the band is correction-only below
+            }
+            // r == 15: ZRL — skip 16 zero-history positions
+          } else {
+            if (s != 1) fail("AC refinement size must be 1")
+            newval = if (br.receive(1) == 1) p1 else m1
+          }
+          if (!brk) {
+            var placed = false
+            while (k <= se && !placed) {
+              val c = blk(off + k)
+              if (c != 0) {
+                if (br.receive(1) == 1 && (c & p1) == 0)
+                  blk(off + k) = c + (if (c >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) {
+                if (newval != 0) { blk(off + k) = newval; k += 1 }
+                else k += 1 // ZRL's 16th zero slot
+                placed = true
+              } else { r -= 1; k += 1 }
+            }
+            if (!placed && newval != 0)
+              fail("AC refinement ran past the spectral band")
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: correction bits only for surviving nonzeros
+        while (k <= se) {
+          val c = blk(off + k)
+          if (c != 0 && br.receive(1) == 1 && (c & p1) == 0)
+            blk(off + k) = c + (if (c >= 0) p1 else m1)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+
+    if (scanTabs.length > 1) {
+      // interleaved MCU walk — DC scans only (enforced above)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartBoundary()
+          var s = 0
+          while (s < scanTabs.length) {
+            val (ci, dcId, _) = scanTabs(s)
+            val (_, hs, vs, _) = comps(ci)
+            val bw = mcusX * hs
+            var v = 0
+            while (v < vs) {
+              var h = 0
+              while (h < hs) {
+                val off = (((my * vs + v) * bw) + mx * hs + h) * 64
+                if (ah == 0) dcFirst(ci, dcId, store(ci), off)
+                else dcRefine(store(ci), off)
+                h += 1
+              }
+              v += 1
+            }
+            s += 1
+          }
+          unitsDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // single-component scan: the block grid of the component's
+      // NATURAL (non-MCU-padded) dims, G.1; the store keeps the
+      // padded stride
+      val (ci, dcId, acId) = scanTabs(0)
+      val (_, hs, vs, _) = comps(ci)
+      val cw = (width * hs + hMax - 1) / hMax
+      val ch = (height * vs + vMax - 1) / vMax
+      val nbW = (cw + 7) / 8
+      val nbH = (ch + 7) / 8
+      val stride = mcusX * hs
+      var by = 0
+      while (by < nbH) {
+        var bx = 0
+        while (bx < nbW) {
+          restartBoundary()
+          val off = (by * stride + bx) * 64
+          if (isDc) {
+            if (ah == 0) dcFirst(ci, dcId, store(ci), off)
+            else dcRefine(store(ci), off)
+          } else {
+            if (ah == 0) acFirst(acId, store(ci), off)
+            else acRefine(acId, store(ci), off)
+          }
+          unitsDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // advance to the next marker: tolerate stuffed bytes, trailing
+    // RSTn, and fill bytes left in the entropy segment
+    var p = br.pos
+    var found = -1
+    while (found < 0) {
+      if (p + 2 > bytes.length) fail("truncated stream after scan")
+      if ((bytes(p) & 0xff) != 0xff) p += 1
+      else {
+        val b2 = bytes(p + 1) & 0xff
+        if (b2 == 0x00) p += 2
+        else if (b2 >= 0xd0 && b2 <= 0xd7) p += 2
+        else if (b2 == 0xff) p += 1
+        else found = p
+      }
+    }
+    found
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficient store
+    * into planes, then crop — the final pass after EOI.
+    */
+  private def reconstructProgressive(width: Int, height: Int,
+      comps: Array[(Int, Int, Int, Int)], store: Array[Array[Int]],
+      quant: Array[Array[Int]]): Decoded = {
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planeW = comps.map(c => mcusX * 8 * c._2)
+    val planeH = comps.map(c => mcusY * 8 * c._3)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * planeH(i))).toArray
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    val px = Array.ofDim[Double](8, 8)
+    var i = 0
+    while (i < comps.length) {
+      val (_, hs, vs, tq) = comps(i)
+      val q = quant(tq)
+      if (q == null)
+        fail(s"component $i references undefined quant table $tq")
+      val bw = mcusX * hs
+      val bh = mcusY * vs
+      val plane = planes(i)
+      val pw = planeW(i)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val off = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coef(Zigzag(k)) = store(i)(off + k) * q(k)
+            k += 1
+          }
+          idctBlock(coef, tmp, px)
+          val bx0 = bx * 8
+          val by0 = by * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val p = math.round(px(y)(x)).toInt + 128
+              plane((by0 + y) * pw + bx0 + x) =
+                (if (p < 0) 0 else if (p > 255) 255 else p).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      i += 1
+    }
+    cropPlanes(width, height, comps, planes, planeW, hMax, vMax)
   }
 
   /** IDCT of a dequantized raster-order block into px (centered,
@@ -578,6 +949,11 @@ object Jpeg {
       if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad 1s
       out.toByteArray
     }
+    /** Byte-align (1-padded) and emit RSTm — raw, never stuffed. */
+    def restart(m: Int): Unit = {
+      if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+      out.write(0xff); out.write(0xd0 + m)
+    }
   }
 
   /** FDCT with explicit index discipline: F(u,v) =
@@ -637,16 +1013,22 @@ object Jpeg {
     Array.tabulate(64)(k => math.round(f(Zigzag(k)) / q(k)).toInt)
   }
 
-  private def writeBlock(bw: BitWriter, zz: Array[Int], pred: Int,
-      dc: Huff, ac: Huff): Int = {
-    // DC
-    val diff = zz(0) - pred
+  private def writeDc(bw: BitWriter, dcv: Int, pred: Int,
+      dc: Huff): Int = {
+    val diff = dcv - pred
     val t = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
       math.abs(diff))
     val (c, l) = dc.enc.getOrElse(t, fail(s"DC category $t not in table"))
     bw.put(c, l)
     if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-    // AC
+    dcv
+  }
+
+  /** AC band [1..63] run-length coding (F.2.2.2). The closing EOB
+    * code doubles as EOBRUN=1 in a progressive AC scan, so the same
+    * writer serves both profiles.
+    */
+  private def writeAcBand(bw: BitWriter, zz: Array[Int], ac: Huff): Unit = {
     var k = 1
     var run = 0
     while (k < 64) {
@@ -667,7 +1049,13 @@ object Jpeg {
       k += 1
     }
     if (run > 0) { val (ec, el) = ac.enc(0x00); bw.put(ec, el) }
-    zz(0)
+  }
+
+  private def writeBlock(bw: BitWriter, zz: Array[Int], pred: Int,
+      dc: Huff, ac: Huff): Int = {
+    val d = writeDc(bw, zz(0), pred, dc)
+    writeAcBand(bw, zz, ac)
+    d
   }
 
   private def seg(out: java.io.ByteArrayOutputStream, marker: Int,
@@ -696,9 +1084,12 @@ object Jpeg {
 
   /** Encode a grayscale plane as baseline JFIF. `quant` defaults to
     * [[DefaultQuant]] (constant 8×8 blocks round-trip exactly).
+    * `restartInterval` > 0 writes a DRI segment and byte-aligned
+    * RSTn markers with predictor resets every that-many MCUs.
     */
   def encodeGray(pixels: Array[Byte], width: Int, height: Int,
-      quant: Array[Int] = DefaultQuant): Array[Byte] = {
+      quant: Array[Int] = DefaultQuant,
+      restartInterval: Int = 0): Array[Byte] = {
     require(pixels.length == width * height,
       s"JPEG encode: ${pixels.length} bytes is not ${width}x$height")
     require(quant.forall(q => q >= 1 && q <= 255),
@@ -714,6 +1105,9 @@ object Jpeg {
       1, 1, 0x11, 0))
     seg(out, 0xc4, dhtBody(0, 0, StdDcLumaBits, StdDcLumaVals))
     seg(out, 0xc4, dhtBody(1, 0, StdAcLumaBits, StdAcLumaVals))
+    if (restartInterval > 0)
+      seg(out, 0xdd, Array[Byte](
+        (restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
     seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
     val dc = new Huff(StdDcLumaBits, StdDcLumaVals)
     val ac = new Huff(StdAcLumaBits, StdAcLumaVals)
@@ -721,12 +1115,20 @@ object Jpeg {
     val bxN = (width + 7) / 8
     val byN = (height + 7) / 8
     var pred = 0
+    var done = 0
+    var rstIdx = 0
     var by = 0
     while (by < byN) {
       var bx = 0
       while (bx < bxN) {
+        if (restartInterval > 0 && done > 0 && done % restartInterval == 0) {
+          bw.restart(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          pred = 0
+        }
         pred = writeBlock(bw,
           blockCoefs(pixels, width, height, bx, by, quant), pred, dc, ac)
+        done += 1
         bx += 1
       }
       by += 1
@@ -734,6 +1136,55 @@ object Jpeg {
     val es = bw.flush()
     out.write(es, 0, es.length)
     out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a grayscale plane as PROGRESSIVE JFIF (SOF2) by spectral
+    * selection: one DC scan (Ss=Se=0) followed by one AC scan
+    * (Ss=1, Se=63), no successive approximation. Same quantized
+    * coefficients as [[encodeGray]], so the two profiles decode to
+    * IDENTICAL pixels — the property the progressive round-trip
+    * specs and the q197 mixed-profile crawl corpus pin.
+    */
+  def encodeGrayProgressive(pixels: Array[Byte], width: Int, height: Int,
+      quant: Array[Int] = DefaultQuant): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"JPEG encode: ${pixels.length} bytes is not ${width}x$height")
+    require(quant.forall(q => q >= 1 && q <= 255),
+      "JPEG encode: quant entries must be 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0))
+    seg(out, 0xdb, dqtBody(0, quant))
+    seg(out, 0xc2, Array[Byte](8,
+      (height >> 8).toByte, (height & 0xff).toByte,
+      (width >> 8).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))
+    seg(out, 0xc4, dhtBody(0, 0, StdDcLumaBits, StdDcLumaVals))
+    seg(out, 0xc4, dhtBody(1, 0, StdAcLumaBits, StdAcLumaVals))
+    val dc = new Huff(StdDcLumaBits, StdDcLumaVals)
+    val ac = new Huff(StdAcLumaBits, StdAcLumaVals)
+    val bxN = (width + 7) / 8
+    val byN = (height + 7) / 8
+    // the quantized blocks are shared by both scans
+    val blocks = Array.tabulate(byN * bxN) { i =>
+      blockCoefs(pixels, width, height, i % bxN, i / bxN, quant)
+    }
+    // scan 1: DC, band 0..0
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 0, 0))
+    val bwDc = new BitWriter
+    var pred = 0
+    blocks.foreach { zz => pred = writeDc(bwDc, zz(0), pred, dc) }
+    val esDc = bwDc.flush()
+    out.write(esDc, 0, esDc.length)
+    // scan 2: AC, band 1..63 (EOB = EOBRUN of one block)
+    seg(out, 0xda, Array[Byte](1, 1, 0x00, 1, 63, 0))
+    val bwAc = new BitWriter
+    blocks.foreach(zz => writeAcBand(bwAc, zz, ac))
+    val esAc = bwAc.flush()
+    out.write(esAc, 0, esAc.length)
+    out.write(0xff); out.write(0xd9)
     out.toByteArray
   }
 

@@ -315,10 +315,109 @@ class JpegSpec extends AnyFunSuite {
     assert(stuffed, "expected at least one stuffed 0xff00 pair")
   }
 
-  // ---- refusals ---------------------------------------------------
+  // ---- 4. progressive (SOF2) --------------------------------------
 
-  test("refusals: progressive, restart intervals, 12-bit, truncation, " +
-      "bad sampling, arithmetic coding — all loud and descriptive") {
+  test("progressive: spectral-selection encode decodes to the SAME " +
+      "pixels as the baseline profile (identical coefficients)") {
+    val rnd = new scala.util.Random(777)
+    for (_ <- 1 to 4) {
+      val w = 8 + rnd.nextInt(50)
+      val h = 8 + rnd.nextInt(40)
+      val px = Array.tabulate(w * h)(_ => rnd.nextInt(256).toByte)
+      val base = Jpeg.decode(Jpeg.encodeGray(px, w, h))
+      val prog = Jpeg.decode(Jpeg.encodeGrayProgressive(px, w, h))
+      assert(prog.width == w && prog.height == h)
+      assert(prog.gray.toSeq == base.gray.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("progressive cross 1: ImageIO (foreign) decodes THIS " +
+      "encoder's progressive output within the IDCT tolerance") {
+    val rnd = new scala.util.Random(31)
+    val (w, h) = (41, 23)
+    val px = Array.tabulate(w * h)(i =>
+      ((i % w) * 3 + (i / w) * 5 + rnd.nextInt(8)).toByte)
+    val enc = Jpeg.encodeGrayProgressive(px, w, h)
+    // the stream really is SOF2
+    assert((2 until enc.length - 1).exists(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc2))
+    val (gw, gh, got) = imageIOGray(enc)
+    assert(gw == w && gh == h)
+    val mine = Jpeg.decode(enc).gray.map(_ & 0xff)
+    mine.indices.foreach(i =>
+      assert(math.abs(got(i) - mine(i)) <= 1, s"decoders differ at $i"))
+  }
+
+  test("progressive cross 2: this decoder reads ImageIO's OWN " +
+      "progressive output (successive approximation script) and " +
+      "agrees with ImageIO's decode") {
+    val rnd = new scala.util.Random(4242)
+    val (w, h) = (50, 34)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 4 + y * 2 + rnd.nextInt(16)) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.flush(); writer.dispose()
+    val enc = bos.toByteArray
+    // the foreign writer really produced SOF2 with a multi-scan
+    // (successive approximation) script — this is what exercises the
+    // DC/AC refinement paths against a foreign encoder
+    assert((2 until enc.length - 1).exists(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc2),
+      "ImageIO did not write a progressive stream")
+    val nScans = (2 until enc.length - 1).count(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda)
+    assert(nScans >= 3, s"expected a multi-scan script, got $nScans")
+    val mine = Jpeg.decode(enc)
+    assert(mine.width == w && mine.height == h)
+    val my = mine.gray.map(_ & 0xff)
+    val (gw, gh, ref) = imageIOGray(enc)
+    assert(gw == w && gh == h)
+    var maxd = 0
+    my.indices.foreach(i => maxd = maxd.max(math.abs(my(i) - ref(i))))
+    assert(maxd <= 2, s"progressive decode disagrees with ImageIO by $maxd")
+  }
+
+  // ---- 5. restart intervals (DRI/RSTn) ----------------------------
+
+  test("DRI: restart markers + predictor resets decode bit-exactly " +
+      "and ImageIO agrees on the same stream") {
+    val rnd = new scala.util.Random(808)
+    val (w, h) = (48, 24) // 6x3 = 18 MCUs
+    val bv = Array.fill(3, 6)(rnd.nextInt(256))
+    val px = Array.tabulate(w * h)(i => bv((i / w) / 8)((i % w) / 8).toByte)
+    val plain = Jpeg.encodeGray(px, w, h)
+    for (ri <- Seq(1, 4, 7)) {
+      val dri = Jpeg.encodeGray(px, w, h, restartInterval = ri)
+      // the stream carries RST markers and a DRI segment
+      assert((2 until dri.length - 1).exists(i =>
+        (dri(i) & 0xff) == 0xff && (dri(i + 1) & 0xff) == 0xdd))
+      assert((2 until dri.length - 1).exists(i =>
+        (dri(i) & 0xff) == 0xff &&
+          (dri(i + 1) & 0xff) >= 0xd0 && (dri(i + 1) & 0xff) <= 0xd7))
+      val got = Jpeg.decode(dri)
+      assert(got.gray.toSeq == Jpeg.decode(plain).gray.toSeq, s"ri=$ri")
+      assert(got.gray.toSeq == px.toSeq, s"ri=$ri vs source mosaic")
+      // foreign decoder agrees on the restart-marker stream
+      val (gw, gh, ref) = imageIOGray(dri)
+      assert(gw == w && gh == h)
+      got.gray.indices.foreach(i =>
+        assert(math.abs((got.gray(i) & 0xff) - ref(i)) <= 1, s"ri=$ri at $i"))
+    }
+  }
+
+  // ---- refusals + robustness --------------------------------------
+
+  test("refusals: 12-bit, truncation, bad sampling, arithmetic " +
+      "coding — all loud and descriptive") {
     val px = Array.fill(64)(100.toByte)
     val good = Jpeg.encodeGray(px, 8, 8)
 
@@ -333,10 +432,11 @@ class JpegSpec extends AnyFunSuite {
         i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
       i
     }
-    // SOF0 -> SOF2 (progressive)
+    // SOF0 -> SOF2 with a full-band baseline scan is NOT a legal
+    // progressive scan — still refused loudly
     val prog = mutate(markerAt(_, 0xc0), (b, i) => b(i + 1) = 0xc2.toByte)
     val e1 = intercept[IllegalArgumentException](Jpeg.decode(prog))
-    assert(e1.getMessage.contains("not baseline"))
+    assert(e1.getMessage.contains("DC scan must have Se = 0"))
     // 12-bit precision
     val deep = mutate(markerAt(_, 0xc0), (b, i) => b(i + 4) = 12.toByte)
     val e2 = intercept[IllegalArgumentException](Jpeg.decode(deep))
@@ -350,17 +450,6 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decode(good.take(good.length - 6)))
     assert(e4.getMessage.contains("truncated") ||
       e4.getMessage.contains("marker"))
-    // DRI with a nonzero interval inserted before SOS
-    val withDri = {
-      val at = markerAt(good, 0xda)
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(good, 0, at)
-      b.write(Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x08).map(_.toByte), 0, 6)
-      b.write(good, at, good.length - at)
-      b.toByteArray
-    }
-    val e5 = intercept[IllegalArgumentException](Jpeg.decode(withDri))
-    assert(e5.getMessage.contains("restart interval"))
     // SOF9 (extended sequential, arithmetic)
     val arith = mutate(markerAt(_, 0xc0), (b, i) => b(i + 1) = 0xc9.toByte)
     val e6 = intercept[IllegalArgumentException](Jpeg.decode(arith))
@@ -369,5 +458,47 @@ class JpegSpec extends AnyFunSuite {
     val e7 = intercept[IllegalArgumentException](
       Jpeg.decode("not a jpeg at all".getBytes("UTF-8")))
     assert(e7.getMessage.contains("SOI"))
+  }
+
+  test("robustness: EVERY truncation of valid baseline and " +
+      "progressive streams refuses with the codec's exception, " +
+      "never a raw JVM error") {
+    val rnd = new scala.util.Random(2026)
+    val px = Array.tabulate(24 * 16)(_ => rnd.nextInt(256).toByte)
+    for (stream <- Seq(Jpeg.encodeGray(px, 24, 16),
+        Jpeg.encodeGrayProgressive(px, 24, 16),
+        Jpeg.encodeGray(px, 24, 16, restartInterval = 2))) {
+      for (n <- 0 until stream.length) {
+        try { Jpeg.decode(stream.take(n)); () }
+        catch {
+          case _: IllegalArgumentException => () // the documented refusal
+          case e: Throwable =>
+            fail(s"prefix $n/${stream.length} leaked ${e.getClass.getName}")
+        }
+      }
+    }
+  }
+
+  test("robustness: spec-legal 0xFF fill bytes before markers " +
+      "(B.1.1.2) are accepted") {
+    val px = Array.tabulate(64)(i => (i * 3).toByte)
+    val good = Jpeg.encodeGray(px, 8, 8)
+    // insert two fill bytes before every marker segment (scan the
+    // header region only — entropy-internal 0xff are data)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    var i = 2
+    var inEntropy = false
+    while (i < good.length) {
+      if (!inEntropy && (good(i) & 0xff) == 0xff &&
+          (good(i + 1) & 0xff) != 0x00) {
+        out.write(0xff); out.write(0xff) // fill bytes
+        out.write(good(i)); out.write(good(i + 1))
+        if ((good(i + 1) & 0xff) == 0xda) inEntropy = true
+        i += 2
+      } else { out.write(good(i)); i += 1 }
+    }
+    val d = Jpeg.decode(out.toByteArray)
+    assert(d.gray.toSeq == Jpeg.decode(good).gray.toSeq)
   }
 }
