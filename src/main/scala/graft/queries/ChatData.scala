@@ -53,7 +53,45 @@ object ChatData extends QueryModule {
             "THEN substring(json, 1, length(json) - 5) ELSE json END"))
         .withColumn("parsed", expr(
           "from_json(json, 'ARRAY<STRUCT<role: STRING, content: STRING>>')"))
-        .select("doc_id", "source", "parsed")
+        .select("doc_id", "source", "json", "parsed")
+    }
+
+  /** One JSONL chat line as a streaming ingest event. */
+  private case class ChatLine(conv_id: Long, json: String)
+
+  /** STREAMED twin of the parse funnel: the same serialized
+    * conversations fed through [[graft.streaming.StreamingChat]]'s
+    * `parsedTurns` plan as a MemoryStream in three micro-batches
+    * (accumulated via the memory sink), memoized per (session, sf).
+    * The driver-side feed is the MemoryStream contract — bounded by
+    * the corpus's JSON payload, the stream-fixture analog of the
+    * q190 landing device; the PLAN under test (PERMISSIVE parse +
+    * inline dead-letter + turn explode) is the production streaming
+    * plan verbatim. q219 joins the ledger computed from THIS table
+    * against the batch ledger, so the oracle hash gates
+    * stream == batch end to end.
+    */
+  private def chatTurnsStreamed(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "chat_turns_streamed") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lines = chatConvs(s, dir)
+        .select(col("doc_id"), col("json"))
+        .as[(Long, String)].collect()
+        .map { case (id, j) => ChatLine(id, j) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ChatLine]
+      val qn = ("chat_stream_sink_" + math.abs(dir.hashCode)).toString
+      val q = graft.streaming.StreamingChat.parsedTurns(mem.toDF())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn)
     }
 
   /** Exploded valid turns: (doc_id, source, idx, role, content). */
@@ -76,24 +114,53 @@ object ChatData extends QueryModule {
   // lengths (turn i carries LEAST(5, GREATEST(0, len - 5i)) words),
   // so a divergence anywhere in the serialize→parse chain flips the
   // hash. Per-row projection + one source rollup at any scale.
+  //
+  // STREAM == BATCH under the same gate: the identical ledger is
+  // computed a second time from the STREAMED turn table (the
+  // production streaming plan run over the same conversations in
+  // three micro-batches, [[chatTurnsStreamed]]) and inner-joined on
+  // ALL SIX columns. When the streaming path agrees, the join is the
+  // identity and the output matches the unchanged oracle; any
+  // divergence (a lost dead letter, a dropped turn, a miscounted
+  // token) deletes that source's row and the row-count/hash gate
+  // fails. One oracle row certifies both execution modes.
   private def q219(s: SparkSession, dir: String): DataFrame = {
-    val convs = chatConvs(s, dir)
-    val malformed = convs.groupBy("source")
-      .agg(count(lit(1)).as("n_convs"),
-        sum(when(col("parsed").isNull, 1L).otherwise(0L))
-          .cast("long").as("n_malformed"))
-    val turns = chatTurns(s, dir).groupBy("source")
-      .agg(count(lit(1)).as("n_turns"),
-        sum(when(col("role") === "user", 1L).otherwise(0L))
-          .cast("long").as("n_user_turns"),
-        sum(expr("CASE WHEN content = '' THEN 0 " +
-          "ELSE size(split(content, ' ')) END"))
-          .cast("long").as("content_tokens"))
-    malformed.join(turns, Seq("source"), "left")
-      .select(col("source"), col("n_convs"), col("n_malformed"),
-        coalesce(col("n_turns"), lit(0L)).as("n_turns"),
-        coalesce(col("n_user_turns"), lit(0L)).as("n_user_turns"),
-        coalesce(col("content_tokens"), lit(0L)).as("content_tokens"))
+    def ledger(malformedSrc: DataFrame, turnsSrc: DataFrame): DataFrame = {
+      val malformed = malformedSrc.groupBy("source")
+        .agg(count(lit(1)).as("n_convs"),
+          sum(when(col("malformed"), 1L).otherwise(0L))
+            .cast("long").as("n_malformed"))
+      val turns = turnsSrc.groupBy("source")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L))
+            .cast("long").as("n_user_turns"),
+          sum(expr("CASE WHEN content = '' THEN 0 " +
+            "ELSE size(split(content, ' ')) END"))
+            .cast("long").as("content_tokens"))
+      malformed.join(turns, Seq("source"), "left")
+        .select(col("source"), col("n_convs"), col("n_malformed"),
+          coalesce(col("n_turns"), lit(0L)).as("n_turns"),
+          coalesce(col("n_user_turns"), lit(0L)).as("n_user_turns"),
+          coalesce(col("content_tokens"), lit(0L)).as("content_tokens"))
+    }
+    val batch = ledger(
+      chatConvs(s, dir).select(col("source"),
+        col("parsed").isNull.as("malformed")),
+      chatTurns(s, dir))
+    // the streamed ledger is a one-time artifact (the stream ran
+    // once) — memoized like the stream itself, so a serve pass pays
+    // only the six-column equality join of two |sources|-row tables
+    val streamed = graft.CachedPlans.of(s, dir, "chat_stream_ledger") {
+      val src = T.documents(s, dir)
+        .select(col("doc_id").as("conv_id"), col("source"))
+      val streamedRows = chatTurnsStreamed(s, dir).join(src, "conv_id")
+      ledger(
+        streamedRows.groupBy("conv_id", "source")
+          .agg(max(when(!col("ok"), true).otherwise(false)).as("malformed")),
+        streamedRows.filter(col("ok")))
+    }
+    batch.join(streamed, Seq("source", "n_convs", "n_malformed",
+      "n_turns", "n_user_turns", "content_tokens"), "inner")
       .orderBy("source")
   }
 
