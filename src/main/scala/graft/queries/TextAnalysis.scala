@@ -314,7 +314,12 @@ object TextAnalysis extends QueryModule {
   // absorbed by round(·, 6) (the BM25 rule).
   private def q61(s: SparkSession, dir: String): DataFrame = {
     val tf = tfCounts(s, dir)
-    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    // document frequencies are corpus-level model state (like the tf
+    // table they roll up from) — memoized+cached so a serve pass pays
+    // the score join + per-doc window, not a full re-aggregation
+    val dfreq = graft.CachedPlans.of(s, dir, "dfreq") {
+      tf.groupBy("t").agg(count(lit(1)).as("df"))
+    }
     val stats = tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf"), col("t"))
