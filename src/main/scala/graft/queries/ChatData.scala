@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * are source-keyed rollups; the dedup is one hash-groupBy on the
   * turn content — the q27 exact-dedup shape on the turn table.
   */
+/** One JSONL chat line as a streaming ingest event. Top-level (not
+  * nested/private) so the MemoryStream encoder's generated code can
+  * reach the constructor — a private nested case class compiles to a
+  * shape Janino's codegen cannot instantiate and silently falls back
+  * to the interpreted path.
+  */
+case class ChatLine(conv_id: Long, json: String)
+
 object ChatData extends QueryModule {
 
   import TextAnalysis.toksD
@@ -55,9 +63,6 @@ object ChatData extends QueryModule {
           "from_json(json, 'ARRAY<STRUCT<role: STRING, content: STRING>>')"))
         .select("doc_id", "source", "json", "parsed")
     }
-
-  /** One JSONL chat line as a streaming ingest event. */
-  private case class ChatLine(conv_id: Long, json: String)
 
   /** STREAMED twin of the parse funnel: the same serialized
     * conversations fed through [[graft.streaming.StreamingChat]]'s
