@@ -26,9 +26,29 @@ object Tables {
   private val readMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
+  /** A GUARANTEED-unique live-session token for memo keys.
+    * `System.identityHashCode` is not collision-free — two live
+    * sessions sharing one SparkContext (`newSession()`) could
+    * collide and read a DataFrame resolved under the other session's
+    * conf — so classic sessions key by `sessionUUID` (unique per
+    * SparkSession instance by construction). The identity-hash form
+    * survives only as a fallback for non-classic implementations.
+    */
+  private val sessionUuidMethod: Option[java.lang.reflect.Method] =
+    // Scala-restricted (private[sql]) but public in bytecode
+    scala.util.Try(Class
+      .forName("org.apache.spark.sql.classic.SparkSession")
+      .getMethod("sessionUUID")).toOption
+
+  private[graft] def sessionToken(s: SparkSession): String =
+    sessionUuidMethod
+      .filter(_.getDeclaringClass.isInstance(s))
+      .map(_.invoke(s).asInstanceOf[String])
+      .getOrElse(s"idh${System.identityHashCode(s)}")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     readMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
-    val key = s"${System.identityHashCode(spark)}:" +
+    val key = s"${sessionToken(spark)}:" +
       s"${spark.sparkContext.applicationId}:$dir:$name"
     val existing = readMemo.get(key)
     if (existing != null) existing._2
@@ -91,7 +111,8 @@ object CachedPlans {
 
   def of(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     memo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
-    val key = s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir:$tag"
+    val key =
+      s"${Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir:$tag"
     // get-then-putIfAbsent instead of computeIfAbsent: builders nest
     // (the shingle index builds on the cached token table), and a
     // nested computeIfAbsent on one ConcurrentHashMap is a recursive

@@ -162,7 +162,10 @@ object ChatData extends QueryModule {
       ledger(
         streamedRows.groupBy("conv_id", "source")
           .agg(max(when(!col("ok"), true).otherwise(false)).as("malformed")),
-        streamedRows.filter(col("ok")))
+        // idx >= 0 excludes the valid-but-EMPTY conversation sentinel
+        // (ok = true, idx = -1): it must count as a conversation
+        // above, never as a turn here
+        streamedRows.filter(col("ok") && col("idx") >= 0))
     }
     batch.join(streamed, Seq("source", "n_convs", "n_malformed",
       "n_turns", "n_user_turns", "content_tokens"), "inner")

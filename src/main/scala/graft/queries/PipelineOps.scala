@@ -976,17 +976,17 @@ object PipelineOps extends QueryModule {
   // the sliced read touches exactly |selection| byte ranges grouped
   // by path within each task.
   //
-  // LOCAL-MODE FIXTURE ASSUMPTION (deliberate, q190-only): the
-  // archive files are written to java.io.tmpdir from executor tasks
-  // and then read back via a driver-side glob — valid ONLY because
-  // local mode shares one filesystem between driver and executors.
-  // On a real cluster the landing directory must be shared storage
-  // (the real crawl-landing layout this models: archives land on the
-  // object store, CDX + sliced reads address them by URI). The
-  // PRODUCTION path under test (Warc.cdx → readSliced ranged reads)
-  // is location-agnostic; only this fixture's landing step is
-  // local-mode. q170 is the in-task twin whose records never leave
-  // their task.
+  // FIXTURE LANDING (driver-side, round-17): the archive files are
+  // built and written ON THE DRIVER — the fixture analog of a client
+  // uploading crawl archives to shared storage — and the landing
+  // directory stands in for that store. The corpus collect is
+  // bounded by the fixture page table (|docs| short HTML strings;
+  // the same bound class as ChatData's MemoryStream feed). Nothing
+  // here assumes executor-local disk: the PRODUCTION path under test
+  // (Warc.cdx → readSliced ranged reads) addresses the archives by
+  // URI exactly as it would an object-store bucket; on a cluster,
+  // point `outDir` at shared storage and the same code runs. q170 is
+  // the in-task twin whose records never leave their task.
   private def cdxSlicedDocs(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "cdx_sliced_docs") {
       import s.implicits._
@@ -1008,11 +1008,11 @@ object PipelineOps extends QueryModule {
           s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_-]", "") +
           "-" + math.abs(dir.hashCode).toString)
       outDir.mkdirs()
-      // land one archive file per doc_id%4 group from the executors
-      // (the per-partition write a real crawl landing does); groups
-      // are corpus/4-sized — bounded fixture construction, and the
-      // collect is 4 path strings (model-sized)
-      pages.groupByKey(_._1 % 4).flatMapGroups { (k, it) =>
+      // land one archive file per doc_id%4 group, built ON THE
+      // DRIVER from the collected fixture pages (bounded: |docs|
+      // short HTML strings — the ChatData feed bound) — no executor
+      // ever writes, so nothing assumes driver==executor filesystem
+      pages.collect().groupBy(_._1 % 4).foreach { case (k, group) =>
         val iso = java.nio.charset.StandardCharsets.ISO_8859_1
         val utf = java.nio.charset.StandardCharsets.UTF_8
         val bos = new java.io.ByteArrayOutputStream()
@@ -1034,7 +1034,7 @@ object PipelineOps extends QueryModule {
             "WARC-Date: 2024-03-01T00:00:00Z\r\n" +
             "Content-Type: application/warc-fields\r\n",
           "software: graft-cdx\r\n".getBytes(utf)))
-        it.toVector.sortBy(_._1).foreach { case (docId, source, page) =>
+        group.toVector.sortBy(_._1).foreach { case (docId, source, page) =>
           val raw = page.getBytes(utf)
           val gzBody = docId % 3 == 0 // q170's device: mixed encodings
           val bodyBytes = if (gzBody) gzip(raw) else raw
@@ -1053,8 +1053,7 @@ object PipelineOps extends QueryModule {
         val f = new java.io.File(outDir, s"archive-$k.warc.gz")
         val fos = new java.io.FileOutputStream(f)
         try fos.write(bos.toByteArray) finally fos.close()
-        Iterator.single(f.getAbsolutePath)
-      }.collect()
+      }
       val idx = graft.sources.Warc.cdx(s,
         new java.io.File(outDir, "archive-*.warc.gz").getAbsolutePath)
       val sel = idx.filter(col("warc_type") === "response")

@@ -525,7 +525,7 @@ object TextAnalysis extends QueryModule {
     bpeMemo.entrySet().removeIf(
       e => e.getValue._2.sparkSession.sparkContext.isStopped)
     bpeMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      s"${graft.Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
         val vocab = tokenized(s, dir)
           .select(explode(col("toks")).as("w"))
@@ -877,7 +877,7 @@ object TextAnalysis extends QueryModule {
   private def q134(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = bpeIncrMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      s"${graft.Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
         val vocab = tokenized(s, dir)
           .select(explode(col("toks")).as("w"))
@@ -2077,7 +2077,7 @@ object TextAnalysis extends QueryModule {
       : (Map[String, Long], Map[String, Long], Map[String, Long],
         Map[String, Long]) =
     uniMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      s"${graft.Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
         import graft.operators.Unigram
         val words = uniWords(s, dir)
@@ -2305,7 +2305,7 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     import graft.operators.Unigram
     val rows = uniIncrMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      s"${graft.Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
         def wordCounts(df: DataFrame): Map[String, Long] =
           df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2454,7 +2454,7 @@ object TextAnalysis extends QueryModule {
   private def unigramSoftTrained(s: SparkSession, dir: String)
       : (Map[String, Long], Map[String, Long], Long) =
     uniSoftMemo.computeIfAbsent(
-      s"${System.identityHashCode(s)}:${s.sparkContext.applicationId}:$dir",
+      s"${graft.Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir",
       _ => {
         val (v0, _, _, _) = unigramTrained(s, dir)
         def weights(counts: Map[String, Long]): Map[String, Long] = {

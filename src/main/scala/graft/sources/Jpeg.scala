@@ -692,7 +692,11 @@ object Jpeg {
                 placed = true
               } else { r -= 1; k += 1 }
             }
-            if (!placed && newval != 0)
+            // refuse loudly for BOTH unplaced kinds: a pending new
+            // coefficient (s=1) AND a ZRL (r=15, s=0) whose 16
+            // zero-history slots run past the band — the silent ZRL
+            // exit would mis-decode a corrupt stream at the band edge
+            if (!placed)
               fail("AC refinement ran past the spectral band")
           }
         }

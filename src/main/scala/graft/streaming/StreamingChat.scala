@@ -30,22 +30,35 @@ object StreamingChat {
 
   /** Parse + explode: (conv_id, json) → (conv_id, ok, idx, role,
     * content). A malformed conversation yields exactly one row with
-    * ok = false and idx = -1 (the inline dead letter).
+    * ok = false and idx = -1 (the inline dead letter). A VALID
+    * conversation whose turn array is EMPTY (`[]`) yields exactly one
+    * row with ok = true and idx = -1: posexplode alone would emit
+    * zero rows, silently deleting the conversation from any
+    * downstream per-conversation ledger — the sentinel keeps the
+    * stream's conversation count equal to the batch count, so a
+    * stream-vs-batch gate failure points at a real divergence
+    * instead of the empty-array case. Turn consumers filter
+    * `idx >= 0`.
     */
   def parsedTurns(rows: DataFrame): DataFrame = {
     val parsed = rows
       .withColumn("parsed", expr(s"from_json(json, '$turnSchema')"))
     val turns = parsed
-      .filter(col("parsed").isNotNull)
+      .filter(col("parsed").isNotNull && size(col("parsed")) > 0)
       .select(col("conv_id"), posexplode(col("parsed")).as(Seq("idx", "t")))
       .select(col("conv_id"), lit(true).as("ok"),
         col("idx"), col("t.role").as("role"), col("t.content").as("content"))
+    val empty = parsed
+      .filter(col("parsed").isNotNull && size(col("parsed")) === 0)
+      .select(col("conv_id"), lit(true).as("ok"),
+        lit(-1).as("idx"), lit(null).cast("string").as("role"),
+        lit(null).cast("string").as("content"))
     val dead = parsed
       .filter(col("parsed").isNull)
       .select(col("conv_id"), lit(false).as("ok"),
         lit(-1).as("idx"), lit(null).cast("string").as("role"),
         lit(null).cast("string").as("content"))
-    turns.unionByName(dead)
+    turns.unionByName(empty).unionByName(dead)
   }
 
   /** First-seen admission of non-empty assistant replies (exact,

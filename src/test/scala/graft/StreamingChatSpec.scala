@@ -73,6 +73,40 @@ class StreamingChatSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("a valid-but-EMPTY conversation ([]) emits exactly one " +
+      "ok=true idx=-1 sentinel — counted as a conversation, never " +
+      "as a turn, never mistaken for a dead letter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Line]
+    val q = StreamingChat.parsedTurns(mem.toDF())
+      .writeStream.format("memory").queryName("chat_empty")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        conv(1, "user" -> "hello", "assistant" -> "hi"),
+        Line(2, "[]"),
+        truncated(3))
+      q.processAllAvailable()
+      val rows = spark.table("chat_empty").collect()
+      val sentinel = rows.filter(r =>
+        r.getAs[Long]("conv_id") == 2L)
+      assert(sentinel.length == 1, "exactly one row per empty conv")
+      assert(sentinel.head.getAs[Boolean]("ok")
+        && sentinel.head.getAs[Int]("idx") == -1
+        && sentinel.head.getAs[String]("role") == null,
+        "empty conv sentinel is ok=true idx=-1 (NOT a dead letter)")
+      // per-conversation ledger semantics: conv 2 is present (so a
+      // stream-vs-batch conversation count cannot silently diverge)
+      // but contributes zero turns under the idx >= 0 turn filter
+      assert(rows.count(r => r.getAs[Boolean]("ok")
+        && r.getAs[Int]("idx") >= 0
+        && r.getAs[Long]("conv_id") == 2L) == 0)
+      assert(rows.map(_.getAs[Long]("conv_id")).distinct.sorted.toSeq
+        == Seq(1L, 2L, 3L), "all three conversations appear")
+    } finally q.stop()
+  }
+
   test("repeated assistant replies are admitted exactly once across " +
       "micro-batches — the templated-response store") {
     val admitted = runReplies("chat_replies", Seq(
