@@ -40,6 +40,28 @@ object Unigram {
     32L * (b - 1) + ((c - half) * 32L) / half
   }
 
+  /** [[ql32]] as an SQL string BOTH engines (Spark and the DuckDB
+    * oracle twins) evaluate identically — the engine-shared
+    * transcendental-free log device used wherever a gated row needs
+    * a logarithm of an exact positive BIGINT (q79/q98/q179's recipe,
+    * extended to the idf/PSI/DSIR rows in round 17): 32·(bitlen−1) +
+    * ⌊32·(x−2^(bitlen−1)) / 2^(bitlen−1)⌋. `bin()` gives the bit
+    * length in both engines; `power(2, k)` is exact in double for
+    * k ≤ 52; the FLOOR division is IEEE-correctly-rounded on exact
+    * operands, so the floor of the quotient is engine-independent;
+    * CAST of an integer-valued double to BIGINT agrees under both
+    * truncation (Spark) and rounding (DuckDB) semantics. A ratio's
+    * log is ql32(num) − ql32(den) in "32nds of a bit" units
+    * (≈ 46.166·ln by ql32 ≈ 32·log2); the substitution is exact,
+    * monotone, and shift-equivariant (see the object scaladoc).
+    * `x` must be an SQL expression yielding a POSITIVE BIGINT
+    * (< 2^63 — callers with wider products document their bound).
+    */
+  def ql32Sql(x: String): String =
+    s"(32 * (length(bin($x)) - 1) + CAST(FLOOR((($x) - " +
+      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) * 32.0 / " +
+      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) AS BIGINT))"
+
   /** SOFT-EM expected piece counts for one word — the
     * forward-backward pass over the segmentation lattice (Kudo
     * 2018's true E-step, where [[segment]] is the hard/Viterbi

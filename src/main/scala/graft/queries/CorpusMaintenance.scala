@@ -23,6 +23,8 @@ object CorpusMaintenance extends QueryModule {
   // docs % 13 == 0
   private def fpS(tokExpr: String) = s"md5(concat_ws(' ', $tokExpr))"
   private def fpD(tokExpr: String) = s"md5(array_to_string($tokExpr, ' '))"
+  /** Engine-shared quantized log2 (see Unigram.ql32Sql). */
+  private def ql32(x: String) = graft.operators.Unigram.ql32Sql(x)
   private val toksSpark = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 
   // ---------------------------------------------------------------
@@ -163,11 +165,18 @@ object CorpusMaintenance extends QueryModule {
   // smoothing is needed).
   //
   // Scale: two keyed aggregations off one scan + k-row joins; the
-  // 1-row corpus total crosses (q54's stats pattern). Exactness:
-  // the ln runs on ONE exact rational (c·N)/(C·n) — integer
-  // products ≤ ~2^62 at any plausible corpus — and the per-bucket
-  // terms are identical doubles cross-engine; only their ~30-term
-  // sum is order-dependent, absorbed by round-6 (q79's rule).
+  // 1-row corpus total crosses (q54's stats pattern).
+  //
+  // TRANSCENDENTAL-FREE (round 17): the log ratio runs on exact
+  // integer products — ln((c·nn)/(ct·n)) becomes ql32(c·nn) −
+  // ql32(ct·n) (Unigram.ql32Sql; ≈ 46.166·ln units), so the DEFINED
+  // output is the quantized index psi_q32 = Σ_b (p_src − p_corpus) ·
+  // Δql32 — same drift semantics, scaled axis (the 0.2 rule of thumb
+  // becomes ≈ 9.2 in q32 units). Exactness: the products are BIGINT
+  // (≤ ~2^62 at any plausible corpus — the device's documented
+  // bound); each term is double × exact integer, identical
+  // cross-engine; only the ~30-term sum is order-dependent, absorbed
+  // by round-6 (q79's rule). No ln() in either engine's SQL.
   private def q104(s: SparkSession, dir: String): DataFrame = {
     val docs = T.documents(s, dir)
       .select(col("source"), expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
@@ -179,33 +188,34 @@ object CorpusMaintenance extends QueryModule {
       .join(ns, "source")
       .crossJoin(broadcast(nt))
       .withColumn("term", expr(
-        """(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-          | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-          | * ln(CAST(c * nn AS DOUBLE) / CAST(ct * n AS DOUBLE))"""
+        s"""(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+           | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+           | * CAST(${ql32("(c * nn)")} - ${ql32("(ct * n)")} AS DOUBLE)"""
           .stripMargin))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_buckets"), round(sum("term"), 6).as("psi"))
+      .agg(count(lit(1)).as("n_buckets"), round(sum("term"), 6).as("psi_q32"))
       .orderBy("source")
   }
 
   private val q104Sql =
-    """WITH d AS (
-      |  SELECT source, CAST(n_chars // 100 AS INTEGER) AS bucket
-      |  FROM documents),
-      |src AS (SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY 1, 2),
-      |tot AS (SELECT bucket, COUNT(*) AS ct FROM d GROUP BY 1),
-      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
-      |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
-      |SELECT source, COUNT(*) AS n_buckets,
-      |  round(SUM(
-      |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-      |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-      |    * ln(CAST(c * nn AS DOUBLE) / CAST(ct * n AS DOUBLE))), 6) AS psi
-      |FROM src
-      |JOIN tot USING (bucket)
-      |JOIN ns USING (source)
-      |CROSS JOIN nt
-      |GROUP BY source ORDER BY source""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, CAST(n_chars // 100 AS INTEGER) AS bucket
+       |  FROM documents),
+       |src AS (SELECT source, bucket, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |tot AS (SELECT bucket, COUNT(*) AS ct FROM d GROUP BY 1),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
+       |SELECT source, COUNT(*) AS n_buckets,
+       |  round(SUM(
+       |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+       |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+       |    * CAST(${ql32("(c * nn)")} - ${ql32("(ct * n)")} AS DOUBLE)), 6)
+       |    AS psi_q32
+       |FROM src
+       |JOIN tot USING (bucket)
+       |JOIN ns USING (source)
+       |CROSS JOIN nt
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
   // q120 — corpus RELEASE MANIFEST: the per-source integrity record a

@@ -227,6 +227,11 @@ object PipelineOps extends QueryModule {
   // division by the count is correctly rounded in both engines;
   // round(·,6) is deterministic, not 1-ulp-lucky (the libm ln()
   // hazard the driver flagged on q179 is gone from this row too).
+  // The QUANTIZED score IS this row's defined output (avg_lp_q32,
+  // ≈46.166·ln units) — not an approximation of libm log-prob: a
+  // pipeline ranking or thresholding on it gets the quantized
+  // ordering, which is reproducible where a float-log ordering
+  // hands last-ulp ties to the libm build.
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val bg = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
@@ -289,7 +294,11 @@ object PipelineOps extends QueryModule {
   // DECIMAL(38,0)/HUGEINT routing past ~3·10⁹ bigrams, while each
   // individual operand of the ql32 sum stays BIGINT-safe at any
   // corpus size. Integer scores make the DESC ordering exact; ties
-  // break on (w1, w2).
+  // break on (w1, w2). The QUANTIZED score IS this row's defined
+  // output (pmi_q32, ≈46.166·ln units) — not an approximation of
+  // libm PMI: where quantized scores tie, the (w1, w2) tie-break is
+  // the defined ordering, reproducible across engines and libm
+  // builds by construction.
   private def q98(s: SparkSession, dir: String): DataFrame = {
     val c2 = TextAnalysis.bigramCounts(s, dir)
     val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
@@ -530,13 +539,20 @@ object PipelineOps extends QueryModule {
   // Scale: ONE pass over the shared tokenized table builds the
   // per-(doc, bucket) counts; the model is B rows (broadcast), the
   // totals are 1-row cross joins, and the per-doc reduce is a keyed
-  // agg — no corpus-sized join anywhere. Exactness: the smoothed
-  // ratio is ONE exact rational — (ct+1)(Nr+B) / ((cr+1)(Nt+B)) —
-  // whose count products scale as N², so both sides route through
-  // DECIMAL(38,0)/HUGEINT (q98's rule) before the one
-  // correctly-rounded DOUBLE divide and ln; the ≤B-term per-doc sum
-  // is order-wobbly and absorbed by round(·, 6); ties in the rounded
-  // score break on doc_id.
+  // agg — no corpus-sized join anywhere.
+  //
+  // TRANSCENDENTAL-FREE AND FULLY EXACT (round 17): the smoothed
+  // ratio is ONE exact rational — (ct+1)(Nr+B) / ((cr+1)(Nt+B)) — so
+  // its log runs on the quantized integer log2 device: λ_q32 =
+  // ql32((ct+1)(Nr+B)) − ql32((cr+1)(Nt+B)) (Unigram.ql32Sql;
+  // ≈46.166·ln units), and the DEFINED output dsir_score_q32 =
+  // Σ_b n_db·λ_q32 is PURE BIGINT — every value exact in both
+  // engines, no round(), no float, no summation-order wobble at all
+  // (the previous round-6 guard existed only for ln's sum). The
+  // count products must fit BIGINT (< 2^63 — ≈ 3·10^9 tokens per
+  // split at B=64; beyond that, pre-scale the counts by a common
+  // power of two, which the shift-equivariance of ql32 makes exact).
+  // Ties in the integer score break on doc_id.
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val B = 64
     // ONE corpus pass (explode + md5) lives behind the memoized
@@ -562,17 +578,16 @@ object PipelineOps extends QueryModule {
     val lam = bt
       .crossJoin(broadcast(bt.agg(sum("cr").as("nr"), sum("ct").as("nt"))))
       .withColumn("lam", expr(
-        s"""ln(CAST(CAST(ct + 1 AS DECIMAL(38,0)) * (nr + $B) AS DOUBLE) /
-           |   CAST(CAST(cr + 1 AS DECIMAL(38,0)) * (nt + $B) AS DOUBLE))"""
-          .stripMargin))
+        s"CAST(${ql32S(s"((ct + 1) * (nr + $B))")} - " +
+          s"${ql32S(s"((cr + 1) * (nt + $B))")} AS BIGINT)"))
       .select("b", "lam")
     db.join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")
-      .agg(round(sum(expr("n * lam")), 6).as("dsir_score"))
+      .agg(expr("CAST(SUM(n * lam) AS BIGINT)").as("dsir_score_q32"))
       .join(T.documents(s, dir).select(col("doc_id"), col("source"),
         col("lang")), Seq("doc_id"))
-      .select("doc_id", "source", "lang", "dsir_score")
-      .orderBy(desc("dsir_score"), col("doc_id"))
+      .select("doc_id", "source", "lang", "dsir_score_q32")
+      .orderBy(desc("dsir_score_q32"), col("doc_id"))
       .limit(15)
   }
 
@@ -583,23 +598,23 @@ object PipelineOps extends QueryModule {
        |  FROM (SELECT doc_id, lang, unnest(${TextAnalysis.toksD}) AS t
        |        FROM documents)),
        |db AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY 1, 2),
-       |raw AS (SELECT b, SUM(n) AS cr FROM db GROUP BY 1),
+       |raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr FROM db GROUP BY 1),
        |tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en'
        |        GROUP BY 1),
-       |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
-       |               (SELECT SUM(ct) FROM tgt) AS nt),
+       |tot AS (SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+       |               (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS nt),
        |lam AS (
        |  SELECT r.b,
-       |    ln(CAST(CAST(COALESCE(t.ct, 0) + 1 AS HUGEINT) * (nr + 64)
-       |          AS DOUBLE) /
-       |       CAST(CAST(r.cr + 1 AS HUGEINT) * (nt + 64) AS DOUBLE)) AS lam
+       |    CAST(${ql32S("((COALESCE(t.ct, 0) + 1) * (nr + 64))")} -
+       |      ${ql32S("((r.cr + 1) * (nt + 64))")} AS BIGINT) AS lam
        |  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tot),
        |sc AS (
-       |  SELECT d.doc_id, round(SUM(d.n * l.lam), 6) AS dsir_score
+       |  SELECT d.doc_id, CAST(SUM(d.n * l.lam) AS BIGINT)
+       |    AS dsir_score_q32
        |  FROM db d JOIN lam l ON l.b = d.b GROUP BY 1)
-       |SELECT sc.doc_id, dd.source, dd.lang, sc.dsir_score
+       |SELECT sc.doc_id, dd.source, dd.lang, sc.dsir_score_q32
        |FROM sc JOIN documents dd ON dd.doc_id = sc.doc_id
-       |ORDER BY sc.dsir_score DESC, sc.doc_id LIMIT 15""".stripMargin
+       |ORDER BY sc.dsir_score_q32 DESC, sc.doc_id LIMIT 15""".stripMargin
 
   // ---------------------------------------------------------------
   // q157 — PERCENTILE LENGTH FILTER: the standard curation trim —
@@ -1149,19 +1164,12 @@ object PipelineOps extends QueryModule {
   // reference model (vocabulary²-sized, built from the reference
   // slice only); one groupBy(doc) + one per-language window over the
   // doc-level table + one k-row rollup.
-  /** ql32 (operators/Unigram.scala) as a shared SQL string both
-    * engines evaluate identically: 32·(bitlen−1) + ⌊32·(x−2^(bitlen−1))
-    * / 2^(bitlen−1)⌋. bin() gives the bit length in both engines;
-    * power(2, k) is exact in double for k ≤ 52; the FLOOR division is
-    * IEEE-correctly-rounded on exact operands, so the floor of the
-    * quotient is engine-independent; CAST of an integer-valued double
-    * to BIGINT agrees under both truncation (Spark) and rounding
-    * (DuckDB) semantics.
+  /** The shared engine-identical ql32 SQL device — see
+    * [[graft.operators.Unigram.ql32Sql]] (promoted there in round 17
+    * so the idf/PSI/DSIR rows share ONE copy).
     */
   private def ql32S(x: String): String =
-    s"(32 * (length(bin($x)) - 1) + CAST(FLOOR((($x) - " +
-      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) * 32.0 / " +
-      s"CAST(power(2, length(bin($x)) - 1) AS BIGINT)) AS BIGINT))"
+    graft.operators.Unigram.ql32Sql(x)
 
   /** The shared per-bigram score string (see the q179 comment). */
   private val q179LpS =

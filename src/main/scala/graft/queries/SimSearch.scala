@@ -429,6 +429,9 @@ object SimSearch extends QueryModule {
   // max() cannot flake across engines.
   private val semTau = 0.4
 
+  /** Engine-shared quantized log2 (see Unigram.ql32Sql). */
+  private def qlS(x: String) = graft.operators.Unigram.ql32Sql(x)
+
   private def q91(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"),
@@ -2539,14 +2542,18 @@ object SimSearch extends QueryModule {
     src.join(tot, "cell")
       .join(ns, "source")
       .crossJoin(broadcast(nt))
+      // TRANSCENDENTAL-FREE (round 17, the q104 port): the log ratio
+      // runs on the quantized integer log2 of exact BIGINT products
+      // (Unigram.ql32Sql; bound ≤ ~2^62 documented there) — the
+      // DEFINED output is psi_q32 in ≈46.166·ln units; no ln() in
+      // either engine's SQL
       .withColumn("term", expr(
-        """(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-          | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-          | * ln(CAST(CAST(c AS DECIMAL(38,0)) * nn AS DOUBLE)
-          |      / CAST(CAST(ct AS DECIMAL(38,0)) * n AS DOUBLE))"""
+        s"""(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+           | - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+           | * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)"""
           .stripMargin))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_cells"), round(sum("term"), 6).as("psi"))
+      .agg(count(lit(1)).as("n_cells"), round(sum("term"), 6).as("psi_q32"))
       .orderBy("source")
   }
 
@@ -2563,8 +2570,8 @@ object SimSearch extends QueryModule {
        |  round(SUM(
        |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
        |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |    * ln(CAST(CAST(c AS HUGEINT) * nn AS DOUBLE)
-       |         / CAST(CAST(ct AS HUGEINT) * n AS DOUBLE))), 6) AS psi
+       |    * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)), 6)
+       |    AS psi_q32
        |FROM src
        |JOIN tot USING (cell)
        |JOIN ns USING (source)
@@ -2590,11 +2597,16 @@ object SimSearch extends QueryModule {
   //
   // Scale: shares q106's one assignment scan (sourceCells); the grid
   // is |sources|·k rows (model-sized); the drop argmax is a 1-row
-  // TakeOrdered broadcast. Exactness: observed terms are q106's
-  // decimal-routed exact rationals; missing terms are the same
-  // textual double expression on both engines (1e-6 constants, one
-  // mult, one divide, one ln — IEEE-identical); round-6 absorbs the
-  // ≤k-term sum order.
+  // TakeOrdered broadcast. Exactness (TRANSCENDENTAL-FREE, round 17):
+  // observed terms are q106's quantized-log2 form; a missing cell's
+  // floored log ratio ln(1e-6·nn/ct) = ln(nn/(10^6·ct)) also runs on
+  // exact integers — ql32(nn) − ql32(1000000·ct) — so the DEFINED
+  // output is psi_q32 (≈46.166·ln units; the two-sided STRUCTURE —
+  // observed terms + refFloor-ed missing terms — is what this row
+  // certifies cross-engine; StreamingDrift.psiTwoSided keeps the ln
+  // form for in-stream monitoring where no hash gate applies).
+  // round-6 absorbs the ≤k-term sum order; no ln() in either
+  // engine's SQL.
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val cells = sourceCells(s, dir)
     val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
@@ -2610,19 +2622,18 @@ object SimSearch extends QueryModule {
       .join(obs, Seq("source", "cell"), "left")
       .crossJoin(broadcast(nt))
       .withColumn("term", expr(
-        """CASE WHEN c IS NOT NULL THEN
-          |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-          |   - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-          |  * ln(CAST(CAST(c AS DECIMAL(38,0)) * nn AS DOUBLE)
-          |       / CAST(CAST(ct AS DECIMAL(38,0)) * n AS DOUBLE))
-          |ELSE
-          |  (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-          |  * ln(1e-6 * CAST(nn AS DOUBLE) / CAST(ct AS DOUBLE))
-          |END""".stripMargin))
+        s"""CASE WHEN c IS NOT NULL THEN
+           |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+           |   - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+           |  * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)
+           |ELSE
+           |  (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+           |  * CAST(${qlS("nn")} - ${qlS("(1000000 * ct)")} AS DOUBLE)
+           |END""".stripMargin))
       .groupBy("source")
       .agg(count(when(col("c").isNotNull, 1)).as("n_cells_obs"),
         count(when(col("c").isNull, 1)).as("n_cells_missing"),
-        round(sum("term"), 6).as("psi"))
+        round(sum("term"), 6).as("psi_q32"))
       .orderBy("source")
   }
 
@@ -2651,12 +2662,11 @@ object SimSearch extends QueryModule {
        |    CASE WHEN c IS NOT NULL THEN
        |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
        |       - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |      * ln(CAST(CAST(c AS HUGEINT) * nn AS DOUBLE)
-       |           / CAST(CAST(ct AS HUGEINT) * n AS DOUBLE))
+       |      * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)
        |    ELSE
        |      (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |      * ln(1e-6 * CAST(nn AS DOUBLE) / CAST(ct AS DOUBLE))
-       |    END), 6) AS psi
+       |      * CAST(${qlS("nn")} - ${qlS("(1000000 * ct)")} AS DOUBLE)
+       |    END), 6) AS psi_q32
        |FROM ns
        |CROSS JOIN tot
        |LEFT JOIN obs USING (source, cell)

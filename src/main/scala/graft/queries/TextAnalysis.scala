@@ -205,8 +205,20 @@ object TextAnalysis extends QueryModule {
   // (the IN filter prunes before the shuffle); df and the corpus
   // stats are tiny broadcast aggregates. Per-term scores are separate
   // conditional SUMs (each sums one non-zero element → exact), added
-  // in a FIXED order; the only cross-engine wobble is ln()'s last
-  // ulp, absorbed by round(·, 6) on both sides.
+  // in a FIXED order.
+  //
+  // TRANSCENDENTAL-FREE (round 17, the q79/q98/q179 ql32 recipe):
+  // the Robertson idf is an exact integer rational —
+  // (N−df+0.5)/(df+0.5) + 1 = (2N+2)/(2df+1) — so its log runs on
+  // the quantized integer log2 device: idf_q32 = ql32(2N+2) −
+  // ql32(2df+1) (≈ 46.166·ln units; exact, monotone, engine-shared —
+  // Unigram.ql32Sql). The DEFINED output of this row is the
+  // quantized-idf score bm25_q32 = Σ_t idf_q32(t)·core(t), not
+  // libm-BM25: the k1/b saturation core is untouched rational
+  // arithmetic, identical textually in both engines, and the only
+  // remaining float steps are its divisions (correctly-rounded on
+  // exact operands) — no ln() anywhere, so no 1-ulp libm hazard.
+  // round(·, 6) still absorbs the fixed 3-term addition.
   private val bmTerms = Seq("spark", "vector", "query")
 
   private def q54(s: SparkSession, dir: String): DataFrame = {
@@ -223,17 +235,18 @@ object TextAnalysis extends QueryModule {
     val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
       "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
       "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-    val idf = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
-      "(CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    val ql = graft.operators.Unigram.ql32Sql _
+    val idf = s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
+      "AS DOUBLE)"
     val perTerm = bmTerms.map(t =>
       sum(expr(s"CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END")).as(s"s_$t"))
     tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
-      .withColumn("bm25",
+      .withColumn("bm25_q32",
         round(expr(bmTerms.map(t => s"s_$t").mkString(" + ")), 6))
-      .select("doc_id", "bm25")
-      .orderBy(desc("bm25"), col("doc_id"))
+      .select("doc_id", "bm25_q32")
+      .orderBy(desc("bm25_q32"), col("doc_id"))
       .limit(20)
   }
 
@@ -242,8 +255,9 @@ object TextAnalysis extends QueryModule {
     val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
       "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
       "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-    val idf = "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
-      "(CAST(df AS DOUBLE) + 0.5) + 1.0)"
+    val ql = graft.operators.Unigram.ql32Sql _
+    val idf = s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
+      "AS DOUBLE)"
     val perTerm = bmTerms.map(t =>
       s"SUM(CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END) AS s_$t")
       .mkString(",\n       |    ")
@@ -262,9 +276,9 @@ object TextAnalysis extends QueryModule {
        |  FROM tf JOIN dfq USING (t) CROSS JOIN stats
        |  GROUP BY doc_id)
        |SELECT doc_id,
-       |  round(${bmTerms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25
+       |  round(${bmTerms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25_q32
        |FROM sc
-       |ORDER BY bm25 DESC, doc_id
+       |ORDER BY bm25_q32 DESC, doc_id
        |LIMIT 20""".stripMargin
   }
 
@@ -305,13 +319,19 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------
   // q61 — TF-IDF top terms per document: the classic relevance
-  // weighting (tf * ln(N/df)) that drives corpus slicing, stopword
-  // discovery, and keyword extraction; top-3 terms per doc with
-  // deterministic tie-break. Plan: one explode from the cached token
-  // table → tf groupBy; df and N are tiny broadcast aggregates; the
-  // per-doc top-3 is a rank window Spark runs as WindowGroupLimit.
-  // Cross-engine: tf/df/N are exact integers; ln()'s last ulp is
-  // absorbed by round(·, 6) (the BM25 rule).
+  // weighting that drives corpus slicing, stopword discovery, and
+  // keyword extraction; top-3 terms per doc with deterministic
+  // tie-break. Plan: one explode from the cached token table → tf
+  // groupBy; df and N are tiny broadcast aggregates; the per-doc
+  // top-3 is a rank window Spark runs as WindowGroupLimit.
+  //
+  // TRANSCENDENTAL-FREE (round 17): the DEFINED output is the
+  // quantized score tfidf_q32 = f · (ql32(N) − ql32(df)) — tf times
+  // the quantized integer log2 of N/df (≈ 46.166·ln units,
+  // Unigram.ql32Sql) — a PURE-BIGINT column: every value is exact in
+  // both engines, no round() needed, no float anywhere. The per-doc
+  // ranking uses the quantized idf's ordering (ties → term), which
+  // is the tie-break discipline a reproducible pipeline wants.
   private def q61(s: SparkSession, dir: String): DataFrame = {
     val tf = tfCounts(s, dir)
     // document frequencies are corpus-level model state (like the tf
@@ -321,18 +341,20 @@ object TextAnalysis extends QueryModule {
       tf.groupBy("t").agg(count(lit(1)).as("df"))
     }
     val stats = tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
+    val ql = graft.operators.Unigram.ql32Sql _
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(desc("tfidf"), col("t"))
+      .partitionBy("doc_id").orderBy(desc("tfidf_q32"), col("t"))
     tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
-      .withColumn("tfidf", expr(
-        "round(CAST(f AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)"))
+      .withColumn("tfidf_q32", expr(
+        s"CAST(f * (${ql("n_docs")} - ${ql("df")}) AS BIGINT)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .select("doc_id", "rank", "t", "tfidf")
+      .select("doc_id", "rank", "t", "tfidf_q32")
       .orderBy("doc_id", "rank")
   }
 
-  private val q61Sql =
+  private val q61Sql = {
+    val ql = graft.operators.Unigram.ql32Sql _
     s"""WITH tok AS (
        |  SELECT doc_id, unnest($toksD) AS t FROM documents),
        |tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok GROUP BY 1, 2),
@@ -340,15 +362,15 @@ object TextAnalysis extends QueryModule {
        |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
        |sc AS (
        |  SELECT doc_id, t,
-       |    round(CAST(f AS DOUBLE)
-       |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |    CAST(f * (${ql("n_docs")} - ${ql("df")}) AS BIGINT) AS tfidf_q32
        |  FROM tf JOIN dfq USING (t) CROSS JOIN stats)
-       |SELECT doc_id, rank, t, tfidf FROM (
-       |  SELECT doc_id, t, tfidf,
+       |SELECT doc_id, rank, t, tfidf_q32 FROM (
+       |  SELECT doc_id, t, tfidf_q32,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-       |      ORDER BY tfidf DESC, t) AS rank
+       |      ORDER BY tfidf_q32 DESC, t) AS rank
        |  FROM sc) WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q64 — bigram language-model statistics: corpus bigram counts and

@@ -96,9 +96,13 @@ object StreamingDrift {
     * stopped producing a length class entirely" must page too, opt
     * into [[psiTwoSided]] (the `twoSided` flag on [[driftPsi]]),
     * which adds the symmetric term for reference-only buckets with
-    * the observed share floored at refFloor — certified cross-engine
-    * by the q130 batch twin. The default stays one-sided to match
-    * the q104 batch oracle semantics.
+    * the observed share floored at refFloor — the two-sided
+    * STRUCTURE (observed + floored missing terms) is certified
+    * cross-engine by the q130 batch twin (which computes it in
+    * quantized ql32 log units under its hash gate; this in-stream
+    * monitor keeps natural-log units — no hash gate applies here).
+    * The default stays one-sided to match the q104 batch oracle
+    * semantics.
     */
   def psi(counts: Map[Int, Long], reference: Map[Int, Double]): Double = {
     val n = counts.values.sum.toDouble

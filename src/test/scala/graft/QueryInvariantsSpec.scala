@@ -66,12 +66,12 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
     // each term (p_src - p_corpus) * ln(p_src / p_corpus) has both
     // factors sharing a sign, so the sum is >= 0 up to round-6
     val df = SparkEntry.queries("q104_drift_psi")(spark, dir)
-    assert(df.filter(col("psi") < -1e-6).count() == 0)
+    assert(df.filter(col("psi_q32") < -1e-6).count() == 0)
   }
 
   test("q106 embedding-drift PSI is non-negative and covers <= k cells") {
     val df = SparkEntry.queries("q106_embed_drift_psi")(spark, dir).cache()
-    assert(df.filter(col("psi") < -1e-6).count() == 0)
+    assert(df.filter(col("psi_q32") < -1e-6).count() == 0)
     assert(df.filter(col("n_cells") < 1 || col("n_cells") > 4).count() == 0)
   }
 
