@@ -62,6 +62,28 @@ object SemScaleProbe {
       }
       println(f"[semscale] dir=$dir n=$n cells=$k " +
         f"hits=${times.head._2} min=${times.map(_._1).min}%.2f s")
+
+      // ASSIGNMENT-ONLY bend (the round-16 finding's fix): flat
+      // nearest-centroid is O(n·k); two-level routing
+      // (Ivf.assignHierarchical, g = ⌈√k⌉ supercenters, probe 2) is
+      // O(n·√k). Same reduce (sum of cells) on both so the timed
+      // work is the assignment expression, not the sink.
+      def timeAssign(label: String, mk: () => org.apache.spark.sql.DataFrame)
+          : Unit = {
+        mk().agg(sum("cell")).collect() // warmup
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          mk().agg(sum("cell")).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[semscale-assign] dir=$dir n=$n k=$k $label " +
+          f"min=${ts.min}%.2f s")
+      }
+      timeAssign("flat",
+        () => graft.operators.Ivf.assign(corpus, cents, "embedding"))
+      timeAssign("hier(g=sqrt,p=2)",
+        () => graft.operators.Ivf.assignHierarchical(
+          corpus, cents, "embedding", probeSuper = 2))
     }
     spark.stop()
   }

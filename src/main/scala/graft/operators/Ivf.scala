@@ -130,6 +130,136 @@ object Ivf {
       .select(col(idCol).as("q_id"), col("pr.cell").cast("int").as("cell"),
         col("pr.crank").cast("int").as("crank"))
 
+  /** Deterministic driver-side k-means over the CENTROIDS themselves —
+    * the second level of the two-level assignment hierarchy. The
+    * model is k×d doubles (driver-sized by construction), so this is
+    * plain sequential Scala: init = stride-spread picks (cents(i·k/g),
+    * deterministic), argmin assignment with smaller-super-id
+    * tie-break, component means, `iters` rounds, empty groups keep
+    * their previous center. Returns (g supercenters, member cid list
+    * per supercenter — every cid appears exactly once; member lists
+    * are sorted ascending).
+    */
+  def superCluster(cents: Seq[Seq[Double]], g: Int, iters: Int = 3)
+      : (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    require(g >= 1 && g <= cents.size,
+      s"superCluster needs 1 <= g <= k, got g=$g k=${cents.size}")
+    val k = cents.size
+    var sup: Seq[Seq[Double]] =
+      (0 until g).map(i => cents((i.toLong * k / g).toInt))
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assignAll(): Array[Int] =
+      cents.map { c =>
+        var best = 0; var bd = l2sq(c, sup(0)); var j = 1
+        while (j < g) {
+          val d = l2sq(c, sup(j))
+          if (d < bd) { bd = d; best = j } // strict: ties keep smaller j
+          j += 1
+        }
+        best
+      }.toArray
+    var asg = assignAll()
+    (1 to iters).foreach { _ =>
+      val groups = asg.zipWithIndex.groupBy(_._1)
+      sup = sup.indices.map { j =>
+        groups.get(j) match {
+          case Some(members) =>
+            val ids = members.map(_._2)
+            cents.head.indices
+              .map(d => ids.map(i => cents(i)(d)).sum / ids.length)
+          case None => sup(j)
+        }
+      }
+      asg = assignAll()
+    }
+    val members = (0 until g).map(j =>
+      asg.zipWithIndex.collect { case (a, i) if a == j => i }.toSeq)
+    (sup, members)
+  }
+
+  /** MEDOID-STRIDE supercluster model — the SQL-replicable hierarchy
+    * the oracle-gated recall row certifies: supercenters are g
+    * stride-spread picks FROM THE MODEL ITSELF (cents(j·k/g) — no
+    * second training step, so an engine-independent twin can
+    * reconstruct them from the same table), and each centroid joins
+    * its nearest supercenter (exact squared-L2 on the model vectors,
+    * ties to the smaller super id). [[superCluster]]'s k-means
+    * refinement routes better and is the production default at real
+    * scale; this form trades a little routing quality for exact
+    * cross-engine reconstructibility.
+    */
+  def superClusterMedoid(cents: Seq[Seq[Double]], g: Int)
+      : (Seq[Seq[Double]], Seq[Seq[Int]]) = {
+    require(g >= 1 && g <= cents.size,
+      s"superClusterMedoid needs 1 <= g <= k, got g=$g k=${cents.size}")
+    val k = cents.size
+    val sup = (0 until g).map(j => cents((j.toLong * k / g).toInt))
+    def l2sq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val asg = cents.map { c =>
+      var best = 0; var bd = l2sq(c, sup(0)); var j = 1
+      while (j < g) {
+        val d = l2sq(c, sup(j))
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      best
+    }
+    val members = (0 until g).map(j =>
+      asg.zipWithIndex.collect { case (a, i) if a == j => i }.toSeq)
+    (sup, members)
+  }
+
+  /** TWO-LEVEL (hierarchical) nearest-centroid assignment — the scale
+    * fix for [[assign]]'s O(n·k) per-row distance fan-out, which
+    * dominates SemDeDup-class audits once k grows with the corpus
+    * (the round-16 SemScaleProbe finding: assignment-dominated at
+    * n=200k, k=800). Route each vector to its `probeSuper` nearest
+    * of g = ⌈√k⌉ supercenters ([[superCluster]] on the model,
+    * driver-side), then argmin only over those supers' member
+    * centroids: ~g + probeSuper·k/g ≈ (1+probeSuper)·√k distances
+    * per row instead of k — O(n·√k).
+    *
+    * APPROXIMATE by construction (the true nearest centroid can sit
+    * in an unprobed super); the gated q211 row certifies exact
+    * agreement with [[assign]] on its corpus+model via the q219
+    * inner-join device, and tie-breaks mirror [[assign]] exactly
+    * (min (distance, cid) — same exact integer-component distances,
+    * so agreement is decided by geometry, not float noise).
+    */
+  def assignHierarchical(df: DataFrame, cents: Seq[Seq[Double]],
+      vecCol: String, probeSuper: Int = 2,
+      model: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame = {
+    val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
+    val (sup, members) = model.getOrElse(superCluster(cents, g))
+    val p = math.min(probeSuper, sup.size)
+    graft.functions.VecFunctions.register(df.sparkSession)
+    df.withColumn("__cents", typedlit(cents))
+      .withColumn("__sup", typedlit(sup))
+      .withColumn("__mem", typedlit(members))
+      // nearest p supercenters (distance then super-id tie-break)
+      .withColumn("__probed", expr(
+        s"""transform(slice(array_sort(zip_with(
+           |  transform(__sup, sc -> vec_l2_sq(CAST($vecCol AS ARRAY<DOUBLE>), sc)),
+           |  sequence(0, size(__sup) - 1), (d, i) -> struct(d AS d, i AS i))),
+           |  1, $p), s -> s.i)""".stripMargin))
+      // argmin over the probed supers' member centroids: (d, cid) min
+      .withColumn("cell", expr(
+        s"""array_sort(transform(
+           |  flatten(transform(__probed, j -> element_at(__mem, j + 1))),
+           |  c -> struct(vec_l2_sq(CAST($vecCol AS ARRAY<DOUBLE>),
+           |                        element_at(__cents, c + 1)) AS d,
+           |              c AS i)))[0].i""".stripMargin).cast("int"))
+      .drop("__cents", "__sup", "__mem", "__probed")
+  }
+
   /** Top-k cosine search probing the `nProbe` nearest cells per query.
     * `corpus` must carry the `cell` column from [[assign]]; queries
     * are assigned their probe cells ([[probeCells]]) and broadcast.

@@ -236,11 +236,16 @@ object TextAnalysis extends QueryModule {
       "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
       "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
     val ql = graft.operators.Unigram.ql32Sql _
-    val idf = s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
-      "AS DOUBLE)"
+    // idf is per TERM, not per row: evaluate the quantized-log device
+    // on the |terms|-row broadcast side, never in the per-row scorer
+    val idfq = dfreq.crossJoin(broadcast(stats.select("n_docs")))
+      .withColumn("idf", expr(
+        s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
+          "AS DOUBLE)"))
+      .select("t", "idf")
     val perTerm = bmTerms.map(t =>
-      sum(expr(s"CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END")).as(s"s_$t"))
-    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
+      sum(expr(s"CASE WHEN t = '$t' THEN idf * $core ELSE 0.0 END")).as(s"s_$t"))
+    tf.join(broadcast(idfq), "t").crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("bm25_q32",
@@ -259,7 +264,7 @@ object TextAnalysis extends QueryModule {
     val idf = s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
       "AS DOUBLE)"
     val perTerm = bmTerms.map(t =>
-      s"SUM(CASE WHEN t = '$t' THEN $idf * $core ELSE 0.0 END) AS s_$t")
+      s"SUM(CASE WHEN t = '$t' THEN idf * $core ELSE 0.0 END) AS s_$t")
       .mkString(",\n       |    ")
     s"""WITH dd AS (
        |  SELECT doc_id, CAST(len($toksD) AS BIGINT) AS dl, $toksD AS toks
@@ -270,10 +275,12 @@ object TextAnalysis extends QueryModule {
        |  SELECT doc_id, dl, t, COUNT(*) AS f FROM tok
        |  WHERE t IN ($terms) GROUP BY 1, 2, 3),
        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |idfq AS (
+       |  SELECT t, $idf AS idf FROM dfq CROSS JOIN stats),
        |sc AS (
        |  SELECT doc_id,
        |    $perTerm
-       |  FROM tf JOIN dfq USING (t) CROSS JOIN stats
+       |  FROM tf JOIN idfq USING (t) CROSS JOIN stats
        |  GROUP BY doc_id)
        |SELECT doc_id,
        |  round(${bmTerms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25_q32
@@ -342,11 +349,16 @@ object TextAnalysis extends QueryModule {
     }
     val stats = tokenized(s, dir).agg(count(lit(1)).as("n_docs"))
     val ql = graft.operators.Unigram.ql32Sql _
+    // idf_q32 is per TERM: evaluate the quantized-log device on the
+    // |vocab|-row broadcast side, not once per (doc, term) score row
+    val idfq = dfreq.crossJoin(broadcast(stats))
+      .withColumn("idf_q32", expr(
+        s"CAST(${ql("n_docs")} - ${ql("df")} AS BIGINT)"))
+      .select("t", "idf_q32")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf_q32"), col("t"))
-    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(stats))
-      .withColumn("tfidf_q32", expr(
-        s"CAST(f * (${ql("n_docs")} - ${ql("df")}) AS BIGINT)"))
+    tf.join(broadcast(idfq), "t")
+      .withColumn("tfidf_q32", expr("CAST(f * idf_q32 AS BIGINT)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "t", "tfidf_q32")
@@ -360,10 +372,12 @@ object TextAnalysis extends QueryModule {
        |tf AS (SELECT doc_id, t, COUNT(*) AS f FROM tok GROUP BY 1, 2),
        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
        |stats AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |idfq AS (
+       |  SELECT t, CAST(${ql("n_docs")} - ${ql("df")} AS BIGINT) AS idf_q32
+       |  FROM dfq CROSS JOIN stats),
        |sc AS (
-       |  SELECT doc_id, t,
-       |    CAST(f * (${ql("n_docs")} - ${ql("df")}) AS BIGINT) AS tfidf_q32
-       |  FROM tf JOIN dfq USING (t) CROSS JOIN stats)
+       |  SELECT doc_id, t, CAST(f * idf_q32 AS BIGINT) AS tfidf_q32
+       |  FROM tf JOIN idfq USING (t))
        |SELECT doc_id, rank, t, tfidf_q32 FROM (
        |  SELECT doc_id, t, tfidf_q32,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id

@@ -148,4 +148,53 @@ class IvfSpec extends AnyFunSuite with SharedSpark {
     // and the model is on the integer lattice
     assert(models.head.flatten.forall(v => v == math.floor(v)))
   }
+
+  test("superCluster / superClusterMedoid partition the model: every " +
+      "cid appears exactly once, supercenters have the right shape") {
+    val cents = Ivf.train(spark, emb, k = 16, iters = 2)
+    Seq(Ivf.superCluster(cents, 4), Ivf.superClusterMedoid(cents, 4))
+      .foreach { case (sup, members) =>
+        assert(sup.size == 4 && sup.forall(_.size == 64))
+        assert(members.flatten.sorted == (0 until 16),
+          "member lists must partition 0..k-1")
+      }
+    // medoid form: supercenters ARE the stride picks from the model
+    val (supM, _) = Ivf.superClusterMedoid(cents, 4)
+    assert(supM == Seq(cents(0), cents(4), cents(8), cents(12)))
+  }
+
+  test("assignHierarchical with probeSuper = g IS flat assignment " +
+      "(every super probed -> candidate set is the whole model), and " +
+      "probe-2 routing agrees with flat on strongly clustered data") {
+    import spark.implicits._
+    graft.functions.VecFunctions.register(spark)
+    // 9 tight integer clusters, far apart: hierarchy routing is
+    // unambiguous, so two-level must agree with flat everywhere
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 540L).map { id =>
+      val c = (id % 9).toInt
+      (id, Array.tabulate(8)(d =>
+        ((c % 3) * 10000 + (c / 3) * 7000 * (if (d % 2 == 0) 1 else -1)
+          + rnd.nextInt(50)).toDouble))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Ivf.trainLattice(spark, df, k = 9, iters = 3)
+    val flat = Ivf.assign(df, cents, "embedding")
+      .select(col("vec_id"), col("cell").as("cf"))
+    // full probe == flat, exactly, for BOTH hierarchy strategies
+    Seq(None, Some(Ivf.superClusterMedoid(cents, 3))).foreach { m =>
+      val full = Ivf.assignHierarchical(df, cents, "embedding",
+        probeSuper = 3, model = m)
+        .select(col("vec_id"), col("cell").as("ch"))
+      assert(flat.join(full, "vec_id")
+        .filter(col("cf") =!= col("ch")).count() == 0,
+        s"full-probe two-level diverged from flat (model=$m)")
+    }
+    // probe-2 on well-separated clusters: exact agreement
+    val h2 = Ivf.assignHierarchical(df, cents, "embedding", probeSuper = 2)
+      .select(col("vec_id"), col("cell").as("ch"))
+    assert(flat.join(h2, "vec_id")
+      .filter(col("cf") =!= col("ch")).count() == 0,
+      "probe-2 routing missed on separated clusters")
+  }
 }
