@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * contract (16 floats, each an exact 24-bit rational so the
   * cross-engine compare is bit-stable), and the resize transform.
   */
+/** One crawled image payload as a streaming ingest event (the q197
+  * stream==batch gate's MemoryStream feed). Top-level (not nested in
+  * the object) so the case-class Encoder derives cleanly. synth_id
+  * packs (doc_id, variant) as doc_id·2 + variant.
+  */
+case class ImgLine(doc_id: Long, content_type: String, body: Array[Byte])
+
 object MultimodalQueries extends QueryModule {
 
   // Payloads derive from the documents table: sanitize to printable
@@ -1165,6 +1172,25 @@ object MultimodalQueries extends QueryModule {
   // derives each image's hash from the block formula, so any
   // corruption anywhere in framing → split → decode flips y_sum or
   // splits a hash group.
+  /** The q197 fixture image: 8×8-blocked mosaic from the cubic block
+    * formula (the oracle's shadow), encoded under the given
+    * Content-Type — every 4th doc's JPEG is PROGRESSIVE (SOF2). ONE
+    * copy shared by the WARC archive builder and the streamed feed
+    * so the two execution modes can never see different bytes.
+    */
+  private def q197Body(id: Long, codec: String, w: Int, h: Int)
+      : Array[Byte] = {
+    def v(b: Int): Int =
+      (((id + 1) * (b.toLong * b * b + 3 * b + 7)) % 1000003 % 200).toInt
+    val px = Array.tabulate(w * h) { i =>
+      v(((i / w) / 8) * 9 + (i % w) / 8).toByte
+    }
+    if (codec == "image/jpeg") {
+      if (id % 4 == 0) graft.sources.Jpeg.encodeGrayProgressive(px, w, h)
+      else graft.sources.Jpeg.encodeGray(px, w, h)
+    } else graft.sources.Png.encodeGray(px, w, h)
+  }
+
   private def q197(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.ImgFunctions.register(s)
@@ -1185,25 +1211,14 @@ object MultimodalQueries extends QueryModule {
               (headers + s"Content-Length: ${payload.length}\r\n\r\n")
                 .getBytes(iso) ++ payload ++ "\r\n\r\n".getBytes(iso)
             def response(id: Long, codec: String, suffix: String): Unit = {
-              def v(b: Int): Int =
-                (((id + 1) * (b.toLong * b * b + 3 * b + 7))
-                  % 1000003 % 200).toInt
-              val px = Array.tabulate(w * h) { i =>
-                v(((i / w) / 8) * 9 + (i % w) / 8).toByte
-              }
-              val body =
-                if (codec == "image/jpeg") {
-                  // real crawls mix JPEG profiles invisibly behind
-                  // one Content-Type: every 4th doc serves its JPEG
-                  // as PROGRESSIVE (SOF2) — profile dispatch is the
-                  // decoder's job, exactly as in the wild; the
-                  // constant-block mosaic decodes BIT-EXACTLY under
-                  // both profiles, so the oracle's block formula is
-                  // profile-blind
-                  if (id % 4 == 0)
-                    graft.sources.Jpeg.encodeGrayProgressive(px, w, h)
-                  else graft.sources.Jpeg.encodeGray(px, w, h)
-                } else graft.sources.Png.encodeGray(px, w, h)
+              // real crawls mix JPEG profiles invisibly behind one
+              // Content-Type: every 4th doc serves its JPEG as
+              // PROGRESSIVE (SOF2) — profile dispatch is the
+              // decoder's job, exactly as in the wild; the
+              // constant-block mosaic decodes BIT-EXACTLY under both
+              // profiles, so the oracle's block formula is
+              // profile-blind (q197Body, shared with the stream feed)
+              val body = q197Body(id, codec, w, h)
               member(record(
                 s"WARC/1.0\r\nWARC-Type: response\r\n" +
                   s"WARC-Record-ID: <urn:uuid:img-$id$suffix>\r\n" +
@@ -1246,11 +1261,54 @@ object MultimodalQueries extends QueryModule {
           }
         }.toDF("doc_id", "variant", "content_type", "plane", "y_sum")
     }
+    // STREAM == BATCH under the same gate (round 17, the q219
+    // device): the same image payloads are fed through
+    // StreamingImageDedup.decodedHashes — the production streaming
+    // ingest plan (content-type codec dispatch + decode + dhash
+    // INSIDE the streaming plan) — as a MemoryStream in three
+    // micro-batches, and the per-image ledger is inner-joined on ALL
+    // SIX identity columns. A divergence anywhere (framing, SOF
+    // dispatch, decode, luma sum, hash) deletes that image's row and
+    // the row-count/hash gate fails against the unchanged oracle.
+    // Memoized: the stream ran once; serve passes pay the equality
+    // join.
+    val streamed = graft.CachedPlans.of(s, dir, "warc_image_stream_ledger") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ids = T.documents(s, dir).select(col("doc_id")).as[Long].collect()
+      val feed = ids.flatMap { id =>
+        val codec = if (id % 2 == 0) "image/jpeg" else "image/png"
+        val mirror =
+          if (id % 2 == 0) "image/png" else "image/jpeg"
+        val base = Seq(ImgLine(id * 2, codec, q197Body(id, codec, w, h)))
+        if (id % 9 == 0)
+          base :+ ImgLine(id * 2 + 1, mirror, q197Body(id, mirror, w, h))
+        else base
+      }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ImgLine]
+      val qn = "img_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingImageDedup
+        .decodedHashes(mem.toDF(), w, h)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = feed.grouped(math.max(1, (feed.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).selectExpr(
+        "doc_id DIV 2 AS doc_id",
+        "CAST(doc_id % 2 AS INT) AS variant",
+        "content_type", "y_sum", "dh0", "dh1")
+    }
     rows
       .selectExpr("doc_id", "variant", "content_type", "y_sum",
         s"img_dhash(plane, $w, $h) AS dh")
       .selectExpr("doc_id", "variant", "content_type", "y_sum",
         "dh[0] AS dh0", "dh[1] AS dh1")
+      .join(streamed, Seq("doc_id", "variant", "content_type",
+        "y_sum", "dh0", "dh1"), "inner")
       .withColumn("grp_size",
         expr("COUNT(*) OVER (PARTITION BY dh0, dh1)"))
       .orderBy("doc_id", "variant")

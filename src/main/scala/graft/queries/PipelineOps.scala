@@ -1325,17 +1325,37 @@ object PipelineOps extends QueryModule {
   // Scale: ONE corpus-sized keyed exchange (the canonical-URL dedup
   // — the shuffle a production frontier does), a per-row kernel
   // under a per-task rule cache, and a host-keyed rollup.
+  //
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // the identical per-host ledger is computed a second time from the
+  // STREAMING frontier — the same raw URL spellings fed through
+  // [[graft.streaming.StreamingFrontier.decide]] (canonicalize →
+  // keyed GroupState first-seen admission → robots verdict) as a
+  // MemoryStream in three micro-batches — and inner-joined on ALL
+  // SIX columns. When the streaming admission agrees with the batch
+  // dedup, the join is the identity and the output matches the
+  // unchanged oracle; a double-admitted re-discovery, a lost
+  // canonical key, or a diverged robots verdict deletes that host's
+  // row and the row-count/hash gate fails. One oracle row certifies
+  // both execution modes.
+  /** The raw two-spelling candidate expressions (the q176 device) —
+    * ONE copy shared by the batch frontier and the streamed feed so
+    * the two paths can never see different inputs.
+    */
+  private val frontierU1 =
+    "concat('HTTP://', upper(source), '.EXAMPLE.COM:80/c/../c/./d', " +
+      "CAST(doc_id AS STRING), '?b=', CAST(doc_id % 5 AS STRING), " +
+      "'&a=', CAST(doc_id % 7 AS STRING), '#sec')"
+  private val frontierU2 =
+    "concat('http://', source, '.example.com/%63/d', " +
+      "CAST(doc_id AS STRING), '?a=', CAST(doc_id % 7 AS STRING), " +
+      "'&&b=', CAST(doc_id % 5 AS STRING))"
+
   private def q192(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.UrlFunctions.register(s)
     val cand = T.documents(s, dir)
-      .selectExpr("doc_id",
-        "concat('HTTP://', upper(source), '.EXAMPLE.COM:80/c/../c/./d', " +
-          "CAST(doc_id AS STRING), '?b=', CAST(doc_id % 5 AS STRING), " +
-          "'&a=', CAST(doc_id % 7 AS STRING), '#sec') AS u1",
-        "concat('http://', source, '.example.com/%63/d', " +
-          "CAST(doc_id AS STRING), '?a=', CAST(doc_id % 7 AS STRING), " +
-          "'&&b=', CAST(doc_id % 5 AS STRING)) AS u2")
+      .selectExpr("doc_id", s"$frontierU1 AS u1", s"$frontierU2 AS u2")
       .selectExpr("doc_id",
         "stack(2, url_normalize(u1), url_normalize(u2)) AS url")
     // memoized per (session, dir): the frontier is landed + decided
@@ -1369,7 +1389,7 @@ object PipelineOps extends QueryModule {
           }
         }.toDF("host", "n_cand", "allowed", "delay")
     }
-    decided.groupBy("host").agg(
+    val batch = decided.groupBy("host").agg(
       sum("n_cand").as("n_candidates"),
       count(lit(1)).as("n_frontier"),
       expr("CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)")
@@ -1380,6 +1400,50 @@ object PipelineOps extends QueryModule {
           "* crawl_delay ELSE 0 END AS BIGINT)"))
       .select("host", "n_candidates", "n_frontier", "n_allowed",
         "crawl_delay", "makespan_s")
+    // the streamed ledger is a one-time artifact (the stream ran
+    // once) — memoized, so a serve pass pays only the six-column
+    // equality join of two |hosts|-row tables
+    val streamed = graft.CachedPlans.of(s, dir, "frontier_stream_ledger") {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // the MemoryStream feed: both raw spellings per document with a
+      // deterministic event time (epoch + doc_id seconds) — bounded
+      // by the fixture URL table (the ChatData feed bound)
+      val lines = T.documents(s, dir)
+        .selectExpr("doc_id", s"$frontierU1 AS u1", s"$frontierU2 AS u2")
+        .as[(Long, String, String)].collect()
+        .flatMap { case (id, u1, u2) =>
+          val ts = new java.sql.Timestamp(1700000000000L + id * 1000L)
+          Seq(graft.streaming.StreamingFrontier.UrlEvent(u1, ts),
+            graft.streaming.StreamingFrontier.UrlEvent(u2, ts))
+        }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingFrontier.UrlEvent]
+      val qn = "frontier_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingFrontier
+        .decide(mem.toDS())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).groupBy("host").agg(
+        count(lit(1)).as("n_candidates"),
+        expr("CAST(SUM(CASE WHEN first_seen THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_frontier"),
+        expr("CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_allowed"),
+        max("crawl_delay").as("crawl_delay"))
+        .withColumn("makespan_s",
+          expr("CAST(CASE WHEN n_allowed > 0 THEN (n_allowed - 1) " +
+            "* crawl_delay ELSE 0 END AS BIGINT)"))
+        .select("host", "n_candidates", "n_frontier", "n_allowed",
+          "crawl_delay", "makespan_s")
+    }
+    batch.join(streamed, Seq("host", "n_candidates", "n_frontier",
+      "n_allowed", "crawl_delay", "makespan_s"), "inner")
       .orderBy("host")
   }
 
