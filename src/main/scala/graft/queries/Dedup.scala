@@ -107,16 +107,23 @@ object Dedup extends QueryModule {
   // canonical scalable similarity join; jaccard ordering is exact
   // (integer-derived doubles). This row is the deliberate EXACT
   // ANCHOR for the banded family (q29/q30/q69 are the production
-  // shapes) — the anchor's guarantee is certified on a DETERMINISTIC
-  // HALF-SLICE of the corpus (doc_id % 2 = 0, identical predicate in
-  // both engines): the exactness evidence is the same, and the
-  // hot-shingle f² self-join the anchor deliberately keeps (q69
-  // prunes it) costs a quarter of the full-corpus form.
+  // shapes) — certified PARITY-PARTITIONED (round 17, closing the
+  // round-16 advice on the half-slice): the self-join compares pairs
+  // within each doc_id parity class (a.doc_id % 2 = b.doc_id % 2,
+  // identical predicate in both engines), so EVERY document
+  // participates in the exact-Jaccard gate — a divergence confined
+  // to either half is caught — while the hot-shingle f² fan-out the
+  // anchor deliberately keeps (q69 prunes it) costs half the
+  // full-corpus form (f_even² + f_odd² ≈ f²/2). Cross-parity pairs
+  // are exactly the workload the banded production twins certify
+  // flat across three decades; the anchor's job is the exactness
+  // guarantee, and that now covers the whole corpus again.
   private def q28(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).filter(col("doc_id") % 2 === 0)
+    val sh = shingled(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id")
+          && col("a.doc_id") % 2 === col("b.doc_id") % 2)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -131,12 +138,12 @@ object Dedup extends QueryModule {
 
   private val q28Sql =
     s"""WITH $duckShingles,
-       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh
-       |        WHERE doc_id % 2 = 0),
+       |shh AS (SELECT doc_id, ${h32D("sh")} AS hs FROM sh),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |    AND a.doc_id % 2 = b.doc_id % 2
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
