@@ -539,6 +539,38 @@ object IndexStore {
     else s.read.option("basePath", codesRoot(out))
       .parquet(files.map(f => s"${codesRoot(out)}/${f.path}"): _*)
 
+  /** Version-pinned resolved reads memoized per (session, out,
+    * version) — Tables.t's footer-resolution memo applied to the
+    * store: a committed version's file list is IMMUTABLE, so the
+    * analyzed relation can be shared across queries (a serve fleet
+    * re-reads the same pinned version hundreds of times; re-resolving
+    * parquet footers on every read is a measured ~80 ms tax —
+    * q131's round-16 drift). [[vacuum]] is the only operation that
+    * deletes files belonging to committed versions, so it drops this
+    * store's entries for its path; every other lifecycle op commits a
+    * NEW version and therefore a new key. Entries for stopped
+    * sessions are dropped lazily on lookup.
+    */
+  private val versionReadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), (SparkSession, DataFrame)]()
+
+  private def readVersion(s: SparkSession, out: String, version: Long,
+      schema: StructType, files: Seq[FileEntry]): DataFrame = {
+    versionReadMemo.entrySet()
+      .removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val key = (graft.Tables.sessionToken(s), out, version)
+    val existing = versionReadMemo.get(key)
+    if (existing != null) existing._2
+    else {
+      val built = (s, readFiles(s, out, schema, files))
+      val prev = versionReadMemo.putIfAbsent(key, built)
+      if (prev != null) prev._2 else built._2
+    }
+  }
+
+  private def dropVersionMemo(out: String): Unit =
+    versionReadMemo.keySet().removeIf(_._2 == out)
+
   // ----------------------------------------------------------------
   // public lifecycle
 
@@ -748,6 +780,10 @@ object IndexStore {
   def vacuum(s: SparkSession, out: String, keepVersions: Int = 1,
       minAgeMs: Long = 3600000L): Unit = {
     require(keepVersions >= 1, "IndexStore.vacuum: keepVersions must be >= 1")
+    // vacuum is the one operation that deletes files of committed
+    // versions — memoized resolved reads for this path must not
+    // outlive them
+    dropVersionMemo(out)
     val (fs, root) = hfs(s, codesRoot(out))
     val cutoff = System.currentTimeMillis() - minAgeMs
     // minAgeMs == 0 means "no pin window": everything unreferenced is
@@ -903,7 +939,7 @@ object IndexStore {
     */
   def loadCodesAt(s: SparkSession, out: String, version: Long): DataFrame = {
     val m = manifestAt(s, out, version)
-    readFiles(s, out, m.schema, m.files)
+    readVersion(s, out, m.version, m.schema, m.files)
   }
 
   /** Audit diff between two retained versions — what the commits
@@ -984,7 +1020,7 @@ object IndexStore {
     */
   def loadCodes(s: SparkSession, out: String): DataFrame = {
     val man = requireManifest(s, out)
-    readFiles(s, out, man.schema, man.files)
+    readVersion(s, out, man.version, man.schema, man.files)
   }
 
   /** The model the CURRENT version searches under (the manifest's
