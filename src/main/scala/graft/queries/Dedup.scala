@@ -4,6 +4,11 @@ import graft.{QueryModule, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One document as a chunk-store ingest event (q144's stream==batch
+  * gate feed). Top-level so the case-class Encoder derives cleanly.
+  */
+case class ChunkDocLine(doc_id: Long, text: String)
+
 /** Deduplication operators over `documents`: exact (hash-groupBy),
   * n-gram Jaccard via inverted-index join, MinHash signatures +
   * LSH banding, and SimHash with byte-band candidate generation.
@@ -861,29 +866,63 @@ object Dedup extends QueryModule {
     ccLabels(s, dir, maxLocalEdges = 0).orderBy("doc_id")
 
   // ---------------------------------------------------------------
-  // q71 — the streaming near-dup detector's batch twin under the
-  // oracle gate: StreamingNearDup.bandCandidates (the SAME
+  // q71 — the streaming near-dup detector under the oracle gate, in
+  // BOTH execution modes: StreamingNearDup.bandCandidates (the SAME
   // flatMapGroupsWithState code that runs under readStream) executed
-  // on the documents table as a batch Dataset, reduced to candidate
-  // pairs (first bucket occupant vs later arrival, >= 2 of 4 shared
-  // bands — q30's threshold on the streaming parameter table). In
-  // batch mode each (band, band_val) group sees all arrivals at once
-  // with empty state, so first = min doc_id — exactly what the DuckDB
-  // twin states in closed form.
+  // (a) on the documents table as a batch Dataset and (b) as a REAL
+  // MICRO-BATCHED STREAM (MemoryStream, three waves in ascending
+  // doc_id order), each reduced to candidate pairs (first bucket
+  // occupant vs later arrival, >= 2 of 4 shared bands — q30's
+  // threshold on the streaming parameter table), then inner-joined on
+  // ALL THREE columns (the q219 device). In batch mode each (band,
+  // band_val) group sees all arrivals at once with empty state, so
+  // first = min doc_id — exactly what the DuckDB twin states in
+  // closed form; with id-ordered waves the stream's first OCCUPANT
+  // (keyed GroupState across micro-batches) is that same min id, so
+  // the two ledgers must agree row for row — a double-flag, a lost
+  // bucket state, or a wave-boundary divergence deletes pairs and
+  // fails the unchanged oracle's hash. The whole gated build is
+  // memoized (the detector ran once over this corpus — q192's
+  // frontier_decided discipline); a serve pass pays the presentation
+  // sort.
   private def q71(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = graft.Tables.documents(s, dir)
-      .select(col("doc_id"),
-        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
-        col("text"))
-      .as[graft.streaming.StreamingNearDup.DocEvent]
-    graft.streaming.StreamingNearDup.bandCandidates(docs)(s)
-      .toDF()
+    def pairs(hits: DataFrame): DataFrame = hits
       .filter(col("seen_before"))
       .groupBy(col("first_doc").as("doc_a"), col("doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_match"))
       .filter(col("n_match") >= 2)
-      .orderBy("doc_a", "doc_b")
+    val gated = graft.CachedPlans.of(s, dir, "neardup_stream_gated") {
+      val docs = graft.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+          col("text"))
+        .as[graft.streaming.StreamingNearDup.DocEvent]
+      val batch = pairs(
+        graft.streaming.StreamingNearDup.bandCandidates(docs)(s).toDF())
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lines = graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+        .map { case (id, t) => graft.streaming.StreamingNearDup.DocEvent(
+          id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingNearDup.DocEvent]
+      val qn = "neardup_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingNearDup.bandCandidates(mem.toDS())(s)
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      batch.join(pairs(s.table(qn)),
+        Seq("doc_a", "doc_b", "n_match"), "inner")
+    }
+    gated.orderBy("doc_a", "doc_b")
   }
 
   // streaming band params = first 4 rows of the MinHash table
@@ -2102,10 +2141,56 @@ object Dedup extends QueryModule {
         col("c.fp").as("fp")): _*)
   }
 
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // the chunk-store write path (StreamingChunkDedup.firstSeenChunks —
+  // the CDC kernel + engine-managed dropDuplicates state INSIDE the
+  // streaming plan) runs over the same documents as a MemoryStream in
+  // three micro-batches; its admitted ledger, reduced to the
+  // order-independent (fp, n_tok) identity (WHICH doc gets admitted
+  // is arrival-order-dependent; the fingerprint set and its token
+  // mass are not) plus an admitted-exactly-once count, must equal the
+  // batch distinct-fingerprint table. The batch chunk table is then
+  // SEMI-JOINED through the agreement set before the per-source
+  // rollup — a missing fingerprint, a double admission, or a
+  // token-mass divergence deletes every chunk of that fingerprint and
+  // fails the unchanged oracle's hash. Memoized: the ingest ran once;
+  // a serve pass pays the rollup over the cached gated chunk table.
   private def q144(s: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunksArr(
-      TextAnalysis.tokenized(s, dir).select("doc_id", "source", "toks"),
-      Seq("source"))
+    val chunks = graft.CachedPlans.of(s, dir, "cdc_gated_chunks") {
+      import s.implicits._
+      val all = cdcChunksArr(
+        TextAnalysis.tokenized(s, dir).select("doc_id", "source", "toks"),
+        Seq("source"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lines = T.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+        .map { case (id, t) => ChunkDocLine(id, t) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ChunkDocLine]
+      val qn = "chunk_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingChunkDedup.firstSeenChunks(
+          mem.toDF().select(col("doc_id"),
+            expr(TextAnalysis.toksS).as("toks")))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamedLedger = s.table(qn)
+        .groupBy("fp").agg(count(lit(1)).as("n_adm"),
+          min("n_tok").as("n_tok"))
+        .filter(col("n_adm") === 1).select("fp", "n_tok")
+      val batchLedger = all.groupBy("fp")
+        .agg(min("n_tok").as("n_tok")).select("fp", "n_tok")
+      val agreed = batchLedger
+        .join(streamedLedger, Seq("fp", "n_tok"), "inner")
+        .select("fp")
+      all.join(agreed, Seq("fp"), "left_semi")
+    }
     val fpCnt = chunks.groupBy("fp").agg(count(lit(1)).as("n_fp"))
     chunks.join(fpCnt, "fp")
       .groupBy("source")
