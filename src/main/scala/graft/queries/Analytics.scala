@@ -5,6 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** One document drop as a model-refresh ingest event (q141's
+  * stream==batch gate feed). Top-level so the Encoder derives cleanly.
+  */
+case class OlsDocLine(doc_id: Long, lang: String, n_chars: Long,
+    text: String)
+
 /** Dataset-diagnostics tier: the distribution / outlier / cadence /
   * schema reports a pipeline operator runs over a new drop of data
   * before (and after) it enters training — fixed-width histograms,
@@ -276,12 +282,47 @@ object Analytics extends QueryModule {
         .withColumn("r2d", expr(olsR2))
     }
 
-  private def q141(s: SparkSession, dir: String): DataFrame =
-    olsModel(s, dir)
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // StreamingModel.olsRefresh — the continuous model-refresh path,
+  // whose Gram sums are EXACT mergeable DECIMAL statistics, so the
+  // streamed model after the last micro-batch is bit-identical to the
+  // batch fit BY CONSTRUCTION, independent of batch boundaries or
+  // arrival order — runs over the same documents as a MemoryStream in
+  // three waves (complete mode: the memory sink holds the final
+  // |langs|-row model), and the batch model is inner-joined with it
+  // on ALL SIX columns. A state-merge bug, a lost wave, or a
+  // coefficient divergence deletes that language's row and fails the
+  // unchanged oracle's hash. Memoized; serve pays a |langs|-row join.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val batch = olsModel(s, dir)
       .select(col("lang"), expr("CAST(n AS BIGINT)").as("n_docs"),
         expr("round(b0d, 6)").as("b0"), expr("round(b1d, 6)").as("b1"),
         expr("round(b2d, 6)").as("b2"), expr("round(r2d, 6)").as("r2"))
+    val streamed = graft.CachedPlans.of(s, dir, "ols_stream_model") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lines = T.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .as[(Long, String, Long, String)].collect().sortBy(_._1)
+        .map { case (id, l, nc, t) => OlsDocLine(id, l, nc, t) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[OlsDocLine]
+      val qn = "ols_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingModel.olsRefresh(mem.toDF())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn)
+    }
+    batch.join(streamed, Seq("lang", "n_docs", "b0", "b1", "b2", "r2"),
+      "inner")
       .orderBy("lang")
+  }
 
   private val q141Sql =
     s"""WITH feats AS ($olsFeatsSql),

@@ -29,10 +29,21 @@ object PipelineOps extends QueryModule {
   // signup → purchase). One groupBy(user) with conditional MINs — no
   // joins, no windows; at 100 TB this is a single shuffle on user_id
   // with map-side partial aggregation.
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // StreamingFunnel.stages — the per-user keyed-GroupState funnel
+  // that emits a row per NEWLY-reached stage — runs over the same
+  // events as a MemoryStream in three waves; each user's final stage
+  // (max emitted) reproduces the batch strict-order stage by the
+  // operator's own invariant (per-stage first-times are min-merges,
+  // order-independent), so the four funnel counts from the streamed
+  // ledger must equal the batch row. The inner join on ALL FOUR
+  // columns deletes the single output row on any divergence (a lost
+  // state, a re-emitted stage, a wave-boundary bug) and fails the
+  // unchanged oracle's hash. Memoized: serve pays a 1-row join.
   private def q73(s: SparkSession, dir: String): DataFrame = {
     def firstTs(t: String) =
       min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
-    T.events(s, dir)
+    val batch = T.events(s, dir)
       .groupBy("user_id")
       .agg(firstTs("view"), firstTs("click"), firstTs("signup"),
         firstTs("purchase"))
@@ -44,6 +55,39 @@ object PipelineOps extends QueryModule {
         count(when(col("t_purchase") > col("t_signup")
           && col("t_signup") > col("t_click")
           && col("t_click") > col("t_view"), 1)).as("n_purchase"))
+    val streamed = graft.CachedPlans.of(s, dir, "funnel_stream_counts") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      implicit val sess: SparkSession = s
+      val lines = T.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .as[(Long, Long, java.sql.Timestamp, String)]
+        .collect().sortBy(e => (e._3.getTime, e._2))
+        .map { case (u, id, ts, et) =>
+          graft.streaming.StreamingFunnel.FunnelEvent(u, id, ts, et) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.StreamingFunnel.FunnelEvent]
+      val qn = "funnel_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingFunnel.stages(mem.toDS())
+        .toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn)
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .agg(count(when(col("stage") >= 1, 1)).as("n_view"),
+          count(when(col("stage") >= 2, 1)).as("n_click"),
+          count(when(col("stage") >= 3, 1)).as("n_signup"),
+          count(when(col("stage") >= 4, 1)).as("n_purchase"))
+    }
+    batch.join(streamed,
+      Seq("n_view", "n_click", "n_signup", "n_purchase"), "inner")
   }
 
   private val q73Sql =

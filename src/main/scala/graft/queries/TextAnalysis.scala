@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * BIGINT on both sides; doubles are produced by textually identical
   * arithmetic over exact integers (IEEE-deterministic).
   */
+/** One document as a quality-gate ingest event (q158's stream==batch
+  * gate feed). Top-level so the Encoder derives cleanly.
+  */
+case class QcDocLine(doc_id: Long, source: String, text: String)
+
 object TextAnalysis extends QueryModule {
 
   /** Word tokens of the lower-cased text (Spark-side SQL fragment).
@@ -1543,12 +1548,51 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "source", "y", "mu", "thr")
     }
 
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // StreamingQualityFilter.gate — the ingest-edge deployment mode of
+  // this classifier (frozen coefficients in the task closure,
+  // stateless per-row scoring INSIDE the streaming plan) — runs over
+  // the same documents as a MemoryStream in three waves; its
+  // kept/dropped tags roll up to the same per-source (n_docs, n_kept)
+  // ledger the batch scorer reports, bit-identically (the streamed
+  // score binds the SAME expression strings). The inner join on all
+  // three columns deletes a source's row on any divergence and fails
+  // the unchanged oracle's hash. Memoized; serve pays a
+  // |sources|-row join.
   private def q158(s: SparkSession, dir: String): DataFrame = {
     val model = qcModel(s, dir)
-    val rep = qcScored(s, dir)
+    val rep0 = qcScored(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(expr("CASE WHEN mu >= thr THEN 1L ELSE 0L END")).as("n_kept"))
+    val streamedRep = graft.CachedPlans.of(s, dir, "qc_stream_rep") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val m = qcModel(s, dir)
+        .select("b0d", "b1d", "b2d", "thr").head()
+      val lines = T.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+        .map { case (id, src, t) => QcDocLine(id, src, t) }
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[QcDocLine]
+      val qn = "qc_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.StreamingQualityFilter.gate(mem.toDF(),
+          m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = lines.grouped(math.max(1, (lines.length + 2) / 3))
+        waves.foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CASE WHEN kept THEN 1L ELSE 0L END")).as("n_kept"))
+    }
+    val rep = rep0.join(streamedRep,
+      Seq("source", "n_docs", "n_kept"), "inner")
     rep.crossJoin(broadcast(model))
       .select(col("source"), col("n_docs"), col("n_kept"),
         expr("round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)")
