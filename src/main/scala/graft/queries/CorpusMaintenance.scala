@@ -177,6 +177,19 @@ object CorpusMaintenance extends QueryModule {
   // bound); each term is double × exact integer, identical
   // cross-engine; only the ~30-term sum is order-dependent, absorbed
   // by round-6 (q79's rule). No ln() in either engine's SQL.
+  // STREAM == BATCH under the same gate (round 17, the q219 device):
+  // the drift MONITOR's scoring path — StreamingDrift.driftPsiQ32's
+  // windowed counting transition + the psiQ32 scorer, the exact
+  // operator the streaming tier pages on — executes over the same
+  // documents (one window, reference = the corpus's own bucket
+  // counts) and its (source, n_buckets, psi_q32) ledger is
+  // inner-joined with the batch rows. A counting divergence, a
+  // term-algebra divergence, or a rounding divergence deletes that
+  // source's row and fails the unchanged oracle's hash. (The
+  // streamed form's window EMISSION is timer-bound and stays
+  // TestGroupState-certified — what this gates is the monitor's
+  // arithmetic, which is what can silently rot.) Memoized; serve
+  // pays a |sources|-row join.
   private def q104(s: SparkSession, dir: String): DataFrame = {
     val docs = T.documents(s, dir)
       .select(col("source"), expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
@@ -184,6 +197,21 @@ object CorpusMaintenance extends QueryModule {
     val tot = docs.groupBy("bucket").agg(count(lit(1)).as("ct"))
     val ns = src.groupBy("source").agg(sum("c").as("n"))
     val nt = tot.agg(sum("ct").as("nn"))
+    val streamed = graft.CachedPlans.of(s, dir, "drift_stream_ledger") {
+      import s.implicits._
+      implicit val sess: SparkSession = s
+      val refCounts = tot.collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+      val events = T.documents(s, dir)
+        .select(col("source"), col("n_chars")).as[(String, Long)]
+        .map { case (srcName, nc) =>
+          graft.streaming.StreamingDrift.DocEvent(t0, srcName, nc) }
+      graft.streaming.StreamingDrift.driftPsiQ32(events, refCounts)
+        .toDF()
+        .select(col("source"),
+          col("n_buckets").cast("long").as("n_buckets"), col("psi_q32"))
+    }
     src.join(tot, "bucket")
       .join(ns, "source")
       .crossJoin(broadcast(nt))
@@ -194,6 +222,7 @@ object CorpusMaintenance extends QueryModule {
           .stripMargin))
       .groupBy("source")
       .agg(count(lit(1)).as("n_buckets"), round(sum("term"), 6).as("psi_q32"))
+      .join(streamed, Seq("source", "n_buckets", "psi_q32"), "inner")
       .orderBy("source")
   }
 

@@ -36,6 +36,11 @@ object StreamingDrift {
   case class DocEvent(ts: Timestamp, source: String, n_chars: Long)
   case class DriftOut(window_start: Timestamp, source: String,
       n_docs: Long, n_buckets: Int, psi: Double)
+  /** The QUANTIZED-UNITS form ([[psiQ32]]) — the monitor's output in
+    * the same ≈46.166·ln units as the gated q104/q106 rows.
+    */
+  case class DriftOutQ32(window_start: Timestamp, source: String,
+      n_docs: Long, n_buckets: Int, psi_q32: Double)
 
   val windowMs: Long = 3600L * 1000
   val bucketChars: Long = 100L
@@ -84,6 +89,79 @@ object StreamingDrift {
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
         transition(reference, streaming, twoSided))
   }
+
+  /** The QUANTIZED-UNITS drift gate (round 17): the same windowed
+    * counting transition, scored with [[psiQ32]] — the reference
+    * arrives as exact BUCKET COUNTS (not float shares), and the
+    * emitted psi_q32 is textually the gated q104 row's term algebra
+    * ((c/n − ct/nn) · (ql32(c·nn) − ql32(ct·n)), bucket order,
+    * round-6), so the batch-mode execution of THIS function is
+    * hash-gated inside q104 itself — the monitor's scoring path
+    * certifies cross-engine, not just spec-side. The streamed form's
+    * window EMISSION stays timer-bound (ProcessingTimeTimeout —
+    * TestGroupState-certified; a timer spun through MemoryStream
+    * flakes, see the object scaladoc).
+    */
+  def driftPsiQ32(docs: Dataset[DocEvent], refCounts: Map[Int, Long])(
+      implicit s: SparkSession): Dataset[DriftOutQ32] = {
+    import s.implicits._
+    val streaming = docs.isStreaming
+    docs
+      .groupByKey(d =>
+        (d.source, Math.floorDiv(d.ts.getTime, windowMs) * windowMs))
+      .flatMapGroupsWithState[Map[Int, Long], DriftOutQ32](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: (String, Long), it: Iterator[DocEvent],
+            state: GroupState[Map[Int, Long]]) =>
+          val (source, winStart) = key
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty[Int, Long])
+            state.remove()
+            Iterator.single(toOutQ32(source, winStart, counts, refCounts))
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[Int, Long])
+            it.foreach { d =>
+              val b = (d.n_chars / bucketChars).toInt
+              counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+            }
+            state.update(counts)
+            if (streaming) {
+              state.setTimeoutDuration(windowMs)
+              Iterator.empty
+            } else Iterator.single(
+              toOutQ32(source, winStart, counts, refCounts))
+          }
+      }
+  }
+
+  /** PSI in ql32 units over exact integer counts — term for term the
+    * gated q104 algebra: (c/n − ct/nn) · (ql32(c·nn) − ql32(ct·n)),
+    * observed buckets only, summed in bucket order, rounded HALF_UP
+    * to 6 (Spark's round semantics, so the value is join-comparable
+    * with the gated row). The reference must cover the observed
+    * support (true by construction when the reference is the
+    * accepted corpus, q104's contract) — an uncovered bucket refuses
+    * loudly rather than inventing a floor (the refFloor
+    * generalization lives in [[psiTwoSided]]'s ln form).
+    */
+  def psiQ32(counts: Map[Int, Long], refCounts: Map[Int, Long]): Double = {
+    val n = counts.values.sum
+    val nn = refCounts.values.sum
+    val raw = counts.toSeq.sortBy(_._1).map { case (b, c) =>
+      val ct = refCounts.getOrElse(b, 0L)
+      require(ct >= 1,
+        s"psiQ32: observed bucket $b missing from the reference support")
+      (c.toDouble / n - ct.toDouble / nn) *
+        (graft.operators.Unigram.ql32(c * nn) -
+          graft.operators.Unigram.ql32(ct * n)).toDouble
+    }.sum
+    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def toOutQ32(source: String, winStart: Long,
+      counts: Map[Int, Long], refCounts: Map[Int, Long]): DriftOutQ32 =
+    DriftOutQ32(new Timestamp(winStart), source, counts.values.sum,
+      counts.size, psiQ32(counts, refCounts))
 
   /** PSI of the observed counts against the reference; terms summed
     * in bucket order for run-to-run determinism.

@@ -104,6 +104,20 @@ class StreamingDriftSpec extends AnyFunSuite with SharedSpark {
     assert(psi > 10, s"unseen-bucket drift scored only $psi")
   }
 
+  test("psiQ32 matches the gated q104 algebra on integer counts and " +
+      "refuses an observed bucket outside the reference support") {
+    // identical distributions → every term is exactly 0
+    val ref = Map(0 -> 60L, 1 -> 40L)
+    assert(StreamingDrift.psiQ32(Map(0 -> 6L, 1 -> 4L), ref) == 0.0)
+    // a shifted histogram scores positive in ql32 units
+    assert(StreamingDrift.psiQ32(Map(0 -> 9L, 1 -> 1L), ref) > 0.0)
+    // uncovered observed bucket: refuse loudly (the refFloor
+    // generalization is psiTwoSided's ln form, not this gate's)
+    intercept[IllegalArgumentException] {
+      StreamingDrift.psiQ32(Map(7 -> 1L), ref)
+    }
+  }
+
   test("two-sided PSI pages on VANISHED mass where one-sided is blind") {
     // reference has two equal classes; the source now produces ONLY
     // class 0, perfectly matching the reference there... in shares?
