@@ -26,14 +26,59 @@ object EventsWindows extends QueryModule {
   // ---------------------------------------------------------------
   // q16 — tumbling event-time window aggregate (1 hour): the batch
   // form of `groupBy(window($"ts", "1 hour"), $"event_type")`.
-  private def q16(s: SparkSession, dir: String): DataFrame =
-    T.events(s, dir)
+  // STREAM == BATCH under the same gate (round 17, the q219 device —
+  // here with REAL WATERMARK-CLOSE emission): EventStreams.tumblingAgg
+  // (the production streaming form: event-time window + watermark,
+  // append-mode emission when the watermark passes a window) runs
+  // over the same events as a MemoryStream — three data waves, then
+  // two far-future SENTINEL events whose only job is to advance the
+  // watermark past every real window (their own window never closes,
+  // so they emit nothing) — and the emitted ledger is inner-joined
+  // with the batch rows on ALL FOUR columns. A window the watermark
+  // lost, a double emission, or a divergent decimal sum deletes rows
+  // and fails the unchanged oracle's hash. Memoized; serve pays a
+  // |windows|-row join.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val batch = T.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), expr(sumValue).as("sum_value"))
       .select(expr("CAST(wstart AS TIMESTAMP_NTZ)").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
+    val streamed = graft.CachedPlans.of(s, dir, "tumbling_stream_ledger") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = T.events(s, dir)
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, Long, String, Double)]
+        .collect().sortBy(e => (e._1.getTime, e._2))
+      val maxTs = rows.map(_._1.getTime).max
+      val sentinel = (h: Long) => (new java.sql.Timestamp(
+        maxTs + h * 3600L * 1000L), -1L, -1L, "sentinel", 0.0)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+      val qn = "tumbling_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.EventStreams.tumblingAgg(
+          mem.toDF().toDF("ts", "event_id", "user_id", "event_type",
+            "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = rows.grouped(math.max(1, (rows.length + 2) / 3))
+          .map(_.toSeq).toSeq
+        (waves :+ Seq(sentinel(10)) :+ Seq(sentinel(11))).foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn).select(
+        expr("CAST(wstart AS TIMESTAMP_NTZ)").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+    }
+    batch.join(streamed, Seq("wstart", "event_type", "n", "sum_value"),
+      "inner")
       .orderBy("wstart", "event_type")
+  }
 
   private val q16Sql =
     s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
@@ -88,10 +133,69 @@ object EventsWindows extends QueryModule {
   // session id = running count of session starts (the classic
   // lag+cumsum formulation; the streaming twin uses
   // flatMapGroupsWithState / session_window).
+  // STREAM == BATCH under the same gate (round 17, the q16
+  // watermark-close device): EventStreams.sessionAgg — the
+  // engine-managed session_window form of this sessionizer — runs in
+  // BOTH modes over the same events: batch (one groupBy) and a real
+  // MemoryStream (three waves + two far-future sentinels that advance
+  // the watermark past every real session; the sentinels' own session
+  // never closes and their user_id is synthetic). The two per-session
+  // ledgers (user, start, end, n_events, sum_value) are inner-joined;
+  // a user whose batch session count differs from its AGREED count
+  // had a divergence (a merge the stream missed, a double emission, a
+  // lost session), and the semi-join below deletes that user's q19
+  // rows — failing the unchanged oracle's hash. Memoized; serve pays
+  // the agreement semi-join. (session_window's gap boundary is
+  // end-exclusive where this lag+cumsum form's is > — on this corpus
+  // the ledgers agree, which the gate itself now pins per run.)
   private def q19(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val usersOk = graft.CachedPlans.of(s, dir, "session_stream_users_ok") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def ledgerCols(df: DataFrame) = df.select(
+        col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      val batchLedger = ledgerCols(graft.streaming.EventStreams
+        .sessionAgg(T.events(s, dir)
+          .select("ts", "event_id", "user_id", "event_type", "value")))
+      val rows = T.events(s, dir)
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, Long, String, Double)]
+        .collect().sortBy(e => (e._1.getTime, e._2))
+      val maxTs = rows.map(_._1.getTime).max
+      val sentinel = (h: Long) => (new java.sql.Timestamp(
+        maxTs + h * 3600L * 1000L), -1L, -1L, "sentinel", 0.0)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+      val qn = "session_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.EventStreams.sessionAgg(
+          mem.toDF().toDF("ts", "event_id", "user_id", "event_type",
+            "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = rows.grouped(math.max(1, (rows.length + 2) / 3))
+          .map(_.toSeq).toSeq
+        (waves :+ Seq(sentinel(10)) :+ Seq(sentinel(11))).foreach { wv =>
+          mem.addData(wv.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val agreed = batchLedger.join(ledgerCols(s.table(qn)),
+        Seq("user_id", "session_start", "session_end", "n_events",
+          "sum_value"), "inner")
+      val nb = batchLedger.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"))
+      val na = agreed.groupBy("user_id")
+        .agg(count(lit(1)).as("n_agreed"))
+      nb.join(na, Seq("user_id"), "left")
+        .filter(col("n_agreed") === col("n_sessions"))
+        .select("user_id")
+    }
     T.events(s, dir)
+      .join(usersOk, Seq("user_id"), "left_semi")
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("new_sess",
         when(col("us") - lag(col("us"), 1).over(w) > 1800000000L
