@@ -39,9 +39,11 @@ object SemScaleProbe {
         .orderBy("vec_id").limit(k)
         .select("embedding").collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
-      def run(): Long = {
-        val assigned = graft.operators.Ivf.assign(
-          corpus, cents, "embedding")
+      def run(hier: Boolean = false): Long = {
+        val assigned =
+          if (hier) graft.operators.Ivf.assignHierarchical(
+            corpus, cents, "embedding", probeSuper = 2)
+          else graft.operators.Ivf.assign(corpus, cents, "embedding")
         val ev = assigned.filter(col("vec_id") % 11 === 0)
           .select(col("vec_id").as("eval_id"), col("cell"),
             col("embedding").as("ve"), col("n2").as("ne"))
@@ -62,6 +64,19 @@ object SemScaleProbe {
       }
       println(f"[semscale] dir=$dir n=$n cells=$k " +
         f"hits=${times.head._2} min=${times.map(_._1).min}%.2f s")
+
+      // the SAME end-to-end audit with the two-level router in place
+      // of flat assignment — the production SemDeDup shape once k
+      // grows with the corpus (hits differ slightly where routing
+      // disagrees with flat; the q211 gate pins that recall)
+      run(hier = true) // warmup
+      val timesH = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val hits = run(hier = true)
+        ((System.nanoTime() - t0) / 1e9, hits)
+      }
+      println(f"[semscale] dir=$dir n=$n cells=$k HIER " +
+        f"hits=${timesH.head._2} min=${timesH.map(_._1).min}%.2f s")
 
       // ASSIGNMENT-ONLY bend (the round-16 finding's fix): flat
       // nearest-centroid is O(n·k); two-level routing
