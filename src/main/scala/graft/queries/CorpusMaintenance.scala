@@ -191,10 +191,21 @@ object CorpusMaintenance extends QueryModule {
   // arithmetic, which is what can silently rot.) Memoized; serve
   // pays a |sources|-row join.
   private def q104(s: SparkSession, dir: String): DataFrame = {
-    val docs = T.documents(s, dir)
-      .select(col("source"), expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
-    val src = docs.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-    val tot = docs.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    // the (source, bucket) and (bucket) occupancy tables are
+    // corpus-model state shared by the report, the reference feed,
+    // and the streamed-monitor gate — memoized like tfCounts so a
+    // serve pass aggregates ~|sources|·|buckets| rows, not the corpus
+    val src = graft.CachedPlans.of(s, dir, "drift_src_buckets") {
+      T.documents(s, dir)
+        .select(col("source"),
+          expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    }
+    val tot = graft.CachedPlans.of(s, dir, "drift_tot_buckets") {
+      T.documents(s, dir)
+        .select(expr("CAST(n_chars DIV 100 AS INT)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    }
     val ns = src.groupBy("source").agg(sum("c").as("n"))
     val nt = tot.agg(sum("ct").as("nn"))
     val streamed = graft.CachedPlans.of(s, dir, "drift_stream_ledger") {
