@@ -238,7 +238,14 @@ object Ivf {
       vecCol: String, probeSuper: Int = 2,
       model: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame = {
     val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
-    val (sup, members) = model.getOrElse(superCluster(cents, g))
+    val (sup0, members0) = model.getOrElse(superCluster(cents, g))
+    // an EMPTY supercluster (possible when k-means leaves a group with
+    // no members) contributes no candidates — probing it would waste a
+    // probe slot and, if every probed super were empty, produce a NULL
+    // cell. Drop empty supers from the routing table (at least one is
+    // non-empty: every cid is assigned somewhere).
+    val keep = members0.indices.filter(j => members0(j).nonEmpty)
+    val (sup, members) = (keep.map(sup0), keep.map(members0))
     val p = math.min(probeSuper, sup.size)
     graft.functions.VecFunctions.register(df.sparkSession)
     df.withColumn("__cents", typedlit(cents))
