@@ -19,8 +19,67 @@ object AdvancedJoins extends QueryModule {
   // sides, one window pass ordered by (ts, side, id) — views sort
   // before clicks at equal ts, so "<=" semantics come from the sort;
   // last(ignoreNulls) carries the payload. ONE shuffle on user_id.
+  // STREAM == BATCH under the same gate (round 17, the q19 device
+  // applied to the last ungated state machinery — the STREAM-STREAM
+  // interval join): EventStreams.clickViewJoin (watermarked symmetric
+  // join with a time-range state bound, Spark's canonical
+  // stream-stream shape) runs over the same view/click events as TWO
+  // MemoryStreams in coordinated waves; an inner join's matched pairs
+  // emit as soon as both sides arrive, so the streamed pair SET is
+  // complete and timer-independent. The same function executed in
+  // batch mode is the pair-set twin; a user whose streamed pair set
+  // diverges (lost state, premature eviction, double emission) is
+  // deleted from q36's events by the agreement semi-join, failing the
+  // unchanged as-of oracle's hash.
   private def q36(s: SparkSession, dir: String): DataFrame = {
+    val usersOk = graft.CachedPlans.of(s, dir, "ssjoin_users_ok") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def side(t: String) = T.events(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("value").cast("double"))
+      def pairCols(df: DataFrame) = df
+        .select(col("user_id"), col("click_id"), col("view_id"))
+      val batchPairs = pairCols(graft.streaming.EventStreams
+        .clickViewJoin(side("view"), side("click")))
+      def collected(t: String) = side(t)
+        .as[(java.sql.Timestamp, Long, Long, Double)]
+        .collect().sortBy(e => (e._1.getTime, e._2))
+      val (vs, cs) = (collected("view"), collected("click"))
+      val memV = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+      val memC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+      def named(df: DataFrame) =
+        df.toDF("ts", "event_id", "user_id", "value")
+      val qn = "ssjoin_stream_sink_" + math.abs(dir.hashCode).toString
+      val q = graft.streaming.EventStreams.clickViewJoin(
+          named(memV.toDF()), named(memC.toDF()))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val wavesV = vs.grouped(math.max(1, (vs.length + 2) / 3)).toSeq
+        val wavesC = cs.grouped(math.max(1, (cs.length + 2) / 3)).toSeq
+        (0 until math.max(wavesV.size, wavesC.size)).foreach { i =>
+          if (i < wavesV.size) memV.addData(wavesV(i).toIndexedSeq: _*)
+          if (i < wavesC.size) memC.addData(wavesC(i).toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val agreed = batchPairs.join(pairCols(s.table(qn)),
+        Seq("user_id", "click_id", "view_id"), "inner")
+      val nb = batchPairs.groupBy("user_id").agg(count(lit(1)).as("n_b"))
+      val na = agreed.groupBy("user_id").agg(count(lit(1)).as("n_a"))
+      // users with NO pairs at all trivially agree and must be kept
+      val paired = nb.join(na, Seq("user_id"), "left")
+        .filter(col("n_a") === col("n_b")).select("user_id")
+      T.events(s, dir).select("user_id").distinct()
+        .join(nb.select("user_id"), Seq("user_id"), "left_anti")
+        .unionByName(paired)
+    }
     val ev = T.events(s, dir)
+      .join(usersOk, Seq("user_id"), "left_semi")
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         col("event_id").as("vid"), lit(null).cast("long").as("cid"))
