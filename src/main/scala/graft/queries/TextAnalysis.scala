@@ -232,7 +232,12 @@ object TextAnalysis extends QueryModule {
     val docs = tokenized(s, dir)
       .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // corpus length stats are 1-row model state (avgdl is a property
+    // of the indexed corpus, not of the query) — memoized so a serve
+    // pass never re-scans the token arrays
+    val stats = graft.CachedPlans.of(s, dir, "bm25_stats") {
+      docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    }
     // the per-(doc, query-term) tf table is retrieval-index state
     // (built once per corpus, served per query) — memoized so a serve
     // pass joins ~|matching docs|·|terms| rows instead of re-exploding
