@@ -126,6 +126,19 @@ object CachedPlans {
       if (prev != null) prev._2 else built._2
     }
   }
+
+  /** Unique memory-sink name for a stream==batch gate builder. The
+    * putIfAbsent race above intentionally tolerates duplicate
+    * concurrent builder runs — but two builders racing the SAME
+    * gated query would collide on a fixed `.queryName` and throw
+    * (active streaming query names must be unique per session). A
+    * per-invocation counter keeps the active names disjoint; the
+    * memo still dedupes the RESULT, and the loser's memory-sink
+    * table is just an unreferenced leftover.
+    */
+  private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
+  def sinkName(prefix: String, dir: String): String =
+    prefix + math.abs(dir.hashCode) + "_" + sinkCounter.incrementAndGet()
 }
 
 /** A named group of oracle-checked queries. Each module contributes

@@ -237,6 +237,9 @@ object Ivf {
   def assignHierarchical(df: DataFrame, cents: Seq[Seq[Double]],
       vecCol: String, probeSuper: Int = 2,
       model: Option[(Seq[Seq[Double]], Seq[Seq[Int]])] = None): DataFrame = {
+    require(probeSuper >= 1,
+      s"assignHierarchical needs probeSuper >= 1 (got $probeSuper): " +
+        "an empty probe slice would silently assign every row a NULL cell")
     val g = math.ceil(math.sqrt(cents.size.toDouble)).toInt
     val (sup0, members0) = model.getOrElse(superCluster(cents, g))
     // an EMPTY supercluster (possible when k-means leaves a group with

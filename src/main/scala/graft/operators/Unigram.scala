@@ -32,12 +32,30 @@ package graft.operators
   */
 object Unigram {
 
-  /** Quantized piecewise-linear log2 (×32). Requires c ≥ 1. */
+  /** Quantized piecewise-linear log2 (×32). Requires c ≥ 1.
+    *
+    * Canonical semantics = [[ql32Sql]]'s (the engine-shared double
+    * form), for EVERY c in the positive Long range: below 2^53 the
+    * integer and double mantissa terms are provably identical (the
+    * BIGINT→DOUBLE cast is exact, ×32.0 and ÷2^(b−1) only move the
+    * exponent), so the exact integer division is used there —
+    * overflow-free as (c − half) · 32 < 2^58. At and above 2^53 the
+    * SQL device's one rounding step (the BIGINT→DOUBLE cast of
+    * c − half, round-to-nearest-even) is REPLICATED here via
+    * `.toDouble` rather than "corrected", so the streamed ledgers
+    * (psiQ32) and the gated batch SQL can never disagree by the
+    * ±1 quantization-step the exact-integer form would introduce.
+    * Shift-equivariance survives the double branch because rounding
+    * to nearest commutes with scaling by powers of two.
+    */
   def ql32(c: Long): Long = {
     require(c >= 1, s"ql32 requires a positive count, got $c")
     val b = 64 - java.lang.Long.numberOfLeadingZeros(c)
     val half = 1L << (b - 1)
-    32L * (b - 1) + ((c - half) * 32L) / half
+    val frac =
+      if (b <= 54) ((c - half) * 32L) / half
+      else math.floor((c - half).toDouble * 32.0 / half.toDouble).toLong
+    32L * (b - 1) + frac
   }
 
   /** [[ql32]] as an SQL string BOTH engines (Spark and the DuckDB

@@ -53,7 +53,7 @@ object AdvancedJoins extends QueryModule {
         .MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
       def named(df: DataFrame) =
         df.toDF("ts", "event_id", "user_id", "value")
-      val qn = "ssjoin_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("ssjoin_stream_sink_", dir)
       val q = graft.streaming.EventStreams.clickViewJoin(
           named(memV.toDF()), named(memC.toDF()))
         .writeStream.format("memory").queryName(qn)
@@ -67,15 +67,25 @@ object AdvancedJoins extends QueryModule {
           q.processAllAvailable()
         }
       } finally q.stop()
-      val agreed = batchPairs.join(pairCols(s.table(qn)),
+      val streamPairs = pairCols(s.table(qn))
+      val agreed = batchPairs.join(streamPairs,
         Seq("user_id", "click_id", "view_id"), "inner")
       val nb = batchPairs.groupBy("user_id").agg(count(lit(1)).as("n_b"))
+      val ns = streamPairs.groupBy("user_id").agg(count(lit(1)).as("n_s"))
       val na = agreed.groupBy("user_id").agg(count(lit(1)).as("n_a"))
-      // users with NO pairs at all trivially agree and must be kept
+      // agreement = the pair SETS are equal: intersection covers the
+      // batch set AND the streamed set is no larger (a stream-only
+      // spurious pair must delete the user, not slip through)
       val paired = nb.join(na, Seq("user_id"), "left")
-        .filter(col("n_a") === col("n_b")).select("user_id")
+        .join(ns, Seq("user_id"), "left")
+        .filter(col("n_a") === col("n_b") && col("n_s") === col("n_b"))
+        .select("user_id")
+      // users with NO pairs on EITHER side trivially agree and are
+      // kept; a zero-batch-pair user with a streamed pair is a state
+      // bug and falls out of both branches
       T.events(s, dir).select("user_id").distinct()
         .join(nb.select("user_id"), Seq("user_id"), "left_anti")
+        .join(ns.select("user_id"), Seq("user_id"), "left_anti")
         .unionByName(paired)
     }
     val ev = T.events(s, dir)

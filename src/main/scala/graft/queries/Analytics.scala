@@ -311,7 +311,7 @@ object Analytics extends QueryModule {
         .map { case (id, l, nc, t) => OlsDocLine(id, l, nc, t) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[OlsDocLine]
-      val qn = "ols_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("ols_stream_sink_", dir)
       val q = graft.streaming.StreamingModel.olsRefresh(mem.toDF())
         .writeStream.format("memory").queryName(qn)
         .outputMode("complete").start()

@@ -86,7 +86,7 @@ object ChatData extends QueryModule {
         .map { case (id, j) => ChatLine(id, j) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[ChatLine]
-      val qn = ("chat_stream_sink_" + math.abs(dir.hashCode)).toString
+      val qn = graft.CachedPlans.sinkName("chat_stream_sink_", dir)
       val q = graft.streaming.StreamingChat.parsedTurns(mem.toDF())
         .writeStream.format("memory").queryName(qn)
         .outputMode("append").start()

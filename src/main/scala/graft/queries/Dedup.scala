@@ -908,7 +908,7 @@ object Dedup extends QueryModule {
           id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.StreamingNearDup.DocEvent]
-      val qn = "neardup_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("neardup_stream_sink_", dir)
       val q = graft.streaming.StreamingNearDup.bandCandidates(mem.toDS())(s)
         .toDF()
         .writeStream.format("memory").queryName(qn)
@@ -2168,7 +2168,7 @@ object Dedup extends QueryModule {
         .map { case (id, t) => ChunkDocLine(id, t) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[ChunkDocLine]
-      val qn = "chunk_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("chunk_stream_sink_", dir)
       val q = graft.streaming.StreamingChunkDedup.firstSeenChunks(
           mem.toDF().select(col("doc_id"),
             expr(TextAnalysis.toksS).as("toks")))

@@ -58,7 +58,7 @@ object EventsWindows extends QueryModule {
         maxTs + h * 3600L * 1000L), -1L, -1L, "sentinel", 0.0)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
-      val qn = "tumbling_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("tumbling_stream_sink_", dir)
       val q = graft.streaming.EventStreams.tumblingAgg(
           mem.toDF().toDF("ts", "event_id", "user_id", "event_type",
             "value"))
@@ -170,7 +170,7 @@ object EventsWindows extends QueryModule {
         maxTs + h * 3600L * 1000L), -1L, -1L, "sentinel", 0.0)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
-      val qn = "session_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("session_stream_sink_", dir)
       val q = graft.streaming.EventStreams.sessionAgg(
           mem.toDF().toDF("ts", "event_id", "user_id", "event_type",
             "value"))

@@ -1286,7 +1286,7 @@ object MultimodalQueries extends QueryModule {
       }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[ImgLine]
-      val qn = "img_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("img_stream_sink_", dir)
       val q = graft.streaming.StreamingImageDedup
         .decodedHashes(mem.toDF(), w, h)
         .writeStream.format("memory").queryName(qn)

@@ -73,7 +73,7 @@ object PipelineOps extends QueryModule {
           graft.streaming.StreamingFunnel.FunnelEvent(u, id, ts, et) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.StreamingFunnel.FunnelEvent]
-      val qn = "funnel_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("funnel_stream_sink_", dir)
       val q = graft.streaming.StreamingFunnel.stages(mem.toDS())
         .toDF()
         .writeStream.format("memory").queryName(qn)
@@ -1472,7 +1472,7 @@ object PipelineOps extends QueryModule {
         }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.StreamingFrontier.UrlEvent]
-      val qn = "frontier_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("frontier_stream_sink_", dir)
       val q = graft.streaming.StreamingFrontier
         .decide(mem.toDS())
         .writeStream.format("memory").queryName(qn)

@@ -1594,7 +1594,7 @@ object TextAnalysis extends QueryModule {
         .map { case (id, src, t) => QcDocLine(id, src, t) }
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[QcDocLine]
-      val qn = "qc_stream_sink_" + math.abs(dir.hashCode).toString
+      val qn = graft.CachedPlans.sinkName("qc_stream_sink_", dir)
       val q = graft.streaming.StreamingQualityFilter.gate(mem.toDF(),
           m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
         .writeStream.format("memory").queryName(qn)

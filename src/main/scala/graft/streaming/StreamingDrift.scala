@@ -151,9 +151,12 @@ object StreamingDrift {
       val ct = refCounts.getOrElse(b, 0L)
       require(ct >= 1,
         s"psiQ32: observed bucket $b missing from the reference support")
+      // multiplyExact: the cross products must stay in Long (their
+      // documented bound) — an overflowing corpus refuses loudly
+      // here rather than silently wrapping into a wrong ql32.
       (c.toDouble / n - ct.toDouble / nn) *
-        (graft.operators.Unigram.ql32(c * nn) -
-          graft.operators.Unigram.ql32(ct * n)).toDouble
+        (graft.operators.Unigram.ql32(Math.multiplyExact(c, nn)) -
+          graft.operators.Unigram.ql32(Math.multiplyExact(ct, n))).toDouble
     }.sum
     BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }

@@ -42,6 +42,48 @@ class UnigramSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Unigram.ql32(0))
   }
 
+  test("ql32: full Long range — no overflow, SQL-double semantics above 2^53") {
+    // the old ((c-half)*32)/half form overflowed for c >= ~2^59;
+    // the fixed form must be sane right up to Long.MaxValue
+    // 2^63-1: the mantissa cast rounds 2^62-1 UP to 2^62, so the frac
+    // term saturates at 32 — exactly what ql32Sql returns in both
+    // engines (monotonicity is preserved; only the top half-ulp of
+    // each octave can saturate)
+    assert(Unigram.ql32(Long.MaxValue) == 32L * 63)
+    assert(Unigram.ql32(1L << 62) == 32L * 62)
+    assert(Unigram.ql32((1L << 62) - 1) == 32L * 62) // saturates too
+    // canonical semantics = ql32Sql's: one round-to-nearest-even cast
+    // of (c - half) to double, then exact *32/half. Replicate that
+    // reference computation and require bit-agreement everywhere.
+    def sqlForm(c: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(c)
+      val half = 1L << (b - 1)
+      32L * (b - 1) +
+        math.floor((c - half).toDouble * 32.0 / half.toDouble).toLong
+    }
+    val rnd = new scala.util.Random(18)
+    for (_ <- 0 until 5000) {
+      val c = 1L + (rnd.nextLong() & Long.MaxValue - 1)
+      assert(Unigram.ql32(c) == sqlForm(c), s"c=$c")
+    }
+    // adversarial: quantization-step boundaries above 2^53, where the
+    // exact-integer floor and the rounded-double floor used to differ
+    for (b <- 54 to 62; k <- Seq(1L, 7L, 31L)) {
+      val half = 1L << (b - 1)
+      val step = half >> 5
+      for (d <- -2L to 2L) {
+        val c = half + k * step + d
+        if (c >= half && c < 2 * half)
+          assert(Unigram.ql32(c) == sqlForm(c), s"c=$c b=$b")
+      }
+    }
+    // shift-equivariance survives the integer->double branch boundary
+    for (_ <- 0 until 2000) {
+      val c = (1L << 52) + rnd.nextLong(1L << 52)
+      assert(Unigram.ql32(2 * c) == Unigram.ql32(c) + 32, s"c=$c")
+    }
+  }
+
   test("segment: maximizes the score sum; prefers frequent long pieces") {
     // 'ab' much more frequent than 'a'/'b' => one piece wins
     val sc = Map("a" -> -100L, "b" -> -100L, "ab" -> -10L)
