@@ -224,10 +224,75 @@ object EventsWindows extends QueryModule {
   // ---------------------------------------------------------------
   // q20 — keyed dedup, keep-latest (the streaming
   // dropDuplicates-with-state analog; also A2 argmax per key).
+  // STREAM == BATCH under the same gate (round 18, the q19 device —
+  // closing the last oracle-expressible streaming surface):
+  // EventStreams.dedupByKey (dropDuplicatesWithinWatermark, the
+  // bounded-state keyed dedup) runs as a real MemoryStream over the
+  // same events with every row fed TWICE — doubled inside its wave
+  // (in-batch duplicate) and each wave's frontier row replayed at the
+  // head of the next wave (cross-batch duplicate, still inside the
+  // 2 h watermark since it IS the wave's max event time) — so both
+  // the within-batch and the retained-state dedup paths must fire.
+  // The streamed first-wins set is inner-joined against the batch
+  // distinct set over the FULL row; a user with a dropped, duplicated
+  // (n_s > n_b), or mutated row is deleted from q20's events by the
+  // agreement semi-join, failing the unchanged oracle's hash.
+  // Memoized; serve pays the agreement semi-join.
   private def q20(s: SparkSession, dir: String): DataFrame = {
+    val usersOk = graft.CachedPlans.of(s, dir, "dedup_stream_users_ok") {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      def keyCols(df: DataFrame) = df.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      val batchSet = keyCols(T.events(s, dir)
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("double"))
+        .distinct())
+      val rows = T.events(s, dir)
+        .select(col("ts"), col("event_id"), col("user_id"),
+          col("event_type"), col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, Long, String, Double)]
+        .collect().sortBy(e => (e._1.getTime, e._2))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+      val qn = graft.CachedPlans.sinkName("dedup_stream_sink_", dir)
+      val q = graft.streaming.EventStreams.dedupByKey(
+          mem.toDF().toDF("ts", "event_id", "user_id", "event_type",
+            "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val waves = rows.grouped(math.max(1, (rows.length + 2) / 3))
+          .map(_.toSeq).toSeq
+        var carry = Seq.empty[(java.sql.Timestamp, Long, Long, String,
+          Double)]
+        waves.foreach { wv =>
+          mem.addData((carry ++ wv.flatMap(r => Seq(r, r)))
+            .toIndexedSeq: _*)
+          q.processAllAvailable()
+          carry = Seq(wv.last)
+        }
+        // one last replay of the final frontier row
+        mem.addData(carry.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = keyCols(s.table(qn))
+      val agreed = batchSet.join(streamed,
+        Seq("event_id", "user_id", "event_type", "value", "ts"), "inner")
+      val nb = batchSet.groupBy("user_id").agg(count(lit(1)).as("n_b"))
+      val ns = streamed.groupBy("user_id").agg(count(lit(1)).as("n_s"))
+      val na = agreed.groupBy("user_id").agg(count(lit(1)).as("n_a"))
+      // every user has >= 1 event, so set equality per user is
+      // n_agreed == n_batch AND n_stream == n_batch (no empty branch)
+      nb.join(na, Seq("user_id"), "left")
+        .join(ns, Seq("user_id"), "left")
+        .filter(col("n_a") === col("n_b") && col("n_s") === col("n_b"))
+        .select("user_id")
+    }
     val w = Window.partitionBy("user_id")
       .orderBy(desc("ts"), desc("event_id"))
     T.events(s, dir)
+      .join(usersOk, Seq("user_id"), "left_semi")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type", "value")
