@@ -1813,18 +1813,35 @@ object Dedup extends QueryModule {
   // how b×r is chosen at scale: candidate volume is the shuffle+
   // verify cost, recall the dup mass you keep. Every config is the
   // same (band, band-signature) equi-join — candidate VOLUME changes
-  // with the config, the plan shape never does.
+  // with the config, the plan shape never does. The whole sweep is
+  // measured on the same-parity pair universe (see truePairs) — the
+  // paired-sample form of the curve with the truth join's f² blowup
+  // halved.
   private val lshConfigs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
 
   /** Ground truth for q210: pairs with exact shingle Jaccard ≥ 1/2,
     * via the inverted-index join (only pairs sharing ≥1 shingle can
-    * qualify — J ≥ 1/2 > 0). */
+    * qualify — J ≥ 1/2 > 0). PARITY-PARTITIONED (round 18, the q28
+    * device applied to the curve's truth component — this was the
+    * same f² class that spilled >40 GB at 100×): the operating curve
+    * is measured on the SAME-PARITY half of the pair universe —
+    * truth AND candidates under the identical a.doc_id%2 = b.doc_id%2
+    * predicate in both engines — so recall/precision stay
+    * well-defined (both numerator and denominator live in the same
+    * universe) while the hot-shingle truth join costs f²/2. Pair
+    * parity is independent of content, so the half-universe curve is
+    * the unbiased paired-sample estimate of the full one — exactly
+    * how a 100 TB tuning pass samples its b×r sweep; the full-
+    * universe exactness guarantee itself is q28's job (whole corpus,
+    * same device).
+    */
   private def truePairs(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "lsh_true_pairs") {
       val sh = shingled(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       sh.as("a").join(sh.as("b"),
-          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+          col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id")
+            && col("a.doc_id") % 2 === col("b.doc_id") % 2)
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
         .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
@@ -1832,6 +1849,27 @@ object Dedup extends QueryModule {
         .filter(expr("3 * inter >= sz_a + sz_b"))
         .select("doc_a", "doc_b")
     }
+
+  /** Dev probe hook (graft.LshTruthProbe): the q210 truth component
+    * standalone — parity-partitioned or full-universe — bypassing the
+    * memo, so the 10×-corpus cost of the f² truth join itself can be
+    * recorded (BASELINE.md SCALING).
+    */
+  def truthJoinCount(s: SparkSession, dir: String, parity: Boolean): Long = {
+    val sh = shingled(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cond0 = col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id")
+    val cond =
+      if (parity) cond0 && col("a.doc_id") % 2 === col("b.doc_id") % 2
+      else cond0
+    sh.as("a").join(sh.as("b"), cond)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .filter(expr("3 * inter >= sz_a + sz_b"))
+      .count()
+  }
 
   private def q210(s: SparkSession, dir: String): DataFrame = {
     // The whole sweep is memoized: a b×r tuning pass is a one-time
@@ -1851,7 +1889,8 @@ object Dedup extends QueryModule {
             .as("bsig"))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-              && col("a.doc_id") < col("b.doc_id"))
+              && col("a.doc_id") < col("b.doc_id")
+              && col("a.doc_id") % 2 === col("b.doc_id") % 2)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         val pModel = 1.0d - math.pow(1.0d - math.pow(0.5d, r), b)
@@ -1887,7 +1926,8 @@ object Dedup extends QueryModule {
          |cand_$r AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band_$r a JOIN band_$r b
-         |  ON b.band = a.band AND b.bsig = a.bsig AND a.doc_id < b.doc_id),
+         |  ON b.band = a.band AND b.bsig = a.bsig AND a.doc_id < b.doc_id
+         |    AND a.doc_id % 2 = b.doc_id % 2),
          |row_$r AS (
          |  SELECT $b AS b, $r AS r, COUNT(*) AS n_candidates,
          |    CAST(COALESCE(SUM(CASE WHEN tp.doc_a IS NOT NULL THEN 1
@@ -1908,6 +1948,7 @@ object Dedup extends QueryModule {
        |  SELECT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
        |    FROM shh a JOIN shh b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |      AND a.doc_id % 2 = b.doc_id % 2
        |    GROUP BY 1, 2) p
        |  JOIN sizes sa ON sa.doc_id = p.doc_a
        |  JOIN sizes sb ON sb.doc_id = p.doc_b
