@@ -250,6 +250,36 @@ object SimSearch extends QueryModule {
   private val hierAgreeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
+  /** Round-18: the CLUSTERED-corpus recall ledger for the two-level
+    * router — the production operating point, complementing the
+    * structure-free ~71% row (which pins the router on the data most
+    * hostile to it). The corpus is a deterministic, SQL-replicable
+    * clustered CONSTRUCTION over the embeddings table's vec_ids (the
+    * IvfSpec separated-cluster recipe made cross-engine): 16 clusters
+    * = 4 well-separated super-groups × 4 near-but-distinct local
+    * cells. Dims 0-3 carry the super spike (×1000), dims 4-7 the
+    * local spike (×10), dims 8-11 a small per-row jitter — all exact
+    * small integers, so every pairwise distance is an exact double in
+    * both engines and agreement is pure geometry. The medoid-stride
+    * hierarchy recovers the super structure (same-group medoid is
+    * ~200 away vs ~2·10⁶ cross-group) and probe-2 routing provably
+    * agrees with flat on EVERY row; the pinned bar is therefore EXACT
+    * equality — enforced loudly Spark-side (require) and cross-engine
+    * by the DuckDB twin recomputing both assignments independently
+    * under the q211 hash.
+    */
+  private val synClusteredVecS =
+    """transform(sequence(0, 11), i -> CASE
+      |  WHEN CAST(i AS BIGINT) = (vec_id % 16) DIV 4 THEN 1000.0D
+      |  WHEN CAST(i AS BIGINT) = 4 + (vec_id % 16) % 4 THEN 10.0D
+      |  WHEN CAST(i AS BIGINT) = 8 + vec_id % 4
+      |    THEN CAST(1 + vec_id % 5 AS DOUBLE)
+      |  ELSE 0.0D END)""".stripMargin
+
+  private val synCents16: Seq[Seq[Double]] =
+    Seq.tabulate(16)(c => Seq.tabulate(12)(i =>
+      if (i == c / 4) 1000.0 else if (i == 4 + c % 4) 10.0 else 0.0))
+
   /** Shared DuckDB CTE chain of the TRAINED-IVF twins (q53 search,
     * q96 recall audit): double-cast quantized vectors, the
     * fixed-centroid model, corpus assignment, nProbe=2 probes for
@@ -593,6 +623,29 @@ object SimSearch extends QueryModule {
           .head()
         (r.getLong(0), r.getLong(1))
       })
+    // the clustered-construction ledger (round 18): same two-level
+    // router, production-like corpus, EXACT pinned bar
+    val (hcTotal, hcAgree) = hierAgreeMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir:clustered", _ => {
+        val syn = T.embeddings(s, dir).select("vec_id")
+          .withColumn("embedding", expr(synClusteredVecS))
+        val flat = graft.operators.Ivf.assign(syn, synCents16, "embedding")
+          .select(col("vec_id"), col("cell").as("cf"))
+        val hier = graft.operators.Ivf.assignHierarchical(
+            syn, synCents16, "embedding", probeSuper = 2,
+            model = Some(graft.operators.Ivf
+              .superClusterMedoid(synCents16, 4)))
+          .select(col("vec_id"), col("cell").as("ch"))
+        val r = flat.join(hier, "vec_id")
+          .agg(count(lit(1)).as("t"),
+            sum(when(col("cf") === col("ch"), 1L).otherwise(0L))
+              .cast("long").as("a"))
+          .head()
+        require(r.getLong(1) == r.getLong(0),
+          s"clustered-corpus hierarchical recall ${r.getLong(1)}/" +
+            s"${r.getLong(0)} is below the pinned EXACT bar")
+        (r.getLong(0), r.getLong(1))
+      })
     val w = Window.partitionBy("eval_id").orderBy(desc("cosine"), col("train_id"))
     val top = hits.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -606,8 +659,10 @@ object SimSearch extends QueryModule {
         "CASE WHEN n_hits > 0 THEN 'contaminated' ELSE 'clean' END"))
       .withColumn("hier_total", lit(hierTotal))
       .withColumn("hier_agree", lit(hierAgree))
+      .withColumn("hier_total_c", lit(hcTotal))
+      .withColumn("hier_agree_c", lit(hcAgree))
       .select("eval_id", "n_hits", "top_train", "max_cos", "verdict",
-        "hier_total", "hier_agree")
+        "hier_total", "hier_agree", "hier_total_c", "hier_agree_c")
       .orderBy("eval_id")
   }
 
@@ -705,17 +760,80 @@ object SimSearch extends QueryModule {
        |  SELECT COUNT(*) AS hier_total,
        |    CAST(SUM(CASE WHEN f.cell = h.cell THEN 1 ELSE 0 END) AS BIGINT)
        |      AS hier_agree
-       |  FROM flat16 f JOIN hier16 h USING (vec_id))
+       |  FROM flat16 f JOIN hier16 h USING (vec_id)),
+       |synex AS (
+       |  SELECT q.vec_id, ii.i,
+       |    CASE WHEN ii.i = (q.vec_id % 16) // 4 THEN CAST(1000 AS DOUBLE)
+       |         WHEN ii.i = 4 + (q.vec_id % 16) % 4 THEN CAST(10 AS DOUBLE)
+       |         WHEN ii.i = 8 + q.vec_id % 4
+       |           THEN CAST(1 + q.vec_id % 5 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS v
+       |  FROM q
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) ii),
+       |syncent AS (
+       |  SELECT cc.cid, ii.i,
+       |    CASE WHEN ii.i = cc.cid // 4 THEN CAST(1000 AS DOUBLE)
+       |         WHEN ii.i = 4 + cc.cid % 4 THEN CAST(10 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS v
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS cid) cc
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) ii),
+       |dsyn AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid, SUM((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM synex e JOIN syncent c ON c.i = e.i
+       |  GROUP BY 1, 2),
+       |flatc AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM dsyn) WHERE rn = 1),
+       |scentc AS (
+       |  SELECT cid // 4 AS sid, cid
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS cid)
+       |  WHERE cid % 4 = 0),
+       |cdc AS (
+       |  SELECT a.cid, s.sid,
+       |    SUM((ea.v - eb.v) * (ea.v - eb.v)) AS d
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS cid) a
+       |  CROSS JOIN scentc s
+       |  JOIN syncent ea ON ea.cid = a.cid
+       |  JOIN syncent eb ON eb.cid = s.cid AND eb.i = ea.i
+       |  GROUP BY 1, 2),
+       |memberc AS (
+       |  SELECT cid, sid FROM (
+       |    SELECT cid, sid,
+       |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d, sid) AS rn
+       |    FROM cdc) WHERE rn = 1),
+       |probedc AS (
+       |  SELECT vec_id, sid FROM (
+       |    SELECT dsyn.vec_id, s.sid,
+       |      ROW_NUMBER() OVER (PARTITION BY dsyn.vec_id
+       |        ORDER BY dsyn.d, s.sid) AS rn
+       |    FROM dsyn JOIN scentc s ON s.cid = dsyn.cid) WHERE rn <= 2),
+       |hierc AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT p.vec_id, m.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY dd.d, m.cid) AS rn
+       |    FROM probedc p JOIN memberc m ON m.sid = p.sid
+       |    JOIN dsyn dd ON dd.vec_id = p.vec_id AND dd.cid = m.cid)
+       |  WHERE rn = 1),
+       |agrc AS (
+       |  SELECT COUNT(*) AS hier_total_c,
+       |    CAST(SUM(CASE WHEN f.cell = h.cell THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hier_agree_c
+       |  FROM flatc f JOIN hierc h USING (vec_id))
        |SELECT e.vec_id AS eval_id,
        |  CAST(COALESCE(cnt.n_hits, 0) AS BIGINT) AS n_hits,
        |  top.top_train, top.max_cos,
        |  CASE WHEN COALESCE(cnt.n_hits, 0) > 0 THEN 'contaminated'
        |    ELSE 'clean' END AS verdict,
-       |  agr.hier_total, agr.hier_agree
+       |  agr.hier_total, agr.hier_agree,
+       |  agrc.hier_total_c, agrc.hier_agree_c
        |FROM (SELECT vec_id FROM q WHERE vec_id % 11 = 0) e
        |LEFT JOIN cnt ON cnt.eval_id = e.vec_id
        |LEFT JOIN top ON top.eval_id = e.vec_id
        |CROSS JOIN agr
+       |CROSS JOIN agrc
        |ORDER BY eval_id""".stripMargin
 
   // ---------------------------------------------------------------
