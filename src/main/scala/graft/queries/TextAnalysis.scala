@@ -1663,21 +1663,27 @@ object TextAnalysis extends QueryModule {
       .groupBy().agg(
         sum(expr("CAST(npos AS DOUBLE) * (CAST(cumn AS DOUBLE) " +
           "+ (CAST(n AS DOUBLE) + 1.0) / 2.0)")).as("r1"))
+    // NO round(·,6) on the metrics (the q169/q84 class, fixed here
+    // preemptively — same AUC device, same corpus): every raw value
+    // is one IEEE op chain over exact-in-double operands, hence
+    // bit-identical cross-engine; the presentation rounding is the
+    // only place the engines can diverge (half-ulp from a decimal
+    // boundary).
     conf.crossJoin(broadcast(rsum))
       .select(col("n_pos"), col("n_neg"), col("tp"), col("fp"),
         col("fn"), col("tn"),
-        expr("round(CASE WHEN tp + fp = 0 THEN NULL ELSE " +
-          "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6)")
+        expr("CASE WHEN tp + fp = 0 THEN NULL ELSE " +
+          "CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END")
           .as("precision"),
-        expr("round(CASE WHEN tp + fn = 0 THEN NULL ELSE " +
-          "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6)")
+        expr("CASE WHEN tp + fn = 0 THEN NULL ELSE " +
+          "CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END")
           .as("recall"),
-        expr("round(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE " +
-          "2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6)")
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE " +
+          "2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END")
           .as("f1"),
-        expr("round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE " +
           "(r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0) " +
-          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6)")
+          "/ (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END")
           .as("auc"))
   }
 
@@ -1720,15 +1726,15 @@ object TextAnalysis extends QueryModule {
        |    + (CAST(n AS DOUBLE) + 1.0) / 2.0)) AS r1
        |  FROM wg)
        |SELECT n_pos, n_neg, tp, fp, fn, tn,
-       |  round(CASE WHEN tp + fp = 0 THEN NULL ELSE
-       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
-       |  round(CASE WHEN tp + fn = 0 THEN NULL ELSE
-       |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
-       |  round(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
-       |    2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 6) AS f1,
-       |  round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+       |  CASE WHEN tp + fp = 0 THEN NULL ELSE
+       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn = 0 THEN NULL ELSE
+       |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE
+       |    2.0 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
        |    (r1 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
-       |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END, 6) AS auc
+       |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END AS auc
        |FROM conf CROSS JOIN rs""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1980,8 +1986,15 @@ object TextAnalysis extends QueryModule {
         .reduce(_ unionAll _)
       rows.crossJoin(broadcast(fullRaw.select(col("auc_raw").as("full_raw"))))
     }
-    tbl.select(col("model"), expr("round(auc_raw, 6)").as("auc"),
-        expr("round(auc_raw - full_raw, 6)").as("auc_delta"))
+    // NO round(·,6): auc_raw is bit-identical cross-engine (decimal-
+    // routed IRLS sums → identical mu groups → exact half-integer
+    // rank sums → one IEEE division), and the presentation rounding
+    // is exactly where the engines CAN diverge (the q84 class —
+    // Spark HALF_UPs the exact decimal of the double, DuckDB rounds
+    // the scaled binary; surfaced at sf0.1 where full-model auc_raw
+    // lands a half-ulp from the 6th-decimal boundary).
+    tbl.select(col("model"), col("auc_raw").as("auc"),
+        (col("auc_raw") - col("full_raw")).as("auc_delta"))
       .orderBy("model")
   }
 
@@ -2056,8 +2069,8 @@ object TextAnalysis extends QueryModule {
        |  SELECT y, $qcMu AS mu FROM (
        |    SELECT y, $qcZ2 AS z FROM fxq CROSS JOIN m2q3)),
        |${qcAucSql("scQ", "Q")}
-       |SELECT model, round(auc_raw, 6) AS auc,
-       |  round(auc_raw - full_raw, 6) AS auc_delta
+       |SELECT model, auc_raw AS auc,
+       |  auc_raw - full_raw AS auc_delta
        |FROM (
        |  SELECT 'full' AS model, auc_raw FROM aucF
        |  UNION ALL SELECT 'no_stop', auc_raw FROM aucP
