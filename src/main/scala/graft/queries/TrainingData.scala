@@ -47,12 +47,41 @@ object TrainingData extends QueryModule {
         expr(s"CAST(floor((cum - n_tok) / $tokenBudget) AS BIGINT)"))
   }
 
+  // Round 18: the GLOBAL packing now runs in the scale-safe
+  // two-phase form (q115/q118's device applied to the last
+  // corpus-sized SinglePartition window): doc_id-RANGE buckets are
+  // order-contiguous prefixes of the global order, so bucket-local
+  // running sums plus driver prefix-summed bucket token offsets
+  // reconstruct the EXACT global cumulative sums (integer addition
+  // is associative) — certified against the UNCHANGED single-window
+  // DuckDB oracle. The only corpus exchange is on bucket; the offset
+  // table is ≤64 rows. The id-range bucketing assumes roughly
+  // uniform id density for balance (true of ingest-assigned ids; a
+  // skewed lake would widen to rank-quantile cut points — same
+  // device, the cut points become another model-sized artifact).
   private def q48(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
+    val wLoc = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    T.documents(s, dir)
-      .select(col("doc_id"), expr(nTokS).as("n_tok"))
-      .withColumn("cum", sum("n_tok").over(w))
+    val bucketed = graft.CachedPlans.of(s, dir, "q48_bucketed") {
+      val docs = T.documents(s, dir)
+        .select(col("doc_id"), expr(nTokS).as("n_tok"))
+      // 1-row corpus stat, memoized with the bucketed table
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val k = maxId / 64 + 1
+      docs.withColumn("bucket",
+          expr(s"CAST(doc_id DIV CAST($k AS BIGINT) AS INT)"))
+        .withColumn("lcum", sum("n_tok").over(wLoc))
+    }
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tok"))
+      .collect().sortBy(_.getInt(0))
+    var tokOff = 0L
+    val offs = totals.map { r =>
+      val o = (r.getInt(0), tokOff); tokOff += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    val offDf = offs.toDF("bucket", "tok_off")
+    bucketed.join(broadcast(offDf), "bucket")
+      .withColumn("cum", col("lcum") + col("tok_off"))
       .withColumn("shard", expr(s"CAST(floor((cum - n_tok) / $budget) AS BIGINT)"))
       .select("doc_id", "n_tok", "shard")
       .orderBy("doc_id")
@@ -85,8 +114,8 @@ object TrainingData extends QueryModule {
     * production packing, q105 balance audit): ONE copy of the
     * cum-window + floor((cum - n_tok) / budget) rule, so the audit's
     * oracle cannot drift from the packing it audits. (q48's global
-    * form deliberately stays separate — it is the documented
-    * oracle-only shape.)
+    * form keeps its own single-window ORACLE but its Spark body now
+    * runs the two-phase bucket-offset plan — round 18.)
     */
   private val duckPackedByLang =
     s"""SELECT lang, doc_id, n_tok,

@@ -57,14 +57,24 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
   test("q52 partitioned shard packing: no single-partition exchange") {
     val p = formatted("q52_shard_pack_by_lang")
     // the running-sum window must repartition by lang, never funnel
-    // the table through one task (q48's global form is the documented
-    // oracle-only exception)
+    // the table through one task
     assert(p.contains("hashpartitioning(lang"), p)
     val windowExchanges = p.linesIterator
       .filter(_.contains("Arguments: SinglePartition")).size
     // the only SinglePartition allowed is the final presentation
     // rangepartitioning/sort — the window itself must not have one
     assert(windowExchanges == 0, p)
+  }
+
+  test("q48 global shard packing: two-phase plan, no single-partition window") {
+    val p = formatted("q48_shard_pack")
+    // round 18: the global cumsum runs bucket-local windows plus a
+    // broadcast offset join — the corpus never funnels through one
+    // task, and the global semantics are pinned by the unchanged
+    // single-window oracle
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.linesIterator.exists(_.contains("Arguments: SinglePartition")), p)
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
   test("q54 bm25: term filter prunes before any exchange; stats broadcast") {
@@ -559,16 +569,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q215_cms_counters")
     // SinglePartition allowlist — every entry collapses a k-row or
     // 1-row intermediate (never the input table):
-    //   q48  global shard pack (documented oracle-only form; q52 is
-    //        the production shape and is pinned to have none)
     //   q54/q61/q82  1-row stats aggregate
     //   q73/q77/q85/q87  k-row report/funnel aggregate
     //   q98  1-row bigram-total aggregate
     //   q104 1-row corpus-total aggregate
     //   q106 1-row corpus-total aggregate (q104's pattern on cells)
-    //   q107 global interleave order/packing window (documented
-    //        oracle-only core, q48's rule; q115 is the CERTIFIED
-    //        production twin — same oracle, pinned to have none)
+    //   q107 global interleave order/packing window (the one
+    //        remaining documented oracle-only core; q115 is the
+    //        CERTIFIED production twin — same oracle, pinned to
+    //        have none. q48 left this list in round 18: its Spark
+    //        body now runs the two-phase bucket-offset plan)
     //   q108 1-row migration-total aggregate (≤k² input rows)
     //   q110 |sources|-row normalizing window (q77's pattern on tokens)
     //   q112 four 1-row stage-ledger aggregates (the funnel report)
@@ -579,7 +589,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     //   q142 |langs|-row waterfill windows over the token aggregate
     //        (q77's pattern; the corpus-sized work is the one
     //        upstream groupBy(lang) exchange)
-    val spOk = Set("q48_shard_pack", "q54_bm25", "q61_tfidf_top_terms",
+    val spOk = Set("q54_bm25", "q61_tfidf_top_terms",
       "q73_funnel", "q77_temperature_mix", "q82_histogram",
       "q85_triangles", "q87_column_profile", "q98_pmi_collocations",
       "q104_drift_psi", "q106_embed_drift_psi", "q107_mixture_interleave",
