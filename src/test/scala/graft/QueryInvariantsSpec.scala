@@ -447,4 +447,13 @@ class QueryInvariantsSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(d) <= 2e-6, s"resid inconsistent: $r")
     }
   }
+
+  test("CachedPlans.sinkName: unique per invocation, even same (prefix, dir)") {
+    // two threads racing the same gated builder must not collide on
+    // an active streaming query name (round-18 advice fix); the memo
+    // still dedupes the RESULT, only the sink names stay disjoint
+    val names = (1 to 100).map(_ => CachedPlans.sinkName("t_sink_", "/d"))
+    assert(names.distinct.size == names.size)
+    assert(names.forall(_.startsWith("t_sink_")))
+  }
 }
