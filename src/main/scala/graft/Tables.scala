@@ -141,6 +141,46 @@ object CachedPlans {
     prefix + math.abs(dir.hashCode) + "_" + sinkCounter.incrementAndGet()
 }
 
+/** ORDER-INDEPENDENT exact summation of per-row bit-identical DOUBLE
+  * terms — the device that removed the last `round(·, N>0)` sites
+  * from the gated SQL (the q84/q169 midpoint class: Spark rounds the
+  * exact shortest-decimal of a double HALF_UP while DuckDB rounds the
+  * binary-scaled product, so any value within an ulp of a 0.5·10⁻ᴺ
+  * boundary can round differently — and a sum whose reduction order
+  * differs between engines can land on either side of that boundary).
+  *
+  * The replacement: quantize each TERM with a scale-0 `round(t·10^q)`
+  * — scale-0 rounding is cross-engine exact (there is no inexact
+  * decimal rescaling inside the round: a double strictly below an
+  * integer midpoint has a shortest decimal representation strictly
+  * below it too, since the representation must round-trip, and at an
+  * exact midpoint both engines round away from zero) — then sum the
+  * resulting integers exactly in DECIMAL(38,0) (order-independent,
+  * 128-bit headroom in both engines), and divide once at the end.
+  * The summed terms must each be bit-identical cross-engine (pure
+  * IEEE arithmetic over identical inputs); the device makes the SUM
+  * deterministic, it cannot repair divergent terms.
+  */
+object ExactSum {
+  /** SQL fragment for the exact integer sum of round(term·10^q):
+    * identical text runs in Spark and DuckDB. Spark's SUM(DECIMAL
+    * (38,0)) stays DECIMAL(38,0); DuckDB's SUM(DECIMAL(38,0)) too.
+    */
+  def sumQ(term: String, q: Int): String =
+    s"CAST(SUM(CAST(round(($term) * 1e$q) AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+
+  /** Scala lockstep for streaming scorers that must reproduce the
+    * gated SQL value exactly: Spark's Round(double, 0) semantics
+    * (BigDecimal.valueOf = shortest decimal, HALF_UP, then the
+    * integral double truncates to long).
+    */
+  def quantize(x: Double, q: Int): Long = {
+    val scaled = x * s"1e$q".toDouble
+    java.math.BigDecimal.valueOf(scaled)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+}
+
 /** A named group of oracle-checked queries. Each module contributes
   * `queries` (Spark DataFrame programs) and `oracle` (the equivalent
   * DuckDB SQL the driver hash-compares against).

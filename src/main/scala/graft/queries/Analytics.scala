@@ -52,10 +52,14 @@ object Analytics extends QueryModule {
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
           .as("sum_value"))
+      // NO round(·, 6) on lo/hi (round 18, the q84/q169 midpoint
+      // class removed): the affine map is pure IEEE arithmetic on
+      // identical inputs — bit-identical cross-engine unrounded,
+      // whereas round() itself can diverge at a half-ulp boundary.
       .select(col("bucket"), col("n"), col("sum_value"),
-        expr("round(mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0, 6)")
+        expr("mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0")
           .as("lo"),
-        expr("round(mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0, 6)")
+        expr("mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0")
           .as("hi"))
       .orderBy("bucket")
   }
@@ -67,8 +71,8 @@ object Analytics extends QueryModule {
        |  FROM events CROSS JOIN st)
        |SELECT bucket, COUNT(*) AS n,
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-       |  round(mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0, 6) AS lo,
-       |  round(mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0, 6) AS hi
+       |  mn + CAST(bucket AS DOUBLE) * (mx - mn) / 20.0 AS lo,
+       |  mn + CAST(bucket + 1 AS DOUBLE) * (mx - mn) / 20.0 AS hi
        |FROM b GROUP BY bucket, mn, mx
        |ORDER BY bucket""".stripMargin
 
@@ -97,7 +101,7 @@ object Analytics extends QueryModule {
         .as("svv"))
     ev.join(st, "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
-        expr(s"round($zE, 6)").as("z"))
+        expr(zE).as("z")) // raw z: bit-identical over exact moments
       .orderBy(abs(col("z")).desc_nulls_last, col("event_id"))
       .limit(20)
   }
@@ -109,7 +113,7 @@ object Analytics extends QueryModule {
        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS svv
        |  FROM events GROUP BY event_type)
        |SELECT * FROM (
-       |  SELECT event_id, e.event_type, value, round($zE, 6) AS z
+       |  SELECT event_id, e.event_type, value, $zE AS z
        |  FROM events e JOIN st ON st.event_type = e.event_type)
        |ORDER BY abs(z) DESC NULLS LAST, event_id
        |LIMIT 20""".stripMargin
@@ -200,8 +204,9 @@ object Analytics extends QueryModule {
   // at any corpus size). The solve is pure +,-,*,/ on doubles from
   // those exact decimals — NO transcendentals — evaluated from
   // TEXTUALLY IDENTICAL expression strings in both engines, so
-  // every IEEE operation matches bit-for-bit; round(·,6) only
-  // formats the output.
+  // every IEEE operation matches bit-for-bit and the coefficients
+  // are emitted RAW (round 18 — no presentation rounding anywhere:
+  // the q84/q169 midpoint class).
   //
   // The model has real semantics: b1 is the per-language marginal
   // tokens-per-character (CJK text packs more tokens per char than
@@ -298,10 +303,15 @@ object Analytics extends QueryModule {
   // execution modes still run and must agree on every fresh session)
   private def q141(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "ols_gated_model") {
+    // RAW coefficients (round 18): the Gram sums are exact decimals
+    // and the Cramer solve is one shared IEEE op sequence, so batch,
+    // stream, and DuckDB are bit-identical UNROUNDED — the round-6
+    // presentation layer was the only residual divergence channel
+    // (the q84/q169 midpoint class) and is gone on all three sides.
     val batch = olsModel(s, dir)
       .select(col("lang"), expr("CAST(n AS BIGINT)").as("n_docs"),
-        expr("round(b0d, 6)").as("b0"), expr("round(b1d, 6)").as("b1"),
-        expr("round(b2d, 6)").as("b2"), expr("round(r2d, 6)").as("r2"))
+        col("b0d").as("b0"), col("b1d").as("b1"),
+        col("b2d").as("b2"), col("r2d").as("r2"))
     val streamed = graft.CachedPlans.of(s, dir, "ols_stream_model") {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -334,8 +344,8 @@ object Analytics extends QueryModule {
        |  SELECT lang, ${gramSums.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
        |  FROM feats GROUP BY lang)
        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
-       |  round($olsB0, 6) AS b0, round($olsB1, 6) AS b1,
-       |  round($olsB2, 6) AS b2, round($olsR2, 6) AS r2
+       |  $olsB0 AS b0, $olsB1 AS b1,
+       |  $olsB2 AS b2, $olsR2 AS r2
        |FROM gram ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
@@ -357,8 +367,8 @@ object Analytics extends QueryModule {
         expr("b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE)"))
       .withColumn("residd", expr("CAST(y AS DOUBLE) - pred"))
       .select(col("doc_id"), col("lang"), col("y").as("n_tok"),
-        expr("round(pred, 6)").as("pred"),
-        expr("round(residd, 6)").as("resid"),
+        col("pred"),
+        col("residd").as("resid"),
         abs(col("residd")).as("aresid"))
       .orderBy(desc("aresid"), col("doc_id"))
       .limit(20)
@@ -376,8 +386,8 @@ object Analytics extends QueryModule {
        |    b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE) AS pred,
        |    CAST(y AS DOUBLE) - (b0d + b1d * CAST(x1 AS DOUBLE) + b2d * CAST(x2 AS DOUBLE)) AS residd
        |  FROM feats JOIN model USING (lang))
-       |SELECT doc_id, lang, y AS n_tok, round(pred, 6) AS pred,
-       |  round(residd, 6) AS resid
+       |SELECT doc_id, lang, y AS n_tok, pred,
+       |  residd AS resid
        |FROM scored
        |ORDER BY abs(residd) DESC, doc_id
        |LIMIT 20""".stripMargin
@@ -407,9 +417,9 @@ object Analytics extends QueryModule {
       .select(expr(olsB1).as("b1g"))
     perSource.crossJoin(broadcast(global))
       .select(col("source"), expr("CAST(n AS BIGINT)").as("n_docs"),
-        expr("round(b1d, 6)").as("b1"),
-        expr("round(b1d - b1g, 6)").as("b1_delta"),
-        expr("round(r2d, 6)").as("r2"))
+        col("b1d").as("b1"),
+        expr("b1d - b1g").as("b1_delta"),
+        col("r2d").as("r2"))
       .orderBy("source")
   }
 
@@ -424,9 +434,9 @@ object Analytics extends QueryModule {
        |m1 AS (SELECT source, n, $olsB1 AS b1d, $olsR2 AS r2d FROM gs),
        |m2 AS (SELECT $olsB1 AS b1g FROM gg)
        |SELECT source, CAST(n AS BIGINT) AS n_docs,
-       |  round(b1d, 6) AS b1,
-       |  round(b1d - b1g, 6) AS b1_delta,
-       |  round(r2d, 6) AS r2
+       |  b1d AS b1,
+       |  b1d - b1g AS b1_delta,
+       |  r2d AS r2
        |FROM m1 CROSS JOIN m2 ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
@@ -438,7 +448,7 @@ object Analytics extends QueryModule {
   // one reducer. One fact scan (stack is a per-row generator — the
   // three key streams never re-scan), one keyed aggregation, then
   // key-cardinality windows per column. All counts exact; the one
-  // ratio is exact-int÷exact-int, round6.
+  // ratio is exact-int÷exact-int, emitted raw.
   private def q156(s: SparkSession, dir: String): DataFrame = {
     // the (col_name, key) count table is the reusable profile — a
     // skew audit runs per candidate join, so it memoizes; the rollup
@@ -458,8 +468,8 @@ object Analytics extends QueryModule {
         max(struct(col("cnt"), (-col("key")).as("nk"), col("key"))).as("m"))
       .select(col("col_name"), col("n_keys"),
         col("m.key").as("top_key"), col("m.cnt").as("top_cnt"),
-        expr("round(CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
-          "/ CAST(total AS DOUBLE), 6)").as("skew_factor"))
+        expr("CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
+          "/ CAST(total AS DOUBLE)").as("skew_factor"))
       .orderBy("col_name")
   }
 
@@ -479,8 +489,8 @@ object Analytics extends QueryModule {
       |  FROM c)
       |SELECT col_name, CAST(n_keys AS BIGINT) AS n_keys,
       |  key AS top_key, cnt AS top_cnt,
-      |  round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
-      |    / CAST(total AS DOUBLE), 6) AS skew_factor
+      |  CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(total AS DOUBLE) AS skew_factor
       |FROM s WHERE rk = 1
       |ORDER BY col_name""".stripMargin
 
@@ -504,7 +514,7 @@ object Analytics extends QueryModule {
   // (the audit re-reads q156's; the salted one adds the salt
   // column); the flagged row is a 3-row top-1, and everything after
   // is 1-row broadcast joins. All counts exact; the two ratios are
-  // exact-int ÷ exact-int, round6. The oracle keeps q156's
+  // exact-int ÷ exact-int, emitted raw. The oracle keeps q156's
   // independent window formulation for the audit stage, so the gate
   // re-certifies the argmax≡window equivalence through the
   // composition.
@@ -531,8 +541,8 @@ object Analytics extends QueryModule {
           max(struct(col("cnt"), (-col("key")).as("nk"), col("key"))).as("m"))
         .select(col("col_name"), col("m.key").as("top_key"),
           col("m.cnt").as("top_cnt"),
-          expr("round(CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
-            "/ CAST(total AS DOUBLE), 6)").as("skew_factor"))
+          expr("CAST(m.cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) " +
+            "/ CAST(total AS DOUBLE)").as("skew_factor"))
         .orderBy(desc("skew_factor"), col("col_name"))
         .limit(1)
     }
@@ -550,7 +560,7 @@ object Analytics extends QueryModule {
         col("top_cnt").as("pre_part_max"),
         col("post_part_max"),
         col("post_group_max"),
-        expr("round(CAST(top_cnt AS DOUBLE) / CAST(post_part_max AS DOUBLE), 6)")
+        expr("CAST(top_cnt AS DOUBLE) / CAST(post_part_max AS DOUBLE)")
           .as("relief"))
   }
 
@@ -573,8 +583,8 @@ object Analytics extends QueryModule {
       |  FROM c),
       |audit AS (
       |  SELECT col_name, key AS top_key, cnt AS top_cnt,
-      |    round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
-      |      / CAST(total AS DOUBLE), 6) AS skew_factor
+      |    CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |      / CAST(total AS DOUBLE) AS skew_factor
       |  FROM s WHERE rk = 1),
       |flagged AS (
       |  SELECT * FROM audit ORDER BY skew_factor DESC, col_name LIMIT 1),
@@ -589,7 +599,7 @@ object Analytics extends QueryModule {
       |  f.top_cnt AS pre_part_max,
       |  post.post_part_max,
       |  post.post_group_max,
-      |  round(CAST(f.top_cnt AS DOUBLE) / CAST(post.post_part_max AS DOUBLE), 6)
+      |  CAST(f.top_cnt AS DOUBLE) / CAST(post.post_part_max AS DOUBLE)
       |    AS relief
       |FROM flagged f CROSS JOIN post""".stripMargin
 

@@ -175,8 +175,11 @@ object CorpusMaintenance extends QueryModule {
   // becomes ≈ 9.2 in q32 units). Exactness: the products are BIGINT
   // (≤ ~2^62 at any plausible corpus — the device's documented
   // bound); each term is double × exact integer, identical
-  // cross-engine; only the ~30-term sum is order-dependent, absorbed
-  // by round-6 (q79's rule). No ln() in either engine's SQL.
+  // cross-engine; the ~30-term sum — the only order-dependent
+  // reduction — is INTEGER-ROUTED (round 18, graft.ExactSum: terms
+  // quantized at 1e-9 by scale-0 round, summed exactly, divided
+  // once), so batch, oracle, and the streamed scorer agree
+  // bit-for-bit. No ln() in either engine's SQL.
   // STREAM == BATCH under the same gate (round 17, the q219 device):
   // the drift MONITOR's scoring path — StreamingDrift.driftPsiQ32's
   // windowed counting transition + the psiQ32 scorer, the exact
@@ -232,7 +235,18 @@ object CorpusMaintenance extends QueryModule {
            | * CAST(${ql32("(c * nn)")} - ${ql32("(ct * n)")} AS DOUBLE)"""
           .stripMargin))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_buckets"), round(sum("term"), 6).as("psi_q32"))
+      // INTEGER-ROUTED term sum (round 18, graft.ExactSum): each PSI
+      // term is bit-identical cross-engine; the ≤|buckets|-term sum
+      // was the only order-dependent reduction, previously absorbed
+      // by round-6 — which also had to absorb the STREAM scorer's
+      // third summation order, the silent-row-deletion channel the
+      // r17 ADVICE flagged. Now each term quantizes at 1e-9 (scale-0
+      // round, midpoint-safe), sums exactly in DECIMAL(38,0), and
+      // divides once — batch, oracle, and stream agree bit-for-bit
+      // by construction.
+      .agg(count(lit(1)).as("n_buckets"),
+        expr(s"CAST(${graft.ExactSum.sumQ("term", 9)} AS DOUBLE) / 1e9")
+          .as("psi_q32"))
       .join(streamed, Seq("source", "n_buckets", "psi_q32"), "inner")
       .orderBy("source")
   }
@@ -246,10 +260,11 @@ object CorpusMaintenance extends QueryModule {
        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
        |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
        |SELECT source, COUNT(*) AS n_buckets,
-       |  round(SUM(
-       |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-       |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |    * CAST(${ql32("(c * nn)")} - ${ql32("(ct * n)")} AS DOUBLE)), 6)
+       |  CAST(${graft.ExactSum.sumQ(
+                 s"""(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                    |    * CAST(${ql32("(c * nn)")} - ${ql32("(ct * n)")} AS DOUBLE)"""
+                   .stripMargin, 9)} AS DOUBLE) / 1e9
        |    AS psi_q32
        |FROM src
        |JOIN tot USING (bucket)
@@ -317,7 +332,8 @@ object CorpusMaintenance extends QueryModule {
   // scorecard is the cheap artifact you regenerate per candidate
   // release. Exactness: counts are exact integers cast to DOUBLE
   // (lossless far beyond any corpus size that fits 2^53 documents);
-  // the two shares and the mean round at 6.
+  // the two shares and the mean are single IEEE divides, emitted raw
+  // (round 18 — the q84/q169 midpoint class removed).
   private def q150(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokenized(s, dir)
     val base = toks.agg(
@@ -342,9 +358,9 @@ object CorpusMaintenance extends QueryModule {
           "'tokens', tokens, " +
           "'langs', langs, " +
           "'sources', sources, " +
-          "'exact_dup_doc_share', round((docs - uniq_fp) / docs, 6), " +
-          "'cdc_dup_token_share', round(cd / ct, 6), " +
-          "'mean_tokens_per_doc', round(tokens / docs, 6)" +
+          "'exact_dup_doc_share', (docs - uniq_fp) / docs, " +
+          "'cdc_dup_token_share', cd / ct, " +
+          "'mean_tokens_per_doc', tokens / docs" +
           ") AS (metric, value)")
       .orderBy("metric")
   }
@@ -393,10 +409,10 @@ object CorpusMaintenance extends QueryModule {
        |  UNION ALL SELECT 'langs', langs FROM base
        |  UNION ALL SELECT 'sources', sources FROM base
        |  UNION ALL SELECT 'exact_dup_doc_share',
-       |    round((docs - uniq_fp) / docs, 6) FROM base
-       |  UNION ALL SELECT 'cdc_dup_token_share', round(cd / ct, 6)
+       |    (docs - uniq_fp) / docs FROM base
+       |  UNION ALL SELECT 'cdc_dup_token_share', cd / ct
        |    FROM dup
-       |  UNION ALL SELECT 'mean_tokens_per_doc', round(tokens / docs, 6)
+       |  UNION ALL SELECT 'mean_tokens_per_doc', tokens / docs
        |    FROM base)
        |ORDER BY metric""".stripMargin
 
@@ -438,7 +454,7 @@ object CorpusMaintenance extends QueryModule {
       .withColumn("rk", row_number().over(wPick))
       .filter(col("rk") === 1)
       .select(col("source"), col("n_docs"),
-        expr("round(gap, 6)").as("ks"), col("len").as("at_len"))
+        col("gap").as("ks"), col("len").as("at_len"))
       .orderBy("source")
   }
 
@@ -469,7 +485,7 @@ object CorpusMaintenance extends QueryModule {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
        |    ORDER BY gap DESC, len) AS rk
        |  FROM gaps)
-       |SELECT source, n_docs, round(gap, 6) AS ks, len AS at_len
+       |SELECT source, n_docs, gap AS ks, len AS at_len
        |FROM pick WHERE rk = 1
        |ORDER BY source""".stripMargin
 

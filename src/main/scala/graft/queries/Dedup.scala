@@ -1123,10 +1123,11 @@ object Dedup extends QueryModule {
   // off the cached degrees — the Components.nEdges pattern, not a
   // per-reference 1-row cross join. Exactness: every division has
   // bit-identical operands cross-engine; the only order-dependent
-  // step is the neighbor SUM of ~1e-3-scale doubles, whose
-  // reduction-order wobble (≪1e-12) is absorbed by round-6 on the
-  // final output only. Output = the full scored node table in id
-  // order — no rank cut, so a boundary tie cannot flake the row set.
+  // step — the neighbor SUM — is INTEGER-ROUTED per iteration
+  // (graft.ExactSum, addends quantized at 1e-12), so the iterates
+  // and the raw output are deterministic with no rounding anywhere.
+  // Output = the full scored node table in id order — no rank cut,
+  // so a boundary tie cannot flake the row set.
   private def q100(s: SparkSession, dir: String): DataFrame = {
     val sym = graft.CachedPlans.of(s, dir, "cc_sym") {
       val e = candidateEdges(s, dir).select("src", "dst")
@@ -1146,17 +1147,27 @@ object Dedup extends QueryModule {
     // a re-run pays only the LAST hop — bench passes model a serving
     // system re-reading a materialized iterate, not re-walking the
     // whole chain
+    // INTEGER-ROUTED neighbor sums (round 18, graft.ExactSum): each
+    // addend prᵏ(u)/deg(u) is bit-identical cross-engine; the
+    // neighbor SUM was the only order-dependent reduction, absorbed
+    // by round-6 on the output — the q84/q169 midpoint class. Each
+    // addend now quantizes at 1e-12 (scale-0 round), sums exactly in
+    // DECIMAL(38,0), divides once — BOTH iterations, so the iterate
+    // itself (not just the report) is deterministic, and the output
+    // is emitted raw.
     val pr1 = graft.CachedPlans.of(s, dir, "cc_pr1") {
       sym.join(deg, "src")
         .groupBy(col("dst").as("id"))
-        .agg(sum(expr(s"$seed / deg")).as("sm"))
+        .agg(expr(s"CAST(${graft.ExactSum.sumQ(s"($seed) / deg", 12)} " +
+          "AS DOUBLE) / 1e12").as("sm"))
         .select(col("id"), expr(s"$base + $d85 * sm").as("ppr"))
     }
     sym.join(pr1.withColumnRenamed("id", "src"), "src")
       .join(deg, "src")
       .groupBy(col("dst").as("id"))
-      .agg(sum(expr("ppr / deg")).as("sm"))
-      .select(col("id"), round(expr(s"$base + $d85 * sm"), 6).as("pr"))
+      .agg(expr(s"CAST(${graft.ExactSum.sumQ("ppr / deg", 12)} " +
+        "AS DOUBLE) / 1e12").as("sm"))
+      .select(col("id"), expr(s"$base + $d85 * sm").as("pr"))
       .orderBy("id")
   }
 
@@ -1173,12 +1184,16 @@ object Dedup extends QueryModule {
        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM deg),
        |pr1 AS (
-       |  SELECT s.dst AS id, 0.15 / nn.n + 0.85 * SUM((1.0 / nn.n) / d.deg)
+       |  SELECT s.dst AS id, 0.15 / nn.n + 0.85 *
+       |    (CAST(${graft.ExactSum.sumQ("(1.0 / nn.n) / d.deg", 12)}
+       |      AS DOUBLE) / 1e12)
        |    AS ppr
        |  FROM sym s JOIN deg d ON d.src = s.src CROSS JOIN nn
        |  GROUP BY s.dst, nn.n)
        |SELECT s.dst AS id,
-       |  round(0.15 / nn.n + 0.85 * SUM(p.ppr / d.deg), 6) AS pr
+       |  0.15 / nn.n + 0.85 *
+       |    (CAST(${graft.ExactSum.sumQ("p.ppr / d.deg", 12)}
+       |      AS DOUBLE) / 1e12) AS pr
        |FROM sym s
        |JOIN deg d ON d.src = s.src
        |JOIN pr1 p ON p.id = s.src
@@ -1517,8 +1532,8 @@ object Dedup extends QueryModule {
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
         (col("n_tok") - coalesce(col("cut_tokens"), lit(0L)))
           .as("kept_tokens"),
-        expr("CASE WHEN n_tok > 0 THEN round(CAST(" +
-          "coalesce(cut_tokens, 0) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) " +
+        expr("CASE WHEN n_tok > 0 THEN CAST(" +
+          "coalesce(cut_tokens, 0) AS DOUBLE) / CAST(n_tok AS DOUBLE) " +
           "ELSE CAST(0.0 AS DOUBLE) END").as("cut_ratio"))
       .orderBy("doc_id")
   }
@@ -1548,8 +1563,8 @@ object Dedup extends QueryModule {
        |  CAST(len(l) - COALESCE(cov.cut_tokens, 0) AS BIGINT)
        |    AS kept_tokens,
        |  CASE WHEN len(l) > 0 THEN
-       |    round(CAST(COALESCE(cov.cut_tokens, 0) AS DOUBLE)
-       |      / CAST(len(l) AS DOUBLE), 6)
+       |    CAST(COALESCE(cov.cut_tokens, 0) AS DOUBLE)
+       |      / CAST(len(l) AS DOUBLE)
        |  ELSE CAST(0.0 AS DOUBLE) END AS cut_ratio
        |FROM d LEFT JOIN cov ON cov.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
@@ -2241,7 +2256,7 @@ object Dedup extends QueryModule {
         sum(when(col("n_fp") > 1, col("n_tok")).otherwise(0L))
           .as("tokens_dup"))
       .withColumn("dup_ratio", expr(
-        "round(CAST(tokens_dup AS DOUBLE) / CAST(tokens_total AS DOUBLE), 6)"))
+        "CAST(tokens_dup AS DOUBLE) / CAST(tokens_total AS DOUBLE)"))
       .select("source", "n_chunks", "n_dup_chunks", "tokens_total",
         "tokens_dup", "dup_ratio")
       .orderBy("source")
@@ -2275,8 +2290,8 @@ object Dedup extends QueryModule {
        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
        |  CAST(SUM(CASE WHEN n_fp > 1 THEN n_tok ELSE 0 END) AS BIGINT)
        |    AS tokens_dup,
-       |  round(CAST(SUM(CASE WHEN n_fp > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
-       |    / CAST(SUM(n_tok) AS DOUBLE), 6) AS dup_ratio
+       |  CAST(SUM(CASE WHEN n_fp > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(n_tok) AS DOUBLE) AS dup_ratio
        |FROM ch JOIN fc USING (fp)
        |GROUP BY source ORDER BY source""".stripMargin
 

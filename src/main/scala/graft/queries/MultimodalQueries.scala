@@ -96,7 +96,8 @@ object MultimodalQueries extends QueryModule {
   // batch-codec shape as extractFeatures/resizeTiffs — samples never
   // become rows on the Spark side (features fold inside the loop);
   // the only exchange is the presentation sort. Exactness: all
-  // integer (Σs² ≤ n·2³⁰), one sqrt+round6 for RMS.
+  // integer (Σs² ≤ n·2³⁰), one correctly-rounded sqrt+divide for
+  // RMS, emitted raw (round 18 — the q84/q169 midpoint class).
   private def q146(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 1024
@@ -110,7 +111,7 @@ object MultimodalQueries extends QueryModule {
         }
       }.toDF()
     feats.select(col("media_id"), col("n_samples"),
-      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)")
+      expr("sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))")
         .as("rms"),
       col("zero_crossings"), col("peak"))
       .orderBy("media_id")
@@ -126,7 +127,7 @@ object MultimodalQueries extends QueryModule {
       |  FROM s)
       |SELECT doc_id AS media_id,
       |  COUNT(*) AS n_samples,
-      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+      |  sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
       |    AS rms,
       |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings,
@@ -1637,8 +1638,8 @@ object MultimodalQueries extends QueryModule {
         }.toDF()
     }
     feats.select(col("media_id"), col("n_samples"),
-      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
-        "DOUBLE)), 6)").as("rms"),
+      expr("sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
+        "DOUBLE))").as("rms"),
       col("zero_crossings"), col("peak"))
       .orderBy("media_id")
   }
@@ -1656,8 +1657,8 @@ object MultimodalQueries extends QueryModule {
       |  FROM d)
       |SELECT doc_id AS media_id,
       |  COUNT(*) AS n_samples,
-      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
-      |    6) AS rms,
+      |  sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    AS rms,
       |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings,
       |  CAST(MAX(ABS(v)) AS BIGINT) AS peak
@@ -1693,8 +1694,8 @@ object MultimodalQueries extends QueryModule {
         }.toDF()
     }
     feats.select(col("media_id"), col("n_samples"),
-      expr("round(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
-        "DOUBLE)), 6)").as("rms"),
+      expr("sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS " +
+        "DOUBLE))").as("rms"),
       col("zero_crossings"), col("peak"))
       .orderBy("media_id")
   }
@@ -1719,8 +1720,8 @@ object MultimodalQueries extends QueryModule {
       |  FROM v)
       |SELECT doc_id AS media_id,
       |  COUNT(*) AS n_samples,
-      |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)),
-      |    6) AS rms,
+      |  sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    AS rms,
       |  CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS zero_crossings,
       |  CAST(MAX(ABS(v)) AS BIGINT) AS peak

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes per query are inline; the common discipline: one
   * shuffle per logical reduction, exact integer arithmetic wherever
-  * the oracle hash-compares, `round(·, 6)` only to absorb ln()'s
-  * last-ulp wobble (same rule as q54's BM25), and every output in a
-  * total order.
+  * the oracle hash-compares, NO `round(·, N>0)` anywhere (round 18:
+  * presentation rounding removed — the q84/q169 midpoint class —
+  * and the order-dependent sums integer-routed via graft.ExactSum),
+  * and every output in a total order.
   */
 object PipelineOps extends QueryModule {
 
@@ -237,13 +238,23 @@ object PipelineOps extends QueryModule {
   // only float work is sqrt + one 5-term sum, absorbed by
   // round(·, 6) / integer rounding.
   private def q77(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy()
+    // INTEGER-ROUTED √-weights (round 18, graft.ExactSum's device):
+    // the weight quantizes ONCE at its source (swq = round(√n·1e6),
+    // scale-0 — cross-engine exact) and the normalizer is an exact
+    // integer window sum, so weight AND target_docs' scale-0 round
+    // sit on bit-identical arguments — previously the denominator
+    // was an UNORDERED float window sum and target_docs could flip
+    // on a reduction-order half-ulp near a .5 boundary (the
+    // q84/q169 class, unabsorbable by the old round-6).
     T.documents(s, dir)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .withColumn("sw", expr("sqrt(CAST(n_docs AS DOUBLE))"))
-      .withColumn("denom", sum("sw").over(w))
+      .withColumn("swq",
+        expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) " +
+          "AS DECIMAL(38,0))"))
+      .withColumn("sw", expr("CAST(swq AS DOUBLE) / 1e6"))
+      .withColumn("denom", expr("CAST(SUM(swq) OVER () AS DOUBLE) / 1e6"))
       .select(col("lang"), col("n_docs"),
-        round(col("sw") / col("denom"), 6).as("weight"),
+        (col("sw") / col("denom")).as("weight"),
         expr("CAST(round(100000 * sw / denom) AS BIGINT)").as("target_docs"))
       .orderBy("lang")
   }
@@ -251,10 +262,15 @@ object PipelineOps extends QueryModule {
   private val q77Sql =
     """WITH c AS (
       |  SELECT lang, COUNT(*) AS n_docs,
-      |    sqrt(CAST(COUNT(*) AS DOUBLE)) AS sw
+      |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6)
+      |      AS DECIMAL(38,0)) AS swq
       |  FROM documents GROUP BY lang),
-      |d AS (SELECT *, SUM(sw) OVER () AS denom FROM c)
-      |SELECT lang, n_docs, round(sw / denom, 6) AS weight,
+      |d AS (
+      |  SELECT lang, n_docs,
+      |    CAST(swq AS DOUBLE) / 1e6 AS sw,
+      |    CAST(SUM(swq) OVER () AS DOUBLE) / 1e6 AS denom
+      |  FROM c)
+      |SELECT lang, n_docs, sw / denom AS weight,
       |  CAST(round(100000 * sw / denom) AS BIGINT) AS target_docs
       |FROM d ORDER BY lang""".stripMargin
 
@@ -292,9 +308,12 @@ object PipelineOps extends QueryModule {
     bg.join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .groupBy("doc_id")
+      // raw AVG (round 18): the ql32 differences are integer-valued
+      // doubles whose sum is exact in float64 at any order (≪ 2^53),
+      // so the mean is one exact division — bit-identical unrounded.
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(expr(
-          s"CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)")), 6)
+        avg(expr(
+          s"CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)"))
           .as("avg_lp_q32"))
       .orderBy("doc_id")
   }
@@ -309,7 +328,7 @@ object PipelineOps extends QueryModule {
        |c2 AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1)
        |SELECT doc_id, COUNT(*) AS n_bigrams,
-       |  round(AVG(CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)), 6)
+       |  AVG(CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE))
        |    AS avg_lp_q32
        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |GROUP BY doc_id
@@ -532,9 +551,11 @@ object PipelineOps extends QueryModule {
   // in training — the over-sampling signal every data plan needs
   // before a run, not after). The per-source table is an aggregate of
   // the corpus, so the normalizing window is a ~|sources|-row frame
-  // (q77's reviewed pattern). Exactness: integer token sums; sqrt +
-  // divides correctly rounded; round(·, 6) absorbs the k-term denom
-  // sum; target_tokens' integer rounding is the q77-certified form.
+  // (q77's reviewed pattern). Exactness: integer token sums;
+  // source-quantized √-weights with an exact integer normalizer
+  // (q77's round-18 device) — every emitted double is bit-identical
+  // cross-engine, raw, and target_tokens' scale-0 round sits on a
+  // deterministic argument.
   private val tokenBudget = 10000000L
   private val nTok110 =
     "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)"
@@ -542,17 +563,19 @@ object PipelineOps extends QueryModule {
     "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
 
   private def q110(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy()
     T.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(expr(nTok110)).as("n_tokens"))
-      .withColumn("sw", expr("sqrt(CAST(n_tokens AS DOUBLE))"))
-      .withColumn("denom", sum("sw").over(w))
+      .withColumn("swq",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) " +
+          "AS DECIMAL(38,0))"))
+      .withColumn("sw", expr("CAST(swq AS DOUBLE) / 1e6"))
+      .withColumn("denom", expr("CAST(SUM(swq) OVER () AS DOUBLE) / 1e6"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("sw") / col("denom"), 6).as("weight"),
+        (col("sw") / col("denom")).as("weight"),
         expr(s"CAST(round($tokenBudget * sw / denom) AS BIGINT)")
           .as("target_tokens"),
-        round(expr(s"$tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE)"), 6)
+        expr(s"$tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE)")
           .as("epochs"))
       .orderBy("source")
   }
@@ -563,13 +586,16 @@ object PipelineOps extends QueryModule {
        |    CAST(SUM($nTok110D) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
        |d AS (
-       |  SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS sw,
-       |    SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS denom
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |      AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS sw,
+       |    CAST(SUM(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |      AS DECIMAL(38,0))) OVER () AS DOUBLE) / 1e6 AS denom
        |  FROM c)
        |SELECT source, n_docs, n_tokens,
-       |  round(sw / denom, 6) AS weight,
+       |  sw / denom AS weight,
        |  CAST(round($tokenBudget * sw / denom) AS BIGINT) AS target_tokens,
-       |  round($tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE), 6)
+       |  $tokenBudget * sw / denom / CAST(n_tokens AS DOUBLE)
        |    AS epochs
        |FROM d ORDER BY source""".stripMargin
 
@@ -682,7 +708,7 @@ object PipelineOps extends QueryModule {
   // q51-certified device: order statistics + linear interpolation on
   // exact integer lengths are identical doubles), joined back onto
   // the cached token table; the fence comparisons are double-vs-int,
-  // identical cross-engine. Counts/sums exact; the one ratio round6.
+  // identical cross-engine. Counts/sums exact; the one ratio an exact divide, emitted raw.
   private def q157(s: SparkSession, dir: String): DataFrame = {
     val lens = TextAnalysis.tokenized(s, dir)
       .select(col("lang"), expr("CAST(size(toks) AS BIGINT)").as("n_tok"))
@@ -703,8 +729,8 @@ object PipelineOps extends QueryModule {
           .as("tokens_total"))
       .select(col("lang"), col("n_docs"), col("dropped_short"),
         col("dropped_long"), col("tokens_dropped"),
-        expr("round(CAST(tokens_dropped AS DOUBLE) " +
-          "/ CAST(tokens_total AS DOUBLE), 6)").as("drop_ratio"))
+        expr("CAST(tokens_dropped AS DOUBLE) " +
+          "/ CAST(tokens_total AS DOUBLE)").as("drop_ratio"))
       .orderBy("lang")
   }
 
@@ -723,9 +749,9 @@ object PipelineOps extends QueryModule {
        |    AS dropped_long,
        |  CAST(SUM(CASE WHEN n_tok < p_lo OR n_tok > p_hi THEN n_tok
        |    ELSE 0 END) AS BIGINT) AS tokens_dropped,
-       |  round(CAST(SUM(CASE WHEN n_tok < p_lo OR n_tok > p_hi THEN n_tok
+       |  CAST(SUM(CASE WHEN n_tok < p_lo OR n_tok > p_hi THEN n_tok
        |      ELSE 0 END) AS DOUBLE)
-       |    / CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS DOUBLE), 6)
+       |    / CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS DOUBLE)
        |    AS drop_ratio
        |FROM lens JOIN f USING (lang)
        |GROUP BY lang
@@ -743,7 +769,7 @@ object PipelineOps extends QueryModule {
   // UNBUCKETED alternative (pad everything to the global max) — the
   // delta between its waste and the buckets' summed waste is what
   // bucketing buys. All integers exact (counts × caps, DECIMAL-
-  // routed sums); the ratio is exact-int ÷ exact-int round6. One
+  // routed sums); the ratio is exact-int ÷ exact-int, emitted raw. One
   // token-length scan + a ≤7-row rollup.
   private val bucketCapS =
     "CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64 " +
@@ -778,8 +804,8 @@ object PipelineOps extends QueryModule {
       .withColumn("waste", expr("n_docs * cap - tokens"))
       .select(col("bucket"), col("cap"), col("n_docs"), col("tokens"),
         col("padded"), col("waste"),
-        expr("round(CAST(n_docs * cap - tokens AS DOUBLE) " +
-          "/ CAST(n_docs * cap AS DOUBLE), 6)").as("waste_ratio"))
+        expr("CAST(n_docs * cap - tokens AS DOUBLE) " +
+          "/ CAST(n_docs * cap AS DOUBLE)").as("waste_ratio"))
       .orderBy("cap", "bucket")
   }
 
@@ -807,8 +833,8 @@ object PipelineOps extends QueryModule {
        |SELECT bucket, cap, n_docs, tokens,
        |  n_docs * cap AS padded,
        |  n_docs * cap - tokens AS waste,
-       |  round(CAST(n_docs * cap - tokens AS DOUBLE)
-       |    / CAST(n_docs * cap AS DOUBLE), 6) AS waste_ratio
+       |  CAST(n_docs * cap - tokens AS DOUBLE)
+       |    / CAST(n_docs * cap AS DOUBLE) AS waste_ratio
        |FROM b ORDER BY cap, bucket""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1248,7 +1274,7 @@ object PipelineOps extends QueryModule {
         .withColumn("lp", expr(q179LpS))
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg("lp"), 6).as("score"))
+          avg("lp").as("score")) // exact: integer-valued lp, sum ≪ 2^53
     }
     scored
       .withColumn("tercile", ntile(3).over(
@@ -1276,7 +1302,7 @@ object PipelineOps extends QueryModule {
        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM ref GROUP BY 1),
        |scored AS (
        |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
-       |    round(AVG($q179LpS), 6) AS score
+       |    AVG($q179LpS) AS score
        |  FROM bg
        |  LEFT JOIN c2 USING (w1, w2)
        |  LEFT JOIN c1 USING (w1)
@@ -1554,7 +1580,7 @@ object PipelineOps extends QueryModule {
         expr("CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT)")
           .as("n_kept"))
       .withColumn("keep_rate",
-        expr("round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"))
+        expr("CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
       .orderBy("source")
   }
 
@@ -1599,8 +1625,8 @@ object PipelineOps extends QueryModule {
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_kept,
-       |  round(CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END)
-       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+       |  CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
        |FROM sc CROSS JOIN pr
        |GROUP BY source ORDER BY source""".stripMargin
   }

@@ -1169,10 +1169,10 @@ object SimSearch extends QueryModule {
       .withColumn("total", sum("n_vecs").over(w))
       .withColumn("n_cells", count(lit(1)).over(w))
       .select(col("cell"), col("n_vecs"),
-        expr("round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6)")
+        expr("CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE)")
           .as("share"),
-        expr("round(CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) " +
-          "/ CAST(total AS DOUBLE), 6)").as("occ_ratio"),
+        expr("CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) " +
+          "/ CAST(total AS DOUBLE)").as("occ_ratio"),
         expr("CAST(n_vecs * n_cells > total * 2 AS BOOLEAN)").as("hot"))
       .orderBy("cell")
   }
@@ -1180,9 +1180,9 @@ object SimSearch extends QueryModule {
   private val q165Sql =
     s"""$trainedAssignChainSql
        |SELECT cell, n_vecs,
-       |  round(CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
-       |  round(CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
-       |    / CAST(total AS DOUBLE), 6) AS occ_ratio,
+       |  CAST(n_vecs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CAST(n_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE)
+       |    / CAST(total AS DOUBLE) AS occ_ratio,
        |  CAST(n_vecs * n_cells > total * 2 AS BOOLEAN) AS hot
        |FROM (
        |  SELECT cell, COUNT(*) AS n_vecs,
@@ -1399,7 +1399,7 @@ object SimSearch extends QueryModule {
         expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
           "AS BIGINT)").as("hits"))
       .withColumn("recall",
-        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+        expr("CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
       .select("method", "n_pairs", "hits", "recall")
       .orderBy("method")
   }
@@ -1459,7 +1459,7 @@ object SimSearch extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
        |    FROM exd) WHERE rn <= 3)
        |SELECT method, n_pairs, hits,
-       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall
+       |  CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
        |FROM (
        |  SELECT 'raw' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        |    CAST(SUM(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1521,7 +1521,7 @@ object SimSearch extends QueryModule {
         expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
           "AS BIGINT)").as("hits"))
       .withColumn("recall",
-        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+        expr("CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
       .select("n_probe", "n_pairs", "hits", "recall")
       .orderBy("n_probe")
   }
@@ -1574,7 +1574,7 @@ object SimSearch extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
        |    FROM exd) WHERE rn <= 3)
        |SELECT n_probe, n_pairs, hits,
-       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall
+       |  CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall
        |FROM (
        |$hitRows)
        |ORDER BY n_probe""".stripMargin
@@ -1917,7 +1917,7 @@ object SimSearch extends QueryModule {
         expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
           "AS BIGINT)").as("hits"))
       .withColumn("recall",
-        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+        expr("CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
       .join(visits, "method")
       .select("method", "n_pairs", "hits", "recall", "visited")
       .orderBy("method")
@@ -1985,7 +1985,7 @@ object SimSearch extends QueryModule {
        |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id),
        |gvis AS (SELECT CAST(COUNT(*) AS BIGINT) AS visited FROM gvis3)
        |SELECT method, n_pairs, hits,
-       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall,
+       |  CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall,
        |  visited
        |FROM (
        |${hitRow("graph", "gtop3", "gvis")}
@@ -2165,7 +2165,7 @@ object SimSearch extends QueryModule {
         expr("CAST(SUM(CASE WHEN hit IS NOT NULL AND c_id % 10 = 7 " +
           "THEN 1 ELSE 0 END) AS BIGINT)").as("new_hits"))
       .withColumn("recall",
-        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+        expr("CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
       .select("method", "n_pairs", "hits", "recall", "new_retrieved",
         "new_hits")
       .orderBy("method")
@@ -2195,7 +2195,7 @@ object SimSearch extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
        |    FROM qd) WHERE rn <= 3)
        |SELECT method, n_pairs, hits,
-       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+       |  CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)
        |    AS recall,
        |  new_retrieved, new_hits
        |FROM (
@@ -2240,7 +2240,7 @@ object SimSearch extends QueryModule {
         expr("CAST(SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) " +
           "AS BIGINT)").as("hits"))
       .withColumn("recall",
-        expr("round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)"))
+        expr("CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE)"))
       .join(visits, "n_hops")
       .select("n_hops", "n_pairs", "hits", "recall", "visited")
       .orderBy("n_hops")
@@ -2268,7 +2268,7 @@ object SimSearch extends QueryModule {
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, c_id) AS rn
        |    FROM qd) WHERE rn <= 3)
        |SELECT n_hops, n_pairs, hits,
-       |  round(CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS recall,
+       |  CAST(hits AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS recall,
        |  visited
        |FROM (
        |${(0 to 3).map(hopRow).mkString("\nUNION ALL\n")})
@@ -2591,7 +2591,8 @@ object SimSearch extends QueryModule {
   // the centroid norm (quadratic in n — int64 would wrap at n ≈ 6e5)
   // routes through DECIMAL/HUGEINT, exact to n ~ 1e16. All sums are
   // exact in any order in both engines; the only floats are
-  // sqrt/divide of identical exact values (+ round-6 on the one avg).
+  // sqrt/divide of identical exact values, and the one mean is
+  // integer-routed (graft.ExactSum) — no round(·, N>0) anywhere.
   //
   // Scale: the per-(label, dim) sum is a map-side-partial agg; the
   // centroid table is k×d — model-sized — and broadcast back onto
@@ -2623,10 +2624,15 @@ object SimSearch extends QueryModule {
       .withColumn("cos", expr(
         "CAST(vec_dot(v3, cv) AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))"))
       .groupBy("label")
+      // min/max are order-insensitive picks of bit-identical values
+      // (raw); the MEAN — the one order-dependent reduction — is
+      // INTEGER-ROUTED (round 18, graft.ExactSum: each cos quantized
+      // at 1e-12 by scale-0 round, summed exactly, divided once).
       .agg(count(lit(1)).as("n_members"),
-        round(min("cos"), 6).as("min_cos"),
-        round(avg("cos"), 6).as("mean_cos"),
-        round(max("cos"), 6).as("max_cos"),
+        min("cos").as("min_cos"),
+        expr(s"CAST(${graft.ExactSum.sumQ("cos", 12)} AS DOUBLE) " +
+          "/ 1e12 / CAST(COUNT(*) AS DOUBLE)").as("mean_cos"),
+        max("cos").as("max_cos"),
         sum(expr(s"CASE WHEN cos >= $cohesionTau THEN 1L ELSE 0L END"))
           .as("n_tight"))
       .orderBy("label")
@@ -2659,9 +2665,10 @@ object SimSearch extends QueryModule {
        |  JOIN n3 ON n3.vec_id = d.vec_id
        |  JOIN cn ON cn.label = d.label)
        |SELECT label, COUNT(*) AS n_members,
-       |  round(MIN(cos), 6) AS min_cos,
-       |  round(AVG(cos), 6) AS mean_cos,
-       |  round(MAX(cos), 6) AS max_cos,
+       |  MIN(cos) AS min_cos,
+       |  CAST(${graft.ExactSum.sumQ("cos", 12)} AS DOUBLE)
+       |    / 1e12 / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
+       |  MAX(cos) AS max_cos,
        |  CAST(SUM(CASE WHEN cos >= $cohesionTau THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_tight
        |FROM cs GROUP BY label ORDER BY label""".stripMargin
@@ -2751,7 +2758,9 @@ object SimSearch extends QueryModule {
   // on ONE exact rational (c·nn)/(ct·n) routed through DECIMAL(38,0)
   // (HUGEINT on the oracle side) — count products scale as N² in
   // corpus size, so BIGINT would wrap past ~3e9 docs (q98's rule);
-  // the ≤k-term sum is absorbed by round(·, 6).
+  // the ≤k-term sum — the only order-dependent reduction — is
+  // integer-routed (round 18, graft.ExactSum: terms quantized at
+  // 1e-9 by scale-0 round, summed exactly, divided once).
   /** (source, cell) of every corpus vector under the fixed model —
     * one assignment scan + doc join shared by the drift twins
     * q106/q130 (CachedPlans: the marginal cost of the second gate is
@@ -2789,7 +2798,12 @@ object SimSearch extends QueryModule {
            | * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)"""
           .stripMargin))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_cells"), round(sum("term"), 6).as("psi_q32"))
+      // INTEGER-ROUTED term sum (round 18, graft.ExactSum — q104's
+      // device): terms are bit-identical; the ≤k-term sum was the
+      // only order-dependent reduction.
+      .agg(count(lit(1)).as("n_cells"),
+        expr(s"CAST(${graft.ExactSum.sumQ("term", 9)} AS DOUBLE) / 1e9")
+          .as("psi_q32"))
       .orderBy("source")
   }
 
@@ -2803,10 +2817,11 @@ object SimSearch extends QueryModule {
        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY 1),
        |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS nn FROM tot)
        |SELECT source, COUNT(*) AS n_cells,
-       |  round(SUM(
-       |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-       |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |    * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)), 6)
+       |  CAST(${graft.ExactSum.sumQ(
+                 s"""(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    |     - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                    |    * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)"""
+                   .stripMargin, 9)} AS DOUBLE) / 1e9
        |    AS psi_q32
        |FROM src
        |JOIN tot USING (cell)
@@ -2841,8 +2856,8 @@ object SimSearch extends QueryModule {
   // observed terms + refFloor-ed missing terms — is what this row
   // certifies cross-engine; StreamingDrift.psiTwoSided keeps the ln
   // form for in-stream monitoring where no hash gate applies).
-  // round-6 absorbs the ≤k-term sum order; no ln() in either
-  // engine's SQL.
+  // the ≤k-term sum is integer-routed (graft.ExactSum, q104's
+  // device); no ln() and no round(·, N>0) in either engine's SQL.
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val cells = sourceCells(s, dir)
     val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
@@ -2867,9 +2882,13 @@ object SimSearch extends QueryModule {
            |  * CAST(${qlS("nn")} - ${qlS("(1000000 * ct)")} AS DOUBLE)
            |END""".stripMargin))
       .groupBy("source")
+      // INTEGER-ROUTED term sum (round 18, graft.ExactSum — q104's
+      // device; both the observed and the floored-missing branches
+      // are bit-identical per term).
       .agg(count(when(col("c").isNotNull, 1)).as("n_cells_obs"),
         count(when(col("c").isNull, 1)).as("n_cells_missing"),
-        round(sum("term"), 6).as("psi_q32"))
+        expr(s"CAST(${graft.ExactSum.sumQ("term", 9)} AS DOUBLE) / 1e9")
+          .as("psi_q32"))
       .orderBy("source")
   }
 
@@ -2894,15 +2913,15 @@ object SimSearch extends QueryModule {
        |    AS n_cells_obs,
        |  CAST(COUNT(CASE WHEN c IS NULL THEN 1 END) AS BIGINT)
        |    AS n_cells_missing,
-       |  round(SUM(
-       |    CASE WHEN c IS NOT NULL THEN
-       |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
-       |       - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |      * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)
-       |    ELSE
-       |      (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
-       |      * CAST(${qlS("nn")} - ${qlS("(1000000 * ct)")} AS DOUBLE)
-       |    END), 6) AS psi_q32
+       |  CAST(${graft.ExactSum.sumQ(
+                 s"""CASE WHEN c IS NOT NULL THEN
+                    |      (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    |       - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                    |      * CAST(${qlS("(c * nn)")} - ${qlS("(ct * n)")} AS DOUBLE)
+                    |    ELSE
+                    |      (1e-6 - CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                    |      * CAST(${qlS("nn")} - ${qlS("(1000000 * ct)")} AS DOUBLE)
+                    |    END""".stripMargin, 9)} AS DOUBLE) / 1e9 AS psi_q32
        |FROM ns
        |CROSS JOIN tot
        |LEFT JOIN obs USING (source, cell)
@@ -2926,8 +2945,8 @@ object SimSearch extends QueryModule {
   // ≤k² aggregate; the 1-row total crosses (q104's pattern).
   // Exactness: both models are integer-lattice centroids, so every
   // distance is an exact-in-float64 integer sum (q94's argument);
-  // counts are integers and frac is one correctly-rounded divide
-  // absorbed by round(·, 6).
+  // counts are integers and frac is one correctly-rounded divide,
+  // emitted raw (round 18).
   private def q108(s: SparkSession, dir: String): DataFrame = {
     val corpus = quantized(s, dir)
       .select(col("vec_id"), expr("CAST(qv AS ARRAY<DOUBLE>)").as("embedding"))
@@ -3472,7 +3491,7 @@ object SimSearch extends QueryModule {
   // dots and norms are exact integer sums of the quantized vectors
   // (q25's device), so cosines, ranks, and the hit counts are
   // bit-identical cross-engine; recall = hits/40 is an exact
-  // integer÷integer double, round6 for form.
+  // integer÷integer double, emitted raw (round 18).
   //
   // Scale: the pair join is the brute oracle shape (8 queries
   // broadcast over the corpus scan — q25's reviewed non-equi plan);
@@ -3511,7 +3530,7 @@ object SimSearch extends QueryModule {
         .agg(count(lit(1)).as("hits"))
         .select(lit(d).as("dim"),
           expr("CAST(8 AS BIGINT)").as("n_queries"),
-          expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+          expr("CAST(hits AS DOUBLE) / 40.0").as("recall_at_5"))
     }.reduce(_ unionByName _)
       .orderBy("dim")
   }
@@ -3560,7 +3579,7 @@ object SimSearch extends QueryModule {
        |hits AS (
        |  $dimRows)
        |SELECT dim, CAST(8 AS BIGINT) AS n_queries,
-       |  round(CAST(hits AS DOUBLE) / 40.0, 6) AS recall_at_5
+       |  CAST(hits AS DOUBLE) / 40.0 AS recall_at_5
        |FROM hits ORDER BY dim""".stripMargin
   }
 
@@ -3609,12 +3628,12 @@ object SimSearch extends QueryModule {
       .join(truth, Seq("q_id", "c_id"), "leftsemi")
       .agg(count(lit(1)).as("hits"))
       .select(lit("hamming_top5").as("mode"),
-        expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+        expr("CAST(hits AS DOUBLE) / 40.0").as("recall_at_5"))
     val rescored = rk.filter(col("rham") <= 20 && col("rresc") <= 5)
       .join(truth, Seq("q_id", "c_id"), "leftsemi")
       .agg(count(lit(1)).as("hits"))
       .select(lit("hamming20_rescored").as("mode"),
-        expr("round(CAST(hits AS DOUBLE) / 40.0, 6)").as("recall_at_5"))
+        expr("CAST(hits AS DOUBLE) / 40.0").as("recall_at_5"))
     plain.unionByName(rescored).orderBy("mode")
   }
 
@@ -3649,11 +3668,11 @@ object SimSearch extends QueryModule {
        |truth AS (SELECT q_id, c_id FROM rk2 WHERE rcos <= 5)
        |SELECT mode, recall_at_5 FROM (
        |  SELECT 'hamming_top5' AS mode,
-       |    round(CAST(COUNT(*) AS DOUBLE) / 40.0, 6) AS recall_at_5
+       |    CAST(COUNT(*) AS DOUBLE) / 40.0 AS recall_at_5
        |  FROM rk2 JOIN truth USING (q_id, c_id) WHERE rham <= 5
        |  UNION ALL
        |  SELECT 'hamming20_rescored',
-       |    round(CAST(COUNT(*) AS DOUBLE) / 40.0, 6)
+       |    CAST(COUNT(*) AS DOUBLE) / 40.0
        |  FROM rk2 JOIN truth USING (q_id, c_id)
        |  WHERE rham <= 20 AND rresc <= 5)
        |ORDER BY mode""".stripMargin
@@ -3703,17 +3722,17 @@ object SimSearch extends QueryModule {
         .withColumn("margin", col("cosine") - col("runner_up"))
         .select(col("en_id"), col("zh_id"), col("cosine"), col("margin"))
     }
-    // The top-20 cut orders on the UNROUNDED margin (the oracle's
-    // ORDER BY (cosine - runner_up)); rounding happens only in the
-    // final projection. Ordering on the rounded alias would tie two
-    // pairs whose unrounded margins differ but round to the same
-    // 1e-6 step, flipping the order near the LIMIT cut.
+    // The top-20 cut orders on the raw margin; both columns are now
+    // emitted RAW too (round 18): cosine and margin are pure IEEE
+    // arithmetic on exact integer dots/norms — bit-identical
+    // cross-engine, whereas the old round-6 projection could itself
+    // diverge at a half-ulp boundary (the q84/q169 midpoint class).
     mined
       .orderBy(desc("margin"), col("en_id"))
       .limit(20)
       .select(col("en_id"), col("zh_id"),
-        expr("round(cosine, 6)").as("cosine"),
-        expr("round(margin, 6)").as("margin"))
+        col("cosine"),
+        col("margin"))
   }
 
   private val q154Sql =
@@ -3744,8 +3763,8 @@ object SimSearch extends QueryModule {
        |    LEAD(cosine, 1) OVER (PARTITION BY en_id
        |      ORDER BY cosine DESC, zh_id) AS runner_up
        |  FROM sc)
-       |SELECT en_id, zh_id, round(cosine, 6) AS cosine,
-       |  round(cosine - runner_up, 6) AS margin
+       |SELECT en_id, zh_id, cosine,
+       |  cosine - runner_up AS margin
        |FROM rk WHERE rk = 1
        |ORDER BY (cosine - runner_up) DESC, en_id
        |LIMIT 20""".stripMargin

@@ -223,7 +223,9 @@ object TextAnalysis extends QueryModule {
   // arithmetic, identical textually in both engines, and the only
   // remaining float steps are its divisions (correctly-rounded on
   // exact operands) — no ln() anywhere, so no 1-ulp libm hazard.
-  // round(·, 6) still absorbs the fixed 3-term addition.
+  // The fixed 3-term addition is evaluated left-to-right from the
+  // same expression text in both engines, so the score is emitted
+  // RAW (round 18 — the q84/q169 midpoint class removed).
   private val bmTerms = Seq("spark", "vector", "query")
 
   private def q54(s: SparkSession, dir: String): DataFrame = {
@@ -265,7 +267,7 @@ object TextAnalysis extends QueryModule {
       .groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("bm25_q32",
-        round(expr(bmTerms.map(t => s"s_$t").mkString(" + ")), 6))
+        expr(bmTerms.map(t => s"s_$t").mkString(" + ")))
       .select("doc_id", "bm25_q32")
       .orderBy(desc("bm25_q32"), col("doc_id"))
       .limit(20)
@@ -299,7 +301,7 @@ object TextAnalysis extends QueryModule {
        |  FROM tf JOIN idfq USING (t) CROSS JOIN stats
        |  GROUP BY doc_id)
        |SELECT doc_id,
-       |  round(${bmTerms.map(t => s"s_$t").mkString(" + ")}, 6) AS bm25_q32
+       |  ${bmTerms.map(t => s"s_$t").mkString(" + ")} AS bm25_q32
        |FROM sc
        |ORDER BY bm25_q32 DESC, doc_id
        |LIMIT 20""".stripMargin
@@ -489,12 +491,11 @@ object TextAnalysis extends QueryModule {
       .withColumn("score", expr(scoreExpr))
       .withColumn("u", expr(uE))
       .filter(col("u") < col("score"))
-      .select(col("doc_id"), expr("round(score, 6)").as("score"),
-        expr("round(u, 6)").as("u"))
+      .select(col("doc_id"), col("score"), col("u"))
       .orderBy("doc_id")
 
   private val q86Sql =
-    s"""SELECT doc_id, round(score, 6) AS score, round(u, 6) AS u
+    s"""SELECT doc_id, score, u
        |FROM (
        |  SELECT doc_id, $scoreExpr AS score, $uD AS u
        |  FROM (
@@ -892,8 +893,8 @@ object TextAnalysis extends QueryModule {
       .groupBy("lang")
       .agg(expr("CAST(SUM(cnt) AS BIGINT)").as("n_words"),
         expr("CAST(SUM(cnt * n_pieces) AS BIGINT)").as("n_pieces"),
-        expr("round(CAST(SUM(cnt * n_pieces) AS DOUBLE) / " +
-          "CAST(SUM(cnt) AS DOUBLE), 6)").as("fertility"))
+        expr("CAST(SUM(cnt * n_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE)").as("fertility"))
       .orderBy("lang")
   }
 
@@ -908,8 +909,8 @@ object TextAnalysis extends QueryModule {
        |SELECT lang,
        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
        |  CAST(SUM(cnt * n_pieces) AS BIGINT) AS n_pieces,
-       |  round(CAST(SUM(cnt * n_pieces) AS DOUBLE)
-       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS fertility
+       |  CAST(SUM(cnt * n_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE) AS fertility
        |FROM cw JOIN np USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -1308,7 +1309,7 @@ object TextAnalysis extends QueryModule {
       .crossJoin(broadcast(tot))
       .filter(col("cnt") * 65 > col("n"))
       .select(col("t").as("token"), col("cnt"),
-        expr("round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6)").as("share"))
+        expr("CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)").as("share"))
       .orderBy(desc("cnt"), col("token"))
   }
 
@@ -1317,7 +1318,7 @@ object TextAnalysis extends QueryModule {
        |tot AS (SELECT COUNT(*) AS n FROM tok),
        |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
        |SELECT t AS token, cnt,
-       |  round(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+       |  CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
        |FROM c CROSS JOIN tot
        |WHERE cnt * 65 > n
        |ORDER BY cnt DESC, t""".stripMargin
@@ -1612,14 +1613,17 @@ object TextAnalysis extends QueryModule {
     val rep = rep0.join(streamedRep,
       Seq("source", "n_docs", "n_kept"), "inner")
     rep.crossJoin(broadcast(model))
+      // RAW metrics and coefficients (round 18, the q84/q169
+      // midpoint class): the ratio and the IRLS solve are
+      // bit-identical cross-engine unrounded.
       .select(col("source"), col("n_docs"), col("n_kept"),
-        expr("round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)")
+        expr("CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)")
           .as("keep_rate"),
-        expr("round(b0d, 6)").as("b0"),
+        col("b0d").as("b0"),
         // coefficients reported on the original [0,1] ratio scale
         // (features were quantized by 1e6)
-        expr("round(b1d * 1000000.0, 6)").as("b_ttr"),
-        expr("round(b2d * 1000000.0, 6)").as("b_stop"))
+        expr("b1d * 1000000.0").as("b_ttr"),
+        expr("b2d * 1000000.0").as("b_stop"))
       .orderBy("source")
   }
 
@@ -1637,7 +1641,7 @@ object TextAnalysis extends QueryModule {
   // so every product and partial sum is EXACTLY representable and
   // the rank-sum is reduction-order-independent (no float rounding
   // exists anywhere in it). AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) is then
-  // one exact-over-exact division, round6 formats it.
+  // one exact-over-exact division, emitted raw.
   //
   // Scale: one keyed groupBy(score) (score-cardinality rows, capped
   // by the quantized feature support), then the corpus-CDF window
@@ -1754,10 +1758,12 @@ object TextAnalysis extends QueryModule {
         sum(expr("CAST(y AS BIGINT)")).as("n_pos"),
         expr("CAST(SUM(CAST(round(1048576.0 * mu) AS DECIMAL(38,0))) AS DOUBLE)")
           .as("qsum"))
+      // RAW metrics (round 18): qsum is an exact decimal and the
+      // divisions are single IEEE ops — bit-identical unrounded.
       .select(col("bin"), col("n_docs"), col("n_pos"),
-        expr("round(qsum / 1048576.0 / CAST(n_docs AS DOUBLE), 6)")
+        expr("qsum / 1048576.0 / CAST(n_docs AS DOUBLE)")
           .as("mean_score"),
-        expr("round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)")
+        expr("CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)")
           .as("pos_rate"))
       .orderBy("bin")
 
@@ -1780,8 +1786,8 @@ object TextAnalysis extends QueryModule {
        |    CAST(SUM(CAST(round(1048576.0 * mu) AS DECIMAL(38,0))) AS DOUBLE) AS qsum
        |  FROM sc GROUP BY 1)
        |SELECT bin, n_docs, n_pos,
-       |  round(qsum / 1048576.0 / CAST(n_docs AS DOUBLE), 6) AS mean_score,
-       |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pos_rate
+       |  qsum / 1048576.0 / CAST(n_docs AS DOUBLE) AS mean_score,
+       |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
        |FROM b ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------
@@ -1796,7 +1802,7 @@ object TextAnalysis extends QueryModule {
   // the share delta. One scan of the language-extended feature table
   // under the broadcast model; token masses route through
   // DECIMAL(38,0); shares are exact-int ÷ exact-int via the q77
-  // |langs|-row window; round6 formats.
+  // |langs|-row window, emitted raw.
   private def q163(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val model = qcModel(s, dir)
@@ -1828,12 +1834,12 @@ object TextAnalysis extends QueryModule {
       .withColumn("gk", sum("tok_kept").over(w))
       .select(col("lang"), col("n_docs"), col("n_kept"),
         col("tok_total"), col("tok_kept"),
-        expr("round(CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)")
+        expr("CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE)")
           .as("share_before"),
-        expr("round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE), 6)")
+        expr("CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE)")
           .as("share_after"),
-        expr("round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE) " +
-          "- CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)")
+        expr("CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE) " +
+          "- CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE)")
           .as("share_delta"))
       .orderBy("lang")
   }
@@ -1877,12 +1883,12 @@ object TextAnalysis extends QueryModule {
        |    CAST(SUM(tok_kept) OVER () AS BIGINT) AS gk
        |  FROM pl)
        |SELECT lang, n_docs, n_kept, tok_total, tok_kept,
-       |  round(CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)
+       |  CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE)
        |    AS share_before,
-       |  round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE), 6)
+       |  CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE)
        |    AS share_after,
-       |  round(CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE)
-       |    - CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE), 6)
+       |  CAST(tok_kept AS DOUBLE) / CAST(gk AS DOUBLE)
+       |    - CAST(tok_total AS DOUBLE) / CAST(gt AS DOUBLE)
        |    AS share_delta
        |FROM g ORDER BY lang""".stripMargin
 
@@ -2131,10 +2137,10 @@ object TextAnalysis extends QueryModule {
        |    CAST(SUM(CASE WHEN mu >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |  FROM sc CROSS JOIN pr GROUP BY source)
        |SELECT source, n_docs, n_kept,
-       |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
-       |  round(b0d, 6) AS b0,
-       |  round(b1d * 1000000.0, 6) AS b_ttr,
-       |  round(b2d * 1000000.0, 6) AS b_stop
+       |  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+       |  b0d AS b0,
+       |  b1d * 1000000.0 AS b_ttr,
+       |  b2d * 1000000.0 AS b_stop
        |FROM rep CROSS JOIN m3
        |ORDER BY source""".stripMargin
 
@@ -2358,10 +2364,10 @@ object TextAnalysis extends QueryModule {
       .agg(expr("CAST(SUM(cnt) AS BIGINT)").as("n_words"),
         expr("CAST(SUM(cnt * bpe_pieces) AS BIGINT)").as("bpe_pieces"),
         expr("CAST(SUM(cnt * uni_pieces) AS BIGINT)").as("uni_pieces"),
-        expr("round(CAST(SUM(cnt * bpe_pieces) AS DOUBLE) / " +
-          "CAST(SUM(cnt) AS DOUBLE), 6)").as("bpe_fertility"),
-        expr("round(CAST(SUM(cnt * uni_pieces) AS DOUBLE) / " +
-          "CAST(SUM(cnt) AS DOUBLE), 6)").as("uni_fertility"))
+        expr("CAST(SUM(cnt * bpe_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE)").as("bpe_fertility"),
+        expr("CAST(SUM(cnt * uni_pieces) AS DOUBLE) / " +
+          "CAST(SUM(cnt) AS DOUBLE)").as("uni_fertility"))
       .orderBy("lang")
   }
 
@@ -2383,10 +2389,10 @@ object TextAnalysis extends QueryModule {
        |  CAST(SUM(cnt) AS BIGINT) AS n_words,
        |  CAST(SUM(cnt * bpe_pieces) AS BIGINT) AS bpe_pieces,
        |  CAST(SUM(cnt * uni_pieces) AS BIGINT) AS uni_pieces,
-       |  round(CAST(SUM(cnt * bpe_pieces) AS DOUBLE)
-       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS bpe_fertility,
-       |  round(CAST(SUM(cnt * uni_pieces) AS DOUBLE)
-       |    / CAST(SUM(cnt) AS DOUBLE), 6) AS uni_fertility
+       |  CAST(SUM(cnt * bpe_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE) AS bpe_fertility,
+       |  CAST(SUM(cnt * uni_pieces) AS DOUBLE)
+       |    / CAST(SUM(cnt) AS DOUBLE) AS uni_fertility
        |FROM hw JOIN unp USING (w) JOIN bnp USING (w)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -2713,8 +2719,8 @@ object TextAnalysis extends QueryModule {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
         coalesce(col("score_q"), lit(0L)).as("score_q"),
-        expr("CASE WHEN n_pieces > 0 THEN round(CAST(score_q AS DOUBLE) " +
-          "/ CAST(n_pieces AS DOUBLE), 6) ELSE CAST(0.0 AS DOUBLE) END")
+        expr("CASE WHEN n_pieces > 0 THEN CAST(score_q AS DOUBLE) " +
+          "/ CAST(n_pieces AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END")
           .as("avg_piece_score"))
       .orderBy("doc_id")
   }
@@ -2744,8 +2750,8 @@ object TextAnalysis extends QueryModule {
        |  CAST(COALESCE(ag.n_pieces, 0) AS BIGINT) AS n_pieces,
        |  CAST(COALESCE(ag.score_q, 0) AS BIGINT) AS score_q,
        |  CASE WHEN COALESCE(ag.n_pieces, 0) > 0 THEN
-       |    round(CAST(ag.score_q AS DOUBLE)
-       |      / CAST(ag.n_pieces AS DOUBLE), 6)
+       |    CAST(ag.score_q AS DOUBLE)
+       |      / CAST(ag.n_pieces AS DOUBLE)
        |  ELSE CAST(0.0 AS DOUBLE) END AS avg_piece_score
        |FROM (SELECT doc_id FROM documents) ids
        |LEFT JOIN ag ON ag.doc_id = ids.doc_id

@@ -503,11 +503,13 @@ object TrainingData extends QueryModule {
   // work is ONE token-count scan; the unpartitioned windows run on
   // key-cardinality rows (q77's reviewed pattern), never on data.
   //
-  // Exactness: token sums route through DECIMAL(38,0); w = sqrt and
-  // every +,−,·,/ on doubles are IEEE-correctly-rounded, evaluated
-  // from identical expression text in both engines, so m*, the
-  // capped flags, and the sort order match bit-for-bit; round(·,6)
-  // only formats epochs. Budget B = ⌊1.8·N⌋ with a 2-epoch cap —
+  // Exactness: token sums route through DECIMAL(38,0); the √-weights
+  // are quantized at their source (wq = round(√n·1e6), scale-0 —
+  // cross-engine exact) so every weight sum is an exact integer sum
+  // and m*, the capped flags, and the sort order match bit-for-bit
+  // with NO order-dependent float reduction anywhere; epochs is one
+  // exact-integer divide, emitted raw (round 18 — the q84/q169
+  // midpoint class removed). Budget B = ⌊1.8·N⌋ with a 2-epoch cap —
   // with this corpus's √-weights the small languages cap and the
   // surplus flows to `en` (both branches exercised).
   private val epochCap = 2L
@@ -521,18 +523,31 @@ object TrainingData extends QueryModule {
       .agg(expr("CAST(SUM(CAST(size(toks) AS DECIMAL(38,0))) AS BIGINT)")
         .as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("w", expr("sqrt(CAST(n_tokens AS DOUBLE))"))
+      // INTEGER-ROUTED √-weights (round 18, graft.ExactSum's device):
+      // the weight is quantized ONCE at its source — wq = round(√n ·
+      // 1e6), scale-0 round, cross-engine exact — and every weight
+      // sum (the unordered total and the ordered prefix) runs on the
+      // exact integers, so the waterfall's m_i < r comparisons can
+      // never flip on a reduction-order half-ulp (previously tot_w
+      // was an UNORDERED float window sum — the q84/q169 class one
+      // comparison away from the row set).
+      .withColumn("wq",
+        expr("CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) " +
+          "AS DECIMAL(38,0))"))
+      .withColumn("w", expr("CAST(wq AS DOUBLE) / 1e6"))
       .withColumn("cap_tokens", expr(s"$epochCap * n_tokens"))
       .withColumn("r", expr("CAST(cap_tokens AS DOUBLE) / w"))
       .withColumn("tot_tokens", sum("n_tokens").over(wAll))
-      .withColumn("tot_w", sum("w").over(wAll))
+      .withColumn("tot_wq", sum("wq").over(wAll))
       .withColumn("budget",
         expr("CAST(FLOOR(1.8 * CAST(tot_tokens AS DOUBLE)) AS BIGINT)"))
       .withColumn("cap_pre", coalesce(sum("cap_tokens").over(pre), lit(0L)))
-      .withColumn("w_pre", coalesce(sum("w").over(pre), lit(0.0)))
+      .withColumn("wq_pre",
+        coalesce(sum("wq").over(pre), expr("CAST(0 AS DECIMAL(38,0))")))
       .withColumn("rn", row_number().over(ord))
       .withColumn("m_i",
-        expr("(CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE)) / (tot_w - w_pre)"))
+        expr("(CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE)) " +
+          "/ (CAST(tot_wq - wq_pre AS DOUBLE) / 1e6)"))
       .withColumn("sel_rn",
         min(when(col("m_i") < col("r"), col("rn"))).over(wAll))
       .withColumn("m_star",
@@ -542,7 +557,7 @@ object TrainingData extends QueryModule {
           |ELSE CAST(FLOOR(LEAST(CAST(cap_tokens AS DOUBLE), m_star * w)) AS BIGINT)
           |END""".stripMargin))
       .withColumn("epochs", expr(
-        "round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"))
+        "CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)"))
       .withColumn("capped", expr(
         "CASE WHEN m_star IS NULL OR m_star * w >= CAST(cap_tokens AS DOUBLE) THEN 1 ELSE 0 END"))
       .select("lang", "n_tokens", "cap_tokens", "target_tokens", "epochs",
@@ -557,23 +572,30 @@ object TrainingData extends QueryModule {
        |  FROM documents GROUP BY lang),
        |d AS (
        |  SELECT lang, n_tokens,
-       |    sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+       |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |      AS DECIMAL(38,0)) AS wq,
+       |    CAST(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |      AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS w,
        |    $epochCap * n_tokens AS cap_tokens,
-       |    CAST($epochCap * n_tokens AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)) AS r,
+       |    CAST($epochCap * n_tokens AS DOUBLE)
+       |      / (CAST(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |           AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS r,
        |    SUM(n_tokens) OVER () AS tot_tokens,
-       |    SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS tot_w
+       |    SUM(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6)
+       |      AS DECIMAL(38,0))) OVER () AS tot_wq
        |  FROM c WHERE n_tokens > 0),
        |e AS (
        |  SELECT *,
        |    CAST(FLOOR(1.8 * CAST(tot_tokens AS DOUBLE)) AS BIGINT) AS budget,
        |    COALESCE(SUM(cap_tokens) OVER pre, 0) AS cap_pre,
-       |    COALESCE(SUM(w) OVER pre, 0.0) AS w_pre,
+       |    COALESCE(SUM(wq) OVER pre, 0) AS wq_pre,
        |    ROW_NUMBER() OVER (ORDER BY r, lang) AS rn
        |  FROM d
        |  WINDOW pre AS (ORDER BY r, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
        |g AS (
        |  SELECT *,
-       |    (CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE)) / (tot_w - w_pre) AS m_i
+       |    (CAST(budget AS DOUBLE) - CAST(cap_pre AS DOUBLE))
+       |      / (CAST(tot_wq - wq_pre AS DOUBLE) / 1e6) AS m_i
        |  FROM e),
        |h AS (SELECT *, MIN(CASE WHEN m_i < r THEN rn END) OVER () AS sel_rn FROM g),
        |i AS (SELECT *, MAX(CASE WHEN rn = sel_rn THEN m_i END) OVER () AS m_star FROM h),
@@ -586,7 +608,7 @@ object TrainingData extends QueryModule {
        |      THEN 1 ELSE 0 END AS capped
        |  FROM i)
        |SELECT lang, n_tokens, cap_tokens, target_tokens,
-       |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+       |  CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
        |  capped
        |FROM fin ORDER BY lang""".stripMargin
 
@@ -603,9 +625,10 @@ object TrainingData extends QueryModule {
   // make this row a no-op): each distinct chunk fingerprint counts
   // ONCE, attributed to its first owner's language (min (doc_id,
   // chunk) — deterministic). Both weight sets are |langs|-row
-  // aggregates; exactness is integer token sums + IEEE sqrt +
-  // round6 (q77's argument), and the shift subtracts two
-  // identically-computed doubles.
+  // aggregates; exactness is integer token sums + source-quantized
+  // √-weights with exact integer normalizers (q142's device), and
+  // the shift subtracts two identically-computed doubles — raw, no
+  // round-6 anywhere.
   private def q155(s: SparkSession, dir: String): DataFrame = {
     val tok = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), col("lang"),
@@ -616,22 +639,28 @@ object TrainingData extends QueryModule {
     val firstSeen = chunks
       .withColumn("rk", row_number().over(wFp))
       .filter(col("rk") === 1)
-    val w = Window.partitionBy()
+    // INTEGER-ROUTED √-weights (round 18, q142's device): the weight
+    // is quantized once (scale-0 round — cross-engine exact), the
+    // normalizer is an exact integer window sum, and the shares are
+    // emitted raw — no order-dependent float reduction, no round-6
+    // (the q84/q169 midpoint class removed).
     def weights(df: DataFrame, tag: String) =
       df.groupBy("lang")
         .agg(expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS BIGINT)")
           .as(s"${tag}_tokens"))
-        .withColumn(s"${tag}_w",
-          expr(s"sqrt(CAST(${tag}_tokens AS DOUBLE))"))
+        .withColumn(s"${tag}_wq",
+          expr(s"CAST(round(sqrt(CAST(${tag}_tokens AS DOUBLE)) * 1e6) " +
+            "AS DECIMAL(38,0))"))
         .withColumn(s"${tag}_weight",
-          col(s"${tag}_w") / sum(col(s"${tag}_w")).over(w))
-        .drop(s"${tag}_w")
+          expr(s"CAST(${tag}_wq AS DOUBLE)") /
+            expr(s"CAST(SUM(${tag}_wq) OVER () AS DOUBLE)"))
+        .drop(s"${tag}_wq")
     weights(tok, "pre")
       .join(weights(firstSeen, "post"), "lang")
       .select(col("lang"), col("pre_tokens"), col("post_tokens"),
-        expr("round(pre_weight, 6)").as("pre_weight"),
-        expr("round(post_weight, 6)").as("post_weight"),
-        expr("round(post_weight - pre_weight, 6)").as("weight_shift"))
+        col("pre_weight"),
+        col("post_weight"),
+        expr("post_weight - pre_weight").as("weight_shift"))
       .orderBy("lang")
   }
 
@@ -674,18 +703,22 @@ object TrainingData extends QueryModule {
        |  FROM fs GROUP BY lang),
        |pw AS (
        |  SELECT lang, pre_tokens,
-       |    sqrt(CAST(pre_tokens AS DOUBLE))
-       |      / SUM(sqrt(CAST(pre_tokens AS DOUBLE))) OVER () AS pre_weight
+       |    CAST(CAST(round(sqrt(CAST(pre_tokens AS DOUBLE)) * 1e6)
+       |        AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(SUM(CAST(round(sqrt(CAST(pre_tokens AS DOUBLE)) * 1e6)
+       |          AS DECIMAL(38,0))) OVER () AS DOUBLE) AS pre_weight
        |  FROM pre),
        |qw AS (
        |  SELECT lang, post_tokens,
-       |    sqrt(CAST(post_tokens AS DOUBLE))
-       |      / SUM(sqrt(CAST(post_tokens AS DOUBLE))) OVER () AS post_weight
+       |    CAST(CAST(round(sqrt(CAST(post_tokens AS DOUBLE)) * 1e6)
+       |        AS DECIMAL(38,0)) AS DOUBLE)
+       |      / CAST(SUM(CAST(round(sqrt(CAST(post_tokens AS DOUBLE)) * 1e6)
+       |          AS DECIMAL(38,0))) OVER () AS DOUBLE) AS post_weight
        |  FROM post)
        |SELECT lang, pre_tokens, post_tokens,
-       |  round(pre_weight, 6) AS pre_weight,
-       |  round(post_weight, 6) AS post_weight,
-       |  round(post_weight - pre_weight, 6) AS weight_shift
+       |  pre_weight,
+       |  post_weight,
+       |  post_weight - pre_weight AS weight_shift
        |FROM pw JOIN qw USING (lang)
        |ORDER BY lang""".stripMargin
 

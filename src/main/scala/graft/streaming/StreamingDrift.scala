@@ -136,29 +136,37 @@ object StreamingDrift {
 
   /** PSI in ql32 units over exact integer counts — term for term the
     * gated q104 algebra: (c/n − ct/nn) · (ql32(c·nn) − ql32(ct·n)),
-    * observed buckets only, summed in bucket order, rounded HALF_UP
-    * to 6 (Spark's round semantics, so the value is join-comparable
-    * with the gated row). The reference must cover the observed
-    * support (true by construction when the reference is the
-    * accepted corpus, q104's contract) — an uncovered bucket refuses
-    * loudly rather than inventing a floor (the refFloor
+    * observed buckets only. INTEGER-ROUTED like the gated SQL (round
+    * 18, graft.ExactSum): each term — bit-identical to the SQL term,
+    * pure IEEE ops on exact integers — quantizes at 1e-9 via Spark's
+    * exact Round semantics, the quantized terms sum exactly in Long
+    * (ORDER-INDEPENDENT, so this scorer's iteration order can never
+    * diverge from either engine's reduction order — the divergence
+    * channel the old round-6 had to absorb), and one division
+    * recovers the value, join-comparable with the gated row by
+    * construction. Term bound |t|·1e9 ≤ ~2e12 and ≤ ~4e6 buckets
+    * keep the Long sum far from wrap. The reference must cover the
+    * observed support (true by construction when the reference is
+    * the accepted corpus, q104's contract) — an uncovered bucket
+    * refuses loudly rather than inventing a floor (the refFloor
     * generalization lives in [[psiTwoSided]]'s ln form).
     */
   def psiQ32(counts: Map[Int, Long], refCounts: Map[Int, Long]): Double = {
     val n = counts.values.sum
     val nn = refCounts.values.sum
-    val raw = counts.toSeq.sortBy(_._1).map { case (b, c) =>
+    val sumQ = counts.toSeq.sortBy(_._1).map { case (b, c) =>
       val ct = refCounts.getOrElse(b, 0L)
       require(ct >= 1,
         s"psiQ32: observed bucket $b missing from the reference support")
       // multiplyExact: the cross products must stay in Long (their
       // documented bound) — an overflowing corpus refuses loudly
       // here rather than silently wrapping into a wrong ql32.
-      (c.toDouble / n - ct.toDouble / nn) *
+      val term = (c.toDouble / n - ct.toDouble / nn) *
         (graft.operators.Unigram.ql32(Math.multiplyExact(c, nn)) -
           graft.operators.Unigram.ql32(Math.multiplyExact(ct, n))).toDouble
+      graft.ExactSum.quantize(term, 9)
     }.sum
-    BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sumQ.toDouble / 1e9
   }
 
   private def toOutQ32(source: String, winStart: Long,

@@ -44,10 +44,14 @@ object StreamingModel {
       .groupBy("lang")
       .agg(expr(Analytics.gramSums.head._2).as(Analytics.gramSums.head._1),
         Analytics.gramSums.tail.map { case (a, e) => expr(e).as(a) }: _*)
+      // RAW coefficients, in lockstep with q141's batch side (round
+      // 18): the shared Cramer strings over exact decimal Gram sums
+      // are bit-identical everywhere, so no presentation rounding —
+      // the q84/q169 midpoint class has no remaining channel here.
       .select(col("lang"), expr("CAST(n AS BIGINT)").as("n_docs"),
-        expr(s"round(${Analytics.olsB0}, 6)").as("b0"),
-        expr(s"round(${Analytics.olsB1}, 6)").as("b1"),
-        expr(s"round(${Analytics.olsB2}, 6)").as("b2"),
-        expr(s"round(${Analytics.olsR2}, 6)").as("r2"))
+        expr(Analytics.olsB0).as("b0"),
+        expr(Analytics.olsB1).as("b1"),
+        expr(Analytics.olsB2).as("b2"),
+        expr(Analytics.olsR2).as("r2"))
   }
 }

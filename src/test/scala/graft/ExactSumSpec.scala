@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MIDPOINT-FREE rounding discipline (round 18).
+  *
+  * Twice in this build a gated query flaked on cross-engine
+  * `round(·, 6)` (q84 round 8, q169 round 17): Spark rounds the
+  * exact SHORTEST-DECIMAL representation of a double HALF_UP, while
+  * DuckDB rounds the BINARY-scaled product x·10⁶ — and the scaling
+  * multiplication is inexact, so a value within an ulp of a 0.5·10⁻⁶
+  * boundary can round differently in the two engines. Scale-0
+  * rounding has NO internal scaling step, so the two semantics
+  * provably coincide there (a double strictly below an integer
+  * midpoint has a shortest decimal representation strictly below it,
+  * because the representation must round-trip; at an exact midpoint
+  * both engines round away from zero).
+  *
+  * The discipline that follows, enforced here:
+  *   1. NO scale-N round in any gated SQL — presentation rounding is
+  *      dropped (raw bit-identical doubles), and order-dependent
+  *      float sums are INTEGER-ROUTED via [[ExactSum]] (per-term
+  *      scale-0 quantization, exact DECIMAL(38,0) sum, one final
+  *      division).
+  *   2. [[ExactSum.quantize]] — the Scala lockstep for streaming
+  *      scorers — must agree with Spark SQL's `round()` exactly,
+  *      including at adversarial near-midpoint doubles.
+  */
+class ExactSumSpec extends AnyFunSuite with SharedSpark {
+
+  // ---- 1. the discipline gate over every oracle twin ----
+
+  /** Occurrences of round(...) in `sql` whose top-level argument list
+    * has more than one argument (i.e. an explicit scale). */
+  private def scaleNRounds(sql: String): Seq[String] = {
+    val lower = sql.toLowerCase
+    val bad = scala.collection.mutable.Buffer[String]()
+    var i = lower.indexOf("round(")
+    while (i >= 0) {
+      val okStart = i == 0 || {
+        val c = lower(i - 1); !Character.isLetterOrDigit(c) && c != '_'
+      }
+      if (okStart) {
+        var depth = 1
+        var j = i + "round(".length
+        var topComma = false
+        while (depth > 0 && j < sql.length) {
+          sql(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => topComma = true
+            case _ =>
+          }
+          j += 1
+        }
+        if (topComma)
+          bad += sql.substring(i, math.min(j, i + 120)).replace('\n', ' ')
+      }
+      i = lower.indexOf("round(", i + 1)
+    }
+    bad.toSeq
+  }
+
+  test("no scale-N round() in any gated oracle SQL") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) => scaleNRounds(sql).map(frag => s"$name: $frag")
+    }
+    assert(offenders.isEmpty,
+      s"scale-N round() found (the q84/q169 midpoint class):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the scanner itself sees through nesting and case") {
+    assert(scaleNRounds("SELECT round(f(a, b) + g(c))").isEmpty)
+    assert(scaleNRounds("SELECT ROUND(f(a, b), 6)").nonEmpty)
+    assert(scaleNRounds("SELECT around(a, 6)").isEmpty)
+    assert(scaleNRounds("round(round(x, 2))").nonEmpty) // inner offends
+  }
+
+  // ---- 2. quantize == Spark SQL round(), adversarially ----
+
+  private def sparkRound(xs: Seq[Double]): Seq[Long] = {
+    import spark.implicits._
+    xs.toDF("x")
+      .selectExpr("CAST(round(x) AS BIGINT) AS r")
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("quantize(x, 0) matches Spark SQL round(x) on midpoints, " +
+      "near-midpoints, and random doubles") {
+    val adversarial = (0 until 200).flatMap { k =>
+      val m = k + 0.5
+      Seq(m, Math.nextDown(m), Math.nextUp(m), -m,
+        Math.nextDown(-m), Math.nextUp(-m))
+    }
+    val rnd = new scala.util.Random(18)
+    val random = (0 until 2000).map(_ => (rnd.nextDouble() - 0.5) * 2e9)
+    val xs = adversarial ++ random
+    val viaSpark = sparkRound(xs)
+    xs.zip(viaSpark).foreach { case (x, want) =>
+      assert(ExactSum.quantize(x, 0) == want, s"x=$x")
+    }
+  }
+
+  test("quantize scales exactly like the SQL device round(x * 1e9)") {
+    val xs = Seq(1.23456789e-3, -7.5e-10, 0.5e-9, Math.nextDown(0.5e-9),
+      123.456, -2.5e-9)
+    val viaSpark = {
+      import spark.implicits._
+      xs.toDF("x").selectExpr("CAST(round(x * 1e9) AS BIGINT) AS r")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    xs.zip(viaSpark).foreach { case (x, want) =>
+      assert(ExactSum.quantize(x, 9) == want, s"x=$x")
+    }
+  }
+
+  test("shortest-decimal vs binary-scaled rounding: divergent at " +
+      "scale 6 (the class is real), provably agreeing at scale 0") {
+    // Scale 6 — exhibit a double where the two semantics differ:
+    // Spark's path (shortest decimal, HALF_UP at the 6th place) vs
+    // the binary-scaled path (round of x*1e6). The q84/q169 flakes
+    // were exactly this.
+    def sparkStyle6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def binaryStyle6(x: Double): Double = Math.round(x * 1e6) / 1e6
+    val divergent = (1 until 2000000 by 2).iterator
+      .map(k => k / 2e6) // decimal midpoints m + 0.5e-6
+      .flatMap(m => Iterator(m, Math.nextDown(m), Math.nextUp(m)))
+      .find(x => sparkStyle6(x) != binaryStyle6(x))
+    assert(divergent.nonEmpty,
+      "expected at least one scale-6 divergence — the midpoint class")
+
+    // Scale 0 — the same two semantics NEVER diverge (the round-trip
+    // argument: a shortest repr cannot cross an integer midpoint).
+    def sparkStyle0(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    def binaryStyle0(x: Double): Double = // half away from zero
+      if (x >= 0) Math.floor(x) + (if (x - Math.floor(x) >= 0.5) 1 else 0)
+      else -binaryStyle0(-x)
+    val probes = (0 until 5000).flatMap { k =>
+      val m = k + 0.5
+      Seq(m, Math.nextDown(m), Math.nextUp(m), -m,
+        Math.nextDown(-m), Math.nextUp(-m))
+    }
+    probes.foreach { x =>
+      assert(sparkStyle0(x) == binaryStyle0(x), s"scale-0 diverged at $x")
+    }
+  }
+
+  test("sumQ emits only scale-0 rounds and an exact decimal sum") {
+    val sql = ExactSum.sumQ("a / b", 9)
+    assert(scaleNRounds(sql).isEmpty)
+    assert(sql.contains("DECIMAL(38,0)"))
+    assert(sql.contains("* 1e9"))
+  }
+}
