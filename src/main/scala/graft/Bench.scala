@@ -1,6 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // ---- host-steal calibration ------------------------------------
+  // This VM intermittently loses most of its CPU to the host (the
+  // same warm binary has measured 31 s and 228 s minutes apart), and
+  // every round the steal-vs-regression question is re-adjudicated
+  // from circumstantial evidence (uniform inflation on untouched
+  // queries). Make it an instrument instead: a FIXED deterministic
+  // CPU workload — 100M FNV-1a steps — timed single-threaded (core
+  // frequency/steal) and on SPARK_GRAFT_CPUS threads
+  // (lost-parallelism steal),
+  // sampled before each timed pass and after the last. The n-thread
+  // probe runs at the BENCH parallelism (SPARK_GRAFT_CPUS): this
+  // box's steal manifests as a cap on EFFECTIVE cores — measured
+  // here: 1 proc 0.52 s, 8 procs 0.56 s, 32 procs 1.46 s for the
+  // same per-proc work during a swing that ran the suite at 1.45×
+  // its cert — which low-thread probes cannot see. A pass whose
+  // n-thread calibration runs well above the quiet-box reference is
+  // a steal reading, no uniformity argument needed. Reference values
+  // live in BASELINE.md next to the certification they were measured
+  // with (the n-thread quiet reference is an EMPIRICAL pin — SMT
+  // alone makes 32 threads slower than 1× even on an idle host).
+  @volatile private var calibSink = 0L
+  private def fnvSpin(): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < 100000000) { h ^= i; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  private def calib1t(): Double = {
+    val t0 = System.nanoTime()
+    calibSink = fnvSpin()
+    (System.nanoTime() - t0) / 1e9
+  }
+  private def calibNt(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => { calibSink = fnvSpin() })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+  // The spin probes are NOT sufficient alone: during a swing that
+  // ran the suite at 1.43x its cert, calib_1t AND calib_nt both read
+  // clean (~0.11-0.14 s) — this box's noise mode hits SCHEDULER and
+  // task-dispatch latency (a Spark pass is thousands of short
+  // tasks), which a hot loop never touches. So the operative probe
+  // is a FIXED small Spark job with one shuffle — same work every
+  // time, exercising the dispatch/shuffle path the suite lives on.
+  private def calibSpark(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(20000000L).selectExpr("id % 997 AS k")
+      .groupBy("k").count().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,7 +92,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val allPasses = (1 to math.max(passes, 1)).map(_ => timedPass())
+    // JIT-warm the calibration loop once untimed, then sample it
+    // around the timed passes (before each, once after the last)
+    calibSink = fnvSpin()
+    calibSpark(spark) // warm the probe's own codegen/JIT once
+    val calibThreads = cpus.toInt
+    val calibs = scala.collection.mutable.Buffer[(Double, Double, Double)]()
+    val allPasses = (1 to math.max(passes, 1)).map { _ =>
+      calibs += ((calib1t(), calibNt(calibThreads), calibSpark(spark)))
+      timedPass()
+    }
+    calibs += ((calib1t(), calibNt(calibThreads), calibSpark(spark)))
     // A steal burst can hit BOTH timed passes of the same query, so the
     // min-of-2 still records noise (r8: q59 recorded 4.62 s, re-timed
     // 0.82 s on a quiet box). Any query whose pass times diverge >2x
@@ -118,6 +183,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val passTotals = allPasses.map(p => f3(p.map(_._2).sum)).mkString("[", ",", "]")
+    val calib1Json = calibs.map(c => f3(c._1)).mkString("[", ",", "]")
+    val calibNJson = calibs.map(c => f3(c._2)).mkString("[", ",", "]")
+    val calibSparkJson = calibs.map(c => f3(c._3)).mkString("[", ",", "]")
     val detailPath = "BENCH_DETAIL.json"
     val detail = {
       val dq = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -130,12 +198,12 @@ object Bench {
         .mkString("{", ",", "}")
       val rg = regressed.map(n =>
         s"${jstr(n)}:${committed(n)}").mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"sf":${jstr(sfDir)}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

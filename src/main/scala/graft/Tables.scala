@@ -194,7 +194,15 @@ object ExactSum {
   *   - output timestamps are cast to TIMESTAMP_NTZ (parquet
   *     isAdjustedToUTC=false) to match DuckDB's naive timestamps;
   *   - every query ends in a total ORDER BY (unique key set) present
-  *     in both engines.
+  *     in both engines;
+  *   - NO `round(x, N)` with N > 0 anywhere in a gated output (the
+  *     q84/q169 midpoint class — Spark rounds the exact
+  *     shortest-decimal HALF_UP, DuckDB rounds the binary-scaled
+  *     product; ExactSumSpec scans every oracle twin and fails on a
+  *     reintroduction). Emit raw doubles when the argument is
+  *     bit-identical; route an order-dependent sum of bit-identical
+  *     terms through [[ExactSum]]; scale-0 `round(x)` (input
+  *     quantizers) is safe and allowed.
   */
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]

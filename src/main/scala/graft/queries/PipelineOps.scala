@@ -1097,10 +1097,14 @@ object PipelineOps extends QueryModule {
              |'</head><body data-k="v>w"><!-- c > d --><p>', $encE,
              |'</p><br/></body></html>') AS page""".stripMargin)
         .as[(Long, String, String)]
+      // keyed per SESSION (not application): two sessions of one
+      // context (e.g. a test child session) must land DISJOINT
+      // archive dirs — an application-keyed path lets one session
+      // rewrite the files while the other's q190 is mid-read
       val outDir = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         "graft-cdx-" +
-          s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9_-]", "") +
+          graft.Tables.sessionToken(s).replaceAll("[^a-zA-Z0-9_-]", "") +
           "-" + math.abs(dir.hashCode).toString)
       outDir.mkdirs()
       // land one archive file per doc_id%4 group, built ON THE

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BLANKET output-determinism certificate (round 18): every gated
+  * query, executed under two different shuffle layouts, must produce
+  * BIT-IDENTICAL rows in IDENTICAL order.
+  *
+  * What this catches that the oracle gate cannot: the DuckDB compare
+  * certifies one Spark execution against one DuckDB execution — a
+  * query that is nondeterministic ACROSS Spark layouts (an
+  * order-dependent float reduction that survived the round-18
+  * integer-routing sweep, a non-total ORDER BY that happens to be
+  * stable at 32 partitions, a first()/limit without a deterministic
+  * sort) can still flake the gate on the next re-layout (AQE
+  * decision, executor count change, driver re-run). Varying
+  * `spark.sql.shuffle.partitions` varies the partial-aggregation
+  * grouping, the reduction tree, and the merge order — the
+  * dimensions a 1000-executor cluster varies per run.
+  *
+  * Caveats: CachedPlans memos are built once per (session, dir)
+  * under whichever layout runs first, so memoized SUB-PLANS are not
+  * re-laid-out here (q97's dedicated test re-executes its own
+  * builder for that); what this blanket pass certifies is every
+  * query's POST-MEMO stages — the joins, aggregations, windows, and
+  * presentation sorts that re-execute per invocation. The two passes
+  * run on a DEDICATED child session (`newSession()`: own SQLConf,
+  * shared context), never mutating the shared test session's conf —
+  * sbt runs suites concurrently in the forked JVM, and a shared-conf
+  * flip mid-run corrupts PlanShapeSpec's pinned Exchange shapes.
+  * They also run against a PRIVATE COPY of the sf0.001 dir: cached
+  * plans live in the CONTEXT-wide CacheManager and are matched by
+  * logical-plan equality across sessions, so caching the stock dir
+  * under this spec's layouts would splice foreign-partitioned
+  * InMemoryRelations into concurrently-running suites' plans (seen
+  * as PlanShapeSpec exchange-count drift); a distinct path makes
+  * every relation here unmatchable elsewhere.
+  */
+class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
+
+  private val dir: String = {
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
+    val dst = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-layout-sf0.001")
+    if (!java.nio.file.Files.isDirectory(dst)) {
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach { p =>
+        java.nio.file.Files.copy(p, dst.resolve(p.getFileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    dst.toString
+  }
+
+  test("all gated queries are bit-identical across shuffle layouts") {
+    val s = spark.newSession()
+    val key = "spark.sql.shuffle.partitions"
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    s.conf.set(key, "32")
+    val at32 = names.map { n =>
+      n -> SparkEntry.queries(n)(s, dir).collect()
+        .map(_.toString).toSeq
+    }.toMap
+    s.conf.set(key, "7")
+    val diffs = names.flatMap { n =>
+      val at7 = SparkEntry.queries(n)(s, dir).collect()
+        .map(_.toString).toSeq
+      if (at7 == at32(n)) None
+      else {
+        val i = at7.zipAll(at32(n), "<missing>", "<missing>")
+          .indexWhere { case (a, b) => a != b }
+        Some(s"$n: first diff at row $i:\n  7 : " +
+          s"${at7.lift(i).getOrElse("<missing>")}\n  32: " +
+          s"${at32(n).lift(i).getOrElse("<missing>")}")
+      }
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries diverged across layouts:\n" +
+        diffs.mkString("\n"))
+  }
+}
