@@ -38,10 +38,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
 
-  private val dir: String = {
+  private def privateCopy(tag: String): String = {
     val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
     val dst = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-layout-sf0.001")
+      System.getProperty("java.io.tmpdir"), s"graft-layout-$tag")
     if (!java.nio.file.Files.isDirectory(dst)) {
       java.nio.file.Files.createDirectories(dst)
       java.nio.file.Files.list(src).forEach { p =>
@@ -51,6 +51,8 @@ class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
     }
     dst.toString
   }
+
+  private val dir: String = privateCopy("sf0.001")
 
   test("all gated queries are bit-identical across shuffle layouts") {
     val s = spark.newSession()
@@ -77,5 +79,37 @@ class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
     assert(diffs.isEmpty,
       s"${diffs.size} queries diverged across layouts:\n" +
         diffs.mkString("\n"))
+  }
+
+  test("memo-heavy queries are bit-identical when their memoized " +
+      "builds themselves run under different layouts") {
+    // The blanket test re-lays-out only post-memo stages (memos build
+    // once per session). Close the gap for a representative sample of
+    // the heaviest MEMOIZED builders — shingle/minhash signatures,
+    // the BM25 index, the drift ledgers (incl. a streamed gate), the
+    // two-phase interleave, the DSIR model — by running each in TWO
+    // fresh sessions whose FIRST execution (and therefore every memo
+    // build) happens under a different shuffle layout. Each session
+    // gets its own private dir copy: identical logical plans over the
+    // SAME path would plan-match the other session's cached
+    // InMemoryRelations in the context-wide CacheManager and defeat
+    // the re-layout (the PlanShapeSpec interference mechanism, pinned
+    // above).
+    val sample = Seq("q29_minhash_sigs", "q54_bm25", "q104_drift_psi",
+      "q115_interleave_rangepart", "q124_dsir_weights")
+    def runAll(layout: String, tag: String): Map[String, Seq[String]] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", layout)
+      val d = privateCopy(tag)
+      sample.map { n =>
+        n -> SparkEntry.queries(n)(s, d).collect().map(_.toString).toSeq
+      }.toMap
+    }
+    val a = runAll("32", "memoA")
+    val b = runAll("5", "memoB")
+    sample.foreach { n =>
+      assert(a(n) == b(n), s"$n diverged when its memo builds ran " +
+        "under different layouts")
+    }
   }
 }
