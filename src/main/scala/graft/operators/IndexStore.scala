@@ -298,12 +298,20 @@ object IndexStore {
     *   3. the WINNER renames its staged body to `dst` — no race: only
     *      the winner ever renames to `dst`, so overwriting rename is
     *      harmless here;
-    *   4. a LOSER whose winner crashed between (2) and (3) COMPLETES
-    *      the decided commit (reads the winner's uuid from the marker
-    *      and renames the winner's staged body into place — renames
-    *      of the same unique source are idempotent: one completer's
-    *      rename succeeds, the rest fail on a gone source), then
-    *      reports its own attempt lost.
+    *   4. a LOSER that observes the marker but no published `dst`
+    *      COMPLETES the decided commit (reads the winner's uuid from
+    *      the marker and renames the winner's staged body into
+    *      place), then reports its own attempt lost. This fires for
+    *      a SLOW winner as well as a crashed one, so both renamers
+    *      must tolerate the other having landed first: renames of
+    *      the same unique source are idempotent — one succeeds, the
+    *      rest fail on a gone source and observe the published dst
+    *      (the winner's branch checks exactly this). SAFE only under
+    *      the store model's rename semantics: copy+delete (S3-class)
+    *      never touches `dst` when the source is missing — a store
+    *      whose rename deletes the destination before checking the
+    *      source could clobber a live manifest here and is OUTSIDE
+    *      the model.
     *
     * Readers are never exposed to a partial body: `dst` appears only
     * via rename of a fully-written staged file. Crash residue
@@ -338,8 +346,18 @@ object IndexStore {
           else throw e // genuine IO failure, not a decision
       }
     if (won) {
-      require(fs.rename(data, dst),
-        s"IndexStore: winner publish rename of $data to $dst failed")
+      // A racing loser that observed the marker but no published dst
+      // COMPLETES the winner's publish from the winner's staged body
+      // (step 4 below) — and it does so whenever the winner is slow,
+      // not only when it crashed. So a failed rename here is NOT
+      // necessarily a failure: if the unique-named staged body is
+      // gone and dst exists, a completer moved THIS winner's own
+      // body into place — the publish succeeded, just not by this
+      // thread's hand.
+      if (!fs.rename(data, dst))
+        require(fs.exists(dst),
+          s"IndexStore: winner publish rename of $data to $dst " +
+            "failed with no completed publish in place")
       true
     } else {
       if (!fs.exists(dst)) {
@@ -468,8 +486,24 @@ object IndexStore {
         case e: CommitConflictException =>
           attempts += 1
           if (attempts > maxRetries) throw e
-          val newest = requireManifest(s, out)
-          if (newest.version <= cur.version) throw e // no progress: give up
+          // A lost race PROVES a writer was deciding this version —
+          // but its PUBLISH may still be in flight (marker-protocol
+          // stores decide via the marker and rename the manifest
+          // body afterwards; a loser can lose, re-read, and find the
+          // head not yet moved). Poll briefly for the head to
+          // advance before concluding no-progress: giving up
+          // instantly here was a REAL flake on a slow host (the
+          // loser of two racing appends threw while the winner's
+          // rename was scheduled out). A head that never moves is a
+          // genuine wedge — recoverWedge's job, so still throw.
+          var newest = requireManifest(s, out)
+          var waits = 0
+          while (newest.version <= cur.version && waits < 40) {
+            Thread.sleep(50L)
+            waits += 1
+            newest = requireManifest(s, out)
+          }
+          if (newest.version <= cur.version) throw e // wedged: give up
           if (!fullReplace && newest.model != cur.model)
             throw new IllegalStateException(
               "IndexStore: a concurrent save() recreated the index " +

@@ -935,6 +935,44 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
     } finally c.unpersist()
   }
 
+  test("a racing loser waits out the winner's IN-FLIGHT publish " +
+      "instead of giving up (slow-publish object store)") {
+    // deterministic reproduction of a flake a degraded host surfaced:
+    // the loser of two racing appends lost the marker race, re-read
+    // the head before the winner's (deliberately slowed) manifest
+    // rename landed, and the old no-progress branch threw
+    // CommitConflictException permanently. With the bounded poll the
+    // loser waits the publish out and rebases; both appends land.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockslow.impl", classOf[SlowPublishFs].getName)
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-index-slowpub").toString
+    val out = s"mockslow:$local"
+    val c = corpus.cache()
+    try {
+      val cents = graft.operators.FixedModel.centroids(c,
+        Seq(0L, 10L, 20L, 30L))
+      val codebooks = graft.operators.FixedModel.codebooks(cents, m = 4)
+      val encoded = Pq.encode(Ivf.assign(c, cents, "embedding"),
+        codebooks, "embedding")
+      val third = (k: Int) => encoded.filter(col("vec_id") % 3 === k)
+      IndexStore.save(third(0), cents, codebooks, out)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val race = Seq(1, 2).map { k =>
+        Future {
+          scala.concurrent.blocking(barrier.await())
+          IndexStore.append(third(k), out)
+        }
+      }
+      Await.result(Future.sequence(race),
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(IndexStore.version(spark, out) == 3L)
+      assert(multiset(IndexStore.loadCodes(spark, out)) == multiset(encoded))
+    } finally c.unpersist()
+  }
+
   test("a foreign or pre-versioned manifest fails with a named " +
       "unsupported-format error, not a parse crash") {
     val (_, _, _, out) = freshIndex("graft-index-fmt")
@@ -1001,7 +1039,39 @@ private[graft] class OverwritingRenameFs
   override def getUri: java.net.URI = java.net.URI.create("mockobj:///")
   override def rename(src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean = {
-    if (exists(dst)) delete(dst, true)
+    // FAITHFUL object-store overwrite-rename (S3/GCS/ABFS class:
+    // rename = copy + delete): an existing destination is silently
+    // REPLACED — the hazard the marker protocol exists for — but a
+    // MISSING source fails before the destination is touched, and a
+    // successful publish replaces it atomically. One atomic move
+    // models both. The earlier delete-dst-then-rename form was
+    // over-adversarial in a way no modeled store behaves: it let a
+    // racing completer's stale rename DELETE a live manifest after
+    // losing the source to the winner.
+    try {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+}
+
+/** Object-store semantics PLUS a slow publish: every rename whose
+  * destination is a manifest sleeps before landing — holding open
+  * the window where a marker-race loser re-reads the head BEFORE the
+  * decided winner's manifest rename completes. Pins the
+  * commitWithRetry no-progress fix (a loser must wait out an
+  * in-flight publish, not give up): on a fast local disk the window
+  * is sub-millisecond and the old bug only fired on a degraded host.
+  */
+private[graft] class SlowPublishFs extends OverwritingRenameFs {
+  override def getUri: java.net.URI = java.net.URI.create("mockslow:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (dst.getName.matches("v\\d+\\.manifest")) Thread.sleep(400L)
     super.rename(src, dst)
   }
 }
