@@ -127,34 +127,77 @@ object Bench {
     val results = names.map { n => n -> byQ(n).min }
     // Per-query regression gate: BASELINE.md says "judge by per-query
     // vectors" — do it in the harness. Compare each query's min
-    // against the COMMITTED BENCH_DETAIL.json (read before this run
-    // overwrites it): a non-trivial query whose min exceeds 2x its
-    // committed value is flagged in the summary as regressed, turning
-    // the steal-vs-regression adjudication into a machine check. New
-    // queries (no committed value) are skipped.
-    val committed: Map[String, Double] =
-      try {
-        val f = new java.io.File("BENCH_DETAIL.json")
-        if (!f.exists) Map.empty
-        else {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(f)
-          val qn = root.get("queries")
-          if (qn == null) Map.empty
+    // against the COMMITTED BENCH_DETAIL.json: a non-trivial query
+    // whose min exceeds 2x its committed value is flagged in the
+    // summary as regressed, turning the steal-vs-regression
+    // adjudication into a machine check. New queries (no committed
+    // value) are skipped.
+    //
+    // The reference is read from `git show HEAD:BENCH_DETAIL.json`,
+    // NOT the working tree: the driver overwrites the on-disk detail
+    // with its own (possibly steal-inflated) vector after every round
+    // (VERDICT r17 #1, r18 #1 — twice running the gate's read path
+    // held a hot 65.97 s vector over the clean 43.74 s cert), and a
+    // hot baseline waves real regressions through. Disk is only the
+    // fallback when git is unavailable (e.g. run outside the repo).
+    val committedRoot: Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def fromGit: Option[com.fasterxml.jackson.databind.JsonNode] =
+        try {
+          val p = new ProcessBuilder("git", "show", "HEAD:BENCH_DETAIL.json")
+            .redirectErrorStream(false).start()
+          val out = p.getInputStream.readAllBytes()
+          p.getErrorStream.readAllBytes()
+          p.waitFor()
+          if (p.exitValue() == 0 && out.nonEmpty) {
+            System.err.println("[bench] regression reference: git HEAD:BENCH_DETAIL.json")
+            Some(mapper.readTree(out))
+          } else None
+        } catch { case _: Throwable => None }
+      def fromDisk: Option[com.fasterxml.jackson.databind.JsonNode] =
+        try {
+          val f = new java.io.File("BENCH_DETAIL.json")
+          if (!f.exists) None
           else {
-            val it = qn.fields()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) {
-              val e = it.next()
-              b += e.getKey -> e.getValue.asDouble()
-            }
-            b.result()
+            System.err.println("[bench] regression reference: working-tree BENCH_DETAIL.json (git unavailable)")
+            Some(mapper.readTree(f))
           }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] committed-detail read failed: $e")
+          None
         }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] committed-detail read failed: $e")
-        Map.empty
-      }
+      fromGit.orElse(fromDisk)
+    }
+    val committed: Map[String, Double] =
+      committedRoot.flatMap(r => Option(r.get("queries"))).map { qn =>
+        val it = qn.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+    // Quiet-box calibration pins: best (minimum) observed sample per
+    // probe on a quiet host, carried in the committed detail and
+    // tightened monotonically (min of committed pin and this run's
+    // best sample — a degraded run can never RAISE a pin). Seeds are
+    // the BASELINE.md round-18 quiet observations. calib_spark is the
+    // operative probe (dispatch-path noise, which the spin probes
+    // can't see); a run whose MEDIAN calib_spark sample exceeds 1.5x
+    // its pin is machine-adjudicated `host_state: degraded` — the
+    // round-18 degraded ledger read 0.55-0.65 vs the 0.27-0.30 quiet
+    // pin (~2x) while both spin probes sat flat, so 1.5x separates
+    // the two states with margin on both sides.
+    val seedPins = Map("calib_1t" -> 0.125, "calib_nt" -> 0.160, "calib_spark" -> 0.269)
+    val committedPins: Map[String, Double] =
+      committedRoot.flatMap(r => Option(r.get("calib_pins"))).map { pn =>
+        val it = pn.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }.getOrElse(Map.empty)
+    def pin(name: String): Double = committedPins.getOrElse(name, seedPins(name))
     val regressed = results.filter { case (n, v) =>
       committed.get(n).exists(old => v > 0.15 && v > 2.0 * old)
     }.map(_._1)
@@ -186,6 +229,21 @@ object Bench {
     val calib1Json = calibs.map(c => f3(c._1)).mkString("[", ",", "]")
     val calibNJson = calibs.map(c => f3(c._2)).mkString("[", ",", "]")
     val calibSparkJson = calibs.map(c => f3(c._3)).mkString("[", ",", "]")
+    // Machine host-state verdict (median calib_spark vs its quiet pin)
+    // + monotone pin tightening for the next committed detail.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n == 0) 0.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val sparkMed = median(calibs.map(_._3).toSeq)
+    val hostState = if (sparkMed > 1.5 * pin("calib_spark")) "degraded" else "quiet"
+    System.err.println(f"[bench] host_state=$hostState (median calib_spark $sparkMed%.3f vs pin ${pin("calib_spark")}%.3f)")
+    val newPins = Map(
+      "calib_1t" -> math.min(pin("calib_1t"), calibs.map(_._1).min),
+      "calib_nt" -> math.min(pin("calib_nt"), calibs.map(_._2).min),
+      "calib_spark" -> math.min(pin("calib_spark"), calibs.map(_._3).min))
+    val pinsJson = newPins.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${f3(v)}" }.mkString("{", ",", "}")
     val detailPath = "BENCH_DETAIL.json"
     val detail = {
       val dq = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
@@ -198,12 +256,12 @@ object Bench {
         .mkString("{", ",", "}")
       val rg = regressed.map(n =>
         s"${jstr(n)}:${committed(n)}").mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"calib_pins":$pinsJson,"host_state":${jstr(hostState)},"sf":${jstr(sfDir)}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"calib_pins":$pinsJson,"host_state":${jstr(hostState)},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
