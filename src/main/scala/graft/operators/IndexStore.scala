@@ -471,10 +471,17 @@ object IndexStore {
   private[graft] def commitWithRetry(s: SparkSession, out: String, base: Manifest,
       schema: StructType, model: String, removed: Set[String],
       added: Seq[FileEntry], fullReplace: Boolean,
-      validate: Manifest => Unit, maxRetries: Int = 10): Unit = {
+      validate: Manifest => Unit, maxRetries: Int = 10,
+      pollBudgetMs: Long = 2000L): Unit = {
     var cur = base
     var attempts = 0
     var committed = false
+    // TOTAL in-flight-publish poll budget across ALL retries: each
+    // conflict may poll for the head to advance, but a genuinely
+    // wedged store must fail in ~pollBudgetMs, not maxRetries × the
+    // per-conflict window (the round-18 form could block ~20 s in
+    // fixed sleeps before giving up).
+    var pollRemainingMs = pollBudgetMs
     while (!committed) {
       val files =
         if (fullReplace) added
@@ -496,12 +503,48 @@ object IndexStore {
           // loser of two racing appends threw while the winner's
           // rename was scheduled out). A head that never moves is a
           // genuine wedge — recoverWedge's job, so still throw.
+          // Early exit when marker inspection already PROVES a wedge
+          // (marker-protocol stores only): the per-version marker is
+          // decided (readable uuid), the winner's unique staged body
+          // is gone, and the published dst is absent. Body-gone means
+          // no rename can still land (S3-class copy+delete creates
+          // dst BEFORE deleting the source, so a vanished source with
+          // no dst is a crash, not an in-flight publish) — polling
+          // longer cannot help. An EMPTY marker stays indistinguishable
+          // from an in-flight create, so it rides the poll budget.
+          def provenWedge: Boolean = {
+            val (fs, dir) = hfs(s, manifestsDir(out))
+            val dst = new Path(dir, manifestName(cur.version + 1))
+            val mk = markerPath(dst)
+            try {
+              if (!fs.exists(mk)) false
+              else {
+                val uuid =
+                  try {
+                    val in = fs.open(mk)
+                    try {
+                      val buf = new java.io.ByteArrayOutputStream()
+                      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096,
+                        false)
+                      new String(buf.toByteArray,
+                        java.nio.charset.StandardCharsets.UTF_8).trim
+                    } finally in.close()
+                  } catch { case _: java.io.IOException => "" }
+                uuid.nonEmpty &&
+                  !fs.exists(markerDataPath(dst, uuid)) && !fs.exists(dst)
+              }
+            } catch { case _: java.io.IOException => false }
+          }
           var newest = requireManifest(s, out)
-          var waits = 0
-          while (newest.version <= cur.version && waits < 40) {
-            Thread.sleep(50L)
-            waits += 1
-            newest = requireManifest(s, out)
+          var wedged = false
+          while (newest.version <= cur.version && pollRemainingMs > 0 &&
+              !wedged) {
+            wedged = provenWedge
+            if (!wedged) {
+              Thread.sleep(50L)
+              pollRemainingMs -= 50L
+              newest = requireManifest(s, out)
+            }
           }
           if (newest.version <= cur.version) throw e // wedged: give up
           if (!fullReplace && newest.model != cur.model)

@@ -145,7 +145,9 @@ object StreamingDrift {
     * channel the old round-6 had to absorb), and one division
     * recovers the value, join-comparable with the gated row by
     * construction. Term bound |t|·1e9 ≤ ~2e12 and ≤ ~4e6 buckets
-    * keep the Long sum far from wrap. The reference must cover the
+    * leave the worst-case Long sum only ~13% under wrap, so the sum
+    * is overflow-CHECKED (addExact), not assumed safe. The reference
+    * must cover the
     * observed support (true by construction when the reference is
     * the accepted corpus, q104's contract) — an uncovered bucket
     * refuses loudly rather than inventing a floor (the refFloor
@@ -165,7 +167,12 @@ object StreamingDrift {
         (graft.operators.Unigram.ql32(Math.multiplyExact(c, nn)) -
           graft.operators.Unigram.ql32(Math.multiplyExact(ct, n))).toDouble
       graft.ExactSum.quantize(term, 9)
-    }.sum
+      // addExact: at the documented bounds (|t|·1e9 ≤ ~2e12 over
+      // ≤ ~4e6 buckets) the worst case is ~8e18 — only ~13% under
+      // Long.MAX_VALUE, close enough that an out-of-bound corpus
+      // must refuse loudly (matching the multiplyExact discipline
+      // above) rather than wrap silently into a wrong PSI.
+    }.foldLeft(0L)(Math.addExact)
     sumQ.toDouble / 1e9
   }
 
