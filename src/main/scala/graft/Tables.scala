@@ -179,6 +179,45 @@ object ExactSum {
     java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
   }
+
+  /** Occurrences of `round(...)` in `sql` whose top-level argument
+    * list has more than one argument — i.e. an explicit scale, the
+    * q84/q169 cross-engine midpoint class the discipline above bans
+    * from every gated twin. Scale-0 rounds (one argument) are the
+    * sanctioned quantization device and pass. Shared by the
+    * build-time gate (ExactSumSpec scans every oracle twin and every
+    * analyzed Spark plan) and the SERVE-time re-attestation absorbed
+    * into q84 — so the certificate is re-checked in every
+    * CORRECTNESS artifact, not only in sbt runs.
+    */
+  def scaleNRounds(sql: String): Seq[String] = {
+    val lower = sql.toLowerCase
+    val bad = scala.collection.mutable.Buffer[String]()
+    var i = lower.indexOf("round(")
+    while (i >= 0) {
+      val okStart = i == 0 || {
+        val c = lower(i - 1); !Character.isLetterOrDigit(c) && c != '_'
+      }
+      if (okStart) {
+        var depth = 1
+        var j = i + "round(".length
+        var topComma = false
+        while (depth > 0 && j < sql.length) {
+          sql(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 1 => topComma = true
+            case _ =>
+          }
+          j += 1
+        }
+        if (topComma)
+          bad += sql.substring(i, math.min(j, i + 120)).replace('\n', ' ')
+      }
+      i = lower.indexOf("round(", i + 1)
+    }
+    bad.toSeq
+  }
 }
 
 /** A named group of oracle-checked queries. Each module contributes

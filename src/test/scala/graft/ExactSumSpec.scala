@@ -31,35 +31,11 @@ class ExactSumSpec extends AnyFunSuite with SharedSpark {
   // ---- 1. the discipline gate over every oracle twin ----
 
   /** Occurrences of round(...) in `sql` whose top-level argument list
-    * has more than one argument (i.e. an explicit scale). */
-  private def scaleNRounds(sql: String): Seq[String] = {
-    val lower = sql.toLowerCase
-    val bad = scala.collection.mutable.Buffer[String]()
-    var i = lower.indexOf("round(")
-    while (i >= 0) {
-      val okStart = i == 0 || {
-        val c = lower(i - 1); !Character.isLetterOrDigit(c) && c != '_'
-      }
-      if (okStart) {
-        var depth = 1
-        var j = i + "round(".length
-        var topComma = false
-        while (depth > 0 && j < sql.length) {
-          sql(j) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case ',' if depth == 1 => topComma = true
-            case _ =>
-          }
-          j += 1
-        }
-        if (topComma)
-          bad += sql.substring(i, math.min(j, i + 120)).replace('\n', ' ')
-      }
-      i = lower.indexOf("round(", i + 1)
-    }
-    bad.toSeq
-  }
+    * has more than one argument (i.e. an explicit scale). Lives in
+    * main code (round 19) so q84's serve-time re-attestation and this
+    * build-time gate enforce the SAME scanner. */
+  private def scaleNRounds(sql: String): Seq[String] =
+    ExactSum.scaleNRounds(sql)
 
   test("no scale-N round() in any gated oracle SQL") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
@@ -75,6 +51,45 @@ class ExactSumSpec extends AnyFunSuite with SharedSpark {
     assert(scaleNRounds("SELECT ROUND(f(a, b), 6)").nonEmpty)
     assert(scaleNRounds("SELECT around(a, 6)").isEmpty)
     assert(scaleNRounds("round(round(x, 2))").nonEmpty) // inner offends
+  }
+
+  // ---- 1b. the same discipline over the SPARK side of every twin ----
+
+  /** Scale-N Round-family expressions (round/bround/ceil/floor with an
+    * explicit non-zero scale) anywhere in an analyzed plan, including
+    * subquery plans. A non-literal scale is flagged too: the
+    * discipline's scale-0-only argument needs a provably-zero scale.
+    */
+  private def scaleNRoundsInPlan(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RoundBase}
+    df.queryExecution.analyzed.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.collect {
+        case r: RoundBase => r.right match {
+          case Literal(v, _) if v == 0 => None
+          case _ =>
+            Some(try r.sql catch { case _: Throwable => r.toString })
+        }
+      }.flatten)
+    }.flatten
+  }
+
+  test("no scale-N Round in any gated query's analyzed Spark plan") {
+    // The text scan above covers only the DuckDB twins; a scale-N
+    // round reintroduced on the SPARK side of a twin would otherwise
+    // surface only as a later driver hash mismatch (or worse, a
+    // latent midpoint flake if the oracle reproduces the rounded
+    // value by other means). Analyzing (not executing) every gated
+    // DataFrame closes that half; the stock sf0.001 dir keeps any
+    // internally-gated builds on the suite-shared memo path.
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        scaleNRoundsInPlan(q(spark, dir)).map(frag => s"$name: $frag")
+    }
+    assert(offenders.isEmpty,
+      "scale-N Round found in a gated Spark plan (the q84/q169 " +
+        s"midpoint class, Spark side):\n${offenders.mkString("\n")}")
   }
 
   // ---- 2. quantize == Spark SQL round(), adversarially ----

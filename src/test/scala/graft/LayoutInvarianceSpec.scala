@@ -38,18 +38,70 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
 
+  /** Private copy of the sf0.001 fixture, RECURSIVE and
+    * staleness-keyed: the copy is fingerprinted on the source tree's
+    * (relative path, size, mtime) triples, and a mismatch deletes and
+    * re-copies the whole tree. A flat non-recursive copy reusing any
+    * existing tmp dir (the round-18 form) would silently certify
+    * against stale data after a fixture regeneration, or against
+    * EMPTY subdirectories if the fixture ever becomes partitioned
+    * parquet directories. */
   private def privateCopy(tag: String): String = {
-    val src = java.nio.file.Paths.get("/root/testdata/sf0.001")
-    val dst = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val src = Paths.get("/root/testdata/sf0.001")
+    val dst = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-layout-$tag")
-    if (!java.nio.file.Files.isDirectory(dst)) {
-      java.nio.file.Files.createDirectories(dst)
-      java.nio.file.Files.list(src).forEach { p =>
-        java.nio.file.Files.copy(p, dst.resolve(p.getFileName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def walk(p: Path): Seq[Path] = {
+      val s = Files.walk(p)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[Path]
+        while (it.hasNext) b += it.next()
+        b.result()
+      } finally s.close()
+    }
+    def fingerprint(root: Path): String =
+      walk(root).filter(Files.isRegularFile(_)).map { p =>
+        s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+      }.sorted.mkString("\n")
+    val want = fingerprint(src)
+    val marker = dst.resolve(".src-fingerprint")
+    val fresh = Files.isRegularFile(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == want
+    if (!fresh) {
+      if (Files.exists(dst))
+        walk(dst).sortBy(-_.getNameCount).foreach(Files.delete)
+      walk(src).foreach { p =>
+        val to = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(to)
+        else Files.copy(p, to, StandardCopyOption.REPLACE_EXISTING)
       }
+      Files.write(marker, want.getBytes("UTF-8"))
     }
     dst.toString
+  }
+
+  /** Bit-level canonical form of a collected value: doubles/floats by
+    * RAW bits (NaN payloads and -0.0 distinguished), binary by
+    * content (Row.toString is identity-based for Array[Byte]),
+    * containers recursively. Map entries are sorted — SQL maps are
+    * unordered, so entry order is the one layout-varying dimension
+    * that is NOT a determinism defect. */
+  private def canon(v: Any): String = v match {
+    case null => "null"
+    case d: Double => "D" + java.lang.Double.doubleToRawLongBits(d)
+    case f: Float => "F" + java.lang.Float.floatToRawIntBits(f)
+    case b: Array[Byte] =>
+      "B" + java.util.Base64.getEncoder.encodeToString(b)
+    case a: Array[_] => a.map(canon).mkString("A[", ",", "]")
+    case s: scala.collection.Seq[_] =>
+      s.map(canon).mkString("S[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => canon(k) + "->" + canon(x) }
+        .sorted.mkString("M[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(canon).mkString("R[", ",", "]")
+    case other => other.getClass.getSimpleName + ":" + other.toString
   }
 
   private val dir: String = privateCopy("sf0.001")
@@ -61,12 +113,12 @@ class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
     s.conf.set(key, "32")
     val at32 = names.map { n =>
       n -> SparkEntry.queries(n)(s, dir).collect()
-        .map(_.toString).toSeq
+        .map(canon).toSeq
     }.toMap
     s.conf.set(key, "7")
     val diffs = names.flatMap { n =>
       val at7 = SparkEntry.queries(n)(s, dir).collect()
-        .map(_.toString).toSeq
+        .map(canon).toSeq
       if (at7 == at32(n)) None
       else {
         val i = at7.zipAll(at32(n), "<missing>", "<missing>")
@@ -102,7 +154,7 @@ class LayoutInvarianceSpec extends AnyFunSuite with SharedSpark {
       s.conf.set("spark.sql.shuffle.partitions", layout)
       val d = privateCopy(tag)
       sample.map { n =>
-        n -> SparkEntry.queries(n)(s, d).collect().map(_.toString).toSeq
+        n -> SparkEntry.queries(n)(s, d).collect().map(canon).toSeq
       }.toMap
     }
     val a = runAll("32", "memoA")
