@@ -161,18 +161,37 @@ object PipelineOps extends QueryModule {
   // per (lang, bucket). High buckets = TTR-degenerate boilerplate the
   // pipeline drops before training. The decile is exact integer
   // arithmetic ((10*max)/n with integer division) — no float compare
-  // risk. Two groupBys: (doc,tok) then doc — both shuffle on doc_id
-  // (the second is a sub-key regroup; AQE coalesces), then a tiny
-  // (lang, bucket) rollup.
-  private def q75(s: SparkSession, dir: String): DataFrame =
+  // risk.
+  //
+  // ZERO-corpus-exchange plan (round 19, the q99 device): a
+  // document's token multiplicities all live in ITS OWN row, so the
+  // per-doc (n, mx) pair is per-row expression work — n = size(toks),
+  // mx = the longest equal-run of the SORTED token array (one
+  // aggregate() pass) — and the only exchanges are the k-row
+  // (lang, bucket) rollup and the presentation sort. The previous
+  // explode → groupBy(doc, tok) → regroup form shuffled the ENTIRE
+  // corpus token stream twice to compute a quantity each row already
+  // holds — the difference between "2 corpus-wide exchanges" and
+  // "none" at the 100 TB design point.
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val runS = "CASE WHEN a.prev IS NOT NULL AND x = a.prev " +
+      "THEN a.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    val mxS =
+      s"""aggregate(array_sort(toks),
+         |  named_struct('prev', CAST(NULL AS STRING),
+         |    'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+         |  (a, x) -> named_struct('prev', x, 'run', $runS,
+         |    'best', GREATEST(a.best, $runS)),
+         |  a -> a.best)""".stripMargin
     TextAnalysis.tokenized(s, dir)
-      .select(col("doc_id"), col("lang"), explode(col("toks")).as("t"))
-      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "lang")
-      .agg(sum("c").as("n"), max("c").as("mx"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        expr("CAST(size(toks) AS BIGINT)").as("n"),
+        expr(mxS).as("mx"))
       .withColumn("bucket", expr("CAST((10 * mx) DIV n AS INT)"))
       .groupBy("lang", "bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "bucket")
+  }
 
   private val q75Sql =
     s"""WITH tc AS (
@@ -301,20 +320,19 @@ object PipelineOps extends QueryModule {
     val bg = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), explode(expr(TextAnalysis.bigramsS)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // the corpus-global model comes from the shared cached aggregate;
-    // only the per-doc scoring stream re-explodes the corpus
-    val c2 = TextAnalysis.bigramCounts(s, dir)
-    val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
-    bg.join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    // the corpus-global model comes from the shared cached LM table
+    // (counts ⋈ marginals with lp_q32 precomputed per bigram TYPE) —
+    // only the per-doc scoring stream re-explodes the corpus, and it
+    // makes exactly ONE join against the model (round 19: the
+    // separate vocabulary-sized c1 join on the corpus stream is gone)
+    bg.join(TextAnalysis.bigramModel(s, dir).select("w1", "w2", "lp_q32"),
+        Seq("w1", "w2"))
       .groupBy("doc_id")
       // raw AVG (round 18): the ql32 differences are integer-valued
       // doubles whose sum is exact in float64 at any order (≪ 2^53),
       // so the mean is one exact division — bit-identical unrounded.
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(expr(
-          s"CAST(${ql32S("n")} - ${ql32S("n1")} AS DOUBLE)"))
-          .as("avg_lp_q32"))
+        avg(col("lp_q32")).as("avg_lp_q32"))
       .orderBy("doc_id")
   }
 
@@ -368,12 +386,15 @@ object PipelineOps extends QueryModule {
   // the defined ordering, reproducible across engines and libm
   // builds by construction.
   private def q98(s: SparkSession, dir: String): DataFrame = {
-    val c2 = TextAnalysis.bigramCounts(s, dir)
-    val c1 = c2.groupBy("w1").agg(sum("n").as("n1"))
-    val r1 = c2.groupBy("w2").agg(sum("n").as("m2"))
-    val tot = c2.agg(sum("n").as("nn"))
-    c2.filter(col("n") >= 5)
-      .join(c1, "w1")
+    // the w1 marginal n1 rides the cached LM table (round 19) — only
+    // the w2 marginal and the scalar total are derived per serve, and
+    // both derive from the CACHED vocabulary²-sized aggregate, never
+    // by re-scanning the corpus
+    val m = TextAnalysis.bigramModel(s, dir)
+    val r1 = m.groupBy("w2").agg(sum("n").as("m2"))
+    val tot = m.agg(sum("n").as("nn"))
+    m.select("w1", "w2", "n", "n1")
+      .filter(col("n") >= 5)
       .join(r1, "w2")
       .crossJoin(broadcast(tot))
       .withColumn("pmi_q32", expr(
