@@ -169,6 +169,51 @@ object Components {
     // reached when the sum stops moving
     var iter = 0
     var converged = false
+    // Contraction probe (shared by the at-seed check and the per-round
+    // check below — the probe costs about half a propagation round, so
+    // probing early is cheap even when the residual is still too big):
+    // project the edge set into label space and, if the deduped
+    // residual is driver-sized, finish it exactly with the union-find
+    // kernel. comp ids ARE vertex ids (component minima so far) and
+    // the union-find roots at min, so composing uf∘comp yields the
+    // true global minimum per component — exact, not approximate. The
+    // argument holds for the SEED labels too (min(v, neighbors) is a
+    // vertex id), which is why the probe now runs once BEFORE the
+    // first propagation round (round 19): on candidate graphs whose
+    // seed already contracts to driver size — measured on the sf0.1
+    // dedup graph: 791 contracted edges straight out of the seed —
+    // the full join + reduce + pointer-jump round the loop used to
+    // pay before its first probe was pure overhead.
+    def tryHandoff(): Unit = {
+      if (!converged && handoffEdges > 0) {
+        val contracted = edgesBySrc.join(labels)
+          .map { case (_, (dst, cs)) => (dst, cs) }
+          .partitionBy(part)
+          .join(labels) // narrow: both sides partitioned by `part`
+          .map { case (_, (cs, cd)) =>
+            if (cs < cd) (cs, cd) else (cd, cs)
+          }
+          .filter { case (a, b) => a != b }
+          .distinct(nParts)
+          .persist()
+        val m = contracted.count()
+        if (m <= handoffEdges) {
+          val uf = unionFind(contracted.collect())
+          contracted.unpersist(blocking = false)
+          val bc = spark.sparkContext.broadcast(uf)
+          val prev = labels
+          labels = labels
+            .mapValues(c => bc.value.getOrElse(c, c))
+            .localCheckpoint()
+          labels.count() // materialize before the parent is dropped
+          prev.unpersist(blocking = false)
+          converged = true
+          log.warn(s"connectedComponents round $iter handoff: " +
+            s"$m contracted edges finished locally")
+        } else contracted.unpersist(blocking = false)
+      }
+    }
+    tryHandoff()
     while (!converged && iter < maxIter) {
       // comp(src) delivered to each neighbor: NARROW join (edges and
       // labels share `part`), then one tiny shuffle to re-key the
@@ -211,41 +256,7 @@ object Components {
       iter += 1
       log.warn(s"connectedComponents round $iter labelSum=$newSum" +
         (if (converged) " (fixpoint)" else ""))
-      // Contraction probe (every round — the probe costs about half
-      // a propagation round, so probing early is cheap even when the
-      // residual is still too big): project
-      // the edge set into label space and, if the deduped residual is
-      // driver-sized, finish it exactly with the union-find kernel.
-      // comp ids ARE vertex ids (component minima so far) and the
-      // union-find roots at min, so composing uf∘comp yields the true
-      // global minimum per component — exact, not approximate.
-      if (!converged && handoffEdges > 0) {
-        val contracted = edgesBySrc.join(labels)
-          .map { case (_, (dst, cs)) => (dst, cs) }
-          .partitionBy(part)
-          .join(labels) // narrow: both sides partitioned by `part`
-          .map { case (_, (cs, cd)) =>
-            if (cs < cd) (cs, cd) else (cd, cs)
-          }
-          .filter { case (a, b) => a != b }
-          .distinct(nParts)
-          .persist()
-        val m = contracted.count()
-        if (m <= handoffEdges) {
-          val uf = unionFind(contracted.collect())
-          contracted.unpersist(blocking = false)
-          val bc = spark.sparkContext.broadcast(uf)
-          val prev = labels
-          labels = labels
-            .mapValues(c => bc.value.getOrElse(c, c))
-            .localCheckpoint()
-          labels.count() // materialize before the parent is dropped
-          prev.unpersist(blocking = false)
-          converged = true
-          log.warn(s"connectedComponents round $iter handoff: " +
-            s"$m contracted edges finished locally")
-        } else contracted.unpersist(blocking = false)
-      }
+      tryHandoff()
     }
     edgesBySrc.unpersist(blocking = false)
     if (!converged) {
