@@ -139,6 +139,29 @@ object CachedPlans {
   private val sinkCounter = new java.util.concurrent.atomic.AtomicLong()
   def sinkName(prefix: String, dir: String): String =
     prefix + math.abs(dir.hashCode) + "_" + sinkCounter.incrementAndGet()
+
+  /** [[of]] for DRIVER-SIDE model values (a trained centroid table, a
+    * built Bloom filter): same key discipline and benign-race
+    * semantics, no cache() — the value is already local. For
+    * build-once-per-corpus artifacts whose construction is a Spark
+    * ACTION (collect/head), which `of` cannot absorb: without this,
+    * every serve pays the build job's dispatch latency again.
+    */
+  private val valueMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, Any)]()
+
+  def valueOf[T](s: SparkSession, dir: String, tag: String)(build: => T): T = {
+    valueMemo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    val key =
+      s"${Tables.sessionToken(s)}:${s.sparkContext.applicationId}:$dir:$tag"
+    val existing = valueMemo.get(key)
+    if (existing != null) existing._2.asInstanceOf[T]
+    else {
+      val built = (s, build: Any)
+      val prev = valueMemo.putIfAbsent(key, built)
+      (if (prev != null) prev._2 else built._2).asInstanceOf[T]
+    }
+  }
 }
 
 /** ORDER-INDEPENDENT exact summation of per-row bit-identical DOUBLE

@@ -40,19 +40,40 @@ object BloomPrune {
   def prunedSemiJoin(large: DataFrame, largeKey: String,
       small: DataFrame, smallKey: String,
       numBits: Int = 1 << 20, k: Int = 5): DataFrame = {
-    val spark = large.sparkSession
-    BloomFunctions.register(spark)
+    val smallKeys = normalizedKeys(small, smallKey, largeKey)
+    prunedSemiJoinWith(large, largeKey, smallKeys,
+      buildFilter(smallKeys, numBits, k), k)
+  }
+
+  /** Key normalization: try_cast (NOT cast — ANSI mode throws on
+    * malformed input) + drop NULLs. A plain semi join silently drops
+    * NULL/malformed keys, so the pruned form must too — and the
+    * primitive Long encoder in the aggregation would throw on NULLs.
+    */
+  def normalizedKeys(small: DataFrame, smallKey: String,
+      as: String): DataFrame =
+    small.select(expr(s"try_cast($smallKey AS BIGINT)").as(as)).na.drop()
+
+  /** The filter-build ACTION (one-row aggregate: the filter itself is
+    * the only thing collected), exposed separately so callers can
+    * build once per pruning set and reuse across probes — the filter
+    * is index state of the dimension subset, not per-query work.
+    * `smallKeys` must be a single normalized BIGINT column
+    * ([[normalizedKeys]]).
+    */
+  def buildFilter(smallKeys: DataFrame, numBits: Int = 1 << 20,
+      k: Int = 5): Bloom.Filter = {
+    val spark = smallKeys.sparkSession
     import spark.implicits._
-    // Key normalization: try_cast (NOT cast — ANSI mode throws on
-    // malformed input) + drop NULLs. A plain semi join silently drops
-    // NULL/malformed keys, so the pruned form must too — and the
-    // primitive Long encoder in the aggregation would throw on NULLs.
-    val smallKeys = small
-      .select(expr(s"try_cast($smallKey AS BIGINT)").as(largeKey)).na.drop()
-    // one-row aggregate: the filter itself is the only thing collected
-    val filter = smallKeys.as[Long]
+    smallKeys.as[Long]
       .select(new Bloom.BloomAggregator(numBits, k).toColumn)
       .head()
+  }
+
+  /** [[prunedSemiJoin]] with a prebuilt filter. */
+  def prunedSemiJoinWith(large: DataFrame, largeKey: String,
+      smallKeys: DataFrame, filter: Bloom.Filter, k: Int = 5): DataFrame = {
+    BloomFunctions.register(large.sparkSession)
     large
       .withColumn("__bloom", lit(filter.words))
       .filter(expr(
