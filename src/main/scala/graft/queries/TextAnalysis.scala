@@ -749,19 +749,26 @@ object TextAnalysis extends QueryModule {
   // integer counts end to end; the shard rule floor((cum-n)/budget)
   // is q52's certified fragment verbatim.
   private def q127(s: SparkSession, dir: String): DataFrame = {
-    val (_, fin) = bpeTrained(s, dir)
-    val ppw = fin.groupBy("w").agg(count(lit(1)).as("ppw"))
-    val summed = tokenized(s, dir)
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .join(ppw, Seq("w"))
-      .groupBy("doc_id").agg(sum("ppw").as("pieces_sum"))
-    // LEFT join back to documents: a zero-token doc still occupies a
-    // slot in the release packing with n_tok = 0 (q52's semantics —
-    // dropping it silently would understate every n_docs count)
-    val docPieces = T.documents(s, dir).select(col("doc_id"), col("lang"))
-      .join(summed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("pieces_sum"), lit(0L)).as("n_tok"))
+    // per-doc piece counts under the trained merge table are
+    // tokenizer-APPLICATION state (the q61 scored-table precedent: a
+    // release tokenizes the corpus once, then packs/cuts at will) —
+    // memoized (round 19) so a serve pays the packing window and the
+    // rollup, not a corpus re-tokenization
+    val docPieces = graft.CachedPlans.of(s, dir, "bpe_doc_pieces") {
+      val (_, fin) = bpeTrained(s, dir)
+      val ppw = fin.groupBy("w").agg(count(lit(1)).as("ppw"))
+      val summed = tokenized(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .join(ppw, Seq("w"))
+        .groupBy("doc_id").agg(sum("ppw").as("pieces_sum"))
+      // LEFT join back to documents: a zero-token doc still occupies a
+      // slot in the release packing with n_tok = 0 (q52's semantics —
+      // dropping it silently would understate every n_docs count)
+      T.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(summed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pieces_sum"), lit(0L)).as("n_tok"))
+    }
     TrainingData.packShards(docPieces, Seq("lang"), "doc_id")
       .groupBy("lang", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pieces"))
