@@ -249,27 +249,40 @@ object TextAnalysis extends QueryModule {
         .filter(col("t").isin(bmTerms: _*))
         .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("f"))
     }
+    // The whole model is a HANDFUL of numbers (|query terms| idfs +
+    // two corpus stats) — fold it into the scorer as PLAN LITERALS
+    // (round 19, how a production scorer ships a small model): the
+    // serve drops from tf ⋈ broadcast(idf) ⋈ broadcast(stats) —
+    // three jobs of dispatch — to ONE aggregation over the cached tf
+    // table. Exactness is preserved literally: idf is an
+    // INTEGER-VALUED double (ql32 difference), and Unigram.ql32's
+    // Scala form provably equals the SQL device over the full
+    // positive Long range (UnigramSpec), so CAST(<the integer> AS
+    // DOUBLE) * core is the same IEEE product the joined column
+    // produced; the avgdl literals are the same two BIGINTs the
+    // broadcast carried.
+    val (nDocs, sumDl) = graft.CachedPlans.valueOf(s, dir, "bm25_stats_v") {
+      val r = stats.head(); (r.getLong(0), r.getLong(1))
+    }
+    val idfV: Map[String, Long] =
+      graft.CachedPlans.valueOf(s, dir, "bm25_idf_v") {
+        tf.groupBy("t").agg(count(lit(1)).as("df")).collect().map { r =>
+          r.getString(0) ->
+            (graft.operators.Unigram.ql32(2 * nDocs + 2) -
+              graft.operators.Unigram.ql32(2 * r.getLong(1) + 1))
+        }.toMap
+      }
     val core = "(CAST(f AS DOUBLE) * 2.2) / (CAST(f AS DOUBLE) + " +
       "1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
-      "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-    val ql = graft.operators.Unigram.ql32Sql _
-    // idf is per TERM, not per row: evaluate the quantized-log device
-    // on the |terms|-row broadcast side, never in the per-row scorer.
-    // Like the tf table and length stats it derives from, the idf
-    // table is retrieval-index state — memoized (round 19) so a serve
-    // pays the scorer join, not a re-derivation of the term weights.
-    val idfq = graft.CachedPlans.of(s, dir, "bm25_idf") {
-      tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats.select("n_docs")))
-        .withColumn("idf", expr(
-          s"CAST(${ql("(2 * n_docs + 2)")} - ${ql("(2 * df + 1)")} " +
-            "AS DOUBLE)"))
-        .select("t", "idf")
-    }
+      s"(CAST($sumDl AS DOUBLE) / CAST($nDocs AS DOUBLE))))"
+    // a term absent from the corpus has no tf rows — its CASE branch
+    // never fires, so the 0 default is inert, matching the old inner
+    // join's semantics
     val perTerm = bmTerms.map(t =>
-      sum(expr(s"CASE WHEN t = '$t' THEN idf * $core ELSE 0.0 END")).as(s"s_$t"))
-    tf.join(broadcast(idfq), "t").crossJoin(broadcast(stats))
-      .groupBy("doc_id")
+      sum(expr(s"CASE WHEN t = '$t' THEN " +
+        s"CAST(${idfV.getOrElse(t, 0L)} AS DOUBLE) * $core " +
+        "ELSE 0.0 END")).as(s"s_$t"))
+    tf.groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail: _*)
       .withColumn("bm25_q32",
         expr(bmTerms.map(t => s"s_$t").mkString(" + ")))
