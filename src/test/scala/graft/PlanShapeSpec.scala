@@ -77,13 +77,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
-  test("q54 bm25: term filter prunes before any exchange; stats broadcast") {
+  test("q54 bm25: term filter prunes before any exchange; " +
+      "literal-folded model leaves NO joins in the serve plan") {
     val tree = formatted("q54_bm25").linesIterator
       .takeWhile(!_.startsWith("(1)")).toSeq
     // the IN(terms) filter sits between the explode (Generate) and
     // the tf aggregation's Exchange — only matching tokens cross the
     // wire. In the printed tree, deeper = later, so the pattern is
-    // Exchange ... Filter ... Generate within the tf branch.
+    // Exchange ... Filter ... Generate within the tf branch (the
+    // memoized build, visible through the InMemoryRelation).
     val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
     val generateIdx = tree.indexWhere(_.contains("Generate"))
     val filterIdx = tree.lastIndexWhere(l => l.contains("Filter"),
@@ -91,12 +93,13 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(exchangeIdx >= 0 && generateIdx > exchangeIdx, tree.mkString("\n"))
     assert(filterIdx > exchangeIdx && filterIdx < generateIdx,
       tree.mkString("\n"))
-    // df joins broadcast; the only cross joins are the two 1-row
-    // stats sides (the scorer's avgdl cross + the round-17 idfq
-    // build's n_docs cross — the per-term quantized-idf precompute)
-    assert(tree.exists(_.contains("BroadcastHashJoin")))
-    assert(!tree.exists(_.contains("SortMergeJoin")))
-    assert(tree.count(_.contains("BroadcastNestedLoopJoin")) <= 2)
+    // round 19: the model (3 idfs + 2 corpus stats) rides the scorer
+    // as plan LITERALS — the serve is one aggregation over the cached
+    // tf table with no join of ANY kind (the old shape carried a
+    // BroadcastHashJoin for idf and two 1-row stats crosses)
+    assert(!tree.exists(_.contains("Join")), tree.mkString("\n"))
+    assert(tree.exists(_.contains("TakeOrderedAndProject")),
+      tree.mkString("\n"))
   }
 
   test("q53 ivf search: probes broadcast, cell equi-join, rank group-limit") {
