@@ -181,9 +181,10 @@ object Components {
     // vertex id), which is why the probe now runs once BEFORE the
     // first propagation round (round 19): on candidate graphs whose
     // seed already contracts to driver size — measured on the sf0.1
-    // dedup graph: 791 contracted edges straight out of the seed —
-    // the full join + reduce + pointer-jump round the loop used to
-    // pay before its first probe was pure overhead.
+    // dedup graph: 1620 contracted edges straight out of the seed
+    // (791 was the residual after one propagation round, the pre-r19
+    // handoff point) — the full join + reduce + pointer-jump round
+    // the loop used to pay before its first probe was pure overhead.
     def tryHandoff(): Unit = {
       if (!converged && handoffEdges > 0) {
         val contracted = edgesBySrc.join(labels)

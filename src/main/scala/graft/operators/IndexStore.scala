@@ -476,12 +476,6 @@ object IndexStore {
     var cur = base
     var attempts = 0
     var committed = false
-    // TOTAL in-flight-publish poll budget across ALL retries: each
-    // conflict may poll for the head to advance, but a genuinely
-    // wedged store must fail in ~pollBudgetMs, not maxRetries × the
-    // per-conflict window (the round-18 form could block ~20 s in
-    // fixed sleeps before giving up).
-    var pollRemainingMs = pollBudgetMs
     while (!committed) {
       val files =
         if (fullReplace) added
@@ -535,6 +529,15 @@ object IndexStore {
               }
             } catch { case _: java.io.IOException => false }
           }
+          // Poll budget is PER CONFLICT, not total across retries
+          // (ADVICE r19 #1): each retry only happens after the head
+          // ADVANCED past cur — proof the store is live — so earlier
+          // conflicts' waiting must not bankrupt a later one into a
+          // spurious 'wedged' throw on a healthy-but-contended store.
+          // A genuine wedge still fails within ONE ~pollBudgetMs
+          // window (head never moves → throw below), and provenWedge
+          // short-circuits marker-protocol wedges in milliseconds.
+          var pollRemainingMs = pollBudgetMs
           var newest = requireManifest(s, out)
           var wedged = false
           while (newest.version <= cur.version && pollRemainingMs > 0 &&

@@ -1037,6 +1037,33 @@ class IndexStoreSpec extends AnyFunSuite with SharedSpark {
 private[graft] class OverwritingRenameFs
     extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("mockobj:///")
+  // Modeled stores make create-no-overwrite ATOMIC (S3 conditional
+  // put / If-None-Match) — the one primitive publishByMarker's
+  // decision step requires. RawLocalFileSystem's exists-then-create
+  // is check-then-act, so two racing marker creates could BOTH
+  // "win" when a descheduled host stretched the window (observed
+  // round 20: the racing-loser test lost an update — both appends
+  // committed the same version). Claim the name atomically via
+  // O_EXCL before opening for write.
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      if (p.getParent != null)
+        java.nio.file.Files.createDirectories(p.getParent)
+      try java.nio.file.Files.createFile(p)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"$f already exists (atomic conditional put)")
+      }
+    }
+    super.create(f, permission, true, bufferSize, replication,
+      blockSize, progress)
+  }
   override def rename(src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean = {
     // FAITHFUL object-store overwrite-rename (S3/GCS/ABFS class:
