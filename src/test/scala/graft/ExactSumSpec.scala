@@ -46,6 +46,29 @@ class ExactSumSpec extends AnyFunSuite with SharedSpark {
         offenders.mkString("\n"))
   }
 
+  test("no scale-N round() in any streaming scorer source (inline SQL)") {
+    // VERDICT r19 next-round #6: the streaming scorers are hash-locked
+    // via their stream==batch gates, but an inline SQL fragment inside
+    // streaming/*.scala (expr strings, selectExpr, spark.sql) would be
+    // the one channel where a scale-N round could re-enter without
+    // tripping the oracle-twin scan or the analyzed-batch-plan scan.
+    // Scan the SOURCE TEXT: Scala's own round calls are single-arg
+    // (math.round(x)) and pass; any multi-arg round — which in these
+    // files can only live inside a SQL string — is flagged.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/streaming")
+    val files = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(files.nonEmpty, s"no streaming sources under $dir")
+    val offenders = files.sortBy(_.toString).flatMap { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      scaleNRounds(text).map(frag => s"${p.getFileName}: $frag")
+    }
+    assert(offenders.isEmpty,
+      s"scale-N round in streaming sources (midpoint class):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("the scanner itself sees through nesting and case") {
     assert(scaleNRounds("SELECT round(f(a, b) + g(c))").isEmpty)
     assert(scaleNRounds("SELECT ROUND(f(a, b), 6)").nonEmpty)
