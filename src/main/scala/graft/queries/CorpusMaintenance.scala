@@ -446,11 +446,25 @@ object CorpusMaintenance extends QueryModule {
     // drift_src_buckets precedent, one module up) — memoized (round
     // 19); the corpus support and per-source totals DERIVE from it
     // (key-cardinality aggregates, never a corpus re-scan), and the
-    // serve pays the CDF windows + the per-source argmax
+    // serve pays the CDF windows + the per-source argmax.
+    // COALESCED at cache time (round 20): a cached aggregate keeps
+    // its 32 post-shuffle partitions (AQE can't re-coalesce a cached
+    // plan under canChangeCachedPlanOutputPartitioning=false), so
+    // every serve stage over the memo fanned into 32 near-empty
+    // tasks — measured 20 stages/237 tasks per serve vs 6/6
+    // coalesced, the whole q153 regression the round-19 gate
+    // flagged (2.07x pin while untouched peers read 0.8-1.4x on the
+    // same host; Q153Probe adjudication). The occupancy is
+    // key-cardinality (|sources| x bounded integer support, never
+    // data-sized), so one partition is its natural layout; at a
+    // scale where it stops being driver-small, raise the coalesce
+    // target with it — the invariant is partitions ∝ occupancy
+    // rows, not spark.sql.shuffle.partitions.
     val srcLen = graft.CachedPlans.of(s, dir, "ks_src_len") {
       TextAnalysis.tokenized(s, dir)
         .select(col("source"), expr("CAST(size(toks) AS BIGINT)").as("len"))
         .groupBy("source", "len").agg(count(lit(1)).as("c"))
+        .coalesce(1)
     }
     val support = srcLen.groupBy("len").agg(sum("c").as("cc"))
     val nSrc = srcLen.groupBy("source").agg(sum("c").as("n_docs"))
