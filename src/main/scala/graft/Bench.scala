@@ -172,6 +172,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE right-size CACHED-plan output partitioning (off by
+      // default): a cached aggregate otherwise keeps all 32
+      // post-shuffle partitions forever, and every serve stage over a
+      // key-cardinality memo fans into 32 near-empty tasks — measured
+      // round 20 (TaskProfile): 9536 -> 2935 tasks suite-wide, the
+      // heaviest rows halving (q100 587 -> 24 tasks, q70 -0.6 s).
+      // Size-based, so scale-correct by construction: a genuinely
+      // large cached table keeps its partitions.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

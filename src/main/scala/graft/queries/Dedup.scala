@@ -262,6 +262,14 @@ object Dedup extends QueryModule {
       val simExpr = (0 to 31)
         .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
         .mkString(" + ")
+      // LAYOUT (round 20): q32's candidate-pair compute runs in the
+      // probe-side scan stage of this cache — its parallelism IS the
+      // cache's partition count. The doc_id layout FLOWS THROUGH from
+      // the tokenized table's explicit repartition: the groupBy
+      // (doc_id) aggregation is satisfied by the input partitioning
+      // (no exchange at all — pinned by PlanShapeSpec's q31 test), so
+      // the signature cache lands 32-way hash(doc_id) with nothing
+      // for AQE's cached-plan re-planner to coalesce.
       tf.groupBy("doc_id").agg(votes.head, votes.tail: _*)
         .select(col("doc_id"),
           expr(s"CAST($simExpr AS BIGINT)").as("simhash"))

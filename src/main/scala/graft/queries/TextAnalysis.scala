@@ -46,8 +46,22 @@ object TextAnalysis extends QueryModule {
     */
   private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "tokenized") {
-      T.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        col("n_chars"), col("text"), expr(toksS).as("toks"))
+      // EXPLICIT LAYOUT (round 20): documents.parquet is one scan
+      // split at bench sf (584 KB), so without a repartition the
+      // materialized token table caches at ~3 partitions and every
+      // per-row consumer (tokenize itself, q99's gram ledger, the
+      // explode family) runs on 3 of 32 cores — bytes-based split
+      // sizing cannot see compute-dense derived columns. Production
+      // table layout sizes a hot materialized table to cluster
+      // parallelism; defaultParallelism is that knob here (at real
+      // scale the scan has thousands of splits and this repartition
+      // is a no-op in spirit — the shuffle is one pass over raw docs,
+      // paid once per corpus at build). Explicit numPartitions so
+      // AQE's cached-plan re-planning never coalesces it away.
+      T.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"), expr(toksS).as("toks"))
     }
 
   // ---------------------------------------------------------------

@@ -20,6 +20,21 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
   private def countNodes(plan: String, node: String): Int =
     ("""\(\d+\) """ + node + "(?!\\w)").r.findAllIn(plan).length
 
+  /** Count nodes in the TREE rendering ("+- Node (NN)") of a plan
+    * SEGMENT — countNodes matches the detail sections, which a
+    * truncated segment (e.g. the serve portion above the first cache
+    * scan) does not contain. */
+  private def countTree(segment: String, node: String): Int =
+    (node + """ \(\d+\)""").r.findAllIn(segment).length
+
+  /** The serve portion of a formatted plan: the tree above the first
+    * cache scan. Memoized-build internals (layout repartitions, build
+    * aggregations) live below it and are once-per-corpus, not serve
+    * work. */
+  private def serveSegment(p: String): String =
+    p.linesIterator.takeWhile(!_.contains("InMemoryTableScan"))
+      .mkString("\n")
+
   test("q02: all predicates and the pruned projection reach the scan") {
     val p = formatted("q02_filter_project")
     assert(p.contains("PushedFilters:"))
@@ -46,9 +61,16 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(countNodes(p, "Exchange") == 0)
   }
 
-  test("q31 sketch build: one data shuffle, no row-blowup joins") {
+  test("q31 sketch build: exchange-free aggregation on the doc_id " +
+      "layout; serve pays only the presentation sort") {
     val p = formatted("q31_simhash")
-    assert(countNodes(p, "Exchange") == 2, p) // agg + presentation sort
+    // round 20: the serve segment (above the cache scan) pays exactly
+    // the presentation sort; the signature build lives in the memo
+    // (and on the tokenized table's hash(doc_id) layout its
+    // groupBy(doc_id) runs exchange-free once the cache finalizes —
+    // the pre-materialization plan may show a defensive exchange
+    // inside the cached build, which is below the serve segment).
+    assert(countTree(serveSegment(p), "Exchange") == 1, p)
     assert(countNodes(p, "BroadcastNestedLoopJoin") == 0)
     assert(countNodes(p, "CartesianProduct") == 0)
     assert(countNodes(p, "HashAggregate") >= 2) // partial + final
@@ -81,18 +103,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "literal-folded model leaves NO joins in the serve plan") {
     val tree = formatted("q54_bm25").linesIterator
       .takeWhile(!_.startsWith("(1)")).toSeq
-    // the IN(terms) filter sits between the explode (Generate) and
-    // the tf aggregation's Exchange — only matching tokens cross the
-    // wire. In the printed tree, deeper = later, so the pattern is
-    // Exchange ... Filter ... Generate within the tf branch (the
-    // memoized build, visible through the InMemoryRelation).
-    val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
+    // round 20 (stronger than the round-19 pin): on the tokenized
+    // table's hash(doc_id) layout the tf aggregation needs NO
+    // exchange at all — the IN(terms) filter (above the explode in
+    // the printed tree: shallower = later) prunes, then the per-term
+    // aggregation runs partition-local. No Exchange may appear above
+    // the Generate: nothing term-shaped ever crosses the wire. (The
+    // only exchange anywhere in the tree is the memo build's layout
+    // repartition, deeper than the Generate.)
     val generateIdx = tree.indexWhere(_.contains("Generate"))
+    val exchangeIdx = tree.indexWhere(_.contains("Exchange"))
     val filterIdx = tree.lastIndexWhere(l => l.contains("Filter"),
       generateIdx)
-    assert(exchangeIdx >= 0 && generateIdx > exchangeIdx, tree.mkString("\n"))
-    assert(filterIdx > exchangeIdx && filterIdx < generateIdx,
+    assert(generateIdx >= 0, tree.mkString("\n"))
+    assert(exchangeIdx == -1 || exchangeIdx > generateIdx,
       tree.mkString("\n"))
+    assert(filterIdx >= 0 && filterIdx < generateIdx, tree.mkString("\n"))
     // round 19: the model (3 idfs + 2 corpus stats) rides the scorer
     // as plan LITERALS — the serve is one aggregation over the cached
     // tf table with no join of ANY kind (the old shape carried a
@@ -431,10 +457,13 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "exchange") {
     val p = formatted("q99_window_dedup")
     // the whole drop ledger is per-row expression work; the only
-    // exchange is the presentation sort's range partitioning
-    assert(countNodes(p, "Generate") == 0, p)
-    assert(countNodes(p, "Exchange") == 1, p)
-    assert(countNodes(p, "HashAggregate") == 0, p)
+    // SERVE exchange is the presentation sort's range partitioning
+    // (round 20: the tokenized memo's layout repartition lives inside
+    // the cached plan below the cache scan — count above it)
+    val serve = serveSegment(p)
+    assert(countTree(serve, "Generate") == 0, p)
+    assert(countTree(serve, "Exchange") == 1, p)
+    assert(countTree(serve, "HashAggregate") == 0, p)
   }
 
   test("q103 ivf-pq: LUTs broadcast onto a cell equi-join over codes; " +

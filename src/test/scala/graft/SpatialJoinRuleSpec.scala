@@ -133,6 +133,7 @@ class SpatialJoinRuleSpec extends AnyFunSuite with SharedSpark {
         .master("local[4]")
         .withExtensions(new graft.functions.GraftExtensions())
         .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .getOrCreate()
       import ext.implicits._
       val wide = Seq(("lBIG",
