@@ -71,7 +71,9 @@ object Dedup extends QueryModule {
   // identical across engines, so the oracle still matches exactly).
   private def shingled(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "shingled") {
-      TextAnalysis.tokenized(s, dir)
+      // tokensWide: the explode runs cluster-parallel on the doc_id
+      // layout instead of on the raw scan's ~3 splits (round 20)
+      TextAnalysis.tokensWide(s, dir)
         .select(col("doc_id"), explode(expr(shinglesS)).as("sh"))
         .select(col("doc_id"), expr(h32S("sh")).as("hs"))
     }
@@ -252,7 +254,7 @@ object Dedup extends QueryModule {
   // all codegen'd, partial aggregation map-side.
   private def simhash(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "simhash") { // one row/doc; self-joined in q32
-      val tf = TextAnalysis.tokenized(s, dir)
+      val tf = TextAnalysis.tokensWide(s, dir)
         .select(col("doc_id"), explode(col("toks")).as("t"))
         .withColumn("h", expr(h32S("t")))
       val votes = (0 to 31).map { b =>
@@ -371,6 +373,17 @@ object Dedup extends QueryModule {
         .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .agg(count(lit(1)).as("n_match"))
         .filter(col("n_match") >= 2)
+        // LAYOUT NORMALIZER (round 20): on the doc_id-partitioned
+        // signature input the groupBy above runs exchange-free, so
+        // the edge cache would inherit the 32-way build layout and
+        // every graph-family serve (q57/q60/q70/q80/q100 and the
+        // cc_sym/cc_deg/cc_pr1 derivations) would fan into near-empty
+        // tasks — the edge list is PAIR-cardinality, orders of
+        // magnitude smaller than the corpus. A keyed repartition
+        // with NO explicit count hands the layout decision to AQE's
+        // size-based planner: tiny here, proportionally wide at real
+        // scale. One extra build shuffle of a pair-sized list.
+        .repartition(col("src"))
     }
 
   /** CC labels over the candidate graph. The DEFAULT (size-adaptive)

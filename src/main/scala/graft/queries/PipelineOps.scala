@@ -183,7 +183,7 @@ object PipelineOps extends QueryModule {
          |  (a, x) -> named_struct('prev', x, 'run', $runS,
          |    'best', GREATEST(a.best, $runS)),
          |  a -> a.best)""".stripMargin
-    TextAnalysis.tokenized(s, dir)
+    TextAnalysis.tokensWide(s, dir) // per-row aggregate(): compute-dense
       .filter(size(col("toks")) > 0)
       .select(col("lang"),
         expr("CAST(size(toks) AS BIGINT)").as("n"),
@@ -447,7 +447,7 @@ object PipelineOps extends QueryModule {
         |  transform(sequence(1, size(toks) - 2),
         |    i -> concat_ws(' ', slice(toks, i, 3)))
         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
-    TextAnalysis.tokenized(s, dir)
+    TextAnalysis.tokensWide(s, dir) // per-row gram ledger: compute-dense
       .select(col("doc_id"), expr(gramsS).as("g"))
       .select(col("doc_id"),
         expr("CAST(size(g) AS BIGINT)").as("n_windows"),

@@ -46,22 +46,34 @@ object TextAnalysis extends QueryModule {
     */
   private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "tokenized") {
-      // EXPLICIT LAYOUT (round 20): documents.parquet is one scan
-      // split at bench sf (584 KB), so without a repartition the
-      // materialized token table caches at ~3 partitions and every
-      // per-row consumer (tokenize itself, q99's gram ledger, the
-      // explode family) runs on 3 of 32 cores — bytes-based split
-      // sizing cannot see compute-dense derived columns. Production
-      // table layout sizes a hot materialized table to cluster
-      // parallelism; defaultParallelism is that knob here (at real
-      // scale the scan has thousands of splits and this repartition
-      // is a no-op in spirit — the shuffle is one pass over raw docs,
-      // paid once per corpus at build). Explicit numPartitions so
-      // AQE's cached-plan re-planning never coalesces it away.
-      T.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      T.documents(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text"), expr(toksS).as("toks"))
+    }
+
+  /** Cluster-parallel THIN twin of [[tokenized]] (text column
+    * dropped) for COMPUTE-DENSE per-row consumers — q99's gram
+    * ledger, q75's run-length pass, the shingle/simhash/bm25-tf
+    * builders. documents.parquet is one scan split at bench sf
+    * (584 KB), so [[tokenized]] caches at ~3 partitions and per-row
+    * compute over it runs on 3 of 32 cores; bytes-based split sizing
+    * cannot see compute-dense derived columns. Production table
+    * layout sizes a hot table to cluster parallelism —
+    * defaultParallelism here, with explicit numPartitions so AQE's
+    * cached-plan re-planner never coalesces it away. A deliberate
+    * SECOND table rather than a layout change to [[tokenized]]
+    * itself: the 40+ light rollup consumers keep the natural narrow
+    * scan — fanning every cheap scan to 32 tasks measurably costs
+    * more than it saves (round 20: q27/q220 +0.1–0.2 s each, within
+    * 2x of their cert bars). The doc_id layout also flows through
+    * the derived memos: shingled/simhash/bm25-tf groupBy(doc_id)
+    * aggregations run exchange-free on it (PlanShapeSpec q31/q54).
+    */
+  private[queries] def tokensWide(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "tokens_wide") {
+      tokenized(s, dir)
         .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text"), expr(toksS).as("toks"))
+          col("n_chars"), col("toks"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     }
 
   // ---------------------------------------------------------------
@@ -243,9 +255,10 @@ object TextAnalysis extends QueryModule {
   private val bmTerms = Seq("spark", "vector", "query")
 
   private def q54(s: SparkSession, dir: String): DataFrame = {
-    // tokenized is cached: the stats aggregate and the tf explode
-    // both read the token table without re-tokenizing
-    val docs = tokenized(s, dir)
+    // tokensWide is cached on the doc_id layout: the stats aggregate
+    // and the tf explode read the token table without re-tokenizing,
+    // and the tf groupBy(doc_id, …) aggregates exchange-free on it
+    val docs = tokensWide(s, dir)
       .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     // corpus length stats are 1-row model state (avgdl is a property
