@@ -189,6 +189,18 @@ object Dedup extends QueryModule {
       h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .selectExpr("doc_id",
           s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)")
+        // LAYOUT (round 20, the q153 rule): on the tokens_wide doc_id
+        // layout the groupBy above is exchange-free, so the
+        // 12-rows/doc signature cache would inherit the 32-way build
+        // fan and q29's light presentation would pay 32 near-empty
+        // tasks per scan. Explicit narrow coalesce — an AQE-sized
+        // repartition(col) inside a cached plan measurably does NOT
+        // get re-coalesced, so the count must be explicit. The table
+        // is ~16 B × 12 × |docs| (byte-tiny at bench sf); at a scale
+        // where it stops being so, raise the target with it. The
+        // heavy consumer (cc_edges' self-join) re-parallelizes
+        // through its own join shuffle and runs once per corpus.
+        .coalesce(4)
     }
 
   private def q29(s: SparkSession, dir: String): DataFrame =
@@ -215,18 +227,17 @@ object Dedup extends QueryModule {
   // ≥ 2 of 12 minhashes, with the match fraction as estimated
   // Jaccard. The join key (i, minhash) is a high-cardinality bucket
   // id → even shuffle; no cross join anywhere.
-  private def q30(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir)
-    sig.as("a").join(sig.as("b"),
-        col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_match"))
-      .filter(col("n_match") >= 2)
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    // the candidate-pair join IS the memoized cc_edges build (same
+    // self-join, same groupBy, same n_match >= 2 cut — round 20: q30
+    // used to re-run the signature self-join on every serve, which
+    // the tokens_wide layout made 32-way; the serve is now a
+    // projection + presentation sort over the shared edge memo)
+    candidateEdges(s, dir)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        col("n_match"))
       .withColumn("est_jaccard", expr("CAST(n_match AS DOUBLE) / 12.0"))
-      .select("doc_a", "doc_b", "n_match", "est_jaccard")
       .orderBy(desc("n_match"), col("doc_a"), col("doc_b"))
-  }
 
   private val q30Sql =
     s"""WITH $duckSignatures
@@ -278,7 +289,12 @@ object Dedup extends QueryModule {
     }
 
   private def q31(s: SparkSession, dir: String): DataFrame =
-    simhash(s, dir).select("doc_id", "simhash").orderBy("doc_id")
+    // the simhash cache stays 32-way for q32's compute-dense pair
+    // probe; this presentation's near-empty scan narrows first
+    // (coalesce = narrow merge, no exchange) so the sort's map side
+    // is 4 tasks, not 32 (round 20)
+    simhash(s, dir).select("doc_id", "simhash").coalesce(4)
+      .orderBy("doc_id")
 
   private val duckSimhash =
     s"""tf AS (
@@ -373,17 +389,20 @@ object Dedup extends QueryModule {
         .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
         .agg(count(lit(1)).as("n_match"))
         .filter(col("n_match") >= 2)
-        // LAYOUT NORMALIZER (round 20): on the doc_id-partitioned
-        // signature input the groupBy above runs exchange-free, so
-        // the edge cache would inherit the 32-way build layout and
-        // every graph-family serve (q57/q60/q70/q80/q100 and the
-        // cc_sym/cc_deg/cc_pr1 derivations) would fan into near-empty
-        // tasks — the edge list is PAIR-cardinality, orders of
-        // magnitude smaller than the corpus. A keyed repartition
-        // with NO explicit count hands the layout decision to AQE's
-        // size-based planner: tiny here, proportionally wide at real
-        // scale. One extra build shuffle of a pair-sized list.
-        .repartition(col("src"))
+        // LAYOUT NORMALIZER (round 20): the edge cache would
+        // otherwise inherit the 32-way build layout (the join's
+        // output partitioning satisfies the groupBy — no shuffle to
+        // re-size) and every graph-family serve (q57/q60/q70/q80/
+        // q100 and the cc_sym/cc_deg/cc_pr1 derivations) would fan
+        // into near-empty tasks. The candidate-edge list is
+        // PAIR-cardinality — the banding filter keeps orders of
+        // magnitude fewer rows than the corpus. Explicit narrow
+        // coalesce (an AQE-sized repartition(col) inside a cached
+        // plan measurably does not get re-coalesced); at a scale
+        // where the surviving pairs stop being small, raise the
+        // target with them (Components itself re-partitions its loop
+        // to the measured edge count regardless — see nParts there).
+        .coalesce(4)
     }
 
   /** CC labels over the candidate graph. The DEFAULT (size-adaptive)
@@ -403,7 +422,9 @@ object Dedup extends QueryModule {
         maxLocalEdges = maxLocalEdges)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     if (maxLocalEdges == 0) build
-    else graft.CachedPlans.of(s, dir, "cc_labels")(build)
+    // crossmodal_labels' layout rule: the fast path's driver-sized
+    // result parallelizes to 32 slices at cache time otherwise
+    else graft.CachedPlans.of(s, dir, "cc_labels")(build.coalesce(1))
   }
 
   private def q57(s: SparkSession, dir: String): DataFrame =
@@ -1749,14 +1770,22 @@ object Dedup extends QueryModule {
       candidateEdges(s, dir)
         .select(col("src"), col("dst"), lit("text").as("modality"))
         .unionByName(imgEdges)
+        // pair-cardinality edge list: cc_edges' layout rule (q209's
+        // serve makes two passes over this cache)
+        .coalesce(4)
     }
 
   private def q209(s: SparkSession, dir: String): DataFrame = {
     val edges = crossmodalEdges(s, dir)
     val labels = graft.CachedPlans.of(s, dir, "crossmodal_labels") {
+      // LocalTableScanExec parallelizes the fast path's driver-sized
+      // union-find result to defaultParallelism slices before the
+      // cache; narrow it back (round 20 — the serve's two label
+      // rollups each fanned 32 near-empty tasks otherwise)
       graft.operators.Components
         .connectedComponents(edges.select("src", "dst"))
         .select(col("id").as("doc_id"), col("comp").as("component"))
+        .coalesce(1)
     }
     val sz = labels.groupBy("component").agg(count(lit(1)).as("sz"))
     val em = edges
