@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Emit the forked app's stdout RAW instead of re-logging each line
+// with an "[info] " prefix: the driver parses the bench's one-line
+// JSON summary from the captured output, and a decorated line is not
+// valid JSON — every BENCH_r*.json artifact since round 1 records
+// "parsed": null even when the line was short enough to fit the
+// driver's bounded tail, which points at the prefix, not the length.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -76,13 +76,14 @@ object Bench {
   // all quiet-window certs — they qualify). A degraded commit can
   // park on HEAD indefinitely without ever becoming the baseline.
 
+  private def notDegraded(d: JsonNode): Boolean =
+    Option(d.get("host_state")).map(_.asText()).forall(_ != "degraded")
+
   /** First candidate whose self-adjudicated host_state is not
     * "degraded" (absent field = pre-instrument quiet cert). Pure —
     * spec-tested by HotPointSpec. */
   def chooseReference(details: Iterator[JsonNode]): Option[JsonNode] =
-    details.find { d =>
-      Option(d.get("host_state")).map(_.asText()).forall(_ != "degraded")
-    }
+    details.find(notDegraded)
 
   private def runGit(args: String*): Option[Array[Byte]] = try {
     // stderr is DISCARDed, not left on a pipe: reading stdout to EOF
@@ -98,43 +99,76 @@ object Bench {
   } catch { case _: Throwable => None }
 
   /** Newest-first committed BENCH_DETAIL.json snapshots (up to 50
-    * commits that touched it), parsed; unparseable entries skipped. */
-  private[graft] def committedDetails(): Iterator[JsonNode] = {
-    val shas = runGit("log", "--format=%H", "-n", "50", "HEAD", "--",
-      "BENCH_DETAIL.json")
-      .map(b => new String(b, "UTF-8").split('\n').toSeq
-        .map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Nil)
-    shas.iterator.flatMap { sha =>
-      runGit("show", s"$sha:BENCH_DETAIL.json").flatMap { bytes =>
-        try Some(mapper.readTree(bytes)) catch { case _: Throwable => None }
-      }.map { node => lastRefSha = sha; node }
+    * commits that touched it) as (sha, detail) pairs; unparseable
+    * entries skipped. None means GIT ITSELF was unavailable — kept
+    * distinct from Some(empty)/all-degraded, which must NOT fall back
+    * to the working-tree file (ADVICE r20 #1: the driver overwrites
+    * the on-disk detail with its own possibly steal-inflated vector,
+    * so in the all-degraded case "use the disk copy" is exactly the
+    * hot-baseline adjudication the hot-point rule forbids). The sha
+    * travels WITH its node — the old side-effect @volatile form was
+    * only correct because find() short-circuited (ADVICE r20 #3). */
+  private[graft] def committedDetails(): Option[Iterator[(String, JsonNode)]] =
+    runGit("log", "--format=%H", "-n", "50", "HEAD", "--",
+      "BENCH_DETAIL.json").map { b =>
+      val shas = new String(b, "UTF-8").split('\n').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      shas.iterator.flatMap { sha =>
+        runGit("show", s"$sha:BENCH_DETAIL.json").flatMap { bytes =>
+          try Some(sha -> mapper.readTree(bytes))
+          catch { case _: Throwable => None }
+        }
+      }
     }
-  }
-  @volatile private var lastRefSha: String = ""
+
+  /** Pure decision core for the regression reference — spec-tested by
+    * HotPointSpec. `gitHistory = None` means git failed (only THEN may
+    * the disk copy be consulted, and it gets the same host_state
+    * check); `Some` with no non-degraded entry yields NO reference and
+    * the per-query gate is skipped loudly. Returns (reference, log
+    * message). */
+  private[graft] def decideReference(
+      gitHistory: Option[Iterator[(String, JsonNode)]],
+      disk: () => Option[JsonNode]): (Option[JsonNode], String) =
+    gitHistory match {
+      case Some(pairs) =>
+        pairs.find { case (_, d) => notDegraded(d) } match {
+          case Some((sha, node)) =>
+            (Some(node), s"regression reference: $sha:BENCH_DETAIL.json (newest non-degraded)")
+          case None =>
+            (None, "NO regression reference: every committed BENCH_DETAIL " +
+              "in the last 50 touching commits is host_state=degraded — " +
+              "per-query gate SKIPPED (hot-point rule)")
+        }
+      case None =>
+        disk() match {
+          case Some(node) if notDegraded(node) =>
+            (Some(node), "regression reference: working-tree BENCH_DETAIL.json (git unavailable)")
+          case Some(_) =>
+            (None, "NO regression reference: git unavailable and the " +
+              "working-tree BENCH_DETAIL.json is host_state=degraded — " +
+              "per-query gate SKIPPED (hot-point rule)")
+          case None =>
+            (None, "NO regression reference: git unavailable and no readable " +
+              "working-tree BENCH_DETAIL.json — per-query gate SKIPPED")
+        }
+    }
 
   /** The regression reference: newest committed non-degraded detail;
-    * working-tree file only as a fallback when git is unavailable
-    * (e.g. run outside the repo). */
+    * working-tree file only when git is unavailable (e.g. run outside
+    * the repo), and only if itself non-degraded. */
   def resolveCommitted(): Option[JsonNode] = {
-    val fromGit = chooseReference(committedDetails())
-    fromGit.foreach { _ =>
-      System.err.println(
-        s"[bench] regression reference: $lastRefSha:BENCH_DETAIL.json (newest non-degraded)")
-    }
-    def fromDisk: Option[JsonNode] =
+    def fromDisk(): Option[JsonNode] =
       try {
         val f = new java.io.File("BENCH_DETAIL.json")
-        if (!f.exists) None
-        else {
-          System.err.println("[bench] regression reference: working-tree BENCH_DETAIL.json (git unavailable)")
-          Some(mapper.readTree(f))
-        }
+        if (!f.exists) None else Some(mapper.readTree(f))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] committed-detail read failed: $e")
+        System.err.println(s"[bench] working-tree detail read failed: $e")
         None
       }
-    fromGit.orElse(fromDisk)
+    val (ref, msg) = decideReference(committedDetails(), fromDisk)
+    System.err.println(s"[bench] $msg")
+    ref
   }
 
   // Quiet-box calibration pins: best observed sample per probe on a
@@ -341,12 +375,20 @@ object Bench {
         .mkString("{", ",", "}")
       val rg = regressed.map(n =>
         s"${jstr(n)}:${committed(n)}").mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"calib_pins":$pinsJson,"host_state":${jstr(hostState)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$dq,"passes":$passes,"pass_totals":$passTotals,"errors":$de,"n_failed":${errors.size},"retimed":$rt,"regressed_vs_committed":$rg,"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"calib_pins":$pinsJson,"host_state":${jstr(hostState)},"sf":${jstr(sfDir)}}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"pass_totals":$passTotals,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"calib_1t":$calib1Json,"calib_nt":$calibNJson,"calib_spark":$calibSparkJson,"calib_threads":$calibThreads,"calib_pins":$pinsJson,"host_state":${jstr(hostState)},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
+    // Summary-line diet (VERDICT r20 next-round #5): the driver
+    // records only a bounded tail of the output, so the stdout
+    // summary keeps scalars — calib MEDIANS instead of the sample
+    // arrays, pass totals moved to the detail sidecar (which keeps
+    // the full arrays, per-pass vectors and pins). The contract keys
+    // (metric/value/unit/queries/sf) are unchanged.
+    val calib1Med = median(calibs.map(_._1).toSeq)
+    val calibNMed = median(calibs.map(_._2).toSeq)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"n_retimed":${retimed.size},"n_regressed":${regressed.size},"calib_1t_med":${f3(calib1Med)},"calib_nt_med":${f3(calibNMed)},"calib_spark_med":${f3(sparkMed)},"calib_threads":$calibThreads,"host_state":${jstr(hostState)},"detail":${jstr(detailPath)},"sf":"$sfDir"}""")
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -30,7 +30,7 @@ object StageProbe {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).count()
     val sec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(400)
+    org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
     buf.foreach(println)
     println(f"[stage] TOTAL ${buf.size} stages, $sec%.3f s")
     spark.stop()

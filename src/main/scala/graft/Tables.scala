@@ -127,6 +127,68 @@ object CachedPlans {
     }
   }
 
+  /** Cap on [[layout]]'s derived partition count — matches the
+    * Components loop's bound; a memo near this size should be
+    * reconsidered as a memo at all. */
+  private val MaxLayoutParts = 1L << 14
+
+  /** rowsPerPart target for `narrow-driver` memos (MEMOS.md layout
+    * column): label tables, key-cardinality occupancies — one
+    * partition until the memo is genuinely large. */
+  val NarrowDriverRows: Long = 1L << 20
+  /** rowsPerPart target for `narrow-pair` memos: candidate-edge
+    * lists, per-doc signature tables — the Components loop's
+    * ~64k-edges-per-partition budget. */
+  val NarrowPairRows: Long = 1L << 16
+
+  private[graft] def partsFor(rows: Long, rowsPerPart: Long, minParts: Int): Int =
+    math.max(minParts.toLong,
+      math.min((rows + rowsPerPart - 1) / rowsPerPart, MaxLayoutParts)).toInt
+
+  /** MEASURED narrow layout for a memo build (VERDICT r20 next-round
+    * #2): partitions ∝ memo rows — never `spark.sql.shuffle.partitions`
+    * and never a bench-sf literal. Round 20 fixed the cached-plan
+    * fan-out class (a cached aggregate keeps its 32 post-shuffle
+    * partitions; every serve over a key-cardinality memo then fans
+    * into 32 near-empty tasks) with per-site `coalesce(1)/coalesce(4)`
+    * literals; those were correct at bench sf and silently wrong at
+    * 100× — a forgotten `coalesce(4)` CAP on a grown `cc_edges` would
+    * bottleneck the whole graph family into 4 tasks. This helper is
+    * the `Components.nParts` precedent applied to memo layout: the
+    * build is materialized once (eager localCheckpoint — also
+    * truncates lineage, the `Components.pin` device), its row count
+    * read from the materialized blocks (cheap), and the partition
+    * count derived as ceil(rows / rowsPerPart), floored at `minParts`
+    * (a PARALLELISM floor for multi-task serve stages — scale-free,
+    * unlike a cap). `coalesce` on the checkpointed plan is a narrow
+    * merge (no exchange), and an explicit count is exempt from AQE's
+    * cached-plan re-planning, so the layout sticks.
+    *
+    * Targets are per layout class (MEMOS.md `layout` column):
+    * narrow-driver memos (labels, occupancies) use a large
+    * rowsPerPart (driver-value-sized → 1 partition until genuinely
+    * large); narrow-pair memos (edge lists, signatures) a smaller one
+    * with a small minParts floor.
+    */
+  def layout(df: DataFrame, rowsPerPart: Long, minParts: Int = 1): DataFrame = {
+    require(rowsPerPart > 0, "rowsPerPart must be positive")
+    val staged = df.localCheckpoint()
+    val n = staged.count()
+    staged.coalesce(partsFor(n, rowsPerPart, minParts))
+  }
+
+  /** [[layout]]'s serve-side sibling for presentations that scan a
+    * deliberately wide cached memo (q31 over the 32-way simhash
+    * cache): narrows the near-empty scan by the memo's MEASURED row
+    * count, with the count itself memoized per (session, dir, tag) so
+    * only the first serve pays the (cached-scan) count job.
+    */
+  def sizedCoalesce(s: SparkSession, dir: String, tag: String,
+      df: DataFrame, rowsPerPart: Long, minParts: Int = 1): DataFrame = {
+    val n = CachedPlans.valueOf(s, dir, s"$tag:nrows")(df.count())
+    df.coalesce(partsFor(n, rowsPerPart, minParts))
+  }
+
   /** Unique memory-sink name for a stream==batch gate builder. The
     * putIfAbsent race above intentionally tolerates duplicate
     * concurrent builder runs — but two builders racing the SAME

@@ -33,23 +33,36 @@ object TaskProfile {
         System.err.println(s"[taskprofile-warm] $n failed: $e")
       }
     }
+    // EXECUTED work only (ADVICE r20 #4): jobs from onJobStart, but
+    // stages/tasks from onStageCompleted — a stage skipped via
+    // cached-exchange reuse never completes, while onJobStart's
+    // stageInfos include it, so the old census over-counted exactly
+    // the reuse the layout work targets. Per-query isolation comes
+    // from draining the listener bus (waitUntilEmpty, the hook
+    // Spark's own tests use) before resetting and after running,
+    // instead of a racy fixed 50 ms sleep.
     val counts = new java.util.concurrent.atomic.AtomicLongArray(3)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           counts.incrementAndGet(0)
-          counts.addAndGet(1, j.stageInfos.size.toLong)
-          counts.addAndGet(2, j.stageInfos.map(_.numTasks.toLong).sum)
+        override def onStageCompleted(
+            st: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          counts.incrementAndGet(1)
+          counts.addAndGet(2, st.stageInfo.numTasks.toLong)
         }
       })
+    def drain(): Unit =
+      org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
     val rows = names.map { n =>
+      drain()
       counts.set(0, 0); counts.set(1, 0); counts.set(2, 0)
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50) // listener bus drain
+      drain()
       (n, counts.get(0), counts.get(1), counts.get(2), sec)
     }
     println("[taskprofile] name jobs stages tasks sec tasks_per_stage")

@@ -456,15 +456,17 @@ object CorpusMaintenance extends QueryModule {
     // flagged (2.07x pin while untouched peers read 0.8-1.4x on the
     // same host; Q153Probe adjudication). The occupancy is
     // key-cardinality (|sources| x bounded integer support, never
-    // data-sized), so one partition is its natural layout; at a
-    // scale where it stops being driver-small, raise the coalesce
-    // target with it — the invariant is partitions ∝ occupancy
-    // rows, not spark.sql.shuffle.partitions.
+    // data-sized), so one partition is its natural layout — and the
+    // count is now DERIVED from the measured occupancy rows
+    // (narrow-driver target), honoring the invariant partitions ∝
+    // occupancy rows, not spark.sql.shuffle.partitions and not a
+    // bench-sf literal.
     val srcLen = graft.CachedPlans.of(s, dir, "ks_src_len") {
-      TextAnalysis.tokenized(s, dir)
-        .select(col("source"), expr("CAST(size(toks) AS BIGINT)").as("len"))
-        .groupBy("source", "len").agg(count(lit(1)).as("c"))
-        .coalesce(1)
+      graft.CachedPlans.layout(
+        TextAnalysis.tokenized(s, dir)
+          .select(col("source"), expr("CAST(size(toks) AS BIGINT)").as("len"))
+          .groupBy("source", "len").agg(count(lit(1)).as("c")),
+        graft.CachedPlans.NarrowDriverRows)
     }
     val support = srcLen.groupBy("len").agg(sum("c").as("cc"))
     val nSrc = srcLen.groupBy("source").agg(sum("c").as("n_docs"))

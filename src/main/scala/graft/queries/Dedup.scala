@@ -186,21 +186,22 @@ object Dedup extends QueryModule {
         min(expr(s"($a * h + $b) % $P")).as(s"m$i")
       }
       val stackArgs = mhParams.map { case (i, _, _) => s"$i, m$i" }.mkString(", ")
-      h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .selectExpr("doc_id",
-          s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)")
-        // LAYOUT (round 20, the q153 rule): on the tokens_wide doc_id
-        // layout the groupBy above is exchange-free, so the
-        // 12-rows/doc signature cache would inherit the 32-way build
-        // fan and q29's light presentation would pay 32 near-empty
-        // tasks per scan. Explicit narrow coalesce — an AQE-sized
-        // repartition(col) inside a cached plan measurably does NOT
-        // get re-coalesced, so the count must be explicit. The table
-        // is ~16 B × 12 × |docs| (byte-tiny at bench sf); at a scale
-        // where it stops being so, raise the target with it. The
-        // heavy consumer (cc_edges' self-join) re-parallelizes
-        // through its own join shuffle and runs once per corpus.
-        .coalesce(4)
+      // LAYOUT (round 20, the q153 rule; round 21 de-literaled): on
+      // the tokens_wide doc_id layout the groupBy above is
+      // exchange-free, so the 12-rows/doc signature cache would
+      // inherit the 32-way build fan and q29's light presentation
+      // would pay 32 near-empty tasks per scan. An AQE-sized
+      // repartition(col) inside a cached plan measurably does NOT get
+      // re-coalesced, so the count must be explicit — and it is now
+      // DERIVED from the measured row count (narrow-pair target),
+      // never a bench-sf literal: at 100× the partition count grows
+      // with the table. The heavy consumer (cc_edges' self-join)
+      // re-parallelizes through its own join shuffle regardless.
+      graft.CachedPlans.layout(
+        h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+          .selectExpr("doc_id",
+            s"stack(${mhParams.size}, $stackArgs) AS (i, minhash)"),
+        graft.CachedPlans.NarrowPairRows, minParts = 4)
     }
 
   private def q29(s: SparkSession, dir: String): DataFrame =
@@ -292,8 +293,13 @@ object Dedup extends QueryModule {
     // the simhash cache stays 32-way for q32's compute-dense pair
     // probe; this presentation's near-empty scan narrows first
     // (coalesce = narrow merge, no exchange) so the sort's map side
-    // is 4 tasks, not 32 (round 20)
-    simhash(s, dir).select("doc_id", "simhash").coalesce(4)
+    // is a handful of tasks, not 32 (round 20). The narrow count is
+    // sized from the memo's measured rows (count memoized — only the
+    // first serve pays the cached-scan count job), so at a scale
+    // where one row per doc stops being small the scan re-widens.
+    graft.CachedPlans.sizedCoalesce(s, dir, "simhash",
+        simhash(s, dir).select("doc_id", "simhash"),
+        graft.CachedPlans.NarrowPairRows, minParts = 4)
       .orderBy("doc_id")
 
   private val duckSimhash =
@@ -383,26 +389,25 @@ object Dedup extends QueryModule {
   private def candidateEdges(s: SparkSession, dir: String): DataFrame =
     graft.CachedPlans.of(s, dir, "cc_edges") {
       val sig = signatures(s, dir)
-      sig.as("a").join(sig.as("b"),
-          col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
-            && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .agg(count(lit(1)).as("n_match"))
-        .filter(col("n_match") >= 2)
-        // LAYOUT NORMALIZER (round 20): the edge cache would
-        // otherwise inherit the 32-way build layout (the join's
-        // output partitioning satisfies the groupBy — no shuffle to
-        // re-size) and every graph-family serve (q57/q60/q70/q80/
-        // q100 and the cc_sym/cc_deg/cc_pr1 derivations) would fan
-        // into near-empty tasks. The candidate-edge list is
-        // PAIR-cardinality — the banding filter keeps orders of
-        // magnitude fewer rows than the corpus. Explicit narrow
-        // coalesce (an AQE-sized repartition(col) inside a cached
-        // plan measurably does not get re-coalesced); at a scale
-        // where the surviving pairs stop being small, raise the
-        // target with them (Components itself re-partitions its loop
-        // to the measured edge count regardless — see nParts there).
-        .coalesce(4)
+      // LAYOUT NORMALIZER (round 20; round 21 de-literaled): the edge
+      // cache would otherwise inherit the 32-way build layout (the
+      // join's output partitioning satisfies the groupBy — no shuffle
+      // to re-size) and every graph-family serve (q57/q60/q70/q80/
+      // q100 and the cc_sym/cc_deg/cc_pr1 derivations) would fan into
+      // near-empty tasks. The candidate-edge list is PAIR-cardinality
+      // — the banding filter keeps orders of magnitude fewer rows
+      // than the corpus — so the partition count is DERIVED from the
+      // measured edge count (the Components.nParts precedent, ~64k
+      // rows/partition), not a bench-sf literal: a grown edge list
+      // gets proportionally more partitions instead of a 4-task cap.
+      graft.CachedPlans.layout(
+        sig.as("a").join(sig.as("b"),
+            col("a.i") === col("b.i") && col("a.minhash") === col("b.minhash")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .agg(count(lit(1)).as("n_match"))
+          .filter(col("n_match") >= 2),
+        graft.CachedPlans.NarrowPairRows, minParts = 4)
     }
 
   /** CC labels over the candidate graph. The DEFAULT (size-adaptive)
@@ -422,9 +427,15 @@ object Dedup extends QueryModule {
         maxLocalEdges = maxLocalEdges)
       .select(col("id").as("doc_id"), col("comp").as("component"))
     if (maxLocalEdges == 0) build
-    // crossmodal_labels' layout rule: the fast path's driver-sized
-    // result parallelizes to 32 slices at cache time otherwise
-    else graft.CachedPlans.of(s, dir, "cc_labels")(build.coalesce(1))
+    // narrow-driver layout: the fast path's driver-sized result
+    // parallelizes to 32 near-empty slices at cache time otherwise.
+    // Sized from the MEASURED label count (ADVICE r20 #2: a graph
+    // above maxLocalEdges takes the distributed loop and the label
+    // table is no longer driver-small — a blanket coalesce(1) would
+    // funnel it through one task; layout() gives it
+    // ceil(rows/target) partitions instead).
+    else graft.CachedPlans.of(s, dir, "cc_labels")(
+      graft.CachedPlans.layout(build, graft.CachedPlans.NarrowDriverRows))
   }
 
   private def q57(s: SparkSession, dir: String): DataFrame =
@@ -1767,12 +1778,14 @@ object Dedup extends QueryModule {
         .filter(col("doc_id") > col("m"))
         .select(col("m").as("src"), col("doc_id").as("dst"),
           lit("image").as("modality"))
-      candidateEdges(s, dir)
-        .select(col("src"), col("dst"), lit("text").as("modality"))
-        .unionByName(imgEdges)
-        // pair-cardinality edge list: cc_edges' layout rule (q209's
-        // serve makes two passes over this cache)
-        .coalesce(4)
+      // pair-cardinality edge list: cc_edges' layout rule (q209's
+      // serve makes two passes over this cache); partitions derived
+      // from the measured edge count, not a bench-sf literal
+      graft.CachedPlans.layout(
+        candidateEdges(s, dir)
+          .select(col("src"), col("dst"), lit("text").as("modality"))
+          .unionByName(imgEdges),
+        graft.CachedPlans.NarrowPairRows, minParts = 4)
     }
 
   private def q209(s: SparkSession, dir: String): DataFrame = {
@@ -1781,11 +1794,14 @@ object Dedup extends QueryModule {
       // LocalTableScanExec parallelizes the fast path's driver-sized
       // union-find result to defaultParallelism slices before the
       // cache; narrow it back (round 20 — the serve's two label
-      // rollups each fanned 32 near-empty tasks otherwise)
-      graft.operators.Components
-        .connectedComponents(edges.select("src", "dst"))
-        .select(col("id").as("doc_id"), col("comp").as("component"))
-        .coalesce(1)
+      // rollups each fanned 32 near-empty tasks otherwise). Sized
+      // from the measured label count: a distributed-path result is
+      // not driver-small and must not funnel through one task.
+      graft.CachedPlans.layout(
+        graft.operators.Components
+          .connectedComponents(edges.select("src", "dst"))
+          .select(col("id").as("doc_id"), col("comp").as("component")),
+        graft.CachedPlans.NarrowDriverRows)
     }
     val sz = labels.groupBy("component").agg(count(lit(1)).as("sz"))
     val em = edges

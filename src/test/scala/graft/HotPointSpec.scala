@@ -68,14 +68,57 @@ class HotPointSpec extends AnyFunSuite {
     assert(Bench.tightenPin(0.269, 0.400) == 0.269)
   }
 
+  test("decideReference: all-degraded history yields NO reference, never the disk copy") {
+    // ADVICE r20 #1 (medium): with git WORKING but every committed
+    // detail degraded, the old resolver silently adjudicated against
+    // the working-tree file — the driver's possibly steal-inflated
+    // vector, with no host_state check. The decision core must return
+    // no reference (gate skipped loudly) and must not even consult
+    // the disk thunk.
+    var diskRead = false
+    val hist = Iterator(
+      "aaa" -> d("""{"value": 68.5, "host_state": "degraded"}"""),
+      "bbb" -> d("""{"value": 70.1, "host_state": "degraded"}"""))
+    val (ref, msg) = Bench.decideReference(Some(hist),
+      () => { diskRead = true; Some(d("""{"value": 10.0}""")) })
+    assert(ref.isEmpty)
+    assert(!diskRead, "disk fallback consulted although git history was readable")
+    assert(msg.contains("SKIPPED"))
+  }
+
+  test("decideReference: git-unavailable fallback applies the host_state check to the disk copy") {
+    val degraded = d("""{"value": 75.9, "host_state": "degraded"}""")
+    val (r1, m1) = Bench.decideReference(None, () => Some(degraded))
+    assert(r1.isEmpty && m1.contains("SKIPPED"))
+    val quiet = d("""{"value": 43.7, "host_state": "quiet"}""")
+    val (r2, m2) = Bench.decideReference(None, () => Some(quiet))
+    assert(r2.isDefined && r2.get.get("value").asDouble() == 43.7)
+    assert(m2.contains("git unavailable"))
+    val (r3, _) = Bench.decideReference(None, () => None)
+    assert(r3.isEmpty)
+  }
+
+  test("decideReference: the chosen node's sha is the one reported") {
+    // ADVICE r20 #3: the sha used to travel via a @volatile side
+    // effect that was only correct because find() short-circuits;
+    // now the pair travels together.
+    val hist = Iterator(
+      "deadbeef" -> d("""{"value": 68.5, "host_state": "degraded"}"""),
+      "cafebabe" -> d("""{"value": 43.7, "host_state": "quiet"}"""),
+      "00000000" -> d("""{"value": 46.2, "host_state": "quiet"}"""))
+    val (ref, msg) = Bench.decideReference(Some(hist), () => None)
+    assert(ref.get.get("value").asDouble() == 43.7)
+    assert(msg.contains("cafebabe"))
+  }
+
   test("the live repo's resolved regression reference is never degraded") {
     // Walk the ACTUAL committed history (same resolver the bench
     // gate runs). Regardless of what the driver parked on HEAD, the
     // chosen reference must be a quiet-window cert with a full
     // per-query vector.
-    val details = Bench.committedDetails().toSeq
+    val details = Bench.committedDetails().map(_.toSeq).getOrElse(Nil)
     assume(details.nonEmpty, "git history unavailable in this environment")
-    val ref = Bench.chooseReference(details.iterator)
+    val ref = Bench.chooseReference(details.iterator.map(_._2))
     assert(ref.isDefined,
       "no non-degraded BENCH_DETAIL in the last 50 commits touching it")
     val hs = Option(ref.get.get("host_state")).map(_.asText())

@@ -51,7 +51,10 @@ class MemoLedgerSpec extends AnyFunSuite {
     (tags.result(), extracted, total)
   }
 
-  private def ledgerRows: Seq[(String, String)] = {
+  private val layouts = Set("narrow-driver", "narrow-pair",
+    "wide-parallel", "natural")
+
+  private def ledgerRows: Seq[(String, String, String)] = {
     val lines = Files.readAllLines(Paths.get("MEMOS.md")).asScala
     val start = lines.indexWhere(_.startsWith("| tag |"))
     assert(start >= 0, "MEMOS.md ledger table header not found")
@@ -60,7 +63,8 @@ class MemoLedgerSpec extends AnyFunSuite {
       // cells(0) is the empty prefix before the leading pipe
       val tag = cells(1).stripPrefix("`").stripSuffix("`")
       val klass = cells(3)
-      (tag, klass)
+      val layout = if (cells.length > 6) cells(6) else ""
+      (tag, klass, layout)
     }
   }
 
@@ -90,14 +94,53 @@ class MemoLedgerSpec extends AnyFunSuite {
   }
 
   test("every MEMOS.md row's class is in the taxonomy") {
-    val bad = ledgerRows.filterNot { case (_, k) => classes(k) }
+    val bad = ledgerRows.filterNot { case (_, k, _) => classes(k) }
     assert(bad.isEmpty,
       s"rows with a class outside the documented taxonomy: " +
-        bad.map { case (t, k) => s"$t -> $k" }.mkString(", "))
+        bad.map { case (t, k, _) => s"$t -> $k" }.mkString(", "))
   }
 
   test("no duplicate ledger rows") {
     val dup = ledgerRows.groupBy(_._1).filter(_._2.size > 1).keys
     assert(dup.isEmpty, s"duplicate MEMOS.md rows: ${dup.mkString(", ")}")
+  }
+
+  test("every MEMOS.md row declares a layout from the layout taxonomy") {
+    // Round 21 (VERDICT r20 next-round #2): memo layout is part of
+    // the serve-cost contract — a cached plan keeps its build-time
+    // partitioning forever, so the governance must be declared, not
+    // scattered in comments.
+    val bad = ledgerRows.filterNot { case (_, _, lay) => layouts(lay) }
+    assert(bad.isEmpty,
+      s"rows missing a layout column value from ${layouts.toSeq.sorted.mkString("/")}: " +
+        bad.map { case (t, _, l) => s"$t -> '$l'" }.mkString(", "))
+  }
+
+  test("no bare partition-count literals in query modules outside writes") {
+    // The round-20 coalesce(1)/coalesce(4) literals were correct at
+    // bench sf and silently wrong at 100x (a literal CAP on a grown
+    // memo bottlenecks every consumer). All memo/serve narrowing must
+    // derive its count from measured cardinality
+    // (CachedPlans.layout / sizedCoalesce); a literal is only
+    // acceptable for output-file sizing, i.e. immediately followed by
+    // `.write`.
+    val litRe = """\.(coalesce|repartition)\(\s*\d[^)]*\)""".r
+    val files = Files.walk(Paths.get("src/main/scala/graft/queries"))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+    val offenders = files.flatMap { p =>
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      litRe.findAllMatchIn(text).flatMap { m =>
+        val after = text.drop(m.end).take(8)
+        if (after.startsWith(".write")) None
+        else {
+          val line = text.take(m.start).count(_ == '\n') + 1
+          Some(s"$p:$line ${m.matched}")
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "literal partition counts in query modules (use CachedPlans.layout/" +
+        s"sizedCoalesce): ${offenders.mkString("; ")}")
   }
 }
