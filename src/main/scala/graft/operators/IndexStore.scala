@@ -1060,14 +1060,13 @@ object IndexStore {
     import s.implicits._
     val m1 = manifestAt(s, out, v1)
     val m2 = manifestAt(s, out, v2)
-    def fileCounts(paths: Set[String], name: String) =
-      paths.toSeq.map(p => cellOf(p).toInt)
-        .groupBy(identity).map { case (c, ps) => (c, ps.size.toLong) }
-        .toSeq.toDF("cell", name)
     val addedPaths = m2.paths -- m1.paths
     val removedPaths = m1.paths -- m2.paths
-    val fAdd = fileCounts(addedPaths, "files_added")
-    val fRem = fileCounts(removedPaths, "files_removed")
+    def fileCounts(paths: Set[String]): Map[Int, Long] =
+      paths.toSeq.map(p => cellOf(p).toInt)
+        .groupBy(identity).map { case (c, ps) => (c, ps.size.toLong) }
+    val fAdd = fileCounts(addedPaths)
+    val fRem = fileCounts(removedPaths)
     // changed-file reads are memoized like version-pinned reads: the
     // two file subsets are immutable once v1/v2 are committed, and an
     // audit serve must not pay 2 fresh footer resolutions per diff
@@ -1075,18 +1074,35 @@ object IndexStore {
       m2.files.filter(f => addedPaths(f.path))).select(col(idCol), col("cell"))
     val cR = readMemoized(s, out, s"diff-:$v1:$v2", m1.schema,
       m1.files.filter(f => removedPaths(f.path))).select(col(idCol), col("cell"))
-    val cAdd = cA.join(cR.select(idCol), Seq(idCol), "left_anti")
-      .groupBy("cell").agg(count(lit(1)).as("codes_added"))
-    val cRem = cR.join(cA.select(idCol), Seq(idCol), "left_anti")
-      .groupBy("cell").agg(count(lit(1)).as("codes_removed"))
-    fAdd.join(fRem, Seq("cell"), "full_outer")
-      .join(cAdd, Seq("cell"), "full_outer")
-      .join(cRem, Seq("cell"), "full_outer")
-      .select(col("cell"),
-        coalesce(col("files_added"), lit(0L)).as("files_added"),
-        coalesce(col("files_removed"), lit(0L)).as("files_removed"),
-        coalesce(col("codes_added"), lit(0L)).as("codes_added"),
-        coalesce(col("codes_removed"), lit(0L)).as("codes_removed"))
+    // ONE union + aggregate instead of the old per-measure aggregates
+    // stitched with three full_outer joins: semantically identical
+    // (a cell appears iff anything changed; absent measures sum to
+    // 0), but the join ladder planned 4 extra exchanges that AQE
+    // materialized as 4 extra sequential jobs per diff — the round-21
+    // task census read q132 (two diffs) at 16 jobs per warm serve,
+    // the highest dispatch count in the suite, for a result of a few
+    // dozen rows. The anti-joins keep the added/removed semantics;
+    // the file measures ride in as one driver-side literal relation.
+    def tagged(df: DataFrame, added: Boolean) = df.select(col("cell"),
+      (if (added) lit(1L) else lit(0L)).as("codes_added"),
+      (if (added) lit(0L) else lit(1L)).as("codes_removed"),
+      lit(0L).as("files_added"), lit(0L).as("files_removed"))
+    val codeRows = tagged(
+        cA.join(cR.select(idCol), Seq(idCol), "left_anti"), added = true)
+      .unionByName(tagged(
+        cR.join(cA.select(idCol), Seq(idCol), "left_anti"), added = false))
+    val fileRows = (fAdd.keySet ++ fRem.keySet).toSeq
+      .map(c => (c, 0L, 0L, fAdd.getOrElse(c, 0L), fRem.getOrElse(c, 0L)))
+      .toDF("cell", "codes_added", "codes_removed",
+        "files_added", "files_removed")
+    codeRows.unionByName(fileRows)
+      .groupBy("cell")
+      .agg(sum("files_added").as("files_added"),
+        sum("files_removed").as("files_removed"),
+        sum("codes_added").as("codes_added"),
+        sum("codes_removed").as("codes_removed"))
+      .select(col("cell"), col("files_added"), col("files_removed"),
+        col("codes_added"), col("codes_removed"))
       .orderBy("cell")
   }
 

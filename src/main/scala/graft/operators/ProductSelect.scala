@@ -134,6 +134,16 @@ object ProductSelect {
       .withColumn("area_ratio",
         expr("st_intersection_area(footprint_wkt, aoi_wkt)") /
           expr("st_area(aoi_wkt)"))
+      // ONE exchange for the aggregation AND the window (round 21):
+      // hash(aoi_id) satisfies the groupBy's (aoi_id, Id) clustering
+      // (partitioning keys ⊆ grouping keys co-locates every group)
+      // and is exactly the window's requirement — without it the plan
+      // paid exchange(aoi_id, Id) for the agg plus exchange(aoi_id)
+      // for the window. AQE sizes the partition count at runtime
+      // (serve-side repartition, not cached), so this stays
+      // scale-adaptive; per-AOI group size is unchanged from what the
+      // window already required.
+      .repartition(col("aoi_id"))
       .groupBy(col("aoi_id"), col("Id"))
       .agg(sum("area_ratio").as("area_ratio"),
         first("Name").as("name"), first("OriginDate").as("origin_date"),

@@ -526,6 +526,12 @@ object Dedup extends QueryModule {
   // token table; per-cluster argmax is a rank-1 window, which Spark
   // executes as WindowGroupLimit (no full sort materialization).
   private def q60(s: SparkSession, dir: String): DataFrame = {
+    // Round 21 note: an explicit shared hash(component) repartition
+    // for the window + size rollup was tried and REVERTED — the two
+    // same-key exchanges over the identical member subplan are
+    // already merged by exchange reuse, and the explicit form traded
+    // away the rollup's map-side partial aggregation (the trick only
+    // pays when the keys differ, as in q72's (aoi_id, Id) vs aoi_id).
     val m = ccLabels(s, dir).join(
       TextAnalysis.tokenized(s, dir)
         .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tok")),
@@ -2269,6 +2275,32 @@ object Dedup extends QueryModule {
     * withColumn chain 195 s after CollapseProject inlines the hash
     * transform into every element_at probe. The kernel: ~0.1 s.)
     */
+  /** The CDC chunk table over the whole corpus (doc_id, lang, source,
+    * chunk, n_tok, fp) — memoized ONCE and shared by q144's gated
+    * store, q150's scorecard, and q155's mixture-shift report (round
+    * 21: each used to re-run the cdc_chunks kernel + explode over the
+    * corpus per serve — chunking is ingest-time work, paid once per
+    * release like tokenization). Built on the wide token twin so the
+    * compute-dense per-row kernel runs cluster-parallel.
+    */
+  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "cdc_chunks") {
+      // narrow-pair layout: the chunk table is tokens/16-cardinality
+      // (orders below the token stream) but the kernel's explode is a
+      // NARROW op, so without an explicit layout the cache would keep
+      // tokens_wide's 32-way fan and every consumer serve (q144's
+      // rollup, q150's shares, q155's first-seen window) would scan
+      // near-empty partitions — the q153 class, measured live on the
+      // first cut of this memo (q144 serve 0.31 → 0.50 quiet-equiv
+      // before the layout, back under after).
+      graft.CachedPlans.layout(
+        cdcChunksArr(
+          TextAnalysis.tokensWide(s, dir)
+            .select("doc_id", "lang", "source", "toks"),
+          Seq("lang", "source")),
+        graft.CachedPlans.NarrowPairRows, minParts = 4)
+    }
+
   private[graft] def cdcChunksArr(docs: DataFrame, carry: Seq[String]): DataFrame = {
     graft.functions.CdcFunctions.register(docs.sparkSession)
     docs
@@ -2297,9 +2329,8 @@ object Dedup extends QueryModule {
   private def q144(s: SparkSession, dir: String): DataFrame = {
     val chunks = graft.CachedPlans.of(s, dir, "cdc_gated_chunks") {
       import s.implicits._
-      val all = cdcChunksArr(
-        TextAnalysis.tokenized(s, dir).select("doc_id", "source", "toks"),
-        Seq("source"))
+      val all = cdcChunks(s, dir)
+        .select("doc_id", "source", "chunk", "n_tok", "fp")
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val lines = T.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]

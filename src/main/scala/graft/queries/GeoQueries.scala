@@ -131,10 +131,23 @@ object GeoQueries extends QueryModule {
   // session — a later naive st_intersects join there must stay
   // un-rewritten unless its owner opts in.
   private def q81(s: SparkSession, dir: String): DataFrame = {
-    val s2 = s.newSession()
-    graft.functions.GeoFunctions.register(s2)
-    graft.plans.SpatialJoinRule.install(s2)
-    s2.conf.set("spark.graft.spatial.cellSize", "8.0")
+    // The child session is MEMOIZED per (parent session, dir): a
+    // fresh newSession() per serve re-registered the functions,
+    // re-installed the rule, AND — because Tables.t memoizes resolved
+    // relations per session — re-resolved the part/nation parquet
+    // footers on every call (~80 ms apiece even warm; the round-21
+    // task census read q81 at 1.0 s/serve vs q59's 0.5 s for the
+    // same join). A production rule install is per-session setup, not
+    // per-query work; the isolation argument (the rule and the 8.0
+    // cell pitch must not leak into the shared session) only needs
+    // ONE child session, not one per serve.
+    val s2 = graft.CachedPlans.valueOf(s, dir, "q81_session") {
+      val child = s.newSession()
+      graft.functions.GeoFunctions.register(child)
+      graft.plans.SpatialJoinRule.install(child)
+      child.conf.set("spark.graft.spatial.cellSize", "8.0")
+      child
+    }
     footprints(s2, dir)
       .join(aoiBoxes(s2, dir), expr("st_intersects(geom, aoi_wkt)"))
       .select(col("aoi_id").cast("long").as("aoi_id"), col("p_partkey"))

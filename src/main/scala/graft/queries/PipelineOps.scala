@@ -501,6 +501,12 @@ object PipelineOps extends QueryModule {
   private val dayD = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)"
 
   private def q101(s: SparkSession, dir: String): DataFrame = {
+    // Round 21 note: an explicit shared hash(user_id) exchange for
+    // the cohort groupBy + the events⋈cohort join was tried and
+    // REVERTED — the planner broadcasts the cohort side, so the
+    // events probe side needs no distribution at all and the explicit
+    // repartition ADDED a full shuffle of the event table
+    // (plans/r21/q101_cohort_retention_{before,after}.txt).
     val ev = T.events(s, dir)
       .select(col("user_id"), expr(dayS).as("day"), expr(weekS).as("week"))
     val first = ev.groupBy("user_id").agg(min("day").as("cohort"))

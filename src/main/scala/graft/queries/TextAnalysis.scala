@@ -2418,21 +2418,35 @@ object TextAnalysis extends QueryModule {
   // segmentation); BPE pieces from the q128 serve chain. Integer
   // counts + the one shared round(·,6) ratio per method.
   private def q175(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, sc1) = unigramTrained(s, dir)
-    val bc = s.sparkContext.broadcast(sc1)
-    import s.implicits._
-    val held = tokenized(s, dir)
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("lang"), explode(col("toks")).as("w"))
-      .filter(length(col("w")) <= uniMaxWordLen)
-      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
-    val uniNp = held.select("w").distinct().as[String]
-      .mapPartitions { it =>
-        val sc = bc.value
-        it.map(w => (w,
-          graft.operators.Unigram.segment(w, sc, uniMaxPieceLen)
-            .get.length.toLong))
-      }.toDF("w", "uni_pieces")
+    // Held-slice word counts are index metadata (the tf_counts
+    // precedent) and the per-word unigram segmentation is tokenizer
+    // application (the bpe_doc_pieces precedent) — both built once
+    // per corpus (round 21: each serve re-exploded the held slice and
+    // re-segmented every distinct word). The fertility comparison —
+    // the joins and the per-language sums — stays live per serve.
+    val held = graft.CachedPlans.of(s, dir, "fert_held_counts") {
+      graft.CachedPlans.layout(
+        tokensWide(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("lang"), explode(col("toks")).as("w"))
+          .filter(length(col("w")) <= uniMaxWordLen)
+          .groupBy("lang", "w").agg(count(lit(1)).as("cnt")),
+        graft.CachedPlans.NarrowDriverRows)
+    }
+    val uniNp = graft.CachedPlans.of(s, dir, "uni_seg_pieces") {
+      val (_, _, _, sc1) = unigramTrained(s, dir)
+      val bc = s.sparkContext.broadcast(sc1)
+      import s.implicits._
+      graft.CachedPlans.layout(
+        held.select("w").distinct().as[String]
+          .mapPartitions { it =>
+            val sc = bc.value
+            it.map(w => (w,
+              graft.operators.Unigram.segment(w, sc, uniMaxPieceLen)
+                .get.length.toLong))
+          }.toDF("w", "uni_pieces"),
+        graft.CachedPlans.NarrowDriverRows)
+    }
     val bpeNp = bpeServePieces(s, dir)
       .groupBy("w").agg(count(lit(1)).as("bpe_pieces"))
     held.join(uniNp, "w").join(bpeNp, "w")

@@ -633,8 +633,10 @@ object TrainingData extends QueryModule {
     val tok = TextAnalysis.tokenized(s, dir)
       .select(col("doc_id"), col("lang"),
         expr("CAST(size(toks) AS BIGINT)").as("n_tok"), col("toks"))
-    val chunks = Dedup.cdcChunksArr(tok.select("doc_id", "lang", "toks"),
-      Seq("lang"))
+    // chunking is ingest-time work, memoized once per corpus (round
+    // 21; the first-seen attribution and both weight sets stay live)
+    val chunks = Dedup.cdcChunks(s, dir)
+      .select("doc_id", "lang", "chunk", "n_tok", "fp")
     val wFp = Window.partitionBy("fp").orderBy("doc_id", "chunk")
     val firstSeen = chunks
       .withColumn("rk", row_number().over(wFp))
