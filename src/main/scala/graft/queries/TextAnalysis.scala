@@ -591,12 +591,16 @@ object TextAnalysis extends QueryModule {
   private def q109(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(desc("c"), col("prefix"))
-    // tokens come from the memoized wide token table (round 21 —
-    // this serve re-ran regexp_extract_all over the raw corpus on
-    // every pass; tokenization is the canonical once-per-corpus
-    // step). The prefix counting, the top-3 window and the share
-    // divide — the measured operator — stay live.
-    val pref = tokensWide(s, dir)
+    // tokens come from the memoized token table (round 21 — this
+    // serve re-ran regexp_extract_all over the raw corpus on every
+    // pass; tokenization is the canonical once-per-corpus step). The
+    // NATURAL-layout table, not the 32-way wide twin: a prefix slice
+    // + rollup is a light consumer, and the wide layout measurably
+    // cost more in near-empty scan tasks than it saved (0.37 → 0.47
+    // quiet-equiv on the first cut — the round-20 light-consumer
+    // rule, reconfirmed). The prefix counting, the top-3 window and
+    // the share divide — the measured operator — stay live.
+    val pref = tokenized(s, dir)
       .select(col("source"),
         expr("concat_ws(' ', slice(toks, 1, 5))").as("prefix"))
       .groupBy("source", "prefix").agg(count(lit(1)).as("c"))
