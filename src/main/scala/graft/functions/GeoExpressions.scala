@@ -74,6 +74,51 @@ object GeoKernel {
       (math.floor(y2 / cell).toInt.toLong - math.floor(y1 / cell).toInt + 1L)
   }
 
+  /** [[cellCount]] from an ALREADY-COMPUTED envelope array
+    * ([minx,miny,maxx,maxy]) — pure arithmetic, no WKT parse. Both
+    * grid functions use only the envelope, so a plan that projects
+    * `st_envelope` once can derive the routing count and the cell
+    * explode from it instead of re-parsing the WKT per expression
+    * (guide §4: cut per-row work on the hot candidate-generation
+    * path). Same saturating per-axis math as [[cellCount]] by
+    * construction.
+    */
+  def cellCountEnv(env: org.apache.spark.sql.catalyst.util.ArrayData,
+      cell: Double): Long =
+    (math.floor(env.getDouble(2) / cell).toInt.toLong -
+      math.floor(env.getDouble(0) / cell).toInt + 1L) *
+      (math.floor(env.getDouble(3) / cell).toInt.toLong -
+        math.floor(env.getDouble(1) / cell).toInt + 1L)
+
+  /** [[gridCells]] from an ALREADY-COMPUTED envelope array — the
+    * parse-free twin (see [[cellCountEnv]]); identical ids, identical
+    * hard cap.
+    */
+  def gridCellsEnv(env: org.apache.spark.sql.catalyst.util.ArrayData,
+      cell: Double): GenericArrayData = {
+    val x1 = env.getDouble(0); val y1 = env.getDouble(1)
+    val x2 = env.getDouble(2); val y2 = env.getDouble(3)
+    val cx1 = math.floor(x1 / cell).toInt; val cx2 = math.floor(x2 / cell).toInt
+    val cy1 = math.floor(y1 / cell).toInt; val cy2 = math.floor(y2 / cell).toInt
+    val n = (cx2.toLong - cx1.toLong + 1L) * (cy2.toLong - cy1.toLong + 1L)
+    if (n > MaxCellsHard)
+      throw new IllegalArgumentException(
+        s"st_grid_cells_env: envelope [$x1,$y1,$x2,$y2] spans $n cells at " +
+          s"pitch $cell (hard cap $MaxCellsHard); raise the cell size, or " +
+          "keep spark.graft.spatial.autoGridJoin on so oversized rows " +
+          "take the guarded theta-join path")
+    val out = new Array[Any](n.toInt)
+    var i = 0; var cx = cx1
+    while (cx <= cx2) {
+      var cy = cy1
+      while (cy <= cy2) {
+        out(i) = UTF8String.fromString(s"$cx:$cy"); i += 1; cy += 1
+      }
+      cx += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Top-left shared cell of two envelopes ([minx,miny,maxx,maxy]) —
     * the reference cell of the grid-join dedup. Kept HERE, next to
     * [[gridCells]], so the two cell-id formatters are provably the
@@ -196,6 +241,47 @@ case class StCellCount(left: Expression, right: Expression)
   override def prettyName: String = "st_cell_count"
 }
 
+/** `st_grid_cells_env(env, cell_size)` — [[StGridCells]] over a
+  * pre-computed `st_envelope` array instead of the WKT: both grid
+  * functions use only the envelope, so a plan that projects the
+  * envelope once (the spatial join carries it for the reference-cell
+  * dedup anyway) derives the explode from it with ZERO further WKT
+  * parses per row (guide §4 — the parse was ~half the per-row cost of
+  * the candidate-generation stage).
+  */
+case class StGridCellsEnv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(env: Any, cell: Any): Any =
+    GeoKernel.gridCellsEnv(
+      env.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cell.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.gridCellsEnv($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StGridCellsEnv =
+    copy(l, r)
+  override def prettyName: String = "st_grid_cells_env"
+}
+
+/** `st_cell_count_env(env, cell_size)` — [[StCellCount]] over a
+  * pre-computed envelope array (see [[StGridCellsEnv]]).
+  */
+case class StCellCountEnv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(env: Any, cell: Any): Any =
+    GeoKernel.cellCountEnv(
+      env.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cell.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GeoKernel.cellCountEnv($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StCellCountEnv =
+    copy(l, r)
+  override def prettyName: String = "st_cell_count_env"
+}
+
 /** Evaluation twin of [[StIntersects]] used by
   * [[graft.plans.SpatialJoinRule]] to mark the oversized-row fallback
   * joins it emits (also registered as `st_intersects_norewrite` — the
@@ -271,6 +357,14 @@ object GeoFunctions {
     ("st_cell_count",
       info("st_cell_count", "st_cell_count(wkt, cell_size) - envelope grid-cell count"),
       (e: Seq[Expression]) => StCellCount(e(0), e(1))),
+    ("st_grid_cells_env",
+      info("st_grid_cells_env",
+        "st_grid_cells_env(env, cell_size) - grid cells from a st_envelope array (no WKT parse)"),
+      (e: Seq[Expression]) => StGridCellsEnv(e(0), e(1))),
+    ("st_cell_count_env",
+      info("st_cell_count_env",
+        "st_cell_count_env(env, cell_size) - grid-cell count from a st_envelope array"),
+      (e: Seq[Expression]) => StCellCountEnv(e(0), e(1))),
     ("st_intersects_norewrite",
       info("st_intersects_norewrite",
         "st_intersects_norewrite(a, b) - st_intersects exempt from the auto grid-join rewrite"),

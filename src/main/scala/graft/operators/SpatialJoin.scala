@@ -26,14 +26,17 @@ import org.apache.spark.sql.functions._
 object SpatialJoin {
 
   /** Cells (floor(x/s), floor(y/s)) overlapped by the envelope, as
-    * "cx:cy" strings — the codegen'd [[graft.functions.StGridCells]]
-    * kernel: one WKT parse per row. (A sequence/transform/flatten
-    * lambda pipeline computes the same cells but interprets per
-    * element and parses the WKT 4x — measured 3-5x slower in a long
-    * session.)
+    * "cx:cy" strings — the codegen'd
+    * [[graft.functions.StGridCellsEnv]] kernel over the CARRIED
+    * envelope: zero further WKT parses per row (the envelope is
+    * already projected once for the reference-cell dedup; round 22,
+    * guide §4 — `st_grid_cells(wkt, ...)` re-parsed the same WKT a
+    * second time per row). (A sequence/transform/flatten lambda
+    * pipeline computes the same cells but interprets per element and
+    * parses the WKT 4x — measured 3-5x slower in a long session.)
     */
-  private def cellsExpr(wktCol: String, cellSize: Double): String =
-    s"st_grid_cells($wktCol, CAST($cellSize AS DOUBLE))"
+  private def cellsExpr(envCol: String, cellSize: Double): String =
+    s"st_grid_cells_env($envCol, CAST($cellSize AS DOUBLE))"
 
   /** Join rows of `left` and `right` whose geometries intersect.
     * `leftGeom`/`rightGeom` name WKT columns; output = left columns +
@@ -58,14 +61,14 @@ object SpatialJoin {
       leftGeom: String, rightGeom: String, cellSize: Double = 1.0): DataFrame = {
     GeoFunctions.register(spark)
     // envelope computed ONCE per input row (pre-explode) and carried
-    // through the join: the reference-cell test below needs only the
-    // two envelope minima, not a re-parse of either WKT.
+    // through the join: the cell explode AND the reference-cell test
+    // below derive from it — ONE WKT parse per row total.
     val l = left
       .withColumn("__env", expr(s"st_envelope($leftGeom)"))
-      .withColumn("__cell", explode(expr(cellsExpr(leftGeom, cellSize))))
+      .withColumn("__cell", explode(expr(cellsExpr("__env", cellSize))))
     val r = right
       .withColumn("__env", expr(s"st_envelope($rightGeom)"))
-      .withColumn("__cell", explode(expr(cellsExpr(rightGeom, cellSize))))
+      .withColumn("__cell", explode(expr(cellsExpr("__env", cellSize))))
     // reference cell = top-left cell of the envelope intersection,
     // computed arithmetically from the carried envelopes: emit the
     // pair only there (exactly-once dedup without a shuffle). Equals

@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.functions.{StCellCount, StEnvelope, StGridCells, StIntersects, StIntersectsNoRewrite, StRefCell}
+import graft.functions.{StCellCount, StCellCountEnv, StEnvelope, StGridCellsEnv, StIntersects, StIntersectsNoRewrite, StRefCell}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
@@ -109,18 +109,25 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def small(g: Expression) = LessThanOrEqual(StCellCount(g, cs), maxC)
     def big(g: Expression) = GreaterThan(StCellCount(g, cs), maxC)
 
-    // GRID BRANCH (small × small). Per side: keep only bounded rows,
-    // project the envelope ONCE (one WKT parse, carried through the
-    // join for the reference-cell arithmetic), then explode the
-    // overlapped grid cells.
+    // GRID BRANCH (small × small). Per side: project the envelope
+    // FIRST (the row's only WKT parse — round 22, guide §4), then
+    // derive BOTH the bounded-row routing filter and the grid-cell
+    // explode from the carried envelope arithmetically
+    // (StCellCountEnv / StGridCellsEnv): the previous form paid three
+    // parses per row (st_cell_count guard, st_envelope, st_grid_cells
+    // each re-parsed the WKT). Null geometries yield a null envelope,
+    // fail the null-valued routing predicate and are dropped, exactly
+    // as the original null join condition dropped them.
     def prep(child: LogicalPlan, geom: Expression)
         : (LogicalPlan, Attribute, Attribute) = {
       val env = Alias(StEnvelope(geom), "__env")()
+      val envAttr = env.toAttribute
       val cell = AttributeReference("__cell", StringType, nullable = false)()
-      val gen = Generate(Explode(StGridCells(geom, cs)), Nil, outer = false,
-        None, Seq(cell), Project(child.output :+ env,
-          Filter(small(geom), child)))
-      (gen, env.toAttribute, cell)
+      val gen = Generate(Explode(StGridCellsEnv(envAttr, cs)), Nil,
+        outer = false, None, Seq(cell),
+        Filter(LessThanOrEqual(StCellCountEnv(envAttr, cs), maxC),
+          Project(child.output :+ env, child)))
+      (gen, envAttr, cell)
     }
     val (lPlan, lEnv, lCell) = prep(j.left, lGeom)
     val (rPlan, rEnv, rCell) = prep(j.right, rGeom)
@@ -153,11 +160,24 @@ object SpatialJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // every iteration.
     val marked = (Seq(StIntersectsNoRewrite(si.left, si.right): Expression)
       ++ rest).reduce(And)
+    // Each fallback join HINTS its big-filtered side as the broadcast
+    // build side (round 22, guide §3.1): oversized rows are rare by
+    // the rule's own premise (they are the tail the maxCellsPerRow
+    // split exists for), so the filtered side is the small one — and
+    // when it is EMPTY (the common case), AQE materializes the empty
+    // broadcast first and propagates the empty relation through the
+    // inner join, so the unfiltered probe side is never scanned. The
+    // planner's static choice broadcast the UNFILTERED right side and
+    // streamed a second full scan of the left through the
+    // nested-loop probe on every execution.
+    val broadcastLeft = JoinHint(Some(HintInfo(Some(BROADCAST))), None)
+    val broadcastRight = JoinHint(None, Some(HintInfo(Some(BROADCAST))))
     val bigLeft = Project(j.output,
-      Join(Filter(big(lGeom), j.left), j.right, Inner, Some(marked), j.hint))
+      Join(Filter(big(lGeom), j.left), j.right, Inner, Some(marked),
+        broadcastLeft))
     val bigRight = Project(j.output,
       Join(Filter(small(lGeom), j.left), Filter(big(rGeom), j.right),
-        Inner, Some(marked), j.hint))
+        Inner, Some(marked), broadcastRight))
     Union(Seq(grid, bigLeft, bigRight), byName = false,
       allowMissingCol = false)
   }

@@ -3003,9 +3003,12 @@ object SimSearch extends QueryModule {
   // drift says WHEN to retrain, this says what a retrain COSTS (the
   // fraction of a 100 TB cell-partitioned corpus that must move).
   //
-  // Scale: two model-sized broadcasts + one scan each for the two
-  // assignments, a vec_id equi-join of two (id, cell) columns, and a
-  // ≤k² aggregate; the 1-row total crosses (q104's pattern).
+  // Scale: ONE corpus scan carrying two model-sized literals computes
+  // both assignments side by side (they are row-local — the round-21
+  // form paid a corpus-wide vec_id self-equi-join of two scans of the
+  // same table for data a single scan co-locates), then a ≤k²
+  // aggregate; the grand total is a single-partition window over the
+  // ≤k²-row matrix.
   // Exactness: both models are integer-lattice centroids, so every
   // distance is an exact-in-float64 integer sum (q94's argument);
   // counts are integers and frac is one correctly-rounded divide,
@@ -3023,17 +3026,27 @@ object SimSearch extends QueryModule {
     val newModel = graft.CachedPlans.valueOf(s, dir, "q108_retrain") {
       graft.operators.Ivf.trainLattice(s, corpus, k = 4, iters = 1)
     }
-    val asgOld = graft.operators.Ivf.assign(corpus, oldModel, "embedding")
-      .select(col("vec_id"), col("cell").as("cell_old"))
-    val asgNew = graft.operators.Ivf.assign(corpus, newModel, "embedding")
-      .select(col("vec_id"), col("cell").as("cell_new"))
-    val mg = asgOld.join(asgNew, "vec_id")
-      .groupBy("cell_old", "cell_new").agg(count(lit(1)).as("n"))
-    val nt = mg.agg(sum("n").as("nn"))
+    // BOTH assignments are row-local model applications (each model
+    // is a driver-side literal broadcast into the projection), so the
+    // old form's `asgOld JOIN asgNew USING (vec_id)` was a corpus×
+    // corpus self-equi-join of two scans of the SAME table — two
+    // exchanges plus a join for data the single scan already co-
+    // locates (round 22, guide §2.4: remove the shuffle outright).
+    // One scan now projects cell_old and cell_new side by side.
+    val both = graft.operators.Ivf
+      .assign(graft.operators.Ivf.assign(corpus, oldModel, "embedding")
+        .withColumnRenamed("cell", "cell_old"), newModel, "embedding")
+      .withColumnRenamed("cell", "cell_new")
+    val mg = both.groupBy("cell_old", "cell_new").agg(count(lit(1)).as("n"))
+    // the grand total rides a single-partition window over the ≤k²-row
+    // migration matrix instead of a separate aggregate job + crossJoin
+    // (round 22: one less AQE materialization per serve; ≤16 rows)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // no round(·, 6): n/nn is an exact-integer divide, correctly
     // rounded to the identical double in both engines — round()
     // itself is what diverges at half-ulp boundaries (q84's lesson)
-    mg.crossJoin(broadcast(nt))
+    mg.withColumn("nn", sum("n").over(wAll))
       .withColumn("frac", expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"))
       .select("cell_old", "cell_new", "n", "frac")
       .orderBy("cell_old", "cell_new")

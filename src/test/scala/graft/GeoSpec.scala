@@ -123,6 +123,32 @@ class GeoSpec extends AnyFunSuite with SharedSpark {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("env-derived grid kernels equal the WKT-parsing forms " +
+      "(st_grid_cells_env / st_cell_count_env, incl. CODEGEN_ONLY)") {
+    GeoFunctions.register(spark)
+    // a spread of envelopes incl. negative coords and cell-boundary
+    // alignment — the saturating floor math must agree axis by axis
+    val wkts = Seq(
+      "POLYGON ((20 20, 60 20, 60 60, 20 60, 20 20))",
+      "POLYGON ((-7.5 -3.25, 4 -3.25, 4 9, -7.5 9, -7.5 -3.25))",
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))",
+      toulouse)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try wkts.foreach { w =>
+      Seq(1.0, 8.0, 2.5).foreach { cs =>
+        val row = spark.sql(
+          s"""SELECT st_grid_cells('$w', CAST($cs AS DOUBLE)) AS a,
+             |  st_grid_cells_env(st_envelope('$w'), CAST($cs AS DOUBLE)) AS b,
+             |  st_cell_count('$w', CAST($cs AS DOUBLE)) AS ca,
+             |  st_cell_count_env(st_envelope('$w'), CAST($cs AS DOUBLE)) AS cb
+             |""".stripMargin).head()
+        assert(row.getSeq[String](0) == row.getSeq[String](1), s"$w @ $cs")
+        assert(row.getLong(2) == row.getLong(3), s"$w @ $cs")
+        assert(row.getSeq[String](0).size.toLong == row.getLong(2), s"$w @ $cs")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("st_* expressions evaluate through SQL") {
     GeoFunctions.register(spark)
     val row = spark.sql(
