@@ -1081,16 +1081,32 @@ object IndexStore {
     // materialized as 4 extra sequential jobs per diff — the round-21
     // task census read q132 (two diffs) at 16 jobs per warm serve,
     // the highest dispatch count in the suite, for a result of a few
-    // dozen rows. The anti-joins keep the added/removed semantics;
-    // the file measures ride in as one driver-side literal relation.
-    def tagged(df: DataFrame, added: Boolean) = df.select(col("cell"),
-      (if (added) lit(1L) else lit(0L)).as("codes_added"),
-      (if (added) lit(0L) else lit(1L)).as("codes_removed"),
-      lit(0L).as("files_added"), lit(0L).as("files_removed"))
-    val codeRows = tagged(
-        cA.join(cR.select(idCol), Seq(idCol), "left_anti"), added = true)
-      .unionByName(tagged(
-        cR.join(cA.select(idCol), Seq(idCol), "left_anti"), added = false))
+    // dozen rows. The file measures ride in as one driver-side
+    // literal relation.
+    //
+    // Round 22 (guide §2.4): the added/removed sides were two
+    // ANTI-JOINS of the same two change sets on the same key — two
+    // join chains reading each side twice. Ids are unique per side
+    // (the store's invariant above), so one union tagged ±1 and one
+    // groupBy(id) classifies every id in a single exchange: net +1 =
+    // added (in v2's added files only), net -1 = removed, net 0 = in
+    // both (rewritten file, e.g. compact) — exactly the pair the
+    // anti-joins excluded.
+    val codeRows = cA.select(col(idCol), col("cell"), lit(1L).as("tag"))
+      .unionByName(cR.select(col(idCol), col("cell"), lit(-1L).as("tag")))
+      .groupBy(col(idCol))
+      .agg(sum("tag").as("net"),
+        max(when(col("tag") === 1L, col("cell"))).as("cell_a"),
+        max(when(col("tag") === -1L, col("cell"))).as("cell_r"))
+      .filter(col("net") =!= 0L)
+      .select(
+        when(col("net") === 1L, col("cell_a")).otherwise(col("cell_r"))
+          .as("cell"),
+        when(col("net") === 1L, lit(1L)).otherwise(lit(0L))
+          .as("codes_added"),
+        when(col("net") === 1L, lit(0L)).otherwise(lit(1L))
+          .as("codes_removed"),
+        lit(0L).as("files_added"), lit(0L).as("files_removed"))
     val fileRows = (fAdd.keySet ++ fRem.keySet).toSeq
       .map(c => (c, 0L, 0L, fAdd.getOrElse(c, 0L), fRem.getOrElse(c, 0L)))
       .toDF("cell", "codes_added", "codes_removed",

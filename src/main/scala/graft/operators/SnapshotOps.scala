@@ -44,16 +44,24 @@ object SnapshotOps {
   /** Change classification between two snapshots by key, using
     * `fpCol` as the content fingerprint: added / deleted / updated /
     * unchanged.
+    *
+    * `carry` names attribute columns present on BOTH sides to ride
+    * through the diff as `coalesce(new, old)` — for key-stable
+    * attributes (a document's language, a product's tile) this is
+    * exactly what a separate dimension join on the key would attach,
+    * minus the second corpus-sized join (round 22, guide §2.4: the
+    * diff already co-locates both sides' attributes on the key).
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
-      fpCol: String): DataFrame = {
+      fpCol: String, carry: Seq[String] = Nil): DataFrame = {
     val o = oldSnap.as("o"); val n = newSnap.as("n")
     o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
       .select(
-        coalesce(col(s"n.$key"), col(s"o.$key")).as(key),
+        coalesce(col(s"n.$key"), col(s"o.$key")).as(key) +:
         when(col(s"o.$key").isNull, lit("added"))
           .when(col(s"n.$key").isNull, lit("deleted"))
           .when(col(s"o.$fpCol") =!= col(s"n.$fpCol"), lit("updated"))
-          .otherwise(lit("unchanged")).as("change"))
+          .otherwise(lit("unchanged")).as("change") +:
+        carry.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
   }
 }

@@ -105,10 +105,14 @@ object CorpusMaintenance extends QueryModule {
             .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
               expr(fpS(toksSpark)).as("fp")))
     }
-    val langs = old.select(col("doc_id"), col("lang"))
-      .unionByName(neu.select(col("doc_id"), col("lang"))).distinct()
-    graft.operators.SnapshotOps.diff(old, neu, "doc_id", "fp")
-      .join(langs, "doc_id")
+    // Round 22 (guide §2.4): lang rides THROUGH the diff join as a
+    // carried attribute — both snapshots carry the document's lang
+    // and it is key-stable (each side derives it from the same
+    // documents row), so coalesce(new, old) attaches exactly what the
+    // old union→distinct→join-on-doc_id ladder attached, minus one
+    // corpus-sized distinct exchange and one corpus-sized join.
+    graft.operators.SnapshotOps
+      .diff(old, neu, "doc_id", "fp", carry = Seq("lang"))
       .groupBy("lang", "change").agg(count(lit(1)).as("n"))
       .orderBy("lang", "change")
   }
@@ -380,13 +384,19 @@ object CorpusMaintenance extends QueryModule {
         .as("uniq_fp"))
     // chunking is ingest-time work, memoized once per corpus (round
     // 21; the serve pays the fingerprint rollup + dup shares live)
-    val cdc = Dedup.cdcChunks(s, dir)
-      .select("doc_id", "source", "chunk", "n_tok", "fp")
-    val fpCnt = cdc.groupBy("fp").agg(count(lit(1)).as("n_fp"))
-    val dup = cdc.join(fpCnt, "fp").agg(
-      expr("CAST(SUM(CAST(n_tok AS DECIMAL(38,0))) AS DOUBLE)").as("ct"),
-      expr("CAST(SUM(CASE WHEN n_fp > 1 THEN CAST(n_tok AS DECIMAL(38,0)) " +
-        "ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)").as("cd"))
+    // Round 22 (guide §2.4): the dup-token share no longer joins the
+    // per-fp counts BACK onto the chunk table (a corpus-sized join +
+    // second chunk pass) — group once per fp carrying both the count
+    // and the token sum, then reduce the |fp|-row table: SUM is
+    // associative over the per-fp partials, so the two forms are
+    // equal by construction.
+    val cdc = Dedup.cdcChunks(s, dir).select("n_tok", "fp")
+    val dup = cdc.groupBy("fp").agg(count(lit(1)).as("n_fp"),
+        expr("SUM(CAST(n_tok AS DECIMAL(38,0)))").as("st"))
+      .agg(
+        expr("CAST(SUM(st) AS DOUBLE)").as("ct"),
+        expr("CAST(SUM(CASE WHEN n_fp > 1 THEN st " +
+          "ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)").as("cd"))
     base.crossJoin(dup)
       .selectExpr(
         "stack(7, " +

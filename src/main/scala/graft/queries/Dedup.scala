@@ -523,28 +523,30 @@ object Dedup extends QueryModule {
   // quality-preserving form of dedup (min-id keep-first discards the
   // richer copy whenever the shorter one has the smaller id).
   // Plan: CC labels (size-adaptive operator) joined to the cached
-  // token table; per-cluster argmax is a rank-1 window, which Spark
-  // executes as WindowGroupLimit (no full sort materialization).
+  // token table; per-cluster argmax AND member count fold into ONE
+  // map-side-combinable aggregate.
   private def q60(s: SparkSession, dir: String): DataFrame = {
-    // Round 21 note: an explicit shared hash(component) repartition
-    // for the window + size rollup was tried and REVERTED — the two
-    // same-key exchanges over the identical member subplan are
-    // already merged by exchange reuse, and the explicit form traded
-    // away the rollup's map-side partial aggregation (the trick only
-    // pays when the keys differ, as in q72's (aoi_id, Id) vs aoi_id).
+    // Round 22 (guide §2.2 partial aggregation): the rank-1 window +
+    // separate size rollup + component join became a single
+    // groupBy(component) aggregate — the argmax (longest doc,
+    // smallest-id tie-break) is min(struct(-n_tok, doc_id)), a
+    // lexicographic struct minimum, which unlike the window form gets
+    // MAP-SIDE partial aggregation: each task reduces its members to
+    // one candidate per component before the shuffle, where the
+    // window form shuffled every member row and joined two consumers
+    // of the same exchange back together. (Round 21 had shown the
+    // explicit shared-repartition variant loses; this removes the
+    // second consumer and the join outright.)
     val m = ccLabels(s, dir).join(
       TextAnalysis.tokenized(s, dir)
         .select(col("doc_id"), expr("CAST(size(toks) AS BIGINT)").as("n_tok")),
       "doc_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("component").orderBy(desc("n_tok"), col("doc_id"))
-    val reps = m.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("component"), col("doc_id").as("rep_id"),
-        col("n_tok").as("rep_tokens"))
-    val sizes = m.groupBy("component").agg(count(lit(1)).as("n_members"))
-    reps.join(sizes, "component")
-      .select("component", "rep_id", "rep_tokens", "n_members")
+    m.groupBy("component")
+      .agg(min(struct((-col("n_tok")).as("neg_tok"), col("doc_id").as("doc_id"),
+        col("n_tok").as("n_tok"))).as("rep"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("rep.doc_id").as("rep_id"),
+        col("rep.n_tok").as("rep_tokens"), col("n_members"))
       .orderBy("component")
   }
 
@@ -2505,14 +2507,22 @@ object Dedup extends QueryModule {
   private def q167(s: SparkSession, dir: String): DataFrame = {
     val sp = splitAssign(s, dir)
     val labels = ccLabels(s, dir)
-    val compSplit = labels.join(sp, "doc_id")
-      .groupBy("component")
-      .agg(min(struct(col("doc_id"), col("split"))).as("m"))
-      .select(col("component"), col("m.split").as("comp_split"))
+    // Round 22 (guide §2.4): the old form aggregated the labels⋈split
+    // join per component, then joined the |clusters|-row arg-min BACK
+    // onto a SECOND labels⋈split join — two scans of each memo and an
+    // extra exchange+join chain. The per-component arg-min is a
+    // window over the SAME join output; singletons (null component)
+    // must not collapse into one null partition (a corpus-sized skew
+    // key at scale), so the window keys on coalesce(component,
+    // -doc_id-1): component ids are nonnegative, so every singleton
+    // gets its own partition and adopts its own split — exactly the
+    // old coalesce(comp_split, split) semantics.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("component"), -col("doc_id") - 1))
     sp.join(labels, Seq("doc_id"), "left")
-      .join(compSplit, Seq("component"), "left")
       .select(col("split").as("old_split"),
-        expr("coalesce(comp_split, split)").as("new_split"))
+        min(struct(col("doc_id"), col("split"))).over(w)
+          .getField("split").as("new_split"))
       .groupBy("old_split", "new_split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("old_split", "new_split")

@@ -501,20 +501,33 @@ object PipelineOps extends QueryModule {
   private val dayD = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)"
 
   private def q101(s: SparkSession, dir: String): DataFrame = {
-    // Round 21 note: an explicit shared hash(user_id) exchange for
-    // the cohort groupBy + the events⋈cohort join was tried and
-    // REVERTED — the planner broadcasts the cohort side, so the
-    // events probe side needs no distribution at all and the explicit
-    // repartition ADDED a full shuffle of the event table
-    // (plans/r21/q101_cohort_retention_{before,after}.txt).
-    val ev = T.events(s, dir)
+    // Round 22 (guide §2.4): the round-21 form computed first-seen as
+    // a separate groupBy(user) aggregate and joined it back onto the
+    // event scan (two reads of events + a join), then built cohort
+    // sizes as a third aggregate joined on cohort. Now: (1) the
+    // cohort is a min-over-user WINDOW on the single event scan —
+    // one hash(user_id) exchange replaces the aggregate+join pair;
+    // (2) cohort_size falls out of the activity matrix itself:
+    // every user has an event on their cohort day, so the cohort's
+    // distinct-active count in the cohort day's own week
+    // (floor(cohort/7)) counts EXACTLY the cohort's users — a window
+    // over the (cohorts × weeks)-row matrix replaces the third
+    // aggregate and its join (and re-reads nothing: the matrix is
+    // key-cardinality-sized at any corpus scale).
+    // (Round 21's note stands: an explicit repartition for the old
+    // agg+join pair was reverted; this removes the pair instead.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    T.events(s, dir)
       .select(col("user_id"), expr(dayS).as("day"), expr(weekS).as("week"))
-    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
-    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-    ev.join(first, "user_id")
+      .withColumn("cohort", min("day").over(w))
       .groupBy("cohort", "week")
       .agg(countDistinct("user_id").as("n_active"))
-      .join(sizes, "cohort")
+      .withColumn("cohort_size",
+        max(when(col("week") === expr("CAST(FLOOR(cohort / 7.0D) AS INT)"),
+          col("n_active"))).over(wc))
       .withColumn("retention",
         expr("CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)"))
       .select("cohort", "week", "n_active", "cohort_size", "retention")

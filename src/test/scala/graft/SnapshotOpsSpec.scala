@@ -37,4 +37,18 @@ class SnapshotOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got == Seq((1L, "deleted"), (2L, "unchanged"),
       (3L, "updated"), (4L, "added")))
   }
+
+  test("diff carries key-stable attributes through the join " +
+      "(coalesce(new, old) — present on whichever side has the key)") {
+    import spark.implicits._
+    val old = Seq((1L, "fp1", "en"), (2L, "fp2", "de"), (3L, "fp3", "fr"))
+      .toDF("id", "fp", "lang")
+    val neu = Seq((2L, "fp2", "de"), (3L, "fp3x", "fr"), (4L, "fp4", "zh"))
+      .toDF("id", "fp", "lang")
+    val got = SnapshotOps.diff(old, neu, "id", "fp", carry = Seq("lang"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, "deleted", "en"), (2L, "unchanged", "de"),
+      (3L, "updated", "fr"), (4L, "added", "zh")))
+  }
 }
