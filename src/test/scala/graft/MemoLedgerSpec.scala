@@ -54,7 +54,7 @@ class MemoLedgerSpec extends AnyFunSuite {
   private val layouts = Set("narrow-driver", "narrow-pair",
     "wide-parallel", "natural")
 
-  private def ledgerRows: Seq[(String, String, String)] = {
+  private def ledgerRows: Seq[(String, String, String, String)] = {
     val lines = Files.readAllLines(Paths.get("MEMOS.md")).asScala
     val start = lines.indexWhere(_.startsWith("| tag |"))
     assert(start >= 0, "MEMOS.md ledger table header not found")
@@ -63,8 +63,9 @@ class MemoLedgerSpec extends AnyFunSuite {
       // cells(0) is the empty prefix before the leading pipe
       val tag = cells(1).stripPrefix("`").stripSuffix("`")
       val klass = cells(3)
+      val just = if (cells.length > 5) cells(5) else ""
       val layout = if (cells.length > 6) cells(6) else ""
-      (tag, klass, layout)
+      (tag, klass, just, layout)
     }
   }
 
@@ -94,10 +95,10 @@ class MemoLedgerSpec extends AnyFunSuite {
   }
 
   test("every MEMOS.md row's class is in the taxonomy") {
-    val bad = ledgerRows.filterNot { case (_, k, _) => classes(k) }
+    val bad = ledgerRows.filterNot { case (_, k, _, _) => classes(k) }
     assert(bad.isEmpty,
       s"rows with a class outside the documented taxonomy: " +
-        bad.map { case (t, k, _) => s"$t -> $k" }.mkString(", "))
+        bad.map { case (t, k, _, _) => s"$t -> $k" }.mkString(", "))
   }
 
   test("no duplicate ledger rows") {
@@ -110,10 +111,35 @@ class MemoLedgerSpec extends AnyFunSuite {
     // the serve-cost contract — a cached plan keeps its build-time
     // partitioning forever, so the governance must be declared, not
     // scattered in comments.
-    val bad = ledgerRows.filterNot { case (_, _, lay) => layouts(lay) }
+    val bad = ledgerRows.filterNot { case (_, _, _, lay) => layouts(lay) }
     assert(bad.isEmpty,
       s"rows missing a layout column value from ${layouts.toSeq.sorted.mkString("/")}: " +
-        bad.map { case (t, _, l) => s"$t -> '$l'" }.mkString(", "))
+        bad.map { case (t, _, _, l) => s"$t -> '$l'" }.mkString(", "))
+  }
+
+  test("every report-class row carries a per-query justification " +
+      "(names its owning query; no copy-paste boilerplate)") {
+    // Round 22 (VERDICT r21 next-round #6): `report` memoizes an
+    // entire query output, so each row must argue — per row, against
+    // the owning query's declared NAME — why that name is build-
+    // shaped (a curve/audit/truth artifact constructed once per
+    // corpus/model), or state honestly what serve work was absorbed.
+    // Enforced shape: the justification names a qNN_ query and is
+    // unique across report rows (22 identical sentences justify
+    // nothing).
+    val reports = ledgerRows.filter(_._2 == "report")
+    assert(reports.nonEmpty)
+    val qRe = """q\d+_\w+""".r
+    val unnamed = reports.filter { case (_, _, j, _) =>
+      qRe.findFirstIn(j).isEmpty
+    }
+    assert(unnamed.isEmpty,
+      "report rows whose justification does not name the owning query: " +
+        unnamed.map(_._1).mkString(", "))
+    val dup = reports.groupBy(_._3).filter(_._2.size > 1).values
+    assert(dup.isEmpty,
+      "report rows sharing a copy-paste justification: " +
+        dup.map(_.map(_._1).mkString("/")).mkString("; "))
   }
 
   test("no bare partition-count literals in query modules outside writes") {
