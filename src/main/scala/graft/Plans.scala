@@ -17,9 +17,15 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_top_revenue", "q25_knn_brute")
+    // SPARK_GRAFT_PLANS_DIR overrides the stock sf0.001 dir — round
+    // 22's broadcast-vs-shuffle gate reads plans at the 10x
+    // ScaleCorpus size, where the planner's estimates (not the
+    // bench-sf ones) decide the join strategy
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR",
+      "/root/testdata/sf0.001")
     names.foreach { n =>
       println(s"==== $n ====")
-      println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      println(SparkEntry.queries(n)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
     }

@@ -33,6 +33,16 @@ object ScaleCheck {
     val dirs =
       if (args.length > 2) args(2).split(",").toSeq
       else sfs.map(s => s"/root/testdata/sf$s")
+    // Round 22 (VERDICT r21 next-round #3): the sf0.1 bench is
+    // dispatch-saturated (8-core == 32-core), so scale evidence for
+    // the heavy data-path rows must come from decade sweeps — and it
+    // must be a COMMITTED machine artifact, not plan prose. With
+    // SPARK_GRAFT_SCALECHECK_OUT set, the sweep appends one JSON
+    // object per query to that file: per-dir min times, per-decade
+    // fitted exponents, and a Bench-style dispatch probe so the next
+    // reader can judge how much of the small-sf floor is job overhead
+    // (which UNDERSTATES growth; see the class doc).
+    val outPath = sys.env.get("SPARK_GRAFT_SCALECHECK_OUT")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -40,6 +50,21 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sink = outPath.map(p => new java.io.PrintWriter(
+      new java.io.FileWriter(p, /* append = */ true)))
+    val calib = {
+      // one dispatch-path probe per run (Bench.calibSpark's shape,
+      // codegen warmed first so the sample measures the host, not the
+      // compiler): ties the artifact to the host state it ran under
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(20000000L).selectExpr("id % 997 AS k")
+          .groupBy("k").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probe(); probe()
+    }
     for (name <- names) {
       val q = SparkEntry.queries(name)
       val times = dirs.map { dir =>
@@ -52,14 +77,23 @@ object ScaleCheck {
         println(f"[scale] $name dir=$dir $t%.3f s")
         t
       }
-      if (times.length == 3 && args.length <= 2) {
-        val e1 = math.log10(times(1) / times(0))
-        val e2 = math.log10(times(2) / times(1))
-        println(f"[scale] $name exponents: 0.001->0.01 $e1%.2f, 0.01->0.1 $e2%.2f")
-      } else if (times.length >= 2) {
-        println(f"[scale] $name ratio last/first: ${times.last / times.head}%.2f")
+      // per-step exponents for any adjacent pair of dirs; callers
+      // pass decade steps (10x data per step), so exp = log10 ratio
+      val exps = times.sliding(2).collect {
+        case Seq(a, b) if a > 0 => math.log10(b / a)
+      }.toSeq
+      if (exps.nonEmpty)
+        println(s"[scale] $name exponents: " +
+          exps.map(e => f"$e%.2f").mkString(", "))
+      sink.foreach { w =>
+        val ds = dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
+        val ts = times.map(f3).mkString("[", ",", "]")
+        val es = exps.map(f3).mkString("[", ",", "]")
+        w.println(s"""{"query":"$name","dirs":$ds,"sec":$ts,"decade_exponents":$es,"passes":$passes,"calib_spark":${f3(calib)}}""")
+        w.flush()
       }
     }
+    sink.foreach(_.close())
     spark.stop()
   }
 }

@@ -109,6 +109,15 @@ object CachedPlans {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
+  /** Results of [[layout]], by identity: already backed by their own
+    * cache()d build, so [[of]] must NOT wrap them in a second cache —
+    * that stored every layout()ed memo twice (ADVICE r21 #2: the
+    * checkpoint/cache copy AND the cached coalesced copy). Weak keys:
+    * entries vanish with the DataFrame.
+    */
+  private val preStored = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
   def of(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     memo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     val key =
@@ -117,11 +126,14 @@ object CachedPlans {
     // (the shingle index builds on the cached token table), and a
     // nested computeIfAbsent on one ConcurrentHashMap is a recursive
     // update. The race (two threads building the same plan) is benign:
-    // one extra cache() that the loser never references.
+    // CacheManager keys cached data by canonicalized plan, so the
+    // loser's cache() resolves to the winner's entry (no leaked
+    // second copy).
     val existing = memo.get(key)
     if (existing != null) existing._2
     else {
-      val built = (s, build.cache())
+      val result = build
+      val built = (s, if (preStored.contains(result)) result else result.cache())
       val prev = memo.putIfAbsent(key, built)
       if (prev != null) prev._2 else built._2
     }
@@ -169,12 +181,24 @@ object CachedPlans {
     * rowsPerPart (driver-value-sized → 1 partition until genuinely
     * large); narrow-pair memos (edge lists, signatures) a smaller one
     * with a small minParts floor.
+    *
+    * Round 22 (ADVICE r21 #2): the build is materialized via
+    * `cache()` + count instead of an eager localCheckpoint — ONE
+    * stored copy (the [[of]] wrapper recognizes layout results and
+    * skips its own cache(); the coalesce on top is a narrow merge
+    * re-run per action over the cached blocks), recomputable on
+    * executor loss where checkpoint blocks were not, and race-safe:
+    * CacheManager keys by canonicalized plan, so a racing duplicate
+    * build resolves to the same cache entry instead of leaking
+    * checkpoint blocks.
     */
   def layout(df: DataFrame, rowsPerPart: Long, minParts: Int = 1): DataFrame = {
     require(rowsPerPart > 0, "rowsPerPart must be positive")
-    val staged = df.localCheckpoint()
+    val staged = df.cache()
     val n = staged.count()
-    staged.coalesce(partsFor(n, rowsPerPart, minParts))
+    val out = staged.coalesce(partsFor(n, rowsPerPart, minParts))
+    preStored.add(out)
+    out
   }
 
   /** [[layout]]'s serve-side sibling for presentations that scan a

@@ -27,16 +27,29 @@ while true; do
   case "$out" in
     *'"host_state":"quiet"'*)
       echo "$(date -Is) quiet window — firing full bench"
+      start_marker=$(mktemp /tmp/quiet_start.XXXXXX)
       SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=$CPUS \
         sbt -batch "runMain graft.Bench" >/tmp/quiet_bench.log 2>&1
+      rc=$?
       tail -c 600 /tmp/quiet_bench.log
-      if grep -q '"host_state":"quiet"' BENCH_DETAIL.json 2>/dev/null; then
+      # ADVICE r21 #4: commit only when THIS run (a) exited cleanly,
+      # (b) printed a quiet summary line itself, and (c) actually
+      # rewrote the detail file (mtime newer than the run start) —
+      # a pre-existing working-tree detail that happens to say quiet
+      # must not be recertified by a crashed run.
+      summary=$(grep -o '{"metric".*' /tmp/quiet_bench.log | tail -1)
+      if [ "$rc" -eq 0 ] \
+         && printf '%s' "$summary" | grep -q '"host_state":"quiet"' \
+         && printf '%s' "$summary" | grep -q '"n_failed":0' \
+         && [ BENCH_DETAIL.json -nt "$start_marker" ]; then
         git add BENCH_DETAIL.json &&
           git commit -m "Quiet-window bench recertification" &&
-          echo "$(date -Is) committed quiet BENCH_DETAIL.json" && exit 0
+          echo "$(date -Is) committed quiet BENCH_DETAIL.json" &&
+          rm -f "$start_marker" && exit 0
       else
-        echo "$(date -Is) full bench self-adjudicated non-quiet; resuming poll"
+        echo "$(date -Is) full bench rc=$rc not committable (non-quiet, failed queries, or stale detail); resuming poll"
       fi
+      rm -f "$start_marker"
       ;;
   esac
   sleep "$INTERVAL"
