@@ -336,14 +336,21 @@ object EventsWindows extends QueryModule {
   // q35 — R5 mosaic first-wins semantics: per (key, hour-cell) the
   // first value in explicit priority order (ts, event_id) wins.
   private def q35(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "cell")
-      .orderBy("ts", "event_id")
+    // Round 22 (guide §2.2, the q60 device): the rank-1 window became
+    // a lexicographic struct MIN — (ts, event_id) is a unique total
+    // order within every (user, cell) group, so min(struct(ts,
+    // event_id, value)).value is exactly the row_number()=1 row, and
+    // unlike the window the aggregate gets map-side partial
+    // combining: each task reduces to one candidate per (user, cell)
+    // before the shuffle, and the per-partition sort machinery
+    // disappears entirely.
     T.events(s, dir)
       .withColumn("cell", date_trunc("hour", col("ts")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("user_id", "cell")
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("m"))
       .select(col("user_id"),
-        expr("CAST(cell AS TIMESTAMP_NTZ)").as("cell"), col("value"))
+        expr("CAST(cell AS TIMESTAMP_NTZ)").as("cell"),
+        col("m.value").as("value"))
       .orderBy("user_id", "cell")
   }
 
