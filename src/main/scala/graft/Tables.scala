@@ -109,15 +109,6 @@ object CachedPlans {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
-  /** Results of [[layout]], by identity: already backed by their own
-    * cache()d build, so [[of]] must NOT wrap them in a second cache —
-    * that stored every layout()ed memo twice (ADVICE r21 #2: the
-    * checkpoint/cache copy AND the cached coalesced copy). Weak keys:
-    * entries vanish with the DataFrame.
-    */
-  private val preStored = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
-
   def of(s: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
     memo.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     val key =
@@ -132,8 +123,7 @@ object CachedPlans {
     val existing = memo.get(key)
     if (existing != null) existing._2
     else {
-      val result = build
-      val built = (s, if (preStored.contains(result)) result else result.cache())
+      val built = (s, build.cache())
       val prev = memo.putIfAbsent(key, built)
       if (prev != null) prev._2 else built._2
     }
@@ -182,23 +172,35 @@ object CachedPlans {
     * large); narrow-pair memos (edge lists, signatures) a smaller one
     * with a small minParts floor.
     *
-    * Round 22 (ADVICE r21 #2): the build is materialized via
-    * `cache()` + count instead of an eager localCheckpoint — ONE
-    * stored copy (the [[of]] wrapper recognizes layout results and
-    * skips its own cache(); the coalesce on top is a narrow merge
-    * re-run per action over the cached blocks), recomputable on
-    * executor loss where checkpoint blocks were not, and race-safe:
-    * CacheManager keys by canonicalized plan, so a racing duplicate
-    * build resolves to the same cache entry instead of leaking
-    * checkpoint blocks.
+    * Round 22 (ADVICE r21 #2 — EXAMINED AND DECLINED, with
+    * measurement): three cache()-based single/dual-copy variants were
+    * built and A/B-probed against this form on the same host window,
+    * and every one lost, because the eager localCheckpoint's REAL
+    * load-bearing property here is LINEAGE TRUNCATION, not just
+    * materialization. The checkpointed memo is a leaf: every
+    * downstream cache lookup and AQE stage canonicalizes a tiny plan.
+    * With `cache()`+count the full build lineage (edges → shingles →
+    * tokens → parquet) stays inside every consumer's analyzed tree,
+    * and q100's warm serve went 0.40-0.52 s → 2.3 s at IDENTICAL
+    * 6-stage dispatch — pure driver-side planning/canonicalization
+    * cost, paid per serve forever, against a one-off double-storage
+    * saving. Variant (a) (uncached coalesce, `of` skips its cache)
+    * additionally re-ran the merge once per consumer REFERENCE
+    * (q100/q85/q80 reference the edge memo 2-3× per plan; per-task
+    * time tripled); variant (b) (eager unpersist of the build copy)
+    * made CacheManager re-cache every dependent plan containing the
+    * dropped subtree, losing their materialized data (q100 5.6 s).
+    * The advice's remaining hazards are accepted as bounded: the
+    * build-race checkpoint leak needs two threads to FIRST-build the
+    * same memo in one session (bench/verify build serially; leaked
+    * blocks are dropped with the session), and executor loss in
+    * local mode is process death.
     */
   def layout(df: DataFrame, rowsPerPart: Long, minParts: Int = 1): DataFrame = {
     require(rowsPerPart > 0, "rowsPerPart must be positive")
-    val staged = df.cache()
+    val staged = df.localCheckpoint()
     val n = staged.count()
-    val out = staged.coalesce(partsFor(n, rowsPerPart, minParts))
-    preStored.add(out)
-    out
+    staged.coalesce(partsFor(n, rowsPerPart, minParts))
   }
 
   /** [[layout]]'s serve-side sibling for presentations that scan a
