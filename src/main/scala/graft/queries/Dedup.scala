@@ -2509,20 +2509,26 @@ object Dedup extends QueryModule {
     val labels = ccLabels(s, dir)
     // Round 22 (guide §2.4): the old form aggregated the labels⋈split
     // join per component, then joined the |clusters|-row arg-min BACK
-    // onto a SECOND labels⋈split join — two scans of each memo and an
-    // extra exchange+join chain. The per-component arg-min is a
-    // window over the SAME join output; singletons (null component)
-    // must not collapse into one null partition (a corpus-sized skew
-    // key at scale), so the window keys on coalesce(component,
-    // -doc_id-1): component ids are nonnegative, so every singleton
-    // gets its own partition and adopts its own split — exactly the
-    // old coalesce(comp_split, split) semantics.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(coalesce(col("component"), -col("doc_id") - 1))
-    sp.join(labels, Seq("doc_id"), "left")
+    // onto a SECOND labels⋈split join — an extra exchange+join chain
+    // on the labeled rows. The per-component arg-min is a window over
+    // the SAME inner-join output (one exchange on component, the
+    // exact rows the old aggregate shuffled), and singletons take the
+    // anti-join branch and keep their own split without touching a
+    // shuffle at all — the first cut of this rewrite windowed the
+    // whole LEFT join on coalesce(component, -doc_id-1), which
+    // de-skews but shuffles the FULL corpus (singletons included)
+    // where the old plan only shuffled the labeled subset; this split
+    // form keeps the window win without the extra corpus-sized
+    // exchange at scale. The doc_id-keyed exchanges under the inner
+    // and anti joins are identical subplans (exchange reuse).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val labeled = sp.join(labels, Seq("doc_id"))
       .select(col("split").as("old_split"),
         min(struct(col("doc_id"), col("split"))).over(w)
           .getField("split").as("new_split"))
+    val singletons = sp.join(labels, Seq("doc_id"), "left_anti")
+      .select(col("split").as("old_split"), col("split").as("new_split"))
+    labeled.unionByName(singletons)
       .groupBy("old_split", "new_split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("old_split", "new_split")
